@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (full WINS staging pipeline reject table)
+on sf0.001. ``queries()`` / ``oracle_sql()`` — one entry per implemented
+operator from SURVEY.md §2 plus the relational/streaming/LLM-pipeline
+extension surface; built from the registry in
+``flnr_wins_spark/plans/``.
 """
 
 from __future__ import annotations
@@ -15,24 +15,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full WINS staging pipeline (transform + QA reject split,
+    SURVEY.md §2b R1-R8) on sf0.001; returns the reject table."""
+    from flnr_wins_spark.plans.common import all_queries
+
+    return all_queries()["wins_e2e_rejects"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from flnr_wins_spark.plans.common import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: qd.fn for name, qd in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from flnr_wins_spark.plans.common import all_queries
+
+    return {name: qd.sql for name, qd in all_queries().items() if qd.sql is not None}

@@ -1,0 +1,59 @@
+"""YAML pipeline config (reference S1/S2: ``src/wins_transform_staging.py:26-78``,
+``src/app.yml``).
+
+The reference drives its run from a YAML mapping of item-ids, paths and email
+settings. We keep the same shape: a YAML file maps logical table names to
+input paths, declares the lookup table, and the staging (publish) directory.
+Credentials (reference: MAPHUB_USER/PASS env at ``:69-78``) generalize to an
+``env:`` indirection — values of the form ``${NAME}`` resolve from the
+environment.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover - pyyaml ships with pyspark images
+    yaml = None
+
+_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def _resolve_env(value: Any) -> Any:
+    if isinstance(value, str):
+        return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), ""), value)
+    if isinstance(value, dict):
+        return {k: _resolve_env(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_resolve_env(v) for v in value]
+    return value
+
+
+@dataclass
+class PipelineConfig:
+    """Mirrors the keys the reference consumes from app.yml
+    (``src/wins_transform_staging.py:37-52``): working dir, staging dir,
+    source tables, lookup table."""
+
+    tables: dict[str, str] = field(default_factory=dict)  # name -> input path
+    lookup: dict[str, str] = field(default_factory=dict)  # name -> input path
+    staging_dir: str = ""
+    options: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "PipelineConfig":
+        if yaml is None:
+            raise RuntimeError("pyyaml not available")
+        with open(path) as fh:
+            raw = _resolve_env(yaml.safe_load(fh)) or {}
+        return cls(
+            tables=raw.get("tables", {}),
+            lookup=raw.get("lookup", {}),
+            staging_dir=raw.get("staging_dir", ""),
+            options=raw.get("options", {}),
+        )

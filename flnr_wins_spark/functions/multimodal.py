@@ -1,0 +1,103 @@
+"""Multimodal (image/audio/video) column plumbing (engine extension).
+
+Design: media content is an opaque ``binary`` column + a typed metadata
+struct — exactly how the reference carries geometry it never decodes
+(SURVEY.md §1: opaque WKB, copied but not computed on). The Spark-side
+plumbing (schemas, batch iteration, partitioning) is real and tested; the
+actual codec step is STUBBED because media libraries are not available in
+this environment — ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic fake decoder so the
+pipeline shape can be exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def to_media_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build a media-shaped table from any corpus: bytes = UTF-8 content
+    (stand-in for real image/audio payloads), metadata populated for real."""
+    content = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(content).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(content: bytes, dim: int) -> list[float]:
+    """Deterministic fake 'decoder': digest bytes -> unit-range features.
+    Stands in for PIL/libav decode, which is unavailable here."""
+    h = hashlib.sha256(content or b"").digest()
+    return [h[i % 32] / 255.0 for i in range(dim)]
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, fake: bool = True, batch_hint: int = 1024
+) -> DataFrame:
+    """Decode + featurize media content via mapInPandas (Arrow batches).
+
+    Real decoders (PIL, torchaudio, pyav) are NOT present in this container:
+    with ``fake=False`` this raises NotImplementedError at execution time.
+    The Spark plumbing — schema contract, Arrow batch iteration, partition
+    parallelism — is the real implementation a codec would drop into.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs unavailable in this environment; pass fake=True"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content_hash": pdf["content"].map(
+                        lambda b: hashlib.sha256(bytes(b) if b is not None else b"").hexdigest()
+                    ),
+                    "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
+                    "feature": pdf["content"].map(lambda b: _fake_decode(bytes(b or b""), dim)),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,130 @@
+"""Text-analysis functions for LLM-data pipelines (engine extension).
+
+JVM-side built-ins wherever expressible (token stats, quality score,
+fingerprints via split/filter/size — whole-stage codegen); Arrow-batched
+Pandas UDFs only where genuinely imperative (language-ID n-gram profiles,
+rolling Rabin-Karp hash).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def char_token_estimate(col: Column) -> Column:
+    """BPE-ish token-count estimate: ceil(chars / 4) — the standard rough
+    chars-per-token constant for English-like text."""
+    return F.ceil(F.length(col) / 4.0).cast("bigint")
+
+
+def uniq_token_ratio(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("double") / F.size(tokens(col))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(col), lambda t_: t_.isin(*stopwords))).cast(
+        "double"
+    ) / F.size(tokens(col))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic doc-quality heuristic in [0,1]: length saturation +
+    lexical diversity + non-stopword mass. All arithmetic is per-row IEEE
+    (engine-independent)."""
+    n = F.size(tokens(col)).cast("double")
+    length_part = F.least(F.lit(1.0), n / F.lit(100.0))
+    return (
+        F.lit(0.4) * length_part
+        + F.lit(0.4) * uniq_token_ratio(col)
+        + F.lit(0.2) * (F.lit(1.0) - stopword_ratio(col))
+    )
+
+
+def prefix_fingerprint(col: Column, n_tokens: int = 8) -> Column:
+    """Content fingerprint: md5 of the first n tokens — cheap clustering key
+    for prefix-duplicate detection."""
+    return F.md5(F.encode(F.concat_ws(" ", F.slice(tokens(col), 1, n_tokens)), "UTF-8"))
+
+
+# ---------------------------------------------------------------------------
+# Pandas-UDF (Arrow-batched) functions — the imperative tail
+# ---------------------------------------------------------------------------
+
+_LANG_PROFILES = {
+    # tiny closed-class word profiles; deterministic scoring
+    "en": {"the", "of", "and", "to", "in", "is", "a"},
+    "de": {"der", "die", "das", "und", "ist", "ein"},
+    "fr": {"le", "la", "les", "et", "est", "un"},
+    "es": {"el", "la", "los", "y", "es", "un"},
+    "zh": set(),  # CJK detected by script, not stopwords
+}
+
+
+@pandas_udf("string")
+def lang_id(texts: pd.Series) -> pd.Series:
+    """Heuristic language-ID: CJK script check, then stopword-profile vote.
+    Arrow-batched; ~vectorized string ops per batch."""
+
+    def ident(text: str) -> str:
+        if not text:
+            return "und"
+        if any("一" <= ch <= "鿿" for ch in text[:400]):
+            return "zh"
+        toks = set(text.lower().split())
+        best, best_score = "und", 0
+        for lang, prof in _LANG_PROFILES.items():
+            score = len(toks & prof)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score > 0 else "en"
+
+    return texts.map(ident)
+
+
+@pandas_udf("long")
+def rolling_fingerprint(texts: pd.Series) -> pd.Series:
+    """Rabin-Karp rolling hash over tokens (base 1_000_003, mod 2^61-1) —
+    order-sensitive content fingerprint, unlike the bag-of-words hashes."""
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def fp(text: str) -> int:
+        h = 0
+        for tok in (text or "").split():
+            th = 0
+            for ch in tok:
+                th = (th * 131 + ord(ch)) % MOD
+            h = (h * BASE + th) % MOD
+        return h
+
+    return texts.map(fp).astype("int64")
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full per-document text-analysis profile (one pass, no shuffle)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        char_token_estimate(c).alias("est_bpe_tokens"),
+        F.size(F.array_distinct(tokens(c))).cast("bigint").alias("n_uniq"),
+        uniq_token_ratio(c).alias("ttr"),
+        stopword_ratio(c).alias("stop_ratio"),
+        quality_score(c).alias("quality"),
+        prefix_fingerprint(c).alias("prefix_fp"),
+        lang_id(c).alias("lang_pred"),
+        rolling_fingerprint(c).alias("rolling_fp"),
+    )

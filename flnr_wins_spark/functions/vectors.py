@@ -1,0 +1,151 @@
+"""Vector/embedding functions and similarity search (engine extension).
+
+Grounding: top-k similarity search literature (PAPERS.md — EDBT 2020 / ICDE
+2021 / SIGMOD 2020). Two paths:
+
+  * brute-force top-k: broadcast the (small) query set against the candidate
+    corpus — one pass over candidates, per-partition partial top-k via window.
+    Exact; O(|Q| * N) but embarrassingly parallel and shuffle-light (only the
+    final per-query top-k shuffle on |Q| keys).
+  * LSH-bucketed ANN: random-hyperplane signatures (deterministic seed),
+    banded bucket join, exact cosine re-rank inside buckets. Subquadratic; the
+    scale path when |Q| is large.
+
+All vector math is JVM-side (zip_with/aggregate fold in index order — no
+Python UDFs in the hot path, deterministic summation order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-ordered left-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, cand_id, cosine, rank), rank 1..k,
+    ties broken by candidate id (deterministic).
+
+    The query side is broadcast — the candidate corpus is scanned once with no
+    shuffle; only the tiny (|Q| x k-bounded) result shuffles for the window.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) -> Column:
+    """Deterministic random-hyperplane (SimHash-for-vectors) signature.
+
+    Hyperplane j's component d is ±1 from the parity of xxhash64(j*dim+d) —
+    reproducible everywhere with no stored model. sign bit j = [v . h_j >= 0].
+    """
+    terms = []
+    for j in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}),"
+                    f" d -> CAST(IF(xxhash64(CAST({j} * {dim} AS BIGINT) + d, {seed}) % 2 = 0, 1.0, -1.0) AS DOUBLE))"
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        terms.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    sig = terms[0]
+    for t_ in terms[1:]:
+        sig = sig + t_
+    return sig.cast("bigint")
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane-signature bands, exact cosine
+    re-rank within joined buckets. Recall < 1 by construction (ANN); rank is
+    deterministic for a fixed seed."""
+    width = bits // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, idc: str, side: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        sig = hyperplane_signature(v, dim=dim, bits=bits, seed=seed)
+        d = df.select(F.col(idc).alias(f"{side}_id"), v.alias(f"_{side}v"), sig.alias("_sig"))
+        return d.select(
+            f"{side}_id",
+            f"_{side}v",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(i),
+                            F.shiftright("_sig", i * width).bitwiseAND(F.lit(mask)),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+
+    q = banded(queries, query_id, "query")
+    c = banded(candidates, cand_id, "cand")
+    cand_pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", "_queryv", "_candv")
+        .distinct()
+    )
+    scored = cand_pairs.select(
+        "query_id", "cand_id", cosine(F.col("_queryv"), F.col("_candv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,234 @@
+"""Deduplication operators for large-scale text corpora (engine extension —
+the reference's QA dedup, ``src/wins_transform_staging.py:243-257``, rejects
+exact key duplicates; these generalize to content-level exact and near-dup
+detection for LLM training-data pipelines).
+
+All operators are partition-parallel with no driver-side collection:
+
+  * exact:     content-hash groupBy — one shuffle on the 128-bit digest.
+  * n-gram Jaccard: shingle explode -> inverted-index self-join -> count.
+  * MinHash-LSH:    pyspark.ml MinHashLSH banding join (candidate pairs) with
+                    exact Jaccard verification of candidates only.
+  * SimHash:   64-bit signatures via JVM-side higher-order functions, banded
+               Hamming join (4 x 16-bit bands finds all pairs within
+               Hamming distance 8 in at most 4 bucket joins).
+
+Scale notes: the inverted-index join is the textbook blow-up risk — frequent
+shingles create quadratic bucket sizes. ``jaccard_pairs`` therefore drops
+shingles above ``max_shingle_freq`` (stop-shingles), the standard trick; at
+100 TB you'd also salt the band join and cap bucket width. MinHash-LSH keeps
+candidate generation subquadratic; exact verification touches only candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Canonicalize for exact dedup: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = False
+) -> DataFrame:
+    """Keep the lowest-id row per identical content; adds ``n_copies``.
+
+    One window shuffle on the content digest (md5 — 128 bits, collision-safe
+    at any realistic corpus size).
+    """
+    content = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    fp = F.md5(F.encode(content, "UTF-8"))
+    w = Window.partitionBy(fp)
+    tagged = df.withColumn("_rn", F.row_number().over(w.orderBy(F.col(id_col)))).withColumn(
+        "n_copies", F.count(F.lit(1)).over(w)
+    )
+    return tagged.filter(F.col("_rn") == 1).drop("_rn")
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle) pairs.
+
+    Tokenization is a plain single-space split (deterministic, oracle-friendly);
+    shingling uses JVM-side higher-order functions (transform/sequence) — no
+    Python in the loop.
+    """
+    toks = F.split(F.col(text_col), " ")
+    parts = " , ".join(f"element_at(_tk, CAST(i + {j} AS INT))" for j in range(n))
+    shingles = F.expr(
+        f"transform(sequence(1, size(_tk) - {n - 1}), i -> concat_ws(' ', {parts}))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("_tk"))
+        .filter(F.size("_tk") >= n)
+        .select("id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All-pairs Jaccard similarity >= threshold from an (id, shingle) set
+    table. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_shingle_freq`` drops shingles occurring in more than that many docs
+    (stop-shingles) before the self-join — they contribute little to Jaccard
+    but dominate join cost. Exact results are preserved for pairs whose
+    similarity comes from rarer shingles (at high thresholds, all of them).
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sh = shingles
+    if max_shingle_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = shingles.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").select(
+            "id", "shingle"
+        )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hash_tables: int = 64,
+    shingle_n: int = 3,
+    num_features: int = 1 << 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH candidate generation + exact Jaccard
+    verification. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Candidates come from pyspark.ml's MinHashLSH ``approxSimilarityJoin``
+    (OR-amplified banding: P[miss] = (1-j)^tables — ~1e-45 at j=0.8 with 64
+    tables, so verified output equals the exact all-pairs result with
+    overwhelming probability while never materializing the quadratic join).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = shingle_sets(df, text_col, id_col, n=shingle_n)
+    docs = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    feat = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feat)
+    pairs = (
+        model.approxSimilarityJoin(feat, feat, 1.0 - threshold + 1e-9, distCol="dist")
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    # Exact verification on candidates only (hashed-feature Jaccard can
+    # deviate slightly; recompute on true shingle sets).
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, seed: int = 42
+) -> DataFrame:
+    """64-bit SimHash per document from token-level xxhash64.
+
+    Entirely JVM-side: token hashes via xxhash64, per-bit vote counting via
+    nested higher-order functions (transform over 64 bit positions, aggregate
+    over token hashes). No UDFs, no shuffle until the caller joins.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.expr(f"transform(array_distinct(split({text_col}, ' ')), t -> xxhash64(t, {seed}))")
+    # bit b of signature = 1 iff #(hashes with bit b set) > #tokens/2
+    sig = F.expr(
+        f"""
+        aggregate(
+          sequence(0, 63),
+          CAST(0 AS BIGINT),
+          (acc, b) -> acc + IF(
+            aggregate(transform(array_distinct(split({text_col}, ' ')),
+                                t -> CAST(shiftright(xxhash64(t, {seed}), b) & 1 AS INT)),
+                      0, (s, x) -> s + x) * 2 > size(array_distinct(split({text_col}, ' '))),
+            shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))
+        )
+        """
+    )
+    return df.select(F.col(id_col).alias("id"), F.size(toks).alias("n_tokens"), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    signatures: DataFrame, max_hamming: int = 8, bands: int = 4
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` via banded bucket join.
+
+    Pigeonhole: distance <= 8 over 4 bands of 16 bits => at least one band is
+    identical, so joining per-band on exact band value finds every such pair
+    without the quadratic cross join. Returns (id_a, id_b, hamming).
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = signatures.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask))).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,92 @@
+"""R7/R8 — data-quality rejection splits.
+
+The reference's QA stage (``src/wins_transform_staging.py:236-273``) moves bad
+rows into a reject table and stamps REJECT_FLAG:
+
+  * R7 duplicate keys: frequency table -> join back -> select FREQUENCY > 1 ->
+    append to reject + delete from source + flag 'Duplicate TRRR_TAG'
+    (``:243-257``). Note: ALL members of a duplicate group are rejected — no
+    survivor is kept (FIXTURES.md edge case 3).
+  * R8 referential integrity: left join POD -> select PNTS_CODE IS NULL (an
+    anti-join) -> reject + flag 'TRRR_TAG not found in Water POD Table', the
+    flag applied only where REJECT_FLAG IS NULL (``:257-273``, flag-precedence
+    edge case 4).
+
+Spark design: the reference's agg + self-join + delete dance collapses to a
+single window count (R7) and a semi/anti split (R8); "delete from source"
+becomes returning the kept complement — no mutation.
+
+Scale notes: R7 is one shuffle on the key (window partitionBy) — strictly
+better than the reference's two-pass agg+join. R8's lookup side is a
+dimension: broadcast semi/anti joins, no fact shuffle. Skewed keys are
+handled by AQE skew-join splitting (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DUPLICATE_FLAG = "Duplicate {key}"
+UNMATCHED_FLAG = "{key} not found in {lookup_name}"
+
+
+class RejectSplit(NamedTuple):
+    kept: DataFrame
+    rejected: DataFrame  # carries REJECT_FLAG
+
+
+def reject_duplicates(df: DataFrame, key: str, flag: str | None = None) -> RejectSplit:
+    """Split rows whose ``key`` occurs more than once into the reject side —
+    all group members rejected (``src/wins_transform_staging.py:249-256``).
+
+    Single pass: window COUNT over partitionBy(key) replaces the reference's
+    Frequency table + AddJoin (``:240-249``).
+    """
+    flag = flag or DUPLICATE_FLAG.format(key=key)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(key))
+    tagged = df.withColumn("_freq", cnt)
+    kept = tagged.filter(F.col("_freq") <= 1).drop("_freq")
+    rejected = (
+        tagged.filter(F.col("_freq") > 1)
+        .drop("_freq")
+        .withColumn("REJECT_FLAG", F.lit(flag))
+    )
+    return RejectSplit(kept=kept, rejected=rejected)
+
+
+def reject_unmatched(
+    df: DataFrame,
+    lookup: DataFrame,
+    on: tuple[str, str],
+    flag: str | None = None,
+    lookup_name: str = "lookup",
+    broadcast_lookup: bool = True,
+) -> RejectSplit:
+    """Split rows whose key has no match in ``lookup`` into the reject side
+    (``src/wins_transform_staging.py:257-265``): kept = LEFT SEMI join,
+    rejected = LEFT ANTI join + flag.
+
+    NULL keys never match an equi-join (same as the reference's SQL-engine
+    join), so NULL-keyed rows are rejected.
+    """
+    df_key, lk_key = on
+    flag = flag or UNMATCHED_FLAG.format(key=df_key, lookup_name=lookup_name)
+    keys = lookup.select(F.col(lk_key).alias(lk_key)).dropDuplicates([lk_key])
+    if broadcast_lookup:
+        keys = F.broadcast(keys)
+    cond = df[df_key] == keys[lk_key]
+    kept = df.join(keys, cond, "left_semi")
+    rejected = df.join(keys, cond, "left_anti").withColumn("REJECT_FLAG", F.lit(flag))
+    return RejectSplit(kept=kept, rejected=rejected)
+
+
+def flag_where_null(rejected: DataFrame, flag: str) -> DataFrame:
+    """Stamp ``flag`` only on rows not already flagged — the reference's
+    definition-query layer ``"REJECT_FLAG IS null"`` before CalculateField
+    (``src/wins_transform_staging.py:268-269``)."""
+    return rejected.withColumn(
+        "REJECT_FLAG", F.coalesce(F.col("REJECT_FLAG"), F.lit(flag))
+    )

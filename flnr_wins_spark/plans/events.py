@@ -1,0 +1,139 @@
+"""Event-stream operators, batch-checked (SURVEY.md §7 Phase D).
+
+Each entry is the batch twin of a Structured Streaming op in
+``flnr_wins_spark/streaming/events.py`` — same window semantics, checkable by
+the DuckDB oracle. The streaming variants share the aggregation code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.plans.common import dsum, query, sql_dsum, t
+
+
+@query(
+    "q_events_json",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    note="semi-structured JSON extraction (get_json_object) + agg",
+)
+def q_events_json(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("int")).cast("bigint").alias("sum_k"),
+    )
+
+
+@query(
+    "q_events_tumbling",
+    sql=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    note="tumbling 1h window agg — streaming twin: streaming/events.py tumbling_counts",
+    bench=True,
+)
+def q_events_tumbling(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "q_events_sliding",
+    sql="""
+    SELECT window_start, COUNT(*) AS n FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+    ) GROUP BY window_start
+    """,
+    note="sliding window (1h size / 30m slide): each event lands in 2 windows",
+)
+def q_events_sliding(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@query(
+    "q_events_sessionize",
+    sql="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '15 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    note="session windows (15m gap) — streaming twin uses F.session_window",
+)
+def q_events_sessionize(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "15 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@query(
+    "q_events_dedup",
+    sql="""
+    SELECT user_id, event_type, MIN(event_id) AS first_event, COUNT(*) AS n_dups
+    FROM events GROUP BY user_id, event_type
+    """,
+    note="keyed dedup keeping first arrival — streaming twin: dropDuplicates within watermark",
+)
+def q_events_dedup(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+@query(
+    "q_events_late_data",
+    sql=f"""
+    SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL '7 days'
+    GROUP BY 1
+    """,
+    note="watermark analog: rows older than max(ts)-7d dropped before windowing",
+)
+def q_events_late_data(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("m"))
+    keep = ev.join(F.broadcast(wm)).filter(
+        F.col("ts") >= F.col("m") - F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        keep.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )

@@ -1,0 +1,272 @@
+"""LLM-data-pipeline extension queries (SURVEY.md §7 Phase E): dedup,
+similarity search, text analysis, multimodal plumbing — over the
+``documents`` and ``embeddings`` fixture tables.
+
+The fixture corpus has no planted duplicates, so dedup entries synthesize
+them deterministically (union a modified copy of every 10th doc) — the same
+construction on the oracle side — so the operators produce non-trivial,
+checkable output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.plans.common import query, t
+
+_DUP_SQL_DOCS = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' qq1 qq2' FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _docs_with_dups(spark, sf_dir, exact: bool = False):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("text") if exact else F.concat(F.col("text"), F.lit(" qq1 qq2"))).alias("text"),
+    )
+    return docs.unionByName(extra)
+
+
+@query(
+    "x_dedup_exact",
+    sql="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ), w AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM docs
+    )
+    SELECT doc_id, n_copies FROM w WHERE rn = 1
+    """,
+    note="exact dedup: content-hash window, keep lowest id (one shuffle)",
+    bench=True,
+)
+def x_dedup_exact(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import exact_dedup
+
+    docs = _docs_with_dups(spark, sf_dir, exact=True)
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "n_copies")
+
+
+@query(
+    "x_dedup_ngram_jaccard",
+    sql=f"""
+    WITH docs AS ({_DUP_SQL_DOCS}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+    """,
+    note="3-gram shingle Jaccard near-dup via inverted-index self-join",
+)
+def x_dedup_ngram_jaccard(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import jaccard_pairs, shingle_sets
+
+    docs = _docs_with_dups(spark, sf_dir)
+    sh = shingle_sets(docs, "text", "doc_id", n=3)
+    return jaccard_pairs(sh, threshold=0.8).select(
+        F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"), "jaccard"
+    )
+
+
+@query(
+    "x_dedup_minhash_lsh",
+    sql=None,  # probabilistic candidate generation; exact-verified but not SQL-expressible
+    note="MinHash-LSH banding candidates + exact Jaccard verify (pyspark.ml)",
+    bench=True,
+)
+def x_dedup_minhash_lsh(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_dups(spark, sf_dir)
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+@query(
+    "x_dedup_simhash",
+    sql=None,  # xxhash64-based signature has no DuckDB twin
+    note="64-bit SimHash signatures + banded Hamming<=8 pair join",
+)
+def x_dedup_simhash(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = simhash_signatures(docs, "text", "doc_id")
+    # tiny-vocab corpus => similar bags collide often; tight radius keeps the
+    # pair set near-dup-only (radius 2 over 4 bands still pigeonholes exactly)
+    return simhash_pairs(sigs, max_hamming=2)
+
+
+@query(
+    "x_similarity_topk",
+    sql="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM q, c WHERE query_id <> cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+    note="exact cosine top-k: broadcast queries, JVM-side fold dot product",
+    bench=True,
+)
+def x_similarity_topk(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(queries, emb, k=5)
+
+
+@query(
+    "x_similarity_ann_lsh",
+    sql=None,  # approximate-recall ANN — no exact SQL twin
+    note="ANN top-k via random-hyperplane LSH buckets + exact re-rank",
+)
+def x_similarity_ann_lsh(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import ann_lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(queries, emb, dim=64, k=5)
+
+
+@query(
+    "x_text_stats",
+    sql="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+    note="token counting + lexical stats, all JVM-side",
+)
+def x_text_stats(spark, sf_dir):
+    from flnr_wins_spark.functions.text import char_token_estimate, token_count, tokens, uniq_token_ratio
+
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        F.size(F.array_distinct(tokens(c))).cast("bigint").alias("n_uniq"),
+        uniq_token_ratio(c).alias("ttr"),
+        char_token_estimate(c).alias("est_bpe_tokens"),
+    )
+
+
+@query(
+    "x_text_quality",
+    sql="""
+    SELECT doc_id,
+           0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
+         + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+         + 0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                 x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                    / len(string_split(text, ' '))) AS quality
+    FROM documents
+    """,
+    note="deterministic quality score: length saturation + diversity + stopword mass",
+)
+def x_text_quality(spark, sf_dir):
+    from flnr_wins_spark.functions.text import quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "x_text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS prefix_fp
+    FROM documents
+    """,
+    note="prefix fingerprint (md5 of first 8 tokens)",
+)
+def x_text_fingerprint(spark, sf_dir):
+    from flnr_wins_spark.functions.text import prefix_fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", prefix_fingerprint(F.col("text")).alias("prefix_fp"))
+
+
+@query(
+    "x_text_langid",
+    sql=None,  # heuristic profile vote implemented as a pandas UDF
+    note="language-ID heuristic (Arrow-batched pandas UDF) + rolling Rabin-Karp fingerprint",
+)
+def x_text_langid(spark, sf_dir):
+    from flnr_wins_spark.functions.text import lang_id, rolling_fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_given"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+@query(
+    "x_multimodal_bytes",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+    note="binary-column plumbing: encode -> byte length + sha256 content hash",
+)
+def x_multimodal_bytes(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    content = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(content).cast("bigint").alias("n_bytes"),
+        F.sha2(content, 256).alias("content_hash"),
+    )
+
+
+@query(
+    "x_multimodal_features",
+    sql=None,  # decode step is a deterministic stand-in (codecs unavailable)
+    note="media table -> mapInPandas feature extraction (stubbed decoder)",
+)
+def x_multimodal_features(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import extract_features, to_media_table
+
+    docs = t(spark, sf_dir, "documents")
+    media = to_media_table(docs, "text", "doc_id")
+    return extract_features(media, dim=8, fake=True)

@@ -1,0 +1,401 @@
+"""Standard relational surface (SURVEY.md §7 Phase C): filters, joins,
+aggregates, windows, rollup/cube/grouping sets, set ops, scalar functions,
+top-k, as-of join. TPC-H-shaped where applicable (q1/q3/q5/q6 adapted to the
+fixture schema).
+
+Determinism: see plans/common.py — decimal-routed sums, unique-key tiebreaks,
+explicit integer widths, NTZ timestamps only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.plans.common import dsum, query, sql_dsum, t
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "q1_pricing_summary",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum(_REV, scale=4, prec=28)} AS sum_disc_price,
+           {sql_dsum(_REV + ' * (1 + l_tax)', scale=6, prec=28)} AS sum_charge,
+           {sql_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+           {sql_dsum('l_discount', scale=4)} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    note="TPC-H Q1 shape: scan -> filter -> hash agg (map-side partial agg)",
+    bench=True,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(rev, scale=4, prec=28).alias("sum_disc_price"),
+            dsum(rev * (1 + F.col("l_tax")), scale=6, prec=28).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum(F.col("l_discount"), scale=4) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    sql=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum(_REV, scale=4, prec=28)} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    note="TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k",
+    bench=True,
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev, scale=4, prec=28).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    sql=f"""
+    SELECT n.n_name, {sql_dsum(_REV, scale=4, prec=28)} AS revenue
+    FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+    WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    note="TPC-H Q5 shape: 6-way join, small dims broadcast, one agg shuffle",
+    bench=True,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    od = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cust, od.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(rev, scale=4, prec=28).alias("revenue"))
+    )
+
+
+@query(
+    "q6_revenue_forecast",
+    sql=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', scale=4, prec=28)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    note="TPC-H Q6 shape: pure filter+agg — predicate pushdown to parquet scan",
+    bench=True,
+)
+def q6_revenue_forecast(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=4, prec=28).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_topk_per_group",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    note="top-k per group via window — no global sort, one key shuffle",
+)
+def q_topk_per_group(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        od.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q_window_running",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           CAST(RANK() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rk
+    FROM orders
+    """,
+    note="window functions: running sum (decimal-exact), lag, rank",
+)
+def q_window_running(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).over(wf).cast("double").alias("run_total"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.rank().over(w).cast("bigint").alias("rk"),
+    )
+
+
+@query(
+    "q_rollup_acctbal",
+    sql=f"""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_cust,
+           {sql_dsum('c.c_acctbal')} AS sum_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    note="ROLLUP hierarchy agg over broadcast-joined dims",
+)
+def q_rollup_acctbal(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"), dsum(F.col("c_acctbal")).alias("sum_bal")
+    )
+
+
+@query(
+    "q_cube_orders",
+    sql=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    note="CUBE over two dimensions",
+)
+def q_cube_orders(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice")).alias("sum_price")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    note="GROUPING SETS via SQL API",
+)
+def q_grouping_sets(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_set_ops",
+    sql="""
+    SELECT c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    note="INTERSECT / EXCEPT set operations",
+)
+def q_set_ops(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    f = od.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    o = od.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    p = od.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("c_custkey"))
+    return f.intersect(o).subtract(p)
+
+
+@query(
+    "q_distinct_agg",
+    sql="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    note="distinct aggregate (two-phase expand in Spark)",
+)
+def q_distinct_agg(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_scalar_functions",
+    sql="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           substr(p_type, 1, 3) AS t3,
+           CAST(length(p_name) AS BIGINT) AS nlen,
+           abs(p_retailprice - 1000.0) AS absdiff,
+           concat(p_brand, '-', p_type) AS bt,
+           p_partkey % 7 AS m7,
+           CAST(p_size + 1 AS INTEGER) AS sz1
+    FROM part
+    """,
+    note="scalar string/math function sampler (all whole-stage codegen)",
+)
+def q_scalar_functions(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_type", 1, 3).alias("t3"),
+        F.length("p_name").cast("bigint").alias("nlen"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("absdiff"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("bt"),
+        (F.col("p_partkey") % 7).alias("m7"),
+        (F.col("p_size") + 1).cast("int").alias("sz1"),
+    )
+
+
+@query(
+    "q_date_functions",
+    sql="""
+    SELECT o_orderkey,
+           CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+           CAST(date_part('month', o_orderdate) AS INTEGER) AS mo,
+           CAST(date_part('day', o_orderdate) AS INTEGER) AS dy,
+           TRUE AS d30ok,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS due
+    FROM orders
+    """,
+    note="date extraction + date arithmetic",
+)
+def q_date_functions(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return od.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dy"),
+        F.lit(True).alias("d30ok"),
+        F.date_add(d, 30).alias("due"),
+    )
+
+
+@query(
+    "q_asof_join",
+    sql="""
+    SELECT e.event_id, e.user_id,
+           (SELECT max(o.o_orderdate)
+            FROM orders o
+            WHERE o.o_custkey = e.user_id
+              AND o.o_orderdate <= (TIMESTAMP '1995-01-01'
+                                    + to_days(CAST((e.event_id * 7) % 2500 AS INTEGER)))
+           ) AS asof_date
+    FROM events e
+    """,
+    note="as-of join (latest right row ≤ probe time) — union+window impl, no per-row subquery",
+)
+def q_asof_join(spark, sf_dir):
+    from flnr_wins_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_add(F.lit("1995-01-01").cast("date"), ((F.col("event_id") * 7) % 2500).cast("int"))
+        .cast("timestamp_ntz")
+        .alias("probe_ts"),
+    )
+    od = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    out = asof_join(
+        ev,
+        od,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="probe_ts",
+        right_time="o_orderdate",
+        value_col="o_orderdate",
+        out_col="asof_date",
+    )
+    return out.select("event_id", "user_id", "asof_date")

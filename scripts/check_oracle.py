@@ -1,0 +1,118 @@
+"""Local differential harness mimicking the driver's correctness gate:
+run every queries() entry on Spark and its oracle_sql() twin on DuckDB over
+the same parquet tables; compare row count, schema width, and
+order-insensitive values (exact, after column-name sort).
+
+Usage: python scripts/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for r in rows:
+        key = tuple(canon(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from flnr_wins_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark(shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            srows = df.collect()
+            scols = df.columns
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only, {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"     WARNING: {name} returned 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        ok = True
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
+            ok = False
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
+            print(f"FAIL {name}: columns spark={scols} duckdb={dcols}")
+            ok = False
+        if ok:
+            ms, md = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+            if ms != md:
+                only_s = {k: c for k, c in ms.items() if md.get(k) != c}
+                only_d = {k: c for k, c in md.items() if ms.get(k) != c}
+                print(f"FAIL {name}: value mismatch ({len(only_s)} spark-only, {len(only_d)} duckdb-only)")
+                for k in list(only_s)[:3]:
+                    print(f"  spark : {k}")
+                for k in list(only_d)[:3]:
+                    print(f"  duckdb: {k}")
+                ok = False
+        if ok:
+            print(f"PASS {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all green")
+
+
+if __name__ == "__main__":
+    main()
