@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline queries (registry entries flagged
+``bench=True``) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the ``noop`` sink — full computation, no driver-side
+collection, mirroring how a production job would terminate in a write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from flnr_wins_spark.plans.common import all_queries
+    from flnr_wins_spark.session import get_spark
+
+    spark = get_spark(app_name="flnr-wins-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    headline = {name: qd for name, qd in registry.items() if qd.bench}
+
+    # JVM/codegen warmup on a trivial job so query 1 isn't charged for it.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, qd in headline.items():
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

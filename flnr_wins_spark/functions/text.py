@@ -12,6 +12,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -73,7 +74,7 @@ _LANG_PROFILES = {
 }
 
 
-@pandas_udf("string")
+@pandas_udf(T.StringType())
 def lang_id(texts: pd.Series) -> pd.Series:
     """Heuristic language-ID: CJK script check, then stopword-profile vote.
     Arrow-batched; ~vectorized string ops per batch."""
@@ -94,7 +95,7 @@ def lang_id(texts: pd.Series) -> pd.Series:
     return texts.map(ident)
 
 
-@pandas_udf("long")
+@pandas_udf(T.LongType())
 def rolling_fingerprint(texts: pd.Series) -> pd.Series:
     """Rabin-Karp rolling hash over tokens (base 1_000_003, mod 2^61-1) —
     order-sensitive content fingerprint, unlike the bag-of-words hashes."""

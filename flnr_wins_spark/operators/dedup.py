@@ -111,7 +111,7 @@ def minhash_lsh_pairs(
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
-    num_hash_tables: int = 64,
+    num_hash_tables: int = 16,
     shingle_n: int = 3,
     num_features: int = 1 << 20,
     seed: int = 42,
@@ -120,7 +120,7 @@ def minhash_lsh_pairs(
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
 
     Candidates come from pyspark.ml's MinHashLSH ``approxSimilarityJoin``
-    (OR-amplified banding: P[miss] = (1-j)^tables — ~1e-45 at j=0.8 with 64
+    (OR-amplified banding: P[miss] = (1-j)^tables — ~6e-12 at j=0.8 with 16
     tables, so verified output equals the exact all-pairs result with
     overwhelming probability while never materializing the quadratic join).
     """

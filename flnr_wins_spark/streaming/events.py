@@ -1,0 +1,93 @@
+"""Structured Streaming slice (SURVEY.md §7 Phase D).
+
+The reference is pure batch (SURVEY.md §2c: no streaming, no watermarks, no
+state); this is engine extension surface. Each op here is the streaming twin
+of a batch entry in ``flnr_wins_spark/plans/events.py`` — identical window
+semantics, so the DuckDB oracle on the batch twin validates the shared logic,
+and the streaming tests validate incremental execution (file source ->
+watermark -> stateful agg -> sink).
+
+Scale notes: all aggregations are keyed (window start and/or user_id), so
+state is partitioned across executors; watermarks bound state size; file
+sources scale by listing parallelism. ``availableNow`` triggers give
+batch-equivalent backfills with streaming semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """File-source stream over a parquet directory of events."""
+    return spark.readStream.schema(schema or EVENTS_SCHEMA).parquet(path)
+
+
+def with_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Late-data bound: rows older than max(event time) - delay are dropped
+    from stateful ops; state for closed windows is evicted.
+
+    Watermarks require TIMESTAMP (with timezone) event time — NTZ is cast
+    via the session timezone (UTC in session.py), preserving wall-clock.
+    """
+    return events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark("ts", delay)
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
+    """Streaming twin of plans/events.py::q_events_tumbling."""
+    return (
+        events.groupBy(F.window("ts", size).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, size: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Streaming twin of q_events_sliding."""
+    return (
+        events.groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "15 minutes") -> DataFrame:
+    """Streaming twin of q_events_sessionize (merging session windows)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming twin of q_events_dedup: drop duplicate keys, state bounded
+    by the watermark."""
+    return events.dropDuplicates(keys or ["user_id", "event_type"])
+
+
+def run_available_now(df: DataFrame, table_name: str, output_mode: str = "complete"):
+    """Drain the full backlog with streaming semantics into an in-memory
+    table; returns the finished StreamingQuery."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

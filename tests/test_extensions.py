@@ -1,0 +1,155 @@
+"""Tests for LLM-data-pipeline extension operators: dedup, similarity,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    normalize_text,
+    shingle_sets,
+    simhash_pairs,
+    simhash_signatures,
+)
+from flnr_wins_spark.functions.vectors import ann_lsh_topk, brute_force_topk
+from flnr_wins_spark.functions.multimodal import extract_features, to_media_table
+from flnr_wins_spark.functions.text import text_profile
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),       # exact dup of 1
+            (3, "THE  Quick Brown fox jumps over the lazy dog"),      # dup after normalize
+            (4, "the quick brown fox jumps over the lazy cat today"), # near dup
+            (5, "completely different words here nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestExactDedup:
+    def test_keeps_lowest_id(self, spark, docs):
+        kept = exact_dedup(docs, "text", "doc_id")
+        got = {r.doc_id: r.n_copies for r in kept.collect()}
+        assert got == {1: 2, 3: 1, 4: 1, 5: 1}
+
+    def test_normalized(self, spark, docs):
+        kept = exact_dedup(docs, "text", "doc_id", normalize=True)
+        got = {r.doc_id: r.n_copies for r in kept.collect()}
+        assert got == {1: 3, 4: 1, 5: 1}
+
+
+class TestJaccard:
+    def test_shingles(self, spark, docs):
+        sh = shingle_sets(docs.filter("doc_id = 1"), "text", "doc_id", n=3)
+        shingles = {r.shingle for r in sh.collect()}
+        assert "the quick brown" in shingles and len(shingles) == 7
+
+    def test_near_dup_pairs(self, spark, docs):
+        sh = shingle_sets(docs, "text", "doc_id", n=3)
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(sh, 0.5).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 4) in pairs and 0.5 <= pairs[(1, 4)] < 1.0
+        assert all(5 not in p for p in pairs)
+
+    def test_stop_shingle_cap(self, spark, docs):
+        sh = shingle_sets(docs, "text", "doc_id", n=3)
+        # cap=1 removes every shared shingle -> no pairs survive
+        assert jaccard_pairs(sh, 0.1, max_shingle_freq=1).count() == 0
+
+
+class TestMinHashLSH:
+    def test_matches_exact_pairs(self, spark, docs):
+        got = {(r.id_a, r.id_b) for r in
+               minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+        sh = shingle_sets(docs, "text", "doc_id", n=3)
+        want = {(r.id_a, r.id_b) for r in jaccard_pairs(sh, 0.5).collect()}
+        assert got == want and (1, 2) in got
+
+
+class TestSimHash:
+    def test_exact_dups_distance_zero(self, spark, docs):
+        sigs = simhash_signatures(docs, "text", "doc_id")
+        pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(sigs, 8).collect()}
+        assert pairs.get((1, 2)) == 0          # identical bags -> identical signature
+        assert (1, 5) not in pairs             # unrelated docs nowhere close
+
+    def test_signature_deterministic(self, spark, docs):
+        s1 = {r.id: r.simhash for r in simhash_signatures(docs, "text", "doc_id").collect()}
+        s2 = {r.id: r.simhash for r in simhash_signatures(docs, "text", "doc_id").collect()}
+        assert s1 == s2
+
+
+@pytest.fixture()
+def vectors(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),    # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.9, 0.1]),    # closest to 2
+            (4, [-1.0, 0.0, 0.0]),   # opposite of 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, spark, vectors):
+        q = vectors.filter("vec_id in (0, 2)")
+        out = brute_force_topk(q, vectors, k=2)
+        top = {(r.query_id, r.rank): r.cand_id for r in out.collect()}
+        assert top[(0, 1)] == 1 and top[(2, 1)] == 3
+        got0 = [r for r in out.collect() if r.query_id == 0]
+        assert all(r.cand_id != 0 for r in got0)  # self excluded
+
+    def test_ann_lsh_finds_near_neighbor(self, spark, vectors):
+        q = vectors.filter("vec_id = 0")
+        out = ann_lsh_topk(q, vectors, dim=3, k=2, bits=8, bands=4)
+        got = [r.cand_id for r in out.orderBy("rank").collect()]
+        # ANN: must surface the true nearest (1 shares most sign buckets);
+        # opposite vector must not rank first
+        assert got and got[0] == 1
+
+
+class TestText:
+    def test_profile_columns_and_values(self, spark, docs):
+        prof = {r.doc_id: r for r in text_profile(docs).collect()}
+        assert prof[1].n_tokens == 9
+        assert prof[1].n_uniq == 8          # 'the' twice
+        assert prof[1].lang_pred == "en"
+        assert prof[1].rolling_fp == prof[2].rolling_fp  # same text, same hash
+        assert prof[1].rolling_fp != prof[4].rolling_fp
+        assert 0.0 <= prof[1].quality <= 1.0
+        assert prof[1].prefix_fp != prof[5].prefix_fp
+
+    def test_normalize_text(self, spark):
+        df = spark.createDataFrame([("  A   b  C ",)], "t string")
+        assert df.select(normalize_text(F.col("t")).alias("n")).collect()[0].n == "a b c"
+
+
+class TestMultimodal:
+    def test_media_table_and_features(self, spark, docs):
+        media = to_media_table(docs, "text", "doc_id")
+        assert [f.name for f in media.schema.fields] == ["media_id", "content", "meta"]
+        m = media.filter("media_id = 1").collect()[0]
+        assert m.meta.n_bytes == len(m.content)
+
+        feats = extract_features(media, dim=4, fake=True)
+        got = {r.media_id: r for r in feats.collect()}
+        assert len(got[1].feature) == 4
+        assert got[1].content_hash == got[2].content_hash   # same bytes
+        assert got[1].feature == got[2].feature             # deterministic fake decode
+        assert got[1].content_hash != got[5].content_hash
+
+    def test_real_decode_is_stubbed(self, spark, docs):
+        media = to_media_table(docs, "text", "doc_id")
+        with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+            extract_features(media, fake=False).collect()

@@ -1,0 +1,185 @@
+"""Unit tests for the reference-parity operators (SURVEY.md §2b, semantics
+pinned by FIXTURES.md §B edge cases)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flnr_wins_spark.operators import (
+    append_no_test,
+    blank_to_null,
+    conditional_update,
+    enrich,
+    frequency,
+    reject_duplicates,
+    reject_unmatched,
+)
+from flnr_wins_spark.operators.asof import asof_join
+from flnr_wins_spark.operators.reject import flag_where_null
+
+
+def rows(df, *cols):
+    return sorted(
+        [tuple(r) for r in df.select(*cols).collect()],
+        key=lambda t_: tuple((v is not None, v) for v in t_),
+    )
+
+
+TEMPLATE = T.StructType(
+    [
+        T.StructField("TAG", T.StringType()),
+        T.StructField("CODE", T.StringType()),
+        T.StructField("N", T.LongType()),
+    ]
+)
+
+
+class TestAppendNoTest:
+    def test_name_mapping_missing_null_extra_dropped(self, spark):
+        # wts.py:151-155 "NO_TEST": map by name, null missing, drop extras
+        a = spark.createDataFrame([("t1", 1, "junk")], "TAG string, N int, EXTRA string")
+        b = spark.createDataFrame([("t2", "c2")], "TAG string, CODE string")
+        out = append_no_test(TEMPLATE, a, b)
+        assert out.columns == ["TAG", "CODE", "N"]
+        assert out.schema["N"].dataType == T.LongType()  # int -> bigint cast
+        assert rows(out, "TAG", "CODE", "N") == [("t1", None, 1), ("t2", "c2", None)]
+
+    def test_case_insensitive_names(self, spark):
+        a = spark.createDataFrame([("t1",)], "tag string")
+        out = append_no_test(TEMPLATE, a)
+        assert rows(out, "TAG") == [("t1",)]
+
+
+class TestConditionalUpdate:
+    def test_first_match_wins_and_keep_otherwise(self, spark):
+        # wts.py:168-171 RV%/RS% prefix cases; unselected rows keep value
+        df = spark.createDataFrame(
+            [("RV1", "old"), ("RS2", "old"), ("XX3", "old")], "TAG string, CODE string"
+        )
+        out = conditional_update(
+            df,
+            "CODE",
+            [
+                (F.col("TAG").like("RV%"), "EA83030000"),
+                (F.col("TAG").like("R%"), "SHOULD_NOT_WIN_FOR_RV"),
+            ],
+        )
+        got = dict(rows(out, "TAG", "CODE"))
+        assert got == {"RV1": "EA83030000", "RS2": "SHOULD_NOT_WIN_FOR_RV", "XX3": "old"}
+
+    def test_none_value_becomes_null(self, spark):
+        # wts.py:190-192: CalculateField 'None' -> NULL
+        df = spark.createDataFrame([("a", "x")], "TAG string, CODE string")
+        out = conditional_update(df, "CODE", [(F.col("TAG") == "a", None)])
+        assert rows(out, "CODE") == [(None,)]
+
+
+class TestBlankToNull:
+    def test_blank_vs_null_distinct(self, spark):
+        # FIXTURES.md edge 2: '' and NULL coexist; only '' is converted
+        df = spark.createDataFrame(
+            [Row(TAG=""), Row(TAG=None), Row(TAG="x")],
+            "TAG string",
+        )
+        out = blank_to_null(df, "TAG")
+        assert rows(out, "TAG") == [(None,), (None,), ("x",)]
+
+
+class TestEnrich:
+    def test_left_outer_null_fill_and_null_lookup_value(self, spark):
+        # wts.py:176-179 KEEP_ALL; FIXTURES.md edge 5: matched-but-NULL descr
+        base = spark.createDataFrame(
+            [("k1", "d0"), ("k2", "d0"), ("k3", "d0")], "KEY string, DESCR string"
+        )
+        lookup = spark.createDataFrame(
+            [("k1", "descr-1"), ("k2", None)], "CODE string, PNTS_DESCR string"
+        )
+        out = enrich(base, lookup, on=("KEY", "CODE"), mapping={"DESCR": "PNTS_DESCR"})
+        assert out.columns == ["KEY", "DESCR"]
+        assert dict(rows(out, "KEY", "DESCR")) == {"k1": "descr-1", "k2": None, "k3": None}
+
+    def test_new_column_appended(self, spark):
+        base = spark.createDataFrame([("k1",)], "KEY string")
+        lookup = spark.createDataFrame([("k1", "v")], "CODE string, VAL string")
+        out = enrich(base, lookup, on=("KEY", "CODE"), mapping={"NEW": "VAL"})
+        assert out.columns == ["KEY", "NEW"]
+        assert rows(out, "NEW") == [("v",)]
+
+
+class TestFrequency:
+    def test_group_count(self, spark):
+        df = spark.createDataFrame([("a",), ("a",), ("b",)], "TAG string")
+        out = frequency(df, "TAG")
+        assert dict(rows(out, "TAG", "FREQUENCY")) == {"a": 2, "b": 1}
+
+
+class TestRejectDuplicates:
+    def test_all_members_rejected_no_survivor(self, spark):
+        # FIXTURES.md edge 3 / wts.py:249-256: groups of 2 and 3 fully
+        # rejected, singletons kept
+        df = spark.createDataFrame(
+            [(i, tag) for i, tag in enumerate(["a", "a", "b", "c", "c", "c", "d"])],
+            "OBJECTID long, TAG string",
+        )
+        kept, rejected = reject_duplicates(df, "TAG")
+        assert sorted(r.TAG for r in kept.collect()) == ["b", "d"]
+        assert sorted(r.TAG for r in rejected.collect()) == ["a", "a", "c", "c", "c"]
+        assert set(r.REJECT_FLAG for r in rejected.collect()) == {"Duplicate TAG"}
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "OBJECTID long, TAG string")
+        kept, rejected = reject_duplicates(df, "TAG")
+        assert kept.count() == 0 and rejected.count() == 0
+
+
+class TestRejectUnmatched:
+    def test_semi_anti_split_and_null_keys(self, spark):
+        # wts.py:257-265; NULL keys never equi-match -> rejected
+        df = spark.createDataFrame(
+            [("t1",), ("t2",), (None,)], "TAG string"
+        )
+        lookup = spark.createDataFrame([("t1",), ("t1",)], "CODE string")
+        kept, rejected = reject_unmatched(df, lookup, on=("TAG", "CODE"), lookup_name="POD")
+        assert rows(kept, "TAG") == [("t1",)]
+        assert rows(rejected, "TAG") == [(None,), ("t2",)]
+        assert rejected.select("REJECT_FLAG").distinct().collect()[0][0] == "TAG not found in POD"
+
+    def test_flag_precedence(self, spark):
+        # wts.py:268-269: only null-flagged rows receive the new flag
+        df = spark.createDataFrame(
+            [("a", "Duplicate TAG"), ("b", None)], "TAG string, REJECT_FLAG string"
+        )
+        out = flag_where_null(df, "not found")
+        assert dict(rows(out, "TAG", "REJECT_FLAG")) == {
+            "a": "Duplicate TAG",
+            "b": "not found",
+        }
+
+
+class TestAsofJoin:
+    def test_latest_at_or_before(self, spark):
+        left = spark.createDataFrame(
+            [(1, "k", 100), (2, "k", 250), (3, "k", 50), (4, "z", 100)],
+            "id long, key string, t long",
+        )
+        right = spark.createDataFrame(
+            [("k", 100, "v100"), ("k", 200, "v200")], "key string, t long, val string"
+        )
+        out = asof_join(
+            left, right, left_key="key", right_key="key",
+            left_time="t", right_time="t", value_col="val", out_col="v",
+        )
+        got = {r.id: r.v for r in out.collect()}
+        # inclusive: t=100 matches v100; t=250 -> v200; t=50 -> None; no key -> None
+        assert got == {1: "v100", 2: "v200", 3: None, 4: None}
+
+    def test_strict(self, spark):
+        left = spark.createDataFrame([(1, "k", 100)], "id long, key string, t long")
+        right = spark.createDataFrame([("k", 100, "v100")], "key string, t long, val string")
+        out = asof_join(
+            left, right, left_key="key", right_key="key",
+            left_time="t", right_time="t", value_col="val", out_col="v", strict=True,
+        )
+        assert out.collect()[0].v is None

@@ -1,0 +1,72 @@
+"""Structured Streaming tests: file source -> watermark -> stateful agg ->
+memory sink, drained with availableNow; results must equal the batch twin."""
+
+from __future__ import annotations
+
+import pytest
+
+from flnr_wins_spark.sources import read_table
+from flnr_wins_spark.streaming.events import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+    with_watermark,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # materialize the events table as a parquet *directory* (file-source shape)
+    from flnr_wins_spark.session import get_spark
+
+    spark = get_spark(app_name="flnr-wins-tests", master="local[4]", shuffle_partitions=4)
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    read_table(spark, SF, "events").write.parquet(path)
+    return path
+
+
+def _batch_events(spark):
+    from pyspark.sql import functions as F
+
+    # cast to LTZ to mirror the watermark path's event-time type
+    return read_table(spark, SF, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir):
+    stream = with_watermark(read_events_stream(spark, events_dir), "1 day")
+    run_available_now(tumbling_counts(stream), "t_tumbling", "complete")
+    got = {(r.window_start, r.event_type): r.n
+           for r in spark.table("t_tumbling").collect()}
+    want = {(r.window_start, r.event_type): r.n
+            for r in tumbling_counts(_batch_events(spark)).collect()}
+    assert got == want and len(got) > 100
+
+
+def test_sliding_stream_equals_batch(spark, events_dir):
+    stream = with_watermark(read_events_stream(spark, events_dir), "1 day")
+    run_available_now(sliding_counts(stream), "t_sliding", "complete")
+    got = {r.window_start: r.n for r in spark.table("t_sliding").collect()}
+    want = {r.window_start: r.n for r in sliding_counts(_batch_events(spark)).collect()}
+    assert got == want
+
+
+def test_session_stream_equals_batch(spark, events_dir):
+    stream = with_watermark(read_events_stream(spark, events_dir), "1 day")
+    run_available_now(session_counts(stream), "t_sessions", "complete")
+    got = {(r.user_id, r.session_start): r.n_events
+           for r in spark.table("t_sessions").collect()}
+    want = {(r.user_id, r.session_start): r.n_events
+            for r in session_counts(_batch_events(spark)).collect()}
+    assert got == want
+
+
+def test_stream_dedup_counts(spark, events_dir):
+    stream = with_watermark(read_events_stream(spark, events_dir), "1 day")
+    run_available_now(dedup_within_watermark(stream), "t_dedup", "append")
+    n_keys = _batch_events(spark).select("user_id", "event_type").distinct().count()
+    assert spark.table("t_dedup").count() == n_keys
