@@ -270,3 +270,42 @@ def x_multimodal_features(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     media = to_media_table(docs, "text", "doc_id")
     return extract_features(media, dim=8, fake=True)
+
+
+@query(
+    "x_embedding_neardup",
+    sql="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 2)
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    probes AS (SELECT vec_id, v FROM base WHERE vec_id >= 100000)
+    SELECT p.vec_id AS id_a, b.vec_id AS id_b
+    FROM probes p JOIN base b ON p.vec_id > b.vec_id
+    WHERE list_dot_product(p.v, b.v)
+            / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.999
+    """,
+    note="embedding-cosine near-dup pairs (synthesized scaled clones)",
+)
+def x_embedding_neardup(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import cosine
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * 2.0).alias("v"),
+    )
+    base = emb.unionByName(clones)
+    probes = base.filter(F.col("vec_id") >= 100000).select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    return (
+        base.join(F.broadcast(probes), F.col("id_a") > F.col("vec_id"))
+        .filter(cosine(F.col("va"), F.col("v")) >= 0.999)
+        .select("id_a", F.col("vec_id").alias("id_b"))
+    )

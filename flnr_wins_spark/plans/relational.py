@@ -399,3 +399,150 @@ def q_asof_join(spark, sf_dir):
         out_col="asof_date",
     )
     return out.select("event_id", "user_id", "asof_date")
+
+
+@query(
+    "q_pivot_status",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    note="pivot (groupBy().pivot()) == conditional-filter aggregates",
+)
+def q_pivot_status(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    out = (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@query(
+    "q_explode_tokens",
+    sql="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    """,
+    note="explode / lateral flatten + agg",
+)
+def q_explode_tokens(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_exists_subquery",
+    sql="""
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    note="EXISTS / NOT EXISTS == chained left-semi + left-anti joins",
+)
+def q_exists_subquery(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    od = t(spark, sf_dir, "orders")
+    f = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = od.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (
+        cust.join(f, cust.c_custkey == f.o_custkey, "left_semi")
+        .join(p, cust.c_custkey == p.o_custkey, "left_anti")
+    )
+
+
+@query(
+    "q_having",
+    sql="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+    """,
+    note="GROUP BY + HAVING (post-aggregate filter)",
+)
+def q_having(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "q_stats_derived",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*) AS mean_price,
+           (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(33,4))) AS DOUBLE)
+             - CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               * CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1) AS var_price,
+           sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(33,4))) AS DOUBLE)
+             - CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               * CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1)) AS std_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    note="variance/stddev derived from exact decimal moments (order-insensitive)",
+)
+def q_stats_derived(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    s1 = dsum(F.col("o_totalprice"))  # cents are exact at scale 2
+    s2 = dsum(F.col("o_totalprice") * F.col("o_totalprice"), scale=4, prec=33)
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return od.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        (s1 / n).alias("mean_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("std_price"),
+    )
+
+
+@query(
+    "q_union_distinct",
+    sql="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    note="UNION (distinct) set semantics",
+)
+def q_union_distinct(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    f = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = od.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.union(p).distinct()
+
+
+@query(
+    "q_percentile",
+    sql="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    note="exact interpolated percentiles (Spark percentile == quantile_cont)",
+)
+def q_percentile(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("median_price"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90_price"),
+    )
