@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QueryDef]:
     import flnr_wins_spark.plans.extensions  # noqa: F401
     import flnr_wins_spark.plans.parity  # noqa: F401
     import flnr_wins_spark.plans.relational  # noqa: F401
+    import flnr_wins_spark.plans.tpch  # noqa: F401
 
     return dict(_REGISTRY)
 

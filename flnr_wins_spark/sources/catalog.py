@@ -1,0 +1,47 @@
+"""S4/S10/R11 — catalog probes and idempotent lifecycle.
+
+Reference: ``arcpy.Exists`` guards before every create/drop
+(``src/wins_transform_staging.py:137-140`` and ~17 more sites), and item
+fetch asserts dataset type (``:120-121``). In Spark most of this disappears
+into ``mode("overwrite")``; what remains is path/table existence probing for
+control flow and the type assertion at ingestion.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def dataset_exists(spark: SparkSession, path_or_table: str) -> bool:
+    """Existence probe (``arcpy.Exists`` analog) for a parquet path or a
+    catalog table/view name."""
+    if os.path.sep in path_or_table or path_or_table.endswith(".parquet"):
+        return os.path.exists(path_or_table)
+    try:
+        return spark.catalog.tableExists(path_or_table)
+    except Exception:
+        return False
+
+
+def drop_if_exists(spark: SparkSession, view_name: str) -> None:
+    """Idempotent temp-view drop (``Delete_management`` analog for layers,
+    ``src/wins_transform_staging.py:165-166`` etc.)."""
+    spark.catalog.dropTempView(view_name)
+
+
+def assert_schema(df: DataFrame, expected: T.StructType, name: str = "dataset") -> DataFrame:
+    """Type assertion at ingestion (``assert item.type=='Feature Service'``
+    analog, ``src/wins_transform_staging.py:121``): verify column names and
+    types match the declared contract; raises on drift."""
+    got = {f.name.lower(): f.dataType for f in df.schema.fields}
+    for f in expected.fields:
+        if f.name.lower() not in got:
+            raise ValueError(f"{name}: missing column {f.name}")
+        if got[f.name.lower()] != f.dataType:
+            raise ValueError(
+                f"{name}: column {f.name} is {got[f.name.lower()]}, expected {f.dataType}"
+            )
+    return df

@@ -79,9 +79,13 @@ def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None) -> 
     return events.dropDuplicates(keys or ["user_id", "event_type"])
 
 
-def run_available_now(df: DataFrame, table_name: str, output_mode: str = "complete"):
+def run_available_now(
+    df: DataFrame, table_name: str, output_mode: str = "complete", timeout_s: int = 300
+):
     """Drain the full backlog with streaming semantics into an in-memory
-    table; returns the finished StreamingQuery."""
+    table; returns the finished StreamingQuery. Bounded wait: a query that
+    neither finishes nor fails within ``timeout_s`` is stopped and reported
+    rather than hanging the caller."""
     q = (
         df.writeStream.format("memory")
         .queryName(table_name)
@@ -89,5 +93,10 @@ def run_available_now(df: DataFrame, table_name: str, output_mode: str = "comple
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    q.awaitTermination(timeout_s)
+    if q.exception() is not None:
+        raise q.exception()
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"streaming query {table_name} still active after {timeout_s}s")
     return q

@@ -1,0 +1,110 @@
+"""Tests for the config-driven job runner, run-log contract, and catalog
+probes (SURVEY.md §2a S1/S4/S9/S13)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from flnr_wins_spark.config import PipelineConfig
+from flnr_wins_spark.plans.job import run_job
+from flnr_wins_spark.runlog import logged_run
+from flnr_wins_spark.sources.catalog import assert_schema, dataset_exists
+from flnr_wins_spark.sources.jdbc import read_lookup
+
+
+@pytest.fixture()
+def staged_inputs(spark, tmp_path):
+    rrr = spark.createDataFrame(
+        [(1, "RV001", None, None, None), (2, "RVGONE", None, None, None)],
+        "OBJECTID long, TRRR_TAG string, FEATURE_CODE string, DESCRIPTION string, geometry binary",
+    )
+    pod = spark.createDataFrame(
+        [("RV001", "d1", "g1")], "PNTS_CODE string, PNTS_DESCR string, SRCE_GAZETTED string"
+    )
+    fal = spark.createDataFrame([(1, None, None)], "OBJECTID long, FEATURE_CODE string, geometry binary")
+    paths = {}
+    for name, df in [("reserves_and_restrictions", rrr), ("flooded_area_lines", fal)]:
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        paths[name] = p
+    pod_path = str(tmp_path / "pod")
+    pod.write.parquet(pod_path)
+    return paths, pod_path, tmp_path
+
+
+def test_run_job_end_to_end(spark, staged_inputs, tmp_path):
+    paths, pod_path, _ = staged_inputs
+    cfg = PipelineConfig(
+        tables=paths,
+        lookup={"water_pod_table": pod_path},
+        staging_dir=str(tmp_path / "staging"),
+    )
+    sent = []
+    ok, log = run_job(spark, cfg, notify=sent.append)
+    assert ok, log
+    assert sent and sent[0].startswith("SUCCESS")
+    kept = spark.read.parquet(str(tmp_path / "staging" / "reserves_and_restrictions"))
+    rej = spark.read.parquet(str(tmp_path / "staging" / "reserves_and_restrictions__rejects"))
+    assert [r.TRRR_TAG for r in kept.collect()] == ["RV001"]
+    assert [r.REJECT_FLAG for r in rej.collect()] == ["TRRR_TAG not found in Water POD Table"]
+    assert "published" in log
+
+
+def test_run_job_failure_still_delivers_log(spark, tmp_path):
+    cfg = PipelineConfig(tables={}, lookup={}, staging_dir=str(tmp_path))
+    sent = []
+    ok, log = run_job(spark, cfg, notify=sent.append)
+    assert not ok
+    assert sent[0].startswith("FAILURE")
+    assert "water_pod_table" in log  # the actual error is in the delivered log
+
+
+def test_config_yaml_env_resolution(tmp_path, monkeypatch):
+    monkeypatch.setenv("WINS_STAGING", "/data/staging")
+    cfg_file = tmp_path / "app.yml"
+    cfg_file.write_text(
+        "tables:\n  t1: /data/t1\nlookup:\n  water_pod_table: /data/pod\n"
+        "staging_dir: ${WINS_STAGING}\noptions:\n  k: v\n"
+    )
+    cfg = PipelineConfig.from_yaml(str(cfg_file))
+    assert cfg.staging_dir == "/data/staging"
+    assert cfg.tables == {"t1": "/data/t1"}
+
+
+def test_logged_run_catches_and_reports(caplog):
+    def bad(log):
+        raise RuntimeError("boom")
+
+    ok, text = logged_run(bad)
+    assert not ok and "boom" in text and text.startswith("FAILURE")
+
+
+def test_catalog_probes(spark, tmp_path):
+    p = str(tmp_path / "x")
+    assert not dataset_exists(spark, p)
+    spark.range(3).write.parquet(p)
+    assert dataset_exists(spark, p)
+    spark.range(1).createOrReplaceTempView("probe_view")
+    assert dataset_exists(spark, "probe_view")
+    assert not dataset_exists(spark, "no_such_view")
+
+
+def test_assert_schema(spark):
+    df = spark.createDataFrame([("a", 1)], "TAG string, N long")
+    ok_schema = T.StructType([T.StructField("TAG", T.StringType())])
+    assert_schema(df, ok_schema)  # subset ok
+    bad = T.StructType([T.StructField("MISSING", T.StringType())])
+    with pytest.raises(ValueError, match="missing column"):
+        assert_schema(df, bad)
+    wrong = T.StructType([T.StructField("N", T.StringType())])
+    with pytest.raises(ValueError, match="expected"):
+        assert_schema(df, wrong)
+
+
+def test_read_lookup_parquet_and_jdbc_validation(spark, tmp_path):
+    p = str(tmp_path / "lk")
+    spark.range(2).write.parquet(p)
+    assert read_lookup(spark, p).count() == 2
+    with pytest.raises(ValueError, match="jdbc source"):
+        read_lookup(spark, "jdbc:postgresql://nowhere/db")

@@ -70,3 +70,30 @@ def test_stream_dedup_counts(spark, events_dir):
     run_available_now(dedup_within_watermark(stream), "t_dedup", "append")
     n_keys = _batch_events(spark).select("user_id", "event_type").distinct().count()
     assert spark.table("t_dedup").count() == n_keys
+
+
+def test_stateful_user_profile(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.streaming.stateful import user_activity_profile
+
+    stream = read_events_stream(spark, events_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    run_available_now(user_activity_profile(stream), "t_profile", "update")
+    got = {r.user_id: r for r in spark.table("t_profile").collect()}
+    want = {
+        r.user_id: r
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g.n_events == w.n and g.first_ts == w.first_ts and g.last_ts == w.last_ts
