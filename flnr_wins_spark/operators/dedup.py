@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def normalize_text(col):
@@ -113,48 +114,88 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_hash_tables: int = 16,
     shingle_n: int = 3,
-    num_features: int = 1 << 20,
     seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidate generation + exact Jaccard
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
 
-    Candidates come from pyspark.ml's MinHashLSH ``approxSimilarityJoin``
-    (OR-amplified banding: P[miss] = (1-j)^tables — ~6e-12 at j=0.8 with 16
+    Pure DataFrame implementation (no pyspark.ml pipeline): per-document
+    signatures are ``num_hash_tables`` independent min-hashes — one groupBy
+    over the (id, shingle) table computing ``min(xxhash64(shingle, seed_i))``
+    per table, all inside whole-stage codegen. Candidates are pairs agreeing
+    on at least one table (explode tables -> self-join on (table, value)) —
+    OR-amplified banding with P[miss] = (1-j)^tables, ~7e-12 at j=0.8 with 16
     tables, so verified output equals the exact all-pairs result with
-    overwhelming probability while never materializing the quadratic join).
-    """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    overwhelming probability while never materializing the quadratic join.
 
-    sh = shingle_sets(df, text_col, id_col, n=shingle_n)
-    docs = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
-    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
-    feat = tf.transform(docs)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
-    model = lsh.fit(feat)
+    Scale notes: signature AND shingle set come out of ONE groupBy shuffle
+    (min() is duplicate-invariant, collect_set dedups — so the pre-distinct
+    shingle shuffle is eliminated, and the aggregate subtree is identical in
+    all three uses, making its exchange reusable). The candidate join shuffles
+    (table, minhash) buckets — identical min-hash values cluster true
+    near-dups, so bucket width stays small. At 100 TB add a bucket-width cap
+    (drop buckets > K docs) the same way jaccard_pairs drops stop-shingles;
+    per-doc shingle arrays are fine while documents are bounded (chunk or
+    re-join by shingle table for pathological multi-MB docs).
+    """
+    toks = F.split(F.col(text_col), " ")
+    parts = " , ".join(
+        f"element_at(_tk, CAST(i + {j} AS INT))" for j in range(shingle_n)
+    )
+    shingles = F.expr(
+        f"transform(sequence(1, size(_tk) - {shingle_n - 1}), i -> concat_ws(' ', {parts}))"
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_tk"))
+        .filter(F.size("_tk") >= shingle_n)
+        .select("id", F.explode(shingles).alias("shingle"))
+    )
+    agg = exploded.groupBy("id").agg(
+        F.collect_set("shingle").alias("shset"),
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh_{i}")
+            for i in range(num_hash_tables)
+        ],
+    )
+    # The signature table feeds three consumers (banding + both verify sides);
+    # without an explicit persist each consumer would recompute the shingle
+    # explode + aggregate from the source scan. MEMORY_AND_DISK: at cluster
+    # scale this table is ~corpus-sized, so partitions spill rather than OOM.
+    agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = agg.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh_{i}").alias("mhv"))
+                    for i in range(num_hash_tables)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.mhv").alias("mhv"))
+    a = banded.alias("a")
+    b = banded.alias("b")
     pairs = (
-        model.approxSimilarityJoin(feat, feat, 1.0 - threshold + 1e-9, distCol="dist")
-        .select(
-            F.col("datasetA.id").alias("id_a"),
-            F.col("datasetB.id").alias("id_b"),
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mhv") == F.col("b.mhv"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    # Exact verification on candidates only (hashed-feature Jaccard can
-    # deviate slightly; recompute on true shingle sets).
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Exact verification on candidates only (banding admits false positives;
+    # true Jaccard via array_intersect over the per-doc shingle sets).
+    sa = agg.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
+    sb = agg.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
     )
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

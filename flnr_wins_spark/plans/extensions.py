@@ -92,7 +92,7 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
 @query(
     "x_dedup_minhash_lsh",
     sql=None,  # probabilistic candidate generation; exact-verified but not SQL-expressible
-    note="MinHash-LSH banding candidates + exact Jaccard verify (pyspark.ml)",
+    note="MinHash-LSH banding candidates + exact Jaccard verify (pure DataFrame)",
     bench=True,
 )
 def x_dedup_minhash_lsh(spark, sf_dir):
