@@ -31,6 +31,33 @@ def char_token_estimate(col: Column) -> Column:
     return F.ceil(F.length(col) / 4.0).cast("bigint")
 
 
+# Pre-tokenizer segmentation in the GPT-2 style: letter runs, digit runs,
+# punctuation runs, each with an optional leading space. Kept to constructs
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB) so the
+# oracle can check it.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_pretokens(col: Column) -> Column:
+    """Segment text into BPE pre-tokens (the split that precedes merges in a
+    BPE tokenizer). JVM-side regexp_extract_all — no Python in the loop."""
+    return F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """Token-count estimate = pre-token segments + a merge-density correction
+    (long alphabetic runs split into ~len/4 subword units)."""
+    seg_extra = F.aggregate(
+        bpe_pretokens(col),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.when(F.length(s) > 4, F.ceil((F.length(s) - 4) / 4.0).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ),
+    )
+    return (F.size(bpe_pretokens(col)).cast("bigint") + seg_extra).cast("bigint")
+
+
 def uniq_token_ratio(col: Column) -> Column:
     return F.size(F.array_distinct(tokens(col))).cast("double") / F.size(tokens(col))
 

@@ -95,6 +95,72 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) 
     return sig.cast("bigint")
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize candidates into ``nlist`` cells, probe
+    the ``nprobe`` nearest cells per query, exact cosine re-rank inside the
+    probed cells. Returns (query_id, cand_id, cosine, rank).
+
+    Centroids are the ``nlist`` lowest-id candidate vectors — deterministic,
+    no training iteration; swap in k-means centroids for better cell balance
+    without changing the dataflow. Costs at scale: assignment is one
+    broadcast pass over candidates (O(N * nlist) JVM-side flops; the nlist
+    copies of each candidate collapse map-side via partial max_by, so the
+    groupBy exchange carries one row per candidate); the probe join shuffles
+    on cell id, touching ~nprobe/nlist of the corpus per query instead of
+    all of it — that fraction is the recall/cost dial.
+    """
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    cents = (
+        c.orderBy("cand_id")
+        .limit(nlist)
+        .select(F.col("cand_id").alias("cent_id"), F.col("_cv").alias("_centv"))
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .groupBy("cand_id")
+        .agg(
+            F.max_by("cent_id", cosine(F.col("_cv"), F.col("_centv"))).alias("cell"),
+            F.first("_cv").alias("_cv"),
+        )
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "_qv", F.col("cent_id"),
+            cosine(F.col("_qv"), F.col("_centv")).alias("_score"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -159,6 +159,48 @@ def x_similarity_ann_lsh(spark, sf_dir):
 
 
 @query(
+    "x_similarity_ivf",
+    sql=None,  # approximate-recall ANN — no exact SQL twin
+    note="IVF ANN: coarse-quantize to cells, probe nprobe cells, exact re-rank",
+)
+def x_similarity_ivf(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, nlist=16, nprobe=4, k=5)
+
+
+@query(
+    "x_text_tokenize_bpe",
+    sql="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)
+             AS n_pretokens,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)
+             + coalesce(list_sum(list_transform(
+                 regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'),
+                 s -> CASE WHEN length(s) > 4
+                           THEN CAST(ceil((length(s) - 4) / 4.0) AS BIGINT)
+                           ELSE 0 END)), 0) AS est_tokens
+    FROM documents
+    """,
+    note="BPE-style pre-tokenization (regexp_extract_all, JVM-side) + "
+    "merge-density token estimate",
+)
+def x_text_tokenize_bpe(spark, sf_dir):
+    from flnr_wins_spark.functions.text import bpe_pretokens, bpe_token_estimate
+
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(bpe_pretokens(c)).cast("bigint").alias("n_pretokens"),
+        bpe_token_estimate(c).alias("est_tokens"),
+    )
+
+
+@query(
     "x_text_stats",
     sql="""
     SELECT doc_id,

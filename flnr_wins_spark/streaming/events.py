@@ -73,6 +73,15 @@ def session_counts(events: DataFrame, gap: str = "15 minutes") -> DataFrame:
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) static dimension — the streaming twin of the engine's R4/R5
+    enrich operator. No state is kept: stream-static inner/left joins are
+    stateless in Structured Streaming; the dim table is re-resolvable per
+    batch, so slowly-changing dimensions pick up updates on refresh."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Streaming twin of q_events_dedup: drop duplicate keys, state bounded
     by the watermark."""

@@ -118,6 +118,43 @@ class TestSimilarity:
         # opposite vector must not rank first
         assert got and got[0] == 1
 
+    def test_ivf_probes_find_near_neighbor(self, spark, vectors):
+        from flnr_wins_spark.functions.vectors import ivf_topk
+
+        q = vectors.filter("vec_id in (0, 2)")
+        # nlist=5 -> every vector is its own cell; nprobe=3 covers the
+        # true-neighbor cell for both queries
+        out = ivf_topk(q, vectors, nlist=5, nprobe=3, k=2)
+        top = {(r.query_id, r.rank): r.cand_id for r in out.collect()}
+        assert top[(0, 1)] == 1 and top[(2, 1)] == 3
+
+    def test_ivf_excludes_self(self, spark, vectors):
+        from flnr_wins_spark.functions.vectors import ivf_topk
+
+        out = ivf_topk(vectors, vectors, nlist=3, nprobe=2, k=3)
+        assert all(r.query_id != r.cand_id for r in out.collect())
+
+
+class TestBpeTokenize:
+    def test_pretokens_segmentation(self, spark):
+        from flnr_wins_spark.functions.text import bpe_pretokens
+
+        df = spark.createDataFrame([("hello world, 42 tests!",)], "text string")
+        (row,) = df.select(bpe_pretokens(F.col("text")).alias("p")).collect()
+        assert row.p == ["hello", " world", ",", " 42", " tests", "!"]
+
+    def test_estimate_grows_with_long_words(self, spark):
+        from flnr_wins_spark.functions.text import bpe_token_estimate
+
+        df = spark.createDataFrame(
+            [("cat dog",), ("internationalization",)], "text string"
+        )
+        got = {r.text: r.n for r in df.select(
+            "text", bpe_token_estimate(F.col("text")).alias("n")).collect()}
+        assert got["cat dog"] == 2
+        # 20-char word: 1 pre-token + ceil(16/4) = 5
+        assert got["internationalization"] == 5
+
 
 class TestText:
     def test_profile_columns_and_values(self, spark, docs):

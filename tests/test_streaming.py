@@ -72,6 +72,33 @@ def test_stream_dedup_counts(spark, events_dir):
     assert spark.table("t_dedup").count() == n_keys
 
 
+def test_stream_static_enrich(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.streaming.events import enrich_stream
+
+    dim = (
+        _batch_events(spark)
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    stream = read_events_stream(spark, events_dir)
+    run_available_now(
+        enrich_stream(stream, dim).select("event_id", "user_id", "segment"),
+        "t_enriched",
+        "append",
+    )
+    got = spark.table("t_enriched")
+    assert got.count() == _batch_events(spark).count()
+    assert got.filter(F.col("segment").isNull()).count() == 0
+    bad = got.filter(
+        ((F.col("user_id") % 2 == 0) & (F.col("segment") != "even"))
+        | ((F.col("user_id") % 2 != 0) & (F.col("segment") != "odd"))
+    )
+    assert bad.count() == 0
+
+
 def test_stateful_user_profile(spark, events_dir):
     from pyspark.sql import functions as F
 
