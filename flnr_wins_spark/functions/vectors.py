@@ -36,6 +36,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit(a: Column) -> Column:
+    """L2-normalize an array<double> column. Normalizing each side ONCE
+    before a many-pair scoring pass turns every cosine into a plain dot —
+    at N x M scoring pairs that removes 2 of the 3 array folds per pair."""
+    n = norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -118,11 +126,16 @@ def ivf_topk(
     on cell id, touching ~nprobe/nlist of the corpus per query instead of
     all of it — that fraction is the recall/cost dial.
     """
+    # Unit-normalize once on each side: every later cosine is a single dot
+    # fold instead of three (ANN ranking is norm-invariant, so this is safe
+    # here; the exact-oracle brute force path keeps the full formula).
     c = candidates.select(
-        F.col(cand_id).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+        F.col(cand_id).alias("cand_id"),
+        unit(F.col(vec_col).cast("array<double>")).alias("_cv"),
     )
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+        F.col(query_id).alias("query_id"),
+        unit(F.col(vec_col).cast("array<double>")).alias("_qv"),
     )
     cents = (
         c.orderBy("cand_id")
@@ -133,7 +146,7 @@ def ivf_topk(
         c.crossJoin(F.broadcast(cents))
         .groupBy("cand_id")
         .agg(
-            F.max_by("cent_id", cosine(F.col("_cv"), F.col("_centv"))).alias("cell"),
+            F.max_by("cent_id", dot(F.col("_cv"), F.col("_centv"))).alias("cell"),
             F.first("_cv").alias("_cv"),
         )
     )
@@ -144,7 +157,7 @@ def ivf_topk(
         q.crossJoin(F.broadcast(cents))
         .select(
             "query_id", "_qv", F.col("cent_id"),
-            cosine(F.col("_qv"), F.col("_centv")).alias("_score"),
+            dot(F.col("_qv"), F.col("_centv")).alias("_score"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .filter(F.col("_pr") <= nprobe)
@@ -153,7 +166,7 @@ def ivf_topk(
     scored = (
         probes.join(assigned, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
+        .select("query_id", "cand_id", dot(F.col("_qv"), F.col("_cv")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(

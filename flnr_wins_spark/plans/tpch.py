@@ -118,6 +118,69 @@ def q7_volume_shipping(spark, sf_dir):
 
 
 @query(
+    "q8_national_market_share",
+    sql=f"""
+    SELECT o_year,
+           {sql_dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END", scale=4, prec=28)}
+             / {sql_dsum('volume', scale=4, prec=28)} AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             {_REV} AS volume, n2.n_name AS nation
+      FROM part p, supplier s, lineitem l, orders o, customer c,
+           nation n1, nation n2, region r
+      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+        AND r.r_name = 'ASIA' AND s.s_nationkey = n2.n_nationkey
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    note="TPC-H Q8 shape: 8-way join, all dims broadcast, conditional "
+    "market-share ratio per year",
+)
+def q8_national_market_share(spark, sf_dir):
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cust, od.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _rev().alias("volume"),
+            "nation",
+        )
+        .withColumn("nat_volume", vol)
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(F.col("nat_volume"), scale=4, prec=28)
+                / dsum(F.col("volume"), scale=4, prec=28)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
     "q10_returned_items",
     sql=f"""
     SELECT c.c_custkey, c.c_name, {sql_dsum(_REV, scale=4, prec=28)} AS revenue,

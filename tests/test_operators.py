@@ -183,3 +183,43 @@ class TestAsofJoin:
             left_time="t", right_time="t", value_col="val", out_col="v", strict=True,
         )
         assert out.collect()[0].v is None
+
+
+class TestSaltedJoin:
+    def _data(self, spark):
+        # one hot key (k0: 50 rows), long tail, plus a key absent from small
+        big = spark.createDataFrame(
+            [(i, "k0" if i < 50 else f"k{i}") for i in range(60)]
+            + [(99, "missing")],
+            "row_id long, key string",
+        )
+        small = spark.createDataFrame(
+            [("k0", "hot"), ("k55", "tail")], "key string, val string"
+        )
+        return big, small
+
+    def test_inner_equals_unsalted(self, spark):
+        from flnr_wins_spark.operators.skew import salted_join
+
+        big, small = self._data(spark)
+        got = salted_join(big, small, on="key", salt_col="row_id", buckets=8)
+        want = big.join(small, "key")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_left_preserves_unmatched(self, spark):
+        from flnr_wins_spark.operators.skew import salted_join
+
+        big, small = self._data(spark)
+        got = salted_join(big, small, on="key", salt_col="row_id", how="left", buckets=4)
+        want = big.join(small, "key", "left")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        assert got.count() == 61
+
+    def test_rejects_unsupported_how(self, spark):
+        import pytest as _pytest
+
+        from flnr_wins_spark.operators.skew import salted_join
+
+        big, small = self._data(spark)
+        with _pytest.raises(ValueError):
+            salted_join(big, small, on="key", salt_col="row_id", how="full")
