@@ -101,3 +101,89 @@ def extract_features(
             yield out
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_hash", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """Video frame sampling plumbing: one input row fans out to ``n_frames``
+    frame rows via mapInPandas (the cardinality-changing shape a real
+    pyav/ffmpeg sampler needs). The fake 'decoder' slices the content bytes
+    into n equal spans — deterministic, so an SQL oracle can verify the
+    fan-out, boundaries, and hashes exactly.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "video codecs unavailable in this environment; pass fake=True"
+                )
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                length = len(data)
+                for i in range(n_frames):
+                    lo = (i * length) // n_frames
+                    hi = ((i + 1) * length) // n_frames
+                    frame = data[lo:hi]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "frame_hash": hashlib.sha256(frame).hexdigest(),
+                            "n_bytes": len(frame),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def resize_image(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Image resize plumbing: content passes through a Pandas-batched
+    transform; metadata records the new dimensions. With ``fake=False`` the
+    codec step raises (PIL absent); with ``fake=True`` content is passed
+    through untouched so the schema/batching contract is exercised."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs unavailable in this environment; pass fake=True"
+                )
+            out = pdf[["media_id", "content"]].copy()
+            out["mime"] = "application/octet-stream"
+            out["width"] = width
+            out["height"] = height
+            out["n_bytes"] = pdf["content"].map(lambda b: len(b) if b is not None else 0)
+            yield out
+
+    flat = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    out = media.mapInPandas(batches, schema=flat)
+    return out.select(
+        "media_id",
+        "content",
+        F.struct("mime", "width", "height", "n_bytes").alias("meta"),
+    )

@@ -302,6 +302,30 @@ def x_multimodal_bytes(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_frames",
+    sql="""
+    SELECT doc_id AS media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           sha256(substring(text,
+                            CAST(i * length(text) // 4 AS INT) + 1,
+                            CAST((i + 1) * length(text) // 4 AS INT)
+                              - CAST(i * length(text) // 4 AS INT))) AS frame_hash,
+           CAST(CAST((i + 1) * length(text) // 4 AS INT)
+                  - CAST(i * length(text) // 4 AS INT) AS BIGINT) AS n_bytes
+    FROM documents, range(4) t(i)
+    """,
+    note="video frame-sampling plumbing: mapInPandas 1->4 fan-out with "
+    "deterministic byte-slice frames, hash-verified against the oracle",
+)
+def x_multimodal_frames(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import sample_frames, to_media_table
+
+    docs = t(spark, sf_dir, "documents")
+    media = to_media_table(docs, "text", "doc_id")
+    return sample_frames(media, n_frames=4)
+
+
+@query(
     "x_multimodal_features",
     sql=None,  # decode step is a deterministic stand-in (codecs unavailable)
     note="media table -> mapInPandas feature extraction (stubbed decoder)",

@@ -186,6 +186,30 @@ class TestMultimodal:
         assert got[1].feature == got[2].feature             # deterministic fake decode
         assert got[1].content_hash != got[5].content_hash
 
+    def test_frame_sampling_fanout(self, spark, docs):
+        from flnr_wins_spark.functions.multimodal import sample_frames, to_media_table
+
+        media = to_media_table(docs, "text", "doc_id")
+        frames = sample_frames(media, n_frames=4)
+        rows = frames.collect()
+        assert len(rows) == docs.count() * 4
+        # per-media byte spans partition the content exactly
+        by_media = {}
+        for r in rows:
+            by_media.setdefault(r.media_id, 0)
+            by_media[r.media_id] += r.n_bytes
+        n_bytes = {r.media_id: r.meta.n_bytes for r in media.collect()}
+        assert by_media == n_bytes
+
+    def test_resize_passthrough_meta(self, spark, docs):
+        from flnr_wins_spark.functions.multimodal import resize_image, to_media_table
+
+        media = to_media_table(docs, "text", "doc_id")
+        out = resize_image(media, 64, 48)
+        r = out.orderBy("media_id").first()
+        assert r.meta.width == 64 and r.meta.height == 48
+        assert bytes(r.content) == bytes(media.orderBy("media_id").first().content)
+
     def test_real_decode_is_stubbed(self, spark, docs):
         media = to_media_table(docs, "text", "doc_id")
         with pytest.raises(Exception, match="NotImplementedError|media codecs"):
