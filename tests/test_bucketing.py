@@ -1,0 +1,45 @@
+"""Bucketed join layout: the point is the PLAN — a join of two tables
+bucketed on the join key must run with no shuffle exchange on either side."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.sources.bucketing import bucketed, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    li = spark.range(0, 10_000).select(
+        (F.col("id") % 1000).alias("orderkey"), (F.col("id") * 2).alias("qty")
+    )
+    od = spark.range(0, 1000).select(
+        F.col("id").alias("orderkey"), (F.col("id") % 5).alias("status")
+    )
+    write_bucketed(li, "t_li_bucketed", ["orderkey"], n_buckets=8)
+    write_bucketed(od, "t_od_bucketed", ["orderkey"], n_buckets=8)
+    yield "t_li_bucketed", "t_od_bucketed"
+    spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS t_od_bucketed")
+
+
+def test_join_has_no_shuffle(spark, bucketed_tables):
+    li, od = bucketed_tables
+    # disable broadcast so the join would otherwise be a shuffled sort-merge
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed(spark, li).join(bucketed(spark, od), "orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_groupby_on_bucket_key_has_no_shuffle(spark, bucketed_tables):
+    li, _ = bucketed_tables
+    agg = bucketed(spark, li).groupBy("orderkey").agg(F.sum("qty").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert agg.count() == 1000

@@ -99,6 +99,25 @@ def test_stream_static_enrich(spark, events_dir):
     assert bad.count() == 0
 
 
+def test_foreachbatch_partitioned_sink_idempotent(spark, events_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.streaming.sinks import partitioned_overwrite_sink
+
+    out = str(tmp_path / "out")
+    stream = read_events_stream(spark, events_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    n_expected = _batch_events(spark).count()
+    for ckpt in ("ck1", "ck2"):  # second run = full replay with a fresh checkpoint
+        q = partitioned_overwrite_sink(
+            stream, out, ["event_date"], str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        assert spark.read.parquet(out).count() == n_expected  # no duplication
+
+
 def test_stateful_user_profile(spark, events_dir):
     from pyspark.sql import functions as F
 
