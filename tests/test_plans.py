@@ -1,0 +1,80 @@
+"""Plan-contract tests: the physical plans the 100 TB design depends on.
+
+Correctness says what a query returns; these tests pin HOW it executes —
+filters reach the parquet scan, projections prune columns, dimension sides
+broadcast, top-k avoids a global sort. If a refactor regresses one of these,
+the sf0.01 oracle still passes but the 1000-executor run dies; this is the
+test layer that catches it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flnr_wins_spark.plans.common import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, execute: bool = False) -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    if execute:
+        # AQE only materializes the final plan (incl. codegen stages) after
+        # the query runs
+        df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_shipdate" in plan  # <= '98-09-02 folds to < next day
+
+
+def test_q1_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # ReadSchema must not include columns the query never touches
+    assert "l_partkey" not in plan and "l_suppkey" not in plan
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort + limit
+
+
+def test_q5_no_cartesian_and_broadcast_dims(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier/nation/region dims
+
+
+def test_enrich_broadcasts_lookup(spark):
+    plan = _plan(spark, "r4_enrich_left_join")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_reject_duplicates_single_shuffle_window(spark):
+    plan = _plan(spark, "r7_reject_duplicates")
+    # window-count split: exactly one hash exchange (the window partitioning)
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Window" in plan
+
+
+def test_reject_unmatched_is_anti_join(spark):
+    plan = _plan(spark, "r8_reject_unmatched")
+    assert "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    # AQE wraps the plan until runtime, hiding codegen stages from a static
+    # explain — disable it here so the stages are visible pre-execution.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("q1_pricing_summary", "q6_revenue_forecast", "r6_frequency"):
+            df = all_queries()[name].fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # codegen stages print as '*(n) Operator' in the tree string
+            assert "*(1)" in plan, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
