@@ -218,6 +218,86 @@ def q10_returned_items(spark, sf_dir):
 
 
 @query(
+    "q12_shipping_delay",
+    sql="""
+    SELECT delay_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT l_orderkey,
+             CASE WHEN date_diff('day', CAST(o2.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) <= 30 THEN 'fast'
+                  WHEN date_diff('day', CAST(o2.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) <= 90 THEN 'normal'
+                  ELSE 'slow' END AS delay_bucket
+      FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+      WHERE l.l_shipdate >= o2.o_orderdate
+        AND o2.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o2.o_orderdate < TIMESTAMP '1997-01-01'
+    ) d JOIN orders o ON d.l_orderkey = o.o_orderkey
+    GROUP BY delay_bucket
+    """,
+    note="TPC-H Q12 shape (shipmode adapted to shipping-delay buckets): "
+    "join + CASE bucketing + conditional counts",
+)
+def q12_shipping_delay(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    delay = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "normal").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(bucket.alias("delay_bucket"), high.alias("_high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("_high"), 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~F.col("_high"), 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    sql="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 10, 15)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    note="TPC-H Q16 shape (lineitem stands in for partsupp): NOT-IN "
+    "subquery (null-safe anti-join), IN-list + <> filters, COUNT(DISTINCT)",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
     "q13_customer_distribution",
     sql="""
     SELECT c_count, COUNT(*) AS custdist
