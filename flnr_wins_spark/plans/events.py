@@ -14,6 +14,31 @@ from flnr_wins_spark.plans.common import dsum, query, sql_dsum, t
 
 
 @query(
+    "q_events_interval_join",
+    sql="""
+    SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts <= a.ts AND a.ts < b.ts + INTERVAL '300 seconds'
+     AND a.event_id <> b.event_id
+    GROUP BY a.user_id
+    """,
+    note="interval/range join via time-bucket equi-join rewrite "
+    "(operators/interval.py) — exact, no per-key quadratic filter",
+)
+def q_events_interval_join(spark, sf_dir):
+    from flnr_wins_spark.operators.interval import interval_join
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    joined = interval_join(ev, ev, key="user_id", time_col="ts", window_seconds=300)
+    return (
+        joined.filter(F.col("event_id") != F.col("event_id_r"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+@query(
     "q_events_json",
     sql="""
     SELECT event_type,

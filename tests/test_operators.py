@@ -223,3 +223,36 @@ class TestSaltedJoin:
         big, small = self._data(spark)
         with _pytest.raises(ValueError):
             salted_join(big, small, on="key", salt_col="row_id", how="full")
+
+
+class TestIntervalJoin:
+    def test_window_boundaries(self, spark):
+        from datetime import datetime
+
+        from flnr_wins_spark.operators.interval import interval_join
+
+        mk = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, "u", mk(0)), (2, "u", mk(30)), (3, "u", mk(59)), (4, "v", mk(30))],
+            "id long, key string, ts timestamp",
+        )
+        out = interval_join(left, left, key="key", time_col="ts", window_seconds=30)
+        pairs = sorted((r.id, r.id_r) for r in out.collect())
+        # r.ts <= l.ts < r.ts + 30s (half-open); key must match:
+        # (1,1) self, (2,2), (3,3), (4,4), and (3 at 59s pairs with 2 at 30s)
+        assert pairs == [(1, 1), (2, 2), (3, 2), (3, 3), (4, 4)]
+
+    def test_crosses_bucket_boundary(self, spark):
+        from datetime import datetime
+
+        from flnr_wins_spark.operators.interval import interval_join
+
+        # 58s and 62s are in different 30s buckets but within one window
+        left = spark.createDataFrame(
+            [(1, "u", datetime(2024, 1, 1, 0, 0, 58)),
+             (2, "u", datetime(2024, 1, 1, 0, 1, 2))],
+            "id long, key string, ts timestamp",
+        )
+        out = interval_join(left, left, key="key", time_col="ts", window_seconds=30)
+        pairs = sorted((r.id, r.id_r) for r in out.collect())
+        assert (2, 1) in pairs
