@@ -1,0 +1,63 @@
+"""Generic format sources/sinks (CSV, JSON lines, ORC, Parquet).
+
+The reference ingests exactly one format (File Geodatabase export,
+``src/wins_transform_staging.py:122-134``) and trusts it blindly via
+``Append NO_TEST``. Here ingestion is format-pluggable and schema-ENFORCED:
+semi-structured formats (csv/json) never infer — inference at 100 TB means a
+full extra pass over the data and a schema that drifts with the sample — the
+caller supplies the contract StructType and rows are aligned to it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_SELF_DESCRIBING = {"parquet", "orc"}
+_SEMI_STRUCTURED = {"csv", "json"}
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read ``path`` in ``fmt``. csv/json REQUIRE an explicit schema (no
+    inference pass); parquet/orc carry their own and ``schema`` acts as an
+    assertion via select-alignment."""
+    fmt = fmt.lower()
+    if fmt in _SEMI_STRUCTURED and schema is None:
+        raise ValueError(f"{fmt} reads require an explicit schema at scale")
+    reader = spark.read.format(fmt)
+    if schema is not None and fmt in _SEMI_STRUCTURED:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    if schema is not None and fmt in _SELF_DESCRIBING:
+        df = df.select(*[f.name for f in schema.fields])  # order + presence check
+    return df
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Write ``df`` to ``path`` in ``fmt``; overwrite-mode by default (the
+    engine's idempotence stance, SURVEY.md §4)."""
+    w = df.write.format(fmt.lower()).mode(mode)
+    if fmt.lower() == "csv":
+        w = w.option("header", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save(path)

@@ -1,0 +1,47 @@
+"""Round-trip tests for the pluggable format sources/sinks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from flnr_wins_spark.sources.formats import read_any, write_any
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.0)], SCHEMA
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip(spark, sample, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    write_any(sample, path, fmt=fmt)
+    got = read_any(spark, path, fmt=fmt, schema=SCHEMA)
+    assert got.schema == SCHEMA
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, sample.collect()))
+
+
+def test_semi_structured_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_any(spark, str(tmp_path), fmt="csv")
+
+
+def test_partitioned_write(spark, sample, tmp_path):
+    path = str(tmp_path / "bykey")
+    write_any(sample, path, fmt="parquet", partition_by=["k"])
+    import os
+
+    assert sorted(d for d in os.listdir(path) if d.startswith("k="))
+    got = read_any(spark, path, fmt="parquet")
+    assert got.count() == 3
