@@ -90,6 +90,50 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "x_dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE docs AS ({_DUP_SQL_DOCS}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id, MIN(r) AS cluster_id, id = MIN(r) AS is_survivor
+    FROM reach GROUP BY id
+    """,
+    note="near-dup clustering: connected components (min-label propagation, "
+    "localCheckpoint per round) over Jaccard>=0.8 pairs; oracle = recursive CTE",
+)
+def x_dedup_clusters(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import jaccard_pairs, shingle_sets
+    from flnr_wins_spark.operators.graph import dedup_clusters
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = jaccard_pairs(shingle_sets(docs, "text", "doc_id", n=3), threshold=0.8)
+    return dedup_clusters(pairs)
+
+
+@query(
     "x_dedup_minhash_lsh",
     sql=None,  # probabilistic candidate generation; exact-verified but not SQL-expressible
     note="MinHash-LSH banding candidates + exact Jaccard verify (pure DataFrame)",

@@ -214,3 +214,22 @@ class TestMultimodal:
         media = to_media_table(docs, "text", "doc_id")
         with pytest.raises(Exception, match="NotImplementedError|media codecs"):
             extract_features(media, fake=False).collect()
+
+
+class TestConnectedComponents:
+    def test_chain_and_island(self, spark):
+        from flnr_wins_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+        )
+        got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_survivor_policy(self, spark):
+        from flnr_wins_spark.operators.graph import dedup_clusters
+
+        pairs = spark.createDataFrame([(5, 7), (7, 9)], "id_a long, id_b long")
+        rows = {r.id: r for r in dedup_clusters(pairs).collect()}
+        assert rows[5].is_survivor and not rows[7].is_survivor and not rows[9].is_survivor
+        assert all(r.cluster_id == 5 for r in rows.values())
