@@ -73,6 +73,36 @@ def session_counts(events: DataFrame, gap: str = "15 minutes") -> DataFrame:
     )
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream inner join: pair events from two streams on ``key``
+    whose event times are within ``within`` of each other.
+
+    Both sides carry a watermark plus the time-range condition — that is
+    what lets Spark BOUND the join state: a buffered left row can be evicted
+    once the right watermark passes its ts + within. Without the range
+    condition, state grows forever; this function makes it impossible to
+    omit. Left columns keep their names; right columns get ``_r``.
+    """
+    l_ = left.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    r_ = right.select([F.col(c).alias(f"{c}_r") for c in right.columns]).withColumn(
+        "ts_r", F.col("ts_r").cast("timestamp")
+    ).withWatermark("ts_r", watermark)
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col("ts_r") >= F.col("ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l_.join(r_, cond, "inner")
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     (broadcast) static dimension — the streaming twin of the engine's R4/R5

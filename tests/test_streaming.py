@@ -99,6 +99,30 @@ def test_stream_static_enrich(spark, events_dir):
     assert bad.count() == 0
 
 
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.streaming.events import join_streams
+
+    a = read_events_stream(spark, events_dir)
+    b = read_events_stream(spark, events_dir)
+    joined = join_streams(a, b, key="user_id", within="5 minutes").select(
+        "event_id", "event_id_r"
+    )
+    run_available_now(joined, "t_ss_join", "append")
+    got = spark.table("t_ss_join").count()
+
+    ev = _batch_events(spark)
+    ev_r = ev.select([F.col(c).alias(f"{c}_r") for c in ev.columns])
+    want = ev.join(
+        ev_r,
+        (F.col("user_id") == F.col("user_id_r"))
+        & (F.col("ts_r") >= F.col("ts") - F.expr("INTERVAL 5 minutes"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 5 minutes")),
+    ).count()
+    assert got == want and got > 0
+
+
 def test_foreachbatch_partitioned_sink_idempotent(spark, events_dir, tmp_path):
     from pyspark.sql import functions as F
 
