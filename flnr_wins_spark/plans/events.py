@@ -39,6 +39,65 @@ def q_events_interval_join(spark, sf_dir):
 
 
 @query(
+    "q_events_multires_rollup",
+    sql=f"""
+    SELECT resolution, bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n, {sql_dsum('value')} AS sum_value
+    FROM (
+      SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket, event_type, value FROM events
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), event_type, value FROM events
+      UNION ALL
+      SELECT 'month', date_trunc('month', ts), event_type, value FROM events
+    ) buckets
+    GROUP BY resolution, bucket, event_type
+    """,
+    note="hypertable-style multi-resolution rollup: hour/day/month buckets "
+    "in one grouping-sets pass (single scan, partial aggs per set)",
+)
+def q_events_multires_rollup(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("month", "ts").alias("month"),
+        "event_type",
+        "value",
+    )
+    # grouping sets: one scan, one shuffle, all three resolutions
+    agg = ev.groupingSets(
+        [["hour", "event_type"], ["day", "event_type"], ["month", "event_type"]],
+        "hour", "day", "month", "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+    resolution = (
+        F.when(F.col("hour").isNotNull(), "hour")
+        .when(F.col("day").isNotNull(), "day")
+        .otherwise("month")
+    )
+    bucket = F.coalesce(F.col("hour"), F.col("day"), F.col("month"))
+    return agg.select(
+        resolution.alias("resolution"),
+        bucket.alias("bucket"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@query(
+    "q_events_approx_distinct",
+    sql=None,  # HLL sketches differ across engines — exactness tested in-suite
+    note="approx_count_distinct (HyperLogLog++) users per event type; "
+    "mergeable sketch = one pass, no exact-distinct shuffle explosion",
+)
+def q_events_approx_distinct(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+@query(
     "q_events_json",
     sql="""
     SELECT event_type,

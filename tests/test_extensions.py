@@ -233,3 +233,23 @@ class TestConnectedComponents:
         rows = {r.id: r for r in dedup_clusters(pairs).collect()}
         assert rows[5].is_survivor and not rows[7].is_survivor and not rows[9].is_survivor
         assert all(r.cluster_id == 5 for r in rows.values())
+
+
+class TestApproxDistinct:
+    def test_within_error_bound(self, spark):
+        from flnr_wins_spark.plans.common import all_queries
+
+        df = all_queries()["q_events_approx_distinct"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+        from flnr_wins_spark.sources import read_table
+
+        ev = read_table(spark, "/root/testdata/sf0.001", "events")
+        exact = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        for r in df.collect():
+            assert abs(r.approx_users - exact[r.event_type]) <= 0.1 * exact[r.event_type]
