@@ -66,6 +66,31 @@ def test_reject_unmatched_is_anti_join(spark):
     assert "LeftAnti" in plan
 
 
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Reading a date-partitioned layout with a partition predicate must
+    prune at the directory level (PartitionFilters), not scan-and-filter."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.sources import read_table
+
+    path = str(tmp_path / "events_by_date")
+    (
+        read_table(spark, SF_DIR, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .parquet(path)
+    )
+    df = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-02")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(event_date" in plan or "event_date" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+    # the data filter list must NOT carry the partition predicate
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "event_date" not in pushed
+
+
 def test_whole_stage_codegen_everywhere(spark):
     # AQE wraps the plan until runtime, hiding codegen stages from a static
     # explain — disable it here so the stages are visible pre-execution.
