@@ -49,8 +49,13 @@ def exact_dedup(
     return tagged.filter(F.col("_rn") == 1).drop("_rn")
 
 
-def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle) pairs.
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle) pairs, distinct by
+    default (set semantics for Jaccard). ``distinct=False`` skips the dedup
+    shuffle for consumers whose aggregation dedups anyway (min-hash,
+    collect_set).
 
     Tokenization is a plain single-space split (deterministic, oracle-friendly);
     shingling uses JVM-side higher-order functions (transform/sequence) — no
@@ -61,12 +66,12 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     shingles = F.expr(
         f"transform(sequence(1, size(_tk) - {n - 1}), i -> concat_ws(' ', {parts}))"
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("id"), toks.alias("_tk"))
         .filter(F.size("_tk") >= n)
         .select("id", F.explode(shingles).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -138,18 +143,7 @@ def minhash_lsh_pairs(
     per-doc shingle arrays are fine while documents are bounded (chunk or
     re-join by shingle table for pathological multi-MB docs).
     """
-    toks = F.split(F.col(text_col), " ")
-    parts = " , ".join(
-        f"element_at(_tk, CAST(i + {j} AS INT))" for j in range(shingle_n)
-    )
-    shingles = F.expr(
-        f"transform(sequence(1, size(_tk) - {shingle_n - 1}), i -> concat_ws(' ', {parts}))"
-    )
-    exploded = (
-        df.select(F.col(id_col).alias("id"), toks.alias("_tk"))
-        .filter(F.size("_tk") >= shingle_n)
-        .select("id", F.explode(shingles).alias("shingle"))
-    )
+    exploded = shingle_sets(df, text_col, id_col, n=shingle_n, distinct=False)
     agg = exploded.groupBy("id").agg(
         F.collect_set("shingle").alias("shset"),
         *[
@@ -161,6 +155,9 @@ def minhash_lsh_pairs(
     # without an explicit persist each consumer would recompute the shingle
     # explode + aggregate from the source scan. MEMORY_AND_DISK: at cluster
     # scale this table is ~corpus-sized, so partitions spill rather than OOM.
+    # The cache lives until the session ends (the returned plan is lazy, so
+    # this function cannot unpersist it) — callers looping over many corpora
+    # should `spark.catalog.clearCache()` between runs.
     agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
     banded = agg.select(
         "id",

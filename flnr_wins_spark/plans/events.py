@@ -64,16 +64,29 @@ def q_events_multires_rollup(spark, sf_dir):
         "value",
     )
     # grouping sets: one scan, one shuffle, all three resolutions
+    # grouping() indicators are computed IN the aggregate (they are only
+    # valid there) and discriminate the active set null-safely: a NULL ts
+    # makes every truncated column NULL, so isNotNull would misattribute
+    # the row, while grouping() reflects the set structure itself.
     agg = ev.groupingSets(
         [["hour", "event_type"], ["day", "event_type"], ["month", "event_type"]],
         "hour", "day", "month", "event_type",
-    ).agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+        F.grouping("hour").alias("_g_hour"),
+        F.grouping("day").alias("_g_day"),
+    )
     resolution = (
-        F.when(F.col("hour").isNotNull(), "hour")
-        .when(F.col("day").isNotNull(), "day")
+        F.when(F.col("_g_hour") == 0, "hour")
+        .when(F.col("_g_day") == 0, "day")
         .otherwise("month")
     )
-    bucket = F.coalesce(F.col("hour"), F.col("day"), F.col("month"))
+    bucket = (
+        F.when(F.col("_g_hour") == 0, F.col("hour"))
+        .when(F.col("_g_day") == 0, F.col("day"))
+        .otherwise(F.col("month"))
+    )
     return agg.select(
         resolution.alias("resolution"),
         bucket.alias("bucket"),

@@ -359,7 +359,10 @@ def x_multimodal_bytes(spark, sf_dir):
     FROM documents, range(4) t(i)
     """,
     note="video frame-sampling plumbing: mapInPandas 1->4 fan-out with "
-    "deterministic byte-slice frames, hash-verified against the oracle",
+    "deterministic byte-slice frames, hash-verified against the oracle. "
+    "Oracle equivalence holds for ASCII corpora (Spark slices BYTES, the "
+    "SQL slices CHARACTERS; fixtures are ASCII so they coincide — real "
+    "media content is raw bytes and has no SQL twin at all)",
 )
 def x_multimodal_frames(spark, sf_dir):
     from flnr_wins_spark.functions.multimodal import sample_frames, to_media_table

@@ -273,13 +273,16 @@ def q12_shipping_delay(spark, sf_dir):
     FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
     WHERE p.p_brand <> 'Brand#1'
       AND p.p_size IN (1, 5, 10, 15)
-      AND l.l_suppkey NOT IN (
-        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      AND NOT EXISTS (
+        SELECT 1 FROM supplier s
+        WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0
       )
     GROUP BY p.p_brand, p.p_type, p.p_size
     """,
-    note="TPC-H Q16 shape (lineitem stands in for partsupp): NOT-IN "
-    "subquery (null-safe anti-join), IN-list + <> filters, COUNT(DISTINCT)",
+    note="TPC-H Q16 shape (lineitem stands in for partsupp): NOT EXISTS "
+    "subquery = anti-join (matches Spark left_anti semantics exactly, "
+    "including NULL keys — NOT IN would diverge on NULLs), IN-list + <> "
+    "filters, COUNT(DISTINCT)",
 )
 def q16_supplier_part_counts(spark, sf_dir):
     part = t(spark, sf_dir, "part").filter(

@@ -13,9 +13,12 @@ of ``wins_staging()``.
 from __future__ import annotations
 
 import io
+import itertools
 import logging
 from collections.abc import Callable
 from dataclasses import dataclass
+
+_run_counter = itertools.count()
 
 
 @dataclass
@@ -23,6 +26,7 @@ class RunLog:
     logger: logging.Logger
     stream: io.StringIO
     handler: logging.Handler
+    _prior_level: int
 
     def text(self) -> str:
         self.handler.flush()
@@ -30,19 +34,24 @@ class RunLog:
 
     def close(self) -> None:
         self.logger.removeHandler(self.handler)
+        self.logger.setLevel(self._prior_level)
 
 
 def capture_log(name: str = "flnr_wins_spark", level: int = logging.INFO) -> RunLog:
-    """Dual-sink logger: console DEBUG + captured INFO stream
-    (``src/wins_transform_staging.py:81-92``)."""
-    logger = logging.getLogger(name)
+    """Capturing logger (``src/wins_transform_staging.py:81-92``): records
+    propagate to the parent/root handlers (the console sink), while INFO+ is
+    captured to an in-memory stream for delivery. Each run gets its own
+    child logger (``<name>.run<N>``) so concurrent runs do not cross-log,
+    and ``close()`` restores the logger's prior level."""
+    logger = logging.getLogger(f"{name}.run{next(_run_counter)}")
+    prior = logger.level
     logger.setLevel(logging.DEBUG)
     stream = io.StringIO()
     handler = logging.StreamHandler(stream)
     handler.setLevel(level)
     handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
     logger.addHandler(handler)
-    return RunLog(logger=logger, stream=stream, handler=handler)
+    return RunLog(logger=logger, stream=stream, handler=handler, _prior_level=prior)
 
 
 def smtp_notifier(host: str, sender: str, recipients: list[str], subject: str) -> Callable[[str], None]:

@@ -16,10 +16,22 @@ from pyspark.sql import types as T
 
 
 def dataset_exists(spark: SparkSession, path_or_table: str) -> bool:
-    """Existence probe (``arcpy.Exists`` analog) for a parquet path or a
-    catalog table/view name."""
-    if os.path.sep in path_or_table or path_or_table.endswith(".parquet"):
-        return os.path.exists(path_or_table)
+    """Existence probe (``arcpy.Exists`` analog) for a dataset path or a
+    catalog table/view name. Paths go through the Hadoop FileSystem API so
+    remote URIs (s3a://, hdfs://, abfs://) resolve against the right store —
+    ``os.path.exists`` only answers for the local filesystem."""
+    if (
+        "://" in path_or_table
+        or os.path.sep in path_or_table
+        or path_or_table.endswith(".parquet")
+    ):
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path_or_table)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            return bool(fs.exists(p))
+        except Exception:
+            return os.path.exists(path_or_table)
     try:
         return spark.catalog.tableExists(path_or_table)
     except Exception:

@@ -142,6 +142,39 @@ def test_foreachbatch_partitioned_sink_idempotent(spark, events_dir, tmp_path):
         assert spark.read.parquet(out).count() == n_expected  # no duplication
 
 
+def test_foreachbatch_sink_later_batch_preserves_earlier_rows(spark, tmp_path):
+    """A second micro-batch writing into the SAME date partition must not
+    clobber the first batch's rows (the failure mode of naive per-partition
+    dynamic overwrite)."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.streaming.sinks import partitioned_overwrite_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "a", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(base.schema).parquet(src).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    q = partitioned_overwrite_sink(stream, out, ["event_date"], ckpt)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    # second file, SAME event date -> processed as a later micro-batch
+    base.withColumn("event_id", F.lit(2)).write.mode("append").parquet(src)
+    q = partitioned_overwrite_sink(stream, out, ["event_date"], ckpt)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = spark.read.parquet(out)
+    assert sorted(r.event_id for r in got.collect()) == [1, 2]
+
+
 def test_stateful_user_profile(spark, events_dir):
     from pyspark.sql import functions as F
 
