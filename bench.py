@@ -33,8 +33,13 @@ def main() -> None:
     registry = all_queries()
     headline = {name: qd for name, qd in registry.items() if qd.bench}
 
-    # JVM/codegen warmup on a trivial job so query 1 isn't charged for it.
+    # Warm the JVM, codegen, and the parquet read path (footer decode,
+    # vectorized reader init) on the smallest table so query 1 isn't charged
+    # one-time session costs. The warmup is excluded from all timings.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    from flnr_wins_spark.sources import read_table
+
+    read_table(spark, sf_dir, "region").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, qd in headline.items():

@@ -213,6 +213,84 @@ def q_window_running(spark, sf_dir):
 
 
 @query(
+    "q_window_range_frame",
+    sql="""
+    SELECT c_custkey,
+           CAST(COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                               RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS peers_within_100
+    FROM customer
+    """,
+    note="RANGE window frame (value-based, not row-based): peers within an "
+    "acctbal band per nation — distinct from ROWS frames, which q_window_running covers",
+)
+def q_window_range_frame(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    return cust.select(
+        "c_custkey",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("peers_within_100"),
+    )
+
+
+@query(
+    "q_window_rank_family",
+    sql="""
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    note="rank-family window functions: ntile, percent_rank, cume_dist, dense_rank",
+)
+def q_window_rank_family(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return od.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+    )
+
+
+@query(
+    "q_string_functions",
+    sql="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           lpad(p_brand, 12, '.') AS padded,
+           reverse(p_type) AS rev_type,
+           trim(concat(' ', p_name, ' ')) AS trimmed,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+           replace(p_type, 'E', '3') AS leeted
+    FROM part
+    """,
+    note="string function sampler 2: regexp_replace, lpad, reverse, trim, "
+    "instr, replace — all whole-stage codegen",
+)
+def q_string_functions(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.lpad("p_brand", 12, ".").alias("padded"),
+        F.reverse("p_type").alias("rev_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("first_a"),
+        F.replace(F.col("p_type"), F.lit("E"), F.lit("3")).alias("leeted"),
+    )
+
+
+@query(
     "q_rollup_acctbal",
     sql=f"""
     SELECT r.r_name, n.n_name, COUNT(*) AS n_cust,
