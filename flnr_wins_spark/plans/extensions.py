@@ -90,6 +90,34 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "x_train_test_split",
+    sql="""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ) tagged
+    GROUP BY split
+    """,
+    note="deterministic content-addressed train/test split (md5-prefix "
+    "buckets — stable across runs/engines/partitionings, unlike rand())",
+)
+def x_train_test_split(spark, sf_dir):
+    from flnr_wins_spark.operators.split import train_test_split
+
+    docs = t(spark, sf_dir, "documents")
+    # 0.1 * 256 = 25.6 -> threshold 0x1a, matching the oracle literal
+    tagged = train_test_split(docs, "doc_id", test_fraction=0.1)
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+    )
+
+
+@query(
     "x_dedup_clusters",
     sql=f"""
     WITH RECURSIVE docs AS ({_DUP_SQL_DOCS}),

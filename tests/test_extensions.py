@@ -253,3 +253,24 @@ class TestApproxDistinct:
         }
         for r in df.collect():
             assert abs(r.approx_users - exact[r.event_type]) <= 0.1 * exact[r.event_type]
+
+
+class TestTrainTestSplit:
+    def test_deterministic_and_disjoint(self, spark):
+        from flnr_wins_spark.operators.split import train_test_split
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in train_test_split(df, "doc_id", 0.2).collect()}
+        b = {r.doc_id: r.split for r in train_test_split(df, "doc_id", 0.2).collect()}
+        assert a == b  # stable across runs
+        frac = sum(1 for v in a.values() if v == "test") / len(a)
+        assert 0.15 < frac < 0.25  # ~20% within hash noise
+
+    def test_membership_survives_data_growth(self, spark):
+        from flnr_wins_spark.operators.split import train_test_split
+
+        small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in train_test_split(small, "doc_id", 0.1).collect()}
+        b = {r.doc_id: r.split for r in train_test_split(big, "doc_id", 0.1).collect()}
+        assert all(b[k] == v for k, v in a.items())  # old rows never move
