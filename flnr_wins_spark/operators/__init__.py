@@ -1,16 +1,41 @@
 from flnr_wins_spark.operators.append import align_to_schema, append_no_test
+from flnr_wins_spark.operators.asof import asof_join
+from flnr_wins_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingle_sets,
+    simhash_pairs,
+    simhash_signatures,
+)
 from flnr_wins_spark.operators.enrich import enrich
 from flnr_wins_spark.operators.frequency import frequency
+from flnr_wins_spark.operators.graph import connected_components, dedup_clusters
+from flnr_wins_spark.operators.interval import interval_join
 from flnr_wins_spark.operators.reject import reject_duplicates, reject_unmatched
+from flnr_wins_spark.operators.skew import salted_join
+from flnr_wins_spark.operators.split import train_test_split
 from flnr_wins_spark.operators.update import blank_to_null, conditional_update
 
 __all__ = [
     "align_to_schema",
     "append_no_test",
+    "asof_join",
     "blank_to_null",
     "conditional_update",
+    "connected_components",
+    "dedup_clusters",
     "enrich",
+    "exact_dedup",
     "frequency",
+    "interval_join",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
     "reject_duplicates",
     "reject_unmatched",
+    "salted_join",
+    "shingle_sets",
+    "simhash_pairs",
+    "simhash_signatures",
+    "train_test_split",
 ]
