@@ -156,3 +156,37 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lang_id(c).alias("lang_pred"),
         rolling_fingerprint(c).alias("rolling_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+# Pattern set kept to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB) — character classes, bounded repetition, \d —
+# so the oracle can run the same expressions. Order matters: emails are
+# scrubbed before phone/IP so digit-bearing local parts can't be re-matched.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
+    (r"\d{3}-\d{3}-\d{4}", "[PHONE]"),
+)
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """One match-count column per PII class (before redaction)."""
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("bigint")
+        for pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every email / IPv4 / phone match with a class token.
+
+    Pure JVM regexp_replace chain — vectorized, no UDF, safe in the hot path
+    of a 100 TB scrub pass.
+    """
+    out = col
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out

@@ -1,0 +1,71 @@
+"""Sequence packing: assign documents to fixed-token-budget training packs.
+
+LLM pre-training concatenates documents into fixed-length sequences
+("concat-and-chunk"). The distributed formulation: give every document a
+deterministic position in a stable order, take the running token total, and
+assign it to pack ``floor(start_offset / budget)`` — the pack a concatenated
+stream would place its first token in.
+
+A single global running sum would be one-partition at 100 TB (the classic
+window-without-partition trap). So packing is SHARDED: documents are bucketed
+by a content hash of their id into ``shards`` independent streams, and the
+running sum windows over ``Window.partitionBy(shard)`` — every shard packs in
+parallel, and the (shard, local pack) pair forms the global pack id. Shard
+count scales with the cluster; order within a shard is (md5(id), id) — fully
+deterministic, no rand(), engine-portable (the DuckDB oracle runs the same
+expressions).
+
+The reference has no notion of sequence assembly (it is a row-preserving
+ETL); this is an engine extension for the LLM-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.operators.split import split_bucket
+
+# Max packs a single shard can hold; only affects the composite id layout.
+_PACKS_PER_SHARD = 1_000_000
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shards: int = 32,
+) -> DataFrame:
+    """Add ``shard``, ``pack_id`` (global), and ``pack_offset`` columns.
+
+    ``pack_offset`` is the document's first-token position within its shard's
+    concatenated stream; ``pack_id = shard * 1e6 + floor(pack_offset /
+    budget)``. Documents longer than ``budget`` still get exactly one pack id
+    (their head chunk's) — splitting oversized docs is the caller's decision.
+    """
+    sh = split_bucket(F.col(id_col), buckets=shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(token_col).cast("long")).over(w)
+    offset = (running - F.col(token_col).cast("long")).alias("pack_offset")
+    return (
+        df.withColumn("shard", sh)
+        .withColumn("pack_offset", offset)
+        .withColumn(
+            "pack_id",
+            F.col("shard") * F.lit(_PACKS_PER_SHARD)
+            + F.floor(F.col("pack_offset") / F.lit(budget)),
+        )
+    )
+
+
+def pack_manifest(packed: DataFrame) -> DataFrame:
+    """Aggregate a packed frame into one row per pack (size accounting)."""
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("tokens_total"),
+    )

@@ -1,0 +1,59 @@
+"""Deterministic stratified sampling for corpus curation.
+
+Training-data pipelines mix sources at controlled rates ("20% of web, all of
+books"). ``df.sample()`` is non-reproducible across runs and partitionings;
+``sampleBy`` is seeded but still permutation-dependent. Like
+``operators.split``, the stable primitive is content addressing: a row is in
+the sample iff the md5-prefix bucket of its key sorts under the stratum's
+threshold — a pure function of (key, stratum), identical across engines,
+re-runs, and cluster layouts, and incremental data joins the sample at the
+same rate without resampling old rows.
+
+Everything is JVM-side expression code (md5 + substring + CASE); sampling is
+a narrow map over the scan — no shuffle, fully pushdown-friendly. Fractions
+quantize to 1/256 granularity (one hex byte), plenty for mixing rates.
+
+The reference has no sampling surface (it is a full-refresh ETL —
+``src/wins_transform_staging.py:118-135`` re-downloads everything each run);
+this is an engine extension for the LLM-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _threshold_hex(fraction: float) -> str:
+    q = min(256, max(0, int(round(256 * fraction))))
+    return format(q, "02x")
+
+
+def sample_pred(key: Column, fraction: float) -> Column:
+    """True for rows whose md5(key) prefix falls under ``fraction``."""
+    prefix = F.substring(F.md5(F.encode(key.cast("string"), "UTF-8")), 1, 2)
+    return prefix < _threshold_hex(fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows.
+
+    ``fractions`` maps stratum value -> keep rate; strata not listed keep
+    ``default_fraction``. Membership depends only on (key, stratum), so the
+    sample is stable under reprocessing and engine changes.
+    """
+    prefix = F.substring(
+        F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8")), 1, 2
+    )
+    thr = F.lit(_threshold_hex(default_fraction))
+    for value, frac in fractions.items():
+        thr = F.when(F.col(strata_col) == value, _threshold_hex(frac)).otherwise(thr)
+    return df.filter(prefix < thr)

@@ -450,3 +450,122 @@ def x_embedding_neardup(spark, sf_dir):
         .filter(cosine(F.col("va"), F.col("v")) >= 0.999)
         .select("id_a", F.col("vec_id").alias("id_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: PII scrub, stratified source mixing, sequence packing
+# ---------------------------------------------------------------------------
+
+# The fixture corpus is synthetic word salad with no PII, so the query plants
+# deterministic PII derived from doc_id (same expression on both engines) and
+# the operator must find and scrub exactly that. DuckDB's regexp_replace
+# needs the 'g' flag for replace-all; Spark's is always global.
+_PII_AUG_T = (
+    "text || ' mail user' || CAST(doc_id AS {t}) || '@mail.example.com"
+    " tel 604-555-' || lpad(CAST(doc_id % 10000 AS {t}), 4, '0')"
+    " || ' ip 10.0.' || CAST(doc_id % 256 AS {t}) || '.'"
+    " || CAST((doc_id * 7) % 256 AS {t})"
+)
+_PII_AUG = _PII_AUG_T.format(t="VARCHAR")  # DuckDB oracle side
+_PII_AUG_SPARK = _PII_AUG_T.format(t="STRING")
+
+
+@query(
+    "x_pii_redact",
+    sql=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG} AS raw FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(raw, '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(raw, '\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+               '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}', '[IP]', 'g'),
+             '\\d{{3}}-\\d{{3}}-\\d{{4}}', '[PHONE]', 'g') AS clean
+    FROM aug
+    """,
+    note="PII scrub (email/IPv4/phone -> class tokens): pure JVM "
+    "regexp_replace chain, no UDF; patterns restricted to Java-regex/RE2 "
+    "common semantics so the oracle runs the identical expressions",
+)
+def x_pii_redact(spark, sf_dir):
+    from flnr_wins_spark.functions.text import pii_counts, redact_pii
+
+    docs = t(spark, sf_dir, "documents")
+    raw = F.expr(_PII_AUG_SPARK)
+    n_email, n_ip, n_phone = pii_counts(raw)
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        n_phone.alias("n_phone"),
+        redact_pii(raw).alias("clean"),
+    )
+
+
+@query(
+    "x_sample_stratified",
+    sql="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <
+          CASE c_mktsegment WHEN 'AUTOMOBILE' THEN '66'
+                            WHEN 'MACHINERY'  THEN '1a'
+                            ELSE '0d' END
+    """,
+    note="deterministic stratified sampling (per-stratum md5-bucket "
+    "thresholds: 40% AUTOMOBILE, 10% MACHINERY, 5% rest) — content-"
+    "addressed like train_test_split, so re-runs and incremental data keep "
+    "identical membership; narrow map over the scan, no shuffle",
+)
+def x_sample_stratified(spark, sf_dir):
+    from flnr_wins_spark.operators.sample import stratified_sample
+
+    cust = t(spark, sf_dir, "customer")
+    # 0.40*256=102.4->0x66, 0.10*256=25.6->0x1a, 0.05*256=12.8->0x0d
+    return stratified_sample(
+        cust,
+        key_col="c_custkey",
+        strata_col="c_mktsegment",
+        fractions={"AUTOMOBILE": 0.40, "MACHINERY": 0.10},
+        default_fraction=0.05,
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "x_seq_packing",
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 16 AS shard
+      FROM documents
+    ),
+    pos AS (
+      SELECT shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS pack_offset
+      FROM d
+    )
+    SELECT CAST(shard * 1000000 + FLOOR(pack_offset / 512) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+    FROM pos
+    GROUP BY 1
+    """,
+    note="sharded concat-and-chunk sequence packing (budget 512 tokens, 16 "
+    "hash shards): running-sum window partitioned by content-hash shard — "
+    "parallel at any scale, no global sort; (shard, local pack) composes "
+    "the global pack id",
+)
+def x_seq_packing(spark, sf_dir):
+    from flnr_wins_spark.functions.text import token_count
+    from flnr_wins_spark.operators.packing import pack_manifest, pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=512, shards=16)
+    return pack_manifest(packed)

@@ -274,3 +274,95 @@ class TestTrainTestSplit:
         a = {r.doc_id: r.split for r in train_test_split(small, "doc_id", 0.1).collect()}
         b = {r.doc_id: r.split for r in train_test_split(big, "doc_id", 0.1).collect()}
         assert all(b[k] == v for k, v in a.items())  # old rows never move
+
+
+class TestStratifiedSample:
+    def test_membership_is_key_deterministic(self, spark):
+        from flnr_wins_spark.operators.sample import stratified_sample
+
+        rows = [(i, "A" if i % 2 == 0 else "B") for i in range(400)]
+        df = spark.createDataFrame(rows, "k long, seg string")
+        s1 = {r.k for r in stratified_sample(df, "k", "seg", {"A": 0.5}, 0.1).collect()}
+        # Re-run over a different partitioning: identical membership.
+        s2 = {
+            r.k
+            for r in stratified_sample(
+                df.repartition(7), "k", "seg", {"A": 0.5}, 0.1
+            ).collect()
+        }
+        assert s1 == s2 and s1
+
+    def test_fractions_apply_per_stratum(self, spark):
+        from flnr_wins_spark.operators.sample import stratified_sample
+
+        rows = [(i, "A" if i % 2 == 0 else "B") for i in range(2000)]
+        df = spark.createDataFrame(rows, "k long, seg string")
+        got = stratified_sample(df, "k", "seg", {"A": 0.5}, 0.0).collect()
+        segs = {r.seg for r in got}
+        assert segs == {"A"}  # default 0.0 drops all of B
+        # ~50% of the 1000 A-rows, md5-uniform: generous tolerance
+        assert 350 < len(got) < 650
+
+    def test_superset_monotonic(self, spark):
+        """A higher fraction's sample contains the lower fraction's (prefix
+        thresholds nest) — the property that makes mixing rates tunable
+        without resampling."""
+        from flnr_wins_spark.operators.sample import stratified_sample
+
+        df = spark.createDataFrame([(i, "A") for i in range(500)], "k long, seg string")
+        small = {r.k for r in stratified_sample(df, "k", "seg", {"A": 0.1}).collect()}
+        big = {r.k for r in stratified_sample(df, "k", "seg", {"A": 0.4}).collect()}
+        assert small <= big
+
+
+class TestSequencePacking:
+    def test_offsets_contiguous_and_packs_bounded(self, spark):
+        from flnr_wins_spark.operators.packing import pack_manifest, pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, 10 + (i * 37) % 90) for i in range(300)], "doc_id long, n_tokens long"
+        )
+        packed = pack_sequences(df, "doc_id", "n_tokens", budget=128, shards=4)
+        rows = packed.collect()
+        # Per shard: offsets are exactly the running sum (contiguous stream).
+        by_shard = {}
+        for r in sorted(rows, key=lambda r: (r.shard, r.pack_offset)):
+            expect = by_shard.get(r.shard, 0)
+            assert r.pack_offset == expect
+            by_shard[r.shard] = expect + r.n_tokens
+        # Every doc fits under budget, so no pack exceeds budget + max_doc.
+        manifest = {r.pack_id: r.tokens_total for r in pack_manifest(packed).collect()}
+        assert all(v < 128 + 100 for v in manifest.values())
+        # Composite id round-trips the shard.
+        assert all(r.pack_id // 1_000_000 == r.shard for r in rows)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from flnr_wins_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, 5 + i % 20) for i in range(200)], "doc_id long, n_tokens long"
+        )
+        a = {(r.doc_id, r.pack_id) for r in pack_sequences(df, "doc_id", "n_tokens", 64).collect()}
+        b = {
+            (r.doc_id, r.pack_id)
+            for r in pack_sequences(df.repartition(13), "doc_id", "n_tokens", 64).collect()
+        }
+        assert a == b
+
+
+class TestPiiRedact:
+    def test_redacts_all_classes(self, spark):
+        from flnr_wins_spark.functions.text import pii_counts, redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "write bob.smith+x@corp.example.org or call 604-555-1234 from 192.168.0.1 ok")],
+            "id long, text string",
+        )
+        n_email, n_ip, n_phone = pii_counts(F.col("text"))
+        row = df.select(
+            redact_pii(F.col("text")).alias("clean"),
+            n_email.alias("e"), n_ip.alias("i"), n_phone.alias("p"),
+        ).collect()[0]
+        assert (row.e, row.i, row.p) == (1, 1, 1)
+        assert "[EMAIL]" in row.clean and "[IP]" in row.clean and "[PHONE]" in row.clean
+        assert "bob" not in row.clean and "192.168" not in row.clean and "555-1234" not in row.clean
