@@ -103,3 +103,45 @@ def test_whole_stage_codegen_everywhere(spark):
             assert "*(1)" in plan, name
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q9_dims_broadcast_filter_pushed(spark):
+    # part/supplier/nation broadcast; the p_name LIKE filter reaches the scan
+    plan = _plan(spark, "q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters: [" in plan and "StringContains(p_name,gear)" in plan
+
+
+def test_q21_single_orderkey_shuffle_reused(spark):
+    # The decorrelated exists/not-exists shares the lineitem-orders join
+    # subtree between the per-order aggregate and the culprit probe; neither
+    # side may plan a per-row correlated subquery (no nested loop).
+    plan = _plan(spark, "q21_suppliers_kept_waiting")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation dims
+
+
+def test_q2_window_min_not_second_scan(spark):
+    # The correlated MIN subquery is planned as one window over the scoped
+    # join — lineitem must be scanned for the partsupp derivation only.
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "Window" in plan
+
+
+def test_sample_is_narrow_no_shuffle(spark):
+    # Stratified sampling is a pure filter over the scan: no Exchange at all.
+    plan = _plan(spark, "x_sample_stratified")
+    assert "Exchange" not in plan
+
+
+def test_seq_packing_shards_the_window(spark):
+    # The running sum must window over hash shards, never a single global
+    # partition (the one-partition window is the classic 100 TB killer).
+    plan = _plan(spark, "x_seq_packing")
+    assert "SinglePartition" not in plan
+
+
+def test_pii_redact_no_python_udf(spark):
+    # The scrub chain stays in JVM regexp_replace — no Python worker round-trip.
+    plan = _plan(spark, "x_pii_redact")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
