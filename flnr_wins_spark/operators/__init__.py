@@ -1,5 +1,6 @@
 from flnr_wins_spark.operators.append import align_to_schema, append_no_test
 from flnr_wins_spark.operators.asof import asof_join
+from flnr_wins_spark.operators.decontam import contamination, decontaminate, word_ngrams
 from flnr_wins_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -12,7 +13,9 @@ from flnr_wins_spark.operators.enrich import enrich
 from flnr_wins_spark.operators.frequency import frequency
 from flnr_wins_spark.operators.graph import connected_components, dedup_clusters
 from flnr_wins_spark.operators.interval import interval_join
+from flnr_wins_spark.operators.packing import pack_manifest, pack_sequences
 from flnr_wins_spark.operators.reject import reject_duplicates, reject_unmatched
+from flnr_wins_spark.operators.sample import stratified_sample
 from flnr_wins_spark.operators.skew import salted_join
 from flnr_wins_spark.operators.split import train_test_split
 from flnr_wins_spark.operators.update import blank_to_null, conditional_update
@@ -24,6 +27,8 @@ __all__ = [
     "blank_to_null",
     "conditional_update",
     "connected_components",
+    "contamination",
+    "decontaminate",
     "dedup_clusters",
     "enrich",
     "exact_dedup",
@@ -31,11 +36,15 @@ __all__ = [
     "interval_join",
     "jaccard_pairs",
     "minhash_lsh_pairs",
+    "pack_manifest",
+    "pack_sequences",
     "reject_duplicates",
     "reject_unmatched",
     "salted_join",
     "shingle_sets",
     "simhash_pairs",
     "simhash_signatures",
+    "stratified_sample",
     "train_test_split",
+    "word_ngrams",
 ]

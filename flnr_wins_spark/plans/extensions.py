@@ -452,6 +452,39 @@ def x_embedding_neardup(spark, sf_dir):
     )
 
 
+@query(
+    "x_decontam",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 7), ' ') AS g
+      FROM toks, UNNEST(range(1, len(tk) - 6)) u(i)
+      WHERE len(tk) >= 8
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM grams JOIN ev USING (g)
+    GROUP BY doc_id
+    """,
+    note="benchmark decontamination (GPT-3/PaLM-style 8-gram overlap): "
+    "eval grams deduped + broadcast, so the train corpus is matched map-side "
+    "and never shuffled; grams are JVM higher-order expressions, no UDF. "
+    "Eval set synthesized as every 100th doc",
+    bench=True,
+)
+def x_decontam(spark, sf_dir):
+    from flnr_wins_spark.operators.decontam import contamination
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 100 == 0)
+    return contamination(docs, eval_df, text_col="text", id_col="doc_id", n=8)
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: PII scrub, stratified source mixing, sequence packing
 # ---------------------------------------------------------------------------

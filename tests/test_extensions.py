@@ -366,3 +366,55 @@ class TestPiiRedact:
         assert (row.e, row.i, row.p) == (1, 1, 1)
         assert "[EMAIL]" in row.clean and "[IP]" in row.clean and "[PHONE]" in row.clean
         assert "bob" not in row.clean and "192.168" not in row.clean and "555-1234" not in row.clean
+
+
+class TestDecontam:
+    def test_ngrams_and_overlap_counting(self, spark):
+        from flnr_wins_spark.operators.decontam import contamination, word_ngrams
+
+        # One train doc fully contains the eval text (3 shared 3-grams),
+        # one shares nothing, one is too short to produce any 3-gram.
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over"),
+                (2, "completely unrelated words here entirely"),
+                (3, "too short"),
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "quick brown fox jumps")], "doc_id long, text string"
+        )
+        grams = train.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
+        assert len(grams[0].g) == 4 and grams[0].g[0] == "the quick brown"
+        assert grams[2].g == []  # shorter than n -> empty, not null
+        got = {r.doc_id: r.n_shared_grams for r in contamination(train, ev, n=3).collect()}
+        assert got == {1: 2}  # "quick brown fox", "brown fox jumps"
+
+    def test_repeated_gram_counts_once_and_tokenize_normalizes(self, spark):
+        from flnr_wins_spark.operators.decontam import contamination
+
+        train = spark.createDataFrame(
+            [(1, "Alpha, BETA; gamma!! alpha beta gamma")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(9, "alpha beta gamma")], "doc_id long, text string")
+        got = contamination(train, ev, n=3).collect()
+        # the gram appears twice in doc 1 but is deduped per document
+        assert [(r.doc_id, r.n_shared_grams) for r in got] == [(1, 1)]
+
+    def test_decontaminate_split_is_exhaustive(self, spark):
+        from flnr_wins_spark.operators.decontam import decontaminate
+
+        train = spark.createDataFrame(
+            [(i, f"doc {i} " + "shared common phrase tail words" if i % 2 == 0
+              else f"doc {i} private distinct content body text") for i in range(10)],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(99, "shared common phrase tail words")], "doc_id long, text string"
+        )
+        clean, dirty = decontaminate(train, ev, n=4)
+        c = {r.doc_id for r in clean.collect()}
+        d = {r.doc_id for r in dirty.collect()}
+        assert c | d == set(range(10)) and not (c & d)
+        assert d == {i for i in range(10) if i % 2 == 0}
