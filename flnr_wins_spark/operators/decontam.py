@@ -53,16 +53,21 @@ def contamination(
     train document sharing at least one word n-gram with the eval set.
 
     The eval gram set is deduplicated and broadcast; train grams are
-    deduplicated per document before the join so a gram repeated inside one
-    document counts once.
+    deduplicated per document *map-side* (``array_distinct`` before the
+    explode) so a gram repeated inside one document counts once without a
+    corpus-wide distinct shuffle — the only shuffle in the plan is the
+    final groupBy over the contaminated minority.
     """
     eval_grams = (
-        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        eval_df.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g")
+        )
         .distinct()
     )
     train_grams = train.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
-    ).distinct()
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    )
     return (
         train_grams.join(F.broadcast(eval_grams), "g")
         .groupBy(id_col)
