@@ -81,15 +81,20 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    broadcast_ids: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Split train into (clean, contaminated) by eval n-gram overlap.
 
-    The contaminated id set is a small fraction of the corpus, so it is
-    broadcast back for the anti join — the full corpus still never
-    shuffles.
+    With ``broadcast_ids`` (default) the contaminated id set — normally a
+    small fraction of the corpus — is broadcast for the anti/semi joins, so
+    the full corpus still never shuffles. Pass ``False`` for pathological
+    overlap (eval text massively duplicated into train) where the id set
+    may exceed executor memory; AQE then picks the join strategy.
     """
     report = contamination(train, eval_df, text_col, id_col, n)
-    ids = F.broadcast(report.select(id_col))
+    ids = report.select(id_col)
+    if broadcast_ids:
+        ids = F.broadcast(ids)
     clean = train.join(ids, id_col, "left_anti")
     contaminated = train.join(ids, id_col, "left_semi")
     return clean, contaminated
