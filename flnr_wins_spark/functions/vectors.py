@@ -188,17 +188,22 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane-signature bands, exact cosine
     re-rank within joined buckets. Recall < 1 by construction (ANN); rank is
-    deterministic for a fixed seed."""
+    deterministic for a fixed seed.
+
+    Shuffle discipline: the banded rows carry ONLY (id, bucket) — the band
+    join and the candidate-pair dedup never shuffle the embedding arrays
+    (at dim=768 a vector is ~200x the size of its id). Vectors re-join by id
+    for exactly the surviving candidate pairs, so full arrays move once, as
+    join payload keyed by id, never as a distinct/dedup key."""
     width = bits // bands
     mask = (1 << width) - 1
 
     def banded(df: DataFrame, idc: str, side: str) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
         sig = hyperplane_signature(v, dim=dim, bits=bits, seed=seed)
-        d = df.select(F.col(idc).alias(f"{side}_id"), v.alias(f"_{side}v"), sig.alias("_sig"))
+        d = df.select(F.col(idc).alias(f"{side}_id"), sig.alias("_sig"))
         return d.select(
             f"{side}_id",
-            f"_{side}v",
             F.explode(
                 F.array(
                     *[
@@ -218,11 +223,23 @@ def ann_lsh_topk(
     cand_pairs = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", "_queryv", "_candv")
+        .select("query_id", "cand_id")
         .distinct()
     )
-    scored = cand_pairs.select(
-        "query_id", "cand_id", cosine(F.col("_queryv"), F.col("_candv")).alias("cosine")
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_queryv"),
+    )
+    cv = candidates.select(
+        F.col(cand_id).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("_candv"),
+    )
+    scored = (
+        cand_pairs.join(qv, "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id", "cand_id", cosine(F.col("_queryv"), F.col("_candv")).alias("cosine")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(

@@ -120,6 +120,7 @@ def minhash_lsh_pairs(
     num_hash_tables: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidate generation + exact Jaccard
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -138,10 +139,15 @@ def minhash_lsh_pairs(
     shingle shuffle is eliminated, and the aggregate subtree is identical in
     all three uses, making its exchange reusable). The candidate join shuffles
     (table, minhash) buckets — identical min-hash values cluster true
-    near-dups, so bucket width stays small. At 100 TB add a bucket-width cap
-    (drop buckets > K docs) the same way jaccard_pairs drops stop-shingles;
-    per-doc shingle arrays are fine while documents are bounded (chunk or
-    re-join by shingle table for pathological multi-MB docs).
+    near-dups, so bucket width stays small on organic corpora.
+    ``max_bucket_width`` is the guard for pathological ones (a K-identical-doc
+    cluster makes every one of its buckets K wide, and the band self-join
+    K^2): buckets wider than the cap are dropped before the join, the same
+    mitigation as ``jaccard_pairs``'s stop-shingles. Identical-content blobs
+    are exact duplicates — run ``exact_dedup`` first and the cap only ever
+    trims degenerate near-dup megaclusters. Per-doc shingle arrays are fine
+    while documents are bounded (chunk or re-join by shingle table for
+    pathological multi-MB docs).
     """
     exploded = shingle_sets(df, text_col, id_col, n=shingle_n, distinct=False)
     agg = exploded.groupBy("id").agg(
@@ -170,6 +176,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.mhv").alias("mhv"))
+    if max_bucket_width is not None:
+        width = banded.groupBy("band", "mhv").agg(F.count(F.lit(1)).alias("_w"))
+        banded = (
+            banded.join(width.filter(F.col("_w") <= max_bucket_width), ["band", "mhv"])
+            .select("id", "band", "mhv")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -203,27 +215,39 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per document from token-level xxhash64.
 
-    Entirely JVM-side: token hashes via xxhash64, per-bit vote counting via
-    nested higher-order functions (transform over 64 bit positions, aggregate
-    over token hashes). No UDFs, no shuffle until the caller joins.
+    Entirely JVM-side and single-hash-pass: the distinct-token hash array is
+    materialized ONCE in a staging projection, and the 64-bit vote fold runs
+    over that array — tokenization and xxhash64 execute once per document,
+    not once per bit (the corpus's hottest pass at 100 TB is this signature
+    projection, so a 64x recompute here would dominate the job). No UDFs, no
+    shuffle until the caller joins.
     """
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    hashes = F.expr(f"transform(array_distinct(split({text_col}, ' ')), t -> xxhash64(t, {seed}))")
-    # bit b of signature = 1 iff #(hashes with bit b set) > #tokens/2
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("_tk"),
+    ).select(
+        "id",
+        F.size("_tk").alias("n_tokens"),
+        F.expr(f"transform(_tk, t -> xxhash64(t, {seed}))").alias("_th"),
+    )
+    # bit b of signature = 1 iff #(token hashes with bit b set) > #tokens/2
     sig = F.expr(
-        f"""
+        """
         aggregate(
           sequence(0, 63),
           CAST(0 AS BIGINT),
           (acc, b) -> acc + IF(
-            aggregate(transform(array_distinct(split({text_col}, ' ')),
-                                t -> CAST(shiftright(xxhash64(t, {seed}), b) & 1 AS INT)),
-                      0, (s, x) -> s + x) * 2 > size(array_distinct(split({text_col}, ' '))),
+            aggregate(_th, 0, (s, h) -> s + CAST(shiftright(h, b) & 1 AS INT)) * 2 > size(_th),
             shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))
         )
         """
     )
-    return df.select(F.col(id_col).alias("id"), F.size(toks).alias("n_tokens"), sig.alias("simhash"))
+    # coalesce makes the column provably non-nullable, so downstream equi-joins
+    # on band keys never infer an isnotnull(simhash) constraint — without it,
+    # predicate pushdown inlines the whole 64-bit fold (including the token
+    # re-hash) into a per-row Filter below this projection.
+    sig = F.coalesce(sig, F.lit(0).cast("bigint"))
+    return staged.select("id", "n_tokens", sig.alias("simhash"))
 
 
 def simhash_pairs(

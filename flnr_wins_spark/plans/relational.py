@@ -84,7 +84,7 @@ def q3_shipping_priority(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .join(cust, od.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(rev, scale=4, prec=28).alias("revenue"))
         .select(
@@ -128,7 +128,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cust, od.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")

@@ -81,7 +81,8 @@ def q4_order_priority(spark, sf_dir):
     GROUP BY supp_nation, cust_nation, l_year
     """,
     note="TPC-H Q7 shape: fact-fact shuffle join on orderkey; both nation "
-    "dims broadcast; the disjunctive nation-pair predicate applies post-join",
+    "dims broadcast (fixed 25-row cardinality), SF-scaling sides AQE-planned; "
+    "the disjunctive nation-pair predicate applies post-join",
 )
 def q7_volume_shipping(spark, sf_dir):
     sup = t(spark, sf_dir, "supplier")
@@ -102,7 +103,7 @@ def q7_volume_shipping(spark, sf_dir):
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cust, od.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n1), sup.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -137,7 +138,7 @@ def q7_volume_shipping(spark, sf_dir):
     ) all_nations
     GROUP BY o_year
     """,
-    note="TPC-H Q8 shape: 8-way join, all dims broadcast, conditional "
+    note="TPC-H Q8 shape: 8-way join, nation/region broadcast, SF-scaling part/supplier AQE-planned, conditional "
     "market-share ratio per year",
 )
 def q8_national_market_share(spark, sf_dir):
@@ -157,12 +158,12 @@ def q8_national_market_share(spark, sf_dir):
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(od, li.l_orderkey == od.o_orderkey)
         .join(cust, od.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n2), sup.s_nationkey == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -294,7 +295,7 @@ def q16_supplier_part_counts(spark, sf_dir):
     )
     return (
         li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
     )
@@ -337,7 +338,7 @@ def q13_customer_distribution(spark, sf_dir):
       AND l.l_shipdate < TIMESTAMP '1996-10-01'
     """,
     note="TPC-H Q14 shape (PROMO prefix adapted to the categorical p_type): "
-    "part dim broadcast, single global agg with conditional numerator",
+    "filtered part side AQE-planned (broadcast at runtime while it fits), single global agg with conditional numerator",
 )
 def q14_promo_effect(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(
@@ -347,7 +348,7 @@ def q14_promo_effect(spark, sf_dir):
     part = t(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -372,8 +373,9 @@ def q14_promo_effect(spark, sf_dir):
     WHERE s.s_suppkey = r.supplier_no
       AND r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
-    note="TPC-H Q15 shape: agg once, global-max filter via window over the "
-    "already-aggregated (small) relation — no second scan of lineitem",
+    note="TPC-H Q15 shape: agg once, global max reduced to a one-row scalar "
+    "and broadcast back over the revenue relation — no second scan of "
+    "lineitem, no single-partition window barrier",
 )
 def q15_top_supplier(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(
@@ -383,15 +385,16 @@ def q15_top_supplier(spark, sf_dir):
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_rev(), scale=4, prec=28).alias("total_revenue")
     )
-    # exact decimal-routed sums make the max-equality deterministic; the
-    # unpartitioned window runs over one row per supplier (post-agg), not facts
-    best = revenue.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    # exact decimal-routed sums make the max-equality deterministic; the max
+    # collapses to ONE row, so broadcasting it is bounded by construction
+    # (unlike broadcasting the supplier-cardinality `revenue` itself)
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    best = revenue.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     sup = t(spark, sf_dir, "supplier")
     return (
-        F.broadcast(best)
-        .join(sup, best.supplier_no == sup.s_suppkey)
+        best.join(sup, best.supplier_no == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -408,7 +411,7 @@ def q15_top_supplier(spark, sf_dir):
     """,
     note="TPC-H Q17 shape: correlated scalar subquery decorrelated into a "
     "per-part pre-aggregation joined back (Catalyst does the same rewrite); "
-    "per-part avg relation is part-cardinality (small) so it broadcasts",
+    "per-part avg relation is partkey-cardinality — UNBOUNDED at scale, so no explicit broadcast hint; AQE broadcasts it at runtime only while it fits",
 )
 def q17_small_quantity_revenue(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -417,8 +420,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("pp_partkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pp_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (dsum(F.col("l_extendedprice"), scale=4, prec=28) / F.lit(7.0)).alias(
@@ -488,7 +491,7 @@ def q18_large_volume_customer(spark, sf_dir):
         OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
         OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15))
     """,
-    note="TPC-H Q19 shape: disjunctive mixed-table predicate; part broadcasts "
+    note="TPC-H Q19 shape: disjunctive mixed-table predicate; filtered part side AQE-planned "
     "and the OR-of-ANDs evaluates in the join's codegen stage",
 )
 def q19_discounted_revenue(spark, sf_dir):
@@ -501,7 +504,7 @@ def q19_discounted_revenue(spark, sf_dir):
         | ((br == "Brand#3") & q.between(20, 30) & sz.between(1, 15))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(pred)
         .agg(dsum(_rev(), scale=4, prec=28).alias("revenue"))
     )
@@ -568,7 +571,7 @@ def q22_global_sales_opportunity(spark, sf_dir):
     note="TPC-H Q2 shape (no partsupp fixture: supply cost derived as the "
     "per-(part,supplier) minimum unit price observed in lineitem). The "
     "correlated MIN subquery is planned as a window min over the "
-    "region-scoped join — one scan, no re-read; dims broadcast",
+    "region-scoped join — one scan, no re-read; nation/region broadcast, supplier/part AQE-planned",
 )
 def q2_min_cost_supplier(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -586,7 +589,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     # the oracle scopes to the same region, so a per-partkey window min over
     # this relation is semantically identical and needs no second pass.
     scoped = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
@@ -594,7 +597,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     best = scoped.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
         F.col("ps_supplycost") == F.col("min_cost")
     )
-    return best.join(F.broadcast(part), best.ps_partkey == part.p_partkey).select(
+    return best.join(part, best.ps_partkey == part.p_partkey).select(
         "s_acctbal",
         "s_name",
         "n_name",
@@ -620,7 +623,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     """,
     note="TPC-H Q9 shape (no ps_supplycost: cost modeled as 10% of "
     "p_retailprice). part filter prunes before the fact join; part/supplier/"
-    "nation broadcast; the lineitem-orders join is the only shuffle",
+    "nation broadcast, part/supplier AQE-planned; the lineitem-orders join is the dominant shuffle",
 )
 def q9_product_type_profit(spark, sf_dir):
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
@@ -632,8 +635,8 @@ def q9_product_type_profit(spark, sf_dir):
         "p_retailprice"
     ) * F.lit(0.1) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(od, li.l_orderkey == od.o_orderkey)
         .select(
@@ -670,7 +673,7 @@ def q11_important_value(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     scoped = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .select("l_partkey", _rev().alias("val"))
     )
@@ -703,7 +706,7 @@ def q11_important_value(spark, sf_dir):
         HAVING SUM(CAST(l_quantity AS DECIMAL(27,2))) > 45)
     """,
     note="TPC-H Q20 shape (availqty threshold adapted to shipped quantity "
-    "per supplier-part). Inner agg then left-semi join; part broadcasts "
+    "per supplier-part). Inner agg then left-semi join; filtered part side AQE-planned "
     "into the inner join, the semi probe side is tiny",
 )
 def q20_potential_promotion(spark, sf_dir):
@@ -713,7 +716,7 @@ def q20_potential_promotion(spark, sf_dir):
     )
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("qty"))
         .filter(F.col("qty") > 45)
@@ -767,7 +770,7 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     return (
-        culprit.join(F.broadcast(supp), culprit.l_suppkey == supp.s_suppkey)
+        culprit.join(supp, culprit.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -73,6 +73,33 @@ class TestMinHashLSH:
         want = {(r.id_a, r.id_b) for r in jaccard_pairs(sh, 0.5).collect()}
         assert got == want and (1, 2) in got
 
+    def test_bucket_width_cap_trims_pathological_cluster(self, spark):
+        """A K-identical-doc megacluster makes every one of its LSH buckets K
+        wide and the band self-join K^2. The cap must drop those buckets (the
+        cluster is exact-dup territory anyway) while an organic near-dup
+        cluster below the cap keeps all its pairs."""
+        mega = [(i, "spam spam spam wonderful spam lovely spam egg and spam") for i in range(300)]
+        near = [
+            (1000, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1001, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+            (1002, "alpha beta gamma delta epsilon zeta eta theta mu"),
+        ]
+        docs = spark.createDataFrame(mega + near, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.5, max_bucket_width=32
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        # the 300-doc cluster (300*299/2 = 44850 pairs uncapped) is gone...
+        assert not any(a < 1000 for a, _ in got)
+        # ...while the organic cluster's pairs all survive
+        assert {(1000, 1001), (1000, 1002), (1001, 1002)} <= got
+
+    def test_bucket_width_cap_default_off(self, spark, docs):
+        got = {(r.id_a, r.id_b) for r in
+               minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5,
+                                 max_bucket_width=None).collect()}
+        assert (1, 2) in got
+
 
 class TestSimHash:
     def test_exact_dups_distance_zero(self, spark, docs):

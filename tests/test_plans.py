@@ -10,6 +10,7 @@ test layer that catches it.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from flnr_wins_spark.plans.common import all_queries
 
@@ -145,3 +146,87 @@ def test_pii_redact_no_python_udf(spark):
     # The scrub chain stays in JVM regexp_replace — no Python worker round-trip.
     plan = _plan(spark, "x_pii_redact")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _walk_json(arr, i=0):
+    node = arr[i]
+    children = []
+    j = i + 1
+    for _ in range(node["num-children"]):
+        sub, j = _walk_json(arr, j)
+        children.append(sub)
+    return (node, children), j
+
+
+def test_no_broadcast_hint_over_grouped_aggregate(spark):
+    """Repo-wide scale contract: an explicit broadcast hint must never cover a
+    GROUPED aggregate. Grouped-aggregate cardinality follows the key's (and so
+    the corpus's) growth — a hint there overrides Spark's 10 MB threshold and
+    OOMs at the design scale (the round-1 q17 per-partkey broadcast). Global
+    (grouping-free) aggregates are one row by construction and stay allowed
+    (q11/q15/q20 scalar thresholds)."""
+    import json
+
+    for name, qd in all_queries().items():
+        df = qd.fn(spark, SF_DIR)
+        arr = json.loads(df._jdf.queryExecution().analyzed().toJSON())
+        tree, _ = _walk_json(arr)
+        bad = []
+
+        def collect_grouped_aggs(t, out):
+            node, children = t
+            if node["class"].endswith("logical.Aggregate") and node.get("groupingExpressions"):
+                out.append(node["class"])
+            for c in children:
+                collect_grouped_aggs(c, out)
+
+        def scan(t):
+            node, children = t
+            if node["class"].endswith("ResolvedHint") and "broadcast" in json.dumps(
+                node.get("hints", "")
+            ).lower():
+                for c in children:
+                    collect_grouped_aggs(c, bad)
+            for c in children:
+                scan(c)
+
+        scan(tree)
+        assert not bad, f"{name}: broadcast hint over grouped aggregate(s) {bad}"
+
+
+def test_simhash_hashes_tokens_once(spark):
+    """The signature projection must tokenize + xxhash64 each document ONCE —
+    not once per bit (64x), and not again inside a pushed-down isnotnull
+    filter (the non-nullable coalesce guard). This is the corpus's hottest
+    expression; a recompute here is a ~100x tax at 100 TB."""
+    from flnr_wins_spark.operators.dedup import simhash_signatures
+    from flnr_wins_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    sigs = simhash_signatures(docs, "text", "doc_id")
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("xxhash64") == 1
+    assert plan.count("split(") == 1
+    # joining on the signature must not push a sig-recomputing filter below
+    # the projection (simhash is non-nullable, so no isnotnull is inferred)
+    joined = sigs.alias("a").join(
+        sigs.alias("b"),
+        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a.id") < F.col("b.id")),
+    )
+    jplan = joined._jdf.queryExecution().optimizedPlan().toString()
+    for line in jplan.splitlines():
+        if line.lstrip().startswith(("Filter", "+- Filter", ":- Filter")):
+            assert "xxhash64" not in line, f"sig recomputed in filter: {line[:120]}"
+
+
+def test_ann_lsh_dedups_ids_not_vectors(spark):
+    """The LSH band join + candidate-pair dedup must carry only (id, bucket) —
+    never the embedding arrays (a 768-dim vector is ~200x its id; shuffling
+    vectors as dedup keys was the round-1 ANN-LSH scale bug). Vectors re-join
+    by id only for surviving pairs."""
+    plan = _plan(spark, "x_similarity_ann_lsh")
+    for line in plan.splitlines():
+        stripped = line.strip(" :+-*")
+        if stripped.startswith(("HashAggregate", "Aggregate", "Exchange hashpartitioning")):
+            if "query_id" in line and "cand_id" in line:
+                assert "_queryv" not in line and "_candv" not in line, line[:160]
