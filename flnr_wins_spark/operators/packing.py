@@ -26,8 +26,11 @@ from pyspark.sql import functions as F
 
 from flnr_wins_spark.operators.split import split_bucket
 
-# Max packs a single shard can hold; only affects the composite id layout.
-_PACKS_PER_SHARD = 1_000_000
+# Bits reserved for the within-shard pack number in the composite pack id:
+# 2^40 packs/shard. At a 512-token budget that is ~5.6e14 tokens per shard
+# before overflow — three orders of magnitude past a 100 TB corpus even on a
+# single shard — while leaving 23 high bits for the shard (long, sign-safe).
+_LOCAL_PACK_BITS = 40
 
 
 def pack_sequences(
@@ -37,12 +40,18 @@ def pack_sequences(
     budget: int,
     shards: int = 32,
 ) -> DataFrame:
-    """Add ``shard``, ``pack_id`` (global), and ``pack_offset`` columns.
+    """Add ``shard``, ``local_pack``, ``pack_id`` (global), and
+    ``pack_offset`` columns.
 
     ``pack_offset`` is the document's first-token position within its shard's
-    concatenated stream; ``pack_id = shard * 1e6 + floor(pack_offset /
-    budget)``. Documents longer than ``budget`` still get exactly one pack id
-    (their head chunk's) — splitting oversized docs is the caller's decision.
+    concatenated stream; ``local_pack = floor(pack_offset / budget)`` is the
+    pack number within the shard, and ``pack_id = (shard << 40) | local_pack``
+    composes the global id. (shard, local_pack) are also emitted separately so
+    consumers never need to decode the composite. A shard overflowing 2^40
+    packs raises at execution time rather than silently colliding into the
+    next shard's id space. Documents longer than ``budget`` still get exactly
+    one pack id (their head chunk's) — splitting oversized docs is the
+    caller's decision.
     """
     sh = split_bucket(F.col(id_col), buckets=shards).alias("shard")
     w = (
@@ -52,20 +61,33 @@ def pack_sequences(
     )
     running = F.sum(F.col(token_col).cast("long")).over(w)
     offset = (running - F.col(token_col).cast("long")).alias("pack_offset")
+    local = F.floor(F.col("pack_offset") / F.lit(budget))
+    guarded_local = F.when(
+        local < F.lit(1 << _LOCAL_PACK_BITS), local
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"pack_sequences: shard exceeded 2^{_LOCAL_PACK_BITS} packs; raise `shards`")
+        )
+    )
     return (
         df.withColumn("shard", sh)
         .withColumn("pack_offset", offset)
+        .withColumn("local_pack", guarded_local)
         .withColumn(
             "pack_id",
-            F.col("shard") * F.lit(_PACKS_PER_SHARD)
-            + F.floor(F.col("pack_offset") / F.lit(budget)),
+            F.shiftleft(F.col("shard").cast("long"), _LOCAL_PACK_BITS)
+            + F.col("local_pack"),
         )
     )
 
 
-def pack_manifest(packed: DataFrame) -> DataFrame:
-    """Aggregate a packed frame into one row per pack (size accounting)."""
+def pack_manifest(packed: DataFrame, token_col: str = "n_tokens") -> DataFrame:
+    """Aggregate a packed frame into one row per pack (size accounting).
+
+    ``token_col`` names the token-count column ``pack_sequences`` ran over —
+    manifests are not hardwired to the default ``n_tokens`` name.
+    """
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.col("n_tokens").cast("long")).alias("tokens_total"),
+        F.sum(F.col(token_col).cast("long")).alias("tokens_total"),
     )

@@ -48,9 +48,15 @@ def reject_duplicates(df: DataFrame, key: str, flag: str | None = None) -> Rejec
     flag = flag or DUPLICATE_FLAG.format(key=key)
     cnt = F.count(F.lit(1)).over(Window.partitionBy(key))
     tagged = df.withColumn("_freq", cnt)
-    kept = tagged.filter(F.col("_freq") <= 1).drop("_freq")
+    # NULL keys are never duplicates: the reference builds the frequency via
+    # an equi-join back to the source (``:246-249``), and SQL equi-joins skip
+    # NULL tags — FREQUENCY stays NULL, ``FREQUENCY > 1`` is false, the row
+    # is KEPT. The window groups all NULLs together, so without this guard
+    # >=2 NULL-keyed rows would diverge from reference semantics.
+    is_dup = (F.col("_freq") > 1) & F.col(key).isNotNull()
+    kept = tagged.filter(~is_dup).drop("_freq")
     rejected = (
-        tagged.filter(F.col("_freq") > 1)
+        tagged.filter(is_dup)
         .drop("_freq")
         .withColumn("REJECT_FLAG", F.lit(flag))
     )

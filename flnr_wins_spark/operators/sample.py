@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 
 
 def _threshold_hex(fraction: float) -> str:
+    """2-hex-char threshold such that ``md5_prefix < threshold`` keeps
+    ~``fraction`` of rows. fraction >= 255.5/256 must keep EVERYTHING:
+    format(256, '02x') is the 3-char '100', which sorts BELOW almost every
+    2-hex prefix ('1' < '2'..'f') and would silently keep only ~6.6% — so a
+    full-keep returns 'g0', which sorts above every hex string ('g' > 'f')."""
     q = min(256, max(0, int(round(256 * fraction))))
+    if q >= 256:
+        return "g0"
     return format(q, "02x")
 
 

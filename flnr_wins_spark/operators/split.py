@@ -37,7 +37,9 @@ def train_test_split(
     lands in the same split — re-runs, backfills, and engine changes cannot
     leak test rows into training.
     """
-    threshold = format(int(round(256 * test_fraction)), "02x")
+    from flnr_wins_spark.operators.sample import _threshold_hex
+
+    threshold = _threshold_hex(test_fraction)
     prefix = F.substring(F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 2)
     return df.withColumn(
         split_col, F.when(prefix < threshold, "test").otherwise("train")

@@ -609,7 +609,7 @@ def x_sample_stratified(spark, sf_dir):
                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS pack_offset
       FROM d
     )
-    SELECT CAST(shard * 1000000 + FLOOR(pack_offset / 512) AS BIGINT) AS pack_id,
+    SELECT CAST(shard * 1099511627776 + FLOOR(pack_offset / 512) AS BIGINT) AS pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
     FROM pos
@@ -617,8 +617,8 @@ def x_sample_stratified(spark, sf_dir):
     """,
     note="sharded concat-and-chunk sequence packing (budget 512 tokens, 16 "
     "hash shards): running-sum window partitioned by content-hash shard — "
-    "parallel at any scale, no global sort; (shard, local pack) composes "
-    "the global pack id",
+    "parallel at any scale, no global sort; pack_id = (shard << 40) | "
+    "local_pack (1099511627776 = 2^40 in the oracle's arithmetic form)",
 )
 def x_seq_packing(spark, sf_dir):
     from flnr_wins_spark.functions.text import token_count

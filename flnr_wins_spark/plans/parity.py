@@ -144,7 +144,7 @@ def r6_frequency(spark, sf_dir):
     FROM (SELECT o_orderkey, o_custkey,
                  COUNT(*) OVER (PARTITION BY o_custkey) AS _c
           FROM orders)
-    WHERE _c > 1
+    WHERE _c > 1 AND o_custkey IS NOT NULL
     """,
     note="R7 all-members duplicate rejection: wts.py:243-257 (window rewrite)",
     bench=True,

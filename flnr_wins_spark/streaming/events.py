@@ -113,9 +113,18 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> Dat
 
 
 def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
-    """Streaming twin of q_events_dedup: drop duplicate keys, state bounded
-    by the watermark."""
-    return events.dropDuplicates(keys or ["user_id", "event_type"])
+    """Streaming twin of q_events_dedup: drop duplicate keys, with state
+    actually bounded by the watermark.
+
+    ``dropDuplicates`` on non-event-time keys never evicts its state store —
+    on an unbounded stream that is unbounded state growth (the round-1 bug
+    here). ``dropDuplicatesWithinWatermark`` evicts each key once the
+    watermark passes its event time + delay: exactly-one-emit per key within
+    any watermark horizon; a duplicate arriving later than the delay re-emits
+    by design (exact global dedup over an infinite stream is impossible with
+    finite state — land the stream and run the batch ``exact_dedup`` for
+    that)."""
+    return events.dropDuplicatesWithinWatermark(keys or ["user_id", "event_type"])
 
 
 def run_available_now(

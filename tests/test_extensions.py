@@ -302,6 +302,17 @@ class TestTrainTestSplit:
         b = {r.doc_id: r.split for r in train_test_split(big, "doc_id", 0.1).collect()}
         assert all(b[k] == v for k, v in a.items())  # old rows never move
 
+    def test_boundary_fractions(self, spark):
+        # fraction=1.0 formerly produced the 3-char threshold '100', which
+        # sorts under most 2-hex prefixes and silently kept only ~6.6%
+        from flnr_wins_spark.operators.split import train_test_split
+
+        df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+        all_test = {r.split for r in train_test_split(df, "doc_id", 1.0).collect()}
+        assert all_test == {"test"}
+        all_train = {r.split for r in train_test_split(df, "doc_id", 0.0).collect()}
+        assert all_train == {"train"}
+
 
 class TestStratifiedSample:
     def test_membership_is_key_deterministic(self, spark):
@@ -341,6 +352,17 @@ class TestStratifiedSample:
         big = {r.k for r in stratified_sample(df, "k", "seg", {"A": 0.4}).collect()}
         assert small <= big
 
+    def test_full_keep_fraction(self, spark):
+        """'all of books' must mean ALL: fraction 1.0 (and anything rounding
+        to 256/256) keeps every row of the stratum."""
+        from flnr_wins_spark.operators.sample import stratified_sample
+
+        rows = [(i, "books" if i % 2 == 0 else "web") for i in range(1000)]
+        df = spark.createDataFrame(rows, "k long, seg string")
+        got = stratified_sample(df, "k", "seg", {"books": 1.0, "web": 0.999}, 0.0).collect()
+        assert sum(1 for r in got if r.seg == "books") == 500
+        assert sum(1 for r in got if r.seg == "web") == 500
+
 
 class TestSequencePacking:
     def test_offsets_contiguous_and_packs_bounded(self, spark):
@@ -360,8 +382,20 @@ class TestSequencePacking:
         # Every doc fits under budget, so no pack exceeds budget + max_doc.
         manifest = {r.pack_id: r.tokens_total for r in pack_manifest(packed).collect()}
         assert all(v < 128 + 100 for v in manifest.values())
-        # Composite id round-trips the shard.
-        assert all(r.pack_id // 1_000_000 == r.shard for r in rows)
+        # Composite id round-trips the shard (high bits) and local pack (low).
+        assert all(r.pack_id >> 40 == r.shard for r in rows)
+        assert all(r.pack_id & ((1 << 40) - 1) == r.local_pack for r in rows)
+
+    def test_manifest_respects_token_col_name(self, spark):
+        from flnr_wins_spark.operators.packing import pack_manifest, pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(50)], "doc_id long, tok_count long"
+        )
+        packed = pack_sequences(df, "doc_id", "tok_count", budget=40, shards=2)
+        manifest = pack_manifest(packed, token_col="tok_count").collect()
+        assert sum(r.tokens_total for r in manifest) == 500
+        assert sum(r.n_docs for r in manifest) == 50
 
     def test_deterministic_across_partitionings(self, spark):
         from flnr_wins_spark.operators.packing import pack_sequences

@@ -133,6 +133,18 @@ class TestRejectDuplicates:
         kept, rejected = reject_duplicates(df, "TAG")
         assert kept.count() == 0 and rejected.count() == 0
 
+    def test_null_keys_are_kept(self, spark):
+        # The reference's frequency equi-join never matches NULL tags, so
+        # FREQUENCY stays NULL and 'FREQUENCY > 1' is false — NULL-keyed rows
+        # are kept even when several of them exist.
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "a"), (4, "a"), (5, "b")],
+            "OBJECTID long, TAG string",
+        )
+        kept, rejected = reject_duplicates(df, "TAG")
+        assert sorted(r.OBJECTID for r in kept.collect()) == [1, 2, 5]
+        assert sorted(r.OBJECTID for r in rejected.collect()) == [3, 4]
+
 
 class TestRejectUnmatched:
     def test_semi_anti_split_and_null_keys(self, spark):
