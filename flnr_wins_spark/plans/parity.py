@@ -199,6 +199,11 @@ def _wins_inputs(spark, sf_dir):
         F.concat(prefix, tagnum.cast("string")).alias("TRRR_TAG"),
         F.lit(None).cast("string").alias("FEATURE_CODE"),
         F.lit(None).cast("string").alias("DESCRIPTION"),
+        # Opaque geometry stand-in: arbitrary (non-UTF8) bytes per row, like
+        # the WKB blobs the reference copies but never computes on
+        # (src/wins_transform_staging.py:132,155). Every operator must carry
+        # it through byte-identical.
+        F.unhex(F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8"))).alias("SHAPE"),
     )
     pprefix = (
         F.when(F.col("o_orderkey") % 3 == 0, "RV")
@@ -225,7 +230,8 @@ _WINS_SQL_CTE = """
                     CAST(tagnum AS VARCHAR)) AS TRRR_TAG,
              CASE WHEN tagnum % 3 = 0 THEN 'EA83030000'
                   WHEN tagnum % 3 = 1 THEN 'EA83040000'
-                  ELSE CAST(NULL AS VARCHAR) END AS FEATURE_CODE
+                  ELSE CAST(NULL AS VARCHAR) END AS FEATURE_CODE,
+             unhex(md5(CAST(OBJECTID AS VARCHAR))) AS SHAPE
       FROM rrr0
     ), pod AS (
       SELECT concat(CASE WHEN o_orderkey % 3 = 0 THEN 'RV'
@@ -235,6 +241,7 @@ _WINS_SQL_CTE = """
       FROM orders WHERE o_orderkey % 4 <> 0
     ), enr AS (
       SELECT r.OBJECTID, r.TRRR_TAG, r.FEATURE_CODE, p.PNTS_DESCR AS DESCRIPTION,
+             r.SHAPE,
              COUNT(*) OVER (PARTITION BY r.TRRR_TAG) AS _c,
              (p.PNTS_CODE IS NOT NULL) AS _matched
       FROM rrr r LEFT JOIN pod p ON r.TRRR_TAG = p.PNTS_CODE
@@ -246,7 +253,7 @@ _WINS_SQL_CTE = """
     "wins_e2e_rejects",
     sql=_WINS_SQL_CTE
     + """
-    SELECT OBJECTID, TRRR_TAG, FEATURE_CODE, DESCRIPTION,
+    SELECT OBJECTID, TRRR_TAG, FEATURE_CODE, DESCRIPTION, SHAPE,
            CASE WHEN _c > 1 THEN 'Duplicate TRRR_TAG'
                 ELSE 'TRRR_TAG not found in Water POD Table' END AS REJECT_FLAG
     FROM enr WHERE _c > 1 OR NOT _matched
@@ -266,7 +273,7 @@ def wins_e2e_rejects(spark, sf_dir):
     "wins_e2e_kept",
     sql=_WINS_SQL_CTE
     + """
-    SELECT OBJECTID, TRRR_TAG, FEATURE_CODE, DESCRIPTION
+    SELECT OBJECTID, TRRR_TAG, FEATURE_CODE, DESCRIPTION, SHAPE
     FROM enr WHERE _c <= 1 AND _matched
     """,
     note="Full pipeline kept (published) table: wts.py:280-286",

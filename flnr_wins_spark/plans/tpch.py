@@ -450,6 +450,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
     note="TPC-H Q18 shape: HAVING-filtered key set drives a semi-join into "
     "the fact; both lineitem aggregations shuffle on l_orderkey so AQE can "
     "reuse the exchange partitioning",
+    bench=True,
 )
 def q18_large_volume_customer(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -624,6 +625,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     note="TPC-H Q9 shape (no ps_supplycost: cost modeled as 10% of "
     "p_retailprice). part filter prunes before the fact join; part/supplier/"
     "nation broadcast, part/supplier AQE-planned; the lineitem-orders join is the dominant shuffle",
+    bench=True,
 )
 def q9_product_type_profit(spark, sf_dir):
     part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
@@ -753,6 +755,7 @@ def q20_potential_promotion(spark, sf_dir):
     "orderdate + 60d). The exists/not-exists pair is decorrelated into one "
     "per-order aggregate (distinct suppliers, distinct late suppliers) — "
     "single shuffle on l_orderkey reused by agg and join, no per-row probes",
+    bench=True,
 )
 def q21_suppliers_kept_waiting(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")

@@ -4,6 +4,7 @@ mirrors ``src/wins_transform_staging.py:151-286`` behavior exactly."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from flnr_wins_spark.plans.wins_pipeline import qa_reserves, run_staging, transform_reserves
 
@@ -103,6 +104,33 @@ def test_full_staging_run(spark, wins_tables):
     assert wrk[2] == ("w2", "fc")
     fal = result.tables["flooded_area_lines"].collect()
     assert fal[0].FEATURE_CODE == "GB11350000"     # wts.py:208-209
+
+
+def test_geometry_bytes_pass_through_untouched(spark, wins_tables):
+    """The reference copies geometry opaquely (wts.py:132,155) — every operator
+    in the chain (conditional_update, enrich, both reject splits, the union)
+    must carry arbitrary binary byte-identically on kept AND rejected rows."""
+    import hashlib
+
+    tables, pod = wins_tables
+    rrr = tables["reserves_and_restrictions"].withColumn(
+        "geometry",
+        # arbitrary non-UTF8 bytes, unique per row
+        F.unhex(F.md5(F.concat(F.lit("wkb"), F.col("OBJECTID").cast("string")))),
+    )
+    want = {
+        r.OBJECTID: bytes(r.geometry) for r in rrr.collect()
+    }
+    assert all(len(v) == 16 for v in want.values())
+    split = qa_reserves(transform_reserves(rrr, pod), pod)
+    got = {}
+    for r in split.kept.collect():
+        got[r.OBJECTID] = bytes(r.geometry)
+    for r in split.rejected.collect():
+        got[r.OBJECTID] = bytes(r.geometry)
+    assert got == want  # every row accounted for, every byte identical
+    # sanity: these really are the md5 bytes, not re-encoded text
+    assert got[1] == hashlib.md5(b"wkb1").digest()
 
 
 def test_publish_roundtrip(spark, wins_tables, tmp_path):
