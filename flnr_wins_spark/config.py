@@ -4,13 +4,15 @@
 The reference drives its run from a YAML mapping of item-ids, paths and email
 settings. We keep the same shape: a YAML file maps logical table names to
 input paths, declares the lookup table, and the staging (publish) directory.
-Credentials (reference: MAPHUB_USER/PASS env at ``:69-78``) generalize to an
-``env:`` indirection — values of the form ``${NAME}`` resolve from the
-environment.
+Credentials support both reference paths: env vars (``:77-78``) via the
+``${NAME}`` indirection, and the "dual environment" INI file (``:69-74``,
+ConfigParser section lookup) via :func:`load_credentials`, with the same
+precedence — env wins when present, INI is the fallback.
 """
 
 from __future__ import annotations
 
+import configparser
 import os
 import re
 from dataclasses import dataclass, field
@@ -57,3 +59,26 @@ class PipelineConfig:
             staging_dir=raw.get("staging_dir", ""),
             options=raw.get("options", {}),
         )
+
+
+def load_credentials(
+    ini_path: str | None = None,
+    section: str = "bcmaphub",
+    env_user: str = "MAPHUB_USER",
+    env_pass: str = "MAPHUB_PASS",
+) -> tuple[str, str]:
+    """Resolve (user, password) with the reference's dual-environment
+    precedence (``src/wins_transform_staging.py:69-78``): environment
+    variables win when the user var is present; otherwise the ConfigParser
+    INI ``section`` supplies ``user``/``password``. Raises KeyError/
+    configparser errors exactly where the reference would assert."""
+    if env_user in os.environ:
+        return os.environ[env_user], os.environ[env_pass]
+    if ini_path is None:
+        raise KeyError(
+            f"credentials not established: set {env_user}/{env_pass} or pass ini_path"
+        )
+    parser = configparser.ConfigParser()
+    if not parser.read(ini_path):
+        raise FileNotFoundError(ini_path)
+    return parser.get(section, "user"), parser.get(section, "password")

@@ -108,3 +108,26 @@ def test_read_lookup_parquet_and_jdbc_validation(spark, tmp_path):
     assert read_lookup(spark, p).count() == 2
     with pytest.raises(ValueError, match="jdbc source"):
         read_lookup(spark, "jdbc:postgresql://nowhere/db")
+
+
+def test_load_credentials_dual_environment(tmp_path, monkeypatch):
+    """Reference wts.py:69-78: env vars win when MAPHUB_USER is present,
+    otherwise the INI's [bcmaphub] section supplies user/password."""
+    from flnr_wins_spark.config import load_credentials
+
+    ini = tmp_path / "maphub.ini"
+    ini.write_text("[bcmaphub]\nuser = ini-user\npassword = ini-pass\n")
+
+    monkeypatch.delenv("MAPHUB_USER", raising=False)
+    monkeypatch.delenv("MAPHUB_PASS", raising=False)
+    assert load_credentials(str(ini)) == ("ini-user", "ini-pass")
+
+    monkeypatch.setenv("MAPHUB_USER", "env-user")
+    monkeypatch.setenv("MAPHUB_PASS", "env-pass")
+    assert load_credentials(str(ini)) == ("env-user", "env-pass")  # env wins
+
+    monkeypatch.delenv("MAPHUB_USER")
+    with pytest.raises(KeyError):
+        load_credentials(None)
+    with pytest.raises(FileNotFoundError):
+        load_credentials(str(tmp_path / "missing.ini"))
