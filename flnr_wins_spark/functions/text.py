@@ -88,6 +88,92 @@ def prefix_fingerprint(col: Column, n_tokens: int = 8) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-curation quality rules (Gopher/C4-style heuristics)
+# ---------------------------------------------------------------------------
+# The published web-corpus filtering recipes (Gopher's quality rules, C4's
+# cleanup heuristics) reduce to per-document arithmetic over the token list —
+# all JVM-expressible, no UDF, and exactly reproducible in ANSI SQL for the
+# oracle. Thresholds are the commonly published defaults; every rule value is
+# also emitted so downstream can re-threshold without a second scan.
+
+QUALITY_STOPSET = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.80,
+    max_symbol_word_ratio: float = 0.10,
+    max_dup_trigram_ratio: float = 0.30,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document quality-rule evaluation: one narrow projection emitting
+    each rule's measured value plus the conjunctive ``passes`` verdict.
+
+    Single pass over the scan, no shuffle; the token array is materialized
+    once per row and every rule folds over it (same single-pass discipline as
+    ``simhash_signatures``)."""
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        F.split(F.col(text_col), " ").alias("_tk"),
+    )
+    n = F.size("_tk").cast("bigint")
+    char_sum = F.expr("aggregate(_tk, CAST(0 AS BIGINT), (a, w) -> a + length(w))")
+    mean_wl = char_sum.cast("double") / n
+    alpha_ratio = (
+        F.size(F.expr("filter(_tk, w -> w rlike '[A-Za-z]')")).cast("double") / n
+    )
+    symbols = (
+        F.size(F.expr("regexp_extract_all(_txt, '#', 0)"))
+        + F.size(F.expr(r"regexp_extract_all(_txt, '\\.\\.\\.', 0)"))
+    ).cast("bigint")
+    symbol_ratio = symbols.cast("double") / n
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so short docs must
+    # short-circuit to an empty trigram list rather than fold junk
+    trigrams = F.expr(
+        "IF(size(_tk) < 3, CAST(array() AS array<string>),"
+        " transform(sequence(1, size(_tk) - 2),"
+        " i -> concat_ws(' ', element_at(_tk, CAST(i AS INT)),"
+        " element_at(_tk, CAST(i + 1 AS INT)), element_at(_tk, CAST(i + 2 AS INT)))))"
+    )
+    dup_tri = F.when(
+        F.size(trigrams) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(trigrams)).cast("double") / F.size(trigrams),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.expr("transform(_tk, w -> lower(w))")),
+            F.array(*[F.lit(s) for s in QUALITY_STOPSET]),
+        )
+    ).cast("bigint")
+    out = staged.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        dup_tri.alias("dup_trigram_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("dup_trigram_ratio") <= max_dup_trigram_ratio)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("passes", passes)
+
+
+# ---------------------------------------------------------------------------
 # Pandas-UDF (Arrow-batched) functions — the imperative tail
 # ---------------------------------------------------------------------------
 

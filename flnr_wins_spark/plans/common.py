@@ -65,8 +65,9 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q_scalar_functions", "q_date_functions", "q_asof_join", "q_pivot_status",
     "q_explode_tokens", "q_exists_subquery", "q_having", "q_stats_derived",
     "q_union_distinct", "q_percentile",
-    # (b) red in round 1, fixed this round
+    # (b) red in round 1, fixed this round; then new round-2 operators
     "x_text_tokenize_bpe", "x_multimodal_features",
+    "x_quality_rules", "x_corpus_stats",
     # (c) WINS parity core
     "r1_append_no_test", "r2_conditional_update", "r3_blank_to_null",
     "r4_enrich_left_join", "r6_frequency", "r7_reject_duplicates",

@@ -340,6 +340,83 @@ def x_text_fingerprint(spark, sf_dir):
 
 
 @query(
+    "x_quality_rules",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+               / len(toks) AS mean_word_len,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+               / len(toks) AS alpha_word_ratio,
+             CAST(len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+               / len(toks) AS symbol_word_ratio,
+             CASE WHEN len(toks) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS DOUBLE)
+                     / (len(toks) - 2)
+             ELSE 0.0 END AS dup_trigram_ratio,
+             CAST(len(list_intersect(
+                    list_distinct(list_transform(toks, w -> lower(w))),
+                    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS stopword_hits
+      FROM s
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND alpha_word_ratio >= 0.80
+            AND symbol_word_ratio <= 0.10
+            AND dup_trigram_ratio <= 0.30
+            AND stopword_hits >= 2) AS passes
+    FROM m
+    """,
+    note="Gopher/C4-style corpus quality rules: word-count bounds, mean word "
+    "length, alphabetic-word ratio, symbol ratio, duplicated-trigram ratio, "
+    "stopword presence — one narrow JVM pass per doc, each rule value "
+    "emitted alongside the conjunctive verdict",
+)
+def x_quality_rules(spark, sf_dir):
+    from flnr_wins_spark.functions.text import quality_rules
+
+    return quality_rules(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_corpus_stats",
+    sql="""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    note="corpus-mix accounting per (source, lang): doc/token/char totals — "
+    "the curation dashboard aggregate; map-side partial agg, one shuffle on "
+    "the (source, lang) key",
+)
+def x_corpus_stats(spark, sf_dir):
+    from flnr_wins_spark.functions.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+        )
+    )
+
+
+@query(
     "x_text_langid",
     sql=None,  # heuristic profile vote implemented as a pandas UDF
     note="language-ID heuristic (Arrow-batched pandas UDF) + rolling Rabin-Karp fingerprint",

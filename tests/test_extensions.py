@@ -479,3 +479,37 @@ class TestDecontam:
         d = {r.doc_id for r in dirty.collect()}
         assert c | d == set(range(10)) and not (c & d)
         assert d == {i for i in range(10) if i % 2 == 0}
+
+
+class TestQualityRules:
+    def test_rule_values_and_verdict(self, spark):
+        from flnr_wins_spark.functions.text import quality_rules
+
+        # 60 varied words incl. stopwords: no repeated trigrams, mean len ~5
+        good = "the of " + " ".join(f"word{i}" for i in range(58))
+        docs = spark.createDataFrame(
+            [
+                (1, good),                                   # passes everything
+                (2, "short doc"),                            # too few words
+                (3, " ".join(["spam"] * 80)),                # all-dup trigrams, no stopwords
+                (4, " ".join(["### ##"] * 60)),              # symbols, no alpha
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in quality_rules(docs).collect()}
+        assert got[1].passes
+        assert not got[2].passes and got[2].n_words == 2
+        assert not got[3].passes and got[3].dup_trigram_ratio > 0.9
+        assert got[3].stopword_hits == 0
+        assert not got[4].passes and got[4].alpha_word_ratio == 0.0
+
+    def test_short_docs_trigram_zero(self, spark):
+        # sequence(1, 0) is descending in Spark — 1- and 2-word docs must
+        # report dup_trigram_ratio 0, not fold junk trigrams
+        from flnr_wins_spark.functions.text import quality_rules
+
+        docs = spark.createDataFrame(
+            [(1, "one"), (2, "two words")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.dup_trigram_ratio for r in quality_rules(docs).collect()}
+        assert got == {1: 0.0, 2: 0.0}
