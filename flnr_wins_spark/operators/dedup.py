@@ -121,25 +121,27 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     seed: int = 42,
     max_bucket_width: int | None = None,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidate generation + exact Jaccard
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
 
     Pure DataFrame implementation (no pyspark.ml pipeline): per-document
-    signatures are ``num_hash_tables`` independent min-hashes — one groupBy
-    over the (id, shingle) table computing ``min(xxhash64(shingle, seed_i))``
-    per table, all inside whole-stage codegen. Candidates are pairs agreeing
-    on at least one table (explode tables -> self-join on (table, value)) —
-    OR-amplified banding with P[miss] = (1-j)^tables, ~7e-12 at j=0.8 with 16
-    tables, so verified output equals the exact all-pairs result with
-    overwhelming probability while never materializing the quadratic join.
+    signatures are ``num_hash_tables`` independent min-hashes computed
+    ENTIRELY PER ROW — the shingle array is materialized once in a staging
+    projection and each table folds ``array_min(transform(shingles,
+    s -> xxhash64(s, seed_i)))`` over it, all inside JVM expression eval.
+    No explode, no groupBy: signature construction is a narrow map over the
+    scan with ZERO shuffle (the previous design exploded (id, shingle) pairs
+    and shuffled corpus-sized shingle sets through a groupBy). Candidates are
+    pairs agreeing on at least one table — OR-amplified banding with
+    P[miss] = (1-j)^tables, ~7e-12 at j=0.8 with 16 tables, so verified
+    output equals the exact all-pairs result with overwhelming probability
+    while never materializing the quadratic join.
 
-    Scale notes: signature AND shingle set come out of ONE groupBy shuffle
-    (min() is duplicate-invariant, collect_set dedups — so the pre-distinct
-    shingle shuffle is eliminated, and the aggregate subtree is identical in
-    all three uses, making its exchange reusable). The candidate join shuffles
-    (table, minhash) buckets — identical min-hash values cluster true
-    near-dups, so bucket width stays small on organic corpora.
+    Scale notes: the only shuffles left are the band self-join on
+    (table, minhash) and the id-keyed verify joins. Identical min-hash values
+    cluster true near-dups, so bucket width stays small on organic corpora.
     ``max_bucket_width`` is the guard for pathological ones (a K-identical-doc
     cluster makes every one of its buckets K wide, and the band self-join
     K^2): buckets wider than the cap are dropped before the join, the same
@@ -149,20 +151,47 @@ def minhash_lsh_pairs(
     while documents are bounded (chunk or re-join by shingle table for
     pathological multi-MB docs).
     """
-    exploded = shingle_sets(df, text_col, id_col, n=shingle_n, distinct=False)
-    agg = exploded.groupBy("id").agg(
-        F.collect_set("shingle").alias("shset"),
+    n = shingle_n
+    parts = " , ".join(f"element_at(_tk, CAST(i + {j} AS INT))" for j in range(n))
+    # Signature construction is a narrow map, so its parallelism equals the
+    # scan's split count. A 100 TB corpus has thousands of splits; a small
+    # single-file input would pin the CPU-heavy hash folds to one core —
+    # ``min_parallelism`` spreads the RAW docs (much smaller than their
+    # shingle sets, which the old groupBy design shuffled) when the scan is
+    # under-split.
+    if min_parallelism is not None and df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism)
+    # Stage 1: tokens; stage 2: distinct shingle set (computed once per row —
+    # the projection boundary keeps CollapseProject from inlining it into the
+    # 16 signature folds); stage 3: signatures. Same barrier discipline as
+    # simhash_signatures.
+    staged = (
+        df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_tk"))
+        .filter(F.size("_tk") >= n)
+        .select(
+            "id",
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(_tk) - {n - 1}),"
+                f" i -> concat_ws(' ', {parts})))"
+            ).alias("shset"),
+        )
+    )
+    agg = staged.select(
+        "id",
+        "shset",
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh_{i}")
+            F.array_min(
+                F.transform("shset", lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+            ).alias(f"mh_{i}")
             for i in range(num_hash_tables)
         ],
     )
     # The signature table feeds three consumers (banding + both verify sides);
     # without an explicit persist each consumer would recompute the shingle
-    # explode + aggregate from the source scan. MEMORY_AND_DISK: at cluster
-    # scale this table is ~corpus-sized, so partitions spill rather than OOM.
-    # The cache lives until the session ends (the returned plan is lazy, so
-    # this function cannot unpersist it) — callers looping over many corpora
+    # projection from the source scan. MEMORY_AND_DISK: at cluster scale this
+    # table is ~corpus-sized, so partitions spill rather than OOM. The cache
+    # lives until the session ends (the returned plan is lazy, so this
+    # function cannot unpersist it) — callers looping over many corpora
     # should `spark.catalog.clearCache()` between runs.
     agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
     banded = agg.select(

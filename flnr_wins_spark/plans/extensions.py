@@ -171,7 +171,10 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     from flnr_wins_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _docs_with_dups(spark, sf_dir)
-    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8)
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.8,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @query(
