@@ -43,6 +43,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, qd in headline.items():
+        # isolate queries: operators that persist intermediates (MinHash LSH)
+        # must not hold executor memory while later queries are timed
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -48,6 +48,7 @@ def contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document contamination report: (id, n_shared_grams) for every
     train document sharing at least one word n-gram with the eval set.
@@ -57,7 +58,14 @@ def contamination(
     explode) so a gram repeated inside one document counts once without a
     corpus-wide distinct shuffle — the only shuffle in the plan is the
     final groupBy over the contaminated minority.
+
+    Gram generation is narrow, so its parallelism equals the scan's split
+    count — plentiful at corpus scale, but a small single-file input would
+    pin the CPU-heavy gram build to one core; ``min_parallelism``
+    repartitions the raw docs when the scan is under-split.
     """
+    if min_parallelism is not None and train.rdd.getNumPartitions() < min_parallelism:
+        train = train.repartition(min_parallelism)
     eval_grams = (
         eval_df.select(
             F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g")

@@ -589,7 +589,10 @@ def x_decontam(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     eval_df = docs.filter(F.col("doc_id") % 100 == 0)
-    return contamination(docs, eval_df, text_col="text", id_col="doc_id", n=8)
+    return contamination(
+        docs, eval_df, text_col="text", id_col="doc_id", n=8,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 # ---------------------------------------------------------------------------
