@@ -81,6 +81,57 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split long documents into overlapping ``chunk_tokens``-sized windows —
+    the 1->k complement of ``pack_sequences`` (packing groups short docs into
+    a budget; chunking cuts long docs down to one).
+
+    Emits (id, chunk_idx, chunk_n_tokens, chunk_text): chunk k starts at
+    token ``k * (chunk_tokens - overlap)``; the last chunk may be short. A
+    doc at or under the budget yields exactly one chunk (itself). Pure JVM
+    higher-order expressions (split/sequence/slice/posexplode) over a narrow
+    map + generate — no shuffle, no UDF; parallelism follows the scan's
+    splits exactly like every other narrow curation pass.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_tk")
+    ).select(
+        F.col(id_col),
+        "_tk",
+        # chunk count = 1 + ceil(max(0, n - chunk) / step); double arithmetic
+        # is exact at any realistic doc length and matches the SQL oracle
+        (
+            F.lit(1)
+            + F.ceil(
+                F.greatest(F.size("_tk") - F.lit(chunk_tokens), F.lit(0))
+                / F.lit(float(step))
+            )
+        ).cast("int").alias("_nc"),
+    )
+    exploded = staged.select(
+        F.col(id_col),
+        "_tk",
+        F.posexplode(F.expr("sequence(0, _nc - 1)")).alias("chunk_idx", "_k"),
+    )
+    start = F.col("_k") * step + 1
+    piece = F.slice("_tk", start, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(piece).cast("bigint").alias("chunk_n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
 def pack_manifest(packed: DataFrame, token_col: str = "n_tokens") -> DataFrame:
     """Aggregate a packed frame into one row per pack (size accounting).
 

@@ -420,6 +420,34 @@ def x_corpus_stats(spark, sf_dir):
 
 
 @query(
+    "x_doc_chunking",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), c AS (
+      SELECT doc_id, tk,
+             CAST(1 + ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) AS nc
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(tk, k * 48 + 1, k * 48 + 64)) AS BIGINT) AS chunk_n_tokens,
+           array_to_string(list_slice(tk, k * 48 + 1, k * 48 + 64), ' ') AS chunk_text
+    FROM c, UNNEST(range(0, nc)) u(k)
+    """,
+    note="context-window chunking: long docs split into overlapping "
+    "64-token windows (overlap 16, step 48) via posexplode over a JVM "
+    "sequence — the 1->k complement of sequence packing; narrow map + "
+    "generate, no shuffle",
+)
+def x_doc_chunking(spark, sf_dir):
+    from flnr_wins_spark.operators.packing import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
+
+
+@query(
     "x_text_langid",
     sql=None,  # heuristic profile vote implemented as a pandas UDF
     note="language-ID heuristic (Arrow-batched pandas UDF) + rolling Rabin-Karp fingerprint",

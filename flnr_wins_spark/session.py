@@ -1,9 +1,10 @@
 """SparkSession construction with scale-appropriate defaults.
 
 The reference runs single-process ArcPy (no session concept). Here the session
-is tuned for correctness-determinism (UTC timezone, ANSI off to mirror the
-reference's permissive ``NO_TEST`` semantics) and for scale (AQE on, skew-join
-handling on, modest shuffle partitioning that AQE coalesces at runtime).
+is tuned for correctness-determinism (UTC timezone; Spark's default ANSI mode
+is kept — every query is written to be ANSI-safe so results match whatever
+session the driver constructs) and for scale (AQE on, skew-join handling on,
+modest shuffle partitioning that AQE coalesces at runtime).
 """
 
 from __future__ import annotations

@@ -513,3 +513,31 @@ class TestQualityRules:
         )
         got = {r.doc_id: r.dup_trigram_ratio for r in quality_rules(docs).collect()}
         assert got == {1: 0.0, 2: 0.0}
+
+
+class TestDocChunking:
+    def test_overlap_and_reconstruction(self, spark):
+        from flnr_wins_spark.operators.packing import chunk_documents
+
+        words = [f"w{i}" for i in range(25)]
+        docs = spark.createDataFrame([(1, " ".join(words)), (2, "tiny doc")],
+                                     "doc_id long, text string")
+        got = {(r.doc_id, r.chunk_idx): r for r in
+               chunk_documents(docs, "text", "doc_id",
+                               chunk_tokens=10, overlap=4).collect()}
+        # doc 1: 25 tokens, chunk 10, step 6 -> chunks at 0,6,12,18 (4 chunks)
+        assert {i for d, i in got if d == 1} == {0, 1, 2, 3}
+        assert got[(1, 0)].chunk_text.split() == words[0:10]
+        assert got[(1, 1)].chunk_text.split() == words[6:16]   # 4-token overlap
+        assert got[(1, 3)].chunk_text.split() == words[18:25]  # short tail
+        assert got[(1, 3)].chunk_n_tokens == 7
+        # doc at/under budget -> exactly one chunk: itself
+        assert {i for d, i in got if d == 2} == {0}
+        assert got[(2, 0)].chunk_text == "tiny doc"
+
+    def test_overlap_must_be_smaller(self, spark):
+        from flnr_wins_spark.operators.packing import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, "text", "doc_id", chunk_tokens=8, overlap=8)
