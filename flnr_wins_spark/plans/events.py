@@ -56,10 +56,13 @@ def q_events_interval_join(spark, sf_dir):
     "in one grouping-sets pass (single scan, partial aggs per set)",
 )
 def q_events_multires_rollup(spark, sf_dir):
+    # date_trunc promotes NTZ->LTZ, and LTZ collect() renders via the PYTHON
+    # process's local timezone (datetime.fromtimestamp) — cast back to NTZ so
+    # buckets are wall-clock values regardless of driver machine TZ.
     ev = t(spark, sf_dir, "events").select(
-        F.date_trunc("hour", "ts").alias("hour"),
-        F.date_trunc("day", "ts").alias("day"),
-        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour"),
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+        F.date_trunc("month", "ts").cast("timestamp_ntz").alias("month"),
         "event_type",
         "value",
     )

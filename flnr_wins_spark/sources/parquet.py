@@ -31,6 +31,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the ns->NTZ normalization below renders wall-clock via the session
+        # timezone; pin it so a caller-built session (e.g. the driver's own,
+        # machine-TZ default) converts identically to ours
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # immutable conf in some deployments; session.py sets it at build
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -4,11 +4,17 @@ the same parquet tables; compare row count, schema width, and
 order-insensitive values (exact, after column-name sort).
 
 Usage: python scripts/check_oracle.py [sf_dir] [name ...]
+
+Set ``SPARK_GRAFT_BARE=1`` to run against a *default-config* SparkSession
+(as the driver builds its own) instead of ``session.get_spark`` — proves the
+query surface does not depend on our session confs (timezone, nanos flag,
+shuffle partitions).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
@@ -46,7 +52,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(shuffle_partitions=16)
+    if os.environ.get("SPARK_GRAFT_BARE"):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+        print("# BARE session (driver-mimic): default confs, no session.py setup")
+    else:
+        spark = get_spark(shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in [
