@@ -8,12 +8,13 @@ from flnr_wins_spark.operators.dedup import (
     shingle_sets,
     simhash_pairs,
     simhash_signatures,
+    span_dedup,
 )
 from flnr_wins_spark.operators.enrich import enrich
 from flnr_wins_spark.operators.frequency import frequency
 from flnr_wins_spark.operators.graph import connected_components, dedup_clusters
 from flnr_wins_spark.operators.interval import interval_join
-from flnr_wins_spark.operators.packing import pack_manifest, pack_sequences
+from flnr_wins_spark.operators.packing import chunk_documents, pack_manifest, pack_sequences
 from flnr_wins_spark.operators.reject import reject_duplicates, reject_unmatched
 from flnr_wins_spark.operators.sample import stratified_sample
 from flnr_wins_spark.operators.skew import salted_join
@@ -25,6 +26,7 @@ __all__ = [
     "append_no_test",
     "asof_join",
     "blank_to_null",
+    "chunk_documents",
     "conditional_update",
     "connected_components",
     "contamination",
@@ -44,6 +46,7 @@ __all__ = [
     "shingle_sets",
     "simhash_pairs",
     "simhash_signatures",
+    "span_dedup",
     "stratified_sample",
     "train_test_split",
     "word_ngrams",

@@ -323,3 +323,64 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def span_dedup(
+    df: DataFrame, text_col: str, id_col: str, k: int = 10
+) -> DataFrame:
+    """Duplicate-span removal: delete repeated k-word segments corpus-wide,
+    keeping only the first occurrence (lowest ``(id, position)``).
+
+    This is RefinedWeb/"exact substring" deduplication approximated at fixed
+    segment boundaries: instead of a corpus-scale suffix array (not
+    distributable), each document is cut into non-overlapping k-word segments
+    and a segment survives only in the first document where it appears. The
+    approximation finds every duplicated substring of >= 2k-1 words (any such
+    substring covers a full aligned segment) and none shorter than k.
+
+    Scale shape: segment explode is narrow; the winner-per-segment build is a
+    map-side-combinable ``groupBy(min(struct(id, pos)))`` whose output is one
+    row per *distinct* segment; the join back redistributes segments once and
+    AQE skew-split handles hot segments (boilerplate); reconstruction is one
+    ``groupBy(id)``. No window over the raw segment stream, so a single
+    pathological segment (e.g. empty boilerplate repeated billions of times)
+    never lands on one task during aggregation.
+
+    Returns one row per input doc: (id, text_clean, n_segments, n_kept);
+    fully-duplicated docs survive with ``text_clean = ''``.
+    """
+    segs_expr = F.expr(
+        f"""
+        transform(
+          sequence(0, CAST(ceil(size(_tk) / {k}.0) AS INT) - 1),
+          i -> array_join(slice(_tk, i * {k} + 1, {k}), ' '))
+        """
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_tk"))
+        .filter(F.size("_tk") > 0)
+        .select("id", F.posexplode(segs_expr).alias("seg_pos", "seg"))
+    )
+    winners = exploded.groupBy("seg").agg(
+        F.min(F.struct(F.col("id").alias("wid"), F.col("seg_pos").alias("wpos"))).alias("w")
+    )
+    tagged = exploded.join(winners, "seg").withColumn(
+        "_keep", (F.col("id") == F.col("w.wid")) & (F.col("seg_pos") == F.col("w.wpos"))
+    )
+    # collect_list skips NULLs, so non-winner segments drop out of the
+    # reconstruction while still counting toward n_segments.
+    kept_struct = F.when(F.col("_keep"), F.struct("seg_pos", "seg"))
+    return (
+        tagged.withColumn("_ks", kept_struct)
+        .groupBy("id")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list(_ks)), x -> x.seg)"), " "
+                ),
+                F.lit(""),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        )
+    )

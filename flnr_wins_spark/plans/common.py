@@ -67,7 +67,8 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q_union_distinct", "q_percentile",
     # (b) red in round 1, fixed this round; then new round-2 operators
     "x_text_tokenize_bpe", "x_multimodal_features",
-    "x_quality_rules", "x_corpus_stats", "x_doc_chunking",
+    "x_quality_rules", "x_corpus_stats", "x_doc_chunking", "x_dedup_spans",
+    "x_url_filter",
     # (c) WINS parity core
     "r1_append_no_test", "r2_conditional_update", "r3_blank_to_null",
     "r4_enrich_left_join", "r6_frequency", "r7_reject_duplicates",

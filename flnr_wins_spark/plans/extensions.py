@@ -90,6 +90,99 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "x_dedup_spans",
+    sql=f"""
+    WITH docs AS ({_DUP_SQL_DOCS}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM docs
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    segs AS (
+      SELECT doc_id, CAST(i AS INT) AS seg_pos,
+             array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10), ' ') AS seg
+      FROM toks, UNNEST(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_pos, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_pos) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(seg, ' ' ORDER BY seg_pos) FILTER (WHERE rn = 1), '')
+             AS text_clean,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    note="duplicate-span removal (RefinedWeb exact-substring dedup at fixed "
+    "10-word segment boundaries): repeated segments survive only in the "
+    "first (doc_id, pos); winner build is a combinable groupBy-min, join "
+    "back AQE-skew-splittable — no suffix array, no raw-stream window",
+)
+def x_dedup_spans(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import span_dedup
+
+    docs = _docs_with_dups(spark, sf_dir)
+    out = span_dedup(docs, "text", "doc_id", k=10)
+    return out.select(
+        F.col("id").alias("doc_id"), "text_clean", "n_segments", "n_kept"
+    )
+
+
+@query(
+    "x_url_filter",
+    sql="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://www.' || source || '-media.org'
+               || CASE WHEN doc_id % 3 = 0 THEN ':8443' ELSE '' END
+               || '/doc/' || CAST(doc_id AS VARCHAR) || '?ref=r' AS url
+      FROM documents
+    ),
+    hosts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+      FROM urls
+    ),
+    doms AS (
+      SELECT doc_id, host,
+             CASE WHEN len(string_split(host, '.')) >= 2
+                  THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                  ELSE host END AS domain
+      FROM hosts
+    )
+    SELECT doc_id, host, domain FROM doms
+    WHERE domain NOT IN ('src3-media.org', 'src7-media.org', 'src15-media.org')
+    """,
+    note="URL host/registered-domain extraction (JVM regexp, codegen) + "
+    "domain-blocklist broadcast anti join; URLs synthesized "
+    "deterministically from (source, doc_id) — the documents fixture "
+    "carries no URL column",
+)
+def x_url_filter(spark, sf_dir):
+    from flnr_wins_spark.functions.urls import domain_blocklist_filter
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit("-media.org"),
+            F.when(F.col("doc_id") % 3 == 0, ":8443").otherwise(""),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=r"),
+        ).alias("url"),
+    )
+    kept = domain_blocklist_filter(
+        docs, "url", ["src3-media.org", "src7-media.org", "src15-media.org"]
+    )
+    return kept.select("doc_id", "host", "domain")
+
+
+@query(
     "x_train_test_split",
     sql="""
     SELECT split, CAST(COUNT(*) AS BIGINT) AS n,

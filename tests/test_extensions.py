@@ -101,6 +101,84 @@ class TestMinHashLSH:
         assert (1, 2) in got
 
 
+class TestSpanDedup:
+    def test_repeated_span_kept_only_in_first_doc(self, spark):
+        from flnr_wins_spark.operators.dedup import span_dedup
+
+        boiler = "a b c d"  # k=4 -> one full boilerplate segment
+        df = spark.createDataFrame(
+            [
+                (1, boiler + " u1 u2 u3 u4"),
+                (2, boiler + " v1 v2 v3 v4"),
+                (3, "w1 w2 w3 w4 " + boiler),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in span_dedup(df, "text", "doc_id", k=4).collect()}
+        assert out[1].text_clean == boiler + " u1 u2 u3 u4"
+        assert out[2].text_clean == "v1 v2 v3 v4"  # boilerplate span removed
+        assert out[3].text_clean == "w1 w2 w3 w4"
+        assert out[2].n_segments == 2 and out[2].n_kept == 1
+
+    def test_fully_duplicated_doc_survives_empty(self, spark):
+        from flnr_wins_spark.operators.dedup import span_dedup
+
+        df = spark.createDataFrame(
+            [(1, "x1 x2 x3 x4"), (2, "x1 x2 x3 x4")], "doc_id long, text string"
+        )
+        out = {r.id: r for r in span_dedup(df, "text", "doc_id", k=4).collect()}
+        assert out[1].text_clean == "x1 x2 x3 x4"
+        assert out[2].text_clean == "" and out[2].n_kept == 0
+
+    def test_tail_segment_shorter_than_k(self, spark):
+        from flnr_wins_spark.operators.dedup import span_dedup
+
+        df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        row = span_dedup(df, "text", "doc_id", k=4).collect()[0]
+        assert row.text_clean == "a b c d e" and row.n_segments == 2
+
+
+class TestUrlFilter:
+    @pytest.fixture()
+    def urls(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "https://www.good.example.org/page"),
+                (2, "https://Bad.Spam.COM:8080/x?q=1"),
+                (3, "http://user:pw@sub.spam.com/y"),
+                (4, "ftp://files.archive.net/z"),
+                (5, "no-scheme-here/path"),
+                (6, "https://localhost/admin"),
+            ],
+            "doc_id long, url string",
+        )
+
+    def test_host_and_domain_extraction(self, spark, urls):
+        from flnr_wins_spark.functions.urls import with_url_parts
+
+        got = {r.doc_id: (r.host, r.domain) for r in with_url_parts(urls, "url").collect()}
+        assert got[1] == ("www.good.example.org", "example.org")
+        assert got[2] == ("bad.spam.com", "spam.com")    # port stripped, lowercased
+        assert got[3] == ("sub.spam.com", "spam.com")    # userinfo stripped
+        assert got[4] == ("files.archive.net", "archive.net")
+        assert got[5] == ("", "")                        # no scheme -> empty host
+        assert got[6] == ("localhost", "localhost")      # single label passthrough
+
+    def test_blocklist_split(self, spark, urls):
+        from flnr_wins_spark.functions.urls import domain_blocklist_filter
+
+        kept = domain_blocklist_filter(urls, "url", ["SPAM.com"])
+        rejected = domain_blocklist_filter(urls, "url", ["SPAM.com"], mode="rejected")
+        assert {r.doc_id for r in kept.collect()} == {1, 4, 5, 6}
+        assert {r.doc_id for r in rejected.collect()} == {2, 3}
+
+    def test_blocklist_broadcast_plan(self, spark, urls):
+        from flnr_wins_spark.functions.urls import domain_blocklist_filter
+
+        plan = domain_blocklist_filter(urls, "url", ["spam.com"])._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 class TestSimHash:
     def test_exact_dups_distance_zero(self, spark, docs):
         sigs = simhash_signatures(docs, "text", "doc_id")
