@@ -103,6 +103,100 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) 
     return sig.cast("bigint")
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Index-ordered squared Euclidean distance of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each (id, v) row to its nearest (cent_id, centroid) by squared
+    Euclidean distance; ties break to the lowest cent_id (deterministic).
+
+    One broadcast pass over the vectors: the nlist copies per vector collapse
+    map-side via the combinable ``min(struct(dist, cent_id))``, so the groupBy
+    exchange carries one row per vector. Returns (id, cell, v).
+    """
+    best = F.min(F.struct(sqdist(F.col("v"), F.col("_centv")).alias("d"), F.col("cent_id").alias("c")))
+    return (
+        vectors.crossJoin(F.broadcast(centroids.select("cent_id", F.col("centroid").alias("_centv"))))
+        .groupBy("id")
+        .agg(best.alias("_b"), F.first("v").alias("v"))
+        .select("id", F.col("_b.c").alias("cell"), "v")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column; returns a small
+    (cent_id, centroid array<double>) DataFrame to feed ``ivf_topk``.
+
+    Everything stays DataFrame-shaped and driver-light:
+
+      * init: the k rows with lowest md5(id:seed) — a deterministic uniform
+        draw with no dependence on data order (content-addressed like
+        ``operators.split``).
+      * assign: broadcast centroids, map-side-combined argmin (see
+        ``kmeans_assign``) — no vector ever shuffles during assignment.
+      * update: per-dimension mean via posexplode -> groupBy(cell, dim) —
+        the only shuffle, N*dim scalar rows, combinable partial avg.
+      * empty cells keep their previous centroid (left-join + coalesce), so
+        exactly k centroids always come back.
+      * lineage truncated per round with eager ``localCheckpoint`` (same
+        rationale as operators/graph.py — an iterative plan otherwise nests
+        the full DAG per round).
+
+    Iteration count is a fixed budget, the standard production choice for
+    IVF coarse quantizers (convergence-delta stopping adds a count() action
+    per round for little gain at large N).
+    """
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    order_h = F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{seed}")))
+    cents = (
+        v.withColumn("_h", order_h)
+        .orderBy("_h")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("_h")).cast("long").alias("cent_id"),
+            F.col("v").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = kmeans_assign(v, cents)
+        by_dim = assigned.select("cell", F.posexplode("v").alias("d", "x"))
+        means = (
+            by_dim.groupBy("cell", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").alias(
+                    "new_centroid"
+                )
+            )
+        )
+        cents = (
+            cents.join(means, cents.cent_id == means.cell, "left")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -112,14 +206,16 @@ def ivf_topk(
     query_id: str = "vec_id",
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize candidates into ``nlist`` cells, probe
     the ``nprobe`` nearest cells per query, exact cosine re-rank inside the
     probed cells. Returns (query_id, cand_id, cosine, rank).
 
-    Centroids are the ``nlist`` lowest-id candidate vectors — deterministic,
-    no training iteration; swap in k-means centroids for better cell balance
-    without changing the dataflow. Costs at scale: assignment is one
+    Centroids default to the ``nlist`` lowest-id candidate vectors —
+    deterministic, no training iteration; pass ``centroids`` (a
+    (cent_id, centroid) frame from ``kmeans_fit``) for trained cell balance —
+    the dataflow is unchanged. Costs at scale: assignment is one
     broadcast pass over candidates (O(N * nlist) JVM-side flops; the nlist
     copies of each candidate collapse map-side via partial max_by, so the
     groupBy exchange carries one row per candidate); the probe join shuffles
@@ -137,11 +233,18 @@ def ivf_topk(
         F.col(query_id).alias("query_id"),
         unit(F.col(vec_col).cast("array<double>")).alias("_qv"),
     )
-    cents = (
-        c.orderBy("cand_id")
-        .limit(nlist)
-        .select(F.col("cand_id").alias("cent_id"), F.col("_cv").alias("_centv"))
-    )
+    if centroids is not None:
+        # unit-normalize trained centroids so the dot-based cell argmax below
+        # stays a cosine comparison
+        cents = centroids.select(
+            F.col("cent_id"), unit(F.col("centroid").cast("array<double>")).alias("_centv")
+        )
+    else:
+        cents = (
+            c.orderBy("cand_id")
+            .limit(nlist)
+            .select(F.col("cand_id").alias("cent_id"), F.col("_cv").alias("_centv"))
+        )
     assigned = (
         c.crossJoin(F.broadcast(cents))
         .groupBy("cand_id")

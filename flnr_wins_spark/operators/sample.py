@@ -64,3 +64,47 @@ def stratified_sample(
     for value, frac in fractions.items():
         thr = F.when(F.col(strata_col) == value, _threshold_hex(frac)).otherwise(thr)
     return df.filter(prefix < thr)
+
+
+def temperature_resample(
+    df: DataFrame, key_col: str, strata_col: str, tau: float = 0.5
+) -> DataFrame:
+    """Temperature-flattened corpus resampling (multilingual-LM mixing).
+
+    Rebalances strata toward target mass ``p_i**tau`` (tau < 1 flattens the
+    mixture so low-resource strata are not drowned out) by *downsampling
+    only*: the keep-rate is ``r_i = (n_min / n_i) ** (1 - tau)`` — the
+    smallest stratum keeps everything, larger strata shed mass until relative
+    sizes match the tempered distribution. Rates are computed IN the plan
+    (aggregate -> scalar broadcast -> join), so stratum cardinality can be
+    arbitrarily large; membership is the same content-addressed md5-bucket
+    predicate as ``stratified_sample`` (deterministic across runs, engines,
+    partitionings), quantized to 1/256.
+
+    Determinism note: at the default ``tau=0.5`` the rate is
+    ``sqrt(n_min/n_i)`` — IEEE-correctly-rounded in every engine, so
+    differential oracles hash-match bit-exactly. Other tau route through
+    ``pow``, whose last bit is not guaranteed across engines (fine in
+    production, not for exact cross-engine comparison). ``floor`` (not
+    ``round``) quantizes, avoiding half-way tie-break divergence.
+
+    Adds ``n_stratum`` (stratum size) and ``rate_q`` (kept rate in 1/256
+    units, 256 = keep all) to surviving rows.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_stratum"))
+    n_min = counts.agg(F.min("n_stratum").alias("_n_min"))
+    ratio = F.col("_n_min").cast("double") / F.col("n_stratum").cast("double")
+    rate = (
+        F.sqrt(ratio) if tau == 0.5 else F.pow(ratio, F.lit(1.0 - tau))
+    )
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        strata_col,
+        "n_stratum",
+        F.floor(F.lit(256) * rate).cast("long").alias("rate_q"),
+    )
+    prefix = F.substring(
+        F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8")), 1, 2
+    )
+    keep = (F.col("rate_q") >= 256) | (prefix < F.format_string("%02x", F.col("rate_q")))
+    # rates has one row per stratum — small next to df; AQE picks broadcast
+    return df.join(rates, strata_col).filter(keep)

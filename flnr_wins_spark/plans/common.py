@@ -68,7 +68,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     # (b) red in round 1, fixed this round; then new round-2 operators
     "x_text_tokenize_bpe", "x_multimodal_features",
     "x_quality_rules", "x_corpus_stats", "x_doc_chunking", "x_dedup_spans",
-    "x_url_filter",
+    "x_url_filter", "x_corpus_resample", "x_similarity_ivf_kmeans",
     # (c) WINS parity core
     "r1_append_no_test", "r2_conditional_update", "r3_blank_to_null",
     "r4_enrich_left_join", "r6_frequency", "r7_reject_duplicates",

@@ -340,6 +340,22 @@ def x_similarity_ivf(spark, sf_dir):
 
 
 @query(
+    "x_similarity_ivf_kmeans",
+    sql=None,  # iterative algorithm + approximate recall — no exact SQL twin
+    note="IVF ANN over TRAINED centroids: distributed Lloyd's k-means "
+    "(broadcast-assign, posexplode per-dim means, localCheckpoint rounds) "
+    "feeds the same probe/re-rank dataflow as x_similarity_ivf",
+)
+def x_similarity_ivf_kmeans(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import ivf_topk, kmeans_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=3)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, nlist=8, nprobe=3, k=5, centroids=cents)
+
+
+@query(
     "x_text_tokenize_bpe",
     sql="""
     SELECT doc_id,
@@ -795,6 +811,41 @@ def x_sample_stratified(spark, sf_dir):
         fractions={"AUTOMOBILE": 0.40, "MACHINERY": 0.10},
         default_fraction=0.05,
     ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "x_corpus_resample",
+    sql="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_stratum
+      FROM documents GROUP BY source
+    ),
+    mn AS (SELECT MIN(n_stratum) AS n_min FROM counts),
+    rates AS (
+      SELECT source, n_stratum,
+             CAST(floor(256 * sqrt(CAST(n_min AS DOUBLE) / n_stratum)) AS BIGINT)
+               AS rate_q
+      FROM counts, mn
+    )
+    SELECT r.source, r.n_stratum, r.rate_q, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    WHERE r.rate_q >= 256
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', r.rate_q)
+    GROUP BY r.source, r.n_stratum, r.rate_q
+    """,
+    note="temperature resampling (tau=0.5): keep-rate sqrt(n_min/n) per "
+    "source, rates computed in-plan (agg -> scalar broadcast -> join), "
+    "content-addressed membership; sqrt is IEEE-exact cross-engine so the "
+    "oracle hash-matches",
+)
+def x_corpus_resample(spark, sf_dir):
+    from flnr_wins_spark.operators.sample import temperature_resample
+
+    docs = t(spark, sf_dir, "documents")
+    kept = temperature_resample(docs, key_col="doc_id", strata_col="source", tau=0.5)
+    return kept.groupBy("source", "n_stratum", "rate_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
 
 
 @query(

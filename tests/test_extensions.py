@@ -240,6 +240,57 @@ class TestSimilarity:
         assert all(r.query_id != r.cand_id for r in out.collect())
 
 
+class TestKMeans:
+    @pytest.fixture()
+    def blobs(self, spark):
+        # two tight clusters around (10,0) and (0,10), 20 points each
+        rows = [(i, [10.0 + (i % 5) * 0.1, (i % 4) * 0.1]) for i in range(20)]
+        rows += [(100 + i, [(i % 5) * 0.1, 10.0 + (i % 4) * 0.1]) for i in range(20)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_exactly_k_centroids_deterministic(self, spark, blobs):
+        from flnr_wins_spark.functions.vectors import kmeans_fit
+
+        c1 = kmeans_fit(blobs, k=2, iters=3).collect()
+        c2 = kmeans_fit(blobs.repartition(5), k=2, iters=3).collect()
+        assert len(c1) == 2
+        assert sorted((r.cent_id, r.centroid) for r in c1) == sorted(
+            (r.cent_id, r.centroid) for r in c2
+        )
+
+    def test_converges_to_blob_means(self, spark, blobs):
+        from flnr_wins_spark.functions.vectors import kmeans_assign, kmeans_fit
+
+        cents = kmeans_fit(blobs, k=2, iters=4)
+        v = blobs.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+        cells = {r.id: r.cell for r in kmeans_assign(v, cents).collect()}
+        left = {cells[i] for i in range(20)}
+        right = {cells[100 + i] for i in range(20)}
+        # each blob maps to exactly one (distinct) cell
+        assert len(left) == 1 and len(right) == 1 and left != right
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        from flnr_wins_spark.functions.vectors import kmeans_fit
+
+        # k=3 over 2 distinct points: one cell must go empty yet survive
+        df = spark.createDataFrame(
+            [(i, [float(i % 2) * 10, 0.0]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = kmeans_fit(df, k=3, iters=2).collect()
+        assert len(cents) == 3
+        assert all(r.centroid is not None for r in cents)
+
+    def test_trained_ivf_finds_neighbors(self, spark, blobs):
+        from flnr_wins_spark.functions.vectors import ivf_topk, kmeans_fit
+
+        cents = kmeans_fit(blobs, k=2, iters=3)
+        q = blobs.filter("vec_id = 0")
+        out = ivf_topk(q, blobs, nlist=2, nprobe=1, k=3, centroids=cents).collect()
+        # nearest neighbors of a (10,0)-blob point live in the same blob
+        assert out and all(r.cand_id < 100 for r in out)
+
+
 class TestBpeTokenize:
     def test_pretokens_segmentation(self, spark):
         from flnr_wins_spark.functions.text import bpe_pretokens
@@ -440,6 +491,48 @@ class TestStratifiedSample:
         got = stratified_sample(df, "k", "seg", {"books": 1.0, "web": 0.999}, 0.0).collect()
         assert sum(1 for r in got if r.seg == "books") == 500
         assert sum(1 for r in got if r.seg == "web") == 500
+
+
+class TestTemperatureResample:
+    @pytest.fixture()
+    def skewed(self, spark):
+        # 1000 'web', 250 'wiki', 40 'books'
+        rows = (
+            [(i, "web") for i in range(1000)]
+            + [(10_000 + i, "wiki") for i in range(250)]
+            + [(20_000 + i, "books") for i in range(40)]
+        )
+        return spark.createDataFrame(rows, "k long, src string")
+
+    def test_smallest_stratum_keeps_everything(self, spark, skewed):
+        from flnr_wins_spark.operators.sample import temperature_resample
+
+        out = temperature_resample(skewed, "k", "src", tau=0.5).collect()
+        books = [r for r in out if r.src == "books"]
+        assert len(books) == 40 and books[0].rate_q == 256
+
+    def test_rates_flatten_monotonically(self, spark, skewed):
+        from flnr_wins_spark.operators.sample import temperature_resample
+
+        out = temperature_resample(skewed, "k", "src", tau=0.5).collect()
+        rate = {r.src: r.rate_q for r in out}
+        assert rate["books"] > rate["wiki"] > rate["web"]
+        # sqrt(40/1000)=0.2 -> web keeps ~20%, md5-uniform tolerance
+        n_web = sum(1 for r in out if r.src == "web")
+        assert 120 < n_web < 280
+
+    def test_tau_one_is_identity(self, spark, skewed):
+        from flnr_wins_spark.operators.sample import temperature_resample
+
+        out = temperature_resample(skewed, "k", "src", tau=1.0)
+        assert out.count() == skewed.count()
+
+    def test_membership_partition_invariant(self, spark, skewed):
+        from flnr_wins_spark.operators.sample import temperature_resample
+
+        s1 = {r.k for r in temperature_resample(skewed, "k", "src").collect()}
+        s2 = {r.k for r in temperature_resample(skewed.repartition(13), "k", "src").collect()}
+        assert s1 == s2 and s1
 
 
 class TestSequencePacking:
