@@ -14,6 +14,7 @@ from flnr_wins_spark.operators.enrich import enrich
 from flnr_wins_spark.operators.frequency import frequency
 from flnr_wins_spark.operators.graph import connected_components, dedup_clusters
 from flnr_wins_spark.operators.interval import interval_join
+from flnr_wins_spark.operators.merge import merge_upsert, scd2_apply, snapshot_diff
 from flnr_wins_spark.operators.packing import chunk_documents, pack_manifest, pack_sequences
 from flnr_wins_spark.operators.reject import reject_duplicates, reject_unmatched
 from flnr_wins_spark.operators.sample import stratified_sample
@@ -37,15 +38,18 @@ __all__ = [
     "frequency",
     "interval_join",
     "jaccard_pairs",
+    "merge_upsert",
     "minhash_lsh_pairs",
     "pack_manifest",
     "pack_sequences",
     "reject_duplicates",
     "reject_unmatched",
     "salted_join",
+    "scd2_apply",
     "shingle_sets",
     "simhash_pairs",
     "simhash_signatures",
+    "snapshot_diff",
     "span_dedup",
     "stratified_sample",
     "train_test_split",

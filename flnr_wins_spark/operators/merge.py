@@ -1,0 +1,158 @@
+"""Incremental-snapshot operators: CDC diff, merge/upsert, SCD2 history.
+
+The reference pipeline is a full refresh — every run re-downloads and
+re-publishes everything (``src/wins_transform_staging.py:118-135,280-286``).
+At 100 TB a full refresh is the wrong physical plan even when the logical
+result is identical; these operators turn two snapshots into the incremental
+facts a warehouse needs:
+
+  * ``snapshot_diff``  — what changed between two snapshots (insert/update/
+    delete rows), via one full-outer join on the key.
+  * ``merge_upsert``   — SCD type 1: apply a changeset onto a target
+    (matched rows replaced, new rows appended, optionally deletes applied).
+  * ``scd2_apply``     — SCD type 2: maintain validity-interval history
+    (close out changed rows, append new versions).
+
+Scale notes: everything is a single equi-join (or anti/union) on the
+business key — one shuffle each side, AQE-skew-splittable, no windows over
+raw streams. Row-content comparison hashes the compared struct to one
+64-bit value map-side (``xxhash64(struct)``), so wide rows never compare
+column-by-column across the join, and the join payload can prune to
+(key, digest) when callers only need keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _digest(cols: Sequence[str]):
+    # null-safe content digest: hashing the struct distinguishes NULL from
+    # '' and encodes field order; 64-bit xxhash is fine for change *detection*
+    # (a false negative needs a 2^-64 collision on the same key)
+    return F.xxhash64(F.struct(*[F.col(c) for c in cols]))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two snapshots keyed by ``key_cols``.
+
+    Returns ``key_cols + [change_type]`` with change_type in
+    ('insert', 'update', 'delete'); unchanged rows are dropped.
+    ``compare_cols`` defaults to every non-key column shared by both sides.
+    Assumes keys are unique per snapshot (a snapshot is a keyed table).
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    o = old.select(*keys, _digest(compare_cols).alias("_od"))
+    n = new.select(*keys, _digest(compare_cols).alias("_nd"))
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_od").isNull(), "insert")
+        .when(F.col("_nd").isNull(), "delete")
+        .when(F.col("_od") != F.col("_nd"), "update")
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    delete_keys: DataFrame | None = None,
+) -> DataFrame:
+    """SCD type 1 merge: source rows replace matched target rows, unmatched
+    source rows are inserted, ``delete_keys`` (a keyed frame) removes rows.
+
+    Equivalent of ``MERGE INTO target USING source ON keys WHEN MATCHED THEN
+    UPDATE WHEN NOT MATCHED THEN INSERT``: one anti join + union — the
+    untouched majority of the target flows through with no comparison work.
+    Columns follow the target's schema (source must carry them all).
+    """
+    keys = list(key_cols)
+    kept = target.join(source.select(*keys), keys, "left_anti")
+    out = kept.unionByName(source.select(*target.columns))
+    if delete_keys is not None:
+        out = out.join(delete_keys.select(*keys), keys, "left_anti")
+    return out
+
+
+def scd2_apply(
+    history: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    batch_id: int,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """SCD type 2: apply snapshot ``source`` (version ``batch_id``) onto a
+    history table carrying (``valid_from``, ``valid_to``, ``is_current``).
+
+    Semantics per business key, against the current history row:
+      * new key                -> open a new current row (valid_from=batch_id)
+      * changed content        -> close the old row (valid_to=batch_id,
+                                  is_current=false) and open a new one
+      * unchanged              -> untouched
+      * key absent from source -> close the old row (soft delete)
+    Closed history rows always pass through unchanged. ``valid_from`` /
+    ``valid_to`` are integer batch versions (monotonic run ids) — timestamp
+    stamping belongs to the caller, keeping the operator deterministic.
+
+    One join between the *current slice* of history and the source; the
+    closed majority of a long history never joins anything.
+    """
+    keys = list(key_cols)
+    data_cols = [c for c in source.columns if c not in set(keys)]
+    if compare_cols is None:
+        compare_cols = data_cols
+    closed = history.filter(~F.col("is_current"))
+    current = history.filter(F.col("is_current"))
+    s = source.withColumn("_nd", _digest(compare_cols))
+    joined = current.withColumn("_od", _digest(compare_cols)).join(
+        s.select(*keys, F.col("_nd")), keys, "full_outer"
+    )
+    # current rows to close: content changed, or key gone from the source
+    close = (
+        joined.filter(
+            F.col("_od").isNotNull() & (F.col("_nd").isNull() | (F.col("_nd") != F.col("_od")))
+        )
+        .select(*keys)
+        .withColumn("_close", F.lit(True))
+    )
+    kept_current = (
+        current.join(close, keys, "left")
+        .withColumn("is_current", F.when(F.col("_close"), F.lit(False)).otherwise(F.col("is_current")))
+        .withColumn(
+            "valid_to", F.when(F.col("_close"), F.lit(batch_id)).otherwise(F.col("valid_to"))
+        )
+        .drop("_close")
+    )
+    # source rows to open: new key, or content changed vs current
+    opens = (
+        s.join(
+            current.withColumn("_od", _digest(compare_cols)).select(*keys, "_od"),
+            keys,
+            "left",
+        )
+        .filter(F.col("_od").isNull() | (F.col("_od") != F.col("_nd")))
+        .select(
+            *keys,
+            *data_cols,
+            F.lit(batch_id).alias("valid_from"),
+            F.lit(None).cast("int").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return closed.unionByName(kept_current).unionByName(opens.select(*history.columns))

@@ -182,6 +182,144 @@ def x_url_filter(spark, sf_dir):
     return kept.select("doc_id", "host", "domain")
 
 
+# Incremental-snapshot fixtures: two deterministic "runs" of the orders
+# table — the new snapshot drops every 89th key (deletes), gains every 97th-
+# mod-3 key the old one lacked (inserts), and bumps totalprice on every 31st
+# key (updates). Both engines construct the identical pair.
+_SNAP_SQL = """
+    old AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 3
+    ),
+    new AS (
+      SELECT o_orderkey, o_custkey,
+             o_totalprice + CASE WHEN o_orderkey % 31 = 0 THEN 10.0 ELSE 0.0 END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 89 <> 5
+    )
+"""
+
+
+def _snapshots(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    old = orders.filter(F.col("o_orderkey") % 97 != 3)
+    new = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 89 != 5).select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 31 == 0, 10.0).otherwise(0.0)
+        ).alias("o_totalprice"),
+    )
+    return old, new
+
+
+@query(
+    "x_cdc_diff",
+    sql=f"""
+    WITH {_SNAP_SQL}
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+           END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_custkey IS DISTINCT FROM n.o_custkey
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+    note="CDC snapshot diff: one full-outer join on the key, content change "
+    "detected via map-side xxhash64(struct) digest so wide rows never "
+    "compare column-by-column across the shuffle",
+)
+def x_cdc_diff(spark, sf_dir):
+    from flnr_wins_spark.operators.merge import snapshot_diff
+
+    old, new = _snapshots(spark, sf_dir)
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@query(
+    "x_merge_upsert",
+    sql=f"""
+    WITH {_SNAP_SQL},
+    source AS (
+      SELECT n.* FROM new n LEFT JOIN old o ON n.o_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+    ),
+    deletes AS (
+      SELECT o.o_orderkey FROM old o LEFT JOIN new n ON o.o_orderkey = n.o_orderkey
+      WHERE n.o_orderkey IS NULL
+    ),
+    merged AS (
+      SELECT * FROM old WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      UNION ALL
+      SELECT * FROM source
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice FROM merged
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+    """,
+    note="MERGE INTO (SCD1): changeset replaces matched rows, inserts new, "
+    "applies deletes — anti join + union, untouched target majority flows "
+    "through with zero comparison work",
+)
+def x_merge_upsert(spark, sf_dir):
+    from flnr_wins_spark.operators.merge import merge_upsert, snapshot_diff
+
+    old, new = _snapshots(spark, sf_dir)
+    diff = snapshot_diff(old, new, ["o_orderkey"])
+    source = new.join(
+        diff.filter(F.col("change_type").isin("insert", "update")).select("o_orderkey"),
+        "o_orderkey",
+        "left_semi",
+    )
+    deletes = diff.filter(F.col("change_type") == "delete").select("o_orderkey")
+    return merge_upsert(old, source, ["o_orderkey"], delete_keys=deletes)
+
+
+@query(
+    "x_scd2_history",
+    sql=f"""
+    WITH {_SNAP_SQL}
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           1 AS valid_from, CAST(2 AS INTEGER) AS valid_to, FALSE AS is_current
+    FROM old o LEFT JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE n.o_orderkey IS NULL OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+         OR n.o_custkey IS DISTINCT FROM o.o_custkey
+    UNION ALL
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           1 AS valid_from, CAST(NULL AS INTEGER) AS valid_to, TRUE AS is_current
+    FROM old o JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE n.o_totalprice = o.o_totalprice AND n.o_custkey = o.o_custkey
+    UNION ALL
+    SELECT n.o_orderkey, n.o_custkey, n.o_totalprice,
+           2 AS valid_from, CAST(NULL AS INTEGER) AS valid_to, TRUE AS is_current
+    FROM new n LEFT JOIN old o ON n.o_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+         OR n.o_custkey IS DISTINCT FROM o.o_custkey
+    """,
+    note="SCD type 2 history: batch 1 seeds from empty, batch 2 closes "
+    "changed/deleted rows (valid_to=2) and opens new versions; only the "
+    "current slice of history ever joins the source",
+)
+def x_scd2_history(spark, sf_dir):
+    from flnr_wins_spark.operators.merge import scd2_apply
+
+    old, new = _snapshots(spark, sf_dir)
+    empty_history = (
+        old.withColumn("valid_from", F.lit(1))
+        .withColumn("valid_to", F.lit(None).cast("int"))
+        .withColumn("is_current", F.lit(True))
+        .limit(0)
+    )
+    h1 = scd2_apply(empty_history, old, ["o_orderkey"], batch_id=1)
+    h2 = scd2_apply(h1, new, ["o_orderkey"], batch_id=2)
+    return h2.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "valid_from", "valid_to", "is_current"
+    )
+
+
 @query(
     "x_train_test_split",
     sql="""

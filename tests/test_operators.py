@@ -3,6 +3,7 @@ pinned by FIXTURES.md §B edge cases)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -268,3 +269,80 @@ class TestIntervalJoin:
         out = interval_join(left, left, key="key", time_col="ts", window_seconds=30)
         pairs = sorted((r.id, r.id_r) for r in out.collect())
         assert (2, 1) in pairs
+
+
+class TestSnapshotDiff:
+    @pytest.fixture()
+    def snaps(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+            "k long, s string, v double",
+        )
+        new = spark.createDataFrame(
+            [(2, "b", 20.0), (3, "c", 99.0), (4, "x", 40.0), (5, "e", 50.0)],
+            "k long, s string, v double",
+        )
+        return old, new
+
+    def test_change_types(self, spark, snaps):
+        from flnr_wins_spark.operators.merge import snapshot_diff
+
+        old, new = snaps
+        got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+        # 1 deleted, 2 unchanged (absent), 3 updated, 4 NULL->'x' updated, 5 inserted
+        assert got == {1: "delete", 3: "update", 4: "update", 5: "insert"}
+
+    def test_compare_cols_subset(self, spark, snaps):
+        from flnr_wins_spark.operators.merge import snapshot_diff
+
+        old, new = snaps
+        got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+        assert got == {1: "delete", 3: "update", 5: "insert"}  # 4's v unchanged
+
+
+class TestMergeUpsert:
+    def test_update_insert_delete(self, spark):
+        from flnr_wins_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        )
+        source = spark.createDataFrame([(2, 99.0), (4, 40.0)], "k long, v double")
+        deletes = spark.createDataFrame([(3,)], "k long")
+        got = {r.k: r.v for r in merge_upsert(target, source, ["k"], deletes).collect()}
+        assert got == {1: 10.0, 2: 99.0, 4: 40.0}
+
+
+class TestScd2:
+    def _hist(self, spark, df, batch, prev=None):
+        from flnr_wins_spark.operators.merge import scd2_apply
+
+        if prev is None:
+            prev = (
+                df.withColumn("valid_from", F.lit(1))
+                .withColumn("valid_to", F.lit(None).cast("int"))
+                .withColumn("is_current", F.lit(True))
+                .limit(0)
+            )
+        return scd2_apply(prev, df, ["k"], batch_id=batch)
+
+    def test_full_lifecycle(self, spark):
+        b1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+        b2 = spark.createDataFrame([(1, "a"), (2, "B2"), (4, "d")], "k long, s string")
+        h1 = self._hist(spark, b1, 1)
+        h2 = self._hist(spark, b2, 2, prev=h1)
+        rows = {(r.k, r.valid_from): r for r in h2.collect()}
+        assert rows[(1, 1)].is_current and rows[(1, 1)].valid_to is None   # unchanged
+        assert not rows[(2, 1)].is_current and rows[(2, 1)].valid_to == 2  # closed
+        assert rows[(2, 2)].is_current and rows[(2, 2)].s == "B2"          # reopened
+        assert not rows[(3, 1)].is_current and rows[(3, 1)].valid_to == 2  # soft delete
+        assert rows[(4, 2)].is_current                                     # new key
+        assert len(rows) == 5
+
+    def test_closed_rows_pass_through(self, spark):
+        b1 = spark.createDataFrame([(1, "a")], "k long, s string")
+        b2 = spark.createDataFrame([(1, "b")], "k long, s string")
+        b3 = spark.createDataFrame([(1, "c")], "k long, s string")
+        h = self._hist(spark, b3, 3, prev=self._hist(spark, b2, 2, prev=self._hist(spark, b1, 1)))
+        versions = sorted((r.valid_from, r.valid_to, r.is_current, r.s) for r in h.collect())
+        assert versions == [(1, 2, False, "a"), (2, 3, False, "b"), (3, None, True, "c")]
