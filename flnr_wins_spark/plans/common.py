@@ -70,6 +70,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_quality_rules", "x_corpus_stats", "x_doc_chunking", "x_dedup_spans",
     "x_url_filter", "x_corpus_resample", "x_similarity_ivf_kmeans",
     "x_cdc_diff", "x_merge_upsert", "x_scd2_history",
+    "q_recursive_calendar", "q_unpivot_metrics", "q_lateral_topn",
     # (c) WINS parity core
     "r1_append_no_test", "r2_conditional_update", "r3_blank_to_null",
     "r4_enrich_left_join", "r6_frequency", "r7_reject_duplicates",

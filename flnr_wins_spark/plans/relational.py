@@ -609,6 +609,118 @@ def q_union_distinct(spark, sf_dir):
 
 
 @query(
+    "q_recursive_calendar",
+    sql="""
+    WITH RECURSIVE months(month_start) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT month_start + INTERVAL 1 MONTH FROM months
+      WHERE month_start < DATE '1998-12-01'
+    )
+    SELECT m.month_start,
+           CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders
+    FROM months m
+    LEFT JOIN (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ) a ON a.month_start = m.month_start
+    """,
+    note=(
+        "recursive CTE (Spark 4.x WITH RECURSIVE): gap-filling month calendar "
+        "left-joined to monthly order counts. The recursive part generates 48 "
+        "rows on the driver-side plan; the only distributed work is the "
+        "aggregate, so this is scale-safe by construction."
+    ),
+)
+def q_recursive_calendar(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(month_start) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT month_start + INTERVAL '1' MONTH FROM months
+          WHERE month_start < DATE '1998-12-01'
+        )
+        SELECT m.month_start,
+               CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders
+        FROM months m
+        LEFT JOIN (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                 COUNT(*) AS n_orders
+          FROM _rc_orders GROUP BY 1
+        ) a ON a.month_start = m.month_start
+        """
+    )
+
+
+@query(
+    "q_unpivot_metrics",
+    sql="""
+    SELECT n_name, metric, value FROM (
+      SELECT n.n_name,
+             CAST(COUNT(*) AS DOUBLE) AS n_customers,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_acctbal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ) UNPIVOT (value FOR metric IN (n_customers, total_acctbal))
+    """,
+    note="wide->long UNPIVOT via the DataFrame unpivot API (melt)",
+)
+def q_unpivot_metrics(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    wide = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["n_customers", "total_acctbal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "q_lateral_topn",
+    sql="""
+    SELECT n.n_name, top.c_name, top.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+    ) top
+    """,
+    note=(
+        "correlated LATERAL subquery: per-nation top-3 customers by balance. "
+        "Catalyst rewrites the correlated limit into a partitioned window — "
+        "same physical shape as q_topk_per_group, no per-key re-scan."
+    ),
+)
+def q_lateral_topn(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, top.c_name, top.c_acctbal
+        FROM _lat_nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM _lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) top
+        """
+    )
+
+
+@query(
     "q_percentile",
     sql="""
     SELECT o_orderstatus,
