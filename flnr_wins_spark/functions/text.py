@@ -173,6 +173,79 @@ def quality_rules(
     return out.withColumn("passes", passes)
 
 
+def _gram_expr(arr: str, n: int) -> str:
+    """SQL expression producing the word n-gram array of token array ``arr``.
+
+    Guarded: Spark's sequence(1, 0) is DESCENDING [1, 0], so short docs must
+    short-circuit to an empty list (matches unnest-of-empty on the oracle
+    side, where sub-n docs simply produce no gram rows).
+    """
+    parts = ", ".join(f"element_at({arr}, CAST(i + {k} AS INT))" for k in range(n))
+    return (
+        f"IF(size({arr}) < {n}, CAST(array() AS array<string>),"
+        f" transform(sequence(1, size({arr}) - {n - 1}), i -> concat_ws(' ', {parts})))"
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+    max_top_frac: float = 0.20,
+    max_dup_frac: float = 0.15,
+) -> DataFrame:
+    """Gopher-style repetition metrics: the fraction of characters inside the
+    single most frequent ``top_n``-gram, and inside all duplicated
+    ``dup_n``-grams (the published web-corpus boilerplate detectors).
+
+    Unlike the per-row folds in ``quality_rules``, frequency-per-gram needs a
+    per-document group-by — so this is the distributed shape: explode grams →
+    count per (doc, gram) → re-aggregate per doc. Both gram sizes are tagged
+    and unioned into ONE exploded relation so the whole operator costs a
+    single shuffle chain keyed on (doc, tag, gram); partial aggregation
+    (map-side combine) absorbs the within-partition repeats, which is exactly
+    where repetitive documents concentrate. Docs shorter than ``top_n`` words
+    have no grams and drop out (same semantics both engines).
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("_chars"),
+        F.split(F.col(text_col), " ").alias("_tk"),
+    )
+    tagged = staged.select(
+        F.col(id_col),
+        "_chars",
+        F.explode(
+            F.expr(
+                f"concat(transform({_gram_expr('_tk', top_n)}, x -> struct('top' AS tag, x AS gram)),"
+                f" transform({_gram_expr('_tk', dup_n)}, x -> struct('dup' AS tag, x AS gram)))"
+            )
+        ).alias("_g"),
+    ).select(F.col(id_col), "_chars", F.col("_g.tag").alias("tag"), F.col("_g.gram").alias("gram"))
+    cnts = tagged.groupBy(id_col, "_chars", "tag", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    gram_chars = F.col("cnt") * F.length("gram").cast("bigint")
+    per_doc = cnts.groupBy(id_col, "_chars").agg(
+        F.max(F.when(F.col("tag") == "top", gram_chars)).alias("_top_chars"),
+        F.sum(
+            F.when((F.col("tag") == "dup") & (F.col("cnt") > 1), gram_chars).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("_dup_chars"),
+    )
+    top_frac = F.col("_top_chars").cast("double") / F.col("_chars")
+    dup_frac = F.col("_dup_chars").cast("double") / F.col("_chars")
+    return per_doc.select(
+        F.col(id_col),
+        top_frac.alias("top_ngram_frac"),
+        dup_frac.alias("dup_ngram_frac"),
+        ((top_frac <= F.lit(max_top_frac)) & (dup_frac <= F.lit(max_dup_frac))).alias(
+            "passes_repetition"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pandas-UDF (Arrow-batched) functions — the imperative tail
 # ---------------------------------------------------------------------------

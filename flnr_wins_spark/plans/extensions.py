@@ -637,6 +637,57 @@ def x_quality_rules(spark, sf_dir):
 
 
 @query(
+    "x_repetition_stats",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS total_chars,
+             string_split(text, ' ') AS tk
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, total_chars, 'top' AS tag,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1])) AS gram
+      FROM toks WHERE len(tk) >= 2
+    ),
+    g5 AS (
+      SELECT doc_id, total_chars, 'dup' AS tag,
+             unnest(list_transform(generate_series(1, len(tk) - 4),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                         || tk[i+3] || ' ' || tk[i+4])) AS gram
+      FROM toks WHERE len(tk) >= 5
+    ),
+    cnts AS (
+      SELECT doc_id, total_chars, tag, gram, COUNT(*) AS cnt
+      FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g5)
+      GROUP BY 1, 2, 3, 4
+    ),
+    per_doc AS (
+      SELECT doc_id, MAX(total_chars) AS total_chars,
+             MAX(CASE WHEN tag = 'top' THEN cnt * length(gram) END) AS top_chars,
+             SUM(CASE WHEN tag = 'dup' AND cnt > 1 THEN cnt * length(gram)
+                      ELSE 0 END) AS dup_chars
+      FROM cnts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(top_chars AS DOUBLE) / total_chars AS top_ngram_frac,
+           CAST(dup_chars AS DOUBLE) / total_chars AS dup_ngram_frac,
+           (CAST(top_chars AS DOUBLE) / total_chars <= 0.20
+            AND CAST(dup_chars AS DOUBLE) / total_chars <= 0.15)
+             AS passes_repetition
+    FROM per_doc
+    """,
+    note="Gopher repetition rules: char-fraction of the most frequent 2-gram "
+    "and of all duplicated 5-grams. Distributed shape (explode -> count per "
+    "(doc, gram) -> per-doc re-agg); both gram sizes share one tagged shuffle",
+)
+def x_repetition_stats(spark, sf_dir):
+    from flnr_wins_spark.functions.text import repetition_stats
+
+    return repetition_stats(t(spark, sf_dir, "documents"))
+
+
+@query(
     "x_corpus_stats",
     sql="""
     SELECT source, lang,

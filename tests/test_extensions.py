@@ -686,6 +686,37 @@ class TestQualityRules:
         assert got == {1: 0.0, 2: 0.0}
 
 
+class TestRepetitionStats:
+    def test_fractions_and_verdict(self, spark):
+        from flnr_wins_spark.functions.text import repetition_stats
+
+        varied = " ".join(f"w{i}" for i in range(40))        # all 2-grams unique
+        spam = " ".join(["ab cd"] * 30)                      # one 2-gram dominates
+        docs = spark.createDataFrame(
+            [(1, varied), (2, spam), (3, "one")],            # 3: shorter than top_n
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+        # doc 3 has no 2-grams -> absent (same as the oracle's unnest-of-empty)
+        assert set(got) == {1, 2}
+        assert got[1].passes_repetition
+        # most frequent 2-gram of the varied doc covers ~2 words out of 40
+        assert got[1].top_ngram_frac < 0.10 and got[1].dup_ngram_frac == 0.0
+        # the spam doc's dominant 2-gram ('cd ab' x29 or 'ab cd' x30) covers
+        # most characters, and its repeated 5-grams cover more than all of it
+        assert not got[2].passes_repetition
+        assert got[2].top_ngram_frac > 0.45 and got[2].dup_ngram_frac > 1.0
+
+    def test_single_shuffle_chain(self, spark):
+        # both gram sizes must share one exploded relation: exactly one
+        # Exchange below the first aggregate (plus the per-doc re-agg)
+        from flnr_wins_spark.functions.text import repetition_stats
+
+        docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+        plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 2
+
+
 class TestDocChunking:
     def test_overlap_and_reconstruction(self, spark):
         from flnr_wins_spark.operators.packing import chunk_documents
