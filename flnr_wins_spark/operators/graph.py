@@ -71,6 +71,67 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    scale: int = 1_000_000_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, in scaled INTEGER
+    arithmetic. Returns (id, rank) with rank ~ pagerank * ``scale``.
+
+    Why integers: a float PageRank's per-vertex sums are IEEE
+    order-dependent, so two runs (or two engines) disagree in the last bits.
+    Representing rank as a scaled bigint and using integer division
+    (``div``) everywhere makes every iteration bit-exact regardless of
+    partitioning — the same determinism discipline as plans/common.py's
+    decimal-routed sums, which is what lets the DuckDB oracle check this
+    operator value-for-value.
+
+    Scale shape: per iteration, one join edges->ranks (both sides hash on
+    the src key; AQE reuses the partitioning round to round) and one groupBy
+    sum on dst. Lineage is truncated per round with ``localCheckpoint`` —
+    same rationale as connected_components above. The vertex count is the
+    only driver-side action (one metadata-scale count). Vertices with no
+    out-edges leak their damped mass (the simplified variant); rankings are
+    unaffected for the connected graphs this feeds on.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    base = (damp_den - damp_num) * scale // (damp_den * n)
+    ranks = verts.withColumn("rank", F.lit(scale // n).cast("bigint"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks, e.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank div outd")).alias("contrib"))
+        )
+        ranks = (
+            verts.join(contrib, verts.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damp_num} * coalesce(contrib, CAST(0 AS BIGINT))) div {damp_den}")
+                ).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Cluster near-dup pairs; returns (id, cluster_id, is_survivor) where
     the survivor is the lowest id in each cluster (the keep-one policy)."""

@@ -392,6 +392,69 @@ def x_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def _pagerank_oracle_sql(n_iter: int) -> str:
+    """Unrolled fixed-iteration integer-PageRank SQL for the DuckDB oracle.
+
+    Mirrors ``pagerank_integer`` step for step: same scaled-bigint ranks,
+    same integer (floor) division, so the values are bit-exact. DuckDB's
+    SUM(BIGINT) widens to HUGEINT — cast back down inside each round.
+    """
+    head = """
+    WITH pr_edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'c' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      UNION
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR),
+                      's' || CAST(l_suppkey AS VARCHAR)
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM pr_edges
+              UNION SELECT DISTINCT dst FROM pr_edges),
+    deg AS (SELECT src, COUNT(*) AS outd FROM pr_edges GROUP BY src),
+    nv AS (SELECT COUNT(*) AS n FROM verts),
+    r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nv) AS rank FROM verts)"""
+    rounds = "".join(
+        f""",
+    r{i} AS (
+      SELECT v.id,
+             (15 * 1000000000000) // (100 * (SELECT n FROM nv))
+             + (85 * COALESCE(s.contrib, 0)) // 100 AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(r.rank // d.outd) AS BIGINT) AS contrib
+        FROM pr_edges e
+        JOIN r{i - 1} r ON e.src = r.id
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.id = v.id
+    )"""
+        for i in range(1, n_iter + 1)
+    )
+    return f"{head}{rounds}\n    SELECT id, CAST(rank AS BIGINT) AS rank FROM r{n_iter}"
+
+
+@query(
+    "x_pagerank",
+    sql=_pagerank_oracle_sql(5),
+    note="fixed-iteration integer PageRank over the supplier<->customer "
+    "trade graph; scaled-bigint ranks + floor division make every round "
+    "bit-exact across engines and partitionings (oracle = unrolled SQL)",
+)
+def x_pagerank(spark, sf_dir):
+    from flnr_wins_spark.operators.graph import pagerank_integer
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("sup"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
+    )
+    edges = pairs.select(F.col("sup").alias("src"), F.col("cust").alias("dst")).union(
+        pairs.select(F.col("cust").alias("src"), F.col("sup").alias("dst"))
+    )
+    return pagerank_integer(edges, n_iter=5)
+
+
 @query(
     "x_dedup_minhash_lsh",
     sql=None,  # probabilistic candidate generation; exact-verified but not SQL-expressible

@@ -391,6 +391,32 @@ class TestConnectedComponents:
         assert all(r.cluster_id == 5 for r in rows.values())
 
 
+class TestPageRank:
+    def test_star_graph_ranks_hub_highest(self, spark):
+        from flnr_wins_spark.operators.graph import pagerank_integer
+
+        # undirected star: hub 0 <-> spokes 1..4; hub must outrank spokes,
+        # spokes must tie exactly (integer arithmetic => exact equality)
+        spokes = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+        edges = spark.createDataFrame(spokes, "src long, dst long")
+        got = {r.id: r["rank"] for r in pagerank_integer(edges, n_iter=10).collect()}
+        assert got[0] > got[1]
+        assert len({got[i] for i in range(1, 5)}) == 1
+        # total mass stays near the scale (floor-division leakage only)
+        assert 0.95 * 1_000_000_000_000 < sum(got.values()) <= 1_000_000_000_000
+
+    def test_deterministic_across_partitionings(self, spark):
+        from flnr_wins_spark.operators.graph import pagerank_integer
+
+        edges = spark.createDataFrame(
+            [(a, b) for a in range(6) for b in range(6) if (a + b) % 3 == 0 and a != b],
+            "src long, dst long",
+        )
+        one = {r.id: r["rank"] for r in pagerank_integer(edges.coalesce(1), n_iter=6).collect()}
+        many = {r.id: r["rank"] for r in pagerank_integer(edges.repartition(7), n_iter=6).collect()}
+        assert one == many
+
+
 class TestApproxDistinct:
     def test_within_error_bound(self, spark):
         from flnr_wins_spark.plans.common import all_queries
