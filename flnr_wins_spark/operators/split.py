@@ -28,6 +28,22 @@ def split_bucket(key: Column, buckets: int = 256) -> Column:
     ).cast("long") % buckets
 
 
+def kfold_split(
+    df: DataFrame, id_col: str, k: int = 5, fold_col: str = "fold"
+) -> DataFrame:
+    """Assign each row a cross-validation fold in [0, k) by content hash.
+
+    Same discipline as ``train_test_split``: membership is a pure function
+    of the key, so folds are stable across runs, engines, and partitionings,
+    and incremental data lands in folds at the same proportions. Fold sizes
+    are even up to the hash-bucket quantization of ``split_bucket``.
+    Narrow map-side projection — no shuffle, safe at any scale.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(fold_col, split_bucket(F.col(id_col), k).cast("int"))
+
+
 def train_test_split(
     df: DataFrame, id_col: str, test_fraction: float = 0.1, split_col: str = "split"
 ) -> DataFrame:

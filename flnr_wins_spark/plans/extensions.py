@@ -349,6 +349,48 @@ def x_train_test_split(spark, sf_dir):
 
 
 @query(
+    "x_kfold_split",
+    sql="""
+    SELECT doc_id,
+           CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                     AS INTEGER) % 5 AS INTEGER) AS fold
+    FROM documents
+    """,
+    note="content-addressed k-fold cross-validation assignment (md5-bucket "
+    "mod k — stable across runs/engines/partitionings; narrow, no shuffle)",
+)
+def x_kfold_split(spark, sf_dir):
+    from flnr_wins_spark.operators.split import kfold_split
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return kfold_split(docs, "doc_id", k=5)
+
+
+@query(
+    "x_vocab_topk",
+    sql="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+    note="vocabulary induction: corpus token frequencies, top-k by count "
+    "with lexical tiebreak. explode -> count (map-side combine) -> "
+    "TakeOrdered top-k; the full vocab never sorts globally",
+)
+def x_vocab_topk(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+@query(
     "x_dedup_clusters",
     sql=f"""
     WITH RECURSIVE docs AS ({_DUP_SQL_DOCS}),

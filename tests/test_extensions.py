@@ -468,6 +468,24 @@ class TestTrainTestSplit:
         all_train = {r.split for r in train_test_split(df, "doc_id", 0.0).collect()}
         assert all_train == {"train"}
 
+    def test_kfold_stable_and_covering(self, spark):
+        from flnr_wins_spark.operators.split import kfold_split
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.fold for r in kfold_split(df, "doc_id", k=5).collect()}
+        b = {r.doc_id: r.fold for r in kfold_split(df.repartition(13), "doc_id", k=5).collect()}
+        assert a == b  # partitioning-independent
+        assert set(a.values()) == set(range(5))
+        sizes = [sum(1 for v in a.values() if v == f) for f in range(5)]
+        assert min(sizes) > 0.6 * max(sizes)  # even-ish within hash noise
+
+    def test_kfold_rejects_degenerate_k(self, spark):
+        from flnr_wins_spark.operators.split import kfold_split
+
+        df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            kfold_split(df, "doc_id", k=1)
+
 
 class TestStratifiedSample:
     def test_membership_is_key_deterministic(self, spark):
