@@ -277,6 +277,61 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 3,
+    threshold: float = 0.95,
+    seed: int = 42,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic (embedding-space) deduplication, SemDeDup-style: k-means
+    cluster the corpus, compare pairs ONLY within a cluster, link pairs with
+    cosine >= ``threshold``, keep the lowest id per linked group. Returns
+    (id, cluster_id, is_survivor) for EVERY input row (non-duplicates are
+    their own surviving cluster).
+
+    Scale shape: the quadratic all-pairs cost is confined to each k-means
+    cell — O(sum |cell|^2) — so ``k`` is the dial: size it to ~N/target_cell
+    (the published recipe uses cells of 10^4-10^5 docs at web scale). Vectors
+    are unit-normalized ONCE up front, so each within-cell comparison is a
+    single dot fold; the pair join shuffles on the cell key. A pathologically
+    hot cell dominates the join — mitigate by raising ``k`` or salting the
+    cell key (operators/skew.py) if one cell exceeds ~10^6 rows.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"), unit(F.col(vec_col).cast("array<double>")).alias("v")
+    )
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(df, vec_col, id_col, k=k, iters=iters, seed=seed)
+    )
+    assigned = kmeans_assign(v, cents)
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("_va"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("_vb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    from flnr_wins_spark.operators.graph import dedup_clusters
+
+    clusters = dedup_clusters(pairs)
+    return (
+        assigned.select("id")
+        .join(clusters, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+            F.coalesce(F.col("is_survivor"), F.lit(True)).alias("is_survivor"),
+        )
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

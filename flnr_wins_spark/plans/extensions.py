@@ -599,6 +599,25 @@ def x_similarity_ivf_kmeans(spark, sf_dir):
 
 
 @query(
+    "x_semdedup",
+    sql=None,  # k-means cell structure has no SQL twin; clone recovery is unit-tested
+    note="SemDeDup semantic dedup: k-means cells -> within-cell cosine pairs "
+    "-> connected components -> lowest-id survivor. Planted scaled clones "
+    "(identical unit vectors) are guaranteed to share a cell and link",
+)
+def x_semdedup(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2.0).alias("embedding"),
+    )
+    base = emb.unionByName(clones)
+    return semantic_dedup(base, k=8, iters=2, threshold=0.999)
+
+
+@query(
     "x_text_tokenize_bpe",
     sql="""
     SELECT doc_id,

@@ -391,6 +391,31 @@ class TestConnectedComponents:
         assert all(r.cluster_id == 5 for r in rows.values())
 
 
+class TestSemanticDedup:
+    def test_clones_cluster_and_singletons_survive(self, spark):
+        from flnr_wins_spark.functions.vectors import semantic_dedup
+
+        import math
+
+        # 12 well-separated unit-ish vectors + scaled clones of ids 0 and 5;
+        # a clone's unit vector is identical to its original's, so they must
+        # share a k-means cell and link at any threshold
+        def vec(i):
+            return [math.cos(i * 0.5), math.sin(i * 0.5), float(i % 3)]
+
+        rows = [(i, vec(i)) for i in range(12)]
+        rows += [(100, [2 * x for x in vec(0)]), (105, [3 * x for x in vec(5)])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r.id: r for r in semantic_dedup(emb, k=4, iters=2, threshold=0.9999).collect()}
+        assert len(got) == 14  # every input row gets a verdict
+        assert got[100].cluster_id == 0 and not got[100].is_survivor
+        assert got[105].cluster_id == 5 and not got[105].is_survivor
+        assert got[0].is_survivor and got[5].is_survivor
+        # at this threshold the remaining distinct directions stay singletons
+        singles = [i for i in range(12) if i not in (0, 5)]
+        assert all(got[i].cluster_id == i and got[i].is_survivor for i in singles)
+
+
 class TestPageRank:
     def test_star_graph_ranks_hub_highest(self, spark):
         from flnr_wins_spark.operators.graph import pagerank_integer
