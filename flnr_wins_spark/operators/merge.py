@@ -90,6 +90,56 @@ def merge_upsert(
     return out
 
 
+def incremental_agg(
+    prev: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    sign_col: str = "sign",
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental maintenance of a (count, sums...) aggregate under a
+    signed changeset — the materialized-view delta rule.
+
+    ``prev`` holds the previous aggregate state: ``key_cols`` + ``count_col``
+    + one column per ``sum_cols``. ``delta`` holds raw change rows carrying
+    ``sign_col`` = +1 (insert) / -1 (delete); an update is a -1 old row plus
+    a +1 new row. The new state is
+
+        merge(prev, aggregate(delta))   (full-outer on keys, sums added,
+                                         groups whose count reaches 0 drop)
+
+    so a 100 TB fact table's aggregate refreshes at the cost of the DELTA,
+    not the base: one partial agg over the changeset + one join against the
+    (much smaller) aggregate table. Sums must be exact types (bigint /
+    decimal) for the merged state to be independent of merge order —
+    the same determinism rule as plans/common.py's dsum.
+    """
+    keys = list(key_cols)
+    d = delta.groupBy(*keys).agg(
+        F.sum(F.col(sign_col)).cast("bigint").alias("_dn"),
+        *[
+            F.sum(F.col(sign_col) * F.col(c)).alias(f"_d_{c}")
+            for c in sum_cols
+        ],
+    )
+    merged = prev.join(d, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col(count_col), F.lit(0).cast("bigint"))
+            + F.coalesce(F.col("_dn"), F.lit(0).cast("bigint"))
+        ).alias(count_col),
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0).cast(prev.schema[c].dataType.simpleString()))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0).cast(prev.schema[c].dataType.simpleString()))
+            ).alias(c)
+            for c in sum_cols
+        ],
+    )
+    return merged.filter(F.col(count_col) > 0)
+
+
 def scd2_apply(
     history: DataFrame,
     source: DataFrame,

@@ -241,6 +241,46 @@ def x_cdc_diff(spark, sf_dir):
 
 
 @query(
+    "x_incremental_agg",
+    sql="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 <> 0
+    GROUP BY o_custkey
+    """,
+    note="incremental aggregate maintenance (materialized-view delta rule): "
+    "prev state + signed changeset agg merged on the key; the oracle "
+    "recomputes the same final state from scratch, proving merge == rebuild. "
+    "Exact decimal sums make the merge order-independent",
+)
+def x_incremental_agg(spark, sf_dir):
+    from flnr_wins_spark.operators.merge import incremental_agg
+
+    od = t(spark, sf_dir, "orders")
+    base = od.filter(F.col("o_orderkey") % 7 != 0)
+    prev = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("sum_price"),
+    )
+    inserts = od.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_custkey", F.lit(1).alias("sign"),
+        F.col("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+    )
+    deletes = od.filter((F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 5 == 0)).select(
+        "o_custkey", F.lit(-1).alias("sign"),
+        F.col("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+    )
+    merged = incremental_agg(
+        prev, inserts.unionByName(deletes), ["o_custkey"], ["sum_price"]
+    )
+    return merged.select(
+        "o_custkey", F.col("n"), F.col("sum_price").cast("double").alias("sum_price")
+    )
+
+
+@query(
     "x_merge_upsert",
     sql=f"""
     WITH {_SNAP_SQL},

@@ -313,6 +313,34 @@ class TestMergeUpsert:
         assert got == {1: 10.0, 2: 99.0, 4: 40.0}
 
 
+class TestIncrementalAgg:
+    def test_merge_equals_rebuild_and_zero_groups_drop(self, spark):
+        from flnr_wins_spark.operators.merge import incremental_agg
+
+        base = spark.createDataFrame(
+            [(1, 10), (1, 20), (2, 5), (3, 7)], "k long, v long"
+        )
+        prev = base.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sv"),
+        )
+        # update k=1's 10 -> 11 (as -1/+1 pair), delete all of k=2, insert k=9
+        delta = spark.createDataFrame(
+            [(1, -1, 10), (1, 1, 11), (2, -1, 5), (9, 1, 100)],
+            "k long, sign int, sv long",
+        )
+        got = {r.k: (r.n, r.sv) for r in incremental_agg(prev, delta, ["k"], ["sv"]).collect()}
+        assert got == {1: (2, 31), 3: (1, 7), 9: (1, 100)}  # k=2 dropped at n=0
+
+    def test_new_group_from_delta_only(self, spark):
+        from flnr_wins_spark.operators.merge import incremental_agg
+
+        prev = spark.createDataFrame([], "k long, n bigint, sv bigint")
+        delta = spark.createDataFrame([(5, 1, 50), (5, 1, 60)], "k long, sign int, sv long")
+        got = {r.k: (r.n, r.sv) for r in incremental_agg(prev, delta, ["k"], ["sv"]).collect()}
+        assert got == {5: (2, 110)}
+
+
 class TestScd2:
     def _hist(self, spark, df, batch, prev=None):
         from flnr_wins_spark.operators.merge import scd2_apply
