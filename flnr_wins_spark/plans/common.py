@@ -72,7 +72,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_cdc_diff", "x_merge_upsert", "x_scd2_history",
     "q_recursive_calendar", "q_unpivot_metrics", "q_lateral_topn",
     "x_repetition_stats", "x_pagerank", "x_kfold_split", "x_vocab_topk",
-    "x_semdedup", "x_incremental_agg",
+    "x_semdedup", "x_incremental_agg", "x_similarity_int8",
     # (c) WINS parity core
     "r1_append_no_test", "r2_conditional_update", "r3_blank_to_null",
     "r4_enrich_left_join", "r6_frequency", "r7_reject_duplicates",

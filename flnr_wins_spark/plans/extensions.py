@@ -597,6 +597,47 @@ def x_similarity_topk(spark, sf_dir):
 
 
 @query(
+    "x_similarity_int8",
+    sql="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+             END AS s
+      FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, s,
+             list_transform(v, x -> CAST(floor(x / s + 0.5) AS DOUBLE)) AS codes
+      FROM base
+    ),
+    q AS (SELECT vec_id AS query_id, s AS qs, codes AS qc FROM coded WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, s AS cs, codes AS cc FROM coded),
+    scored AS (
+      SELECT query_id, cand_id,
+             CAST(list_dot_product(qc, cc) AS DOUBLE) * qs * cs AS score
+      FROM q, c WHERE query_id <> cand_id
+    )
+    SELECT query_id, cand_id, score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, cand_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+    note="int8-quantized top-k: symmetric floor-rounded quantization (bit-"
+    "deterministic across engines), integer dot product (exact), dequantized "
+    "score — the 4-8x bandwidth-cut similarity path, fully oracle-checked",
+)
+def x_similarity_int8(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import quantized_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return quantized_topk(queries, emb, k=5)
+
+
+@query(
     "x_similarity_ann_lsh",
     sql=None,  # approximate-recall ANN — no exact SQL twin
     note="ANN top-k via random-hyperplane LSH buckets + exact re-rank",

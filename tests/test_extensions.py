@@ -391,6 +391,39 @@ class TestConnectedComponents:
         assert all(r.cluster_id == 5 for r in rows.values())
 
 
+class TestQuantizedTopk:
+    def test_quantization_roundtrip_and_recall(self, spark):
+        from flnr_wins_spark.functions.vectors import brute_force_topk, int8_quantize, quantized_topk
+
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        codes = emb.select(int8_quantize(F.col("embedding")).alias("q")).collect()
+        for r in codes:
+            assert all(-127 <= c <= 127 for c in r.q.codes)
+            assert r.q.scale > 0
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r.query_id, r.cand_id)
+            for r in brute_force_topk(queries, emb, k=5).collect()
+        }
+        quant = {
+            (r.query_id, r.cand_id)
+            for r in quantized_topk(queries, emb, k=5).collect()
+        }
+        # int8 keeps ~1% relative error on dots: top-5 overlap stays high
+        assert len(exact & quant) >= 0.7 * len(exact)
+
+    def test_zero_vector_guard(self, spark):
+        from flnr_wins_spark.functions.vectors import int8_quantize
+
+        emb = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+        got = emb.select(int8_quantize(F.col("embedding")).alias("q")).collect()[0].q
+        assert got.codes == [0, 0, 0] and got.scale == 1.0
+
+
 class TestSemanticDedup:
     def test_clones_cluster_and_singletons_survive(self, spark):
         from flnr_wins_spark.functions.vectors import semantic_dedup
