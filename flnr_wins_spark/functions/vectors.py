@@ -277,6 +277,132 @@ def ivf_topk(
     )
 
 
+def _sub_slices(vec: Column, dim: int, m: int) -> Column:
+    """Explodeable array of (sub, subvec) slices of an array<double> vector."""
+    subd = dim // m
+    return F.array(
+        *[
+            F.struct(F.lit(s).alias("sub"), F.slice(vec, s * subd + 1, subd).alias("subvec"))
+            for s in range(m)
+        ]
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Train product-quantization codebooks: split each vector into ``m``
+    subvectors and run k-means (``ksub`` cells) independently per subspace.
+    Returns (sub, cent_id, centroid) — m * ksub rows, model-sized.
+
+    PQ is the standard billion-scale ANN compression (Jegou et al., TPAMI
+    2011): m bytes per vector instead of 8*dim, with distances computed
+    against a per-query lookup table. Training reuses ``kmeans_fit`` per
+    subspace (driver loop over m — model-sized work, data passes stay
+    distributed)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subd = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col).cast("array<double>"), s * subd + 1, subd).alias("embedding"),
+        )
+        cb = kmeans_fit(sub, k=ksub, iters=iters, seed=seed + s)
+        books.append(cb.select(F.lit(s).alias("sub"), "cent_id", "centroid"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors as (id, codes array<bigint>) — code[s] = nearest
+    centroid of subspace s. ONE pass over the data: slices explode narrow,
+    the (model-sized) codebooks broadcast, the per-(id, sub) argmin collapses
+    map-side via combinable min(struct(dist, cent)), and codes assemble with
+    one groupBy on id."""
+    slices = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_sub_slices(F.col(vec_col).cast("array<double>"), dim, m)).alias("_s"),
+    ).select("id", F.col("_s.sub").alias("sub"), F.col("_s.subvec").alias("subvec"))
+    best = F.min(
+        F.struct(sqdist(F.col("subvec"), F.col("centroid")).alias("d"), F.col("cent_id").alias("c"))
+    )
+    assigned = (
+        slices.join(F.broadcast(codebooks), "sub")
+        .groupBy("id", "sub")
+        .agg(best.alias("_b"))
+        .select("id", "sub", F.col("_b.c").alias("code"))
+    )
+    return assigned.groupBy("id").agg(
+        F.expr("transform(array_sort(collect_list(struct(sub, code))), s -> s.code)").alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 5,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, a
+    (sub, cent_id) -> partial-sqdist lookup table (|Q| * m * ksub rows,
+    broadcast); candidates contribute only their (id, sub, code) triples.
+    Returns (query_id, cand_id, approx_sqdist, rank), rank 1..k ascending.
+
+    Scale shape: the corpus never moves vectors — only m small code rows per
+    candidate shuffle (groupBy (query, cand) with map-side combine). Partial
+    distances route through decimal so the m-way sum is order-independent
+    (same determinism rule as plans/common.py dsum)."""
+    qtab = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.explode(_sub_slices(F.col(vec_col).cast("array<double>"), dim, m)).alias("_s"),
+        )
+        .select("query_id", F.col("_s.sub").alias("sub"), F.col("_s.subvec").alias("subvec"))
+        .join(F.broadcast(codebooks), "sub")
+        .select(
+            "query_id",
+            "sub",
+            F.col("cent_id").alias("code"),
+            sqdist(F.col("subvec"), F.col("centroid")).cast("decimal(27,12)").alias("pdist"),
+        )
+    )
+    cand = encoded.select(
+        F.col("id").alias("cand_id"), F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        cand.join(F.broadcast(qtab), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pdist").cast("double").alias("approx_sqdist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_sqdist").asc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
 def int8_quantize(vec: Column) -> Column:
     """Symmetric int8 quantization of an array<double>: returns
     struct(scale double, codes array<int>) with codes in [-127, 127] and

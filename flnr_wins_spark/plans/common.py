@@ -65,14 +65,19 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q_scalar_functions", "q_date_functions", "q_asof_join", "q_pivot_status",
     "q_explode_tokens", "q_exists_subquery", "q_having", "q_stats_derived",
     "q_union_distinct", "q_percentile",
-    # (b) red in round 1, fixed this round; then new round-2 operators
+    # (b) red in round 1, fixed this round; then new round-2 operators.
+    # Oracle-backed entries first: if the driver's grading budget cuts the
+    # window, a missing rows-only row costs less evidence than a missing
+    # hash-checked row.
     "x_text_tokenize_bpe", "x_multimodal_features",
     "x_quality_rules", "x_corpus_stats", "x_doc_chunking", "x_dedup_spans",
-    "x_url_filter", "x_corpus_resample", "x_similarity_ivf_kmeans",
+    "x_url_filter", "x_corpus_resample",
     "x_cdc_diff", "x_merge_upsert", "x_scd2_history",
     "q_recursive_calendar", "q_unpivot_metrics", "q_lateral_topn",
     "x_repetition_stats", "x_pagerank", "x_kfold_split", "x_vocab_topk",
-    "x_semdedup", "x_incremental_agg", "x_similarity_int8",
+    "x_incremental_agg", "x_similarity_int8",
+    # rows-only round-2 entries
+    "x_similarity_ivf_kmeans", "x_semdedup", "x_similarity_pq",
     # (c) WINS parity core
     "r1_append_no_test", "r2_conditional_update", "r3_blank_to_null",
     "r4_enrich_left_join", "r6_frequency", "r7_reject_duplicates",

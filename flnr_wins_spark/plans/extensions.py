@@ -680,6 +680,23 @@ def x_similarity_ivf_kmeans(spark, sf_dir):
 
 
 @query(
+    "x_similarity_pq",
+    sql=None,  # k-means-trained codebooks + approximate recall — no exact SQL twin
+    note="Product-quantization ANN (Jegou et al. 2011): per-subspace k-means "
+    "codebooks, m-byte codes, asymmetric-distance top-k via broadcast "
+    "query lookup tables — the corpus never shuffles a full vector",
+)
+def x_similarity_pq(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import pq_encode, pq_fit, pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, dim=64, m=4, ksub=16, iters=2)
+    enc = pq_encode(emb, books, dim=64, m=4)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, enc, books, dim=64, m=4, k=5)
+
+
+@query(
     "x_semdedup",
     sql=None,  # k-means cell structure has no SQL twin; clone recovery is unit-tested
     note="SemDeDup semantic dedup: k-means cells -> within-cell cosine pairs "

@@ -391,6 +391,60 @@ class TestConnectedComponents:
         assert all(r.cluster_id == 5 for r in rows.values())
 
 
+class TestProductQuantization:
+    def test_adc_exact_on_centroid_aligned_vectors(self, spark):
+        from flnr_wins_spark.functions.vectors import pq_encode, pq_topk
+
+        books = spark.createDataFrame(
+            [(0, 1, [0.0, 0.0]), (0, 2, [10.0, 10.0]),
+             (1, 1, [0.0, 0.0]), (1, 2, [10.0, 10.0])],
+            "sub int, cent_id long, centroid array<double>",
+        )
+        vecs = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0, 0.0]),
+             (2, [10.0, 10.0, 10.0, 10.0]),
+             (3, [0.0, 0.0, 10.0, 10.0])],
+            "vec_id long, embedding array<double>",
+        )
+        enc = pq_encode(vecs, books, dim=4, m=2)
+        codes = {r.id: list(r.codes) for r in enc.collect()}
+        assert codes == {1: [1, 1], 2: [2, 2], 3: [1, 2]}
+        q = spark.createDataFrame([(99, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+        got = {r.cand_id: (r.approx_sqdist, r["rank"]) for r in pq_topk(q, enc, books, dim=4, m=2, k=3).collect()}
+        # centroid-aligned vectors make ADC distances exact
+        assert got == {1: (0.0, 1), 3: (200.0, 2), 2: (400.0, 3)}
+
+    def test_trained_cluster_recall(self, spark):
+        from flnr_wins_spark.functions.vectors import pq_encode, pq_fit, pq_topk
+
+        import random
+
+        rng = random.Random(3)
+        centers = [[rng.uniform(-5, 5) for _ in range(8)] for _ in range(6)]
+        rows = [
+            (i, [c + rng.gauss(0, 0.05) for c in centers[i % 6]])
+            for i in range(120)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        books = pq_fit(emb, dim=8, m=2, ksub=8, iters=3)
+        enc = pq_encode(emb, books, dim=8, m=2)
+        queries = emb.filter(F.col("vec_id") < 4)
+        got = pq_topk(queries, enc, books, dim=8, m=2, k=5).collect()
+        assert len(got) == 20
+        # ADC collapses same-code candidates to one distance, so member-level
+        # recall inside a tight cluster is tie-break noise; the meaningful
+        # property is that every retrieved candidate is from the query's true
+        # cluster (codebooks learned the 6 well-separated clusters).
+        assert all(r.cand_id % 6 == r.query_id % 6 for r in got)
+
+    def test_fit_rejects_indivisible_dim(self, spark):
+        from flnr_wins_spark.functions.vectors import pq_fit
+
+        emb = spark.createDataFrame([(1, [0.0] * 6)], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError):
+            pq_fit(emb, dim=6, m=4)
+
+
 class TestQuantizedTopk:
     def test_quantization_roundtrip_and_recall(self, spark):
         from flnr_wins_spark.functions.vectors import brute_force_topk, int8_quantize, quantized_topk
