@@ -1,0 +1,109 @@
+"""Keyword retrieval: inverted-index postings + BM25 ranking.
+
+The reference engine has no text-retrieval surface (its 319-line ETL at
+/root/reference/src/wins_transform_staging.py is attribute joins only); this
+module adds the search primitive a training-data pipeline needs for corpus
+triage ("find the docs about X") — expressed as plain DataFrame ops so
+Catalyst keeps the whole plan in codegen.
+
+Scale shape (100 TB corpus, Q query terms):
+
+  * postings are exploded NARROW (no shuffle) and immediately filtered to the
+    query terms, so only matching (term, doc_id) rows ever reach an exchange;
+  * document-frequency and corpus stats aggregate to model-sized frames and
+    broadcast — the corpus-sized side shuffles exactly twice (tf groupBy and
+    doc-length groupBy), both with map-side partial aggregation;
+  * in a standing deployment, doc lengths / avgdl / df are corpus metadata
+    you materialize once per snapshot and reuse per query — the dataflow here
+    recomputes them inline so a single call is self-contained.
+
+Determinism contract (plans/common.py): IEEE +,-,*,/ are correctly rounded,
+so identically-parenthesized expressions match DuckDB bit-for-bit; ln() may
+differ by 1 ulp across libm implementations, so per-term scores round through
+DECIMAL(27,9) before the per-doc sum (also making the sum order-insensitive).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased alphanumeric tokens of a text column (empties dropped)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted-index postings: one (term, doc_id, tf) row per distinct term
+    per document. One shuffle (groupBy term+doc with map-side combine)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k document retrieval (Robertson/Sparck Jones probabilistic
+    weighting, the Lucene-default `+1` idf variant so weights stay positive).
+    Returns (doc_id, score, rank), rank 1..k by descending score.
+
+    Corpus stats (N, avgdl) are over documents with >=1 token. Scoring:
+
+        idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+        tfn(t,d)= tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
+        score   = sum_t idf(t) * tfn(t,d)       (decimal-routed, see module)
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfd = F.col("tf").cast("double")
+    tfn = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))))
+    )
+    scored = (
+        joined.select("doc_id", (idf * tfn).alias("_s"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("_s").cast("decimal(27,9)")).cast("double").alias("score"))
+    )
+    # TakeOrderedAndProject does the global top-k (per-partition heaps, no
+    # single-partition sort barrier); the rank window then sees only k rows.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

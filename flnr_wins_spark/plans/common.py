@@ -75,7 +75,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_cdc_diff", "x_merge_upsert", "x_scd2_history",
     "q_recursive_calendar", "q_unpivot_metrics", "q_lateral_topn",
     "x_repetition_stats", "x_pagerank", "x_kfold_split", "x_vocab_topk",
-    "x_incremental_agg", "x_similarity_int8",
+    "x_incremental_agg", "x_similarity_int8", "x_search_bm25",
     # rows-only round-2 entries
     "x_similarity_ivf_kmeans", "x_semdedup", "x_similarity_pq",
     # (c) WINS parity core

@@ -697,6 +697,59 @@ def x_similarity_pq(spark, sf_dir):
 
 
 @query(
+    "x_search_bm25",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('spark', 'merge', 'window')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(
+               ln((CAST(stats.n_docs - df.df AS DOUBLE) + 0.5)
+                  / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * ((1.0 - 0.75)
+                              + (0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))))
+             AS DECIMAL(27,9))) AS DOUBLE) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN doclen dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+    WHERE rn <= 10
+    """,
+    note="BM25 keyword retrieval: postings filtered to query terms before any "
+    "shuffle, df/corpus stats broadcast, TakeOrdered top-k; per-term scores "
+    "decimal-routed so ln() ulp differences can't break the oracle hash",
+)
+def x_search_bm25(spark, sf_dir):
+    from flnr_wins_spark.functions.search import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "merge", "window"], k=10)
+
+
+@query(
     "x_semdedup",
     sql=None,  # k-means cell structure has no SQL twin; clone recovery is unit-tested
     note="SemDeDup semantic dedup: k-means cells -> within-cell cosine pairs "

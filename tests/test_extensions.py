@@ -445,6 +445,41 @@ class TestProductQuantization:
             pq_fit(emb, dim=6, m=4)
 
 
+class TestBM25:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        from flnr_wins_spark.functions.search import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry cherry apple")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.score, r["rank"]) for r in bm25_topk(docs, ["apple"], k=10).collect()}
+        # N=3, avgdl=3, df(apple)=2 => idf=ln(1.6)
+        idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+        d1 = idf * (2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0)))
+        d3 = idf * (1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 4 / 3.0)))
+        assert set(got) == {1, 3}
+        assert got[1][1] == 1 and got[3][1] == 2
+        assert got[1][0] == pytest.approx(d1, rel=1e-9)
+        assert got[3][0] == pytest.approx(d3, rel=1e-9)
+
+    def test_multi_term_and_k_cap(self, spark):
+        from flnr_wins_spark.functions.search import bm25_topk, build_postings
+
+        docs = spark.createDataFrame(
+            [(i, "common filler" + (" rare" if i == 7 else "")) for i in range(20)],
+            "doc_id long, text string",
+        )
+        top = sorted(bm25_topk(docs, ["rare", "common"], k=3).collect(), key=lambda r: r["rank"])
+        assert len(top) == 3
+        # the only doc containing the rare term outranks pure-common docs
+        assert top[0].doc_id == 7 and top[0]["rank"] == 1
+        postings = {(r.term, r.doc_id): r.tf for r in build_postings(docs).collect()}
+        assert postings[("rare", 7)] == 1 and postings[("common", 0)] == 1
+
+
 class TestQuantizedTopk:
     def test_quantization_roundtrip_and_recall(self, spark):
         from flnr_wins_spark.functions.vectors import brute_force_topk, int8_quantize, quantized_topk
