@@ -1,0 +1,103 @@
+"""Mergeable frequency/membership sketches: Count-Min and a Bloom-style
+semi-join prefilter.
+
+The reference has no sketch surface (SURVEY.md §2c); a 100 TB engine needs
+sub-linear summaries for frequency estimation (heavy hitters without a full
+vocabulary shuffle) and for runtime join pruning (ship a compact membership
+filter to the big side instead of shuffling it). Spark's own runtime Bloom
+filter (spark.sql.optimizer.runtime.bloomFilter.enabled) does the latter
+inside the optimizer for eligible shapes; ``bloom_prefilter`` is the
+explicit, composable version for shapes the rule misses (pre-aggregated
+sides, multi-stage pipelines, stream-static joins).
+
+Portability contract: bucket indexes are hex prefixes of md5(seed || key).
+md5 is bit-identical in every engine (unlike xxhash64, which DuckDB lacks),
+so a DuckDB oracle can rebuild the exact same sketch — the same trick
+operators/sample.py uses for content-addressed sampling.
+
+Both sketches are pure aggregations, hence mergeable across partitions,
+days, or shards: CMS tables add cell-wise; Bloom bucket sets union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, seed: int, hex_chars: int) -> Column:
+    """16**hex_chars-way bucket of a key: hex prefix of md5(seed || key)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"s{seed}:"), col.cast("string"))), 1, hex_chars
+    )
+
+
+def countmin_estimates(
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    hex_chars: int = 1,
+) -> DataFrame:
+    """Build a Count-Min sketch (depth × 16**hex_chars cells) over
+    ``items`` and return, per distinct item, its true count next to the CMS
+    point estimate: (item, true_cnt, est_cnt). est_cnt >= true_cnt always;
+    equality iff no colliding item shares all ``depth`` buckets.
+
+    Dataflow: one groupBy builds exact per-item counts (in production the
+    sketch is built FROM the raw stream; summing pre-aggregated counts into
+    cells is numerically identical and cheaper to express), a narrow explode
+    fans each item to its ``depth`` (seed, bucket) cells, cell sums are a
+    sketch-sized aggregate, and the estimate is a min over a broadcast join
+    of item→cell against the tiny cell table. The corpus shuffles once.
+    """
+    counts = items.groupBy(F.col(item_col).alias("item")).agg(
+        F.count("*").alias("true_cnt")
+    )
+    fanned = counts.select(
+        "item",
+        "true_cnt",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    _bucket(F.col("item"), s, hex_chars).alias("bucket"),
+                )
+                for s in range(depth)
+            ])
+        ).alias("cell"),
+    ).select("item", "true_cnt", "cell.seed", "cell.bucket")
+    cells = fanned.groupBy("seed", "bucket").agg(F.sum("true_cnt").alias("cell_sum"))
+    return (
+        fanned.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("item", "true_cnt")
+        .agg(F.min("cell_sum").alias("est_cnt"))
+    )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    keys: DataFrame,
+    on_big: str,
+    on_key: str,
+    depth: int = 3,
+    hex_chars: int = 4,
+) -> DataFrame:
+    """Bloom-style pre-filter of ``big`` against the key set in ``keys``:
+    keep rows of ``big`` whose ``on_big`` value lands in an occupied bucket
+    for ALL ``depth`` hash functions. Superset of the exact semi-join (false
+    positives only, rate ≈ (occupancy)^depth) — callers finish with an exact
+    semi-join on the survivors; total semantics stay exact while the
+    shuffle-bound side shrinks map-side first.
+
+    Each round is a broadcast LEFT SEMI against a ≤16**hex_chars-row bucket
+    list — no shuffle of ``big`` at any point.
+    """
+    out = big
+    for s in range(depth):
+        occ = keys.select(_bucket(F.col(on_key), s, hex_chars).alias("_b")).distinct()
+        out = out.join(
+            F.broadcast(occ),
+            _bucket(F.col(on_big), s, hex_chars) == F.col("_b"),
+            "left_semi",
+        )
+    return out
