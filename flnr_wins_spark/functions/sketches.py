@@ -94,10 +94,14 @@ def bloom_prefilter(
     """
     out = big
     for s in range(depth):
-        occ = keys.select(_bucket(F.col(on_key), s, hex_chars).alias("_b")).distinct()
+        # bind the bucket column through the occ DataFrame reference (not a
+        # bare F.col) so a same-named column on `big` can't capture it
+        occ = keys.select(
+            _bucket(F.col(on_key), s, hex_chars).alias("_bloom_bucket")
+        ).distinct()
         out = out.join(
             F.broadcast(occ),
-            _bucket(F.col(on_big), s, hex_chars) == F.col("_b"),
+            _bucket(F.col(on_big), s, hex_chars) == occ["_bloom_bucket"],
             "left_semi",
         )
     return out

@@ -95,7 +95,9 @@ def retention_cohorts(
         .join(firsts, user_col)
         .withColumn(
             "week_offset",
-            (F.datediff(F.col("_wk"), F.col("cohort_week")) / 7).cast("int"),
+            # both weeks are Monday-truncated so the difference is an exact
+            # multiple of 7; `div` keeps it in integer arithmetic end-to-end
+            F.expr("datediff(_wk, cohort_week) div 7").cast("int"),
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(user_col).alias("active_users"))

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -108,3 +108,48 @@ def temperature_resample(
     keep = (F.col("rate_q") >= 256) | (prefix < F.format_string("%02x", F.col("rate_q")))
     # rates has one row per stratum — small next to df; AQE picks broadcast
     return df.join(rates, strata_col).filter(keep)
+
+
+def group_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    prefilter_margin: float | None = None,
+) -> DataFrame:
+    """Cap each group at ``k`` rows, chosen deterministically: survivors are
+    the ``k`` rows with the smallest ``md5('cap:' || key)`` (ties broken by
+    the key itself). The standard corpus-curation "per-domain page cap" —
+    membership is a pure function of (group, key), so re-runs, engine
+    changes, and incremental reprocessing agree on the sample.
+
+    Scale shape: one shuffle on the group key for the rank window. A hot
+    group (one domain with 1e9 pages) sorts inside a single task; for that
+    regime pass ``prefilter_margin`` (e.g. 4.0) to first drop rows whose
+    hash sits above ``margin * k / n_group`` of the hash space — a narrow
+    map-side filter using a broadcast of per-group counts that eliminates
+    the bulk of hot groups before the sort. The margin makes missing a true
+    top-k row astronomically unlikely (P[Binomial(n, m*k/n) < k] at m=4) but
+    not impossible, so the exact (default) path is what differential oracles
+    check; the prefiltered path still returns ≤ k deterministic rows.
+    """
+    h = F.md5(F.encode(F.concat(F.lit("cap:"), F.col(key_col).cast("string")), "UTF-8"))
+    out = df
+    if prefilter_margin is not None:
+        counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gc_n"))
+        # threshold in 1/65536 hash-space units, via the first 4 hex chars
+        thr = F.least(
+            F.lit(65536),
+            F.ceil(F.lit(65536.0 * prefilter_margin * k) / F.col("_gc_n")).cast("long"),
+        )
+        out = (
+            out.join(F.broadcast(counts), group_cols)
+            .filter(F.conv(F.substring(h, 1, 4), 16, 10).cast("long") < thr)
+            .drop("_gc_n")
+        )
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        out.withColumn("_gc_rn", F.row_number().over(w))
+        .filter(F.col("_gc_rn") <= k)
+        .drop("_gc_rn")
+    )

@@ -1,0 +1,227 @@
+"""Product-analytics + sketch + robust-statistics registry entries.
+
+The reference has no event-sequence, sketch, or distributional surface at
+all (SURVEY.md §2c — /root/reference/src/wins_transform_staging.py is batch
+attribute QA only); these are engine extensions. Every entry here is
+deterministic by construction (md5 content addressing, integer rank
+arithmetic), so each has an exact DuckDB oracle twin — including the
+Count-Min sketch and the Bloom prefilter, whose bucket functions are
+md5-hex prefixes reproducible in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.plans.common import query, t
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+@query(
+    "x_funnel_counts",
+    sql="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'signup' AS event_type, (SELECT COUNT(*) FROM s1) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+    note="strictly-ordered funnel conversion (earliest-completion frontier); "
+    "every shuffle keyed on user_id, stages filter to one event type first",
+    bench=True,
+)
+def x_funnel_counts(spark, sf_dir):
+    from flnr_wins_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(t(spark, sf_dir, "events"), list(_FUNNEL_STEPS))
+
+
+@query(
+    "x_retention_cohorts",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+    note="weekly cohort retention; two user_id-keyed shuffles then a tiny "
+    "(cohort, offset) grid aggregate",
+)
+def x_retention_cohorts(spark, sf_dir):
+    from flnr_wins_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(t(spark, sf_dir, "events"))
+
+
+@query(
+    "x_global_rank",
+    sql="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+    FROM orders
+    """,
+    note="global row_number WITHOUT a single-partition window: range-shard, "
+    "pin partitions (localCheckpoint), prefix-sum per-shard counts, "
+    "broadcast offsets back (operators/ranking.py)",
+)
+def x_global_rank(spark, sf_dir):
+    from flnr_wins_spark.operators.ranking import global_row_number
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_row_number(orders, ["o_totalprice", "o_orderkey"]).select(
+        "o_orderkey", "rn"
+    )
+
+
+@query(
+    "x_equidepth_bins",
+    sql="""
+    WITH r AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS total
+      FROM orders
+    )
+    SELECT o_orderkey, rn, CAST(((rn - 1) * 16) // total + 1 AS INT) AS bucket
+    FROM r
+    """,
+    note="equi-depth (quantile) binning via distributed global rank; "
+    "bucket boundary is pure integer arithmetic, bit-exact in any engine",
+)
+def x_equidepth_bins(spark, sf_dir):
+    from flnr_wins_spark.operators.ranking import equidepth_bins
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return equidepth_bins(orders, "o_totalprice", "o_orderkey", k=16).select(
+        "o_orderkey", "rn", "bucket"
+    )
+
+
+@query(
+    "x_winsorize",
+    sql="""
+    WITH r AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ), b AS (
+      SELECT MIN(CASE WHEN rn = greatest(1, (5 * n + 99) // 100)
+                      THEN o_totalprice END) AS lo,
+             MIN(CASE WHEN rn = (95 * n + 99) // 100
+                      THEN o_totalprice END) AS hi
+      FROM r
+    )
+    SELECT o_orderkey, o_totalprice,
+           least(greatest(o_totalprice, lo), hi) AS winsorized
+    FROM r, b
+    """,
+    note="rank-based winsorization (clamp to p5/p95): percentile = value at "
+    "rank ceil(p*N/100) — integer arithmetic, identical bound row in every "
+    "engine, no interpolation ambiguity",
+)
+def x_winsorize(spark, sf_dir):
+    from flnr_wins_spark.operators.ranking import winsorize
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return winsorize(orders, "o_totalprice", "o_orderkey").select(
+        "o_orderkey", "o_totalprice", "winsorized"
+    )
+
+
+@query(
+    "x_countmin",
+    sql="""
+    WITH counts AS (
+      SELECT o_custkey AS item, COUNT(*) AS true_cnt FROM orders GROUP BY 1
+    ), fanned AS (
+      SELECT item, true_cnt, s.seed,
+             substr(md5('s' || CAST(s.seed AS VARCHAR) || ':'
+                        || CAST(item AS VARCHAR)), 1, 1) AS bucket
+      FROM counts, (SELECT unnest(range(4)) AS seed) s
+    ), cells AS (
+      SELECT seed, bucket, SUM(true_cnt) AS cell_sum
+      FROM fanned GROUP BY 1, 2
+    )
+    SELECT item, true_cnt, CAST(MIN(cell_sum) AS BIGINT) AS est_cnt
+    FROM fanned JOIN cells USING (seed, bucket)
+    GROUP BY 1, 2
+    """,
+    note="Count-Min sketch (4x16 cells, md5 buckets = engine-portable): "
+    "est >= true always; collisions at this tiny width prove the oracle "
+    "rebuilds the identical sketch",
+)
+def x_countmin(spark, sf_dir):
+    from flnr_wins_spark.functions.sketches import countmin_estimates
+
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    return countmin_estimates(orders, "o_custkey", depth=4, hex_chars=1)
+
+
+@query(
+    "x_bloom_prefilter",
+    sql="""
+    WITH keys AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+    SELECT l_suppkey, COUNT(*) AS n
+    FROM lineitem
+    WHERE substr(md5('s0:' || CAST(l_suppkey AS VARCHAR)), 1, 1) IN
+            (SELECT DISTINCT substr(md5('s0:' || CAST(s_suppkey AS VARCHAR)), 1, 1) FROM keys)
+      AND substr(md5('s1:' || CAST(l_suppkey AS VARCHAR)), 1, 1) IN
+            (SELECT DISTINCT substr(md5('s1:' || CAST(s_suppkey AS VARCHAR)), 1, 1) FROM keys)
+      AND substr(md5('s2:' || CAST(l_suppkey AS VARCHAR)), 1, 1) IN
+            (SELECT DISTINCT substr(md5('s2:' || CAST(s_suppkey AS VARCHAR)), 1, 1) FROM keys)
+    GROUP BY 1
+    """,
+    note="explicit Bloom-style join prefilter: 3 broadcast semi-joins "
+    "against <=16-row bucket lists — big side never shuffles; deliberately "
+    "narrow buckets so false positives exercise the superset semantics",
+)
+def x_bloom_prefilter(spark, sf_dir):
+    from flnr_wins_spark.functions.sketches import bloom_prefilter
+
+    sup = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey")
+    kept = bloom_prefilter(li, sup, "l_suppkey", "s_suppkey", depth=3, hex_chars=1)
+    return kept.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "x_group_topk_sample",
+    sql="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+    note="deterministic per-group cap (per-domain page cap): k smallest "
+    "md5('cap:'||key) per group — stable under re-runs/engines; optional "
+    "hash-threshold prefilter handles hot groups (operators/sample.py)",
+)
+def x_group_topk_sample(spark, sf_dir):
+    from flnr_wins_spark.operators.sample import group_cap
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_cap(docs, ["source"], "doc_id", k=10)

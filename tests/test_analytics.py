@@ -1,0 +1,273 @@
+"""Unit tests for the analytics operators (funnel, retention, global rank,
+equi-depth bins, winsorize, Count-Min, Bloom prefilter, group cap).
+
+Each operator is also differentially oracle-checked via its registry entry
+(plans/analytics.py); these tests pin the semantic edge cases the oracle's
+fixture may not hit (strict ordering, ties, collisions, hot groups,
+caller-column collisions) and the determinism contracts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# funnel / retention
+# ---------------------------------------------------------------------------
+
+
+class TestFunnel:
+    def _events(self, spark):
+        rows = [
+            # u1 completes signup -> click -> purchase strictly in order
+            (1, _ts("2024-01-01T10:00:00"), "signup"),
+            (1, _ts("2024-01-01T11:00:00"), "click"),
+            (1, _ts("2024-01-01T12:00:00"), "purchase"),
+            # u2 clicks BEFORE signup, never after -> stops at step 1
+            (2, _ts("2024-01-01T09:00:00"), "click"),
+            (2, _ts("2024-01-01T10:00:00"), "signup"),
+            # u3 clicks at the exact signup instant -> strict > excludes it
+            (3, _ts("2024-01-01T10:00:00"), "signup"),
+            (3, _ts("2024-01-01T10:00:00"), "click"),
+            # u4 never signs up -> not in the funnel at all
+            (4, _ts("2024-01-01T10:00:00"), "purchase"),
+        ]
+        return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    def test_strict_ordering_and_counts(self, spark):
+        from flnr_wins_spark.operators.funnel import funnel_counts
+
+        out = funnel_counts(
+            self._events(spark), ["signup", "click", "purchase"]
+        ).collect()
+        by_step = {r["step"]: r for r in out}
+        assert by_step[1]["users"] == 3  # u1, u2, u3 signed up
+        assert by_step[2]["users"] == 1  # only u1 clicked strictly after
+        assert by_step[3]["users"] == 1
+        assert by_step[2]["event_type"] == "click"
+
+    def test_earliest_completion_frontier(self, spark):
+        # second click earlier than first purchase must NOT reset the frontier:
+        # purchase counts if after the EARLIEST click
+        from flnr_wins_spark.operators.funnel import funnel_counts
+
+        rows = [
+            (1, _ts("2024-01-01T10:00:00"), "signup"),
+            (1, _ts("2024-01-01T11:00:00"), "click"),
+            (1, _ts("2024-01-01T13:00:00"), "click"),
+            (1, _ts("2024-01-01T12:00:00"), "purchase"),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        out = {r["step"]: r["users"] for r in funnel_counts(ev, ["signup", "click", "purchase"]).collect()}
+        assert out[3] == 1
+
+    def test_empty_steps_raise(self, spark):
+        from flnr_wins_spark.operators.funnel import funnel_counts
+
+        with pytest.raises(ValueError):
+            funnel_counts(self._events(spark), [])
+
+
+class TestRetention:
+    def test_offsets(self, spark):
+        from flnr_wins_spark.operators.funnel import retention_cohorts
+
+        rows = [
+            (1, _ts("2024-01-01T10:00:00")),  # Mon wk0
+            (1, _ts("2024-01-10T10:00:00")),  # wk1
+            (1, _ts("2024-01-24T10:00:00")),  # wk3
+            (2, _ts("2024-01-03T10:00:00")),  # same cohort week
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = retention_cohorts(ev).collect()
+        grid = {(r["cohort_week"], r["week_offset"]): r["active_users"] for r in out}
+        wk = dt.date(2024, 1, 1)
+        assert grid[(wk, 0)] == 2
+        assert grid[(wk, 1)] == 1
+        assert grid[(wk, 3)] == 1
+        assert (wk, 2) not in grid
+
+
+# ---------------------------------------------------------------------------
+# global rank / bins / winsorize
+# ---------------------------------------------------------------------------
+
+
+class TestGlobalRowNumber:
+    def test_matches_single_partition_window(self, spark):
+        from flnr_wins_spark.operators.ranking import global_row_number
+
+        df = spark.range(500).select(
+            F.col("id"), (F.col("id") * 37 % 101).alias("v")
+        )
+        got = {
+            r["id"]: r["rn"]
+            for r in global_row_number(df, ["v", "id"], num_partitions=7).collect()
+        }
+        want = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want
+
+    def test_ranks_are_gapless_permutation(self, spark):
+        # the ADVICE failure mode was duplicated/gapped ranks when the counts
+        # branch and the rank branch saw different partition assignments;
+        # localCheckpoint pins them — ranks must be exactly 1..N
+        from flnr_wins_spark.operators.ranking import global_row_number
+
+        df = spark.range(1000).select(F.col("id"), F.rand(7).alias("v"))
+        rns = sorted(
+            r["rn"] for r in global_row_number(df, ["v", "id"], num_partitions=13).collect()
+        )
+        assert rns == list(range(1, 1001))
+
+    def test_no_caller_column_collision(self, spark):
+        from flnr_wins_spark.operators.ranking import global_row_number
+
+        df = spark.range(50).select(F.col("id"), F.lit(9).alias("_pid"))
+        out = global_row_number(df, ["id"])
+        assert set(out.columns) == {"id", "_pid", "rn"}
+        assert out.filter(F.col("_pid") != 9).count() == 0
+
+
+class TestEquidepthBins:
+    def test_populations_and_monotonicity(self, spark):
+        from flnr_wins_spark.operators.ranking import equidepth_bins
+
+        df = spark.range(100).select(F.col("id"), (F.col("id") % 40).alias("v"))
+        out = equidepth_bins(df, "v", "id", k=4).collect()
+        pops = {}
+        for r in out:
+            pops[r["bucket"]] = pops.get(r["bucket"], 0) + 1
+        assert pops == {1: 25, 2: 25, 3: 25, 4: 25}
+        # bucket is monotone in rank
+        by_rn = sorted(out, key=lambda r: r["rn"])
+        assert all(a["bucket"] <= b["bucket"] for a, b in zip(by_rn, by_rn[1:]))
+
+    def test_uneven_total(self, spark):
+        from flnr_wins_spark.operators.ranking import equidepth_bins
+
+        df = spark.range(10).select(F.col("id"), F.col("id").alias("v"))
+        out = equidepth_bins(df, "v", "id", k=3).collect()
+        pops = {}
+        for r in out:
+            pops[r["bucket"]] = pops.get(r["bucket"], 0) + 1
+        assert sum(pops.values()) == 10
+        assert max(pops.values()) - min(pops.values()) <= 1
+
+
+class TestWinsorize:
+    def test_clamps_to_rank_percentiles(self, spark):
+        from flnr_wins_spark.operators.ranking import winsorize
+
+        # values 1..100: p5 bound = value at rank 5 (=5), p95 at rank 95 (=95)
+        df = spark.range(1, 101).select(F.col("id"), F.col("id").cast("double").alias("v"))
+        out = {r["id"]: r["winsorized"] for r in winsorize(df, "v", "id").collect()}
+        assert out[1] == 5.0 and out[4] == 5.0 and out[5] == 5.0
+        assert out[50] == 50.0
+        assert out[95] == 95.0 and out[96] == 95.0 and out[100] == 95.0
+
+
+# ---------------------------------------------------------------------------
+# sketches
+# ---------------------------------------------------------------------------
+
+
+class TestCountMin:
+    def test_overestimate_invariant(self, spark):
+        from flnr_wins_spark.functions.sketches import countmin_estimates
+
+        df = spark.range(2000).select((F.col("id") % 97).alias("k"))
+        out = countmin_estimates(df, "k", depth=4, hex_chars=1).collect()
+        assert len(out) == 97
+        assert all(r["est_cnt"] >= r["true_cnt"] for r in out)
+
+    def test_exact_when_wide(self, spark):
+        # 16^4 = 65536 buckets vs 20 items: collision probability ~0 per seed,
+        # and min over 4 seeds needs ALL to collide -> estimates are exact
+        from flnr_wins_spark.functions.sketches import countmin_estimates
+
+        df = spark.range(200).select((F.col("id") % 20).alias("k"))
+        out = countmin_estimates(df, "k", depth=4, hex_chars=4).collect()
+        assert all(r["est_cnt"] == r["true_cnt"] for r in out)
+
+
+class TestBloomPrefilter:
+    def test_superset_of_semi_join_and_exact_finish(self, spark):
+        from flnr_wins_spark.functions.sketches import bloom_prefilter
+
+        big = spark.range(3000).select((F.col("id") % 300).alias("k"), F.col("id"))
+        keys = spark.range(40).select((F.col("id") * 7).alias("kk"))
+        pre = bloom_prefilter(big, keys, "k", "kk", depth=3, hex_chars=1)
+        exact = big.join(keys, big["k"] == keys["kk"], "left_semi")
+        pre_ids = {r["id"] for r in pre.collect()}
+        exact_ids = {r["id"] for r in exact.collect()}
+        assert exact_ids <= pre_ids  # no false negatives, ever
+        # exact semi-join on survivors == exact semi-join directly
+        finish = pre.join(keys, pre["k"] == keys["kk"], "left_semi")
+        assert {r["id"] for r in finish.collect()} == exact_ids
+        # and the narrow buckets actually pruned something
+        assert len(pre_ids) < big.count()
+
+    def test_caller_bucket_column_no_collision(self, spark):
+        from flnr_wins_spark.functions.sketches import bloom_prefilter
+
+        big = spark.range(100).select(
+            (F.col("id") % 10).alias("k"), F.lit("boom").alias("_bloom_bucket")
+        )
+        keys = spark.range(3).select(F.col("id").alias("kk"))
+        out = bloom_prefilter(big, keys, "k", "kk", depth=2, hex_chars=2)
+        semi = {r["k"] for r in out.collect()}
+        assert {0, 1, 2} <= semi
+
+
+# ---------------------------------------------------------------------------
+# group cap
+# ---------------------------------------------------------------------------
+
+
+class TestGroupCap:
+    def test_cap_and_determinism(self, spark):
+        from flnr_wins_spark.operators.sample import group_cap
+
+        df = spark.range(500).select(
+            (F.col("id") % 5).cast("string").alias("g"), F.col("id")
+        )
+        a = group_cap(df, ["g"], "id", k=7)
+        counts = {r["g"]: r["n"] for r in a.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert all(v == 7 for v in counts.values())
+        b = group_cap(df, ["g"], "id", k=7)
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    def test_small_groups_kept_whole(self, spark):
+        from flnr_wins_spark.operators.sample import group_cap
+
+        df = spark.range(3).select(F.lit("g").alias("g"), F.col("id"))
+        assert group_cap(df, ["g"], "id", k=10).count() == 3
+
+    def test_prefilter_path_bounded_and_deterministic(self, spark):
+        from flnr_wins_spark.operators.sample import group_cap
+
+        df = spark.range(5000).select(
+            (F.col("id") % 3).cast("string").alias("g"), F.col("id")
+        )
+        out = group_cap(df, ["g"], "id", k=5, prefilter_margin=4.0)
+        counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert all(v <= 5 for v in counts.values())
+        again = group_cap(df, ["g"], "id", k=5, prefilter_margin=4.0)
+        assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+        # with a generous margin the prefilter should not change the result
+        exact = group_cap(df, ["g"], "id", k=5)
+        assert {tuple(r) for r in out.collect()} == {tuple(r) for r in exact.collect()}
