@@ -477,6 +477,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     seed: int = 42,
     centroids: DataFrame | None = None,
+    max_cell_width: int | None = 100_000,
 ) -> DataFrame:
     """Semantic (embedding-space) deduplication, SemDeDup-style: k-means
     cluster the corpus, compare pairs ONLY within a cluster, link pairs with
@@ -486,11 +487,16 @@ def semantic_dedup(
 
     Scale shape: the quadratic all-pairs cost is confined to each k-means
     cell — O(sum |cell|^2) — so ``k`` is the dial: size it to ~N/target_cell
-    (the published recipe uses cells of 10^4-10^5 docs at web scale). Vectors
-    are unit-normalized ONCE up front, so each within-cell comparison is a
-    single dot fold; the pair join shuffles on the cell key. A pathologically
-    hot cell dominates the join — mitigate by raising ``k`` or salting the
-    cell key (operators/skew.py) if one cell exceeds ~10^6 rows.
+    (the published recipe uses cells of 10^4-10^5 docs at web scale).
+    k-means loves to dump boilerplate into one cell, so a hot-cell guard is
+    mandatory, not advisory: cells wider than ``max_cell_width`` are
+    EXCLUDED from pair generation (their rows pass through as their own
+    survivors, mirroring ``minhash_lsh_pairs``'s ``max_bucket_width`` —
+    failing open keeps data rather than letting one cell key go quadratic;
+    at the default cap a single stray cell costs at most 10^10 comparisons
+    instead of an unbounded blow-up). Vectors are unit-normalized ONCE up
+    front, so each within-cell comparison is a single dot fold; the pair
+    join shuffles on the cell key.
     """
     v = df.select(
         F.col(id_col).alias("id"), unit(F.col(vec_col).cast("array<double>")).alias("v")
@@ -501,8 +507,17 @@ def semantic_dedup(
         else kmeans_fit(df, vec_col, id_col, k=k, iters=iters, seed=seed)
     )
     assigned = kmeans_assign(v, cents)
-    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("_va"))
-    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("_vb"))
+    paired = assigned
+    if max_cell_width is not None:
+        width = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_w"))
+        paired = (
+            assigned.join(
+                F.broadcast(width.filter(F.col("_w") <= max_cell_width)), "cell"
+            )
+            .drop("_w")
+        )
+    a = paired.select("cell", F.col("id").alias("id_a"), F.col("v").alias("_va"))
+    b = paired.select("cell", F.col("id").alias("id_b"), F.col("v").alias("_vb"))
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -77,15 +77,27 @@ def shingle_sets(
 def jaccard_pairs(
     shingles: DataFrame,
     threshold: float,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 256,
 ) -> DataFrame:
     """All-pairs Jaccard similarity >= threshold from an (id, shingle) set
     table. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    ``max_shingle_freq`` drops shingles occurring in more than that many docs
-    (stop-shingles) before the self-join — they contribute little to Jaccard
-    but dominate join cost. Exact results are preserved for pairs whose
-    similarity comes from rarer shingles (at high thresholds, all of them).
+    SCOPE: this is the *exact* baseline operator — the differential oracle
+    for ``minhash_lsh_pairs`` and the right tool up to ~10^7 docs. Past its
+    stop-shingle cap it is inherently quadratic per surviving hot shingle
+    (a K-identical-doc cluster's OUTPUT alone is K^2/2 pairs); at web scale
+    run MinHash-LSH, which meets this operator's answer with P[miss] ~1e-11
+    at threshold 0.8, and keep this one for sampled verification.
+
+    ``max_shingle_freq`` (default 256 — ON by default; the unbounded mode is
+    opt-in via ``None``) drops shingles occurring in more than that many
+    docs (stop-shingles) before the self-join, bounding the per-shingle pair
+    contribution to ``cap^2/2``. They contribute little to Jaccard but
+    dominate join cost. Exact results are preserved for pairs whose
+    similarity comes from rarer shingles (at high thresholds, all of them);
+    the capped semantics are themselves deterministic, so an oracle mirrors
+    them with the same HAVING filter. Use ``stop_shingle_count`` to audit
+    how many shingles the cap drops.
     """
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sh = shingles
@@ -112,6 +124,22 @@ def jaccard_pairs(
     )
 
 
+def stop_shingle_count(shingles: DataFrame, max_shingle_freq: int) -> DataFrame:
+    """Audit companion to ``jaccard_pairs``: one row
+    (dropped_shingles, dropped_occurrences) counting what the stop-shingle
+    cap removes — run it when tuning the cap so drops are accounted for, not
+    silent."""
+    return (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .filter(F.col("_f") > max_shingle_freq)
+        .agg(
+            F.count(F.lit(1)).alias("dropped_shingles"),
+            F.coalesce(F.sum("_f"), F.lit(0)).cast("bigint").alias("dropped_occurrences"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -122,6 +150,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket_width: int | None = None,
     min_parallelism: int | None = None,
+    unpersist: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidate generation + exact Jaccard
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -189,10 +218,12 @@ def minhash_lsh_pairs(
     # The signature table feeds three consumers (banding + both verify sides);
     # without an explicit persist each consumer would recompute the shingle
     # projection from the source scan. MEMORY_AND_DISK: at cluster scale this
-    # table is ~corpus-sized, so partitions spill rather than OOM. The cache
-    # lives until the session ends (the returned plan is lazy, so this
-    # function cannot unpersist it) — callers looping over many corpora
-    # should `spark.catalog.clearCache()` between runs.
+    # table is ~corpus-sized, so partitions spill rather than OOM. Lifecycle:
+    # with the default lazy return the cache lives until the session ends
+    # (the returned plan still references it); pass ``unpersist=True`` to
+    # materialize the (tiny) verified-pairs result eagerly and release the
+    # signature cache before returning — the right mode for multi-corpus
+    # loops, which otherwise accumulate one cached corpus per call.
     agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
     banded = agg.select(
         "id",
@@ -231,12 +262,18 @@ def minhash_lsh_pairs(
     jac = inter.cast("double") / (
         F.size("sh_a") + F.size("sh_b") - inter
     )
-    return (
+    out = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if unpersist:
+        # verified pairs are duplicate-count-sized (<< corpus); pin them,
+        # then drop the corpus-sized signature cache
+        out = out.localCheckpoint(eager=True)
+        agg.unpersist()
+    return out
 
 
 def simhash_signatures(

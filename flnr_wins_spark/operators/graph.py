@@ -10,13 +10,23 @@ iterated to fixpoint. Iterations needed = graph diameter, and near-dup
 graphs are dense small cliques (diameter 1-2), so 2-3 rounds converge in
 practice; ``max_iter`` bounds the worst case.
 
+Two algorithms behind one interface (``algorithm=`` on
+:func:`connected_components`):
+
+  * ``"label"`` (default): min-label propagation — rounds = diameter; the
+    right choice for near-dup graphs, whose components are dense cliques.
+  * ``"star"``: alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — rounds =
+    O(log^2 n) REGARDLESS of diameter, the web-scale choice when
+    components can be long chains (URL graphs, citation chains). Each
+    half-round rewires edges toward the component minimum, so path length
+    collapses geometrically instead of shrinking by one hop per round.
+
 Scale notes: each round is one shuffle join edges-to-labels plus a groupBy
 min — both on the edge key, so AQE reuses the partitioning. Lineage is
 truncated per round with ``localCheckpoint`` (eager) — without it the
 iterative plan nests a copy of the whole DAG per round and analysis time
-blows up by round ~10. For web-scale graphs swap in the large-star/
-small-star algorithm (Kiveris et al., "Connected Components in MapReduce");
-the interface stays the same.
+blows up by round ~10.
 """
 
 from __future__ import annotations
@@ -30,12 +40,19 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Label every vertex of the undirected edge list with the minimum
-    vertex id reachable from it. Returns (id, cluster_id). Deterministic.
+    vertex id reachable from it. Returns (id, cluster_id). Deterministic —
+    both algorithms converge to the identical min-id labeling.
 
-    Raises if ``max_iter`` rounds do not converge (diameter > max_iter).
+    Raises if ``max_iter`` rounds do not converge (for ``"label"``:
+    diameter > max_iter; for ``"star"``: ~log^2(n) > max_iter).
     """
+    if algorithm == "star":
+        return _cc_star(edges, src, dst, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = e.localCheckpoint()
@@ -69,6 +86,88 @@ def connected_components(
         if changed == 0:
             return labels.select("id", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al. 2014).
+
+    Edges are kept canonical as (lo < hi). One round = large-star then
+    small-star:
+
+      large-star(u): connect every neighbor v > u to m = min(N(u) ∪ {u})
+      small-star(u): connect every neighbor v <= u (and u itself) to
+                     m = min of u's smaller neighborhood
+
+    Both are a symmetrize + groupBy-min + re-join — two shuffles per
+    half-round, keyed on vertex id. Fixpoint = the canonical edge set stops
+    changing, detected with an order-insensitive (count, xor of xxhash64)
+    signature — one tiny aggregate per round instead of a set-difference
+    join (xor over 64-bit hashes: a false fixpoint needs colliding multiset
+    hashes, ~2^-64). At fixpoint the graph is a disjoint union of stars:
+    every non-root has exactly one edge to its component minimum.
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    verts = (
+        fwd.select(F.col("a").alias("id"))
+        .union(fwd.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        fwd.select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                # bit_xor is order/partitioning-insensitive
+                F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        # large-star: for each u, m = min over symmetric neighborhood ∪ {u};
+        # every strictly-larger neighbor re-wires to m
+        sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("_mn"), F.col("u"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(m.alias("lo"), F.col("v").alias("hi"))
+            .filter(F.col("lo") < F.col("hi"))
+            .distinct()
+        )
+        # small-star: key every edge by its larger endpoint; all smaller
+        # neighbors (and the key itself) re-wire to the smallest of them
+        d = ls.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        smins = d.groupBy("u").agg(F.min("v").alias("_m"))
+        ss = (
+            d.join(smins, "u")
+            .filter(F.col("v") != F.col("_m"))
+            .select(F.col("_m").alias("lo"), F.col("v").alias("hi"))
+            .union(smins.select(F.col("_m").alias("lo"), F.col("u").alias("hi")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = signature(ss)
+        e = ss
+        if new_sig == sig:
+            star = e.select(F.col("hi").alias("id"), F.col("lo").alias("cluster_id"))
+            return (
+                verts.join(star, "id", "left")
+                .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+            )
+        sig = new_sig
+    raise RuntimeError(f"star connected_components did not converge in {max_iter} rounds")
 
 
 def pagerank_integer(

@@ -66,9 +66,13 @@ def x_dedup_exact(spark, sf_dir):
       WHERE len(tk) >= 3
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    live AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 256)
+    ),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM live a JOIN live b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
@@ -77,14 +81,16 @@ def x_dedup_exact(spark, sf_dir):
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
     """,
-    note="3-gram shingle Jaccard near-dup via inverted-index self-join",
+    note="3-gram shingle Jaccard near-dup via inverted-index self-join; "
+    "stop-shingle cap (<=256 docs) mirrored in the oracle — capped "
+    "semantics are deterministic on both engines",
 )
 def x_dedup_ngram_jaccard(spark, sf_dir):
     from flnr_wins_spark.operators.dedup import jaccard_pairs, shingle_sets
 
     docs = _docs_with_dups(spark, sf_dir)
     sh = shingle_sets(docs, "text", "doc_id", n=3)
-    return jaccard_pairs(sh, threshold=0.8).select(
+    return jaccard_pairs(sh, threshold=0.8, max_shingle_freq=256).select(
         F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"), "jaccard"
     )
 

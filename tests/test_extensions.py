@@ -64,6 +64,27 @@ class TestJaccard:
         # cap=1 removes every shared shingle -> no pairs survive
         assert jaccard_pairs(sh, 0.1, max_shingle_freq=1).count() == 0
 
+    def test_default_cap_bounds_pathological_cluster(self, spark):
+        """A 300-identical-doc cluster's every shingle has freq 300 > the
+        default cap of 256, so the default configuration emits ZERO pairs
+        for it (bounded) while an organic near-dup cluster whose shingles
+        sit under the cap keeps all its pairs."""
+        from flnr_wins_spark.operators.dedup import stop_shingle_count
+
+        mega = [(i, "spam spam spam wonderful spam lovely spam egg and spam")
+                for i in range(300)]
+        near = [
+            (1000, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1001, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+        ]
+        docs = spark.createDataFrame(mega + near, "doc_id long, text string")
+        sh = shingle_sets(docs, "text", "doc_id", n=3)
+        got = {(r.id_a, r.id_b) for r in jaccard_pairs(sh, 0.5).collect()}
+        assert got == {(1000, 1001)}  # megacluster contributed nothing
+        audit = stop_shingle_count(sh, 256).collect()[0]
+        assert audit.dropped_shingles == 8  # the mega-doc's distinct shingles
+        assert audit.dropped_occurrences == 8 * 300
+
 
 class TestMinHashLSH:
     def test_matches_exact_pairs(self, spark, docs):
@@ -99,6 +120,24 @@ class TestMinHashLSH:
                minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5,
                                  max_bucket_width=None).collect()}
         assert (1, 2) in got
+
+    def test_unpersist_releases_signature_cache(self, spark, docs):
+        """A multi-corpus loop with ``unpersist=True`` must not accumulate
+        corpus-sized signature caches: each call may leave at most its tiny
+        checkpointed pairs result behind, never the MEMORY_AND_DISK
+        signature table (which the lazy default keeps for the session)."""
+        jsc = spark.sparkContext._jsc
+        base = set(jsc.getPersistentRDDs().keySet().toArray())
+        results = []
+        for _ in range(2):
+            out = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5,
+                                    unpersist=True)
+            results.append({(r.id_a, r.id_b) for r in out.collect()})
+        after = set(jsc.getPersistentRDDs().keySet().toArray())
+        # <= 1 new persisted RDD per call (the checkpointed pairs); the
+        # signature cache itself was registered AND released inside each call
+        assert len(after - base) <= 2
+        assert results[0] == results[1] and (1, 2) in results[0]
 
 
 class TestSpanDedup:
@@ -291,6 +330,95 @@ class TestKMeans:
         assert out and all(r.cand_id < 100 for r in out)
 
 
+class TestAnnRecallContracts:
+    """Recall floors vs brute_force_topk for every ANN variant. Without
+    these, a silent recall collapse (bad seed, bad banding, broken probe
+    routing) still 'passes' the rows-only driver check — here it turns a
+    test red instead."""
+
+    K = 5
+
+    @pytest.fixture()
+    def corpus(self, spark):
+        # 8 well-separated direction clusters in 16-dim, 15 members each:
+        # a member's true top-5 neighbors are always within its cluster
+        import random
+
+        rng = random.Random(11)
+        centers = []
+        for _ in range(8):
+            v = [rng.gauss(0, 1) for _ in range(16)]
+            n = sum(x * x for x in v) ** 0.5
+            centers.append([x / n for x in v])
+        rows = [
+            (c * 100 + i, [x + rng.gauss(0, 0.02) for x in centers[c]])
+            for c in range(8)
+            for i in range(15)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _truth(self, corpus, queries):
+        from flnr_wins_spark.functions.vectors import brute_force_topk
+
+        exact = brute_force_topk(queries, corpus, k=self.K)
+        truth = {}
+        for r in exact.collect():
+            truth.setdefault(r.query_id, set()).add(r.cand_id)
+        return truth
+
+    @staticmethod
+    def _recall(truth, got_rows):
+        got = {}
+        for r in got_rows:
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / sum(len(v) for v in truth.values())
+
+    def test_ann_lsh_recall_floor(self, spark, corpus):
+        from flnr_wins_spark.functions.vectors import ann_lsh_topk
+
+        queries = corpus.filter(F.col("vec_id") % 100 == 0)
+        truth = self._truth(corpus, queries)
+        got = ann_lsh_topk(queries, corpus, dim=16, k=self.K, bits=16, bands=4).collect()
+        assert self._recall(truth, got) >= 0.8
+
+    def test_ivf_untrained_recall_floor(self, spark, corpus):
+        from flnr_wins_spark.functions.vectors import ivf_topk
+
+        queries = corpus.filter(F.col("vec_id") % 100 == 0)
+        truth = self._truth(corpus, queries)
+        got = ivf_topk(queries, corpus, nlist=8, nprobe=3, k=self.K).collect()
+        assert self._recall(truth, got) >= 0.8
+
+    def test_pq_recall_floor(self, spark):
+        from flnr_wins_spark.functions.vectors import pq_encode, pq_fit, pq_topk
+
+        # PQ needs within-cluster spread: on a near-degenerate cluster every
+        # member shares the same codes and ADC ties make member-level recall
+        # pure tie-break noise. σ=0.3 around well-separated centers gives the
+        # codebooks real variance to encode — that's the regime PQ targets.
+        import random
+
+        rng = random.Random(11)
+        centers = []
+        for _ in range(8):
+            v = [rng.gauss(0, 1) for _ in range(16)]
+            n = sum(x * x for x in v) ** 0.5
+            centers.append([5 * x / n for x in v])
+        rows = [
+            (c * 100 + i, [x + rng.gauss(0, 0.3) for x in centers[c]])
+            for c in range(8)
+            for i in range(15)
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = corpus.filter(F.col("vec_id") % 100 == 0)
+        truth = self._truth(corpus, queries)
+        books = pq_fit(corpus, dim=16, m=8, ksub=32, iters=4)
+        enc = pq_encode(corpus, books, dim=16, m=8)
+        got = pq_topk(queries, enc, books, dim=16, m=8, k=self.K).collect()
+        assert self._recall(truth, got) >= 0.7
+
+
 class TestBpeTokenize:
     def test_pretokens_segmentation(self, spark):
         from flnr_wins_spark.functions.text import bpe_pretokens
@@ -389,6 +517,41 @@ class TestConnectedComponents:
         rows = {r.id: r for r in dedup_clusters(pairs).collect()}
         assert rows[5].is_survivor and not rows[7].is_survivor and not rows[9].is_survivor
         assert all(r.cluster_id == 5 for r in rows.values())
+
+    def test_star_matches_label_propagation(self, spark):
+        from flnr_wins_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20), (7, 5), (5, 6)],
+            "id_a long, id_b long",
+        )
+        label = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+        star = {r.id: r.cluster_id
+                for r in connected_components(edges, algorithm="star").collect()}
+        assert star == label
+        assert star[4] == 1 and star[11] == 10 and star[20] == 20 and star[7] == 5
+
+    def test_star_converges_on_high_diameter_chain(self, spark):
+        """A 200-vertex chain has diameter 199 — label propagation needs 199
+        rounds (far past any sane max_iter); large/small-star must collapse
+        it in O(log^2 n) rounds. max_iter=12 proves the geometric collapse."""
+        from flnr_wins_spark.operators.graph import connected_components
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+        )
+        got = {r.id: r.cluster_id
+               for r in connected_components(chain, max_iter=12, algorithm="star").collect()}
+        assert len(got) == 200 and set(got.values()) == {0}
+        with pytest.raises(RuntimeError):
+            connected_components(chain, max_iter=12, algorithm="label")
+
+    def test_unknown_algorithm_rejected(self, spark):
+        from flnr_wins_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError):
+            connected_components(edges, algorithm="bogus")
 
 
 class TestProductQuantization:
@@ -536,6 +699,32 @@ class TestSemanticDedup:
         # at this threshold the remaining distinct directions stay singletons
         singles = [i for i in range(12) if i not in (0, 5)]
         assert all(got[i].cluster_id == i and got[i].is_survivor for i in singles)
+
+    def test_hot_cell_guard_bounds_pathological_cell(self, spark):
+        """k-means dumps 400 near-identical embeddings into one cell; with
+        ``max_cell_width`` below that the cell is excluded from pair
+        generation (rows pass through as their own survivors — fail open),
+        while normal-width cells still dedup. Uncapped, the same input
+        collapses the clones to one survivor."""
+        import math
+
+        from flnr_wins_spark.functions.vectors import semantic_dedup
+
+        clones = [(i, [1.0, 0.001 * (i % 7), 0.0]) for i in range(400)]
+        distinct = [(1000 + i, [math.cos(2 + i), math.sin(2 + i), 1.0]) for i in range(3)]
+        emb = spark.createDataFrame(clones + distinct, "vec_id long, embedding array<double>")
+        capped = {r.id: r for r in semantic_dedup(
+            emb, k=4, iters=2, threshold=0.99, max_cell_width=100
+        ).collect()}
+        assert len(capped) == 403
+        # hot cell excluded -> every clone survives as its own cluster
+        assert all(capped[i].is_survivor and capped[i].cluster_id == i for i in range(400))
+        # default (high) cap still collapses the clones
+        uncapped = {r.id: r for r in semantic_dedup(
+            emb, k=4, iters=2, threshold=0.99
+        ).collect()}
+        survivors = [i for i in range(400) if uncapped[i].is_survivor]
+        assert len(survivors) < 400 and uncapped[0].is_survivor
 
 
 class TestPageRank:
