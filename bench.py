@@ -59,6 +59,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "notes": "r2->r3: r7/wins_e2e r2 deltas probed — warm-run r7 is "
+                "~0.64s (r2's 0.79 was single-shot variance); wins_e2e_rejects "
+                "with the WKB SHAPE column is ~0.24s slower than without "
+                "(1.45 vs 1.21 warm) — added payload by design, the reference "
+                "copies geometry too",
             }
         )
     )

@@ -125,6 +125,7 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
     "10-word segment boundaries): repeated segments survive only in the "
     "first (doc_id, pos); winner build is a combinable groupBy-min, join "
     "back AQE-skew-splittable — no suffix array, no raw-stream window",
+    bench=True,
 )
 def x_dedup_spans(spark, sf_dir):
     from flnr_wins_spark.operators.dedup import span_dedup
@@ -691,6 +692,7 @@ def x_similarity_ivf_kmeans(spark, sf_dir):
     note="Product-quantization ANN (Jegou et al. 2011): per-subspace k-means "
     "codebooks, m-byte codes, asymmetric-distance top-k via broadcast "
     "query lookup tables — the corpus never shuffles a full vector",
+    bench=True,
 )
 def x_similarity_pq(spark, sf_dir):
     from flnr_wins_spark.functions.vectors import pq_encode, pq_fit, pq_topk
@@ -747,6 +749,7 @@ def x_similarity_pq(spark, sf_dir):
     note="BM25 keyword retrieval: postings filtered to query terms before any "
     "shuffle, df/corpus stats broadcast, TakeOrdered top-k; per-term scores "
     "decimal-routed so ln() ulp differences can't break the oracle hash",
+    bench=True,
 )
 def x_search_bm25(spark, sf_dir):
     from flnr_wins_spark.functions.search import bm25_topk
@@ -761,6 +764,7 @@ def x_search_bm25(spark, sf_dir):
     note="SemDeDup semantic dedup: k-means cells -> within-cell cosine pairs "
     "-> connected components -> lowest-id survivor. Planted scaled clones "
     "(identical unit vectors) are guaranteed to share a cell and link",
+    bench=True,
 )
 def x_semdedup(spark, sf_dir):
     from flnr_wins_spark.functions.vectors import semantic_dedup
