@@ -5,10 +5,11 @@ Reference: the Oracle/SDE POD view is materialized into a local table with
 (``src/wins_transform_staging.py:55-58,174``; view id ``src/app.yml:22``).
 
 Spark-native equivalent: ``spark.read.jdbc`` with predicate-partitioned
-parallel reads, optionally snapshotted to parquet for downstream reuse. No
-JDBC database exists in the test environment, so tests exercise the
-parquet-stand-in path (``read_lookup``); the JDBC branch is real code that
-activates when a URL is configured.
+parallel reads, optionally snapshotted to parquet for downstream reuse.
+Tests exercise BOTH paths: the parquet stand-in (``read_lookup``) and a
+live JDBC endpoint via the embedded Derby driver Spark bundles
+(``tests/test_job.py::test_jdbc_branch_live_embedded_derby``) — plain,
+range-partitioned, and ``jdbc:<url>#<table>`` lookup reads.
 """
 
 from __future__ import annotations

@@ -110,6 +110,52 @@ def test_read_lookup_parquet_and_jdbc_validation(spark, tmp_path):
         read_lookup(spark, "jdbc:postgresql://nowhere/db")
 
 
+def test_jdbc_branch_live_embedded_derby(spark):
+    """S9 over a REAL JDBC endpoint: Spark bundles embedded Derby (the Hive
+    metastore driver), so an in-memory Derby database exercises the genuine
+    spark.read.jdbc code path — single-partition read, range-partitioned
+    parallel read, and the 'jdbc:<url>#<table>' lookup resolution — with no
+    external service. In local mode executors share the driver JVM, so the
+    in-memory database is visible to the read tasks."""
+    from flnr_wins_spark.sources.jdbc import read_jdbc_view
+
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(
+        "jdbc:derby:memory:winstest;create=true"
+    )
+    st = conn.createStatement()
+    try:
+        st.executeUpdate(
+            "CREATE TABLE pod (pnts_code VARCHAR(20), pnts_descr VARCHAR(40), k INT)"
+        )
+        for i in range(10):
+            st.executeUpdate(f"INSERT INTO pod VALUES ('RV{i:03d}', 'descr {i}', {i})")
+    finally:
+        st.close()
+    try:
+        df = read_jdbc_view(spark, "jdbc:derby:memory:winstest", "pod")
+        rows = {r["PNTS_CODE"]: r["PNTS_DESCR"] for r in df.collect()}
+        assert rows["RV003"] == "descr 3" and len(rows) == 10
+        part = read_jdbc_view(
+            spark,
+            "jdbc:derby:memory:winstest",
+            "pod",
+            partition_column="k",
+            num_partitions=3,
+            lower_bound=0,
+            upper_bound=10,
+        )
+        assert part.count() == 10 and part.rdd.getNumPartitions() == 3
+        assert read_lookup(spark, "jdbc:derby:memory:winstest#pod").count() == 10
+        with pytest.raises(ValueError, match="lower_bound"):
+            read_jdbc_view(
+                spark, "jdbc:derby:memory:winstest", "pod", partition_column="k"
+            )
+    finally:
+        conn.close()
+
+
 def test_load_credentials_dual_environment(tmp_path, monkeypatch):
     """Reference wts.py:69-78: env vars win when MAPHUB_USER is present,
     otherwise the INI's [bcmaphub] section supplies user/password."""
