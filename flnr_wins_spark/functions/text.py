@@ -349,3 +349,46 @@ def redact_pii(col: Column) -> Column:
     for pat, rep in PII_PATTERNS:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM quality scoring
+# ---------------------------------------------------------------------------
+
+def unigram_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model quality score: the corpus's own token
+    frequencies are the model, each document scores its mean negative
+    log-probability, avg_nll = -(1/|d|) Σ ln(count(t)/total). High avg_nll
+    = improbable token stream (mojibake, boilerplate codes, wrong-language
+    shards) — the classic cheap perplexity proxy for corpus filtering
+    (KenLM-style filtering with the LM reduced to unigrams, so it trains in
+    one aggregation pass instead of an external toolkit).
+
+    Returns (id, n_tokens, avg_nll). Two shuffles: the vocab count groupBy
+    and the token→vocab join (both keyed on the term; vocab is Zipf-skewed
+    but the join side is pre-aggregated counts, one row per term, so the
+    hot key carries one lookup row, not a bucket). Per-token ln() is
+    rounded through DECIMAL(27,9) before the sum — the plans/common.py
+    trick that makes the double sum order-insensitive AND absorbs the
+    sub-ulp ln() differences between engines, so the score is exactly
+    oracle-checkable.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_tf"))
+    total = vocab.agg(F.sum("_tf").cast("bigint").alias("_total"))
+    nll = F.log(
+        F.col("_total").cast("double") / F.col("_tf").cast("double")
+    ).cast("decimal(27,9)")
+    return (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(nll).cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )

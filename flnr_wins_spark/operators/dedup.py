@@ -124,6 +124,46 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    threshold: float,
+    max_shingle_freq: int | None = 256,
+) -> DataFrame:
+    """Directed containment similarity |A∩B| / |A| >= threshold from an
+    (id, shingle) set table: detects documents CONTAINED in other documents
+    (quotes, page-in-page, boilerplate wrapping) that symmetric Jaccard
+    misses — a small doc inside a huge one has low Jaccard but containment
+    ~1. Returns (id_a, id_b, containment) where id_a's shingles are covered
+    by id_b's (both directions are emitted when both clear the threshold;
+    id_a != id_b).
+
+    Same inverted-index + stop-shingle-cap shape (and the same scale scope)
+    as :func:`jaccard_pairs`, sharing its determinism contract — an oracle
+    mirrors the cap with a HAVING filter.
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sh = shingles
+    if max_shingle_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = shingles.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").select(
+            "id", "shingle"
+        )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    cont = F.col("c").cast("double") / F.col("na")
+    return (
+        inter.join(sa, "id_a")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def stop_shingle_count(shingles: DataFrame, max_shingle_freq: int) -> DataFrame:
     """Audit companion to ``jaccard_pairs``: one row
     (dropped_shingles, dropped_occurrences) counting what the stop-shingle

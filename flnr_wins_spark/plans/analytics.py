@@ -225,3 +225,35 @@ def x_group_topk_sample(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     return group_cap(docs, ["source"], "doc_id", k=10)
+
+
+def _zorder_sql() -> str:
+    from flnr_wins_spark.operators.layout import zorder_key_sql
+
+    day = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+    return (
+        "SELECT o_orderkey, CAST("
+        + zorder_key_sql(["o_custkey", day], bits=12)
+        + " AS BIGINT) AS zval FROM orders"
+    )
+
+
+@query(
+    "x_zorder_layout",
+    sql=_zorder_sql(),
+    note="Z-order (Morton) layout key over (customer, order-day): bit "
+    "interleave as a pure JVM OR-chain; sorting by it co-locates rows in "
+    "BOTH dimensions so parquet min/max stats prune either predicate "
+    "(operators/layout.py zorder_layout adds the one range shuffle)",
+)
+def x_zorder_layout(spark, sf_dir):
+    from flnr_wins_spark.operators.layout import zorder_key
+
+    orders = t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    return orders.select(
+        "o_orderkey",
+        zorder_key([F.col("o_custkey"), day], bits=12).alias("zval"),
+    )

@@ -61,6 +61,8 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_funnel_counts", "x_retention_cohorts", "x_global_rank",
     "x_equidepth_bins", "x_countmin", "x_bloom_prefilter",
     "x_winsorize", "x_group_topk_sample",
+    "x_dedup_containment", "x_unigram_quality", "x_zorder_layout",
+    "q_window_fill_forward", "q_listagg",
     # (c) WINS parity core
     "r1_append_no_test", "r2_conditional_update", "r3_blank_to_null",
     "r4_enrich_left_join", "r6_frequency", "r7_reject_duplicates",

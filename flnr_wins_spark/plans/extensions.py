@@ -1358,3 +1358,68 @@ def x_seq_packing(spark, sf_dir):
     )
     packed = pack_sequences(docs, "doc_id", "n_tokens", budget=512, shards=16)
     return pack_manifest(packed)
+
+
+@query(
+    "x_dedup_containment",
+    sql=f"""
+    WITH docs AS ({_DUP_SQL_DOCS}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    live AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 256)
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM live a JOIN live b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(c AS DOUBLE) / sa.n AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE CAST(c AS DOUBLE) / sa.n >= 0.9
+    """,
+    note="asymmetric containment |A∩B|/|A| — catches doc-inside-doc "
+    "(quotes, boilerplate wrapping) that symmetric Jaccard misses; planted "
+    "dup construction guarantees original ⊂ extended at containment 1.0",
+)
+def x_dedup_containment(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import containment_pairs, shingle_sets
+
+    docs = _docs_with_dups(spark, sf_dir)
+    sh = shingle_sets(docs, "text", "doc_id", n=3)
+    return containment_pairs(sh, threshold=0.9, max_shingle_freq=256).select(
+        "id_a", "id_b", "containment"
+    )
+
+
+@query(
+    "x_unigram_quality",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+    total AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM vocab)
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(ln(CAST(total.total AS DOUBLE) / CAST(vocab.tf AS DOUBLE))
+                          AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM toks JOIN vocab USING (term) CROSS JOIN total
+    GROUP BY id
+    """,
+    note="unigram-LM quality proxy (KenLM-style filtering with a one-pass "
+    "in-corpus model): mean negative log-prob per doc; per-token ln routed "
+    "through DECIMAL(27,9) so the sum is order-insensitive and engine-exact",
+)
+def x_unigram_quality(spark, sf_dir):
+    from flnr_wins_spark.functions.text import unigram_quality
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_quality(docs)

@@ -736,3 +736,57 @@ def q_percentile(spark, sf_dir):
         F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("median_price"),
         F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90_price"),
     )
+
+
+@query(
+    "q_window_fill_forward",
+    sql="""
+    SELECT o_orderkey, val,
+           last_value(val IGNORE NULLS) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+                 CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS val
+          FROM orders)
+    """,
+    note="IGNORE NULLS forward fill (gap filling) — last non-null per key "
+    "in event-time order; running ROWS frame, no self-join",
+)
+def q_window_fill_forward(spark, sf_dir):
+    from pyspark.sql import Window
+
+    od = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("val"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return od.select(
+        "o_orderkey", "val", F.last("val", ignorenulls=True).over(w).alias("filled")
+    )
+
+
+@query(
+    "q_listagg",
+    sql="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    note="ordered LISTAGG/string_agg: collect_set -> array_sort -> "
+    "array_join makes the concatenation order deterministic on any engine",
+)
+def q_listagg(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )

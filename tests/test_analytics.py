@@ -271,3 +271,119 @@ class TestGroupCap:
         # with a generous margin the prefilter should not change the result
         exact = group_cap(df, ["g"], "id", k=5)
         assert {tuple(r) for r in out.collect()} == {tuple(r) for r in exact.collect()}
+
+
+# ---------------------------------------------------------------------------
+# containment / unigram quality / z-order / fill-forward
+# ---------------------------------------------------------------------------
+
+
+class TestContainment:
+    def test_small_doc_inside_big_doc(self, spark):
+        from flnr_wins_spark.operators.dedup import containment_pairs, shingle_sets
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "intro words alpha beta gamma delta and a very long tail "
+                    "of unrelated content continuing on and on"),
+                (3, "nothing shared here at all friends"),
+            ],
+            "doc_id long, text string",
+        )
+        sh = shingle_sets(docs, "text", "doc_id", n=3)
+        got = {(r.id_a, r.id_b): r.containment
+               for r in containment_pairs(sh, 0.9).collect()}
+        # doc1's 2 shingles both occur in doc2 -> containment 1.0; the
+        # reverse direction is far below threshold; doc3 shares nothing
+        assert got == {(1, 2): 1.0}
+
+    def test_direction_asymmetry(self, spark):
+        from flnr_wins_spark.operators.dedup import containment_pairs, shingle_sets
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e f g h i j k l m n o p")],
+            "doc_id long, text string",
+        )
+        sh = shingle_sets(docs, "text", "doc_id", n=3)
+        got = {(r.id_a, r.id_b): r.containment
+               for r in containment_pairs(sh, 0.0).collect()}
+        assert got[(1, 2)] == 1.0 and got[(2, 1)] < 0.25
+
+
+class TestUnigramQuality:
+    def test_rare_token_doc_scores_higher(self, spark):
+        from flnr_wins_spark.functions.text import unigram_quality
+
+        docs = spark.createDataFrame(
+            [(1, "common common common common"),
+             (2, "common common common xylophone")],
+            "doc_id long, text string",
+        )
+        got = {r.id: r for r in unigram_quality(docs).collect()}
+        assert got[1].n_tokens == 4 and got[2].n_tokens == 4
+        # doc2 contains the rarest token -> higher mean negative log-prob
+        assert got[2].avg_nll > got[1].avg_nll
+        import math
+        # doc1: 4 tokens of 'common' (tf=7, total=8): avg_nll = ln(8/7)
+        assert got[1].avg_nll == pytest.approx(math.log(8 / 7), abs=1e-8)
+
+
+class TestZorder:
+    def test_key_interleaves_bits(self, spark):
+        from flnr_wins_spark.operators.layout import zorder_key
+
+        df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+        z = df.select(zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")).collect()[0].z
+        # x bits at even positions, y bits at odd:
+        # x=101 -> bits at 0,4; y=011 -> bits at 1,3  => z=011011
+        assert z == 0b011011
+
+    def test_locality_beats_single_column_sort(self, spark):
+        """Sorting by the z-key must give each file (partition) a tighter
+        combined x/y min-max envelope than sorting by x alone gives for y:
+        that envelope IS the parquet-stats pruning win."""
+        from flnr_wins_spark.operators.layout import zorder_layout
+
+        n = 1024
+        df = spark.createDataFrame(
+            [(i, i % 32, (i * 7) % 32) for i in range(n)], "id long, x long, y long"
+        )
+        parts = (
+            zorder_layout(df, [F.col("x"), F.col("y")], bits=5, num_partitions=8)
+            .select("x", "y", F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .agg((F.max("y") - F.min("y")).alias("yspan"), (F.max("x") - F.min("x")).alias("xspan"))
+            .collect()
+        )
+        # with 8 partitions over a 32x32 grid, each z-range covers a sub-
+        # quadrant: every partition's y-span AND x-span stay well under the
+        # full 31 range a one-column sort leaves on the other column
+        # (ideal equal-size chunks give spans <= 17; range-sampled partition
+        # boundaries add slack, so assert the pruning-relevant bound)
+        assert all(r.yspan <= 24 and r.xspan <= 24 for r in parts)
+
+    def test_too_many_bits_rejected(self, spark):
+        from flnr_wins_spark.operators.layout import zorder_key
+
+        with pytest.raises(ValueError):
+            zorder_key([F.lit(1), F.lit(2)], bits=32)
+
+
+class TestFillForward:
+    def test_fill_semantics(self, spark):
+        from flnr_wins_spark.plans.common import all_queries
+
+        # covered by the oracle at fixture scale; here pin the tiny edge:
+        # leading NULLs stay NULL, later values do not bleed backwards
+        from pyspark.sql import Window
+
+        df = spark.createDataFrame(
+            [(1, 1, None), (1, 2, 10.0), (1, 3, None), (2, 1, None)],
+            "k long, seq long, v double",
+        )
+        w = Window.partitionBy("k").orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+        got = {(r.k, r.seq): r.f for r in df.select(
+            "k", "seq", F.last("v", ignorenulls=True).over(w).alias("f")).collect()}
+        assert got[(1, 1)] is None and got[(1, 2)] == 10.0
+        assert got[(1, 3)] == 10.0 and got[(2, 1)] is None
