@@ -230,3 +230,56 @@ def test_ann_lsh_dedups_ids_not_vectors(spark):
         if stripped.startswith(("HashAggregate", "Aggregate", "Exchange hashpartitioning")):
             if "query_id" in line and "cand_id" in line:
                 assert "_queryv" not in line and "_candv" not in line, line[:160]
+
+
+def test_bloom_prefilter_broadcast_semi_only(spark):
+    """The big side must never shuffle for the prefilter itself: every
+    Bloom round plans as a broadcast LEFT SEMI against a bucket list, never
+    a sort-merge join (the one shuffle in the query is the final groupBy)."""
+    plan = _plan(spark, "x_bloom_prefilter")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan
+
+
+def test_funnel_filters_pushed_no_cartesian(spark):
+    # each stage filters to ONE event type at the scan and joins on user_id
+    plan = _plan(spark, "x_funnel_counts")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,signup)" in plan
+
+
+def test_zorder_key_is_narrow_projection(spark):
+    # the Morton key is a pure expression over the scan: no exchange at all
+    plan = _plan(spark, "x_zorder_layout")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_group_cap_single_window_shuffle(spark):
+    # per-group cap = one hash exchange on the group key feeding the rank
+    # window; no second shuffle, no global sort
+    plan = _plan(spark, "x_group_topk_sample")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_winsorize_ranked_corpus_stays_partitioned(spark):
+    """The rank machinery may prefix-sum a partitions-sized (<=n-row) frame
+    in one task, but the CORPUS itself must never flow through a global
+    window: the ranged data is pinned in a checkpoint (Scan ExistingRDD),
+    per-partition windows key on _gr_pid, and offsets/bounds return via
+    broadcast. A naive implementation would show 'Window' with an empty
+    partition spec over the scan instead."""
+    plan = _plan(spark, "x_winsorize")
+    assert "Scan ExistingRDD" in plan  # pinned range partitioning
+    assert "BroadcastExchange" in plan  # offsets + bounds come back broadcast
+    assert "_gr_pid" in plan  # corpus-side windows key on the shard id
+
+
+def test_fill_forward_running_frame_single_shuffle(spark):
+    plan = _plan(spark, "q_window_fill_forward")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SinglePartition" not in plan
