@@ -1423,3 +1423,114 @@ def x_unigram_quality(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return unigram_quality(docs)
+
+
+@query(
+    "x_token_bigrams",
+    sql="""
+    WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+      SELECT tk[i] || ' ' || tk[i+1] AS bigram
+      FROM toks, UNNEST(range(1, len(tk))) u(i)
+      WHERE len(tk) >= 2
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 50
+    """,
+    note="adjacent-token pair counts, top-50 — the merge-candidate statistic "
+    "of one BPE training round, JVM transform/sequence (no explode of "
+    "per-token rows until the single count shuffle); TakeOrdered top-k",
+)
+def x_token_bigrams(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                "                element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@query(
+    "x_outlier_events",
+    sql="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+      FROM events GROUP BY event_type
+    ), st AS (
+      SELECT event_type, n, sv / n AS mu,
+             sqrt((svv - sv * sv / n) / (n - 1)) AS sigma
+      FROM s
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - st.mu) / st.sigma AS z
+    FROM events e JOIN st USING (event_type)
+    WHERE abs(e.value - st.mu) > 3 * st.sigma
+    """,
+    note="per-group 3-sigma outlier flagging: moments via exact decimal "
+    "sums (order-insensitive), tiny stats table broadcast back onto the "
+    "stream — two scans, one group shuffle, no window",
+)
+def x_outlier_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dv).cast("double").alias("sv"),
+        F.sum(dv * dv).cast("double").alias("svv"),
+    )
+    st = s.select(
+        "event_type",
+        (F.col("sv") / F.col("n")).alias("mu"),
+        F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1)).alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z"),
+        )
+    )
+
+
+@query(
+    "x_embedding_stats",
+    sql="""
+    SELECT label, CAST(u.i AS INT) AS pos,
+           CAST(SUM(CAST(CAST(embedding[u.i + 1] AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE)
+             / COUNT(*) AS mean_val,
+           COUNT(*) AS n
+    FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    GROUP BY 1, 2
+    """,
+    note="per-label element-wise centroid over the embedding column "
+    "(posexplode -> decimal-exact mean per (label, dim)); the building "
+    "block of centroid drift monitoring and class prototypes",
+)
+def x_embedding_stats(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    )
+    return flat.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(27,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n"),
+    )

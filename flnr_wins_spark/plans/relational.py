@@ -790,3 +790,44 @@ def q_listagg(spark, sf_dir):
         F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_null_safe_join",
+    sql="""
+    WITH t1 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS k
+      FROM customer
+    ), t2 AS (
+      SELECT DISTINCT CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS k
+      FROM nation
+    )
+    SELECT t1.k, COUNT(*) AS n
+    FROM t1 JOIN t2 ON t1.k IS NOT DISTINCT FROM t2.k
+    GROUP BY t1.k
+    """,
+    note="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other — still a hash join, not a nested loop",
+)
+def q_null_safe_join(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("k"),
+    )
+    nat = (
+        t(spark, sf_dir, "nation")
+        .select(
+            F.when(F.col("n_nationkey") % 7 == 0, None)
+            .otherwise(F.col("n_nationkey"))
+            .alias("k2")
+        )
+        .distinct()
+    )
+    return (
+        cust.join(nat, cust["k"].eqNullSafe(nat["k2"]))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
