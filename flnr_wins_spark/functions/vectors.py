@@ -304,24 +304,78 @@ def pq_fit(
 
     PQ is the standard billion-scale ANN compression (Jegou et al., TPAMI
     2011): m bytes per vector instead of 8*dim, with distances computed
-    against a per-query lookup table. Training reuses ``kmeans_fit`` per
-    subspace (driver loop over m — model-sized work, data passes stay
-    distributed)."""
+    against a per-query lookup table.
+
+    All ``m`` subspaces train TOGETHER: ``sub`` rides along as a key in
+    every stage (init window, assignment groupBy, per-dim mean), so one
+    init job + ``iters`` iteration jobs cover the whole model instead of
+    ``m`` independent k-means runs (m x fewer sequential jobs and corpus
+    scans — the driver loop version re-read the input m*(iters+1) times).
+    The math is identical to per-subspace ``kmeans_fit`` with seed
+    ``seed + sub``: same content-addressed init draw, same per-dimension
+    means, same empty-cell carry-forward."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    subd = dim // m
-    books = []
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col).cast("array<double>"), s * subd + 1, subd).alias("embedding"),
+    slices = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_sub_slices(F.col(vec_col).cast("array<double>"), dim, m)).alias("_s"),
+    ).select("id", F.col("_s.sub").alias("sub"), F.col("_s.subvec").alias("subvec"))
+    # identical init hash as kmeans_fit(seed=seed+sub): md5(f"{id}:{seed+s}")
+    order_h = F.md5(
+        F.concat(
+            F.col("id").cast("string"),
+            F.lit(":"),
+            (F.lit(seed) + F.col("sub")).cast("string"),
         )
-        cb = kmeans_fit(sub, k=ksub, iters=iters, seed=seed + s)
-        books.append(cb.select(F.lit(s).alias("sub"), "cent_id", "centroid"))
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    return out
+    )
+    init_w = Window.partitionBy("sub").orderBy("_h")
+    cents = (
+        slices.withColumn("_h", order_h)
+        .withColumn("_rn", F.row_number().over(init_w))
+        .filter(F.col("_rn") <= ksub)
+        .select(
+            "sub",
+            F.col("_rn").cast("long").alias("cent_id"),
+            F.col("subvec").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    best = F.min(
+        F.struct(sqdist(F.col("subvec"), F.col("centroid")).alias("d"), F.col("cent_id").alias("c"))
+    )
+    for _ in range(iters):
+        assigned = (
+            slices.join(F.broadcast(cents), "sub")
+            .groupBy("id", "sub")
+            .agg(best.alias("_b"), F.first("subvec").alias("subvec"))
+            .select("sub", F.col("_b.c").alias("cell"), "subvec")
+        )
+        by_dim = assigned.select("sub", "cell", F.posexplode("subvec").alias("d", "x"))
+        means = (
+            by_dim.groupBy("sub", "cell", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "cell")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").alias(
+                    "new_centroid"
+                )
+            )
+        )
+        cents = (
+            cents.alias("c")
+            .join(
+                means.alias("n"),
+                (F.col("c.sub") == F.col("n.sub")) & (F.col("c.cent_id") == F.col("n.cell")),
+                "left",
+            )
+            .select(
+                F.col("c.sub").alias("sub"),
+                F.col("c.cent_id").alias("cent_id"),
+                F.coalesce(F.col("n.new_centroid"), F.col("c.centroid")).alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    return cents
 
 
 def pq_encode(
