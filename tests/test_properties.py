@@ -98,3 +98,76 @@ def test_blank_to_null(spark, vals):
     got = {r.uid: r.s for r in blank_to_null(df, "s").collect()}
     for i, v in enumerate(vals):
         assert got[i] == (None if v == "" else v)
+
+
+@given(
+    rows=st.lists(st.integers(-1000, 1000), min_size=1, max_size=20),
+    parts=st.sampled_from([1, 3, 7]),
+)
+@SLOW
+def test_global_row_number_is_rank_of_sorted_values(spark, rows, parts):
+    from flnr_wins_spark.operators.ranking import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "uid long, v long"
+    )
+    got = {r.uid: r.rn for r in global_row_number(df, ["v", "uid"], num_partitions=parts).collect()}
+    want = {
+        uid: rank + 1
+        for rank, (uid, _) in enumerate(
+            sorted(enumerate(rows), key=lambda t: (t[1], t[0]))
+        )
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(st.integers(0, 50), min_size=2, max_size=20),
+    k=st.sampled_from([1, 2, 5]),
+)
+@SLOW
+def test_equidepth_bins_are_balanced_and_monotone(spark, rows, k):
+    from flnr_wins_spark.operators.ranking import equidepth_bins
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rows)], "uid long, v long")
+    out = equidepth_bins(df, "v", "uid", k=k).collect()
+    pops = {}
+    for r in out:
+        pops[r.bucket] = pops.get(r.bucket, 0) + 1
+    assert sum(pops.values()) == len(rows)
+    assert max(pops.values()) - min(pops.values()) <= 1
+    by_rn = sorted(out, key=lambda r: r.rn)
+    assert all(a.bucket <= b.bucket for a, b in zip(by_rn, by_rn[1:]))
+
+
+@given(
+    big_keys=st.lists(st.integers(0, 30), min_size=0, max_size=15),
+    small_keys=st.lists(st.integers(0, 30), min_size=0, max_size=5, unique=True),
+)
+@SLOW
+def test_bloom_prefilter_never_false_negative(spark, big_keys, small_keys):
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.functions.sketches import bloom_prefilter
+
+    big = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(big_keys)] or [(0, None)], "uid long, k long"
+    ).filter("k is not null")
+    keys = spark.createDataFrame(
+        [(k,) for k in small_keys] or [(None,)], "kk long"
+    ).filter("kk is not null")
+    pre = {r.uid for r in bloom_prefilter(big, keys, "k", "kk", depth=2, hex_chars=1).collect()}
+    member = set(small_keys)
+    exact = {i for i, k in enumerate(big_keys) if k in member}
+    assert exact <= pre
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=15))
+@SLOW
+def test_star_cc_equals_label_cc(spark, edges):
+    from flnr_wins_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    label = {r.id: r.cluster_id for r in connected_components(df, max_iter=30).collect()}
+    star = {r.id: r.cluster_id for r in connected_components(df, max_iter=30, algorithm="star").collect()}
+    assert star == label
