@@ -132,6 +132,39 @@ def chunk_documents(
     )
 
 
+def pack_texts(
+    packed: DataFrame,
+    id_col: str,
+    text_col: str,
+    eos: str = "<|eos|>",
+) -> DataFrame:
+    """Materialize each pack's training sequence: member documents joined by
+    ``eos`` in the SAME deterministic (md5(id), id) order the running sum
+    packed them in. Returns (pack_id, n_docs, seq_text).
+
+    One groupBy on pack_id; each group is budget-bounded (a pack holds at
+    most ~budget tokens by construction), so collect_list stays small no
+    matter the corpus size — the safe kind of per-group collection. Order
+    inside the group comes from ``array_sort`` over (md5, id, text) structs,
+    not from collect_list's nondeterministic arrival order.
+    """
+    h = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
+    member = F.struct(
+        h.alias("h"), F.col(id_col).cast("long").alias("i"), F.col(text_col).alias("t")
+    )
+    return (
+        packed.withColumn("_member", member)
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(_member)), s -> s.t)"),
+                eos,
+            ).alias("seq_text"),
+        )
+    )
+
+
 def pack_manifest(packed: DataFrame, token_col: str = "n_tokens") -> DataFrame:
     """Aggregate a packed frame into one row per pack (size accounting).
 

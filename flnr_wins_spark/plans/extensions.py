@@ -1534,3 +1534,41 @@ def x_embedding_stats(spark, sf_dir):
         ).alias("mean_val"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "x_packed_sequences",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 16 AS shard
+      FROM documents
+    ),
+    pos AS (
+      SELECT shard, doc_id, text, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS pack_offset
+      FROM d
+    )
+    SELECT CAST(shard * 1099511627776 + FLOOR(pack_offset / 512) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(text, '<|eos|>' ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS seq_text
+    FROM pos
+    GROUP BY 1
+    """,
+    note="training-sequence materialization: pack members concatenated with "
+    "an EOS separator in the exact deterministic pack order; per-group "
+    "collection is budget-bounded by construction (the safe collect_list)",
+)
+def x_packed_sequences(spark, sf_dir):
+    from flnr_wins_spark.functions.text import token_count
+    from flnr_wins_spark.operators.packing import pack_sequences, pack_texts
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=512, shards=16)
+    return pack_texts(packed, "doc_id", "text")
