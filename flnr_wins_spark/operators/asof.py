@@ -30,12 +30,16 @@ def asof_join(
     value_col: str,
     out_col: str = "asof_value",
     strict: bool = False,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: output = left columns + ``out_col``.
 
     ``strict=False`` matches right rows with time <= left time (inclusive);
     ``strict=True`` uses <. Ties among right rows at the same time resolve to
-    the greatest ``value_col`` (deterministic).
+    the greatest ``value_col`` (deterministic). ``tolerance_seconds`` (pandas
+    ``merge_asof``-style) nulls the match when the latest right row is older
+    than the window — the matched right TIME forward-fills alongside the
+    value, so the bound is a pure post-filter with no extra shuffle.
     """
     lcols = [f.name for f in left.schema.fields]
 
@@ -43,6 +47,7 @@ def asof_join(
         F.col(left_key).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(None).cast(right.schema[value_col].dataType).alias("_v"),
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_vt"),
         F.lit(1).alias("_is_left"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
@@ -50,6 +55,7 @@ def asof_join(
         F.col(right_key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.col(value_col).alias("_v"),
+        F.col(right_time).alias("_vt"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
     )
@@ -64,6 +70,15 @@ def asof_join(
     out = (
         l.unionByName(r)
         .withColumn(out_col, F.last("_v", ignorenulls=True).over(w))
+        .withColumn("_matched_t", F.last("_vt", ignorenulls=True).over(w))
         .filter(F.col("_is_left") == 1)
     )
+    if tolerance_seconds is not None:
+        # NTZ has no direct long cast; route both sides through LTZ — the
+        # session-TZ shift cancels in the difference
+        def secs(c):
+            return F.col(c).cast("timestamp_ltz").cast("long")
+
+        in_window = secs("_t") - secs("_matched_t") <= F.lit(tolerance_seconds)
+        out = out.withColumn(out_col, F.when(in_window, F.col(out_col)))
     return out.select(*[F.col(f"_l_{c}").alias(c) for c in lcols], F.col(out_col))

@@ -831,3 +831,48 @@ def q_null_safe_join(spark, sf_dir):
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_asof_tolerance",
+    sql="""
+    SELECT e.event_id, e.user_id,
+           (SELECT max(o.o_orderdate)
+            FROM orders o
+            WHERE o.o_custkey = e.user_id
+              AND o.o_orderdate <= (TIMESTAMP '1995-01-01'
+                                    + to_days(CAST((e.event_id * 7) % 2500 AS INTEGER)))
+              AND o.o_orderdate >= (TIMESTAMP '1995-01-01'
+                                    + to_days(CAST((e.event_id * 7) % 2500 AS INTEGER))
+                                    - INTERVAL '365 days')
+           ) AS asof_date
+    FROM events e
+    """,
+    note="as-of join with a merge_asof-style tolerance window (365 d): the "
+    "matched right time forward-fills beside the value, so the bound is a "
+    "post-filter — still one shuffle; bounded-max == null-if-stale because "
+    "the latest match being stale implies every match is",
+)
+def q_asof_tolerance(spark, sf_dir):
+    from flnr_wins_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_add(F.lit("1995-01-01").cast("date"), ((F.col("event_id") * 7) % 2500).cast("int"))
+        .cast("timestamp_ntz")
+        .alias("probe_ts"),
+    )
+    od = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    out = asof_join(
+        ev,
+        od,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="probe_ts",
+        right_time="o_orderdate",
+        value_col="o_orderdate",
+        out_col="asof_date",
+        tolerance_seconds=365 * 24 * 3600,
+    )
+    return out.select("event_id", "user_id", "asof_date")
