@@ -55,3 +55,82 @@ def partitioned_overwrite_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_agg_sink(
+    stream: DataFrame,
+    state_path: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained aggregate table (streaming materialized
+    view): each micro-batch folds into the previous aggregate state with
+    ``operators.merge.incremental_agg`` — refresh cost follows the BATCH,
+    never the accumulated history.
+
+    State is versioned, never overwritten in place: batch N reads the
+    newest ``v<id>`` directory with id < N and writes ``v<N>``. That makes
+    replays idempotent (re-running batch N rebuilds ``v<N>`` from the same
+    predecessor, not from its own output) and readers race-free
+    (:func:`read_agg_state` always sees a complete version). Old versions
+    are pruned after each successful write, keeping the last few for
+    in-flight readers. ``sum_cols`` must be exact types (bigint/decimal) so
+    the merged state is independent of merge order — the
+    ``plans/common.py`` determinism rule.
+    """
+    import os
+    import shutil
+
+    from flnr_wins_spark.operators.merge import incremental_agg
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(state_path):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(state_path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.withColumn("_sign", F.lit(1))
+        prior = [v for v in _versions() if v < batch_id]
+        if prior:
+            prev = spark.read.parquet(f"{state_path}/v{prior[-1]}")
+        else:
+            prev = (
+                delta.limit(0)
+                .groupBy(*key_cols)
+                .agg(
+                    F.sum("_sign").cast("bigint").alias("n"),
+                    *[F.sum(F.col(c)).alias(c) for c in sum_cols],
+                )
+            )
+        new = incremental_agg(prev, delta, key_cols, sum_cols, sign_col="_sign")
+        new.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+        for v in _versions()[:-3]:  # keep the newest 3 versions
+            if v != batch_id:
+                shutil.rmtree(f"{state_path}/v{v}", ignore_errors=True)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_agg_state(spark, state_path: str) -> DataFrame:
+    """Read the newest complete aggregate-state version written by
+    :func:`incremental_agg_sink`."""
+    import os
+
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(state_path)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    if not versions:
+        raise FileNotFoundError(f"no aggregate state under {state_path}")
+    return spark.read.parquet(f"{state_path}/v{versions[-1]}")

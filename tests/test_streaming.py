@@ -200,3 +200,44 @@ def test_stateful_user_profile(spark, events_dir):
     for uid, w in want.items():
         g = got[uid]
         assert g.n_events == w.n and g.first_ts == w.first_ts and g.last_ts == w.last_ts
+
+
+def test_incremental_agg_sink_equals_batch_aggregate(spark, tmp_path):
+    """Streaming materialized view: maxFilesPerTrigger=1 forces one
+    micro-batch per input file, each folding into the previous state via
+    the signed-changeset merge; the final state must equal the one-shot
+    batch aggregate of everything."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.streaming.sinks import incremental_agg_sink, read_agg_state
+
+    src = str(tmp_path / "src")
+    ev = read_table(spark, SF, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("_b"),
+    )
+    # three separate files -> three micro-batches (complete disjoint split)
+    for i in range(3):
+        ev.filter(F.col("_b") == i).coalesce(1).write.mode("append").parquet(src)
+    ev = ev.drop("_b")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_agg_sink(
+        stream,
+        str(tmp_path / "state"),
+        key_cols=["event_type"],
+        sum_cols=["value"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r.event_type: (r.n, r.value)
+           for r in read_agg_state(spark, str(tmp_path / "state")).collect()}
+    want = {r.event_type: (r.n, r.value)
+            for r in ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("value")
+            ).collect()}
+    assert got == want and len(got) == 5
