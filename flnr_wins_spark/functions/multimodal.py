@@ -187,3 +187,69 @@ def resize_image(
         "content",
         F.struct("mime", "width", "height", "n_bytes").alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: typed metadata + chunk manifests (no codec required)
+# ---------------------------------------------------------------------------
+
+def to_audio_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Audio-shaped table with typed metadata synthesized deterministically
+    (the fixture has no real audio): bytes = UTF-8 content stand-in,
+    sample_rate/n_samples derived from content length. The metadata layout
+    (mime, sample_rate, n_samples, n_bytes) is the real contract a loader
+    fills from file headers."""
+    content = F.encode(F.col(text_col), "UTF-8")
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("audio/pcm").alias("mime"),
+            F.when(F.col(id_col) % 4 == 0, 44100).otherwise(16000).alias("sample_rate"),
+            (n_chars * 400 + 37).alias("n_samples"),
+            F.length(content).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def audio_chunk_manifest(
+    audio: DataFrame, chunk_seconds: int = 10, bytes_per_sample: int = 2
+) -> DataFrame:
+    """Fixed-duration chunk manifest over audio metadata: one row per
+    (media_id, chunk_idx) with exact sample and byte ranges — the fan-out a
+    distributed loader executes BEFORE any decode touches bytes, so a 100 TB
+    audio corpus schedules chunk reads from metadata alone (range requests,
+    no full-file pulls). Pure integer arithmetic (ceil via `(n + c - 1) div
+    c`), no UDF, narrow map + generate.
+
+    Returns (media_id, chunk_idx, start_sample, chunk_samples, start_byte,
+    chunk_bytes); the final chunk is short when duration doesn't divide
+    evenly. Zero-sample rows yield no chunks.
+    """
+    rate = F.col("meta.sample_rate").cast("bigint")
+    n = F.col("meta.n_samples")
+    spc = rate * chunk_seconds
+    n_chunks = F.expr(
+        f"(meta.n_samples + CAST(meta.sample_rate AS BIGINT) * {chunk_seconds} - 1) "
+        f"div (CAST(meta.sample_rate AS BIGINT) * {chunk_seconds})"
+    )
+    staged = audio.select(
+        "media_id", n.alias("_n"), spc.alias("_spc"), n_chunks.alias("_nc")
+    ).filter(F.col("_nc") > 0)
+    exploded = staged.select(
+        "media_id",
+        "_n",
+        "_spc",
+        F.posexplode(F.expr("sequence(0, _nc - 1)")).alias("chunk_idx", "_k"),
+    )
+    start = F.col("_k") * F.col("_spc")
+    csamp = F.least(F.col("_spc"), F.col("_n") - start)
+    return exploded.select(
+        "media_id",
+        F.col("chunk_idx"),
+        start.alias("start_sample"),
+        csamp.alias("chunk_samples"),
+        (start * bytes_per_sample).alias("start_byte"),
+        (csamp * bytes_per_sample).alias("chunk_bytes"),
+    )

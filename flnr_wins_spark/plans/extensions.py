@@ -1572,3 +1572,41 @@ def x_packed_sequences(spark, sf_dir):
     )
     packed = pack_sequences(docs, "doc_id", "n_tokens", budget=512, shards=16)
     return pack_texts(packed, "doc_id", "text")
+
+
+@query(
+    "x_multimodal_audio_chunks",
+    sql="""
+    WITH audio AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 4 = 0 THEN 44100 ELSE 16000 END AS sample_rate,
+             CAST(length(text) AS BIGINT) * 400 + 37 AS n_samples
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id, n_samples,
+             CAST(sample_rate AS BIGINT) * 10 AS spc,
+             (n_samples + CAST(sample_rate AS BIGINT) * 10 - 1)
+               // (CAST(sample_rate AS BIGINT) * 10) AS nc
+      FROM audio
+    )
+    SELECT media_id, CAST(u.k AS INT) AS chunk_idx,
+           u.k * spc AS start_sample,
+           least(spc, n_samples - u.k * spc) AS chunk_samples,
+           u.k * spc * 2 AS start_byte,
+           least(spc, n_samples - u.k * spc) * 2 AS chunk_bytes
+    FROM dims, UNNEST(range(0, nc)) AS u(k)
+    """,
+    note="audio chunk manifest from typed metadata alone (10 s windows, "
+    "16/44.1 kHz mix): exact sample/byte ranges per chunk so a loader "
+    "schedules range reads before any decode — integer-exact, no UDF",
+)
+def x_multimodal_audio_chunks(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import (
+        audio_chunk_manifest,
+        to_audio_table,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    audio = to_audio_table(docs, "text", "doc_id")
+    return audio_chunk_manifest(audio, chunk_seconds=10, bytes_per_sample=2)

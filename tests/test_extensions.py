@@ -1123,3 +1123,33 @@ class TestDocChunking:
         docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError):
             chunk_documents(docs, "text", "doc_id", chunk_tokens=8, overlap=8)
+
+
+class TestAudioChunks:
+    def test_chunk_ranges_exact(self, spark):
+        from flnr_wins_spark.functions.multimodal import audio_chunk_manifest
+
+        audio = spark.createDataFrame(
+            [(1, 16000, 165000), (2, 16000, 160000), (3, 8000, 0)],
+            "media_id long, sample_rate int, n_samples long",
+        ).select(
+            "media_id",
+            F.struct(
+                F.lit("audio/pcm").alias("mime"),
+                F.col("sample_rate"),
+                F.col("n_samples"),
+                F.lit(0).cast("bigint").alias("n_bytes"),
+            ).alias("meta"),
+        )
+        out = audio_chunk_manifest(audio, chunk_seconds=10, bytes_per_sample=2)
+        rows = {(r.media_id, r.chunk_idx): r for r in out.collect()}
+        # 165000 samples @16kHz/10s chunks of 160000 -> 2 chunks, tail 5000
+        assert rows[(1, 0)].chunk_samples == 160000
+        assert rows[(1, 1)].chunk_samples == 5000
+        assert rows[(1, 1)].start_byte == 320000 and rows[(1, 1)].chunk_bytes == 10000
+        # exact multiple -> exactly one chunk, no empty tail
+        assert (2, 0) in rows and (2, 1) not in rows
+        # zero samples -> no chunks at all
+        assert not any(m == 3 for m, _ in rows)
+        # chunk samples always sum back to n_samples
+        assert sum(r.chunk_samples for (m, _), r in rows.items() if m == 1) == 165000
