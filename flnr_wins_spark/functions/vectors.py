@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -560,7 +561,13 @@ def semantic_dedup(
         if centroids is not None
         else kmeans_fit(df, vec_col, id_col, k=k, iters=iters, seed=seed)
     )
-    assigned = kmeans_assign(v, cents)
+    # assignment feeds FOUR consumers (both pair-join sides, the width
+    # guard, and the final verdict join) — without a persist each one
+    # replays the broadcast-argmin pass over the corpus. MEMORY_AND_DISK so
+    # partitions spill rather than OOM at cluster scale; lifecycle follows
+    # the minhash_lsh_pairs convention (session-scoped; loop callers
+    # clearCache between corpora).
+    assigned = kmeans_assign(v, cents).persist(StorageLevel.MEMORY_AND_DISK)
     paired = assigned
     if max_cell_width is not None:
         width = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_w"))
