@@ -1610,3 +1610,26 @@ def x_multimodal_audio_chunks(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     audio = to_audio_table(docs, "text", "doc_id")
     return audio_chunk_manifest(audio, chunk_seconds=10, bytes_per_sample=2)
+
+
+# Same oracle as x_dedup_clusters — the star algorithm must produce the
+# IDENTICAL min-id labeling, so grading both against one SQL twin is the
+# strongest equivalence evidence the driver can record.
+from flnr_wins_spark.plans.common import _REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "x_dedup_clusters_star",
+    sql=_REG["x_dedup_clusters"].sql,
+    note="near-dup clustering via alternating large/small-star connected "
+    "components (Kiveris et al. SoCC'14, O(log^2 n) rounds regardless of "
+    "diameter) — same recursive-CTE oracle as the label-propagation entry",
+)
+def x_dedup_clusters_star(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import jaccard_pairs, shingle_sets
+    from flnr_wins_spark.operators.graph import connected_components
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = jaccard_pairs(shingle_sets(docs, "text", "doc_id", n=3), threshold=0.8)
+    cc = connected_components(pairs, algorithm="star")
+    return cc.withColumn("is_survivor", F.col("id") == F.col("cluster_id"))
