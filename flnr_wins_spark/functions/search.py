@@ -72,7 +72,12 @@ def bm25_topk(
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # doclen feeds both the stats aggregate and the scoring join; without a
+    # persist each consumer re-tokenizes the corpus (the explode is narrow,
+    # so Spark cannot share the subtree across actions). (doc_id, dl) is two
+    # columns per doc — the cheap thing to pin. Session-scoped lifecycle,
+    # same convention as minhash signatures / semdedup assignment.
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).persist()
     stats = doclen.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
