@@ -121,13 +121,15 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     )
 
     def signature(df: DataFrame) -> tuple[int, int]:
+        # scalar aggregate action (one row to the driver) — the same class
+        # of per-round driver action as the label loop's count()
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 # bit_xor is order/partitioning-insensitive
                 F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)
             ).alias("h"),
-        ).collect()[0]
+        ).first()
         return (row["n"], row["h"])
 
     sig = signature(e)
