@@ -71,6 +71,69 @@ def _make_update(timeout_ms: int | None):
     return _update
 
 
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("step", T.IntegerType()),
+        T.StructField("frontier_ts", T.TimestampType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("step", T.IntegerType()),
+        T.StructField("frontier_ts", T.TimestampType()),
+    ]
+)
+
+
+def _make_funnel(steps: list[str]):
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        step, frontier = state.get if state.exists else (0, None)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows["event_type"].isin(steps)].sort_values("ts")
+        for ts, etype in zip(rows["ts"], rows["event_type"]):
+            if step < len(steps) and etype == steps[step] and (
+                frontier is None or ts > frontier
+            ):
+                step += 1
+                frontier = ts
+        state.update((step, frontier))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "step": step, "frontier_ts": frontier}]
+        )
+
+    return _update
+
+
+def funnel_progress(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Streaming funnel: per-user conversion progress maintained as keyed
+    state — the streaming twin of ``operators.funnel.funnel_counts``.
+
+    State per user is just (step, frontier_ts): the earliest-completion
+    frontier advances when an event of the NEXT step type arrives strictly
+    after it. Within a micro-batch events sort by ``ts`` before the scan, so
+    intra-batch disorder is handled; ACROSS batches the greedy frontier
+    matches the batch operator's earliest-completion semantics when event
+    time is non-decreasing batch-to-batch (the usual log-stream contract —
+    bound violations with a watermark upstream). Emits each user's current
+    (step, frontier_ts) per micro-batch in update mode; final step counts
+    aggregate downstream or at read time.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_funnel(list(steps)),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def user_activity_profile(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
     """Stateful per-user profile over a stream with ``ts``/``value`` columns.
     Emits an updated profile per micro-batch; with ``timeout_ms`` set, also a

@@ -241,3 +241,51 @@ def test_incremental_agg_sink_equals_batch_aggregate(spark, tmp_path):
                 F.count(F.lit(1)).alias("n"), F.sum("value").alias("value")
             ).collect()}
     assert got == want and len(got) == 5
+
+
+def test_stateful_funnel_equals_batch(spark, tmp_path):
+    """Streaming funnel (applyInPandasWithState) over two time-ordered
+    micro-batches must land every user on the same final step as the batch
+    earliest-completion operator."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.operators.funnel import funnel_counts
+    from flnr_wins_spark.streaming.stateful import funnel_progress
+
+    steps = ["signup", "click", "purchase"]
+    ev = (
+        read_table(spark, SF, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    )
+    # split by time so batch order == event-time order (the stream contract)
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = str(tmp_path / "src")
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        funnel_progress(stream, steps)
+        .writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode appends re-emissions: keep the max step per
+    # user (the frontier only advances)
+    final = (
+        spark.table("t_funnel")
+        .groupBy("user_id")
+        .agg(F.max("step").alias("step"))
+    )
+    got = {
+        r.step: r.n
+        for r in final.filter(F.col("step") > 0).groupBy("step").agg(F.count("*").alias("n")).collect()
+    }
+    # users at step >= k in streaming == batch funnel count at step k
+    want = {r["step"]: r["users"] for r in funnel_counts(ev, steps).collect()}
+    got_cum = {k: sum(v for s, v in got.items() if s >= k) for k in want}
+    assert got_cum == want and want[1] > 0
