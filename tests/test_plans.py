@@ -283,3 +283,17 @@ def test_fill_forward_running_frame_single_shuffle(spark):
     plan = _plan(spark, "q_window_fill_forward")
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "SinglePartition" not in plan
+
+
+def test_no_row_at_a_time_python_udf_anywhere(spark):
+    """Repo-wide scale contract: NO registered query may plan a row-at-a-time
+    Python UDF (BatchEvalPython) — the 10-100x-slower path. Arrow-batched
+    pandas UDFs (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are
+    the sanctioned Python escape hatch and stay allowed."""
+    offenders = []
+    for name, qd in all_queries().items():
+        df = qd.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
