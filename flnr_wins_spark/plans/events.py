@@ -7,7 +7,6 @@ the DuckDB oracle. The streaming variants share the aggregation code.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from flnr_wins_spark.plans.common import dsum, query, sql_dsum, t

@@ -372,8 +372,6 @@ class TestZorder:
 
 class TestFillForward:
     def test_fill_semantics(self, spark):
-        from flnr_wins_spark.plans.common import all_queries
-
         # covered by the oracle at fixture scale; here pin the tiny edge:
         # leading NULLs stay NULL, later values do not bleed backwards
         from pyspark.sql import Window
