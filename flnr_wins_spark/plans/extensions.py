@@ -448,9 +448,13 @@ def x_vocab_topk(spark, sf_dir):
       WHERE len(tk) >= 3
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    live AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 256)
+    ),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM live a JOIN live b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     pairs AS (
