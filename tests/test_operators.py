@@ -197,6 +197,30 @@ class TestAsofJoin:
         )
         assert out.collect()[0].v is None
 
+    def test_tolerance_nulls_stale_matches(self, spark):
+        import datetime as dt
+
+        def ts(h):
+            return dt.datetime(2024, 1, 1, h)
+
+        left = spark.createDataFrame(
+            [(1, "k", ts(10)), (2, "k", ts(13)), (3, "k", ts(23))],
+            "id long, key string, t timestamp_ntz",
+        )
+        right = spark.createDataFrame(
+            [("k", ts(9), "v9"), ("k", ts(12), "v12")],
+            "key string, t timestamp_ntz, val string",
+        )
+        out = asof_join(
+            left, right, left_key="key", right_key="key",
+            left_time="t", right_time="t", value_col="val", out_col="v",
+            tolerance_seconds=2 * 3600,
+        )
+        got = {r.id: r.v for r in out.collect()}
+        # 10:00 matches 09:00 (1h old, inside 2h); 13:00 matches 12:00;
+        # 23:00's latest match (12:00) is 11h stale -> NULL
+        assert got == {1: "v9", 2: "v12", 3: None}
+
 
 class TestSaltedJoin:
     def _data(self, spark):
