@@ -947,3 +947,33 @@ def q_source_roundtrip(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "q_array_functions",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(tk, t -> length(t) > 4)) AS BIGINT) AS n_long,
+           list_contains(tk, 'spark') AS has_spark,
+           array_to_string(list_sort(tk)[1:3], ',') AS first3_sorted
+    FROM t
+    """,
+    note="higher-order array functions (transform/filter/sort/slice/"
+    "contains/distinct) — all JVM expression eval inside codegen, the "
+    "no-UDF substrate every text/vector operator here builds on",
+)
+def q_array_functions(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tk")
+    )
+    return docs.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("bigint").alias("n_distinct"),
+        F.size(F.filter("tk", lambda x: F.length(x) > 4)).cast("bigint").alias("n_long"),
+        F.array_contains("tk", "spark").alias("has_spark"),
+        F.array_join(F.slice(F.array_sort("tk"), 1, 3), ",").alias("first3_sorted"),
+    )
