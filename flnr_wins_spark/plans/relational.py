@@ -977,3 +977,36 @@ def q_array_functions(spark, sf_dir):
         F.array_contains("tk", "spark").alias("has_spark"),
         F.array_join(F.slice(F.array_sort("tk"), 1, 3), ",").alias("first3_sorted"),
     )
+
+
+@query(
+    "q_window_time_range",
+    sql="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(27,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+    note="time-interval RANGE frame: per-user rolling 1h count/sum ordered "
+    "by event time — the streaming-adjacent rolling metric, one shuffle on "
+    "the partition key; decimal-routed sum for engine-exact comparison",
+)
+def q_window_time_range(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    # RANGE frames need a numeric order key: seconds since epoch of the NTZ
+    # event time (cast through LTZ; the frame width is TZ-invariant)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(27,2)")).over(w).cast("double").alias("sum_1h"),
+    )
