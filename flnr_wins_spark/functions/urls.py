@@ -47,6 +47,67 @@ def with_url_parts(
     return df.withColumn(host_col, host).withColumn(domain_col, registered_domain(F.col(host_col)))
 
 
+# tracking parameters stripped by canonical_url (prefix match for utm_*)
+TRACKING_PARAM_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("gclid", "fbclid", "ref", "mc_cid", "mc_eid")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl dedup/grouping. Rules (all pure
+    regex/array expressions, RE2-compatible so a DuckDB oracle mirrors them
+    exactly):
+
+      1. scheme + host lower-cased; leading ``www.`` dropped from the host;
+      2. default ports dropped (``:80`` for http, ``:443`` for https),
+         other ports kept;
+      3. fragment dropped;
+      4. tracking query params dropped (``utm_*``, gclid, fbclid, ref,
+         mc_cid, mc_eid), the rest SORTED so param order never splits a
+         group; empty query drops the ``?``;
+      5. empty path becomes ``/``; a trailing slash on a longer path is
+         stripped (``/a/`` == ``/a``).
+
+    URLs without a scheme://host pass through unchanged (nothing to
+    canonicalize against).
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)
+    )
+    host_c = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:([0-9]+)", 1
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    # empty path -> '/'; one trailing slash stripped from non-root paths
+    path_c = F.when(path == "", "/").otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            path.substr(F.lit(1), F.length(path) - 1),
+        ).otherwise(path)
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.regexp_extract(p, "^([^=]*)", 1).startswith("utm_")
+        & ~F.regexp_extract(p, "^([^=]*)", 1).isin(list(TRACKING_PARAMS)),
+    )
+    query_c = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host_c,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path_c,
+        F.when(query_c != "", F.concat(F.lit("?"), query_c)).otherwise(F.lit("")),
+    )
+    return F.when(host == "", url).otherwise(rebuilt)
+
+
 def domain_blocklist_filter(
     df: DataFrame,
     url_col: str,

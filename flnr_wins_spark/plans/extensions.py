@@ -1637,3 +1637,77 @@ def x_dedup_clusters_star(spark, sf_dir):
     pairs = jaccard_pairs(shingle_sets(docs, "text", "doc_id", n=3), threshold=0.8)
     cc = connected_components(pairs, algorithm="star")
     return cc.withColumn("is_survivor", F.col("id") == F.col("cluster_id"))
+
+
+@query(
+    "x_url_canonicalize",
+    sql="""
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTP://WWW.' || source || '-Site.org'
+               || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+               || '/Doc/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || '?utm_source=x&b=2&a=1'
+               || CASE WHEN doc_id % 3 = 0 THEN '&gclid=zz' ELSE '' END
+               || '#frag' AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
+               '^www\\.', '') AS host_c,
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+:([0-9]+)', 1) AS port,
+             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM urls
+    ),
+    canon AS (
+      SELECT doc_id, url, scheme, host_c,
+             CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                           OR (scheme = 'https' AND port = '443'))
+                  THEN ':' || port ELSE '' END AS port_c,
+             CASE WHEN path = '' THEN '/'
+                  WHEN length(path) > 1 AND path LIKE '%/'
+                  THEN substr(path, 1, length(path) - 1)
+                  ELSE path END AS path_c,
+             array_to_string(list_sort(list_filter(string_split(query, '&'),
+               p -> p <> ''
+                    AND NOT starts_with(regexp_extract(p, '^([^=]*)', 1), 'utm_')
+                    AND regexp_extract(p, '^([^=]*)', 1)
+                        NOT IN ('gclid', 'fbclid', 'ref', 'mc_cid', 'mc_eid'))),
+               '&') AS query_c
+      FROM parts
+    )
+    SELECT doc_id,
+           scheme || '://' || host_c || port_c || path_c
+             || CASE WHEN query_c <> '' THEN '?' || query_c ELSE '' END AS canonical
+    FROM canon
+    """,
+    note="URL canonicalization for crawl dedup: lower-cased scheme/host, "
+    "www. + default ports + fragments + tracking params stripped, "
+    "surviving params sorted, trailing slash normalized — all "
+    "RE2-compatible regex/array expressions, oracle-mirrored rule by rule",
+)
+def x_url_canonicalize(spark, sf_dir):
+    from flnr_wins_spark.functions.urls import canonical_url
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW."),
+            F.col("source"),
+            F.lit("-Site.org"),
+            F.when(F.col("doc_id") % 5 == 0, ":80").otherwise(""),
+            F.lit("/Doc/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+            F.lit("?utm_source=x&b=2&a=1"),
+            F.when(F.col("doc_id") % 3 == 0, "&gclid=zz").otherwise(""),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return docs.select("doc_id", canonical_url(F.col("url")).alias("canonical"))

@@ -1153,3 +1153,25 @@ class TestAudioChunks:
         assert not any(m == 3 for m, _ in rows)
         # chunk samples always sum back to n_samples
         assert sum(r.chunk_samples for (m, _), r in rows.items() if m == 1) == 165000
+
+
+class TestUrlCanonicalize:
+    def test_rules(self, spark):
+        from flnr_wins_spark.functions.urls import canonical_url
+
+        cases = [
+            (1, "HTTP://WWW.Ex.COM:80/A/b/?utm_source=t&z=1&a=2#f"),
+            (2, "https://ex.com:443/"),
+            (3, "https://ex.com:8443/p"),   # non-default port kept
+            (4, "http://ex.com"),           # empty path -> '/'
+            (5, "not a url"),               # passthrough
+            (6, "http://ex.com/p?gclid=1&ref=2"),  # all params tracking
+        ]
+        df = spark.createDataFrame(cases, "id long, url string")
+        got = {r.id: r.c for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()}
+        assert got[1] == "http://ex.com/A/b?a=2&z=1"
+        assert got[2] == "https://ex.com/"
+        assert got[3] == "https://ex.com:8443/p"
+        assert got[4] == "http://ex.com/"
+        assert got[5] == "not a url"
+        assert got[6] == "http://ex.com/p"
