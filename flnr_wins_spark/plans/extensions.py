@@ -1421,6 +1421,7 @@ def x_dedup_containment(spark, sf_dir):
     note="unigram-LM quality proxy (KenLM-style filtering with a one-pass "
     "in-corpus model): mean negative log-prob per doc; per-token ln routed "
     "through DECIMAL(27,9) so the sum is order-insensitive and engine-exact",
+    bench=True,
 )
 def x_unigram_quality(spark, sf_dir):
     from flnr_wins_spark.functions.text import unigram_quality
@@ -1566,6 +1567,7 @@ def x_embedding_stats(spark, sf_dir):
     note="training-sequence materialization: pack members concatenated with "
     "an EOS separator in the exact deterministic pack order; per-group "
     "collection is budget-bounded by construction (the safe collect_list)",
+    bench=True,
 )
 def x_packed_sequences(spark, sf_dir):
     from flnr_wins_spark.functions.text import token_count
