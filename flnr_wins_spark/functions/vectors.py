@@ -556,10 +556,13 @@ def semantic_dedup(
     v = df.select(
         F.col(id_col).alias("id"), unit(F.col(vec_col).cast("array<double>")).alias("v")
     )
+    # train on the NORMALIZED vectors — the published recipe clusters the
+    # unit sphere, and fitting raw while assigning normalized would let
+    # magnitude outliers drag centroids the assignment never sees
     cents = (
         centroids
         if centroids is not None
-        else kmeans_fit(df, vec_col, id_col, k=k, iters=iters, seed=seed)
+        else kmeans_fit(v, vec_col="v", id_col="id", k=k, iters=iters, seed=seed)
     )
     # assignment feeds FOUR consumers (both pair-join sides, the width
     # guard, and the final verdict join) — without a persist each one
