@@ -385,3 +385,22 @@ class TestFillForward:
             "k", "seq", F.last("v", ignorenulls=True).over(w).alias("f")).collect()}
         assert got[(1, 1)] is None and got[(1, 2)] == 10.0
         assert got[(1, 3)] == 10.0 and got[(2, 1)] is None
+
+
+class TestPackTexts:
+    def test_eos_join_in_pack_order(self, spark):
+        from flnr_wins_spark.operators.packing import pack_sequences, pack_texts
+
+        docs = spark.createDataFrame(
+            [(i, f"doc{i} words here", 3) for i in range(20)],
+            "doc_id long, text string, n_tokens long",
+        )
+        packed = pack_sequences(docs, "doc_id", "n_tokens", budget=6, shards=4)
+        out = pack_texts(packed, "doc_id", "text", eos="|")
+        rows = out.collect()
+        # every pack's n_docs matches its seq_text piece count
+        assert all(r.n_docs == len(r.seq_text.split("|")) for r in rows)
+        assert sum(r.n_docs for r in rows) == 20
+        # deterministic across invocations
+        again = {r.pack_id: r.seq_text for r in pack_texts(packed, "doc_id", "text", eos="|").collect()}
+        assert {r.pack_id: r.seq_text for r in rows} == again

@@ -289,3 +289,32 @@ def test_stateful_funnel_equals_batch(spark, tmp_path):
     want = {r["step"]: r["users"] for r in funnel_counts(ev, steps).collect()}
     got_cum = {k: sum(v for s, v in got.items() if s >= k) for k in want}
     assert got_cum == want and want[1] > 0
+
+
+def test_incremental_agg_sink_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint reset (full replay) must rebuild the same state, not fold
+    the data in twice — the point of version-per-batch state."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.streaming.sinks import incremental_agg_sink, read_agg_state
+
+    src = str(tmp_path / "src")
+    ev = read_table(spark, SF, "events").select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    ev.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    for ckpt in ("ck1", "ck2"):  # second run = replay with fresh checkpoint
+        q = incremental_agg_sink(
+            stream, str(tmp_path / "state"), ["event_type"], ["value"],
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+    got = {r.event_type: (r.n, r.value)
+           for r in read_agg_state(spark, str(tmp_path / "state")).collect()}
+    want = {r.event_type: (r.n, r.value)
+            for r in ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("value")
+            ).collect()}
+    assert got == want
