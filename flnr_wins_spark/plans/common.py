@@ -67,7 +67,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q_null_safe_join", "x_packed_sequences", "q_asof_tolerance",
     "x_multimodal_audio_chunks", "x_dedup_clusters_star",
     "q_skew_salted_join", "q_source_roundtrip", "q_array_functions",
-    "q_window_time_range", "x_url_canonicalize",
+    "q_window_time_range", "x_url_canonicalize", "x_dedup_url",
     # (c) WINS parity core
     "r1_append_no_test", "r2_conditional_update", "r3_blank_to_null",
     "r4_enrich_left_join", "r6_frequency", "r7_reject_duplicates",

@@ -1713,3 +1713,61 @@ def x_url_canonicalize(spark, sf_dir):
         ).alias("url"),
     )
     return docs.select("doc_id", canonical_url(F.col("url")).alias("canonical"))
+
+
+_URL_VARIANTS_SQL = """
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'http://www.ex-' || CAST(doc_id // 5 AS VARCHAR)
+                           || '.org/page/' || CAST(doc_id // 5 AS VARCHAR)
+               WHEN 1 THEN 'HTTP://EX-' || CAST(doc_id // 5 AS VARCHAR)
+                           || '.ORG/page/' || CAST(doc_id // 5 AS VARCHAR)
+               WHEN 2 THEN 'http://ex-' || CAST(doc_id // 5 AS VARCHAR)
+                           || '.org/page/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+               WHEN 3 THEN 'http://ex-' || CAST(doc_id // 5 AS VARCHAR)
+                           || '.org/page/' || CAST(doc_id // 5 AS VARCHAR)
+                           || '?utm_source=a'
+               ELSE 'http://ex-' || CAST(doc_id // 5 AS VARCHAR)
+                    || '.org:80/page/' || CAST(doc_id // 5 AS VARCHAR) || '#x'
+             END AS url
+      FROM documents
+"""
+
+
+@query(
+    "x_dedup_url",
+    sql=f"""
+    WITH urls AS ({_URL_VARIANTS_SQL})
+    SELECT 'http://ex-' || CAST(doc_id // 5 AS VARCHAR)
+             || '.org/page/' || CAST(doc_id // 5 AS VARCHAR) AS canonical,
+           MIN(doc_id) AS keeper,
+           COUNT(*) AS n_copies
+    FROM urls
+    GROUP BY 1
+    """,
+    note="URL-level dedup through canonicalization: five superficial "
+    "variants per page (case, www, trailing slash, tracking param, default "
+    "port + fragment) collapse to one canonical key — raw-URL grouping "
+    "would find zero duplicates; the oracle derives the expected canonical "
+    "directly, so a canonicalization regression hash-fails",
+)
+def x_dedup_url(spark, sf_dir):
+    from flnr_wins_spark.functions.urls import canonical_url
+
+    g = (F.col("doc_id") / 5).cast("long").cast("string")
+    base = F.concat(F.lit("ex-"), g, F.lit(".org"))
+    page = F.concat(F.lit("/page/"), g)
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(F.lit("http://www."), base, page))
+        .when(m == 1, F.concat(F.lit("HTTP://"), F.upper(base), page))
+        .when(m == 2, F.concat(F.lit("http://"), base, page, F.lit("/")))
+        .when(m == 3, F.concat(F.lit("http://"), base, page, F.lit("?utm_source=a")))
+        .otherwise(F.concat(F.lit("http://"), base, F.lit(":80"), page, F.lit("#x")))
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return (
+        docs.select("doc_id", canonical_url(F.col("url")).alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
