@@ -47,17 +47,53 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
-# driver-graded correctness row go first. Round-3 ordering: (a) the 6 entries
-# the round-2 driver's budget cut (they sat at positions 51-56 — all pass the
-# local differential harness; grading them converts working code into
-# contract evidence), (b) operators new this round, oracle-backed first,
-# (c) the WINS reference-parity core, (d) already-green entries, broadest
-# coverage first. Names absent from this list follow in import order.
+# driver-graded correctness row go first. Round-4 ordering: (a) the two
+# flagship e2e entries (CORRECTNESS_r03's only reds, now fixed — hex-projected
+# SHAPE), (b) entries new/changed this round, (c) the 9 rows-only entries
+# (their only driver evidence so far is spark_rows>0), (d) entries whose
+# latest driver grade is r01, (e) latest grade r02, (f) r03 greens. Goal: no
+# entry's latest grade ends the round older than two rounds. Names absent
+# from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
-    # (a) driver-ungraded after round 2 (budget cut at ~50; these were 51-56)
-    "x_incremental_agg", "x_similarity_int8", "x_search_bm25",
+    # (a) fixed flagship pair — must convert red -> green this round
+    "wins_e2e_rejects", "wins_e2e_kept",
+    # (b) new/changed in round 4
+    # (entries added this round are appended here as they land)
+    # (c) rows-only entries: refresh their rows-evidence every round
+    "q_events_approx_distinct", "x_dedup_minhash_lsh", "x_dedup_simhash",
+    "x_similarity_ann_lsh", "x_similarity_ivf", "x_text_langid",
     "x_similarity_ivf_kmeans", "x_semdedup", "x_similarity_pq",
-    # (b) new in round 3 — oracle-backed
+    # (d) latest grade is r01 (two rounds stale)
+    "q_events_interval_join", "q_events_multires_rollup", "q_events_json",
+    "q_events_tumbling", "q_events_sliding", "q_events_sessionize",
+    "q_events_dedup", "q_events_late_data",
+    "x_dedup_exact", "x_dedup_ngram_jaccard", "x_train_test_split",
+    "x_dedup_clusters", "x_similarity_topk",
+    "x_text_stats", "x_text_quality", "x_text_fingerprint",
+    "x_multimodal_bytes", "x_multimodal_frames", "x_embedding_neardup",
+    "x_decontam", "x_pii_redact", "x_sample_stratified", "x_seq_packing",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_revenue_forecast", "q_topk_per_group", "q_window_running",
+    "q_window_range_frame", "q_window_rank_family", "q_string_functions",
+    "q_rollup_acctbal",
+    # (e) latest grade is r02 (one round stale)
+    "x_text_tokenize_bpe", "x_multimodal_features",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_discounted_revenue",
+    "q20_potential_promotion", "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "q_cube_orders", "q_grouping_sets", "q_set_ops", "q_distinct_agg",
+    "q_scalar_functions", "q_date_functions", "q_asof_join", "q_pivot_status",
+    "q_explode_tokens", "q_exists_subquery", "q_having", "q_stats_derived",
+    "q_union_distinct", "q_percentile",
+    "x_quality_rules", "x_corpus_stats", "x_doc_chunking", "x_dedup_spans",
+    "x_url_filter", "x_corpus_resample",
+    "x_cdc_diff", "x_merge_upsert", "x_scd2_history",
+    "q_recursive_calendar", "q_unpivot_metrics", "q_lateral_topn",
+    "x_repetition_stats", "x_pagerank", "x_kfold_split", "x_vocab_topk",
+    # (f) graded green in r03 — freshest evidence, graded last
+    "x_incremental_agg", "x_similarity_int8", "x_search_bm25",
     "x_funnel_counts", "x_retention_cohorts", "x_global_rank",
     "x_equidepth_bins", "x_countmin", "x_bloom_prefilter",
     "x_winsorize", "x_group_topk_sample",
@@ -68,30 +104,12 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_multimodal_audio_chunks", "x_dedup_clusters_star",
     "q_skew_salted_join", "q_source_roundtrip", "q_array_functions",
     "q_window_time_range", "x_url_canonicalize", "x_dedup_url",
-    # (c) WINS parity core
     "r1_append_no_test", "r2_conditional_update", "r3_blank_to_null",
     "r4_enrich_left_join", "r6_frequency", "r7_reject_duplicates",
-    "r8_reject_unmatched", "wins_e2e_rejects", "wins_e2e_kept",
-    # (d) already-green: TPC-H + relational + LLM-pipeline headliners
+    "r8_reject_unmatched",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
     "q8_national_market_share", "q9_product_type_profit", "q10_returned_items",
-    "q11_important_value", "q12_shipping_delay", "q13_customer_distribution",
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q19_discounted_revenue", "q20_potential_promotion",
-    "q21_suppliers_kept_waiting", "q22_global_sales_opportunity",
-    "q_cube_orders", "q_grouping_sets", "q_set_ops", "q_distinct_agg",
-    "q_scalar_functions", "q_date_functions", "q_asof_join", "q_pivot_status",
-    "q_explode_tokens", "q_exists_subquery", "q_having", "q_stats_derived",
-    "q_union_distinct", "q_percentile",
-    "x_text_tokenize_bpe", "x_multimodal_features",
-    "x_quality_rules", "x_corpus_stats", "x_doc_chunking", "x_dedup_spans",
-    "x_url_filter", "x_corpus_resample",
-    "x_cdc_diff", "x_merge_upsert", "x_scd2_history",
-    "q_recursive_calendar", "q_unpivot_metrics", "q_lateral_topn",
-    "x_repetition_stats", "x_pagerank", "x_kfold_split", "x_vocab_topk",
-    "x_dedup_exact", "x_dedup_ngram_jaccard", "x_dedup_clusters",
-    "x_dedup_minhash_lsh", "x_decontam", "x_similarity_topk", "x_seq_packing",
+    "q11_important_value", "q12_shipping_delay",
 )
 
 

@@ -22,15 +22,29 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 
-def canon(v):
+class BinaryColumnError(TypeError):
+    """Raised when a *graded* projection emits raw binary. The driver's
+    canonicalizer pandas-factorizes rows and dies on ``bytearray`` (what both
+    PySpark and DuckDB hand back for BLOB columns), so anything that would
+    pass here by silently hexing must instead fail loudly: graded outputs
+    must project ``lower(hex(col))`` on both sides (see CORRECTNESS_r03
+    wins_e2e_* failure)."""
+
+
+def canon(v, strict_binary=True):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        if strict_binary:
+            raise BinaryColumnError(
+                "raw binary value in graded output — the driver harness cannot "
+                "hash bytearray; project lower(hex(col)) on both sides instead"
+            )
+        return bytes(v).hex()
     if isinstance(v, list):
-        return tuple(canon(x) for x in v)
+        return tuple(canon(x, strict_binary) for x in v)
     return v
 
 
@@ -105,7 +119,12 @@ def main():
             print(f"FAIL {name}: columns spark={scols} duckdb={dcols}")
             ok = False
         if ok:
-            ms, md = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+            try:
+                ms, md = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+            except BinaryColumnError as e:
+                print(f"FAIL {name}: {e}")
+                failures.append(name)
+                continue
             if ms != md:
                 only_s = {k: c for k, c in ms.items() if md.get(k) != c}
                 only_d = {k: c for k, c in md.items() if ms.get(k) != c}
