@@ -54,7 +54,21 @@ def connected_components(
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # symmetrize via explode, not union-of-two-selects: the upstream edge
+    # producer (e.g. a within-cell pair join) is evaluated ONCE — a union
+    # would compute it per branch
+    e = (
+        fwd.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .distinct()
+    )
     e = e.localCheckpoint()
     labels = e.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
@@ -107,18 +121,21 @@ def _cc_star(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     every non-root has exactly one edge to its component minimum.
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    verts = (
-        fwd.select(F.col("a").alias("id"))
-        .union(fwd.select(F.col("b").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
-    e = (
+    # canonicalize first (one scan of the upstream pair producer), THEN
+    # derive the vertex set from the checkpointed edges — deriving both from
+    # ``fwd`` would re-evaluate the pair join three times
+    canon = (
         fwd.select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
-        .filter(F.col("lo") < F.col("hi"))
         .distinct()
         .localCheckpoint()
     )
+    verts = (
+        canon.select(F.col("lo").alias("id"))
+        .union(canon.select(F.col("hi").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = canon.filter(F.col("lo") < F.col("hi"))
 
     def signature(df: DataFrame) -> tuple[int, int]:
         # scalar aggregate action (one row to the driver) — the same class

@@ -674,12 +674,106 @@ def x_similarity_ivf(spark, sf_dir):
     return ivf_topk(queries, emb, nlist=16, nprobe=4, k=5)
 
 
+# x_similarity_ivf_kmeans oracle: Lloyd's k-means IS SQL-expressible once the
+# per-dim mean routes through decimal (order-insensitive) — the iteration
+# count is fixed, so the loop unrolls to 3 assign/update CTE pairs (the
+# x_pagerank pattern). Every float op is a left fold (list_dot_product ==
+# Spark's aggregate(zip_with)), so centroids and cosines are bit-identical.
+# The Spark side trains on a content-addressed sample (fit_sample=100k),
+# which covers the whole corpus at every oracle SF (N<=2000), so the SQL
+# trains on everything.
+_KM_SQDIST = (
+    "list_dot_product("
+    "list_transform(list_zip(e.v, c.centroid), s -> s[1] - s[2]), "
+    "list_transform(list_zip(e.v, c.centroid), s -> s[1] - s[2]))"
+)
+
+_KM_ITER = """
+    a{i} AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT e.vec_id, c.cent_id AS cell, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {sqdist}, c.cent_id) AS rn
+        FROM h e CROSS JOIN c{prev} c) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT cell, list(m ORDER BY d) AS centroid FROM (
+        SELECT cell, u.i AS d,
+               CAST(SUM(CAST(v[u.i + 1] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+        FROM a{i}, UNNEST(range(0, len(v))) AS u(i)
+        GROUP BY cell, u.i)
+      GROUP BY cell
+    ),
+    c{i} AS (
+      SELECT p.cent_id, COALESCE(n.centroid, p.centroid) AS centroid
+      FROM c{prev} p LEFT JOIN m{i} n ON p.cent_id = n.cell
+    )"""
+
+_IVF_KMEANS_SQL = (
+    """
+    WITH h AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             md5(CAST(vec_id AS VARCHAR) || ':42') AS _h
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY _h) AS BIGINT) AS cent_id,
+             v AS centroid
+      FROM (SELECT _h, v FROM h ORDER BY _h LIMIT 8)
+    ),"""
+    + ",".join(
+        _KM_ITER.format(i=i, prev=i - 1, sqdist=_KM_SQDIST) for i in (1, 2, 3)
+    )
+    + """,
+    cn AS (
+      SELECT cent_id,
+             list_transform(centroid,
+               x -> x / sqrt(list_dot_product(centroid, centroid))) AS centv
+      FROM c3
+    ),
+    cu AS (
+      SELECT vec_id AS cand_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+      FROM h
+    ),
+    qu AS (SELECT cand_id AS query_id, cv AS qv FROM cu WHERE cand_id < 10),
+    assigned AS (
+      SELECT cand_id, cell, cv FROM (
+        SELECT u.cand_id, c.cent_id AS cell, u.cv,
+               ROW_NUMBER() OVER (PARTITION BY u.cand_id
+                 ORDER BY list_dot_product(u.cv, c.centv) DESC, c.cent_id) AS rn
+        FROM cu u CROSS JOIN cn c) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, c.centv) DESC, c.cent_id) AS pr
+        FROM qu q CROSS JOIN cn c) WHERE pr <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, a.cand_id, list_dot_product(p.qv, a.cv) AS cosine
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE p.query_id <> a.cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """
+)
+
+
 @query(
     "x_similarity_ivf_kmeans",
-    sql=None,  # iterative algorithm + approximate recall — no exact SQL twin
+    sql=_IVF_KMEANS_SQL,
     note="IVF ANN over TRAINED centroids: distributed Lloyd's k-means "
-    "(broadcast-assign, posexplode per-dim means, localCheckpoint rounds) "
-    "feeds the same probe/re-rank dataflow as x_similarity_ivf",
+    "(content-addressed sampled fit, broadcast-assign, decimal-routed "
+    "per-dim means, localCheckpoint rounds) feeds the probe/re-rank "
+    "dataflow. Decimal means make the trained model — and therefore the "
+    "whole ANN result — exactly reproducible in a fixed unrolled-iteration "
+    "SQL twin",
 )
 def x_similarity_ivf_kmeans(spark, sf_dir):
     from flnr_wins_spark.functions.vectors import ivf_topk, kmeans_fit
@@ -762,12 +856,81 @@ def x_search_bm25(spark, sf_dir):
     return bm25_topk(docs, ["spark", "merge", "window"], k=10)
 
 
+# x_semdedup oracle: the whole pipeline is exactly reproducible in SQL — the
+# k-means CTEs (decimal means, see x_similarity_ivf_kmeans) feed a within-cell
+# pair join and the recursive-CTE connected components from x_dedup_clusters.
+# The output carries no floats at all (id, cluster_id, is_survivor), so the
+# only cross-engine hazard is the pair set itself, and that is pinned by
+# bit-identical fold dots.
+_SEMDEDUP_SQL = (
+    """
+    WITH RECURSIVE raw AS (
+      SELECT vec_id, embedding::DOUBLE[] AS r FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    h AS (
+      SELECT vec_id,
+             list_transform(r, x -> x / sqrt(list_dot_product(r, r))) AS v,
+             md5(CAST(vec_id AS VARCHAR) || ':42') AS _h
+      FROM raw
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY _h) AS BIGINT) AS cent_id,
+             v AS centroid
+      FROM (SELECT _h, v FROM h ORDER BY _h LIMIT 8)
+    ),"""
+    + ",".join(
+        _KM_ITER.format(i=i, prev=i - 1, sqdist=_KM_SQDIST) for i in (1, 2)
+    )
+    + """,
+    af AS (
+      SELECT vec_id, cell, v FROM (
+        SELECT e.vec_id, c.cent_id AS cell, e.v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY """
+    + _KM_SQDIST
+    + """, c.cent_id) AS rn
+        FROM h e CROSS JOIN c2 c) WHERE rn = 1
+    ),
+    paired AS (
+      SELECT vec_id, cell, v FROM af
+      WHERE cell IN (SELECT cell FROM af GROUP BY cell HAVING COUNT(*) <= 100000)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM paired a JOIN paired b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) >= 0.999
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    cc AS (
+      SELECT id, MIN(r) AS cluster_id, id = MIN(r) AS is_survivor
+      FROM reach GROUP BY id
+    )
+    SELECT h.vec_id AS id,
+           COALESCE(cc.cluster_id, h.vec_id) AS cluster_id,
+           COALESCE(cc.is_survivor, TRUE) AS is_survivor
+    FROM h LEFT JOIN cc ON cc.id = h.vec_id
+    """
+)
+
+
 @query(
     "x_semdedup",
-    sql=None,  # k-means cell structure has no SQL twin; clone recovery is unit-tested
+    sql=_SEMDEDUP_SQL,
     note="SemDeDup semantic dedup: k-means cells -> within-cell cosine pairs "
     "-> connected components -> lowest-id survivor. Planted scaled clones "
-    "(identical unit vectors) are guaranteed to share a cell and link",
+    "(identical unit vectors) are guaranteed to share a cell and link. "
+    "Decimal-routed centroid means make the cell structure — and so the "
+    "full verdict table — exactly reproducible in the unrolled SQL twin",
     bench=True,
 )
 def x_semdedup(spark, sf_dir):

@@ -320,6 +320,31 @@ class TestKMeans:
         assert len(cents) == 3
         assert all(r.centroid is not None for r in cents)
 
+    def test_sampled_fit_deterministic_and_content_addressed(self, spark, blobs):
+        from flnr_wins_spark.functions.vectors import kmeans_fit
+
+        # sampled fit is partition-invariant (content-addressed draw +
+        # decimal-routed means — nothing depends on data placement) ...
+        s1 = kmeans_fit(blobs, k=2, iters=3, fit_sample=10).collect()
+        s2 = kmeans_fit(blobs.repartition(7), k=2, iters=3, fit_sample=10).collect()
+        assert sorted((r.cent_id, r.centroid) for r in s1) == sorted(
+            (r.cent_id, r.centroid) for r in s2
+        )
+        # ... and equals an exact (full) fit over the explicit sample subset:
+        # the sample is the fit_sample lowest md5(id:seed) rows, no more rule
+        h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":42")))
+        subset = blobs.withColumn("_h", h).orderBy("_h").limit(10).drop("_h")
+        full = kmeans_fit(subset, k=2, iters=3, fit_sample=None).collect()
+        assert sorted((r.cent_id, r.centroid) for r in s1) == sorted(
+            (r.cent_id, r.centroid) for r in full
+        )
+        # a sample covering the corpus reproduces the unsampled fit exactly
+        all1 = kmeans_fit(blobs, k=2, iters=3, fit_sample=1000).collect()
+        all2 = kmeans_fit(blobs, k=2, iters=3, fit_sample=None).collect()
+        assert sorted((r.cent_id, r.centroid) for r in all1) == sorted(
+            (r.cent_id, r.centroid) for r in all2
+        )
+
     def test_trained_ivf_finds_neighbors(self, spark, blobs):
         from flnr_wins_spark.functions.vectors import ivf_topk, kmeans_fit
 
