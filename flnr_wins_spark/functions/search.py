@@ -58,6 +58,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unpersist: bool = False,
 ) -> DataFrame:
     """BM25 top-k document retrieval (Robertson/Sparck Jones probabilistic
     weighting, the Lucene-default `+1` idf variant so weights stay positive).
@@ -68,6 +69,12 @@ def bm25_topk(
         idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
         tfn(t,d)= tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
         score   = sum_t idf(t) * tfn(t,d)       (decimal-routed, see module)
+
+    ``unpersist=True`` eagerly materializes the (k-row) result and releases
+    the internal doc-length cache before returning — the right mode for
+    multi-corpus loops, which otherwise accumulate one session-lifetime
+    cached table per corpus (same convention as
+    ``operators.dedup.minhash_lsh_pairs``).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
@@ -111,4 +118,8 @@ def bm25_topk(
     # single-partition sort barrier); the rank window then sees only k rows.
     top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    out = top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    if unpersist:
+        out = out.localCheckpoint(eager=True)
+        doclen.unpersist()
+    return out

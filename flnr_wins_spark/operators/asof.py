@@ -74,8 +74,14 @@ def asof_join(
         .filter(F.col("_is_left") == 1)
     )
     if tolerance_seconds is not None:
-        # NTZ has no direct long cast; route both sides through LTZ — the
-        # session-TZ shift cancels in the difference
+        # NTZ has no direct long cast; route both sides through LTZ. The
+        # session-TZ shift cancels in the difference ONLY while both
+        # timestamps resolve under one UTC offset — a DST-observing session
+        # timezone would skew the window by the offset delta across a
+        # transition. session.py pins spark.sql.session.timeZone=UTC (fixed
+        # offset, no transitions), which this arithmetic relies on; under a
+        # non-fixed session TZ, pre-render to UTC strings and unix_timestamp
+        # them instead.
         def secs(c):
             return F.col(c).cast("timestamp_ltz").cast("long")
 

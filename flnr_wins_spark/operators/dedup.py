@@ -22,9 +22,13 @@ candidate generation subquadratic; exact verification touches only candidates.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+_LOG = logging.getLogger(__name__)
 
 
 def normalize_text(col):
@@ -102,6 +106,15 @@ def jaccard_pairs(
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sh = shingles
     if max_shingle_freq is not None:
+        # Make the capped semantics observable without forcing an action in
+        # a lazy operator: a duplicate cluster wider than the cap yields NO
+        # pairs from its shared shingles. Callers audit the actual drop
+        # volume with ``stop_shingle_count`` (pass ``None`` for exact mode).
+        _LOG.info(
+            "jaccard_pairs: stop-shingle cap active (max_shingle_freq=%d); "
+            "shingles shared by more docs are dropped before the pair join — "
+            "audit with stop_shingle_count()", max_shingle_freq,
+        )
         freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
         sh = shingles.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").select(
             "id", "shingle"

@@ -57,6 +57,33 @@ def partitioned_overwrite_sink(
     return writer.start()
 
 
+def _state_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` on whatever filesystem owns it —
+    resolved through Hadoop's FileSystem API so versioned state works on any
+    Spark-writable scheme (file://, hdfs://, s3a://...), not only the
+    driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _state_versions(spark, state_path: str) -> list[int]:
+    fs, jpath = _state_fs(spark, state_path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _state_delete(spark, path: str) -> None:
+    fs, jpath = _state_fs(spark, path)
+    fs.delete(jpath, True)
+
+
 def incremental_agg_sink(
     stream: DataFrame,
     state_path: str,
@@ -76,27 +103,18 @@ def incremental_agg_sink(
     predecessor, not from its own output) and readers race-free
     (:func:`read_agg_state` always sees a complete version). Old versions
     are pruned after each successful write, keeping the last few for
-    in-flight readers. ``sum_cols`` must be exact types (bigint/decimal) so
-    the merged state is independent of merge order — the
-    ``plans/common.py`` determinism rule.
+    in-flight readers. Version discovery and pruning go through the Hadoop
+    FileSystem API, so ``state_path`` may live on any filesystem Spark can
+    write (local, HDFS, s3a, ...), not just the driver's local disk.
+    ``sum_cols`` must be exact types (bigint/decimal) so the merged state is
+    independent of merge order — the ``plans/common.py`` determinism rule.
     """
-    import os
-    import shutil
-
     from flnr_wins_spark.operators.merge import incremental_agg
-
-    def _versions() -> list[int]:
-        if not os.path.isdir(state_path):
-            return []
-        return sorted(
-            int(d[1:]) for d in os.listdir(state_path)
-            if d.startswith("v") and d[1:].isdigit()
-        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = batch_df.withColumn("_sign", F.lit(1))
-        prior = [v for v in _versions() if v < batch_id]
+        prior = [v for v in _state_versions(spark, state_path) if v < batch_id]
         if prior:
             prev = spark.read.parquet(f"{state_path}/v{prior[-1]}")
         else:
@@ -110,9 +128,9 @@ def incremental_agg_sink(
             )
         new = incremental_agg(prev, delta, key_cols, sum_cols, sign_col="_sign")
         new.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
-        for v in _versions()[:-3]:  # keep the newest 3 versions
+        for v in _state_versions(spark, state_path)[:-3]:  # keep the newest 3
             if v != batch_id:
-                shutil.rmtree(f"{state_path}/v{v}", ignore_errors=True)
+                _state_delete(spark, f"{state_path}/v{v}")
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -124,13 +142,8 @@ def incremental_agg_sink(
 
 def read_agg_state(spark, state_path: str) -> DataFrame:
     """Read the newest complete aggregate-state version written by
-    :func:`incremental_agg_sink`."""
-    import os
-
-    versions = sorted(
-        int(d[1:]) for d in os.listdir(state_path)
-        if d.startswith("v") and d[1:].isdigit()
-    )
+    :func:`incremental_agg_sink` (any Spark-writable filesystem)."""
+    versions = _state_versions(spark, state_path)
     if not versions:
         raise FileNotFoundError(f"no aggregate state under {state_path}")
     return spark.read.parquet(f"{state_path}/v{versions[-1]}")

@@ -285,6 +285,21 @@ def test_fill_forward_running_frame_single_shuffle(spark):
     assert "SinglePartition" not in plan
 
 
+def test_skew_join_handling_on_in_bare_session(spark):
+    """x_dedup_spans (and every non-salted hot-key join) leans on AQE's
+    skew-join splitter. Our session.py turns it on explicitly, but the
+    driver grades queries in a BARE default-conf session — so the real
+    contract is that Spark's SHIPPED DEFAULTS have AQE + skew-join enabled.
+    Pin the defaults (not the session values) so an upgrade or conf drift
+    that turns either off fails here instead of at 100 TB."""
+    sqlconf = spark._jvm.org.apache.spark.sql.internal.SQLConf
+    for entry_name in ("ADAPTIVE_EXECUTION_ENABLED", "SKEW_JOIN_ENABLED"):
+        entry = getattr(sqlconf, entry_name)()
+        assert entry.defaultValueString() == "true", entry.key()
+    # and the operator's own session (what bench/tests run under) agrees
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
 def test_no_row_at_a_time_python_udf_anywhere(spark):
     """Repo-wide scale contract: NO registered query may plan a row-at-a-time
     Python UDF (BatchEvalPython) — the 10-100x-slower path. Arrow-batched
