@@ -58,7 +58,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     # (a) fixed flagship pair — must convert red -> green this round
     "wins_e2e_rejects", "wins_e2e_kept",
     # (b) new/changed in round 4
-    # (entries added this round are appended here as they land)
+    "x_multimodal_decode",
     # (c) rows-only entries: refresh their rows-evidence every round
     "q_events_approx_distinct", "x_dedup_minhash_lsh", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf", "x_text_langid",

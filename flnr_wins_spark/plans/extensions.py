@@ -1235,6 +1235,81 @@ def x_multimodal_bytes(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_decode",
+    sql="""
+    WITH b AS (
+      SELECT doc_id, p,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':px' || CAST(p // 16 AS VARCHAR)),
+                                 2 * (p % 16) + 1, 2) AS INT) AS byte
+      FROM documents, range(48) t(p)
+    )
+    SELECT doc_id AS media_id,
+           CAST(59 AS BIGINT) AS n_bytes,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(4 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN p % 3 = 0 THEN byte ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN p % 3 = 1 THEN byte ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN p % 3 = 2 THEN byte ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(MIN(byte) AS INTEGER) AS min_byte,
+           CAST(MAX(byte) AS INTEGER) AS max_byte
+    FROM b GROUP BY doc_id
+    """,
+    note="REAL image decode (no fake path): each doc becomes a genuine "
+    "binary P6 PPM (11-byte header + 4x4 RGB raster from md5 bytes); "
+    "extract_features(fake=False) parses the header and raster with the "
+    "stdlib decoder and emits integer-exact channel sums. The oracle "
+    "recomputes the expected pixels from the construction — so header "
+    "parsing, raster offsets, and channel interleave are all value-checked. "
+    "Reference analog: the opaque-binary carry at wts.py:132,155, upgraded "
+    "from carry-only to decode",
+)
+def x_multimodal_decode(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents")
+    header = F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8")
+    pix = F.concat(
+        *[
+            F.unhex(
+                F.md5(
+                    F.encode(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f":px{j}")),
+                        "UTF-8",
+                    )
+                )
+            )
+            for j in range(3)
+        ]
+    )
+    content = F.concat(header, pix)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.length(content).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, fake=False)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        f[0].cast("int").alias("channels"),
+        f[1].cast("int").alias("width"),
+        f[2].cast("int").alias("height"),
+        f[3].cast("bigint").alias("sum_r"),
+        f[4].cast("bigint").alias("sum_g"),
+        f[5].cast("bigint").alias("sum_b"),
+        f[6].cast("int").alias("min_byte"),
+        f[7].cast("int").alias("max_byte"),
+    )
+
+
+@query(
     "x_multimodal_frames",
     sql="""
     SELECT doc_id AS media_id,

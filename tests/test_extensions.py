@@ -519,10 +519,87 @@ class TestMultimodal:
         assert r.meta.width == 64 and r.meta.height == 48
         assert bytes(r.content) == bytes(media.orderBy("media_id").first().content)
 
-    def test_real_decode_is_stubbed(self, spark, docs):
+    def test_real_decode_guards_unsupported_containers(self, spark, docs):
+        # text bytes are not a recognized image container: the honest guard
+        # still raises for anything the stdlib decoder can't parse
         media = to_media_table(docs, "text", "doc_id")
-        with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        with pytest.raises(Exception, match="NotImplementedError|unrecognized image"):
             extract_features(media, fake=False).collect()
+
+
+def _bmp_24(width, height, rgb_rows, top_down=False):
+    """Build an uncompressed 24-bit BMP from rows of (r, g, b) tuples."""
+    stride = (width * 3 + 3) & ~3
+    raster = b""
+    rows = rgb_rows if top_down else list(reversed(rgb_rows))
+    for row in rows:
+        line = b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        raster += line + b"\x00" * (stride - len(line))
+    h = height if not top_down else -height
+    header = (
+        b"BM"
+        + (54 + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + raster
+
+
+class TestRealImageDecode:
+    PIXELS = [[(255, 0, 10), (1, 2, 3)], [(4, 5, 6), (7, 8, 9)]]  # 2x2 RGB
+
+    def test_ppm_p6_with_comments(self):
+        from flnr_wins_spark.functions.multimodal import decode_image
+
+        raster = b"".join(bytes(p) for row in self.PIXELS for p in row)
+        data = b"P6\n# a comment\n2 2\n# another\n255\n" + raster
+        ch, w, h, px = decode_image(data)
+        assert (ch, w, h) == (3, 2, 2)
+        assert px == raster
+
+    def test_pgm_p5_single_channel(self):
+        from flnr_wins_spark.functions.multimodal import decode_image
+
+        ch, w, h, px = decode_image(b"P5\n3 1\n255\n\x01\x02\x03")
+        assert (ch, w, h, px) == (1, 3, 1, b"\x01\x02\x03")
+
+    def test_bmp_matches_ppm_pixels_bottom_up_and_top_down(self):
+        from flnr_wins_spark.functions.multimodal import decode_image
+
+        raster = b"".join(bytes(p) for row in self.PIXELS for p in row)
+        ppm = decode_image(b"P6\n2 2\n255\n" + raster)
+        for td in (False, True):
+            bmp = decode_image(_bmp_24(2, 2, self.PIXELS, top_down=td))
+            # same logical image -> identical normalized pixel bytes across
+            # containers, regardless of BMP row order/padding/BGR layout
+            assert bmp == ppm
+
+    def test_real_features_integer_exact(self):
+        from flnr_wins_spark.functions.multimodal import _real_features
+
+        raster = b"".join(bytes(p) for row in self.PIXELS for p in row)
+        feats = _real_features(b"P6\n2 2\n255\n" + raster)
+        assert feats[:3] == [3.0, 2.0, 2.0]
+        assert feats[3] == 255 + 1 + 4 + 7  # R channel sum
+        assert feats[4] == 0 + 2 + 5 + 8
+        assert feats[5] == 10 + 3 + 6 + 9
+        assert feats[6] == 0.0 and feats[7] == 255.0
+
+    def test_unsupported_raises(self):
+        from flnr_wins_spark.functions.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+        with pytest.raises(NotImplementedError):
+            decode_image(b"")
 
 
 class TestConnectedComponents:
