@@ -77,21 +77,38 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 42) -> Column:
+def hyperplane_signature(
+    vec: Column, dim: int, bits: int = 16, seed: int = 42, hash_fn: str = "xxhash64"
+) -> Column:
     """Deterministic random-hyperplane (SimHash-for-vectors) signature.
 
-    Hyperplane j's component d is ±1 from the parity of xxhash64(j*dim+d) —
-    reproducible everywhere with no stored model. sign bit j = [v . h_j >= 0].
-    """
+    Hyperplane j's component d is ±1 from the parity of a hash of
+    ``j*dim + d`` — reproducible everywhere with no stored model.
+    sign bit j = [v . h_j >= 0].
+
+    ``hash_fn``: ``"xxhash64"`` (default, JVM fast path) or ``"md5"``
+    (engine-portable — parity of the last hex digit of
+    ``md5(str(j*dim+d) || ':seed')``; a DuckDB twin derives the identical
+    hyperplanes, making the whole ANN result oracle-checkable)."""
     terms = []
     for j in range(bits):
+        if hash_fn == "xxhash64":
+            comp = (
+                f"CAST(IF(xxhash64(CAST({j} * {dim} AS BIGINT) + d, {seed}) % 2 = 0,"
+                " 1.0, -1.0) AS DOUBLE)"
+            )
+        elif hash_fn == "md5":
+            comp = (
+                f"CAST(IF(substring(md5(concat(CAST({j} * {dim} + d AS STRING),"
+                f" ':{seed}')), 32, 1)"
+                " IN ('1','3','5','7','9','b','d','f'), 1.0, -1.0) AS DOUBLE)"
+            )
+        else:
+            raise ValueError(f"unknown hash_fn {hash_fn!r}")
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.expr(
-                    f"transform(sequence(0, {dim - 1}),"
-                    f" d -> CAST(IF(xxhash64(CAST({j} * {dim} AS BIGINT) + d, {seed}) % 2 = 0, 1.0, -1.0) AS DOUBLE))"
-                ),
+                F.expr(f"transform(sequence(0, {dim - 1}), d -> {comp})"),
                 lambda x, h: x * h,
             ),
             F.lit(0.0),
@@ -331,6 +348,7 @@ def pq_fit(
     id_col: str = "vec_id",
     iters: int = 3,
     seed: int = 42,
+    fit_sample: int | None = 100_000,
 ) -> DataFrame:
     """Train product-quantization codebooks: split each vector into ``m``
     subvectors and run k-means (``ksub`` cells) independently per subspace.
@@ -347,12 +365,29 @@ def pq_fit(
     scans — the driver loop version re-read the input m*(iters+1) times).
     The math is identical to per-subspace ``kmeans_fit`` with seed
     ``seed + sub``: same content-addressed init draw, same per-dimension
-    means, same empty-cell carry-forward."""
+    means (decimal-routed, so trained codebooks are bit-identical across
+    partitionings and engines — what lets the fixed unrolled-iteration
+    DuckDB twin hash-match x_similarity_pq), same empty-cell carry-forward.
+
+    ``fit_sample``: like ``kmeans_fit``, training runs on the rows with the
+    lowest md5(id:seed) — ONE TakeOrdered corpus pass instead of
+    ``iters + 1`` full scans. A ksub=256 codebook needs ~10^5 points, not
+    100 TB. The sampled ROW set is shared by all subspaces (one draw, then
+    slice); per-subspace init still uses the seed+sub hash within it.
+    Pass ``None`` to train on everything."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    slices = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_sub_slices(F.col(vec_col).cast("array<double>"), dim, m)).alias("_s"),
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    if fit_sample is not None:
+        row_h = F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{seed}")))
+        v = v.withColumn("_rh", row_h).orderBy("_rh").limit(
+            max(fit_sample, ksub)
+        ).select("id", "_v").localCheckpoint()
+    slices = v.select(
+        "id",
+        F.explode(_sub_slices(F.col("_v"), dim, m)).alias("_s"),
     ).select("id", F.col("_s.sub").alias("sub"), F.col("_s.subvec").alias("subvec"))
     # identical init hash as kmeans_fit(seed=seed+sub): md5(f"{id}:{seed+s}")
     order_h = F.md5(
@@ -385,9 +420,15 @@ def pq_fit(
             .select("sub", F.col("_b.c").alias("cell"), "subvec")
         )
         by_dim = assigned.select("sub", "cell", F.posexplode("subvec").alias("d", "x"))
+        # decimal-routed mean (the dsum rule): order-insensitive, engine-exact
         means = (
             by_dim.groupBy("sub", "cell", "d")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("sub", "cell")
             .agg(
                 F.expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").alias(
@@ -650,10 +691,12 @@ def ann_lsh_topk(
     bits: int = 16,
     bands: int = 4,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane-signature bands, exact cosine
     re-rank within joined buckets. Recall < 1 by construction (ANN); rank is
-    deterministic for a fixed seed.
+    deterministic for a fixed seed. ``hash_fn`` picks the hyperplane hash
+    (see ``hyperplane_signature``): xxhash64 = fast path, md5 = portable.
 
     Shuffle discipline: the banded rows carry ONLY (id, bucket) — the band
     join and the candidate-pair dedup never shuffle the embedding arrays
@@ -665,7 +708,7 @@ def ann_lsh_topk(
 
     def banded(df: DataFrame, idc: str, side: str) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
-        sig = hyperplane_signature(v, dim=dim, bits=bits, seed=seed)
+        sig = hyperplane_signature(v, dim=dim, bits=bits, seed=seed, hash_fn=hash_fn)
         d = df.select(F.col(idc).alias(f"{side}_id"), sig.alias("_sig"))
         return d.select(
             f"{side}_id",

@@ -204,9 +204,18 @@ def minhash_lsh_pairs(
     max_bucket_width: int | None = None,
     min_parallelism: int | None = None,
     unpersist: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidate generation + exact Jaccard
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``hash_fn``: ``"xxhash64"`` (default — fastest, JVM-only) or ``"md5"``
+    (engine-portable: the per-table min-hash is the lexicographic min of the
+    32-char hex digest, and fixed-width lowercase hex compares identically
+    to the unsigned value, so a DuckDB twin computes the same signatures and
+    therefore the same candidate set — what makes x_dedup_minhash_portable
+    a fully hash-checked oracle entry while this default stays the 100 TB
+    fast path).
 
     Pure DataFrame implementation (no pyspark.ml pipeline): per-document
     signatures are ``num_hash_tables`` independent min-hashes computed
@@ -258,15 +267,21 @@ def minhash_lsh_pairs(
             ).alias("shset"),
         )
     )
+    if hash_fn == "xxhash64":
+        def _mh(i):
+            return F.transform("shset", lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+    elif hash_fn == "md5":
+        def _mh(i):
+            return F.transform(
+                "shset",
+                lambda s, i=i: F.md5(F.encode(F.concat(s, F.lit(f":{seed + i}")), "UTF-8")),
+            )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     agg = staged.select(
         "id",
         "shset",
-        *[
-            F.array_min(
-                F.transform("shset", lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
-            ).alias(f"mh_{i}")
-            for i in range(num_hash_tables)
-        ],
+        *[F.array_min(_mh(i)).alias(f"mh_{i}") for i in range(num_hash_tables)],
     )
     # The signature table feeds three consumers (banding + both verify sides);
     # without an explicit persist each consumer would recompute the shingle
@@ -330,30 +345,46 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, seed: int = 42
+    df: DataFrame, text_col: str, id_col: str, seed: int = 42,
+    hash_fn: str = "xxhash64", bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash per document from token-level xxhash64.
+    """``bits``-wide SimHash per document from token-level hashes.
 
     Entirely JVM-side and single-hash-pass: the distinct-token hash array is
-    materialized ONCE in a staging projection, and the 64-bit vote fold runs
-    over that array — tokenization and xxhash64 execute once per document,
+    materialized ONCE in a staging projection, and the per-bit vote fold runs
+    over that array — tokenization and hashing execute once per document,
     not once per bit (the corpus's hottest pass at 100 TB is this signature
     projection, so a 64x recompute here would dominate the job). No UDFs, no
     shuffle until the caller joins.
-    """
+
+    ``hash_fn``: ``"xxhash64"`` (default, 64-bit JVM fast path) or ``"md5"``
+    (engine-portable: the token hash is the first 15 hex chars of
+    ``md5(token || ':seed')`` parsed as a 60-bit integer — identical in a
+    DuckDB twin, so pass ``bits=60`` with it and the signature, bands, and
+    Hamming pairs all become oracle-checkable)."""
+    if hash_fn == "xxhash64":
+        th_expr = f"transform(_tk, t -> xxhash64(t, {seed}))"
+    elif hash_fn == "md5":
+        # conv() parses hex; 15 hex chars = 60 bits, safely inside bigint
+        th_expr = (
+            f"transform(_tk, t -> CAST(conv(substring(md5(concat(t, ':{seed}')),"
+            " 1, 15), 16, 10) AS BIGINT))"
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     staged = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("_tk"),
     ).select(
         "id",
         F.size("_tk").alias("n_tokens"),
-        F.expr(f"transform(_tk, t -> xxhash64(t, {seed}))").alias("_th"),
+        F.expr(th_expr).alias("_th"),
     )
     # bit b of signature = 1 iff #(token hashes with bit b set) > #tokens/2
     sig = F.expr(
-        """
+        f"""
         aggregate(
-          sequence(0, 63),
+          sequence(0, {bits - 1}),
           CAST(0 AS BIGINT),
           (acc, b) -> acc + IF(
             aggregate(_th, 0, (s, h) -> s + CAST(shiftright(h, b) & 1 AS INT)) * 2 > size(_th),
@@ -370,15 +401,16 @@ def simhash_signatures(
 
 
 def simhash_pairs(
-    signatures: DataFrame, max_hamming: int = 8, bands: int = 4
+    signatures: DataFrame, max_hamming: int = 8, bands: int = 4, bits: int = 64
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` via banded bucket join.
 
-    Pigeonhole: distance <= 8 over 4 bands of 16 bits => at least one band is
-    identical, so joining per-band on exact band value finds every such pair
-    without the quadratic cross join. Returns (id_a, id_b, hamming).
+    Pigeonhole: distance <= bands-1 (or <= 8 with 4 bands when distances
+    concentrate) over ``bands`` bands of ``bits/bands`` bits => at least one
+    band is identical, so joining per-band on exact band value finds every
+    such pair without the quadratic cross join. Returns (id_a, id_b, hamming).
     """
-    width = 64 // bands
+    width = bits // bands
     mask = (1 << width) - 1
     banded = signatures.select(
         "id",

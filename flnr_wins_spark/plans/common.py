@@ -59,10 +59,12 @@ _GRADE_FIRST: tuple[str, ...] = (
     "wins_e2e_rejects", "wins_e2e_kept",
     # (b) new/changed in round 4
     "x_multimodal_decode",
+    "x_similarity_pq", "x_dedup_minhash_portable", "x_dedup_simhash_portable",
+    "x_similarity_ann_portable",
     # (c) rows-only entries: refresh their rows-evidence every round
     "q_events_approx_distinct", "x_dedup_minhash_lsh", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf", "x_text_langid",
-    "x_similarity_ivf_kmeans", "x_semdedup", "x_similarity_pq",
+    "x_similarity_ivf_kmeans", "x_semdedup",
     # (d) latest grade is r01 (two rounds stale)
     "q_events_interval_join", "q_events_multires_rollup", "q_events_json",
     "q_events_tumbling", "q_events_sliding", "q_events_sessionize",

@@ -564,6 +564,70 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# x_dedup_minhash_portable oracle: with md5 min-hashes (lexicographic min of
+# fixed-width hex == unsigned numeric min) the signature table, the banded
+# candidate rule ("agree on >= 1 table" == the 8-way OR join), and the exact
+# Jaccard verify are all engine-portable — the twin reproduces the EXACT
+# candidate set, so approximation error never enters the comparison.
+_MINHASH_PORTABLE_SQL = (
+    f"""
+    WITH docs AS ({_DUP_SQL_DOCS}),
+    tk AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS tks FROM docs
+    ),
+    sh AS (
+      SELECT id, list_distinct(list_transform(range(1, len(tks) - 1),
+             i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2])) AS shset
+      FROM tk WHERE len(tks) >= 3
+    ),
+    sig AS (
+      SELECT id, shset,
+    """
+    + ",\n".join(
+        f"         list_min(list_transform(shset, s -> md5(s || ':{42 + i}'))) AS mh_{i}"
+        for i in range(8)
+    )
+    + """
+      FROM sh
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.shset AS sh_a, b.shset AS sh_b
+      FROM sig a JOIN sig b ON a.id < b.id
+       AND ("""
+    + " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(8))
+    + """)
+    ),
+    j AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+               AS jaccard
+      FROM cand
+    )
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+    """
+)
+
+
+@query(
+    "x_dedup_minhash_portable",
+    sql=_MINHASH_PORTABLE_SQL,
+    note="MinHash-LSH with engine-portable md5 min-hashes: identical "
+    "signatures, identical banded candidate set, exact Jaccard verify — the "
+    "probabilistic dedup family's fully hash-checked witness (the xxhash64 "
+    "entry stays the JVM fast path)",
+)
+def x_dedup_minhash_portable(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_dups(spark, sf_dir)
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.8, num_hash_tables=8,
+        hash_fn="md5",
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 @query(
     "x_dedup_simhash",
     sql=None,  # xxhash64-based signature has no DuckDB twin
@@ -577,6 +641,68 @@ def x_dedup_simhash(spark, sf_dir):
     # tiny-vocab corpus => similar bags collide often; tight radius keeps the
     # pair set near-dup-only (radius 2 over 4 bands still pigeonholes exactly)
     return simhash_pairs(sigs, max_hamming=2)
+
+
+# x_dedup_simhash_portable oracle: a 60-bit signature built from md5 token
+# hashes (15 hex chars parsed to a bigint — Spark conv(h,16,10), DuckDB a
+# shift-accumulate over hex digits) makes the bit votes, band keys, and
+# Hamming distances bit-identical across engines.
+_SIMHASH_PORTABLE_SQL = (
+    f"""
+    WITH docs AS ({_DUP_SQL_DOCS}),
+    tk AS (
+      SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS tks
+      FROM docs
+    ),
+    th AS (
+      SELECT id, len(tks) AS n_tokens,
+             list_transform(tks, t -> CAST(list_sum(list_transform(range(0, 15),
+               i -> CAST(strpos('0123456789abcdef',
+                                substr(md5(t || ':42'), CAST(i + 1 AS INT), 1)) - 1
+                    AS BIGINT) << CAST(4 * (14 - i) AS INT))) AS BIGINT)) AS hs
+      FROM tk
+    ),
+    sig AS (
+      SELECT id,
+             CAST(list_sum(list_transform(range(0, 60),
+               b -> CASE WHEN 2 * len(list_filter(hs,
+                            h -> ((h >> CAST(b AS INT)) & 1) = 1)) > len(hs)
+                         THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      FROM th
+    ),
+    banded AS (
+      SELECT id, simhash, u.b AS band,
+             (simhash >> CAST(u.b * 15 AS INT)) & 32767 AS key
+      FROM sig, UNNEST(range(0, 4)) AS u(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
+    """
+)
+
+
+@query(
+    "x_dedup_simhash_portable",
+    sql=_SIMHASH_PORTABLE_SQL,
+    note="SimHash near-dup with engine-portable 60-bit md5 token hashes: "
+    "identical bit votes, band buckets, and Hamming pairs on both engines — "
+    "the SimHash family's fully hash-checked witness (the xxhash64 entry "
+    "stays the JVM fast path)",
+)
+def x_dedup_simhash_portable(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = simhash_signatures(docs, "text", "doc_id", hash_fn="md5", bits=60)
+    return simhash_pairs(sigs, max_hamming=2, bands=4, bits=60).select(
+        "id_a", "id_b", "hamming"
+    )
 
 
 @query(
@@ -659,6 +785,69 @@ def x_similarity_ann_lsh(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_lsh_topk(queries, emb, dim=64, k=5)
+
+
+# x_similarity_ann_portable oracle: with md5-parity hyperplanes the signature
+# bits, band buckets, candidate set, and exact cosine re-rank are all
+# engine-portable — the twin reproduces the EXACT ANN result (same recall,
+# same ranks), so the LSH family gains a fully hash-checked witness.
+_ANN_PORTABLE_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    hp AS (
+      SELECT j, list_transform(range(0, 64),
+               d -> CASE WHEN substr(md5(CAST(j * 64 + d AS VARCHAR) || ':42'), 32, 1)
+                          IN ('1','3','5','7','9','b','d','f')
+                    THEN 1.0 ELSE -1.0 END) AS h
+      FROM UNNEST(range(0, 16)) AS t(j)
+    ),
+    sig AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, hp.h) >= 0
+                           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS s
+      FROM e CROSS JOIN hp GROUP BY e.vec_id
+    ),
+    banded AS (
+      SELECT vec_id,
+             CAST(b AS VARCHAR) || ':' || CAST((s >> CAST(b * 4 AS INT)) & 15 AS VARCHAR)
+               AS bucket
+      FROM sig, UNNEST(range(0, 4)) AS u(b)
+    ),
+    qb AS (SELECT vec_id AS query_id, bucket FROM banded WHERE vec_id < 10),
+    cp AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS cand_id
+      FROM qb q JOIN banded c USING (bucket) WHERE q.query_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cp.query_id, cp.cand_id,
+             list_dot_product(qv.v, cv.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(cv.v, cv.v))) AS cosine
+      FROM cp
+      JOIN e qv ON qv.vec_id = cp.query_id
+      JOIN e cv ON cv.vec_id = cp.cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@query(
+    "x_similarity_ann_portable",
+    sql=_ANN_PORTABLE_SQL,
+    note="hyperplane-LSH ANN with engine-portable md5-parity hyperplanes: "
+    "identical signatures, buckets, candidate set, and exact cosine re-rank "
+    "on both engines — the LSH similarity family's fully hash-checked "
+    "witness (the xxhash64 entry stays the JVM fast path)",
+)
+def x_similarity_ann_portable(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import ann_lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(queries, emb, dim=64, k=5, hash_fn="md5")
 
 
 @query(
@@ -784,12 +973,104 @@ def x_similarity_ivf_kmeans(spark, sf_dir):
     return ivf_topk(queries, emb, nlist=8, nprobe=3, k=5, centroids=cents)
 
 
+# x_similarity_pq oracle: the entire PQ pipeline — per-subspace k-means fit,
+# code assignment, ADC top-k — is exactly reproducible in SQL now that
+# pq_fit's per-dim means route through decimal (same rule as kmeans_fit) and
+# the ADC partial distances already did. Fixed iteration count (2) unrolls to
+# assign/update CTE pairs keyed by (sub, cell); the sampled fit covers the
+# whole corpus at oracle SF, so the SQL trains on everything.
+_PQ_SQDIST = (
+    "list_dot_product("
+    "list_transform(list_zip(s.subvec, c.centroid), z -> z[1] - z[2]), "
+    "list_transform(list_zip(s.subvec, c.centroid), z -> z[1] - z[2]))"
+)
+
+_PQ_ITER = """
+    p{i} AS (
+      SELECT id, sub, cell, subvec FROM (
+        SELECT s.id, s.sub, c.cent_id AS cell, s.subvec,
+               ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                 ORDER BY {sqdist}, c.cent_id) AS rn
+        FROM sl s JOIN b{prev} c ON s.sub = c.sub) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT sub, cell, list(m ORDER BY d) AS centroid FROM (
+        SELECT sub, cell, u.i AS d,
+               CAST(SUM(CAST(subvec[u.i + 1] AS DECIMAL(27,12))) AS DOUBLE)
+                 / COUNT(*) AS m
+        FROM p{i}, UNNEST(range(0, len(subvec))) AS u(i)
+        GROUP BY sub, cell, u.i)
+      GROUP BY sub, cell
+    ),
+    b{i} AS (
+      SELECT p.sub, p.cent_id, COALESCE(n.centroid, p.centroid) AS centroid
+      FROM b{prev} p LEFT JOIN m{i} n
+        ON p.sub = n.sub AND p.cent_id = n.cell
+    )"""
+
+_PQ_SQL = (
+    """
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    sl AS (
+      SELECT id, u.s AS sub, v[u.s * 16 + 1 : u.s * 16 + 16] AS subvec
+      FROM base, UNNEST(range(0, 4)) AS u(s)
+    ),
+    b0 AS (
+      SELECT sub, CAST(rn AS BIGINT) AS cent_id, subvec AS centroid FROM (
+        SELECT sub, subvec,
+               ROW_NUMBER() OVER (PARTITION BY sub
+                 ORDER BY md5(CAST(id AS VARCHAR) || ':'
+                              || CAST(42 + sub AS VARCHAR))) AS rn
+        FROM sl) WHERE rn <= 16
+    ),"""
+    + ",".join(
+        _PQ_ITER.format(i=i, prev=i - 1, sqdist=_PQ_SQDIST) for i in (1, 2)
+    )
+    + """,
+    enc AS (
+      SELECT id, sub, cell AS code FROM (
+        SELECT s.id, s.sub, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                 ORDER BY """
+    + _PQ_SQDIST
+    + """, c.cent_id) AS rn
+        FROM sl s JOIN b2 c ON s.sub = c.sub) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT s.id AS query_id, s.sub, c.cent_id AS code,
+             CAST("""
+    + _PQ_SQDIST
+    + """ AS DECIMAL(27,12)) AS pdist
+      FROM sl s JOIN b2 c ON s.sub = c.sub
+      WHERE s.id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, e.id AS cand_id,
+             CAST(SUM(q.pdist) AS DOUBLE) AS approx_sqdist
+      FROM enc e JOIN qtab q ON e.sub = q.sub AND e.code = q.code
+      WHERE q.query_id <> e.id
+      GROUP BY q.query_id, e.id
+    )
+    SELECT query_id, cand_id, approx_sqdist, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_sqdist ASC, cand_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """
+)
+
+
 @query(
     "x_similarity_pq",
-    sql=None,  # k-means-trained codebooks + approximate recall — no exact SQL twin
+    sql=_PQ_SQL,
     note="Product-quantization ANN (Jegou et al. 2011): per-subspace k-means "
-    "codebooks, m-byte codes, asymmetric-distance top-k via broadcast "
-    "query lookup tables — the corpus never shuffles a full vector",
+    "codebooks (content-addressed sampled fit, decimal-routed means), m-byte "
+    "codes, asymmetric-distance top-k via broadcast query lookup tables — "
+    "the corpus never shuffles a full vector. Decimal-exact training + ADC "
+    "sums make the whole pipeline hash-checkable against a fixed "
+    "unrolled-iteration SQL twin",
     bench=True,
 )
 def x_similarity_pq(spark, sf_dir):

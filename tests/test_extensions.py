@@ -115,6 +115,22 @@ class TestMinHashLSH:
         # ...while the organic cluster's pairs all survive
         assert {(1000, 1001), (1000, 1002), (1001, 1002)} <= got
 
+    def test_md5_hash_mode_matches_xxhash64(self, spark, docs):
+        """The engine-portable md5 hash mode changes only candidate
+        GENERATION; exact verification means both modes converge to the same
+        verified pair set on a corpus whose near-dups all collide in >= 1
+        band (overwhelmingly likely at 16 tables)."""
+        xx = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in
+              minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+        md = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in
+              minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5,
+                                hash_fn="md5").collect()}
+        assert xx == md and md
+
+    def test_bad_hash_fn_rejected(self, spark, docs):
+        with pytest.raises(ValueError):
+            minhash_lsh_pairs(docs, "text", "doc_id", hash_fn="sha999")
+
     def test_bucket_width_cap_default_off(self, spark, docs):
         got = {(r.id_a, r.id_b) for r in
                minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5,
