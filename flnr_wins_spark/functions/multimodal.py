@@ -357,3 +357,101 @@ def audio_chunk_manifest(
         (start * bytes_per_sample).alias("start_byte"),
         (csamp * bytes_per_sample).alias("chunk_bytes"),
     )
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """REAL audio decode, stdlib-only: RIFF/WAVE container, uncompressed
+    PCM16. Returns (channels, sample_rate, samples) with samples as signed
+    16-bit little-endian ints in interleaved frame order.
+
+    Chunk walking honors the RIFF spec (4-byte id + LE32 size, chunks pad to
+    even offsets), so files with extra chunks (LIST/INFO, fact) decode the
+    same as minimal ones. Non-PCM encodings and bit depths other than 16
+    raise ``NotImplementedError`` — the module's honest-guard convention for
+    absent codecs (general audio codec libraries are not available here).
+    Reference analog: the opaque binary carry at wts.py:132,155 — upgraded
+    from carry-only to decode, the audio twin of :func:`decode_image`.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unrecognized audio container (supported: RIFF/WAVE PCM16)"
+        )
+    fmt: tuple[int, int] | None = None
+    payload: bytes | None = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        csz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or bits != 16:
+                raise NotImplementedError("only uncompressed PCM16 WAV")
+            fmt = (channels, rate)
+        elif cid == b"data":
+            if len(body) != csz:
+                raise ValueError("truncated data chunk")
+            payload = body
+        pos += 8 + csz + (csz & 1)  # chunks pad to even boundaries
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt or data chunk")
+    if len(payload) % 2:
+        raise ValueError("odd PCM16 payload length")
+    samples = [
+        int.from_bytes(payload[i : i + 2], "little", signed=True)
+        for i in range(0, len(payload), 2)
+    ]
+    return fmt[0], fmt[1], samples
+
+
+def _audio_features(content: bytes) -> list[float]:
+    """8-dim feature vector from a REAL WAV decode — every component is an
+    exact integer (as a double), so a SQL oracle that knows the audio
+    construction reproduces the values bit-for-bit: [channels, sample_rate,
+    n_samples, sum, min, max, sum(|s|), zero_crossings]."""
+    channels, rate, ss = decode_wav(content)
+    crossings = sum(1 for a, b in zip(ss, ss[1:]) if a * b < 0)
+    return [
+        float(channels),
+        float(rate),
+        float(len(ss)),
+        float(sum(ss)),
+        float(min(ss)) if ss else 0.0,
+        float(max(ss)) if ss else 0.0,
+        float(sum(abs(s) for s in ss)),
+        float(crossings),
+    ]
+
+
+def extract_audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """REAL WAV decode + integer-exact featurize via mapInPandas (Arrow
+    batches) — same plumbing contract as :func:`extract_features` (schema,
+    batch iteration, partition parallelism), same output shape
+    (``FEATURE_SCHEMA``), but the decoder is :func:`decode_wav` and the
+    feature is :func:`_audio_features`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content_hash": pdf["content"].map(
+                        lambda b: hashlib.sha256(
+                            bytes(b) if b is not None else b""
+                        ).hexdigest()
+                    ),
+                    "n_bytes": pdf["content"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "feature": pdf["content"].map(
+                        lambda b: _audio_features(bytes(b or b""))
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

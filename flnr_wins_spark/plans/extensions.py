@@ -1590,6 +1590,102 @@ def x_multimodal_decode(spark, sf_dir):
     )
 
 
+# 44-byte RIFF/WAVE header for PCM16 mono 8 kHz with a 32-byte data chunk —
+# constant because every synthesized clip shares the format; only the
+# payload (two md5 digests of doc_id) varies.
+_WAV_HDR_HEX = (
+    "524946464400000057415645666d7420100000000100"
+    "0100401f0000803e0000020010006461746120000000"
+)
+
+
+@query(
+    "x_multimodal_audio_decode",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':au' || CAST(i // 8 AS VARCHAR)),
+                                 2 * ((2 * i) % 16) + 1, 2) AS INT)
+             + 256 * CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':au' || CAST(i // 8 AS VARCHAR)),
+                                         2 * ((2 * i + 1) % 16) + 1, 2) AS INT) AS uv
+      FROM documents, range(16) t(i)
+    ),
+    sv AS (
+      SELECT doc_id, i,
+             CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+      FROM s
+    ),
+    lagged AS (
+      SELECT doc_id, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM sv
+    )
+    SELECT doc_id AS media_id,
+           CAST(76 AS BIGINT) AS n_bytes,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_s,
+           CAST(MIN(v) AS INTEGER) AS min_s,
+           CAST(MAX(v) AS INTEGER) AS max_s,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(SUM(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END) AS INTEGER)
+             AS zero_crossings
+    FROM lagged GROUP BY doc_id
+    """,
+    note="REAL audio decode (no fake path): each doc becomes a genuine "
+    "RIFF/WAVE PCM16 clip (44-byte header + 16 samples from md5 bytes); "
+    "extract_audio_features parses the chunk walk, fmt fields, and "
+    "little-endian signed samples with the stdlib decoder and emits "
+    "integer-exact sums/extrema/zero-crossings. The oracle recomputes the "
+    "expected samples from the construction — header layout, byte order, "
+    "and sign handling are all value-checked. Audio twin of "
+    "x_multimodal_decode; reference analog wts.py:132,155",
+)
+def x_multimodal_audio_decode(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import extract_audio_features
+
+    docs = t(spark, sf_dir, "documents")
+    payload = F.concat(
+        *[
+            F.unhex(
+                F.md5(
+                    F.encode(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f":au{j}")),
+                        "UTF-8",
+                    )
+                )
+            )
+            for j in range(2)
+        ]
+    )
+    content = F.concat(F.unhex(F.lit(_WAV_HDR_HEX)), payload)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(8000).alias("sample_rate"),
+            F.lit(16).cast("bigint").alias("n_samples"),
+            F.length(content).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_audio_features(media)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        f[0].cast("int").alias("channels"),
+        f[1].cast("int").alias("sample_rate"),
+        f[2].cast("int").alias("n_samples"),
+        f[3].cast("bigint").alias("sum_s"),
+        f[4].cast("int").alias("min_s"),
+        f[5].cast("int").alias("max_s"),
+        f[6].cast("bigint").alias("sum_abs"),
+        f[7].cast("int").alias("zero_crossings"),
+    )
+
+
 @query(
     "x_multimodal_frames",
     sql="""

@@ -618,6 +618,76 @@ class TestRealImageDecode:
             decode_image(b"")
 
 
+class TestWavDecode:
+    SAMPLES = [0, 100, -200, 32767, -32768, 5, -5, 0]
+
+    def _wav(self, samples, channels=1, rate=8000):
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        w.close()
+        return buf.getvalue()
+
+    def test_matches_stdlib_wave_writer(self):
+        from flnr_wins_spark.functions.multimodal import decode_wav
+
+        ch, rate, ss = decode_wav(self._wav(self.SAMPLES))
+        assert (ch, rate, ss) == (1, 8000, self.SAMPLES)
+
+    def test_extra_chunks_and_padding_skipped(self):
+        """RIFF chunk walking: a LIST chunk (odd size -> pad byte) before
+        data must not derail fmt/data discovery."""
+        import struct
+
+        from flnr_wins_spark.functions.multimodal import decode_wav
+
+        payload = b"".join(struct.pack("<h", s) for s in self.SAMPLES)
+        fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+            "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+        )
+        lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+        data = b"data" + struct.pack("<I", len(payload)) + payload
+        body = b"WAVE" + fmt + lst + data
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        ch, rate, ss = decode_wav(wav)
+        assert (ch, rate, ss) == (1, 8000, self.SAMPLES)
+
+    def test_audio_features_integer_exact(self):
+        from flnr_wins_spark.functions.multimodal import _audio_features
+
+        feats = _audio_features(self._wav(self.SAMPLES))
+        assert feats[:3] == [1.0, 8000.0, 8.0]
+        assert feats[3] == float(sum(self.SAMPLES))
+        assert feats[4] == -32768.0 and feats[5] == 32767.0
+        assert feats[6] == float(sum(abs(s) for s in self.SAMPLES))
+        # sign changes: 100/-200, -200/32767, 32767/-32768, -32768/5, 5/-5
+        assert feats[7] == 5.0
+
+    def test_unsupported_raises(self):
+        from flnr_wins_spark.functions.multimodal import decode_wav
+
+        with pytest.raises(NotImplementedError):
+            decode_wav(b"OggS vorbis-ish")
+        with pytest.raises(NotImplementedError):
+            decode_wav(b"")
+        # 8-bit PCM is honest-guarded, not silently misdecoded
+        import struct
+
+        fmt8 = b"fmt " + struct.pack("<I", 16) + struct.pack(
+            "<HHIIHH", 1, 1, 8000, 8000, 1, 8
+        )
+        body = b"WAVE" + fmt8 + b"data" + struct.pack("<I", 2) + b"\x01\x02"
+        with pytest.raises(NotImplementedError):
+            decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
 class TestConnectedComponents:
     def test_chain_and_island(self, spark):
         from flnr_wins_spark.operators.graph import connected_components
