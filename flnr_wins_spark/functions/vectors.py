@@ -204,6 +204,9 @@ def kmeans_fit(
         # in few partitions, so each Lloyd's round is cheap.
         train = train.orderBy("_h").limit(max(fit_sample, k))
     train = train.localCheckpoint()
+    # no checkpoint on the init head: it derives from the train checkpoint
+    # above with one tiny TakeOrdered, so materializing it would only add an
+    # eager job (per-job barrier tax measured ~0.3-0.5 s on local[32])
     cents = (
         train.orderBy("_h")
         .limit(k)
@@ -211,7 +214,6 @@ def kmeans_fit(
             F.row_number().over(Window.orderBy("_h")).cast("long").alias("cent_id"),
             F.col("v").alias("centroid"),
         )
-        .localCheckpoint()
     )
     tv = train.select("id", "v")
     dmean = (
@@ -407,8 +409,13 @@ def pq_fit(
             F.col("_rn").cast("long").alias("cent_id"),
             F.col("subvec").alias("centroid"),
         )
-        .localCheckpoint()
     )
+    if fit_sample is None:
+        # nothing upstream is checkpointed, so pin the init head rather than
+        # re-deriving it from the raw corpus in round 1; with a sampled fit
+        # the sample checkpoint above already truncates lineage and an eager
+        # init job would only add barrier tax
+        cents = cents.localCheckpoint()
     best = F.min(
         F.struct(sqdist(F.col("subvec"), F.col("centroid")).alias("d"), F.col("cent_id").alias("c"))
     )
