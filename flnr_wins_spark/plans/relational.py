@@ -919,8 +919,10 @@ def q_skew_salted_join(spark, sf_dir):
     SELECT 'json', COUNT(*), CAST(SUM(s_nationkey) AS BIGINT) FROM supplier
     UNION ALL
     SELECT 'orc', COUNT(*), CAST(SUM(s_nationkey) AS BIGINT) FROM supplier
+    UNION ALL
+    SELECT 'xml', COUNT(*), CAST(SUM(s_nationkey) AS BIGINT) FROM supplier
     """,
-    note="csv/json/orc source round-trip (sources/formats.py): supplier is "
+    note="csv/json/xml/orc source round-trip (sources/formats.py): supplier is "
     "written out and read back in each format with an ENFORCED schema (no "
     "inference pass), then aggregated — equality with the parquet oracle "
     "proves the full write->read->compute path per format",
@@ -933,7 +935,7 @@ def q_source_roundtrip(spark, sf_dir):
     sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
     parts = []
-    for fmt in ("csv", "json", "orc"):
+    for fmt in ("csv", "json", "orc", "xml"):
         path = f"{base}/{fmt}"
         write_any(sup, path, fmt=fmt)
         back = read_any(spark, path, fmt=fmt, schema=sup.schema)

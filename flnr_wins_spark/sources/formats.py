@@ -1,4 +1,4 @@
-"""Generic format sources/sinks (CSV, JSON lines, ORC, Parquet).
+"""Generic format sources/sinks (CSV, JSON lines, XML, ORC, Parquet).
 
 The reference ingests exactly one format (File Geodatabase export,
 ``src/wins_transform_staging.py:122-134``) and trusts it blindly via
@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _SELF_DESCRIBING = {"parquet", "orc"}
-_SEMI_STRUCTURED = {"csv", "json"}
+_SEMI_STRUCTURED = {"csv", "json", "xml"}
+# Spark 4 ships the XML source built in; rows nest under a repeated element
+_XML_DEFAULTS = {"rowTag": "row", "rootTag": "rows"}
 
 
 def read_any(
@@ -35,6 +37,8 @@ def read_any(
         reader = reader.schema(schema)
     if fmt == "csv":
         reader = reader.option("header", "true")
+    if fmt == "xml":
+        reader = reader.option("rowTag", _XML_DEFAULTS["rowTag"])
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     df = reader.load(path)
@@ -56,6 +60,9 @@ def write_any(
     w = df.write.format(fmt.lower()).mode(mode)
     if fmt.lower() == "csv":
         w = w.option("header", "true")
+    if fmt.lower() == "xml":
+        for k, v in _XML_DEFAULTS.items():
+            w = w.option(k, v)
     if partition_by:
         w = w.partitionBy(*partition_by)
     for k, v in (options or {}).items():

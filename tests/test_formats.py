@@ -23,7 +23,7 @@ def sample(spark):
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "xml"])
 def test_roundtrip(spark, sample, tmp_path, fmt):
     path = str(tmp_path / fmt)
     write_any(sample, path, fmt=fmt)
