@@ -2386,3 +2386,119 @@ def x_dedup_url(spark, sf_dir):
         .groupBy("canonical")
         .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned corpus classifiers (round 4): batch perceptron + Naive Bayes —
+# fastText-style quality/language filtering reduced to engine-native
+# aggregations (see functions/classify.py scale notes).
+# ---------------------------------------------------------------------------
+
+_PCT_FEATS_SQL = """
+      SELECT doc_id AS id,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) AS BIGINT) AS f_the,
+             CAST(len(list_filter(string_split(text, ' '), t -> t = 'a')) AS BIGINT) AS f_a,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS f_len
+      FROM documents
+"""
+
+_PCT_MARGIN = "b + w1*f_the + w2*f_a + w3*f_len"
+
+
+def _pct_round(i: int) -> str:
+    """One unrolled batch-perceptron round: margin vs w{i-1}, summed update."""
+    return f"""
+    m{i} AS (SELECT f.*, b, w1, w2, w3, y * ({_PCT_MARGIN}) AS m
+             FROM feats f CROSS JOIN w{i - 1}),
+    w{i} AS (SELECT
+               CAST(MAX(b)  + SUM(CASE WHEN m <= 0 THEN y         ELSE 0 END) AS BIGINT) AS b,
+               CAST(MAX(w1) + SUM(CASE WHEN m <= 0 THEN y * f_the ELSE 0 END) AS BIGINT) AS w1,
+               CAST(MAX(w2) + SUM(CASE WHEN m <= 0 THEN y * f_a   ELSE 0 END) AS BIGINT) AS w2,
+               CAST(MAX(w3) + SUM(CASE WHEN m <= 0 THEN y * f_len ELSE 0 END) AS BIGINT) AS w3
+             FROM m{i})"""
+
+
+@query(
+    "x_classify_perceptron",
+    sql=f"""
+    WITH feats AS ({_PCT_FEATS_SQL}),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w1,
+                  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+    {_pct_round(1)},
+    {_pct_round(2)},
+    {_pct_round(3)}
+    SELECT id, CAST({_PCT_MARGIN} AS BIGINT) AS margin,
+           CASE WHEN {_PCT_MARGIN} > 0 THEN 1 ELSE -1 END AS pred
+    FROM feats CROSS JOIN w3
+    """,
+    note="batch perceptron (3 unrolled rounds, integer weights): is-English "
+    "classifier over stopword-count features; one scalar-agg scan per round, "
+    "model rides a broadcast — bit-exact under any partitioning",
+)
+def x_classify_perceptron(spark, sf_dir):
+    from flnr_wins_spark.functions.classify import perceptron_fit, perceptron_score
+
+    docs = t(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), " ")
+    feats = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1).otherwise(-1).cast("bigint").alias("y"),
+        F.size(F.filter(tok, lambda x: x == F.lit("the"))).cast("bigint").alias("f_the"),
+        F.size(F.filter(tok, lambda x: x == F.lit("a"))).cast("bigint").alias("f_a"),
+        F.size(F.filter(tok, lambda x: x != F.lit(""))).cast("bigint").alias("f_len"),
+    )
+    cols = ["f_the", "f_a", "f_len"]
+    w = perceptron_fit(feats, cols, label_col="y", iters=3)
+    return perceptron_score(feats, w, cols, id_col="id")
+
+
+@query(
+    "x_classify_nb_langid",
+    sql="""
+    WITH train AS (SELECT lang AS cls, text FROM documents WHERE doc_id % 5 <> 0),
+    test AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 = 0),
+    ttoks AS (SELECT cls,
+                     unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+              FROM train),
+    tc AS (SELECT cls, term, COUNT(*) AS n FROM ttoks GROUP BY 1, 2),
+    ctot AS (SELECT cls, CAST(SUM(n) AS BIGINT) AS tok_c FROM tc GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM tc),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM train),
+    cd AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS dc FROM train GROUP BY 1),
+    term_lp AS (
+      SELECT term, tc.cls,
+             CAST(ln((n + 1) / CAST(tok_c + v AS DOUBLE)) AS DECIMAL(27,9)) AS lp
+      FROM tc JOIN ctot ON tc.cls = ctot.cls CROSS JOIN vocab),
+    class_lp AS (
+      SELECT cd.cls,
+             CAST(ln(dc / CAST(nd AS DOUBLE)) AS DECIMAL(27,9)) AS prior_lp,
+             CAST(ln(1.0 / CAST(tok_c + v AS DOUBLE)) AS DECIMAL(27,9)) AS floor_lp
+      FROM cd CROSS JOIN nd JOIN ctot ON cd.cls = ctot.cls CROSS JOIN vocab),
+    dtoks AS (SELECT id,
+                     unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+              FROM test),
+    scored AS (
+      SELECT id, c.cls, MAX(c.prior_lp) + SUM(COALESCE(t.lp, c.floor_lp)) AS score
+      FROM dtoks d CROSS JOIN class_lp c
+      LEFT JOIN term_lp t ON t.term = d.term AND t.cls = c.cls
+      GROUP BY id, c.cls),
+    r AS (SELECT id, cls, score,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, cls) AS rn
+          FROM scored)
+    SELECT id, cls AS pred_cls, CAST(score AS DOUBLE) AS score FROM r WHERE rn = 1
+    """,
+    note="multinomial Naive Bayes language-ID: count-trained on an 80% "
+    "content-addressed split, add-1 smoothing, decimal-routed ln sums, "
+    "deterministic argmax tie-break; model is vocab-sized and broadcast",
+)
+def x_classify_nb_langid(spark, sf_dir):
+    from flnr_wins_spark.functions.classify import naive_bayes_fit, naive_bayes_score
+
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("lang").alias("cls"), "text"
+    )
+    test = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    term_lp, class_lp = naive_bayes_fit(train, text_col="text", class_col="cls")
+    return naive_bayes_score(test, term_lp, class_lp)
