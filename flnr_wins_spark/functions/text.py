@@ -392,3 +392,112 @@ def unigram_quality(
             (F.sum(nll).cast("double") / F.count(F.lit(1))).alias("avg_nll"),
         )
     )
+
+
+def bigram_pairs(df: DataFrame, text_col: str = "text", id_col: str | None = None):
+    """Adjacent-token pairs as rows ``(a, b)`` (plus ``id`` when ``id_col``
+    is given). The pair list is built JVM-side with transform/sequence over
+    the split array — one generated-code pass, no per-token row explosion
+    before the single explode of ready-made pairs."""
+    cols = [F.col(id_col).alias("id")] if id_col else []
+    # NB: sequence(1, 0) is DESCENDING [1, 0] in Spark, so docs under 2
+    # tokens need an explicit empty-array guard, not greatest().
+    pair = F.explode(
+        F.expr(
+            f"transform(if(size(split({text_col}, ' ')) >= 2,"
+            f"             sequence(1, size(split({text_col}, ' ')) - 1),"
+            f"             array()),"
+            f" i -> struct(element_at(split({text_col}, ' '), i) AS a,"
+            f"             element_at(split({text_col}, ' '), i + 1) AS b))"
+        )
+    ).alias("p")
+    return df.select(*cols, pair).select(*[c for c in ("id",) if id_col], "p.a", "p.b")
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs:
+    ``pmi = ln( (n_ab / B) / ((n_a / N) * (n_b / N)) )`` with B = total
+    bigrams, N = total unigrams — the collocation statistic behind
+    phrase-mining / word2vec-era preprocessing. Returns the ``top_k``
+    pairs (a, b, n_ab, pmi) with ``n_ab >= min_count``, ordered by
+    (pmi DESC, a, b), pmi rounded through DECIMAL(27,9) so the ranking
+    and values are engine-exact.
+
+    Scale shape: bigram and unigram tables are both pre-aggregated counts
+    before any join, so the two term-keyed joins attach ONE lookup row per
+    hot key (Zipf skew is harmless); the final top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    bg = bigram_pairs(df, text_col=text_col)
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    totals = uni.agg(
+        F.sum("n_t").cast("bigint").alias("n_uni")
+    )
+    pairs = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    b_total = pairs.agg(F.sum("n_ab").cast("bigint").alias("n_bg"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") / F.col("n_bg"))
+        / (
+            (F.col("na").cast("double") / F.col("n_uni"))
+            * (F.col("nb").cast("double") / F.col("n_uni"))
+        )
+    ).cast("decimal(27,9)")
+    return (
+        pairs.filter(F.col("n_ab") >= min_count)
+        .join(uni.select(F.col("term").alias("a"), F.col("n_t").alias("na")), "a")
+        .join(uni.select(F.col("term").alias("b"), F.col("n_t").alias("nb")), "b")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(b_total))
+        .select("a", "b", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(top_k)
+    )
+
+
+def bigram_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model quality score with add-1 smoothing: the corpus
+    is its own model, each document scores
+    ``avg_nll = -(1/|pairs|) Σ ln( (c(ab)+1) / (c(a)+V) )`` — one Markov
+    order above ``unigram_quality``, the next-cheapest KenLM-style
+    perplexity proxy. Returns (id, n_bigrams, avg_nll); docs with fewer
+    than 2 tokens produce no row (no bigram evidence).
+
+    Same determinism rule as unigram_quality: per-pair ln routed through
+    DECIMAL(27,9). Shuffle shape: both model tables are pre-aggregated
+    counts, so the (a,b)- and a-keyed joins attach single lookup rows; the
+    per-doc sum shuffles on (id), unique per document.
+    """
+    pairs = bigram_pairs(df, text_col=text_col, id_col=id_col)
+    bgc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    v = uni.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    nll = F.log(
+        (F.col("c_a") + F.col("v")).cast("double") / (F.col("c_ab") + 1).cast("double")
+    ).cast("decimal(27,9)")
+    return (
+        pairs.join(bgc, ["a", "b"])
+        .join(uni.select(F.col("term").alias("a"), "c_a"), "a")
+        .crossJoin(F.broadcast(v))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(nll).cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )

@@ -2502,3 +2502,72 @@ def x_classify_nb_langid(spark, sf_dir):
     test = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
     term_lp, class_lp = naive_bayes_fit(train, text_col="text", class_col="cls")
     return naive_bayes_score(test, term_lp, class_lp)
+
+
+_BG_SQL = """
+      SELECT tk[i] AS a, tk[i + 1] AS b{extra}
+      FROM (SELECT {id_sel}string_split(text, ' ') AS tk FROM documents) s,
+           UNNEST(range(1, greatest(len(tk), 1))) u(i)
+"""
+
+
+@query(
+    "x_cooccur_pmi",
+    sql=f"""
+    WITH bg AS ({_BG_SQL.format(extra='', id_sel='')}),
+    uni AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents
+    ),
+    unic AS (SELECT term, COUNT(*) AS n_t FROM uni GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_uni FROM unic),
+    pairs AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+    btot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bg FROM pairs)
+    SELECT a, b, n_ab,
+           CAST(ln((CAST(n_ab AS DOUBLE) / n_bg)
+                   / ((CAST(na.n_t AS DOUBLE) / n_uni)
+                      * (CAST(nb.n_t AS DOUBLE) / n_uni)))
+                AS DECIMAL(27,9)) AS pmi
+    FROM pairs
+    JOIN unic na ON na.term = pairs.a
+    JOIN unic nb ON nb.term = pairs.b
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE n_ab >= 5
+    ORDER BY pmi DESC, a, b LIMIT 50
+    """,
+    note="adjacent-pair PMI collocations (phrase-mining statistic): "
+    "pre-aggregated count tables before any join so Zipf-hot terms attach "
+    "one lookup row; decimal-routed ln makes ranking+values engine-exact; "
+    "TakeOrdered top-k",
+)
+def x_cooccur_pmi(spark, sf_dir):
+    from flnr_wins_spark.functions.text import cooccurrence_pmi
+
+    return cooccurrence_pmi(t(spark, sf_dir, "documents"), min_count=5, top_k=50)
+
+
+@query(
+    "x_bigram_lm_quality",
+    sql=f"""
+    WITH bg AS ({_BG_SQL.format(extra=', id', id_sel='doc_id AS id, ')}),
+    bgc AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+    uni AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents
+    ),
+    unic AS (SELECT term, COUNT(*) AS c_a FROM uni GROUP BY 1),
+    voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM unic)
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(ln(CAST(c_a + v AS DOUBLE) / CAST(c_ab + 1 AS DOUBLE))
+                         AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM bg JOIN bgc USING (a, b) JOIN unic ON unic.term = bg.a CROSS JOIN voc
+    GROUP BY id
+    """,
+    note="bigram-LM (add-1) perplexity proxy, one Markov order above "
+    "x_unigram_quality; decimal-routed per-pair ln, count-table joins only",
+    bench=True,
+)
+def x_bigram_lm_quality(spark, sf_dir):
+    from flnr_wins_spark.functions.text import bigram_quality
+
+    return bigram_quality(t(spark, sf_dir, "documents"))

@@ -64,3 +64,40 @@ def test_naive_bayes_unseen_term_uses_floor(spark):
     term_lp, class_lp = naive_bayes_fit(train)
     res = naive_bayes_score(test, term_lp, class_lp).collect()
     assert len(res) == 1 and res[0]["pred_cls"] == "a"
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics (text.py round-4 additions)
+# ---------------------------------------------------------------------------
+
+def test_cooccurrence_pmi_finds_planted_collocation(spark):
+    from flnr_wins_spark.functions.text import cooccurrence_pmi
+
+    # "zig zag" always co-occurs; filler tokens are common everywhere.
+    rows = [(i, "zig zag on the on the on the") for i in range(10)]
+    rows += [(100 + i, "the on the on the on") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = cooccurrence_pmi(df, min_count=5, top_k=3).collect()
+    assert (top[0]["a"], top[0]["b"]) == ("zig", "zag")
+    assert float(top[0]["pmi"]) > 0
+
+
+def test_bigram_quality_flags_improbable_stream(spark):
+    from flnr_wins_spark.functions.text import bigram_quality
+
+    common = [(i, "alpha beta gamma delta") for i in range(20)]
+    weird = [(999, "delta alpha gamma beta")]  # unseen transitions
+    df = spark.createDataFrame(common + weird, "doc_id long, text string")
+    nll = {r["id"]: r["avg_nll"] for r in bigram_quality(df).collect()}
+    assert nll[999] > nll[0]  # improbable bigrams score higher nll
+
+
+def test_bigram_quality_skips_single_token_docs(spark):
+    from flnr_wins_spark.functions.text import bigram_quality
+
+    df = spark.createDataFrame(
+        [(1, "only"), (2, "two tokens")], "doc_id long, text string"
+    )
+    out = bigram_quality(df).collect()
+    assert {r["id"] for r in out} == {2}
+    assert out[0]["n_bigrams"] == 1
