@@ -123,3 +123,50 @@ def bm25_topk(
         out = out.localCheckpoint(eager=True)
         doclen.unpersist()
     return out
+
+
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted-index postings: one (term, doc_id, pos) row per
+    token occurrence (0-based position). The narrow explode shuffles
+    nothing by itself; downstream consumers filter to their query terms
+    BEFORE any exchange."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval over positional postings: returns
+    ``(doc_id, n_hits)`` for documents containing the k query terms at
+    consecutive positions, with ``n_hits`` = number of distinct start
+    positions — the classic positional-index phrase-AND plan.
+
+    Scale shape: postings are filtered to the k phrase terms while still
+    narrow (predicate reaches the scan side of every exchange), then the
+    k per-term streams equi-join on ``(doc_id, pos - i)`` — each join key
+    is unique per occurrence, so no hot keys; corpus rows that don't
+    contain every phrase term never survive the first inner join. The
+    per-doc count is one map-side-combinable groupBy.
+    """
+    assert len(phrase) >= 2, "phrase needs at least two terms"
+    post = positional_postings(docs, text_col=text_col, id_col=id_col).filter(
+        F.col("term").isin(list(phrase))
+    )
+    acc = (
+        post.filter(F.col("term") == phrase[0])
+        .select("doc_id", F.col("pos").alias("start"))
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = post.filter(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - i).alias("start")
+        )
+        acc = acc.join(nxt, ["doc_id", "start"])
+    return acc.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))

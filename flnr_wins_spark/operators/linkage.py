@@ -1,0 +1,92 @@
+"""Fuzzy joining / entity resolution: blocked candidate generation +
+edit-distance verification — the record-linkage primitive (merge near-match
+entity tables without an all-pairs cross join).
+
+Reference analog: none (the reference joins only on exact keys,
+`/root/reference/src/wins_transform_staging.py:176-187`); this belongs to
+the SURVEY §2c curation surface (dirty catalog/entity merges feeding a
+training corpus).
+
+Scale design — the whole point is to NEVER materialize |L|×|R|:
+
+* candidates come from an equi-join on a compound blocking key
+  ``(2-char prefix, length band)``; only the (smaller) left side is
+  replicated to the ±1 neighbor bands, so any pair within
+  ``max_dist`` edits of each other and sharing the prefix is guaranteed
+  to co-occur in some block (an edit changes length by at most 1, so
+  ``max_dist`` edits stay inside the adjacent band for
+  ``band_width > max_dist``). Prefix-corrupting typos are the standard
+  recall loss of prefix blocking; add a second blocking pass (e.g. on a
+  suffix) for higher recall — same operator, different key function.
+* blocks are bounded by ``max_block_width`` (count-filtered before the
+  candidate join) so one degenerate key ("", repeated boilerplate names)
+  cannot go quadratic — the same hot-key guard as dedup.py's
+  ``max_bucket_width``.
+* verification is JVM ``levenshtein`` (integer DP, engine-exact) on
+  candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _block_key(col, band):
+    return F.struct(
+        F.lower(F.substring(col, 1, 2)).alias("pfx"),
+        band.alias("band"),
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_dist: int = 2,
+    band_width: int = 4,
+    max_block_width: int = 10_000,
+) -> DataFrame:
+    """Return candidate matches ``(left row..., right row..., dist)`` with
+    ``levenshtein(left_key, right_key) <= max_dist``, found via prefix+length
+    blocking (see module docstring for the recall contract). ``left`` is the
+    replicated (≈3×) side — pass the smaller table there."""
+    assert band_width > max_dist, "band_width must exceed max_dist for recall"
+    lb = left.withColumn(
+        "_bk",
+        F.explode(
+            F.array(
+                *[
+                    _block_key(
+                        F.col(left_key),
+                        (F.length(left_key) / band_width).cast("int") + d,
+                    )
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bk", _block_key(F.col(right_key), (F.length(right_key) / band_width).cast("int"))
+    )
+    # hot-block guard: a blocking key wider than max_block_width on the right
+    # side is dropped (degenerate keys would otherwise go quadratic); the
+    # audit of dropped keys is observable via this aggregate if callers want
+    wide = (
+        rb.groupBy("_bk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_block_width)
+        .select("_bk")
+    )
+    rb = rb.join(F.broadcast(wide), "_bk", "left_anti")
+    dist = F.levenshtein(F.col(left_key), F.col(right_key))
+    # No post-dedup needed: the right row carries exactly ONE band key, so a
+    # (left, right) pair can co-occur in at most one block despite the 3x
+    # left replication — the join emits each candidate once.
+    return (
+        lb.join(rb, "_bk")
+        .filter(dist <= max_dist)
+        .drop("_bk")
+        .withColumn("dist", dist.cast("bigint"))
+    )

@@ -63,6 +63,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_similarity_ann_portable", "x_multimodal_audio_decode",
     "x_classify_perceptron", "x_classify_nb_langid",
     "x_cooccur_pmi", "x_bigram_lm_quality",
+    "x_fuzzy_join", "x_search_phrase",
     # (c) rows-only entries: refresh their rows-evidence every round
     "q_events_approx_distinct", "x_dedup_minhash_lsh", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf", "x_text_langid",

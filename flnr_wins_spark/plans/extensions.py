@@ -2571,3 +2571,79 @@ def x_bigram_lm_quality(spark, sf_dir):
     from flnr_wins_spark.functions.text import bigram_quality
 
     return bigram_quality(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution + phrase retrieval (round 4)
+# ---------------------------------------------------------------------------
+
+# Dirty entity table: every 3rd part name loses its 3rd character, every
+# 7th also gains a trailing 'x' — 1- and 2-edit variants with the 2-char
+# blocking prefix intact (the operator's documented recall contract).
+_DIRTY_PARTS_SQL = """
+      SELECT p_partkey + 1000000 AS v_id,
+             CASE WHEN p_partkey % 7 = 0
+                  THEN substr(p_name, 1, 2) || substr(p_name, 4) || 'x'
+                  ELSE substr(p_name, 1, 2) || substr(p_name, 4)
+             END AS v_name
+      FROM part WHERE p_partkey % 3 = 0
+"""
+
+
+@query(
+    "x_fuzzy_join",
+    sql=f"""
+    WITH variants AS ({_DIRTY_PARTS_SQL})
+    SELECT p_partkey, p_name, v_id, v_name,
+           CAST(levenshtein(p_name, v_name) AS BIGINT) AS dist
+    FROM part JOIN variants
+      ON lower(substr(p_name, 1, 2)) = lower(substr(v_name, 1, 2))
+    WHERE levenshtein(p_name, v_name) <= 2
+    """,
+    note="entity resolution via blocked fuzzy join: (2-char prefix, length "
+    "band +-1) blocking with a hot-block width guard, then JVM levenshtein "
+    "verify on candidates only — never |L|x|R|. The oracle's quadratic "
+    "in-block form is equivalent because <=2 edits move length <=2 < band "
+    "width, so the band predicate is implied",
+    bench=True,
+)
+def x_fuzzy_join(spark, sf_dir):
+    from flnr_wins_spark.operators.linkage import fuzzy_join
+
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    variants = part.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("v_id"),
+        F.when(
+            F.col("p_partkey") % 7 == 0,
+            F.concat(
+                F.substring("p_name", 1, 2),
+                F.expr("substr(p_name, 4)"),
+                F.lit("x"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.substring("p_name", 1, 2), F.expr("substr(p_name, 4)"))
+        )
+        .alias("v_name"),
+    )
+    return fuzzy_join(part, variants, "p_name", "v_name", max_dist=2)
+
+
+@query(
+    "x_search_phrase",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM t, UNNEST(range(1, len(tk) - 1)) u(i)
+    WHERE tk[i] = 'slow' AND tk[i + 1] = 'hash' AND tk[i + 2] = 'batch'
+    GROUP BY doc_id
+    """,
+    note="exact-phrase retrieval over positional postings: terms filtered "
+    "while narrow (pushdown before every exchange), k-way join on "
+    "(doc, pos-i) occurrence-unique keys, map-side-combined per-doc count",
+)
+def x_search_phrase(spark, sf_dir):
+    from flnr_wins_spark.functions.search import phrase_search
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(docs, ["slow", "hash", "batch"])

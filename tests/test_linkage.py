@@ -1,0 +1,63 @@
+"""Tests for blocked fuzzy join (operators/linkage.py) and phrase search
+(functions/search.py positional postings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.operators.linkage import fuzzy_join
+from flnr_wins_spark.functions.search import phrase_search
+
+
+def test_fuzzy_join_finds_edits_within_band(spark):
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "zenith ltd"), (3, "acme company")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp."), (11, "acme cor"), (12, "zenith ltd xx"), (13, "acme co")],
+        "rid long, rname string",
+    )
+    out = fuzzy_join(left, right, "name", "rname", max_dist=2)
+    pairs = {(r["id"], r["rid"], r["dist"]) for r in out.collect()}
+    assert (1, 10, 1) in pairs          # one insert
+    assert (1, 11, 1) in pairs          # one delete
+    assert (2, 12, 3) not in pairs      # 3 edits > max_dist
+    assert all(d <= 2 for _, _, d in pairs)
+
+
+def test_fuzzy_join_emits_each_pair_once(spark):
+    left = spark.createDataFrame([(1, "abcd")], "id long, name string")
+    right = spark.createDataFrame([(9, "abcde")], "rid long, rname string")
+    out = fuzzy_join(left, right, "name", "rname", max_dist=2).collect()
+    assert len(out) == 1  # 3x band replication must not duplicate hits
+
+
+def test_fuzzy_join_hot_block_guard(spark):
+    left = spark.createDataFrame([(1, "aaaa")], "id long, name string")
+    right = spark.createDataFrame(
+        [(i, "aaab") for i in range(20)], "rid long, rname string"
+    )
+    out = fuzzy_join(left, right, "name", "rname", max_dist=2, max_block_width=10)
+    assert out.count() == 0  # degenerate block dropped, not exploded
+
+
+def test_phrase_search_counts_occurrences(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data pipelines big data"),
+            (2, "data big data"),
+            (3, "big pipelines data"),   # terms present, never adjacent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in phrase_search(docs, ["big", "data"]).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_phrase_search_three_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b"), (3, "c a c b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_hits"] for r in phrase_search(docs, ["a", "b", "c"]).collect()}
+    assert out == {1: 1}
