@@ -760,3 +760,59 @@ def ann_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
         F.col("rank") <= k
     )
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a stored-nowhere
+    sign matrix: output coordinate j = v · h_j where h_j's component d is
+    ±1 from the parity of ``hash(j*dim + d, seed)`` — the same
+    deterministic hyperplane family as ``hyperplane_signature``, kept as
+    the raw projection instead of its sign bit. Returns (id, rp) with
+    ``rp`` an ``array<double>`` of length ``out_dim``.
+
+    Why: at 100 TB the embedding column dominates shuffle width; an 8-64x
+    narrower JL sketch preserves pairwise distances within the JL bound
+    and is the standard cheap pre-filter before exact re-rank (the same
+    coarse-then-verify posture as the ANN family). The whole operator is a
+    narrow JVM map — zero shuffles, no model to broadcast.
+
+    ``hash_fn="md5"`` derives engine-identical sign components (the
+    DuckDB twin reproduces every output bit); ``"xxhash64"`` is the JVM
+    fast path.
+    """
+    comps = []
+    for j in range(out_dim):
+        if hash_fn == "xxhash64":
+            comp = (
+                f"CAST(IF(xxhash64(CAST({j} * {dim} AS BIGINT) + d, {seed}) % 2 = 0,"
+                " 1.0, -1.0) AS DOUBLE)"
+            )
+        elif hash_fn == "md5":
+            comp = (
+                f"CAST(IF(substring(md5(concat(CAST({j} * {dim} + d AS STRING),"
+                f" ':{seed}')), 32, 1)"
+                " IN ('1','3','5','7','9','b','d','f'), 1.0, -1.0) AS DOUBLE)"
+            )
+        else:
+            raise ValueError(f"unknown hash_fn {hash_fn!r}")
+        vec = F.col(vec_col).cast("array<double>")
+        comps.append(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.expr(f"transform(sequence(0, {dim - 1}), d -> {comp})"),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return df.select(F.col(id_col).alias("id"), F.array(*comps).alias("rp"))

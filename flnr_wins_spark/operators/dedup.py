@@ -506,3 +506,87 @@ def span_dedup(
             F.sum(F.col("_keep").cast("long")).alias("n_kept"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_cosine: float = 0.8,
+    max_df: int = 256,
+) -> DataFrame:
+    """TF-IDF weighted cosine near-duplicate pairs: each document is a
+    sparse tf·ln(N/df) vector; returns ``(a, b, cosine)`` for pairs with
+    cosine >= ``min_cosine`` (a < b). The weighted complement to the set
+    Jaccard entries — repeated rare terms dominate, boilerplate is
+    down-weighted by idf.
+
+    Scale contract (same family as ``jaccard_pairs``):
+
+      * candidate pairs come from the term-postings self-join, and terms
+        with document frequency > ``max_df`` are dropped from vectors AND
+        norms first (sklearn's max_df pruning) — the hot-term fanout is
+        bounded by max_df² per term, never corpus-quadratic;
+      * weights round through DECIMAL(27,9) right after the ln() (absorbing
+        sub-ulp libm differences) and the dot/norm sums route through
+        DECIMAL(27,12) (order-insensitive) — plans/common.py discipline, so
+        the cosine is engine-exact;
+      * per-pair aggregation shuffles on (a, b), unique per candidate pair.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dfreq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    w = (
+        toks.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+            )
+            .cast("decimal(27,9)")
+            .cast("double")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(27,12)")).cast("double")
+        ).alias("norm")
+    )
+    a = w.select(F.col("id").alias("a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(27,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    return (
+        dots.join(norms.select(F.col("id").alias("a"), F.col("norm").alias("na")), "a")
+        .join(norms.select(F.col("id").alias("b"), F.col("norm").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -64,6 +64,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_classify_perceptron", "x_classify_nb_langid",
     "x_cooccur_pmi", "x_bigram_lm_quality",
     "x_fuzzy_join", "x_search_phrase",
+    "x_random_projection", "x_dedup_tfidf",
     # (c) rows-only entries: refresh their rows-evidence every round
     "q_events_approx_distinct", "x_dedup_minhash_lsh", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf", "x_text_langid",

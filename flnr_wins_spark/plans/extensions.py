@@ -2647,3 +2647,69 @@ def x_search_phrase(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return phrase_search(docs, ["slow", "hash", "batch"])
+
+
+@query(
+    "x_random_projection",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id AS id,
+           list_transform(range(0, 8), j ->
+             list_dot_product(v,
+               list_transform(range(0, 64), d ->
+                 CASE WHEN substr(md5(CAST(j * 64 + d AS VARCHAR) || ':42'), 32, 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                 THEN 1.0 ELSE -1.0 END))) AS rp
+    FROM e
+    """,
+    note="Johnson-Lindenstrauss random projection 64->8 dims with "
+    "md5-parity sign matrix (stored nowhere, engine-identical): narrow "
+    "JVM map, zero shuffles — the cheap distance-preserving pre-filter "
+    "before exact re-rank",
+)
+def x_random_projection(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import random_projection
+
+    emb = t(spark, sf_dir, "embeddings")
+    return random_projection(emb, dim=64, out_dim=8, hash_fn="md5")
+
+
+@query(
+    "x_dedup_tfidf",
+    sql=f"""
+    WITH docs AS ({_DUP_SQL_DOCS}),
+    toks AS (
+      SELECT id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id AS id,
+                   unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+            FROM docs)
+      GROUP BY 1, 2),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY 1
+              HAVING COUNT(*) <= 256),
+    w AS (
+      SELECT id, term,
+             CAST(CAST(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                       AS DECIMAL(27,9)) AS DOUBLE) AS w
+      FROM toks JOIN dfreq USING (term) CROSS JOIN nd),
+    norms AS (
+      SELECT id, sqrt(CAST(SUM(CAST(w * w AS DECIMAL(27,12))) AS DOUBLE)) AS norm
+      FROM w GROUP BY id),
+    dots AS (
+      SELECT wa.id AS a, wb.id AS b,
+             CAST(SUM(CAST(wa.w * wb.w AS DECIMAL(27,12))) AS DOUBLE) AS dot
+      FROM w wa JOIN w wb USING (term) WHERE wa.id < wb.id GROUP BY 1, 2)
+    SELECT a, b, dot / (na.norm * nb.norm) AS cosine
+    FROM dots JOIN norms na ON na.id = dots.a JOIN norms nb ON nb.id = dots.b
+    WHERE dot / (na.norm * nb.norm) >= 0.8
+    """,
+    note="TF-IDF weighted cosine near-dup pairs: idf down-weights "
+    "boilerplate (the weighted complement of set Jaccard), max_df prunes "
+    "hot terms before the postings self-join (fanout <= max_df^2 per "
+    "term), decimal-routed ln/dot/norm make the cosine engine-exact",
+)
+def x_dedup_tfidf(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = _docs_with_dups(spark, sf_dir)
+    return tfidf_cosine_pairs(docs, min_cosine=0.8, max_df=256)

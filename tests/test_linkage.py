@@ -61,3 +61,49 @@ def test_phrase_search_three_terms(spark):
     )
     out = {r["doc_id"]: r["n_hits"] for r in phrase_search(docs, ["a", "b", "c"]).collect()}
     assert out == {1: 1}
+
+
+def test_random_projection_shape_and_determinism(spark):
+    from flnr_wins_spark.functions.vectors import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(16)]), (2, [1.0] * 16)],
+        "vec_id long, embedding array<double>",
+    )
+    out1 = random_projection(df, dim=16, out_dim=4).collect()
+    out2 = random_projection(df.repartition(7), dim=16, out_dim=4).collect()
+    assert all(len(r["rp"]) == 4 for r in out1)
+    assert {r["id"]: r["rp"] for r in out1} == {r["id"]: r["rp"] for r in out2}
+    # signs are +-1 only: projecting the all-ones vector gives an integer sum
+    ones = [r["rp"] for r in out1 if r["id"] == 2][0]
+    assert all(v == int(v) and abs(v) <= 16 for v in ones)
+
+
+def test_tfidf_pairs_rank_rare_term_overlap_higher(spark):
+    from flnr_wins_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique glyph unique glyph common common common"),
+            (2, "unique glyph unique glyph common common other"),
+            (3, "common common common common common common stuff"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]): r["cosine"]
+             for r in tfidf_cosine_pairs(docs, min_cosine=0.0, max_df=10).collect()}
+    # rare-term overlap dominates; (1,3) share only 'common', whose
+    # idf = ln(3/3) = 0 zeroes its weight entirely
+    assert pairs[(1, 2)] > pairs.get((1, 3), 0.0)
+    assert pairs[(1, 2)] > 0.7
+
+
+def test_tfidf_max_df_prunes_hot_terms(spark):
+    from flnr_wins_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "boiler plate every where") for i in range(5)],
+        "doc_id long, text string",
+    )
+    # every term exceeds max_df=3 -> no vectors survive -> no pairs
+    assert tfidf_cosine_pairs(docs, min_cosine=0.0, max_df=3).count() == 0
