@@ -86,6 +86,11 @@ def fuzzy_join(
     # left replication — the join emits each candidate once.
     return (
         lb.join(rb, "_bk")
+        # cheap length gate first: lev <= d implies |Δlen| <= d, and an
+        # integer compare prunes most candidates before the O(n*m) DP
+        .filter(
+            F.abs(F.length(left_key) - F.length(right_key)) <= max_dist
+        )
         .filter(dist <= max_dist)
         .drop("_bk")
         .withColumn("dist", dist.cast("bigint"))

@@ -2577,56 +2577,65 @@ def x_bigram_lm_quality(spark, sf_dir):
 # Entity resolution + phrase retrieval (round 4)
 # ---------------------------------------------------------------------------
 
-# Dirty entity table: every 3rd part name loses its 3rd character, every
-# 7th also gains a trailing 'x' — 1- and 2-edit variants with the 2-char
-# blocking prefix intact (the operator's documented recall contract).
-_DIRTY_PARTS_SQL = """
-      SELECT p_partkey + 1000000 AS v_id,
-             CASE WHEN p_partkey % 7 = 0
-                  THEN substr(p_name, 1, 2) || substr(p_name, 4) || 'x'
-                  ELSE substr(p_name, 1, 2) || substr(p_name, 4)
+# Dirty entity table for linkage: document "titles" (leading text slice of
+# varying length — high-entropy strings, unlike the 8-adjective part names);
+# every 3rd title loses its 5th character, every 7th also gains a trailing
+# 'x' — 1- and 2-edit variants with the 2-char blocking prefix intact (the
+# operator's documented recall contract).
+_TITLES_SQL = """
+      SELECT doc_id AS t_id, substr(text, 1, 20 + doc_id % 10) AS title
+      FROM documents
+"""
+
+_DIRTY_TITLES_SQL = f"""
+      SELECT t_id + 1000000 AS v_id,
+             CASE WHEN t_id % 7 = 0
+                  THEN substr(title, 1, 4) || substr(title, 6) || 'x'
+                  ELSE substr(title, 1, 4) || substr(title, 6)
              END AS v_name
-      FROM part WHERE p_partkey % 3 = 0
+      FROM ({_TITLES_SQL}) WHERE t_id % 3 = 0
 """
 
 
 @query(
     "x_fuzzy_join",
     sql=f"""
-    WITH variants AS ({_DIRTY_PARTS_SQL})
-    SELECT p_partkey, p_name, v_id, v_name,
-           CAST(levenshtein(p_name, v_name) AS BIGINT) AS dist
-    FROM part JOIN variants
-      ON lower(substr(p_name, 1, 2)) = lower(substr(v_name, 1, 2))
-    WHERE levenshtein(p_name, v_name) <= 2
+    WITH titles AS ({_TITLES_SQL}),
+    variants AS ({_DIRTY_TITLES_SQL})
+    SELECT t_id, title, v_id, v_name,
+           CAST(levenshtein(title, v_name) AS BIGINT) AS dist
+    FROM titles JOIN variants
+      ON lower(substr(title, 1, 2)) = lower(substr(v_name, 1, 2))
+     AND abs(len(title) - len(v_name)) <= 2
+    WHERE levenshtein(title, v_name) <= 2
     """,
     note="entity resolution via blocked fuzzy join: (2-char prefix, length "
     "band +-1) blocking with a hot-block width guard, then JVM levenshtein "
     "verify on candidates only — never |L|x|R|. The oracle's quadratic "
     "in-block form is equivalent because <=2 edits move length <=2 < band "
-    "width, so the band predicate is implied",
+    "width, so the band predicate reduces to the length filter",
     bench=True,
 )
 def x_fuzzy_join(spark, sf_dir):
     from flnr_wins_spark.operators.linkage import fuzzy_join
 
-    part = t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    variants = part.filter(F.col("p_partkey") % 3 == 0).select(
-        (F.col("p_partkey") + 1000000).alias("v_id"),
+    docs = t(spark, sf_dir, "documents")
+    titles = docs.select(
+        F.col("doc_id").alias("t_id"),
+        F.expr("substr(text, 1, 20 + doc_id % 10)").alias("title"),
+    )
+    variants = titles.filter(F.col("t_id") % 3 == 0).select(
+        (F.col("t_id") + 1000000).alias("v_id"),
         F.when(
-            F.col("p_partkey") % 7 == 0,
+            F.col("t_id") % 7 == 0,
             F.concat(
-                F.substring("p_name", 1, 2),
-                F.expr("substr(p_name, 4)"),
-                F.lit("x"),
+                F.substring("title", 1, 4), F.expr("substr(title, 6)"), F.lit("x")
             ),
         )
-        .otherwise(
-            F.concat(F.substring("p_name", 1, 2), F.expr("substr(p_name, 4)"))
-        )
+        .otherwise(F.concat(F.substring("title", 1, 4), F.expr("substr(title, 6)")))
         .alias("v_name"),
     )
-    return fuzzy_join(part, variants, "p_name", "v_name", max_dist=2)
+    return fuzzy_join(titles, variants, "title", "v_name", max_dist=2)
 
 
 @query(
