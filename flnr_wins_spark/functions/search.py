@@ -170,3 +170,46 @@ def phrase_search(
         )
         acc = acc.join(nxt, ["doc_id", "start"])
     return acc.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (the standard
+    hybrid-search combiner): each system contributes ``1/(c + rank)`` for
+    the documents it returned, fused score = the sum. Returns
+    ``(doc_id, rrf, n_systems, rank)``, top ``k`` by fused score with a
+    doc_id tiebreak.
+
+    Rank-only fusion means the systems' score scales never need
+    calibration — exactly why RRF is the default lexical+dense combiner.
+    Per-system contributions round through DECIMAL(27,12) before the sum
+    (three+ doubles would otherwise sum order-dependently). Each input is
+    already k-bounded, so everything here is result-sized; the fuse is a
+    single tiny groupBy + TakeOrdered.
+    """
+    parts = [
+        r.select(
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(c) + F.col(rank_col)))
+            .cast("decimal(27,12)")
+            .alias("_contrib"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("doc_id").agg(
+        F.sum("_contrib").cast("double").alias("rrf"),
+        F.count(F.lit(1)).cast("bigint").alias("n_systems"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -816,3 +816,90 @@ def random_projection(
             )
         )
     return df.select(F.col(id_col).alias("id"), F.array(*comps).alias("rp"))
+
+
+def knn_classify(
+    queries: DataFrame,
+    train: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor classification by exact cosine: each query takes
+    the majority label of its k nearest TRAIN vectors; ties break by
+    (votes DESC, label ASC). Returns ``(id, pred_label, votes)``.
+
+    The query batch is broadcast (bounded by contract — classify in
+    batches; the corpus-scale path swaps the exact scan for ivf/pq ANN
+    with the identical vote/argmax tail). The train scan never shuffles;
+    only (|Q| x k) neighbor rows reach the vote shuffle, keyed on the
+    unique query id.
+    """
+    knn = brute_force_topk(
+        queries, train, k=k, query_id=query_id, cand_id=cand_id, vec_col=vec_col
+    )
+    votes = (
+        knn.join(
+            train.select(
+                F.col(cand_id).alias("cand_id"), F.col(label_col).alias("_lbl")
+            ),
+            "cand_id",
+        )
+        .groupBy("query_id", "_lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_lbl").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("query_id").alias("id"),
+            F.col("_lbl").alias("pred_label"),
+            "votes",
+        )
+    )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    k most-cosine-similar candidates with a DIFFERENT label — the
+    highest-value negatives precisely because the model confuses them.
+    Returns (query_id, cand_id, cosine, rank).
+
+    Same broadcast-query scan shape as ``brute_force_topk``; the label
+    inequality filters before the window, so per-query state stays
+    k-bounded.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.col(label_col).alias("_ql"),
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.col(label_col).alias("_cl"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_ql") != F.col("_cl"))
+        .select(
+            "query_id", "cand_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )

@@ -153,3 +153,43 @@ def group_cap(
         .filter(F.col("_gc_rn") <= k)
         .drop("_gc_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): row i gets key ``u_i^(1/w_i)`` with ``u_i`` uniform;
+    the n largest keys are exactly a weighted sample without replacement.
+    Ordering by the equivalent ``ln(u_i)/w_i`` (monotone in the key since
+    ln u < 0) avoids pow(). Returns the sampled rows plus their ``es_key``
+    score.
+
+    Same content-addressing discipline as the rest of this module: ``u_i``
+    derives from ``md5(id:seed)`` (13 hex chars / 16^13, offset by 0.5 so
+    u is never 0) — a pure function of the row key, so the sample is
+    identical across engines, re-runs, and partitionings; the per-row ln
+    rounds through DECIMAL(27,12) (plans/common.py rule). One TakeOrdered
+    pass — no global sort, no shuffle beyond the n-bounded result.
+
+    Rows with weight <= 0 are excluded (their inclusion probability is 0).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16**13))
+    key = (F.log(u) / F.col(weight_col).cast("double")).cast("decimal(27,12)")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(n)
+    )

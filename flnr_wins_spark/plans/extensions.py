@@ -2718,3 +2718,176 @@ def x_dedup_tfidf(spark, sf_dir):
 
     docs = _docs_with_dups(spark, sf_dir)
     return tfidf_cosine_pairs(docs, min_cosine=0.8, max_df=256)
+
+
+@query(
+    "x_search_hybrid_rrf",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('spark', 'merge', 'window')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(
+               ln((CAST(stats.n_docs - df.df AS DOUBLE) + 0.5)
+                  / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * ((1.0 - 0.75)
+                              + (0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))))
+             AS DECIMAL(27,9))) AS DOUBLE) AS score
+      FROM tf JOIN df USING (term) JOIN doclen dl USING (doc_id)
+      CROSS JOIN stats GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rn AS rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM bm) WHERE rn <= 50
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    dense AS (
+      SELECT doc_id, rn AS rank FROM (
+        SELECT c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 list_dot_product(c.v, q.qv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 c.vec_id) AS rn
+        FROM e c CROSS JOIN q WHERE c.vec_id <> 0)
+      WHERE rn <= 50
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(1.0 / (60 + rank) AS DECIMAL(27,12))) AS DOUBLE) AS rrf,
+             CAST(COUNT(*) AS BIGINT) AS n_systems
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, rrf, n_systems, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+    WHERE rn <= 10
+    """,
+    note="hybrid retrieval: BM25 lexical top-50 + exact-cosine dense top-50 "
+    "(vec_id as the doc surrogate key) fused by reciprocal-rank fusion "
+    "1/(60+rank) — rank-only fusion needs no score calibration; "
+    "contributions decimal-routed, fuse is result-sized",
+)
+def x_search_hybrid_rrf(spark, sf_dir):
+    from flnr_wins_spark.functions.search import bm25_topk, rrf_fuse
+    from flnr_wins_spark.functions.vectors import brute_force_topk
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "merge", "window"], k=50).select("doc_id", "rank")
+    dense = brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=50
+    ).select(F.col("cand_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, dense], k=10)
+
+
+@query(
+    "x_knn_classify",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 50),
+    tr AS (SELECT * FROM e WHERE vec_id >= 50),
+    knn AS (
+      SELECT query_id, cand_id, lbl FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS lbl,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 c.vec_id) AS rn
+        FROM tr c CROSS JOIN q)
+      WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, lbl, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM knn GROUP BY 1, 2
+    )
+    SELECT query_id AS id, lbl AS pred_label, votes FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY votes DESC, lbl) AS rn FROM votes)
+    WHERE rn = 1
+    """,
+    note="exact-cosine k-NN classification (broadcast query batch, "
+    "majority vote, deterministic tie-break); corpus-scale path swaps the "
+    "exact scan for ivf/pq ANN with the same vote tail",
+)
+def x_knn_classify(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import knn_classify
+
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_classify(emb.filter(F.col("vec_id") < 50), emb.filter(F.col("vec_id") >= 50), k=5)
+
+
+@query(
+    "x_hard_negatives",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10)
+    SELECT query_id, cand_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+               list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))) DESC,
+               c.vec_id) AS rn
+      FROM e c CROSS JOIN q
+      WHERE q.label <> c.label)
+    WHERE rn <= 5
+    """,
+    note="hard-negative mining for contrastive training: per query, top-k "
+    "most-similar candidates with a DIFFERENT label; label filter precedes "
+    "the window so per-query state stays k-bounded",
+)
+def x_hard_negatives(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import hard_negative_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@query(
+    "x_weighted_sample",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                      1, 13) AS BIGINT) AS DOUBLE) + 0.5)
+                     / 4503599627370496.0)
+                  / CAST(n_chars AS DOUBLE) AS DECIMAL(27,12)) AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, es_key FROM s ORDER BY es_key DESC, doc_id LIMIT 100
+    """,
+    note="Efraimidis-Spirakis weighted sampling without replacement "
+    "(n_chars-proportional): md5-derived uniforms, ln(u)/w ordering keys "
+    "decimal-routed, one TakeOrdered pass — reproducible across engines "
+    "and partitionings",
+)
+def x_weighted_sample(spark, sf_dir):
+    from flnr_wins_spark.operators.sample import weighted_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", n=100)

@@ -1,0 +1,68 @@
+"""Tests for round-4 ML-flavored operators: RRF fusion, k-NN
+classification, hard-negative mining, weighted sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.functions.search import rrf_fuse
+from flnr_wins_spark.functions.vectors import hard_negative_topk, knn_classify
+from flnr_wins_spark.operators.sample import weighted_sample
+
+
+def test_rrf_both_systems_beats_single(spark):
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    dense = spark.createDataFrame([(1, 3), (9, 1)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, dense], k=10).collect()}
+    assert out[1]["n_systems"] == 2
+    # doc 1 (ranked by both) fuses above doc 9 (rank 1 in one system only)
+    assert out[1]["rank"] < out[9]["rank"]
+    assert abs(out[1]["rrf"] - (1 / 61 + 1 / 63)) < 1e-9
+
+
+def test_knn_classify_separable_clusters(spark):
+    train = [(i, [10.0, 0.0], 1) for i in range(100, 110)]
+    train += [(i, [0.0, 10.0], 2) for i in range(200, 210)]
+    test = [(1, [9.0, 1.0], None), (2, [1.0, 9.0], None)]
+    df = spark.createDataFrame(
+        train + test, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r["id"]: r["pred_label"] for r in knn_classify(
+        df.filter(F.col("vec_id") < 100), df.filter(F.col("vec_id") >= 100), k=3
+    ).collect()}
+    assert out == {1: 1, 2: 2}
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.99, 0.1], 1),   # same label: must never appear
+            (2, [0.9, 0.2], 2),
+            (3, [0.0, 1.0], 3),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = hard_negative_topk(df.filter(F.col("vec_id") == 0), df, k=2).collect()
+    cands = [r["cand_id"] for r in out]
+    assert 1 not in cands
+    assert cands[0] == 2  # most similar different-label candidate first
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    rows = [(i, 100 if i % 2 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(df, "w", n=200, id_col="doc_id").collect()
+    heavy = sum(1 for r in got if r["w"] == 100)
+    assert heavy > 150  # 100x weight dominates the sample
+    assert len(got) == 200
+
+
+def test_weighted_sample_excludes_nonpositive_and_is_stable(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10), (4, 10)], "doc_id long, w long"
+    )
+    a = weighted_sample(df, "w", n=10).collect()
+    b = weighted_sample(df.repartition(5), "w", n=10).collect()
+    assert {r["doc_id"] for r in a} == {3, 4}
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
