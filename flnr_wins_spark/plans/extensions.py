@@ -2891,3 +2891,72 @@ def x_weighted_sample(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(docs, "n_chars", n=100)
+
+
+@query(
+    "x_multimodal_png_decode",
+    sql="""
+    WITH b AS (
+      SELECT doc_id, p,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':px' || CAST(p // 16 AS VARCHAR)),
+                                 2 * (p % 16) + 1, 2) AS INT) AS byte
+      FROM documents, range(192) t(p)
+    )
+    SELECT doc_id AS media_id,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN p % 3 = 0 THEN byte ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN p % 3 = 1 THEN byte ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN p % 3 = 2 THEN byte ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(MIN(byte) AS INTEGER) AS min_byte,
+           CAST(MAX(byte) AS INTEGER) AS max_byte
+    FROM b GROUP BY doc_id
+    """,
+    note="REAL PNG round-trip: known md5-derived 8x8 RGB pixels are "
+    "zlib-compressed into a genuine PNG (row filters cycling 0-4: None/Sub/"
+    "Up/Average/Paeth), then the stdlib chunk-walk decoder inflates and "
+    "unfilters them back; the oracle recomputes the expected pixels from "
+    "the construction, so compression, filtering, and unfiltering are all "
+    "value-checked end-to-end",
+)
+def x_multimodal_png_decode(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import extract_features, wrap_png
+
+    docs = t(spark, sf_dir, "documents")
+    pix = F.concat(
+        *[
+            F.unhex(
+                F.md5(
+                    F.encode(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f":px{j}")),
+                        "UTF-8",
+                    )
+                )
+            )
+            for j in range(12)
+        ]
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        pix.alias("content"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(192).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_features(wrap_png(media, 3, 8, 8), fake=False)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f[0].cast("int").alias("channels"),
+        f[1].cast("int").alias("width"),
+        f[2].cast("int").alias("height"),
+        f[3].cast("bigint").alias("sum_r"),
+        f[4].cast("bigint").alias("sum_g"),
+        f[5].cast("bigint").alias("sum_b"),
+        f[6].cast("int").alias("min_byte"),
+        f[7].cast("int").alias("max_byte"),
+    )

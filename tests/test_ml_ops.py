@@ -66,3 +66,46 @@ def test_weighted_sample_excludes_nonpositive_and_is_stable(spark):
     b = weighted_sample(df.repartition(5), "w", n=10).collect()
     assert {r["doc_id"] for r in a} == {3, 4}
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (functions/multimodal.py round-4 addition)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_every_filter_type():
+    from flnr_wins_spark.functions.multimodal import decode_image, encode_png
+
+    import zlib as _z  # noqa: F401  (stdlib presence is the point)
+
+    px = bytes((r * 37 + c * 11) % 256 for r in range(6) for c in range(5 * 3))
+    # cycle filters 0-4 across 6 rows: every unfilter path executes
+    data = encode_png(3, 5, 6, px, filter_cycle=True)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    ch, w, h, out = decode_image(data)
+    assert (ch, w, h) == (3, 5, 6)
+    assert out == px
+    # and the all-None-filter variant too
+    ch, w, h, out = decode_image(encode_png(3, 5, 6, px, filter_cycle=False))
+    assert out == px
+
+
+def test_png_grayscale_roundtrip():
+    from flnr_wins_spark.functions.multimodal import decode_image, encode_png
+
+    px = bytes(range(64))
+    ch, w, h, out = decode_image(encode_png(1, 8, 8, px))
+    assert (ch, w, h) == (1, 8, 8)
+    assert out == px
+
+
+def test_png_unsupported_color_type_raises():
+    import pytest
+
+    from flnr_wins_spark.functions.multimodal import decode_image, encode_png
+
+    data = bytearray(encode_png(1, 2, 2, bytes(4)))
+    # IHDR body starts at offset 16; color type is its 10th byte (offset 25).
+    data[25] = 3  # palette
+    # CRC now wrong too, but color type is checked during the chunk walk
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_image(bytes(data))
