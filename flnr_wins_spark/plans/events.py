@@ -236,3 +236,118 @@ def q_events_late_data(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
+
+
+@query(
+    "q_events_histogram",
+    sql="""
+    WITH s AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                      CAST(MAX(value) AS DOUBLE) AS hi FROM events)
+    SELECT CAST(LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20)) AS BIGINT), 19)
+                AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events CROSS JOIN s
+    GROUP BY 1 ORDER BY 1
+    """,
+    note="equi-width histogram (20 bins over the observed [min, max]): "
+    "extrema aggregate broadcasts, binning is a narrow map, one "
+    "map-side-combined count shuffle keyed on 20 bins",
+)
+def q_events_histogram(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy().agg(
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )
+    binc = F.least(
+        F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20))
+        .cast("bigint"),
+        F.lit(19).cast("bigint"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(s))
+        .groupBy(binc.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("bin")
+    )
+
+
+@query(
+    "q_events_interpolate",
+    sql="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tsu,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, tsu, v,
+             last_value(v IGNORE NULLS) OVER prevw AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN tsu END IGNORE NULLS)
+               OVER prevw AS pt,
+             first_value(v IGNORE NULLS) OVER nextw AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN tsu END IGNORE NULLS)
+               OVER nextw AS nt
+      FROM e
+      WINDOW prevw AS (PARTITION BY user_id ORDER BY tsu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             nextw AS (PARTITION BY user_id ORDER BY tsu, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, (v IS NULL) AS was_gap,
+           COALESCE(v,
+                    CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+                         THEN pv + (nv - pv) * ((tsu - pt) / (nt - pt))
+                    END,
+                    pv, nv) AS v_filled
+    FROM w
+    """,
+    note="linear interpolation of planted gaps (every 7th reading NULLed): "
+    "prev/next non-null anchors via IGNORE NULLS window frames, "
+    "time-weighted fraction in microseconds; edges fall back to "
+    "nearest-anchor fill. One shuffle on the partition key",
+)
+def q_events_interpolate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("tsu"),
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    prevw = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nextw = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nn_ts = F.when(F.col("v").isNotNull(), F.col("tsu"))
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "tsu",
+        "v",
+        F.last("v", ignorenulls=True).over(prevw).alias("pv"),
+        F.last(nn_ts, ignorenulls=True).over(prevw).alias("pt"),
+        F.first("v", ignorenulls=True).over(nextw).alias("nv"),
+        F.first(nn_ts, ignorenulls=True).over(nextw).alias("nt"),
+    )
+    interp = F.when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull() & (F.col("nt") > F.col("pt")),
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((F.col("tsu") - F.col("pt")) / (F.col("nt") - F.col("pt"))),
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().alias("was_gap"),
+        F.coalesce(F.col("v"), interp, F.col("pv"), F.col("nv")).alias("v_filled"),
+    )
