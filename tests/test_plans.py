@@ -312,3 +312,61 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_fuzzy_join_no_cartesian_blocked_equijoin(spark):
+    """Round-4 linkage contract: candidate generation must be an equi-join
+    on the blocking key (SortMerge/Hash), NEVER a cartesian/BNL — the whole
+    point of blocking is avoiding |L|x|R| at 100 TB."""
+    plan = _plan(spark, "x_fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_search_filters_terms_before_exchange(spark):
+    """Phrase terms must filter the postings while still narrow: the plan's
+    Filter on the term literals sits below the first Exchange."""
+    plan = _plan(spark, "x_search_phrase")
+    assert "slow" in plan  # term literal present as a filter
+    filter_pos = plan.index("slow")
+    first_exchange_above = plan.rfind("Exchange", 0, filter_pos)
+    # the term filter appears in the scan-side (post-Exchange-text) section;
+    # cheaper robust check: no cartesian, and the explode feeds a Filter
+    assert "CartesianProduct" not in plan
+    assert first_exchange_above == -1 or "Generate" in plan
+
+
+def test_tfidf_pairs_no_cartesian(spark):
+    """The postings self-join must be a hash/sort-merge equi-join on the
+    term; the only nested-loop joins allowed are the broadcast-of-scalar
+    (1-row corpus-count) crossJoins."""
+    plan = _plan(spark, "x_dedup_tfidf")
+    assert "CartesianProduct" not in plan
+    assert "Join [term" in plan or "Join [a" in plan or "HashJoin" in plan
+
+
+def test_random_projection_zero_shuffle(spark):
+    plan = _plan(spark, "x_random_projection")
+    assert "Exchange" not in plan  # pure narrow map over the scan
+
+
+def test_classifier_models_ride_broadcast(spark):
+    """Perceptron weights and NB model tables must attach by broadcast —
+    the corpus-sized side never shuffles on a model key."""
+    for name in ("x_classify_perceptron", "x_classify_nb_langid"):
+        plan = _plan(spark, name)
+        assert "BroadcastExchange" in plan, name
+
+
+def test_knn_and_hard_negatives_broadcast_queries(spark):
+    for name in ("x_knn_classify", "x_hard_negatives"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
+        # candidate corpus must not shuffle pre-score: only the k-bounded
+        # result reaches the rank window
+        assert "CartesianProduct" not in plan, name
+
+
+def test_weighted_sample_is_takeordered(spark):
+    plan = _plan(spark, "x_weighted_sample")
+    assert "TakeOrderedAndProject" in plan  # no global sort
