@@ -903,3 +903,46 @@ def hard_negative_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
         F.col("rank") <= k
     )
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) text embedding: component d of a
+    document's vector is Σ over token occurrences of ±1, sign = parity of
+    ``md5(token:fh{seed}:d)``. A stored-nowhere, vocabulary-free sparse
+    projection — the classic cheap text vectorizer (Weinberger et al.) and
+    the deterministic stand-in for a neural embedder in retrieval
+    compositions. Returns (id, emb array<double>) with exact integer
+    component values (safe to dot/cosine in any order).
+
+    Scale shape: explode tokens (narrow), per-token ±1 contributions for
+    the ``dim`` components (JVM transform), then the kmeans-style
+    (id, d)-keyed sum → per-id array collect. Both shuffles key on the
+    document id (+dim), never on the token — Zipf-hot tokens cost nothing.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    sign = (
+        f"transform(sequence(0, {dim - 1}), d -> "
+        f"IF(substring(md5(concat(t, ':fh{seed}:', CAST(d AS STRING))), 32, 1)"
+        f" IN ('1','3','5','7','9','b','d','f'), 1, -1))"
+    )
+    contrib = toks.select("id", F.posexplode(F.expr(sign)).alias("d", "s"))
+    return (
+        contrib.groupBy("id", "d")
+        .agg(F.sum("s").cast("bigint").alias("v"))
+        .groupBy("id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, v))),"
+                " x -> CAST(x.v AS DOUBLE))"
+            ).alias("emb")
+        )
+    )

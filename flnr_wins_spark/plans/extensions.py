@@ -2960,3 +2960,76 @@ def x_multimodal_png_decode(spark, sf_dir):
         f[6].cast("int").alias("min_byte"),
         f[7].cast("int").alias("max_byte"),
     )
+
+
+# x_rag_retrieve: the end-to-end retrieval composition a RAG corpus build
+# runs — chunk the corpus into overlapping context windows, embed every
+# chunk with the vocabulary-free hashing trick, embed the query the same
+# way, retrieve top-k chunks by exact cosine. Every stage is an existing
+# registry operator (chunk_documents + feature_hash_embed +
+# brute_force_topk); the oracle reproduces chunking, token signs, integer
+# component sums, and the cosine ranking — so the whole pipeline, not just
+# its pieces, is hash-checked.
+_RAG_SQL = """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    c AS (SELECT doc_id, tk,
+                 CAST(1 + ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) AS nc
+          FROM s),
+    chunks AS (
+      SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) AS cid,
+             list_slice(tk, k * 48 + 1, k * 48 + 64) AS ctk
+      FROM c, UNNEST(range(0, nc)) u(k)
+    ),
+    ctoks AS (
+      SELECT cid, t FROM (SELECT cid, unnest(ctk) AS t FROM chunks) WHERE t <> ''
+    ),
+    cvec AS (
+      SELECT cid, d, CAST(SUM(CASE WHEN substr(md5(t || ':fh42:' || CAST(d AS VARCHAR)), 32, 1)
+                                    IN ('1','3','5','7','9','b','d','f')
+                               THEN 1 ELSE -1 END) AS BIGINT) AS v
+      FROM ctoks, UNNEST(range(0, 8)) u(d) GROUP BY cid, d
+    ),
+    qtoks AS (SELECT unnest(['slow', 'hash', 'batch', 'merge']) AS t),
+    qvec AS (
+      SELECT d, CAST(SUM(CASE WHEN substr(md5(t || ':fh42:' || CAST(d AS VARCHAR)), 32, 1)
+                               IN ('1','3','5','7','9','b','d','f')
+                          THEN 1 ELSE -1 END) AS BIGINT) AS s
+      FROM qtoks, UNNEST(range(0, 8)) u(d) GROUP BY d
+    ),
+    dots AS (
+      SELECT cid,
+             CAST(SUM(v * s) AS DOUBLE) AS dot,
+             sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nc
+      FROM cvec JOIN qvec USING (d) GROUP BY cid
+    ),
+    nq AS (SELECT sqrt(CAST(SUM(s * s) AS DOUBLE)) AS nq FROM qvec)
+    SELECT cid AS cand_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT cid, dot / (nq.nq * nc) AS cosine,
+             ROW_NUMBER() OVER (ORDER BY dot / (nq.nq * nc) DESC, cid) AS rn
+      FROM dots CROSS JOIN nq)
+    WHERE rn <= 5
+"""
+
+
+@query(
+    "x_rag_retrieve",
+    sql=_RAG_SQL,
+    note="RAG retrieval composition, hash-checked end-to-end: 64-token "
+    "overlap-16 chunking -> hashing-trick embedding (vocab-free ±1 md5 "
+    "signs, integer components) -> exact cosine top-5 for the query. "
+    "Chunk/embed are narrow+id-keyed; the query vector broadcasts",
+)
+def x_rag_retrieve(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import brute_force_topk, feature_hash_embed
+    from flnr_wins_spark.operators.packing import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16).select(
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias("cid"),
+        F.col("chunk_text"),
+    )
+    cemb = feature_hash_embed(chunks, text_col="chunk_text", id_col="cid")
+    qdf = spark.createDataFrame([("q", "slow hash batch merge")], "cid string, chunk_text string")
+    qemb = feature_hash_embed(qdf, text_col="chunk_text", id_col="cid")
+    top = brute_force_topk(qemb, cemb, k=5, query_id="id", cand_id="id", vec_col="emb")
+    return top.select("cand_id", "cosine", "rank")

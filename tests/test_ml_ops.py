@@ -109,3 +109,39 @@ def test_png_unsupported_color_type_raises():
     # CRC now wrong too, but color type is checked during the chunk walk
     with pytest.raises((NotImplementedError, ValueError)):
         decode_image(bytes(data))
+
+
+def test_feature_hash_embed_integer_and_stable(spark):
+    from flnr_wins_spark.functions.vectors import feature_hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma")], "doc_id long, text string"
+    )
+    a = {r["id"]: r["emb"] for r in feature_hash_embed(df, dim=4).collect()}
+    b = {r["id"]: r["emb"] for r in feature_hash_embed(df.repartition(5), dim=4).collect()}
+    assert a == b
+    assert all(len(v) == 4 for v in a.values())
+    # bag semantics: each of doc 1's 3 token occurrences contributes ±1,
+    # so every component is an odd integer in [-3, 3]
+    assert all(v == int(v) and abs(v) <= 3 and int(v) % 2 == 1 for v in a[1])
+
+
+def test_rag_chunks_retrieval_finds_query_phrase(spark):
+    from flnr_wins_spark.functions.vectors import (
+        brute_force_topk,
+        feature_hash_embed,
+    )
+    from flnr_wins_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "zig zag zoom " * 30), (2, "aa bb cc " * 30)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_tokens=16, overlap=4).select(
+        F.concat_ws(":", "doc_id", "chunk_idx").alias("cid"), "chunk_text"
+    )
+    cemb = feature_hash_embed(chunks, text_col="chunk_text", id_col="cid")
+    q = spark.createDataFrame([("q", "zig zag zoom")], "cid string, chunk_text string")
+    qemb = feature_hash_embed(q, text_col="chunk_text", id_col="cid")
+    top = brute_force_topk(qemb, cemb, k=3, query_id="id", cand_id="id", vec_col="emb").collect()
+    assert all(r["cand_id"].startswith("1:") for r in top)  # doc-1 chunks win
