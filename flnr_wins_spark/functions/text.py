@@ -505,3 +505,80 @@ def bigram_quality(
             (F.sum(nll).cast("double") / F.count(F.lit(1))).alias("avg_nll"),
         )
     )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", rounds: int = 3, sep: str = "_"
+) -> DataFrame:
+    """Distributed BPE tokenizer training, the real merge loop (not just the
+    pair statistic): per round, count adjacent symbol pairs across the
+    corpus (weighted by word frequency), pick the most frequent pair
+    (tie-break lexicographic), and apply the merge leftmost-first
+    non-overlapping to every word — exactly Sennrich et al.'s algorithm.
+    Returns the learned merge table ``(round, a, b, cnt)``.
+
+    Engine shape, and why it scales:
+
+      * the corpus collapses to the (word, freq) vocabulary FIRST — the
+        classic BPE trick; merge rounds then run on a model-sized table,
+        not the corpus. At 100 TB the only corpus-wide work is the one
+        word-count groupBy.
+      * each round is: pair groupBy (map-side combined) → 1-row TakeOrdered
+        argmax → broadcast crossJoin + a JVM string-fold applying the
+        merge. Lineage truncates per round (``localCheckpoint``), mirroring
+        kmeans_fit/pagerank.
+      * the merge application is a left fold with a delimited-string
+        accumulator — the identical fold runs on DuckDB via list_reduce,
+        which is what makes the whole training loop (counts, argmax AND
+        merge application) hash-checkable. Precondition: tokens must not
+        contain ``sep`` (filtered defensively).
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter((F.col("w") != "") & (~F.col("w").contains(sep)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "freq",
+        F.expr(
+            f"array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+            f" '{sep}')"
+        ).alias("sy"),
+    ).localCheckpoint()
+    pair_expr = (
+        f"transform(if(size(split(sy, '{sep}')) >= 2,"
+        f"             sequence(1, size(split(sy, '{sep}')) - 1), array()),"
+        f" i -> struct(element_at(split(sy, '{sep}'), i) AS a,"
+        f"             element_at(split(sy, '{sep}'), i + 1) AS b))"
+    )
+    fold_expr = (
+        f"aggregate(slice(split(sy, '{sep}'), 2, size(split(sy, '{sep}')) - 1),"
+        f" element_at(split(sy, '{sep}'), 1),"
+        f" (acc, s) -> IF((acc = a OR endswith(acc, concat('{sep}', a))) AND s = b,"
+        f"                concat(substring(acc, 1, length(acc) - length(a)), a, b),"
+        f"                concat(acc, '{sep}', s)))"
+    )
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            syms.select("freq", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .select(F.lit(r).cast("int").alias("round"), "a", "b", "cnt")
+            .localCheckpoint()
+        )
+        merges.append(top)
+        syms = (
+            syms.crossJoin(F.broadcast(top.select("a", "b")))
+            .select("freq", F.expr(fold_expr).alias("sy"))
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -3033,3 +3033,63 @@ def x_rag_retrieve(spark, sf_dir):
     qemb = feature_hash_embed(qdf, text_col="chunk_text", id_col="cid")
     top = brute_force_topk(qemb, cemb, k=5, query_id="id", cand_id="id", vec_col="emb")
     return top.select("cand_id", "cosine", "rank")
+
+
+# x_bpe_train oracle: each unrolled round recounts pairs from the previous
+# symbol table, picks the argmax (cnt DESC, a, b), and applies the merge
+# with the IDENTICAL delimited-string left fold (DuckDB list_reduce ==
+# Spark aggregate), so counts, argmax AND merge application are all
+# hash-checked.
+def _bpe_round_sql(i: int) -> str:
+    p = i - 1
+    return f"""
+    p{i} AS (
+      SELECT tk[i] AS a, tk[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(sy, '_') AS tk FROM s{p}),
+           UNNEST(range(1, greatest(len(tk), 1))) u(i)
+      GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT {i} AS round, a, b, cnt FROM p{i}
+             ORDER BY cnt DESC, a, b LIMIT 1),
+    s{i} AS (
+      SELECT freq,
+             list_reduce(string_split(sy, '_'), (acc, s) ->
+               CASE WHEN (acc = t{i}.a OR ends_with(acc, '_' || t{i}.a))
+                         AND s = t{i}.b
+                    THEN substr(acc, 1, len(acc) - len(t{i}.a)) || t{i}.a || t{i}.b
+                    ELSE acc || '_' || s END) AS sy
+      FROM s{p} CROSS JOIN t{i}
+    )"""
+
+
+@query(
+    "x_bpe_train",
+    sql=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                t -> t <> '' AND NOT contains(t, '_'))) AS w
+      FROM documents
+    ),
+    words AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w),
+    s0 AS (
+      SELECT freq,
+             array_to_string(list_transform(range(1, len(w) + 1),
+                                            i -> substr(w, i, 1)), '_') AS sy
+      FROM words
+    ),
+    {_bpe_round_sql(1)},
+    {_bpe_round_sql(2)},
+    {_bpe_round_sql(3)}
+    SELECT CAST(round AS INTEGER) AS round, a, b, cnt FROM (
+      SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3)
+    """,
+    note="distributed BPE tokenizer training (3 unrolled merge rounds, "
+    "Sennrich et al.): corpus collapses to the (word, freq) vocabulary "
+    "first, then each round is a map-side pair count, a 1-row TakeOrdered "
+    "argmax, and a broadcast merge applied by a delimited-string left fold "
+    "— counts, argmax and merge application all hash-checked",
+)
+def x_bpe_train(spark, sf_dir):
+    from flnr_wins_spark.functions.text import bpe_train
+
+    return bpe_train(t(spark, sf_dir, "documents"), rounds=3)

@@ -101,3 +101,28 @@ def test_bigram_quality_skips_single_token_docs(spark):
     out = bigram_quality(df).collect()
     assert {r["id"] for r in out} == {2}
     assert out[0]["n_bigrams"] == 1
+
+
+def test_bpe_train_merges_and_applies(spark):
+    from flnr_wins_spark.functions.text import bpe_train
+
+    # 'aaab' x3, 'ab' x2: round 1 must merge ('a','a') (count 2*3=6 beats
+    # ('a','b') count 5); round 2 then sees 'aa_a_b' and 'a_b' so ('a','b')
+    # wins with count 5 — proving the merge APPLICATION feeds the recount.
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab ab ab")], "doc_id long, text string"
+    )
+    out = {r["round"]: (r["a"], r["b"], r["cnt"]) for r in bpe_train(docs, rounds=2).collect()}
+    assert out[1] == ("a", "a", 6)
+    assert out[2] == ("a", "b", 5)
+
+
+def test_bpe_train_leftmost_nonoverlapping(spark):
+    from flnr_wins_spark.functions.text import bpe_train
+
+    # 'aaaa': positions (a,a) x3 in round 1; leftmost merge yields aa_aa,
+    # so round 2's top pair is ('aa','aa') with count 1
+    docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    out = {r["round"]: (r["a"], r["b"], r["cnt"]) for r in bpe_train(docs, rounds=2).collect()}
+    assert out[1] == ("a", "a", 3)
+    assert out[2] == ("aa", "aa", 1)
