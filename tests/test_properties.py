@@ -171,3 +171,98 @@ def test_star_cc_equals_label_cc(spark, edges):
     label = {r.id: r.cluster_id for r in connected_components(df, max_iter=30).collect()}
     star = {r.id: r.cluster_id for r in connected_components(df, max_iter=30, algorithm="star").collect()}
     assert star == label
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operator invariants
+# ---------------------------------------------------------------------------
+
+WORD = st.text(alphabet="abc", min_size=1, max_size=6)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(lefts=st.lists(WORD, min_size=1, max_size=5, unique=True),
+       rights=st.lists(WORD, min_size=1, max_size=5, unique=True))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_fuzzy_join_complete_within_blocking_contract(spark, lefts, rights):
+    """Recall contract: every pair with lev <= max_dist AND equal 2-char
+    lowered prefix MUST be found (blocking may only lose prefix-corrupted
+    pairs, never in-contract ones); and nothing with lev > max_dist."""
+    from flnr_wins_spark.operators.linkage import fuzzy_join
+
+    ldf = spark.createDataFrame([(i, w) for i, w in enumerate(lefts)], "id long, name string")
+    rdf = spark.createDataFrame([(i, w) for i, w in enumerate(rights)], "rid long, rname string")
+    got = {(r["id"], r["rid"]) for r in fuzzy_join(ldf, rdf, "name", "rname", max_dist=2).collect()}
+    for i, lw in enumerate(lefts):
+        for j, rw in enumerate(rights):
+            expected = _lev(lw, rw) <= 2 and lw[:2].lower() == rw[:2].lower()
+            assert ((i, j) in got) == expected, (lw, rw)
+
+
+def _bpe_merge_ref(words, pair):
+    """Python reference: leftmost non-overlapping merge of `pair` in each
+    symbol list."""
+    a, b = pair
+    out = []
+    for syms in words:
+        acc = []
+        for s in syms:
+            if acc and acc[-1] == a and s == b:
+                acc[-1] = a + b
+            else:
+                acc.append(s)
+        out.append(acc)
+    return out
+
+
+@given(words=st.lists(st.text(alphabet="ab", min_size=1, max_size=6),
+                      min_size=1, max_size=4))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_bpe_first_round_matches_python_reference(spark, words):
+    """The engine's round-1 argmax and merge application must agree with a
+    direct Python implementation of Sennrich's algorithm."""
+    from collections import Counter
+
+    from flnr_wins_spark.functions.text import bpe_train
+
+    text = " ".join(words)
+    # python reference round 1 on the word-frequency collapsed vocab
+    freq = Counter(words)
+    pair_counts = Counter()
+    for w, f in freq.items():
+        for x, y in zip(w, w[1:]):
+            pair_counts[(x, y)] += f
+    if not pair_counts:
+        return  # all 1-char words: no pairs, engine returns 0 merge rows
+    # tie-break: max count, then lexicographically SMALLEST (a, b)
+    top_cnt = max(pair_counts.values())
+    best = min(p for p, c in pair_counts.items() if c == top_cnt)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = [r for r in bpe_train(docs, rounds=1).collect()]
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"]) == best and r["cnt"] == top_cnt
+
+
+@given(w=st.integers(1, 5), h=st.integers(1, 5),
+       data=st.binary(min_size=75, max_size=75), gray=st.booleans())
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_png_roundtrip_random_images(w, h, data, gray):
+    from flnr_wins_spark.functions.multimodal import decode_image, encode_png
+
+    ch = 1 if gray else 3
+    px = data[: w * h * ch]
+    got = decode_image(encode_png(ch, w, h, px, filter_cycle=True))
+    assert got == (ch, w, h, px)
