@@ -3093,3 +3093,83 @@ def x_bpe_train(spark, sf_dir):
     from flnr_wins_spark.functions.text import bpe_train
 
     return bpe_train(t(spark, sf_dir, "documents"), rounds=3)
+
+
+@query(
+    "x_pit_join",
+    sql="""
+    SELECT event_id, user_id,
+           CAST((user_id + least((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                                 // CAST(604800000000 AS BIGINT), 3)) % 3
+                AS INTEGER) AS tier_at_event
+    FROM events
+    """,
+    note="point-in-time (feature-store) join: events attach the SCD2 "
+    "dimension version valid AT event time via the as-of operator (weekly "
+    "tier versions per user). The oracle re-derives the expected tier "
+    "arithmetically from the version schedule — an independent witness of "
+    "temporal-correctness (no lookahead, no stale match)",
+)
+def x_pit_join(spark, sf_dir):
+    from flnr_wins_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(F.expr("sequence(0, 3)")).alias("k"))
+        .select(
+            "user_id",
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("k") * 7).cast("int"))
+            .cast("timestamp_ntz")
+            .alias("valid_from"),
+            ((F.col("user_id") + F.col("k")) % 3).cast("int").alias("tier"),
+        )
+    )
+    out = asof_join(
+        ev,
+        dim,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="valid_from",
+        value_col="tier",
+        out_col="tier_at_event",
+    )
+    return out.select("event_id", "user_id", "tier_at_event")
+
+
+@query(
+    "x_compaction_plan",
+    sql="""
+    WITH files AS (
+      SELECT l_returnflag AS dir, CAST(l_orderkey % 100 AS BIGINT) AS file_id,
+             CAST(SUM(CAST(l_quantity AS INTEGER)) AS BIGINT) AS bytes
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT dir, file_id, bytes,
+           CAST((SUM(bytes) OVER (PARTITION BY dir ORDER BY file_id
+                                  ROWS UNBOUNDED PRECEDING) - bytes) // 500
+                AS BIGINT) AS task
+    FROM files
+    """,
+    note="small-file compaction planning (the table-maintenance op a "
+    "100 TB lakehouse runs nightly): per partition directory, files pack "
+    "into ~target-sized merge tasks by running-size binning — window keyed "
+    "on the directory, never a single-partition global sort",
+)
+def x_compaction_plan(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.col("l_returnflag").alias("dir"),
+        (F.col("l_orderkey") % 100).cast("bigint").alias("file_id"),
+    ).agg(F.sum(F.col("l_quantity").cast("int")).cast("bigint").alias("bytes"))
+    w = (
+        Window.partitionBy("dir")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    task = ((F.sum("bytes").over(w) - F.col("bytes")) / 500).cast("bigint")
+    return files.select("dir", "file_id", "bytes", task.alias("task"))
