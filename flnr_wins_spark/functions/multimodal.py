@@ -13,6 +13,8 @@ Decoding has two tiers:
   * 8-bit gray/RGB non-interlaced PNG decodes for REAL too (stdlib zlib
     chunk walk + full five-filter unfiltering, :func:`_decode_png`), with a
     matching REAL encoder (:func:`encode_png`) for round-trip entries;
+  * GIF decodes (and encodes) for REAL as well — stdlib variable-width
+    LZW in both directions (:func:`_decode_gif`/:func:`encode_gif`);
   * every other container (JPEG/palette-PNG/video) still raises
     ``NotImplementedError`` because general codec libraries are not
     available in this environment; ``fake=True`` substitutes a
@@ -151,6 +153,8 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
         return 3, width, height, bytes(out)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(data)
     raise NotImplementedError(
         "unrecognized image container (supported: P6/P5 PPM/PGM, 24-bit BMP, "
         "8-bit gray/RGB PNG)"
@@ -616,3 +620,194 @@ def extract_audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF codec (stdlib-only LZW)
+# ---------------------------------------------------------------------------
+
+def _decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL stdlib GIF decode: header walk, global color table, full
+    variable-width LZW decompression (clear/end codes, width growth to 12
+    bits, LSB-first packing), palette mapping to interleaved RGB. First
+    image frame only; interlaced images and local color tables raise
+    ``NotImplementedError`` (honest-guard convention)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w_screen = int.from_bytes(data[6:8], "little")
+    h_screen = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            width = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            height = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if iflags & 0x80:
+                raise NotImplementedError("local color table not supported")
+            if palette is None:
+                raise ValueError("GIF image with no color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            indices = _lzw_decode(bytes(lzw), min_code, width * height)
+            out = bytearray()
+            for i in indices:
+                out += palette[3 * i : 3 * i + 3]
+            return 3, width, height, bytes(out)
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first bit stream, CLEAR=2^min, END=CLEAR+1,
+    code width starts at min+1 and grows when the dict fills it, capped at
+    12 bits until the next CLEAR."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code + 1
+
+    width = min_code + 1
+    reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out[:expect]
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out[:expect]
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """GIF-flavor LZW encoder (dictionary-building, the real thing): emits
+    CLEAR, then longest-match codes, growing width exactly when the DECODER's
+    table reaches the width limit, CLEAR+reset at 4096 entries, END last."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        # the decoder adds its entry AFTER reading the next code, so the
+        # width must grow when next_code EXCEEDS the current capacity
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = fresh()
+            next_code = end + 1
+            width = min_code + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+    """REAL minimal GIF89a encode: global 256-color table, one image frame,
+    genuine dictionary-building LZW (see :func:`_lzw_encode`)."""
+    assert len(indices) == width * height and len(palette) == 768
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # global table, 256 entries
+    out += palette
+    out += b"\x2c" + bytes(4) + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0])  # no local table, not interlaced
+    out += bytes([8])  # LZW min code size
+    lzw = _lzw_encode(indices, 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def wrap_gif(media: DataFrame, width: int, height: int, palette: bytes) -> DataFrame:
+    """Re-container raw palette-index bytes in ``content`` as a REAL GIF
+    (LZW-compressed). Arrow-batched narrow map — the encode half of the GIF
+    round-trip entry."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(
+                lambda b: encode_gif(width, height, bytes(b), palette)
+            )
+            yield pdf
+
+    return media.mapInPandas(batches, schema=media.schema)

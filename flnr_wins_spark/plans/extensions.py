@@ -3173,3 +3173,77 @@ def x_compaction_plan(spark, sf_dir):
     )
     task = ((F.sum("bytes").over(w) - F.col("bytes")) / 500).cast("bigint")
     return files.select("dir", "file_id", "bytes", task.alias("task"))
+
+
+@query(
+    "x_multimodal_gif_decode",
+    sql="""
+    WITH b AS (
+      SELECT doc_id, p,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gx' || CAST(p // 16 AS VARCHAR)),
+                                 2 * (p % 16) + 1, 2) AS INT) AS idx
+      FROM documents, range(64) t(p)
+    ),
+    px AS (
+      SELECT doc_id, idx AS r, (idx * 7) % 256 AS g, (idx * 13) % 256 AS bl
+      FROM b
+    )
+    SELECT doc_id AS media_id,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(bl) AS BIGINT) AS sum_b,
+           CAST(MIN(LEAST(r, g, bl)) AS INTEGER) AS min_byte,
+           CAST(MAX(GREATEST(r, g, bl)) AS INTEGER) AS max_byte
+    FROM px GROUP BY doc_id
+    """,
+    note="REAL GIF round-trip: known md5-derived 8x8 palette indices are "
+    "LZW-compressed (genuine dictionary-building encoder) into a GIF89a, "
+    "then the stdlib decoder walks blocks, inflates the variable-width LZW "
+    "stream and maps the arithmetic (i, 7i, 13i) palette; the oracle "
+    "recomputes expected RGB sums from the construction — compression, "
+    "width growth, and palette mapping all value-checked",
+)
+def x_multimodal_gif_decode(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import extract_features, wrap_gif
+
+    docs = t(spark, sf_dir, "documents")
+    idx = F.concat(
+        *[
+            F.unhex(
+                F.md5(
+                    F.encode(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f":gx{j}")),
+                        "UTF-8",
+                    )
+                )
+            )
+            for j in range(4)
+        ]
+    )
+    palette = b"".join(bytes([i, (i * 7) % 256, (i * 13) % 256]) for i in range(256))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        idx.alias("content"),
+        F.struct(
+            F.lit("image/gif").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(64).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_features(wrap_gif(media, 8, 8, palette), fake=False)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f[0].cast("int").alias("channels"),
+        f[1].cast("int").alias("width"),
+        f[2].cast("int").alias("height"),
+        f[3].cast("bigint").alias("sum_r"),
+        f[4].cast("bigint").alias("sum_g"),
+        f[5].cast("bigint").alias("sum_b"),
+        f[6].cast("int").alias("min_byte"),
+        f[7].cast("int").alias("max_byte"),
+    )

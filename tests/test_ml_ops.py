@@ -145,3 +145,37 @@ def test_rag_chunks_retrieval_finds_query_phrase(spark):
     qemb = feature_hash_embed(q, text_col="chunk_text", id_col="cid")
     top = brute_force_topk(qemb, cemb, k=3, query_id="id", cand_id="id", vec_col="emb").collect()
     assert all(r["cand_id"].startswith("1:") for r in top)  # doc-1 chunks win
+
+
+def test_gif_lzw_roundtrip_with_dictionary_reset():
+    from flnr_wins_spark.functions.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_image,
+        encode_gif,
+    )
+
+    # enough distinct phrases to fill the 4096-entry dict and force a CLEAR
+    idx = bytes((i * 31 + (i >> 3)) % 256 for i in range(6000))
+    assert _lzw_decode(_lzw_encode(idx, 8), 8, len(idx)) == list(idx)
+    pal = b"".join(bytes([i, (i * 7) % 256, (i * 13) % 256]) for i in range(256))
+    small = idx[:49]
+    ch, w, h, px = decode_image(encode_gif(7, 7, small, pal))
+    assert (ch, w, h) == (3, 7, 7)
+    assert px == b"".join(pal[3 * i : 3 * i + 3] for i in small)
+
+
+def test_gif_interlaced_raises():
+    import pytest
+
+    from flnr_wins_spark.functions.multimodal import decode_image, encode_gif
+
+    pal = bytes(768)
+    data = bytearray(encode_gif(2, 2, bytes(4), pal))
+    # image descriptor flags byte sits right after the 10-byte descriptor
+    # header that follows the 6+7+768 byte preamble; set the interlace bit
+    pos = 6 + 7 + 768 + 9
+    assert data[pos - 9] == 0x2C  # sanity: descriptor introducer
+    data[pos] = 0x40
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(data))
