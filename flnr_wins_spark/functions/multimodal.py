@@ -526,7 +526,7 @@ def audio_chunk_manifest(
 
 def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     """REAL audio decode, stdlib-only: RIFF/WAVE container, uncompressed
-    PCM16. Returns (channels, sample_rate, samples) with samples as signed
+    PCM16 or G.711 mu-law (format 7, expanded to linear PCM16). Returns (channels, sample_rate, samples) with samples as signed
     16-bit little-endian ints in interleaved frame order.
 
     Chunk walking honors the RIFF spec (4-byte id + LE32 size, chunks pad to
@@ -555,9 +555,12 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if audio_format != 1 or bits != 16:
-                raise NotImplementedError("only uncompressed PCM16 WAV")
-            fmt = (channels, rate)
+            if not (
+                (audio_format == 1 and bits == 16)
+                or (audio_format == 7 and bits == 8)
+            ):
+                raise NotImplementedError("only PCM16 or G.711 mu-law WAV")
+            fmt = (channels, rate, audio_format)
         elif cid == b"data":
             if len(body) != csz:
                 raise ValueError("truncated data chunk")
@@ -565,6 +568,8 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         pos += 8 + csz + (csz & 1)  # chunks pad to even boundaries
     if fmt is None or payload is None:
         raise ValueError("missing fmt or data chunk")
+    if fmt[2] == 7:  # G.711 mu-law: one byte per sample, expand to PCM16
+        return fmt[0], fmt[1], [_mulaw_expand(b) for b in payload]
     if len(payload) % 2:
         raise ValueError("odd PCM16 payload length")
     samples = [
@@ -572,6 +577,20 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         for i in range(0, len(payload), 2)
     ]
     return fmt[0], fmt[1], samples
+
+
+def _mulaw_expand(u: int) -> int:
+    """G.711 mu-law byte -> linear PCM (the standard ITU-T expansion):
+    complement, split sign/exponent/mantissa, reconstruct
+    ((mantissa << 3) + 0x84) << exponent, re-bias by 0x84. Pure integer
+    arithmetic — which is what lets a SQL oracle recompute expected
+    samples from a known construction."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    x = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return -x if sign else x
 
 
 def _audio_features(content: bytes) -> list[float]:

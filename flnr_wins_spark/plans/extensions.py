@@ -3247,3 +3247,91 @@ def x_multimodal_gif_decode(spark, sf_dir):
         f[6].cast("int").alias("min_byte"),
         f[7].cast("int").alias("max_byte"),
     )
+
+
+# 44-byte RIFF/WAVE header for G.711 mu-law mono 8 kHz (format code 7,
+# 8 bits/sample) with a 32-byte data chunk.
+_MULAW_HDR_HEX = (
+    "524946463c00000057415645666d7420100000000700"
+    "0100401f0000401f0000010008006461746120000000"
+)
+
+
+@query(
+    "x_multimodal_mulaw_decode",
+    sql="""
+    WITH b AS (
+      SELECT doc_id, p,
+             255 - CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mu' || CAST(p // 16 AS VARCHAR)),
+                                       2 * (p % 16) + 1, 2) AS INT) AS u
+      FROM documents, range(32) t(p)
+    ),
+    sv AS (
+      SELECT doc_id, p,
+             CASE WHEN u >= 128 THEN -1 ELSE 1 END
+               * ((((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132) AS v
+      FROM b
+    ),
+    lagged AS (
+      SELECT doc_id, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY p) AS pv
+      FROM sv
+    )
+    SELECT doc_id AS media_id,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(32 AS INTEGER) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_s,
+           CAST(MIN(v) AS INTEGER) AS min_s,
+           CAST(MAX(v) AS INTEGER) AS max_s,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(SUM(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END) AS INTEGER)
+             AS zero_crossings
+    FROM lagged GROUP BY doc_id
+    """,
+    note="REAL G.711 mu-law audio decode: format-7 RIFF/WAVE with md5-derived "
+    "mu-law bytes, expanded to linear PCM16 by the ITU integer formula "
+    "(complement, sign/exponent/mantissa reconstruct); the oracle recomputes "
+    "expected samples arithmetically — the compressed-audio twin of the "
+    "PCM16 entry",
+)
+def x_multimodal_mulaw_decode(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import extract_audio_features
+
+    docs = t(spark, sf_dir, "documents")
+    payload = F.concat(
+        *[
+            F.unhex(
+                F.md5(
+                    F.encode(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f":mu{j}")),
+                        "UTF-8",
+                    )
+                )
+            )
+            for j in range(2)
+        ]
+    )
+    content = F.concat(F.unhex(F.lit(_MULAW_HDR_HEX.replace("\n", ""))), payload)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("audio/basic").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(content).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_audio_features(media)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f[0].cast("int").alias("channels"),
+        f[1].cast("int").alias("sample_rate"),
+        f[2].cast("int").alias("n_samples"),
+        f[3].cast("bigint").alias("sum_s"),
+        f[4].cast("int").alias("min_s"),
+        f[5].cast("int").alias("max_s"),
+        f[6].cast("bigint").alias("sum_abs"),
+        f[7].cast("int").alias("zero_crossings"),
+    )

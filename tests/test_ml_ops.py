@@ -179,3 +179,29 @@ def test_gif_interlaced_raises():
     data[pos] = 0x40
     with pytest.raises(NotImplementedError):
         decode_image(bytes(data))
+
+
+def test_mulaw_expansion_reference_values():
+    from flnr_wins_spark.functions.multimodal import _mulaw_expand
+
+    # ITU-T G.711 table anchors
+    assert _mulaw_expand(0x00) == -32124   # most negative
+    assert _mulaw_expand(0x80) == 32124    # most positive
+    assert _mulaw_expand(0xFF) == 0
+    assert _mulaw_expand(0x7F) == 0
+    # symmetry: clearing the sign bit negates
+    for u in (0x05, 0x33, 0x61, 0x70):
+        assert _mulaw_expand(u) == -_mulaw_expand(u | 0x80)
+
+
+def test_mulaw_wav_decodes():
+    from flnr_wins_spark.functions.multimodal import _mulaw_expand, decode_wav
+
+    hdr = bytes.fromhex(
+        "524946463c00000057415645666d7420100000000700"
+        "0100401f0000401f0000010008006461746120000000"
+    )
+    payload = bytes(range(32))
+    ch, rate, ss = decode_wav(hdr + payload)
+    assert (ch, rate) == (1, 8000)
+    assert ss == [_mulaw_expand(b) for b in payload]
