@@ -830,3 +830,155 @@ def wrap_gif(media: DataFrame, width: int, height: int, palette: bytes) -> DataF
             yield pdf
 
     return media.mapInPandas(batches, schema=media.schema)
+
+
+def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
+    """REAL animated-GIF decode: every image frame in the stream, each LZW-
+    inflated and palette-mapped like :func:`_decode_gif` (which returns only
+    the first). Graphic-control/comment/application extensions are walked
+    and skipped per spec. Frames must be full-logical-screen (no offsets) —
+    partial-update frames would need composition state and raise
+    ``NotImplementedError``. Returns [(width, height, rgb bytes), ...]."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = data[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    frames: list[tuple[int, int, bytes]] = []
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(data[pos + 3 : pos + 5], "little")
+            width = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            height = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            iflags = data[pos + 9]
+            pos += 10
+            if left or top:
+                raise NotImplementedError("partial-update GIF frames not supported")
+            if iflags & 0xC0:
+                raise NotImplementedError("interlace/local tables not supported")
+            if palette is None:
+                raise ValueError("GIF image with no color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1  # the terminating 0-length sub-block
+            indices = _lzw_decode(bytes(lzw), min_code, width * height)
+            out = bytearray()
+            for i in indices:
+                out += palette[3 * i : 3 * i + 3]
+            frames.append((width, height, bytes(out)))
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return frames
+
+
+def encode_gif_animated(
+    width: int, height: int, frames: list[bytes], palette: bytes, delay_cs: int = 10
+) -> bytes:
+    """REAL minimal animated GIF89a: NETSCAPE loop extension, per-frame
+    graphic-control extension + full-frame image descriptor, genuine LZW
+    per frame."""
+    assert len(palette) == 768 and all(len(f) == width * height for f in frames)
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])
+    out += palette
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for fr in frames:
+        out += b"\x21\xf9\x04\x00" + delay_cs.to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + bytes(4)
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out += bytes([0, 8])
+        lzw = _lzw_encode(fr, 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+GIF_FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def gif_frame_features(media: DataFrame, sample: list[int]) -> DataFrame:
+    """REAL video-style frame sampling: decode an animated GIF's frames
+    (:func:`decode_gif_frames`), keep the requested ``sample`` indices, and
+    emit integer-exact per-frame channel sums — the real-codec upgrade of
+    the fake ``sample_frames`` fan-out (same mapInPandas shape, 1 row in ->
+    k frame rows out)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_gif_frames(bytes(content))
+                for k in sample:
+                    _w, _h, px = frames[k]
+                    sums = [0, 0, 0]
+                    for i, byte in enumerate(px):
+                        sums[i % 3] += byte
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": k,
+                            "n_frames": len(frames),
+                            "sum_r": sums[0],
+                            "sum_g": sums[1],
+                            "sum_b": sums[2],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_FRAME_FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, schema=GIF_FRAME_FEATURE_SCHEMA)
+
+
+def wrap_gif_animated(
+    media: DataFrame, width: int, height: int, n_frames: int, palette: bytes
+) -> DataFrame:
+    """Re-container raw concatenated per-frame index bytes in ``content`` as
+    a REAL animated GIF (content length must be n_frames * width * height)."""
+    size = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(
+                lambda b: encode_gif_animated(
+                    width,
+                    height,
+                    [bytes(b)[k * size : (k + 1) * size] for k in range(n_frames)],
+                    palette,
+                )
+            )
+            yield pdf
+
+    return media.mapInPandas(batches, schema=media.schema)

@@ -3335,3 +3335,61 @@ def x_multimodal_mulaw_decode(spark, sf_dir):
         f[6].cast("bigint").alias("sum_abs"),
         f[7].cast("int").alias("zero_crossings"),
     )
+
+
+@query(
+    "x_multimodal_video_frames",
+    sql="""
+    WITH f AS (SELECT doc_id, k FROM documents, UNNEST([0, 2]) t(k)),
+    b AS (
+      SELECT doc_id, k, p,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':vf' || CAST(k AS VARCHAR)),
+                                 2 * (p % 16) + 1, 2) AS INT) AS idx
+      FROM f, range(16) u(p)
+    )
+    SELECT doc_id AS media_id,
+           CAST(k AS INTEGER) AS frame_idx,
+           CAST(4 AS INTEGER) AS n_frames,
+           CAST(SUM(idx) AS BIGINT) AS sum_r,
+           CAST(SUM((idx * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((idx * 13) % 256) AS BIGINT) AS sum_b
+    FROM b GROUP BY doc_id, k
+    """,
+    note="REAL video-style frame sampling: a genuine 4-frame animated GIF "
+    "(NETSCAPE loop + per-frame LZW) is decoded frame-by-frame and frames "
+    "0 and 2 emit integer-exact channel sums — upgrades the fake "
+    "frame-sampler fan-out to a real multi-frame container; oracle "
+    "recomputes expected pixels from the construction",
+)
+def x_multimodal_video_frames(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import (
+        gif_frame_features,
+        wrap_gif_animated,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    idx = F.concat(
+        *[
+            F.unhex(
+                F.md5(
+                    F.encode(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f":vf{k}")),
+                        "UTF-8",
+                    )
+                )
+            )
+            for k in range(4)
+        ]
+    )
+    palette = b"".join(bytes([i, (i * 7) % 256, (i * 13) % 256]) for i in range(256))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        idx.alias("content"),
+        F.struct(
+            F.lit("image/gif").alias("mime"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(64).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return gif_frame_features(wrap_gif_animated(media, 4, 4, 4, palette), sample=[0, 2])

@@ -205,3 +205,26 @@ def test_mulaw_wav_decodes():
     ch, rate, ss = decode_wav(hdr + payload)
     assert (ch, rate) == (1, 8000)
     assert ss == [_mulaw_expand(b) for b in payload]
+
+
+def test_animated_gif_roundtrip_and_partial_frame_guard():
+    import pytest
+
+    from flnr_wins_spark.functions.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    pal = b"".join(bytes([i, (i * 7) % 256, (i * 13) % 256]) for i in range(256))
+    frames = [bytes((i * k + 3) % 256 for i in range(16)) for k in range(1, 4)]
+    g = encode_gif_animated(4, 4, frames, pal)
+    dec = decode_gif_frames(g)
+    assert [px for _, _, px in dec] == [
+        b"".join(pal[3 * i : 3 * i + 3] for i in f) for f in frames
+    ]
+    # a frame with a nonzero left offset must refuse (needs composition)
+    bad = bytearray(g)
+    pos = bad.index(b"\x2c")
+    bad[pos + 1] = 1
+    with pytest.raises(NotImplementedError):
+        decode_gif_frames(bytes(bad))
