@@ -222,9 +222,14 @@ def test_animated_gif_roundtrip_and_partial_frame_guard():
     assert [px for _, _, px in dec] == [
         b"".join(pal[3 * i : 3 * i + 3] for i in f) for f in frames
     ]
-    # a frame with a nonzero left offset must refuse (needs composition)
+    # a frame with a nonzero left offset must refuse (needs composition).
+    # NB: find the image DESCRIPTOR 0x2c, not the first 0x2c byte — the
+    # palette contains one (color index 44).
     bad = bytearray(g)
-    pos = bad.index(b"\x2c")
+    pos = 6 + 7 + 768 + 19  # header + LSD + palette + NETSCAPE ext
+    assert bad[pos] == 0x21 and bad[pos + 1] == 0xF9  # frame-0 GCE
+    pos += 8  # GCE is 8 bytes: 21 f9 04 <4 data> 00
+    assert bad[pos] == 0x2C
     bad[pos + 1] = 1
     with pytest.raises(NotImplementedError):
         decode_gif_frames(bytes(bad))
