@@ -582,3 +582,18 @@ def bpe_train(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def median_low_udaf():
+    """Arrow-batched GROUPED_AGG pandas UDF: exact LOWER median (selection,
+    not interpolation — the result is a real data point, which is what
+    keeps a rank-based SQL oracle able to reproduce it bit-for-bit).
+    Defined here (not at the call site) because signature inference needs
+    ``pd`` resolvable in the module globals under postponed annotations."""
+
+    @pandas_udf("double")
+    def median_low(v: pd.Series) -> float:
+        s = v.sort_values().reset_index(drop=True)
+        return float(s[(len(s) - 1) // 2])
+
+    return median_low

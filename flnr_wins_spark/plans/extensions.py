@@ -3393,3 +3393,32 @@ def x_multimodal_video_frames(spark, sf_dir):
         ).alias("meta"),
     )
     return gif_frame_features(wrap_gif_animated(media, 4, 4, 4, palette), sample=[0, 2])
+
+
+@query(
+    "x_pandas_udaf_median",
+    sql="""
+    WITH r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, value AS med_low
+    FROM r WHERE rn = (n - 1) // 2 + 1
+    """,
+    note="custom UDAF surface (the one §2c gap Spark fills natively): an "
+    "Arrow-batched GROUPED_AGG pandas UDF computing the exact lower median "
+    "— selection, not interpolation, so the value is a real data point and "
+    "the oracle reproduces it by rank. Plans as AggregateInPandas (Arrow "
+    "transfer, partial-agg shuffle on the group key); the sanctioned "
+    "Python escape hatch, never row-at-a-time",
+)
+def x_pandas_udaf_median(spark, sf_dir):
+    from flnr_wins_spark.functions.text import median_low_udaf
+
+    median_low = median_low_udaf()
+    ev = t(spark, sf_dir, "events")
+    # NB: Spark disallows mixing a GROUPED_AGG pandas UDF with JVM
+    # aggregates in one agg() — the UDAF stands alone
+    return ev.groupBy("user_id").agg(median_low(F.col("value")).alias("med_low"))

@@ -1012,3 +1012,40 @@ def q_window_time_range(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(27,2)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+@query(
+    "q_map_functions",
+    sql="""
+    SELECT event_id,
+           value + 1.0 AS v1,
+           value * 2 + 1.0 AS v2,
+           CAST((CASE WHEN value + 1.0 > 50 THEN 1 ELSE 0 END)
+                + (CASE WHEN value * 2 + 1.0 > 50 THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_big,
+           'v,vv' AS keys_csv,
+           CAST(3 AS INTEGER) AS n_merged
+    FROM events
+    """,
+    note="higher-order MAP functions (map_from_arrays / transform_values / "
+    "map_filter / map_concat / map_keys), all codegen'd JVM expressions; "
+    "the oracle is the arithmetic construction witness (DuckDB's MAP "
+    "surface differs, the VALUES must not)",
+)
+def q_map_functions(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("v"), F.lit("vv")),
+        F.array(F.col("value"), F.col("value") * 2),
+    )
+    tm = F.transform_values(m, lambda k, x: x + 1.0)
+    return ev.select(
+        "event_id",
+        F.element_at(tm, "v").alias("v1"),
+        F.element_at(tm, "vv").alias("v2"),
+        F.size(F.map_filter(tm, lambda k, x: x > 50)).cast("int").alias("n_big"),
+        F.array_join(F.array_sort(F.map_keys(tm)), ",").alias("keys_csv"),
+        F.size(F.map_concat(tm, F.create_map(F.lit("w"), F.lit(0.0))))
+        .cast("int")
+        .alias("n_merged"),
+    )

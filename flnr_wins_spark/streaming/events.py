@@ -103,6 +103,33 @@ def join_streams(
     return l_.join(r_, cond, "inner")
 
 
+def join_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with the same bounded-state contract
+    as :func:`join_streams`. The semantics Spark guarantees: a left row
+    emits its null-padded result only when the watermark proves no matching
+    right row can still arrive — so outer results are delayed by design,
+    never speculative. Same watermark + time-range requirements (they are
+    what make outer emission decidable at all)."""
+    l_ = left.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    r_ = right.select([F.col(c).alias(f"{c}_r") for c in right.columns]).withColumn(
+        "ts_r", F.col("ts_r").cast("timestamp")
+    ).withWatermark("ts_r", watermark)
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col("ts_r") >= F.col("ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l_.join(r_, cond, "leftOuter")
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     (broadcast) static dimension — the streaming twin of the engine's R4/R5

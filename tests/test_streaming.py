@@ -318,3 +318,44 @@ def test_incremental_agg_sink_replay_is_idempotent(spark, tmp_path):
                 F.count(F.lit(1)).alias("n"), F.sum("value").alias("value")
             ).collect()}
     assert got == want
+
+
+def test_stream_stream_left_outer_join(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.streaming.events import join_streams_outer
+
+    a = read_events_stream(spark, events_dir)
+    b = read_events_stream(spark, events_dir).filter(F.col("user_id") % 3 == 0)
+    joined = join_streams_outer(
+        a, b, key="user_id", within="5 minutes", watermark="0 seconds"
+    ).select("event_id", "user_id", "event_id_r")
+    run_available_now(joined, "t_ss_outer", "append")
+    got = spark.table("t_ss_outer")
+
+    ev = _batch_events(spark)
+    ev_r = ev.filter(F.col("user_id") % 3 == 0)
+    ev_r = ev_r.select([F.col(c).alias(f"{c}_r") for c in ev_r.columns])
+    inner_want = ev.join(
+        ev_r,
+        (F.col("user_id") == F.col("user_id_r"))
+        & (F.col("ts_r") >= F.col("ts") - F.expr("INTERVAL 5 minutes"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 5 minutes")),
+    ).count()
+    # matched rows emit immediately: exact match with the batch inner join
+    assert got.filter(F.col("event_id_r").isNotNull()).count() == inner_want
+    # null-padded rows exist and are genuinely unmatched (users 1,2 mod 3)
+    nulls = got.filter(F.col("event_id_r").isNull())
+    assert nulls.count() > 0
+    assert nulls.filter(F.col("user_id") % 3 == 0).count() == 0
+    # outer emission is watermark-gated: every unmatched left row older than
+    # the final watermark minus the join window must have been emitted
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    expected_old = ev.filter(
+        (F.col("user_id") % 3 != 0)
+        & (F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 6 minutes"))
+    ).count()
+    old_nulls = nulls.join(ev.select("event_id", "ts"), "event_id").filter(
+        F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 6 minutes")
+    )
+    assert old_nulls.count() == expected_old
