@@ -257,3 +257,103 @@ def x_zorder_layout(spark, sf_dir):
         "o_orderkey",
         zorder_key([F.col("o_custkey"), day], bits=12).alias("zval"),
     )
+
+
+@query(
+    "x_group_regression",
+    sql="""
+    WITH p AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 - epoch_us(TIMESTAMP '2024-01-01') // 1000000 AS x,
+             CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+             CAST(SUM(x * yc) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+             AS slope_cs,
+           (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                  / CAST(n * sxx - sx * sx AS DOUBLE))
+                                 * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_c
+    FROM s WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+    note="per-group OLS trend fit (closed form): y scaled to exact centi-"
+    "units so every sufficient statistic is a bigint — the model fit is "
+    "map-side-combinable sums, one shuffle on the group key, zero Python; "
+    "slope/intercept leave integer space only in the final division",
+)
+def x_group_regression(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        (
+            F.expr("unix_micros(cast(ts as timestamp_ltz)) div 1000000")
+            - F.expr("unix_micros(cast(timestamp '2024-01-01' as timestamp_ltz)) div 1000000")
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("yc").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return (
+        s.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            "n",
+            slope.alias("slope_cs"),
+            ((F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+             / F.col("n").cast("double")).alias("intercept_c"),
+        )
+    )
+
+
+@query(
+    "x_event_paths",
+    sql="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+    note="top event-type paths (behavioral trigrams): per-user ordered "
+    "LEAD window (keyed shuffle), then a map-side-combined path count and "
+    "TakeOrdered top-20 — the funnel-free path-analysis complement",
+)
+def x_event_paths(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        o.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
