@@ -1,0 +1,159 @@
+"""Data-quality expectation suite + column profiler (deequ-style).
+
+The reference's only quality mechanism is the QA-reject pair (duplicate keys,
+failed lookups — ``src/wins_transform_staging.py:236-273``); a standing
+100 TB pipeline additionally needs *declarative* table-level checks
+(completeness, distinctness, bounds, pattern conformance) evaluated before
+data is published, and a per-column statistical profile for drift detection.
+Both are engine extensions grounded in public designs (AWS Deequ / TFX data
+validation).
+
+Scale notes: every check and every profile metric is computed in ONE
+aggregation pass over the table — all metrics are map-side-combinable
+(count/min/max/decimal-sum) except COUNT(DISTINCT), which Spark plans as a
+single expand + two-phase aggregate; nothing is collected to the driver and
+the per-check fan-out happens on a one-row aggregate via ``stack``.
+Determinism: fractions are ratios of exact BIGINT counts (single IEEE
+division — bit-identical in any engine); average lengths go through exact
+DECIMAL sums (``common.dsum`` pattern).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One named expectation: ``metric`` is a deterministic DOUBLE aggregate
+    over the table; the check passes when ``metric >= threshold`` (or
+    ``<= threshold`` when ``op='le'``)."""
+
+    name: str
+    metric: Column
+    threshold: float
+    op: str = "ge"  # 'ge' | 'le'
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return num.cast("bigint").cast("double") / den.cast("bigint").cast("double")
+
+
+def completeness(col: str, threshold: float = 1.0) -> Check:
+    """Fraction of rows where ``col`` is non-null."""
+    return Check(
+        f"completeness({col})",
+        _ratio(F.count(F.col(col)), F.count(F.lit(1))),
+        threshold,
+    )
+
+
+def distinctness(col: str, threshold: float = 1.0) -> Check:
+    """Distinct values / rows; 1.0 means the column is a unique key."""
+    return Check(
+        f"distinctness({col})",
+        _ratio(F.count_distinct(F.col(col)), F.count(F.lit(1))),
+        threshold,
+    )
+
+
+def min_bound(col: str, lo: float) -> Check:
+    """MIN(col) >= lo."""
+    return Check(f"min({col})", F.min(F.col(col)).cast("double"), lo)
+
+
+def max_bound(col: str, hi: float) -> Check:
+    """MAX(col) <= hi."""
+    return Check(f"max({col})", F.max(F.col(col)).cast("double"), hi, op="le")
+
+
+def pattern_conformance(col: str, regex: str, threshold: float = 1.0) -> Check:
+    """Fraction of non-null values matching ``regex`` (JVM regexp — stays
+    inside whole-stage codegen). ``rlike`` is search semantics; anchor with
+    ``^...$`` for full-value conformance."""
+    return Check(
+        f"pattern({col})",
+        _ratio(
+            F.sum(F.when(F.col(col).rlike(regex), 1).otherwise(0)),
+            F.count(F.col(col)),
+        ),
+        threshold,
+    )
+
+
+def containment(col: str, allowed: list[str], threshold: float = 1.0) -> Check:
+    """Fraction of non-null values inside the allowed set."""
+    return Check(
+        f"containment({col})",
+        _ratio(
+            F.sum(F.when(F.col(col).isin(allowed), 1).otherwise(0)),
+            F.count(F.col(col)),
+        ),
+        threshold,
+    )
+
+
+def check_expectations(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate all ``checks`` in one aggregation pass.
+
+    Returns ``(check STRING, metric DOUBLE, passed BOOLEAN)`` — one row per
+    check, fan-out applied to the single aggregate row so the table itself is
+    scanned exactly once regardless of how many expectations are declared.
+    """
+    agg_row = df.agg(*[c.metric.alias(f"_m{i}") for i, c in enumerate(checks)])
+    stack_args: list[Column] = []
+    for i, c in enumerate(checks):
+        m = F.col(f"_m{i}")
+        passed = (m >= F.lit(c.threshold)) if c.op == "ge" else (m <= F.lit(c.threshold))
+        stack_args.extend([F.lit(c.name), m, passed])
+    n = len(checks)
+    return agg_row.select(
+        F.stack(F.lit(n), *stack_args).alias("check", "metric", "passed")
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column statistical profile in one pass.
+
+    For each column: row count, null count, distinct count, lexicographic
+    min/max of the string rendering, and average rendered length (exact
+    DECIMAL sum, so the double is order-insensitive). String rendering keeps
+    the output schema uniform across column types; callers profiling DOUBLE
+    columns should pre-round (engine string renderings of floats differ).
+
+    Returns ``(col_name, n, nulls, n_distinct, min_s, max_s, avg_len)``.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for i, c in enumerate(cols):
+        s = F.col(c).cast("string")
+        aggs.extend(
+            [
+                F.count(s).cast("bigint").alias(f"_nn{i}"),
+                F.count_distinct(s).cast("bigint").alias(f"_nd{i}"),
+                F.min(s).alias(f"_mn{i}"),
+                F.max(s).alias(f"_mx{i}"),
+                F.sum(F.length(s).cast("decimal(27,0)")).alias(f"_sl{i}"),
+            ]
+        )
+    agg_row = df.agg(*aggs)
+    stack_args: list[Column] = []
+    for i, c in enumerate(cols):
+        stack_args.extend(
+            [
+                F.lit(c),
+                F.col("_n"),
+                (F.col("_n") - F.col(f"_nn{i}")).cast("bigint"),
+                F.col(f"_nd{i}"),
+                F.col(f"_mn{i}"),
+                F.col(f"_mx{i}"),
+                F.col(f"_sl{i}").cast("double") / F.col(f"_nn{i}").cast("double"),
+            ]
+        )
+    return agg_row.select(
+        F.stack(F.lit(len(cols)), *stack_args).alias(
+            "col_name", "n", "nulls", "n_distinct", "min_s", "max_s", "avg_len"
+        )
+    )

@@ -321,6 +321,112 @@ def x_group_regression(spark, sf_dir):
 
 
 @query(
+    "x_dq_expectations",
+    sql="""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(o_custkey) AS BIGINT) AS nn_cust,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_ok,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS mn_tp,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS mx_tp,
+             CAST(SUM(CASE WHEN regexp_matches(o_orderpriority,
+                   '^[1-5]-[A-Z ]+$') THEN 1 ELSE 0 END) AS BIGINT) AS pat,
+             CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_pri,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS cont,
+             CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_st
+      FROM orders
+    )
+    SELECT 'completeness(o_custkey)' AS check_name,
+           CAST(nn_cust AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
+           CAST(nn_cust AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 AS passed FROM a
+    UNION ALL
+    SELECT 'distinctness(o_orderkey)',
+           CAST(nd_ok AS DOUBLE) / CAST(n AS DOUBLE),
+           CAST(nd_ok AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM a
+    UNION ALL
+    SELECT 'min(o_totalprice)', mn_tp, mn_tp >= 0.0 FROM a
+    UNION ALL
+    SELECT 'max(o_totalprice)', mx_tp, mx_tp <= 1000000.0 FROM a
+    UNION ALL
+    SELECT 'pattern(o_orderpriority)',
+           CAST(pat AS DOUBLE) / CAST(nn_pri AS DOUBLE),
+           CAST(pat AS DOUBLE) / CAST(nn_pri AS DOUBLE) >= 1.0 FROM a
+    UNION ALL
+    SELECT 'containment(o_orderstatus)',
+           CAST(cont AS DOUBLE) / CAST(nn_st AS DOUBLE),
+           CAST(cont AS DOUBLE) / CAST(nn_st AS DOUBLE) >= 1.0 FROM a
+    """,
+    note="deequ-style declarative expectation suite: ALL checks evaluate in "
+    "ONE aggregation pass (map-side-combinable metrics; count-distinct is "
+    "the one expand+two-phase agg), fan-out to per-check rows happens on "
+    "the single aggregate row — table scanned once no matter how many "
+    "expectations are declared (operators/dataquality.py)",
+)
+def x_dq_expectations(spark, sf_dir):
+    from flnr_wins_spark.operators.dataquality import (
+        check_expectations,
+        completeness,
+        containment,
+        distinctness,
+        max_bound,
+        min_bound,
+        pattern_conformance,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    checks = [
+        completeness("o_custkey"),
+        distinctness("o_orderkey"),
+        min_bound("o_totalprice", 0.0),
+        max_bound("o_totalprice", 1_000_000.0),
+        pattern_conformance("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+        containment("o_orderstatus", ["O", "F", "P"]),
+    ]
+    return check_expectations(orders, checks).withColumnRenamed("check", "check_name")
+
+
+def _profile_col_sql(i: int, c: str) -> str:
+    s = f"CAST({c} AS VARCHAR)"
+    return (
+        f"CAST(COUNT({s}) AS BIGINT) AS nn{i}, "
+        f"CAST(COUNT(DISTINCT {s}) AS BIGINT) AS nd{i}, "
+        f"MIN({s}) AS mn{i}, MAX({s}) AS mx{i}, "
+        f"SUM(CAST(length({s}) AS DECIMAL(27,0))) AS sl{i}"
+    )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+_PROFILE_SQL = (
+    "WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    + ", ".join(_profile_col_sql(i, c) for i, c in enumerate(_PROFILE_COLS))
+    + " FROM documents) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n, CAST(n - nn{i} AS BIGINT) AS nulls, "
+        f"nd{i} AS n_distinct, mn{i} AS min_s, mx{i} AS max_s, "
+        f"CAST(sl{i} AS DOUBLE) / CAST(nn{i} AS DOUBLE) AS avg_len FROM a"
+        for i, c in enumerate(_PROFILE_COLS)
+    )
+)
+
+
+@query(
+    "x_profile_columns",
+    sql=_PROFILE_SQL,
+    note="per-column statistical profile (drift detection input): nulls, "
+    "distincts, lexicographic min/max of the string rendering, exact-decimal "
+    "average length — all columns in ONE pass, stacked from the single "
+    "aggregate row (operators/dataquality.py profile_columns)",
+)
+def x_profile_columns(spark, sf_dir):
+    from flnr_wins_spark.operators.dataquality import profile_columns
+
+    docs = t(spark, sf_dir, "documents")
+    return profile_columns(docs, list(_PROFILE_COLS))
+
+
+@query(
     "x_event_paths",
     sql="""
     WITH o AS (

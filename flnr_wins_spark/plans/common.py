@@ -73,6 +73,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_multimodal_video_frames",
     "x_pandas_udaf_median", "q_map_functions",
     "x_group_regression", "x_event_paths",
+    "x_dq_expectations", "x_profile_columns",
     # (c) rows-only entries: refresh their rows-evidence every round
     "q_events_approx_distinct", "x_dedup_minhash_lsh", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf", "x_text_langid",

@@ -1,0 +1,99 @@
+"""Data-quality expectations + column profiler (operators/dataquality.py).
+
+Semantics on tiny inline frames (null/duplicate/out-of-range edge cases) plus
+the plan contract the module header claims: every check/profile evaluates in
+ONE scan of the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.operators.dataquality import (
+    check_expectations,
+    completeness,
+    containment,
+    distinctness,
+    max_bound,
+    min_bound,
+    pattern_conformance,
+    profile_columns,
+)
+
+
+def _rows(df):
+    return {r["check"]: (r["metric"], r["passed"]) for r in df.collect()}
+
+
+def test_expectations_pass_and_fail(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (2, None, 30.0)],
+        "k int, s string, v double",
+    )
+    out = _rows(
+        check_expectations(
+            df,
+            [
+                completeness("s"),  # 2/3 -> fail at 1.0
+                completeness("k"),  # 1.0 -> pass
+                distinctness("k"),  # 2/3 -> fail
+                min_bound("v", 0.0),
+                max_bound("v", 25.0),  # 30 > 25 -> fail
+                containment("s", ["a", "b"]),
+                pattern_conformance("s", r"^[ab]$"),
+            ],
+        )
+    )
+    assert out["completeness(s)"][1] is False
+    assert abs(out["completeness(s)"][0] - 2 / 3) < 1e-12
+    assert out["completeness(k)"] == (1.0, True)
+    assert out["distinctness(k)"][1] is False
+    assert out["min(v)"] == (10.0, True)
+    assert out["max(v)"] == (30.0, False)
+    assert out["containment(s)"] == (1.0, True)
+    assert out["pattern(s)"] == (1.0, True)
+
+
+def test_pattern_ignores_nulls(spark):
+    df = spark.createDataFrame([("x1",), (None,), ("zz",)], "s string")
+    out = _rows(check_expectations(df, [pattern_conformance("s", r"^x\d$", 0.5)]))
+    # 1 of 2 non-null values matches -> 0.5 meets threshold
+    assert out["pattern(s)"] == (0.5, True)
+
+
+def test_expectations_single_scan(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    plan = (
+        check_expectations(df, [completeness("k"), min_bound("v", 0.0)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Range (0, 100") == 1, plan
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, None), (3, "bbb"), (3, "aa")], "k int, s string"
+    )
+    out = {r["col_name"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    k, s = out["k"], out["s"]
+    assert (k["n"], k["nulls"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_s"], k["max_s"]) == ("1", "3")
+    assert k["avg_len"] == 1.0
+    assert (s["n"], s["nulls"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["min_s"], s["max_s"]) == ("aa", "bbb")
+    assert abs(s["avg_len"] - 7 / 3) < 1e-12
+
+
+def test_profile_single_scan(spark):
+    df = spark.range(50).select(F.col("id").alias("a"), (F.col("id") * 2).alias("b"))
+    plan = (
+        profile_columns(df, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Range (0, 50") == 1, plan
