@@ -250,6 +250,125 @@ def pagerank_integer(
     return ranks
 
 
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected simple edge list as (lo < hi), self-loops dropped,
+    deduplicated, lineage pinned (one evaluation of the upstream producer)."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _symmetrize(canon: DataFrame) -> DataFrame:
+    return canon.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+        canon.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+
+
+def triangle_counts(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list.
+
+    Degree-oriented node-iterator (Suri & Vassilvitskii, "Counting triangles
+    and the curse of the last reducer", WWW 2011): orient every edge from the
+    endpoint of lower (degree, id) to the higher, enumerate wedges only at
+    the LOW end, and close each wedge against the canonical edge set. The
+    orientation caps per-vertex wedge fan-out at O(sqrt(m)) — a celebrity
+    vertex with degree d generates no wedges itself because all its edges
+    point INTO it — which is what makes the all-pairs-per-vertex step safe on
+    power-law graphs at 100 TB. The triangle SET is orientation-independent,
+    so an oracle can enumerate with the naive lo<mid<hi three-way join and
+    land on identical counts.
+
+    Returns ``(id, triangles)`` for vertices in >= 1 triangle. Shuffles: one
+    groupBy for degrees, one self-join keyed on the wedge apex, one closing
+    join keyed on the (min, max) wedge endpoints — all equi-keyed, no
+    all-pairs anywhere.
+    """
+    canon = _canonical_edges(edges, src, dst)
+    deg = _symmetrize(canon).groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orientation rank = (degree, id); attach to both endpoints once
+    e = (
+        canon.join(deg.withColumnRenamed("u", "lo").withColumnRenamed("d", "dlo"), "lo")
+        .join(deg.withColumnRenamed("u", "hi").withColumnRenamed("d", "dhi"), "hi")
+        .select(
+            F.when(
+                (F.col("dlo") < F.col("dhi"))
+                | ((F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))),
+                F.struct(F.col("lo").alias("s"), F.col("hi").alias("t")),
+            )
+            .otherwise(F.struct(F.col("hi").alias("s"), F.col("lo").alias("t")))
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+        .localCheckpoint()
+    )
+    w1 = e.select(F.col("s"), F.col("t").alias("v1"))
+    w2 = e.select(F.col("s"), F.col("t").alias("v2"))
+    wedges = w1.join(w2, "s").filter(F.col("v1") < F.col("v2"))
+    tri = wedges.join(
+        canon,
+        (wedges.v1 == canon.lo) & (wedges.v2 == canon.hi),
+    ).select(F.col("s").alias("x"), F.col("v1").alias("y"), F.col("v2").alias("z"))
+    verts = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("id")
+    )
+    return verts.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 3,
+    rounds: int = 6,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling, ``rounds`` unrolled rounds.
+
+    Each round drops every vertex whose current degree is < k (and all its
+    edges), which can cascade — hence iteration. Peeling is monotone, so the
+    result after R rounds is deterministic and engine-portable regardless of
+    whether the peel has fully converged; once converged, further rounds are
+    identities, which is what lets a fixed-R unrolled SQL twin hash-match an
+    early-exiting Spark loop. Returns ``(id, core_degree)`` for surviving
+    vertices.
+
+    Scale shape per round: one degree groupBy + two semi-joins keyed on the
+    vertex id (the survivor set is O(V) — shuffled semi-join, deliberately
+    NOT broadcast). Lineage truncated per round (localCheckpoint), same
+    rationale as connected_components.
+    """
+    e = _canonical_edges(edges, src, dst)
+    prev = None
+    for _ in range(rounds):
+        n_edges = e.count()  # tiny driver action; doubles as convergence probe
+        if prev is not None and n_edges == prev:
+            break
+        prev = n_edges
+        keep = (
+            _symmetrize(e)
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("u", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("u", "hi"), "hi", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        _symmetrize(e)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("u").alias("id"), "core_degree")
+    )
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Cluster near-dup pairs; returns (id, cluster_id, is_survivor) where
     the survivor is the lowest id in each cluster (the keep-one policy)."""

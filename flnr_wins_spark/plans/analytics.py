@@ -320,6 +320,97 @@ def x_group_regression(spark, sf_dir):
     )
 
 
+# Co-purchase graph for the graph-analytics entries: parts appearing in the
+# same order are linked; the %7 subset keeps the demo graph at a density
+# where triangles/cores are non-trivial (~0.04 edge probability at every SF).
+_COPURCHASE_SQL = """
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey % 7 = 0 AND b.l_partkey % 7 = 0
+"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % 7 == 0)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+    )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    # AS MATERIALIZED: each e{i} references e{i-1} three times — inlined
+    # (DuckDB's default for multi-referenced CTEs can still inline) the
+    # expansion is 3^rounds scans of the parquet
+    ctes = [f"e0 AS MATERIALIZED ({_COPURCHASE_SQL})"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"n{i} AS MATERIALIZED (SELECT u FROM (SELECT lo AS u FROM e{p} UNION ALL "
+            f"SELECT hi AS u FROM e{p}) s GROUP BY u HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT lo, hi FROM e{p} "
+            f"WHERE lo IN (SELECT u FROM n{i}) AND hi IN (SELECT u FROM n{i}))"
+        )
+    last = f"e{rounds}"
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS "
+        f"core_degree FROM (SELECT lo AS u FROM {last} UNION ALL SELECT hi AS u "
+        f"FROM {last}) s GROUP BY u"
+    )
+
+
+@query(
+    "x_triangle_count",
+    sql=f"""
+    WITH e AS ({_COPURCHASE_SQL}),
+    tri AS (
+      SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+                JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM (SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+          UNION ALL SELECT z AS id FROM tri) v
+    GROUP BY id
+    """,
+    note="per-vertex triangle counts, degree-oriented node-iterator (Suri & "
+    "Vassilvitskii WWW'11): wedges enumerate only at the low-(degree,id) "
+    "endpoint so fan-out is O(sqrt(m)) even on power-law graphs; the "
+    "triangle SET is orientation-independent, so the oracle's naive "
+    "lo<mid<hi 3-way join lands on identical counts",
+)
+def x_triangle_count(spark, sf_dir):
+    from flnr_wins_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_copurchase_edges(spark, sf_dir))
+
+
+@query(
+    "x_kcore",
+    sql=_kcore_oracle_sql(k=10, rounds=6),
+    note="k-core decomposition (k=10) by 6 unrolled peel rounds: each round "
+    "drops vertices with degree < k and cascades; peeling is monotone so a "
+    "converged Spark loop == the fixed-round SQL twin; per round one degree "
+    "groupBy + two vertex-keyed semi-joins (survivor set O(V), NOT "
+    "broadcast)",
+)
+def x_kcore(spark, sf_dir):
+    from flnr_wins_spark.operators.graph import kcore
+
+    return kcore(_copurchase_edges(spark, sf_dir), k=10, rounds=6)
+
+
 @query(
     "x_dq_expectations",
     sql="""

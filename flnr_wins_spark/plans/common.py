@@ -74,6 +74,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_pandas_udaf_median", "q_map_functions",
     "x_group_regression", "x_event_paths",
     "x_dq_expectations", "x_profile_columns",
+    "x_triangle_count", "x_kcore",
     # (c) rows-only entries: refresh their rows-evidence every round
     "q_events_approx_distinct", "x_dedup_minhash_lsh", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf", "x_text_langid",
