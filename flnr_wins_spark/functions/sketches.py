@@ -105,3 +105,73 @@ def bloom_prefilter(
             "left_semi",
         )
     return out
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    prefilter_bits: int = 0,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group (Bar-Yossef et al.
+    2002): hash every value to a uniform 48-bit integer (md5 prefix —
+    engine-portable, same contract as the sketches above), keep the k
+    smallest distinct hashes per group, and estimate
+
+        distinct ≈ (k-1) * 2^48 / h_k        (h_k = k-th smallest hash)
+
+    falling back to the exact count when a group has fewer than k distinct
+    hashes. Unlike HLL the whole construction is deterministic integer
+    arithmetic + one IEEE division, so a SQL oracle rebuilds it bit-exactly —
+    this is the hash-checkable witness for the rows-only HLL entry
+    (q_events_approx_distinct), trading HLL's fixed 2^p registers for a
+    k-row summary.
+
+    Returns ``(group, n_kept, est_distinct, true_distinct)`` — true_distinct
+    is an exact COUNT(DISTINCT) carried for estimate-quality inspection;
+    drop it for production use at scale.
+
+    Scale shape: one distinct shuffle on (group, hash), then a per-group
+    rank window. A group with billions of distinct values sorts inside one
+    task; for that regime pass ``prefilter_bits=b`` to keep only hashes in
+    the lowest 1/2^b of hash space map-side (valid when every group's
+    distinct count >> k * 2^b; the survivors still contain the true k
+    minima with overwhelming probability). Bottom-k summaries are mergeable
+    (union then re-rank), so incremental/daily sketches compose.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col(value_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d = df.select(F.col(group_col).alias("g"), h.alias("h"))
+    if prefilter_bits > 0:
+        d = d.filter(F.col("h") < F.lit((16**12) >> prefilter_bits))
+    d = d.distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    )
+    true_d = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count_distinct(F.col(value_col)).cast("bigint").alias("true_distinct")
+    )
+    scale = float((k - 1) * (16**12))
+    est = F.when(
+        F.col("hk").isNotNull(), F.lit(scale) / F.col("hk").cast("double")
+    ).otherwise(F.col("n_kept").cast("double"))
+    return (
+        agg.join(true_d, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_kept",
+            est.alias("est_distinct"),
+            "true_distinct",
+        )
+    )

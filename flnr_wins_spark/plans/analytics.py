@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flnr_wins_spark.plans.common import query, t
+from flnr_wins_spark.plans.common import query, sql_dsum, t
 
 _FUNNEL_STEPS = ("signup", "click", "purchase")
 
@@ -553,4 +553,207 @@ def x_event_paths(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
+    )
+
+
+@query(
+    "x_distinct_kmv",
+    sql="""
+    WITH d AS (
+      SELECT DISTINCT event_type AS g,
+             CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM events
+    ), r AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d
+    ), a AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             MAX(CASE WHEN rn = 64 THEN h END) AS hk
+      FROM r WHERE rn <= 64 GROUP BY g
+    ), tr AS (
+      SELECT event_type AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT a.g AS event_type,
+           n_kept,
+           CASE WHEN hk IS NOT NULL
+                THEN 17732923532771328.0 / CAST(hk AS DOUBLE)
+                ELSE CAST(n_kept AS DOUBLE) END AS est_distinct,
+           true_distinct
+    FROM a JOIN tr USING (g)
+    """,
+    note="K-minimum-values distinct estimator (k=64, 48-bit md5 hashes): "
+    "deterministic integer construction + one IEEE division => the "
+    "hash-checkable witness for the rows-only HLL entry "
+    "(q_events_approx_distinct); bottom-k summaries are mergeable "
+    "(functions/sketches.py kmv_distinct, hot-group prefilter_bits dial)",
+)
+def x_distinct_kmv(spark, sf_dir):
+    from flnr_wins_spark.functions.sketches import kmv_distinct
+
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+@query(
+    "x_rolling_zscore",
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS vc, ts
+      FROM events
+    ), w AS (
+      SELECT user_id, event_id, vc,
+             CAST(COUNT(vc) OVER win AS BIGINT) AS n,
+             CAST(SUM(vc) OVER win AS BIGINT) AS s,
+             CAST(SUM(vc * vc) OVER win AS BIGINT) AS ss
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, vc,
+           (CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS z
+    FROM w
+    WHERE n >= 10
+      AND ss * n > s * s
+      AND abs((CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) > 3.0
+    """,
+    note="rolling-window anomaly detection: per-user trailing-20 z-score "
+    "from exact BIGINT centi-unit sufficient statistics (sum, sum-of-"
+    "squares) — one user-keyed window shuffle, doubles enter only in the "
+    "final identically-shaped mean/std expression so both engines agree "
+    "bit-for-bit; flags |z| > 3",
+)
+def x_rolling_zscore(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        "ts",
+    )
+    win = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    )
+    w = c.select(
+        "user_id",
+        "event_id",
+        "vc",
+        F.count("vc").over(win).cast("bigint").alias("n"),
+        F.sum("vc").over(win).cast("bigint").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(win).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    z = (F.col("vc").cast("double") - mean) / F.sqrt(var)
+    return (
+        w.filter(
+            (F.col("n") >= 10)
+            & (F.col("ss") * F.col("n") > F.col("s") * F.col("s"))
+        )
+        .select("user_id", "event_id", "vc", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3.0)
+    )
+
+
+@query(
+    "x_user_streaks",
+    sql="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    r AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS anchor
+      FROM d
+    ), runs AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+      FROM r GROUP BY user_id, anchor
+    )
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS max_streak
+    FROM runs GROUP BY user_id
+    """,
+    note="gaps-and-islands: longest consecutive-active-day streak per user "
+    "via the date-minus-rank anchor trick — pure integer/date arithmetic, "
+    "two user-keyed shuffles (distinct days, rank window) then a tiny "
+    "per-anchor count",
+)
+def x_user_streaks(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    r = d.withColumn(
+        "anchor",
+        F.date_sub(
+            F.col("day"),
+            F.row_number().over(Window.partitionBy("user_id").orderBy("day")),
+        ),
+    )
+    runs = r.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("max_streak"),
+    )
+
+
+@query(
+    "x_attribution_last_touch",
+    sql=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'none') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {sql_dsum('value')} AS revenue
+    FROM marked WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    note="last-touch marketing attribution: per-purchase credit to the "
+    "user's most recent non-purchase event (IGNORE NULLS last_value over a "
+    "trailing frame — one user-keyed window shuffle), then a tiny "
+    "per-channel decimal-exact revenue rollup",
+)
+def x_attribution_last_touch(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from flnr_wins_spark.plans.common import dsum
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            dsum(F.col("value")).alias("revenue"),
+        )
     )

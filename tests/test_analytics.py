@@ -404,3 +404,102 @@ class TestPackTexts:
         # deterministic across invocations
         again = {r.pack_id: r.seq_text for r in pack_texts(packed, "doc_id", "text", eos="|").collect()}
         assert {r.pack_id: r.seq_text for r in rows} == again
+
+
+class TestKmvDistinct:
+    def test_exact_below_k(self, spark):
+        from flnr_wins_spark.functions.sketches import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("a", v) for v in range(10)] * 3, "g string, v int"
+        )
+        row = kmv_distinct(df, "g", "v", k=64).collect()[0]
+        # fewer than k distinct values -> estimate IS the exact count
+        assert (row.n_kept, row.est_distinct, row.true_distinct) == (10, 10.0, 10)
+
+    def test_estimate_in_range_above_k(self, spark):
+        from flnr_wins_spark.functions.sketches import kmv_distinct
+
+        df = spark.createDataFrame([("a", v) for v in range(2000)], "g string, v int")
+        row = kmv_distinct(df, "g", "v", k=64).collect()[0]
+        assert row.n_kept == 64 and row.true_distinct == 2000
+        # KMV stderr ~ 1/sqrt(k-1) ~ 12.6%; allow 5 sigma
+        assert 2000 * 0.4 < row.est_distinct < 2000 * 1.7
+
+    def test_estimate_deterministic(self, spark):
+        from flnr_wins_spark.functions.sketches import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("a", v) for v in range(500)] + [("b", v) for v in range(100)],
+            "g string, v int",
+        ).repartition(7)
+        a = sorted(map(tuple, kmv_distinct(df, "g", "v", k=32).collect()))
+        b = sorted(map(tuple, kmv_distinct(df.repartition(3), "g", "v", k=32).collect()))
+        assert a == b
+
+    def test_prefilter_preserves_result_when_dense(self, spark):
+        from flnr_wins_spark.functions.sketches import kmv_distinct
+
+        df = spark.createDataFrame([("a", v) for v in range(5000)], "g string, v int")
+        exact = sorted(map(tuple, kmv_distinct(df, "g", "v", k=16).collect()))
+        pre = sorted(map(tuple, kmv_distinct(df, "g", "v", k=16, prefilter_bits=3).collect()))
+        # 5000 distinct >> 16 * 2^3: the lowest 1/8 slice still holds the 16 minima
+        assert exact == pre
+
+
+class TestRollingAnalytics:
+    def test_zscore_flags_spike(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(minutes=i), 1, "view", 10.0 + (i % 3) * 0.5, "{}")
+            for i in range(30)
+        ]
+        rows.append((99, base + dt.timedelta(minutes=99), 1, "view", 400.0, "{}"))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        # same expression shape as the x_rolling_zscore registry entry
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        c = df.select("user_id", "event_id", F.round(F.col("value") * 100).cast("bigint").alias("vc"), "ts")
+        win = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+        w = c.select(
+            "event_id", "vc",
+            F.count("vc").over(win).alias("n"),
+            F.sum("vc").over(win).alias("s"),
+            F.sum(F.col("vc") * F.col("vc")).over(win).alias("ss"),
+        )
+        mean = F.col("s").cast("double") / F.col("n").cast("double")
+        var = (F.col("ss").cast("double") - F.col("s").cast("double") ** 2 / F.col("n").cast("double")) / (
+            F.col("n") - 1
+        ).cast("double")
+        z = (F.col("vc").cast("double") - mean) / F.sqrt(var)
+        flagged = (
+            w.filter((F.col("n") >= 10) & (F.col("ss") * F.col("n") > F.col("s") * F.col("s")))
+            .select("event_id", z.alias("z"))
+            .filter(F.abs(F.col("z")) > 3.0)
+            .collect()
+        )
+        assert [r.event_id for r in flagged] == [99]
+
+    def test_streak_islands(self, spark):
+        import datetime as dt
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        days = [1, 2, 3, 7, 8, 20]  # streaks: 3, 2, 1
+        df = spark.createDataFrame(
+            [(1, dt.date(2024, 1, d)) for d in days], "user_id long, day date"
+        )
+        r = df.withColumn(
+            "anchor",
+            F.date_sub(F.col("day"), F.row_number().over(Window.partitionBy("user_id").orderBy("day"))),
+        )
+        runs = r.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+        out = runs.groupBy("user_id").agg(
+            F.sum("len").alias("n_active_days"), F.max("len").alias("max_streak")
+        ).collect()[0]
+        assert (out.n_active_days, out.max_streak) == (6, 3)
