@@ -597,3 +597,51 @@ def median_low_udaf():
         return float(s[(len(s) - 1) // 2])
 
     return median_low
+
+
+def tfidf_keywords(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords (classic keyword extraction).
+
+    score(d, t) = tf(d,t) * ln(N / df(t)), rounded through DECIMAL(27,9)
+    (the unigram_quality trick) so sub-ulp ln() differences between engines
+    vanish and ranks are engine-exact; ties break on the term itself.
+    Terms present in every document score ln(1)=0 and are dropped — tf-idf's
+    built-in stopword suppression.
+
+    Scale shape: tf groupBy keyed on (doc, term); document frequency over
+    the pre-aggregated tf table (one row per (doc, term), so a hot term
+    contributes df rows, not token occurrences); the join back ships one
+    row per term; the top-k window partitions by document (bounded by
+    per-doc vocabulary). No driver-side state.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nd = df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    score = (
+        (
+            F.col("tf")
+            * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+        )
+        .cast("decimal(27,9)")
+        .cast("double")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select("id", "term", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "score", "kw_rank")
+    )

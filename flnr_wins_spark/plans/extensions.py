@@ -3422,3 +3422,86 @@ def x_pandas_udaf_median(spark, sf_dir):
     # NB: Spark disallows mixing a GROUPED_AGG pandas UDF with JVM
     # aggregates in one agg() — the UDAF stands alone
     return ev.groupBy("user_id").agg(median_low(F.col("value")).alias("med_low"))
+
+
+@query(
+    "x_sorted_neighborhood",
+    sql=f"""
+    WITH titles AS ({_TITLES_SQL}),
+    variants AS ({_DIRTY_TITLES_SQL}),
+    u AS (
+      SELECT 0 AS src, t_id AS id, title AS k FROM titles
+      UNION ALL
+      SELECT 1 AS src, v_id AS id, v_name AS k FROM variants
+    ),
+    r AS (SELECT src, id, k, row_number() OVER (ORDER BY k, src, id) AS rn FROM u)
+    SELECT a.id AS t_id, b.id AS v_id,
+           CAST(abs(a.rn - b.rn) AS BIGINT) AS pos_gap,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+    FROM r a JOIN r b ON a.src = 0 AND b.src = 1 AND abs(a.rn - b.rn) <= 5
+    WHERE levenshtein(a.k, b.k) <= 2
+    """,
+    note="sorted-neighborhood linkage (Hernandez-Stolfo): global sort rank "
+    "via range-shard global_row_number (NO single-partition window), "
+    "neighbors meet through an equi-join on rn div w with ±1 block "
+    "replication — the complementary blocking pass to x_fuzzy_join's "
+    "prefix blocks; the oracle's quadratic |rn diff|<=w form is equivalent "
+    "by construction",
+)
+def x_sorted_neighborhood(spark, sf_dir):
+    from flnr_wins_spark.operators.linkage import sorted_neighborhood
+
+    docs = t(spark, sf_dir, "documents")
+    titles = docs.select(
+        F.col("doc_id").alias("t_id"),
+        F.expr("substr(text, 1, 20 + doc_id % 10)").alias("title"),
+    )
+    variants = titles.filter(F.col("t_id") % 3 == 0).select(
+        (F.col("t_id") + 1000000).alias("v_id"),
+        F.when(
+            F.col("t_id") % 7 == 0,
+            F.concat(
+                F.substring("title", 1, 4), F.expr("substr(title, 6)"), F.lit("x")
+            ),
+        )
+        .otherwise(F.concat(F.substring("title", 1, 4), F.expr("substr(title, 6)")))
+        .alias("v_name"),
+    )
+    return sorted_neighborhood(
+        titles, variants, "t_id", "title", "v_id", "v_name", window=5, max_dist=2
+    )
+
+
+@query(
+    "x_keywords_tfidf",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    w AS (
+      SELECT id, term,
+             CAST(CAST(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                       AS DECIMAL(27,9)) AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT id AS doc_id, term, score, CAST(rn AS INT) AS kw_rank FROM (
+      SELECT id, term, score,
+             row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rn
+      FROM w WHERE score > 0
+    ) q WHERE rn <= 3
+    """,
+    note="per-document top-3 TF-IDF keywords: df over the pre-aggregated "
+    "(doc, term) table, decimal-rounded ln for engine-exact scores, per-doc "
+    "rank window bounded by document vocabulary "
+    "(functions/text.py tfidf_keywords)",
+)
+def x_keywords_tfidf(spark, sf_dir):
+    from flnr_wins_spark.functions.text import tfidf_keywords
+
+    return tfidf_keywords(t(spark, sf_dir, "documents"), k=3)

@@ -107,3 +107,79 @@ def test_tfidf_max_df_prunes_hot_terms(spark):
     )
     # every term exceeds max_df=3 -> no vectors survive -> no pairs
     assert tfidf_cosine_pairs(docs, min_cosine=0.0, max_df=3).count() == 0
+
+
+class TestSortedNeighborhood:
+    def test_finds_adjacent_variants(self, spark):
+        from flnr_wins_spark.operators.linkage import sorted_neighborhood
+
+        left = spark.createDataFrame(
+            [(1, "alpha centauri"), (2, "betelgeuse"), (3, "zeta reticuli")],
+            "id bigint, name string",
+        )
+        # 1-edit variants sort right next to their originals
+        right = spark.createDataFrame(
+            [(11, "alpha centaurix"), (13, "zeta reticulix"), (12, "unrelated")],
+            "vid bigint, vname string",
+        )
+        got = {
+            (r.id, r.vid): r.dist
+            for r in sorted_neighborhood(
+                left, right, "id", "name", "vid", "vname", window=3, max_dist=2
+            ).collect()
+        }
+        assert (1, 11) in got and got[(1, 11)] == 1
+        assert (3, 13) in got and got[(3, 13)] == 1
+        assert all(v != 12 for (_, v) in got)
+
+    def test_window_bounds_candidates(self, spark):
+        from flnr_wins_spark.operators.linkage import sorted_neighborhood
+
+        left = spark.createDataFrame(
+            [(i, f"k{i:03d}") for i in range(20)], "id bigint, name string"
+        )
+        right = spark.createDataFrame(
+            [(100 + i, f"k{i:03d}x") for i in range(20)], "vid bigint, vname string"
+        )
+        out = sorted_neighborhood(
+            left, right, "id", "name", "vid", "vname", window=2
+        ).collect()
+        assert all(r.pos_gap <= 2 for r in out)
+        # every exact-neighbor pair (kNNN vs kNNNx sorts adjacent) is found
+        found = {(r.id, r.vid) for r in out if r.dist == 1}
+        assert found == {(i, 100 + i) for i in range(20)}
+
+
+class TestTfidfKeywords:
+    def test_idf_suppresses_ubiquitous_terms(self, spark):
+        from flnr_wins_spark.functions.text import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common apple apple"),
+                (2, "common banana"),
+                (3, "common cherry cherry cherry"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = tfidf_keywords(docs, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r.term)
+        # 'common' is in every doc -> idf 0 -> never a keyword
+        assert all("common" not in terms for terms in by_doc.values())
+        assert by_doc[1][0] == "apple" and by_doc[3][0] == "cherry"
+
+    def test_rank_deterministic_on_ties(self, spark):
+        from flnr_wins_spark.functions.text import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "zz aa"), (2, "qq ww")], "doc_id bigint, text string"
+        )
+        out = {
+            (r.doc_id, r.kw_rank): r.term
+            for r in tfidf_keywords(docs, k=2).collect()
+        }
+        # equal scores break ties on the term string ascending
+        assert out[(1, 1)] == "aa" and out[(1, 2)] == "zz"
+        assert out[(2, 1)] == "qq" and out[(2, 2)] == "ww"
