@@ -645,3 +645,99 @@ def tfidf_keywords(
         .filter(F.col("kw_rank") <= k)
         .select(F.col("id").alias(id_col), "term", "score", "kw_rank")
     )
+
+
+def maxmatch_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_words: int = 200,
+    max_token_len: int = 8,
+    max_word_len: int = 16,
+    top_k: int = 50,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Greedy longest-match-first (MaxMatch / WordPiece-core) subword
+    tokenization over the corpus, returning the ``top_k`` (token, total)
+    counts. The vocabulary is corpus-derived and deterministic: the
+    ``top_words`` most frequent whole words of length <= ``max_token_len``
+    (ties broken by the word itself) plus every single character seen — the
+    char fallback guarantees one-symbol progress, so tokenization of a word
+    terminates in <= ``max_word_len`` rounds.
+
+    The scale trick is MEMOIZATION BY DISTINCT WORD: tokenization runs on
+    the (truncated-to-``max_word_len``) distinct-word table, not on corpus
+    occurrences — a 100 TB corpus has a bounded word vocabulary, and
+    per-document counts come back from one join against the word-count
+    table (the same cache trick tokenizer runtimes use per batch, here made
+    global). Each greedy round is: explode <= ``max_token_len`` candidate
+    prefix lengths, broadcast-join the vocabulary (~top_words + alphabet
+    rows), keep MAX(length) per in-flight word — all JVM, no Python. Rounds
+    are data-independent in the worst case (``max_word_len``) so a
+    fixed-unroll SQL twin is exact; the Spark loop early-exits when every
+    word is fully consumed, which cannot change the result (finished words
+    leave the state table).
+    """
+    rounds = max_rounds if max_rounds is not None else max_word_len
+    occ = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("w0")
+    ).filter(F.col("w0") != "")
+    wc = (
+        occ.select(F.substring("w0", 1, max_word_len).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    top = (
+        wc.filter(F.length("w") <= max_token_len)
+        .orderBy(F.col("n").desc(), "w")
+        .limit(top_words)
+        .select(F.col("w").alias("tok"))
+    )
+    chars = wc.select(
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+        F.col("w"),
+    ).select(F.expr("substring(w, i, 1)").alias("tok")).distinct()
+    vocab = top.union(chars).distinct().localCheckpoint()
+
+    states = wc.select("w", F.lit(0).alias("pos"))
+    word_tokens = []
+    for _ in range(rounds):
+        if states.isEmpty():
+            break
+        cand = (
+            states.select(
+                "w",
+                "pos",
+                F.explode(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(max_token_len), F.length("w") - F.col("pos")),
+                    )
+                ).alias("L"),
+            )
+            .withColumn("piece", F.expr("substring(w, pos + 1, L)"))
+            .join(F.broadcast(vocab), F.col("piece") == F.col("tok"))
+        )
+        best = cand.groupBy("w", "pos").agg(F.max("L").alias("best"))
+        word_tokens.append(
+            best.select(
+                "w", F.expr("substring(w, pos + 1, best)").alias("tok")
+            ).localCheckpoint()
+        )
+        states = (
+            best.select("w", (F.col("pos") + F.col("best")).alias("pos"))
+            .filter(F.col("pos") < F.length("w"))
+            .localCheckpoint()
+        )
+    wt = word_tokens[0]
+    for part in word_tokens[1:]:
+        wt = wt.union(part)
+    totals = (
+        wt.join(wc, "w")
+        .groupBy("tok")
+        .agg(F.sum("n").cast("bigint").alias("total"))
+        .orderBy(F.col("total").desc(), "tok")
+        .limit(top_k)
+    )
+    return totals

@@ -3505,3 +3505,80 @@ def x_keywords_tfidf(spark, sf_dir):
     from flnr_wins_spark.functions.text import tfidf_keywords
 
     return tfidf_keywords(t(spark, sf_dir, "documents"), k=3)
+
+
+def _maxmatch_oracle_sql(
+    top_words: int = 200,
+    max_token_len: int = 8,
+    max_word_len: int = 16,
+    top_k: int = 50,
+) -> str:
+    """Fixed-unroll SQL twin of functions/text.py maxmatch_token_counts:
+    max_word_len greedy rounds, each MATERIALIZED (the kcore lesson — the
+    round CTEs reference their predecessor multiple times and would inline
+    exponentially)."""
+    rounds = max_word_len
+    ctes = [
+        """occ AS MATERIALIZED (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS w0
+          FROM documents)""",
+        f"""wc AS MATERIALIZED (
+          SELECT substr(w0, 1, {max_word_len}) AS w, CAST(COUNT(*) AS BIGINT) AS n
+          FROM occ GROUP BY 1)""",
+        f"""top AS MATERIALIZED (
+          SELECT w AS tok FROM (
+            SELECT w, row_number() OVER (ORDER BY n DESC, w) AS rn
+            FROM wc WHERE len(w) <= {max_token_len}) q
+          WHERE rn <= {top_words})""",
+        """chars AS MATERIALIZED (
+          SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS tok
+          FROM wc, UNNEST(range(1, len(w) + 1)) u(i))""",
+        "vocab AS MATERIALIZED (SELECT tok FROM top UNION SELECT tok FROM chars)",
+        "s0 AS MATERIALIZED (SELECT w, 0 AS pos FROM wc)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+              SELECT s.w, s.pos, CAST(MAX(u.L) AS INT) AS best
+              FROM s{p} s, range(1, {max_token_len + 1}) u(L)
+              WHERE s.pos + u.L <= len(s.w)
+                AND substr(s.w, s.pos + 1, CAST(u.L AS INT)) IN (SELECT tok FROM vocab)
+              GROUP BY s.w, s.pos)"""
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT w, substr(w, pos + 1, best) AS tok FROM b{i})"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT w, pos + best AS pos FROM b{i} "
+            f"WHERE pos + best < len(w))"
+        )
+    union = " UNION ALL ".join(f"SELECT w, tok FROM t{i}" for i in range(1, rounds + 1))
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""", wt AS ({union})
+        SELECT tok, total FROM (
+          SELECT wt.tok, CAST(SUM(wc.n) AS BIGINT) AS total,
+                 row_number() OVER (ORDER BY SUM(wc.n) DESC, wt.tok) AS rn
+          FROM wt JOIN wc USING (w) GROUP BY wt.tok) q
+        WHERE rn <= {top_k}"""
+    )
+
+
+@query(
+    "x_tokenize_maxmatch",
+    sql=_maxmatch_oracle_sql(),
+    note="greedy longest-match-first (MaxMatch/WordPiece-core) subword "
+    "tokenization with a corpus-derived deterministic vocab (top-200 words "
+    "+ char fallback): tokenizes the DISTINCT-word table (global "
+    "memoization — a 100 TB corpus has a bounded word vocabulary), each "
+    "round explodes <=8 candidate prefix lengths against a broadcast "
+    "vocab and keeps MAX(len); per-corpus counts return via one join to "
+    "the word-count table. Oracle = 16 fixed-unroll greedy rounds",
+)
+def x_tokenize_maxmatch(spark, sf_dir):
+    from flnr_wins_spark.functions.text import maxmatch_token_counts
+
+    return maxmatch_token_counts(t(spark, sf_dir, "documents"))

@@ -1363,3 +1363,40 @@ class TestUrlCanonicalize:
         assert got[4] == "http://ex.com/"
         assert got[5] == "not a url"
         assert got[6] == "http://ex.com/p"
+
+
+class TestMaxMatchTokenize:
+    def _counts(self, spark, texts, **kw):
+        from flnr_wins_spark.functions.text import maxmatch_token_counts
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        return {
+            r.tok: r.total for r in maxmatch_token_counts(df, **kw).collect()
+        }
+
+    def test_char_fallback_after_known_prefix(self, spark):
+        got = self._counts(
+            spark, ["abcd abcd abcd", "abcdzz"], top_words=1
+        )
+        # vocab = {abcd} + chars; abcdzz -> abcd + z + z
+        assert got["abcd"] == 4 and got["z"] == 2
+        assert "abcdzz" not in got
+
+    def test_greedy_takes_longest_match(self, spark):
+        got = self._counts(spark, ["ab abc abx"], top_words=2)
+        # vocab words (count ties broken by word asc): {ab, abc} + chars
+        # abx -> ab + x (greedy from the left, abx itself not in vocab)
+        assert got["ab"] == 2 and got["abc"] == 1 and got["x"] == 1
+
+    def test_early_exit_equals_fixed_rounds(self, spark):
+        texts = ["the quick brown fox jumps over the lazy dog" * 2, "qzqzqzqz"]
+        a = self._counts(spark, texts, top_words=3)
+        b = self._counts(spark, texts, top_words=3, max_rounds=16)
+        assert a == b
+
+    def test_long_words_truncate(self, spark):
+        got = self._counts(spark, ["a" * 40], top_words=0, max_word_len=16)
+        # truncated to 16 chars, all-char fallback
+        assert got == {"a": 16}
