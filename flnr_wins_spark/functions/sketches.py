@@ -175,3 +175,107 @@ def kmv_distinct(
             "true_distinct",
         )
     )
+
+
+def kmv_set_similarity(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """KMV set algebra (Beyer et al., SIGMOD 2007): for every pair of groups,
+    estimate |A ∪ B|, |A ∩ B| and Jaccard from the groups' bottom-k hash
+    sketches alone. Soundness of the membership test: if h ∈ bottom-k(A∪B)
+    and h ∈ A then at most k-1 hashes of A lie below h, so h ∈ bottom-k(A) —
+    the pairwise step never needs the full sets, which is why KMV sketches
+    of per-shard / per-day sets compose into cross-set overlap estimates
+    without rescanning data.
+
+        union_est = (k'-1) * 2^48 / h_k'      (k' = kept rows, exact under k)
+        jaccard   = |both-flagged ∩ bottom-k(A∪B)| / k'
+        inter_est = jaccard * union_est
+
+    Deterministic end-to-end (md5 hashes, integer counts, one IEEE
+    division/multiplication chain) => SQL-oracle-checkable, same contract
+    as :func:`kmv_distinct`. Returns per pair (ga, gb): n_kept, union_est,
+    inter_est, jaccard_est, plus exact true_union/true_inter carried for
+    estimate-quality inspection (drop at scale).
+
+    Scale shape: sketches are per-group bottom-k windows over the distinct
+    (group, hash) table; the pairwise stage touches only O(pairs * k) sketch
+    rows — group count is assumed dimension-small (sources, languages,
+    shards), the VALUES are the big side and are never pairwise-joined.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col(value_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    sk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+        .localCheckpoint()
+    )
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .join(groups.select(F.col("g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    tagged = (
+        sk.withColumnRenamed("g", "ga")
+        .join(pairs, "ga")
+        .select("ga", "gb", "h", F.lit(1).alias("a"), F.lit(0).alias("b"))
+        .unionByName(
+            sk.withColumnRenamed("g", "gb")
+            .join(pairs, "gb")
+            .select("ga", "gb", "h", F.lit(0).alias("a"), F.lit(1).alias("b"))
+        )
+    )
+    merged = tagged.groupBy("ga", "gb", "h").agg(
+        F.max("a").alias("a"), F.max("b").alias("b")
+    )
+    w2 = Window.partitionBy("ga", "gb").orderBy("h")
+    bk = merged.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
+    agg = bk.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("inter_num"),
+    )
+    scale = float((k - 1) * (16**12))
+    union_est = F.when(
+        F.col("hk").isNotNull(), F.lit(scale) / F.col("hk").cast("double")
+    ).otherwise(F.col("n_kept").cast("double"))
+    jac = F.col("inter_num").cast("double") / F.col("n_kept").cast("double")
+    est = agg.select(
+        "ga",
+        "gb",
+        "n_kept",
+        union_est.alias("union_est"),
+        (jac * union_est).alias("inter_est"),
+        jac.alias("jaccard_est"),
+    )
+    # exact truth (inspection only): same tag-merge shape on raw values
+    dv = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v")).distinct()
+    tv = (
+        dv.withColumnRenamed("g", "ga")
+        .join(pairs, "ga")
+        .select("ga", "gb", "v", F.lit(1).alias("a"), F.lit(0).alias("b"))
+        .unionByName(
+            dv.withColumnRenamed("g", "gb")
+            .join(pairs, "gb")
+            .select("ga", "gb", "v", F.lit(0).alias("a"), F.lit(1).alias("b"))
+        )
+        .groupBy("ga", "gb", "v")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+        .groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("true_union"),
+            F.sum(F.col("a") * F.col("b")).cast("bigint").alias("true_inter"),
+        )
+    )
+    return est.join(tv, ["ga", "gb"])

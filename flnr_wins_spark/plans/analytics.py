@@ -757,3 +757,75 @@ def x_attribution_last_touch(spark, sf_dir):
             dsum(F.col("value")).alias("revenue"),
         )
     )
+
+
+@query(
+    "x_kmv_set_ops",
+    sql="""
+    WITH d AS MATERIALIZED (
+      SELECT DISTINCT event_type AS g,
+             CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS h
+      FROM events
+    ), sk AS MATERIALIZED (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d) q
+      WHERE rn <= 64
+    ), pairs AS (
+      SELECT a.g AS ga, b.g AS gb
+      FROM (SELECT DISTINCT g FROM sk) a JOIN (SELECT DISTINCT g FROM sk) b
+        ON a.g < b.g
+    ), tagged AS (
+      SELECT p.ga, p.gb, s.h, 1 AS a, 0 AS b FROM sk s JOIN pairs p ON s.g = p.ga
+      UNION ALL
+      SELECT p.ga, p.gb, s.h, 0 AS a, 1 AS b FROM sk s JOIN pairs p ON s.g = p.gb
+    ), merged AS (
+      SELECT ga, gb, h, MAX(a) AS a, MAX(b) AS b
+      FROM tagged GROUP BY ga, gb, h
+    ), bk AS (
+      SELECT * FROM (
+        SELECT ga, gb, h, a, b,
+               row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        FROM merged) q WHERE rn <= 64
+    ), agg AS (
+      SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             MAX(CASE WHEN rn = 64 THEN h END) AS hk,
+             CAST(SUM(a * b) AS BIGINT) AS inter_num
+      FROM bk GROUP BY ga, gb
+    ), dv AS MATERIALIZED (
+      SELECT DISTINCT event_type AS g, user_id AS v FROM events
+    ), tv AS (
+      SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS true_union,
+             CAST(SUM(a * b) AS BIGINT) AS true_inter
+      FROM (
+        SELECT ga, gb, v, MAX(a) AS a, MAX(b) AS b FROM (
+          SELECT p.ga, p.gb, s.v, 1 AS a, 0 AS b FROM dv s JOIN pairs p ON s.g = p.ga
+          UNION ALL
+          SELECT p.ga, p.gb, s.v, 0 AS a, 1 AS b FROM dv s JOIN pairs p ON s.g = p.gb
+        ) t GROUP BY ga, gb, v
+      ) m GROUP BY ga, gb
+    )
+    SELECT agg.ga, agg.gb, n_kept,
+           CASE WHEN hk IS NOT NULL
+                THEN 17732923532771328.0 / CAST(hk AS DOUBLE)
+                ELSE CAST(n_kept AS DOUBLE) END AS union_est,
+           (CAST(inter_num AS DOUBLE) / CAST(n_kept AS DOUBLE))
+             * (CASE WHEN hk IS NOT NULL
+                     THEN 17732923532771328.0 / CAST(hk AS DOUBLE)
+                     ELSE CAST(n_kept AS DOUBLE) END) AS inter_est,
+           CAST(inter_num AS DOUBLE) / CAST(n_kept AS DOUBLE) AS jaccard_est,
+           true_union, true_inter
+    FROM agg JOIN tv ON agg.ga = tv.ga AND agg.gb = tv.gb
+    """,
+    note="KMV set algebra (Beyer SIGMOD'07): pairwise union/intersection/"
+    "Jaccard estimates between per-event-type user sets computed from the "
+    "bottom-64 sketches ALONE (bottom-k(A∪B) ∩ A ⊆ bottom-k(A) soundness) "
+    "— cross-shard overlap without rescanning values; deterministic md5 "
+    "construction, exact truth columns carried for inspection "
+    "(functions/sketches.py kmv_set_similarity)",
+)
+def x_kmv_set_ops(spark, sf_dir):
+    from flnr_wins_spark.functions.sketches import kmv_set_similarity
+
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_set_similarity(ev, "event_type", "user_id", k=64)

@@ -503,3 +503,36 @@ class TestRollingAnalytics:
             F.sum("len").alias("n_active_days"), F.max("len").alias("max_streak")
         ).collect()[0]
         assert (out.n_active_days, out.max_streak) == (6, 3)
+
+
+class TestKmvSetOps:
+    def test_small_sets_exact(self, spark):
+        from flnr_wins_spark.functions.sketches import kmv_set_similarity
+
+        rows = [("A", v) for v in range(20)] + [("B", v) for v in range(10, 40)]
+        df = spark.createDataFrame(rows, "g string, v int")
+        out = kmv_set_similarity(df, "g", "v", k=64).collect()[0]
+        # both sets under k: sketches ARE the sets -> estimates exact
+        assert (out.true_union, out.true_inter) == (40, 10)
+        assert out.union_est == 40.0
+        assert abs(out.inter_est - 10.0) < 1e-9
+        assert abs(out.jaccard_est - 10 / 40) < 1e-9
+
+    def test_estimates_track_truth_above_k(self, spark):
+        from flnr_wins_spark.functions.sketches import kmv_set_similarity
+
+        rows = [("A", v) for v in range(1000)] + [("B", v) for v in range(500, 1500)]
+        df = spark.createDataFrame(rows, "g string, v int")
+        out = kmv_set_similarity(df, "g", "v", k=64).collect()[0]
+        assert (out.true_union, out.true_inter) == (1500, 500)
+        # ~12.6% stderr at k=64; allow generous 5-sigma style bands
+        assert 900 < out.union_est < 2400
+        assert 0.1 < out.jaccard_est < 0.65
+
+    def test_all_pairs_emitted(self, spark):
+        from flnr_wins_spark.functions.sketches import kmv_set_similarity
+
+        rows = [(g, v) for g in "ABC" for v in range(5)]
+        df = spark.createDataFrame(rows, "g string, v int")
+        got = {(r.ga, r.gb) for r in kmv_set_similarity(df, "g", "v", k=8).collect()}
+        assert got == {("A", "B"), ("A", "C"), ("B", "C")}
