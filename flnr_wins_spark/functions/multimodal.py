@@ -15,6 +15,9 @@ Decoding has two tiers:
     matching REAL encoder (:func:`encode_png`) for round-trip entries;
   * GIF decodes (and encodes) for REAL as well — stdlib variable-width
     LZW in both directions (:func:`_decode_gif`/:func:`encode_gif`);
+  * QOI (qoiformat.org) round-trips for REAL — the full op walk
+    (RUN/INDEX/DIFF/LUMA/literals) is integer byte arithmetic
+    (:func:`_decode_qoi`/:func:`encode_qoi`);
   * every other container (JPEG/palette-PNG/video) still raises
     ``NotImplementedError`` because general codec libraries are not
     available in this environment; ``fake=True`` substitutes a
@@ -155,9 +158,11 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
         return _decode_png(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(data)
+    if data[:4] == b"qoif":
+        return _decode_qoi(data)
     raise NotImplementedError(
         "unrecognized image container (supported: P6/P5 PPM/PGM, 24-bit BMP, "
-        "8-bit gray/RGB PNG)"
+        "8-bit gray/RGB PNG, RGB QOI)"
     )
 
 
@@ -978,6 +983,124 @@ def wrap_gif_animated(
                     [bytes(b)[k * size : (k + 1) * size] for k in range(n_frames)],
                     palette,
                 )
+            )
+            yield pdf
+
+    return media.mapInPandas(batches, schema=media.schema)
+
+
+# ---------------------------------------------------------------------------
+# QOI ("Quite OK Image", qoiformat.org spec 1.0) — a REAL compressed format
+# whose whole codec is integer byte ops, so both halves live here stdlib-only.
+# ---------------------------------------------------------------------------
+
+def _qoi_index(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(channels: int, width: int, height: int, pixels: bytes) -> bytes:
+    """REAL QOI encode (RGB, spec 1.0): greedy per-pixel op selection —
+    RUN (<=62) for repeats, INDEX against the rolling 64-slot color table,
+    DIFF for per-channel deltas in [-2,1], LUMA for green-anchored deltas,
+    RGB literal otherwise. Alpha fixed at 255 (3-channel path)."""
+    assert channels == 3 and len(pixels) == width * height * 3
+    out = bytearray(b"qoif")
+    out += width.to_bytes(4, "big") + height.to_bytes(4, "big") + bytes([3, 0])
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for i in range(width * height):
+        r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        pos = _qoi_index(r, g, b, 255)
+        if index[pos] == (r, g, b, 255):
+            out.append(pos)
+        else:
+            index[pos] = (r, g, b, 255)
+            dr = ((r - pr + 128) & 0xFF) - 128
+            dg = ((g - pg + 128) & 0xFF) - 128
+            db = ((b - pb + 128) & 0xFF) - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes([0xFE, r, g, b])
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def _decode_qoi(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL QOI decode: full op set (RGB/RGBA literals, INDEX, DIFF, LUMA,
+    RUN) with the rolling color table; emits RGB (alpha channel accepted in
+    the stream but dropped — 4-channel containers still decode)."""
+    if data[:4] != b"qoif" or len(data) < 14:
+        raise ValueError("not a QOI stream")
+    width = int.from_bytes(data[4:8], "big")
+    height = int.from_bytes(data[8:12], "big")
+    out = bytearray()
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos = 14
+    n_px = width * height
+    while len(out) < 3 * n_px:
+        byte = data[pos]
+        pos += 1
+        if byte == 0xFE:  # RGB
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif byte == 0xFF:  # RGBA
+            r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        elif byte >> 6 == 0:  # INDEX
+            r, g, b, a = index[byte]
+            out += bytes((r, g, b))
+            index[_qoi_index(r, g, b, a)] = (r, g, b, a)
+            continue
+        elif byte >> 6 == 1:  # DIFF
+            r = (r + ((byte >> 4) & 3) - 2) & 0xFF
+            g = (g + ((byte >> 2) & 3) - 2) & 0xFF
+            b = (b + (byte & 3) - 2) & 0xFF
+        elif byte >> 6 == 2:  # LUMA
+            dg = (byte & 0x3F) - 32
+            nxt = data[pos]
+            pos += 1
+            r = (r + dg + ((nxt >> 4) & 0x0F) - 8) & 0xFF
+            g = (g + dg) & 0xFF
+            b = (b + dg + (nxt & 0x0F) - 8) & 0xFF
+        else:  # RUN
+            run = (byte & 0x3F) + 1
+            out += bytes((r, g, b)) * run
+            continue
+        index[_qoi_index(r, g, b, a)] = (r, g, b, a)
+        out += bytes((r, g, b))
+    if len(out) != 3 * n_px:
+        raise ValueError("QOI run overflow past raster end")
+    return 3, width, height, bytes(out)
+
+
+def wrap_qoi(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Re-container raw RGB pixel bytes in ``content`` as a REAL QOI stream
+    (:func:`encode_qoi`) — the encode half of the QOI round-trip entry;
+    narrow Arrow-batched map, same shape as :func:`wrap_png`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(
+                lambda b: encode_qoi(3, width, height, bytes(b))
             )
             yield pdf
 

@@ -3582,3 +3582,78 @@ def x_tokenize_maxmatch(spark, sf_dir):
     from flnr_wins_spark.functions.text import maxmatch_token_counts
 
     return maxmatch_token_counts(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_multimodal_qoi_decode",
+    sql="""
+    WITH b AS (
+      SELECT doc_id, p,
+             CAST('0x' || substr(
+                    md5(CAST(doc_id AS VARCHAR) || ':qoi'
+                        || CAST(((p // 3 - (p // 3) % 2) * 3 + p % 3) // 16 AS VARCHAR)),
+                    2 * (((p // 3 - (p // 3) % 2) * 3 + p % 3) % 16) + 1, 2) AS INT)
+               AS byte
+      FROM documents, range(192) t(p)
+    )
+    SELECT doc_id AS media_id,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN p % 3 = 0 THEN byte ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN p % 3 = 1 THEN byte ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN p % 3 = 2 THEN byte ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(MIN(byte) AS INTEGER) AS min_byte,
+           CAST(MAX(byte) AS INTEGER) AS max_byte
+    FROM b GROUP BY doc_id
+    """,
+    note="REAL QOI round-trip (qoiformat.org spec): md5-derived 8x8 RGB "
+    "pixels laid out in EQUAL PAIRS (so RUN ops genuinely trigger alongside "
+    "RGB literals and incidental INDEX hits) are encoded into a real QOI "
+    "stream and decoded back by the stdlib op-walk decoder; the oracle "
+    "recomputes expected pixels from the construction — unit fuzz covers "
+    "the DIFF/LUMA paths",
+)
+def x_multimodal_qoi_decode(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import extract_features, wrap_qoi
+
+    docs = t(spark, sf_dir, "documents")
+    h = F.concat(
+        *[
+            F.unhex(
+                F.md5(
+                    F.encode(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f":qoi{j}")),
+                        "UTF-8",
+                    )
+                )
+            )
+            for j in range(12)
+        ]
+    )
+    pix = F.concat(
+        *[F.substring(h, (i - i % 2) * 3 + 1, 3) for i in range(64)]
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        pix.alias("content"),
+        F.struct(
+            F.lit("image/qoi").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(192).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_features(wrap_qoi(media, 8, 8), fake=False)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f[0].cast("int").alias("channels"),
+        f[1].cast("int").alias("width"),
+        f[2].cast("int").alias("height"),
+        f[3].cast("bigint").alias("sum_r"),
+        f[4].cast("bigint").alias("sum_g"),
+        f[5].cast("bigint").alias("sum_b"),
+        f[6].cast("int").alias("min_byte"),
+        f[7].cast("int").alias("max_byte"),
+    )

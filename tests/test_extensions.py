@@ -1400,3 +1400,45 @@ class TestMaxMatchTokenize:
         got = self._counts(spark, ["a" * 40], top_words=0, max_word_len=16)
         # truncated to 16 chars, all-char fallback
         assert got == {"a": 16}
+
+
+class TestQoiCodec:
+    def test_round_trip_all_ops(self, spark):
+        from flnr_wins_spark.functions.multimodal import _decode_qoi, encode_qoi
+
+        # crafted stream walking every op family: run, diff, luma, literal,
+        # index revisit
+        px = bytearray()
+        r, g, b = 10, 20, 30
+        px += bytes((r, g, b)) * 5                     # RUN
+        r, g, b = r + 1, g - 2, b + 1                  # DIFF
+        px += bytes((r, g, b))
+        r, g, b = r + 20 + 5, g + 20, b + 20 - 3       # LUMA
+        px += bytes((r, g, b))
+        px += bytes((200, 5, 99))                      # RGB literal
+        px += bytes((10, 20, 30))                      # INDEX (seen before)
+        while len(px) < 3 * 16:
+            px += bytes((0, 0, 0))
+        enc = encode_qoi(3, 4, 4, bytes(px))
+        assert enc[:4] == b"qoif"
+        c, w, h, out = _decode_qoi(enc)
+        assert (c, w, h) == (3, 4, 4) and out == bytes(px)
+
+    def test_wrap_matches_local_encode(self, spark):
+        from flnr_wins_spark.functions.multimodal import encode_qoi, wrap_qoi
+
+        px = bytes(range(48))  # 4x4 RGB
+        media = spark.createDataFrame(
+            [(1, bytearray(px), ("image/qoi", 4, 4, 48))],
+            "media_id long, content binary, meta struct<mime:string,width:int,height:int,n_bytes:bigint>",
+        )
+        got = bytes(wrap_qoi(media, 4, 4).collect()[0].content)
+        assert got == encode_qoi(3, 4, 4, px)
+
+    def test_run_compresses(self, spark):
+        from flnr_wins_spark.functions.multimodal import _decode_qoi, encode_qoi
+
+        px = bytes([7, 8, 9]) * 100
+        enc = encode_qoi(3, 10, 10, px)
+        assert len(enc) < 40  # header 14 + few run bytes + end marker 8
+        assert _decode_qoi(enc)[3] == px
