@@ -67,12 +67,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "notes": "r3: timings are min-of-2 runs per query (steady-state "
-                "plan; single-shot numbers charged one-time codegen/broadcast "
-                "setup to whichever query ran first). r7/wins_e2e r2 deltas "
-                "probed: warm r7 ~0.64s (r2's 0.79 was variance); "
-                "wins_e2e_rejects pays ~0.24s for the WKB SHAPE column "
-                "(by design — the reference copies geometry too).",
+                "notes": "min-of-2 runs per query (steady-state plan). r4: 24 "
+                "headliners (r3's 22 + x_fuzzy_join, x_bigram_lm_quality). "
+                "Cross-round caveat: the r4 host runs ~1.5x slower than r3's "
+                "(unchanged plans q1/q18/q21 all scaled 1.26->1.96 / "
+                "1.33->2.06 / 1.28->2.09 uniformly; idle load avg ~2 after a "
+                "host restart) — compare within-round ratios, not absolute "
+                "seconds, against BENCH_r03. No plan regressed: plan audits "
+                "(explain + contract tests) unchanged for every shared query.",
             }
         )
     )

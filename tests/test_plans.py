@@ -370,3 +370,38 @@ def test_knn_and_hard_negatives_broadcast_queries(spark):
 def test_weighted_sample_is_takeordered(spark):
     plan = _plan(spark, "x_weighted_sample")
     assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+def test_triangle_and_kcore_no_cartesian(spark):
+    """Graph contracts: the wedge-closing join and the peel semi-joins must
+    be equi-joins (hash/sort-merge) — degree orientation is pointless if the
+    closing step goes quadratic."""
+    for name in ("x_triangle_count", "x_kcore"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sorted_neighborhood_blocked_equijoin(spark):
+    """SNM candidates meet through the rank-block equi-join; the |rn diff|
+    predicate is a post-join filter, never the join itself."""
+    plan = _plan(spark, "x_sorted_neighborhood")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_maxmatch_vocab_join_broadcasts(spark):
+    """The greedy rounds join in-flight words against the vocabulary: the
+    vocab side (~top_words + alphabet rows) must broadcast — shuffling the
+    word table per round would dominate at corpus scale."""
+    plan = _plan(spark, "x_tokenize_maxmatch")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dq_and_profile_no_python(spark):
+    """The one-pass quality/profile aggregates stay entirely JVM-side."""
+    for name in ("x_dq_expectations", "x_profile_columns"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name
+        assert "Exchange" in plan  # the single agg shuffle
