@@ -157,3 +157,35 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             "col_name", "n", "nulls", "n_distinct", "min_s", "max_s", "avg_len"
         )
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy audit before publishing a derived table: group rows into
+    equivalence classes over the quasi-identifier columns and report, per
+    class, its size (k-anonymity: every class must reach ``k``) and the
+    number of distinct sensitive values (l-diversity: a class whose
+    sensitive attribute is constant re-identifies even when k-anonymous).
+    Callers generalize quasi-identifiers (bucket, truncate) and re-run
+    until no class violates — the audit half of Sweeney's k-anonymity /
+    Machanavajjhala's l-diversity, as a one-aggregation-pass operator.
+
+    Returns ``(quasi..., class_size, l_div, violates_k, violates_l)``.
+    Scale: one groupBy shuffle on the quasi key; the distinct-count is the
+    standard expand+two-phase plan. Class count <= row count — no fan-out.
+    """
+    return df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.count_distinct(F.col(sensitive_col)).cast("bigint").alias("l_div"),
+    ).select(
+        *quasi_cols,
+        "class_size",
+        "l_div",
+        (F.col("class_size") < k).alias("violates_k"),
+        (F.col("l_div") < l).alias("violates_l"),
+    )

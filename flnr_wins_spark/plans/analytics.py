@@ -829,3 +829,34 @@ def x_kmv_set_ops(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events").select("event_type", "user_id")
     return kmv_set_similarity(ev, "event_type", "user_id", k=64)
+
+
+@query(
+    "x_k_anonymity",
+    sql="""
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+           COUNT(*) < 5 AS violates_k,
+           COUNT(DISTINCT c_mktsegment) < 2 AS violates_l
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    note="k-anonymity + l-diversity audit (Sweeney / Machanavajjhala): "
+    "equivalence classes over generalized quasi-identifiers (nation, "
+    "2000-unit balance band), one groupBy pass, per-class size and "
+    "sensitive-attribute diversity with violation flags "
+    "(operators/dataquality.py k_anonymity_report)",
+)
+def x_k_anonymity(spark, sf_dir):
+    from flnr_wins_spark.operators.dataquality import k_anonymity_report
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", k=5, l=2
+    )

@@ -97,3 +97,21 @@ def test_profile_single_scan(spark):
         .toString()
     )
     assert plan.count("Range (0, 50") == 1, plan
+
+
+def test_k_anonymity_report(spark):
+    from flnr_wins_spark.operators.dataquality import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [
+            ("z1", "A"), ("z1", "A"), ("z1", "B"),       # size 3, l=2
+            ("z2", "A"),                                  # size 1 -> violates k
+            ("z3", "C"), ("z3", "C"), ("z3", "C"),        # l=1 -> violates l
+        ],
+        "zip string, diagnosis string",
+    )
+    out = {r.zip: r for r in k_anonymity_report(df, ["zip"], "diagnosis", k=2, l=2).collect()}
+    assert (out["z1"].class_size, out["z1"].l_div) == (3, 2)
+    assert not out["z1"].violates_k and not out["z1"].violates_l
+    assert out["z2"].violates_k and out["z2"].violates_l
+    assert out["z3"].class_size == 3 and out["z3"].violates_l and not out["z3"].violates_k
