@@ -147,3 +147,94 @@ def read_agg_state(spark, state_path: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no aggregate state under {state_path}")
     return spark.read.parquet(f"{state_path}/v{versions[-1]}")
+
+
+def kmv_sketch_sink(
+    stream: DataFrame,
+    state_path: str,
+    group_col: str,
+    value_col: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained KMV distinct sketch (streaming cousin of
+    ``functions.sketches.kmv_distinct``): each micro-batch's per-group
+    bottom-k hash set merges with the previous state — union, re-rank, keep
+    k — which is exactly the mergeability KMV guarantees, so the maintained
+    sketch is IDENTICAL to one built from the full history in batch (the
+    batch-twin test pins this). State versioning/idempotency follows
+    :func:`incremental_agg_sink` (batch N reads v<N, writes vN; replays
+    rebuild, readers never see partial writes).
+
+    Per-batch cost follows the batch: the batch contributes at most
+    k·groups candidate rows after its own bottom-k, and the merge touches
+    only sketch rows — history is never rescanned.
+    """
+    from pyspark.sql import Window
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col(value_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        batch_sk = (
+            batch_df.select(F.col(group_col).alias("g"), h.alias("h"))
+            .distinct()
+            .withColumn(
+                "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
+            )
+            .filter(F.col("rn") <= k)
+            .select("g", "h")
+        )
+        prior = [v for v in _state_versions(spark, state_path) if v < batch_id]
+        merged = batch_sk
+        if prior:
+            prev = spark.read.parquet(f"{state_path}/v{prior[-1]}")
+            merged = prev.unionByName(batch_sk)
+        new = (
+            merged.distinct()
+            .withColumn(
+                "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
+            )
+            .filter(F.col("rn") <= k)
+            .select("g", "h")
+        )
+        new.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+        for v in _state_versions(spark, state_path)[:-3]:
+            if v != batch_id:
+                _state_delete(spark, f"{state_path}/v{v}")
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kmv_estimates(spark, state_path: str, k: int = 64) -> DataFrame:
+    """Distinct-count estimates from the newest sketch state written by
+    :func:`kmv_sketch_sink` — same estimator as ``kmv_distinct`` minus the
+    exact-truth column (the stream never stores raw values)."""
+    from pyspark.sql import Window
+
+    sk = read_agg_state(spark, state_path)  # same versioned layout
+    r = sk.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
+    )
+    agg = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+    )
+    scale = float((k - 1) * (16**12))
+    est = F.when(
+        F.col("hk").isNotNull(), F.lit(scale) / F.col("hk").cast("double")
+    ).otherwise(F.col("n_kept").cast("double"))
+    return agg.select("g", "n_kept", est.alias("est_distinct"))

@@ -359,3 +359,43 @@ def test_stream_stream_left_outer_join(spark, events_dir):
         F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 6 minutes")
     )
     assert old_nulls.count() == expected_old
+
+
+def test_kmv_sketch_sink_equals_batch_sketch(spark, tmp_path):
+    """Streaming KMV maintenance: merging per-micro-batch bottom-k sketches
+    (union, re-rank, keep k) must land on the IDENTICAL sketch — and hence
+    identical estimates — as one batch pass over the full history. This is
+    the mergeability property the sketch module claims, pinned end-to-end."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.functions.sketches import kmv_distinct
+    from flnr_wins_spark.streaming.sinks import kmv_sketch_sink, read_kmv_estimates
+
+    src = str(tmp_path / "src")
+    ev = read_table(spark, SF, "events").select(
+        "event_type", "user_id", F.pmod(F.col("event_id"), F.lit(3)).alias("_b")
+    )
+    for i in range(3):
+        ev.filter(F.col("_b") == i).coalesce(1).write.mode("append").parquet(src)
+    ev = ev.drop("_b")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = kmv_sketch_sink(
+        stream,
+        str(tmp_path / "state"),
+        group_col="event_type",
+        value_col="user_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=16,
+    )
+    q.awaitTermination(120)
+    got = {
+        r.g: (r.n_kept, r.est_distinct)
+        for r in read_kmv_estimates(spark, str(tmp_path / "state"), k=16).collect()
+    }
+    want = {
+        r.event_type: (r.n_kept, r.est_distinct)
+        for r in kmv_distinct(ev, "event_type", "user_id", k=16).collect()
+    }
+    assert got == want and len(got) == 5
