@@ -860,3 +860,142 @@ def x_k_anonymity(spark, sf_dir):
     return k_anonymity_report(
         cust, ["c_nationkey", "bal_band"], "c_mktsegment", k=5, l=2
     )
+
+
+# Correlation matrix: every pairwise Pearson r from ONE aggregation pass of
+# exact sufficient statistics. Columns are scaled to exact centi-units
+# (bigint), all sums ride DECIMAL(38,0) (squares of 1e7-cent prices times
+# 6e5 rows overflow bigint), and doubles appear only in the final
+# identically-shaped num/sqrt(den) expression — engine-bit-exact.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pairs():
+    cols = _CORR_COLS
+    return [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+
+
+def _corr_sql() -> str:
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"SUM(CAST(CAST(round({c} * 100) AS BIGINT) AS DECIMAL(38,0))) AS s_{c}")
+        sums.append(
+            f"SUM(CAST(CAST(round({c} * 100) AS BIGINT) * CAST(round({c} * 100) AS BIGINT) AS DECIMAL(38,0))) AS q_{c}"
+        )
+    for a, b in _corr_pairs():
+        sums.append(
+            f"SUM(CAST(CAST(round({a} * 100) AS BIGINT) * CAST(round({b} * 100) AS BIGINT) AS DECIMAL(38,0))) AS x_{a}_{b}"
+        )
+    selects = []
+    for a, b in _corr_pairs():
+        num = f"CAST(n * x_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        da = f"sqrt(CAST(n * q_{a} - s_{a} * s_{a} AS DOUBLE))"
+        db = f"sqrt(CAST(n * q_{b} - s_{b} * s_{b} AS DOUBLE))"
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, {num} / ({da} * {db}) AS corr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+    )
+
+
+@query(
+    "x_correlation_matrix",
+    sql=_corr_sql(),
+    note="pairwise Pearson correlation matrix from ONE pass of exact "
+    "sufficient statistics (centi-unit bigints summed in DECIMAL(38,0) — "
+    "price squares overflow bigint at SF>=0.1); doubles only in the final "
+    "identically-shaped closed form, per-pair fan-out on the single "
+    "aggregate row",
+)
+def x_correlation_matrix(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    cents = {
+        c: F.round(F.col(c) * 100).cast("bigint") for c in _CORR_COLS
+    }
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(cents[c].cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(F.sum((cents[c] * cents[c]).cast("decimal(38,0)")).alias(f"q_{c}"))
+    for a, b in _corr_pairs():
+        aggs.append(F.sum((cents[a] * cents[b]).cast("decimal(38,0)")).alias(f"x_{a}_{b}"))
+    srow = li.agg(*aggs)
+    stack_args = []
+    for a, b in _corr_pairs():
+        num = (F.col("n") * F.col(f"x_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+        da = F.sqrt((F.col("n") * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double"))
+        db = F.sqrt((F.col("n") * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double"))
+        stack_args.extend([F.lit(a), F.lit(b), num / (da * db)])
+    return srow.select(
+        F.stack(F.lit(len(_corr_pairs())), *stack_args).alias("col_a", "col_b", "corr")
+    )
+
+
+@query(
+    "x_ab_test",
+    sql="""
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM u GROUP BY variant
+    ), w AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN variant = 1 THEN conv END) AS conv_b
+      FROM s
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+    FROM w
+    """,
+    note="A/B conversion analysis (conversion = any high-value purchase, so rates are non-degenerate): deterministic variant hash (user_id "
+    "parity), per-user conversion flag (one user-keyed groupBy), then the "
+    "two-proportion pooled z-statistic from exact integer counts — doubles "
+    "enter only in the final identically-shaped rate/z expression",
+)
+def x_ab_test(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("converted")
+    ).select(F.pmod(F.col("user_id"), F.lit(2)).alias("variant"), "converted")
+    s = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (ra - rb) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return w.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        ra.alias("rate_a"), rb.alias("rate_b"), z.alias("z"),
+    )

@@ -536,3 +536,55 @@ class TestKmvSetOps:
         df = spark.createDataFrame(rows, "g string, v int")
         got = {(r.ga, r.gb) for r in kmv_set_similarity(df, "g", "v", k=8).collect()}
         assert got == {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+class TestCorrAndAb:
+    def test_correlation_exact_linear(self, spark):
+        # y = 2x exactly -> corr 1; z anti-correlated -> corr -1
+        from flnr_wins_spark.plans.common import all_queries  # noqa: F401
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(float(i), float(2 * i), float(100 - i)) for i in range(50)],
+            "x double, y double, z double",
+        )
+        cents = {c: F.round(F.col(c) * 100).cast("bigint") for c in ("x", "y", "z")}
+        n = F.count(F.lit(1)).cast("bigint")
+        aggs = [n.alias("n")]
+        for c in ("x", "y", "z"):
+            aggs.append(F.sum(cents[c].cast("decimal(38,0)")).alias(f"s_{c}"))
+            aggs.append(F.sum((cents[c] * cents[c]).cast("decimal(38,0)")).alias(f"q_{c}"))
+        aggs.append(F.sum((cents["x"] * cents["y"]).cast("decimal(38,0)")).alias("x_xy"))
+        aggs.append(F.sum((cents["x"] * cents["z"]).cast("decimal(38,0)")).alias("x_xz"))
+        row = df.agg(*aggs).collect()[0]
+
+        def corr(sx, sy, qx, qy, sxy, n):
+            import math
+            num = float(n * sxy - sx * sy)
+            return num / (math.sqrt(float(n * qx - sx * sx)) * math.sqrt(float(n * qy - sy * sy)))
+
+        assert abs(corr(row.s_x, row.s_y, row.q_x, row.q_y, row.x_xy, row.n) - 1.0) < 1e-12
+        assert abs(corr(row.s_x, row.s_z, row.q_x, row.q_z, row.x_xz, row.n) + 1.0) < 1e-12
+
+    def test_ab_test_z_sign(self, spark):
+        """Variant with the higher conversion rate drives the z sign."""
+        import datetime as dt
+        from flnr_wins_spark.plans.common import all_queries
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for uid in range(20):
+            # even users (variant 0) convert; odd don't
+            val = 200.0 if uid % 2 == 0 else 10.0
+            rows.append((eid, base, uid, "purchase", val, "{}"))
+            eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = all_queries()["x_ab_test"].fn(spark, d).collect()[0]
+        assert out.rate_a == 1.0 and out.rate_b == 0.0 and out.z > 0
