@@ -266,3 +266,124 @@ def test_png_roundtrip_random_images(w, h, data, gray):
     px = data[: w * h * ch]
     got = decode_image(encode_png(ch, w, h, px, filter_cycle=True))
     assert got == (ch, w, h, px)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 second wave: graph analytics, KMV, MaxMatch
+# ---------------------------------------------------------------------------
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=0, max_size=16
+)
+
+
+@given(edges=EDGES)
+@SLOW
+def test_triangle_counts_match_brute_force(spark, edges):
+    from itertools import combinations
+
+    from flnr_wins_spark.operators.graph import triangle_counts
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    want: dict[int, int] = {}
+    for x, y, z in combinations(sorted({v for e in simple for v in e}), 3):
+        if {(x, y), (y, z), (x, z)} <= simple:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a bigint, id_b bigint"
+    )
+    got = {r.id: r.triangles for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+@given(edges=EDGES, k=st.integers(1, 4))
+@SLOW
+def test_kcore_is_fixpoint(spark, edges, k):
+    """After enough rounds: every surviving vertex has core degree >= k, and
+    the survivors equal the classic sequential peel's result."""
+    from flnr_wins_spark.operators.graph import kcore
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    # sequential reference peel
+    es = set(simple)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {v for v, d in deg.items() if d < k}
+        if not drop:
+            break
+        es = {(a, b) for a, b in es if a not in drop and b not in drop}
+    want: dict[int, int] = {}
+    for a, b in es:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a bigint, id_b bigint"
+    )
+    got = {r.id: r.core_degree for r in kcore(df, k=k, rounds=10).collect()}
+    assert got == want
+    assert all(d >= k for d in got.values())
+
+
+@given(
+    values=st.lists(st.integers(0, 500), min_size=0, max_size=40),
+    cut=st.integers(0, 40),
+)
+@SLOW
+def test_kmv_sketch_is_mergeable(spark, values, cut):
+    """KMV mergeability: bottom-k of the union == bottom-k of (bottom-k(A) ∪
+    bottom-k(B)) for ANY split — the property the streaming sink relies on."""
+    from flnr_wins_spark.functions.sketches import kmv_distinct
+
+    k = 8
+    a = values[:cut]
+    b = values[cut:]
+
+    def sketch_hashes(vals):
+        import hashlib
+
+        hs = {
+            int(hashlib.md5(f"kmv:{v}".encode()).hexdigest()[:12], 16) for v in vals
+        }
+        return sorted(hs)[:k]
+
+    merged = sorted(set(sketch_hashes(a)) | set(sketch_hashes(b)))[:k]
+    assert merged == sketch_hashes(values)
+    if not values:
+        return
+    # and the Spark operator's n_kept/est agrees with the local construction
+    full = spark.createDataFrame([("g", v) for v in values], "g string, v int")
+    row = kmv_distinct(full, "g", "v", k=k).collect()[0]
+    hs = sketch_hashes(values)
+    assert row.n_kept == len(hs)
+    if len(hs) == k:
+        assert abs(row.est_distinct - (k - 1) * (16**12) / hs[-1]) < 1e-6
+    else:
+        assert row.est_distinct == float(len(hs))
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcz", min_size=1, max_size=10), min_size=1, max_size=8
+)
+
+
+@given(words=WORDS)
+@SLOW
+def test_maxmatch_tokens_reconcatenate(spark, words):
+    """Greedy MaxMatch invariants: per distinct word, the emitted tokens
+    (ordered by position) concatenate back to the (truncated) word, and
+    every token is in the vocabulary by construction."""
+    from flnr_wins_spark.functions.text import maxmatch_token_counts
+
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id bigint, text string"
+    )
+    out = maxmatch_token_counts(df, top_words=2, max_word_len=8, top_k=1000)
+    totals = {r.tok: r.total for r in out.collect()}
+    # total token-char mass == total truncated word-char mass over occurrences
+    want_chars = sum(len(w[:8]) for w in words)
+    got_chars = sum(len(tok) * n for tok, n in totals.items())
+    assert got_chars == want_chars
