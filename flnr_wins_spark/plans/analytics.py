@@ -999,3 +999,101 @@ def x_ab_test(spark, sf_dir):
         "n_a", "conv_a", "n_b", "conv_b",
         ra.alias("rate_a"), rb.alias("rate_b"), z.alias("z"),
     )
+
+
+@query(
+    "x_events_m4",
+    sql="""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS bucket, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), r AS (
+      SELECT bucket, vc,
+             row_number() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY bucket ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM c
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(vc) AS vmin, MAX(vc) AS vmax,
+           MAX(CASE WHEN rn_a = 1 THEN vc END) AS vfirst,
+           MAX(CASE WHEN rn_d = 1 THEN vc END) AS vlast
+    FROM r GROUP BY bucket
+    """,
+    note="M4 visual downsampling (Jugel et al., ICDE'14): per time bucket "
+    "keep exactly min/max/first/last — the 4 points that make a line chart "
+    "pixel-identical to the full series; one bucket-keyed window shuffle + "
+    "map-side-combined agg, centi-unit bigints end to end",
+)
+def x_events_m4(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    c = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    wa = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("bucket").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = c.select(
+        "bucket",
+        "vc",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("vc").alias("vmin"),
+        F.max("vc").alias("vmax"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("vc"))).alias("vfirst"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("vc"))).alias("vlast"),
+    )
+
+
+@query(
+    "x_impute_nulls",
+    sql="""
+    WITH holes AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS vc
+      FROM events
+    ), means AS (
+      SELECT event_type,
+             CAST(SUM(vc) AS BIGINT) // CAST(COUNT(vc) AS BIGINT) AS mean_c
+      FROM holes GROUP BY event_type
+    )
+    SELECT h.event_id,
+           coalesce(h.vc, m.mean_c) AS vc_imputed,
+           h.vc IS NULL AS was_imputed
+    FROM holes h JOIN means m USING (event_type)
+    """,
+    note="group-wise null imputation (feature-engineering staple): "
+    "per-group integer mean of the non-null values (floor division — fully "
+    "integer, engine-exact) fills the holes, imputation flag carried; one "
+    "group agg + one broadcast-sized join back, no row ever leaves the "
+    "executor. Holes injected deterministically (event_id % 11) since the "
+    "fixture has no natural nulls",
+)
+def x_impute_nulls(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    holes = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.round(F.col("value") * 100).cast("bigint")
+        ).alias("vc"),
+    )
+    means = holes.groupBy("event_type").agg(
+        F.expr("CAST(sum(vc) AS BIGINT) div CAST(count(vc) AS BIGINT)").alias("mean_c")
+    )
+    return (
+        holes.join(F.broadcast(means), "event_type")
+        .select(
+            "event_id",
+            F.coalesce(F.col("vc"), F.col("mean_c")).alias("vc_imputed"),
+            F.col("vc").isNull().alias("was_imputed"),
+        )
+    )

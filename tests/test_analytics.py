@@ -588,3 +588,51 @@ class TestCorrAndAb:
         df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
         out = all_queries()["x_ab_test"].fn(spark, d).collect()[0]
         assert out.rate_a == 1.0 and out.rate_b == 0.0 and out.z > 0
+
+
+class TestM4AndImpute:
+    def test_m4_picks_extremes_and_endpoints(self, spark):
+        import datetime as dt
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        base = dt.datetime(2024, 1, 1, 10)
+        vals = [50, 10, 99, 30]  # first=50, min=10, max=99, last=30
+        df = spark.createDataFrame(
+            [(i, base + dt.timedelta(minutes=i), float(v)) for i, v in enumerate(vals)],
+            "event_id long, ts timestamp, value double",
+        )
+        c = df.select(
+            F.date_trunc("hour", "ts").alias("bucket"), "ts", "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        )
+        wa = Window.partitionBy("bucket").orderBy("ts", "event_id")
+        wd = Window.partitionBy("bucket").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        r = c.select("bucket", "vc", F.row_number().over(wa).alias("rn_a"),
+                     F.row_number().over(wd).alias("rn_d"))
+        out = r.groupBy("bucket").agg(
+            F.min("vc").alias("vmin"), F.max("vc").alias("vmax"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("vc"))).alias("vfirst"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("vc"))).alias("vlast"),
+        ).collect()[0]
+        assert (out.vmin, out.vmax, out.vfirst, out.vlast) == (1000, 9900, 5000, 3000)
+
+    def test_impute_fills_group_mean(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "a", None), (4, "b", 7), (5, "b", None)],
+            "event_id long, event_type string, vc long",
+        )
+        means = df.groupBy("event_type").agg(
+            F.expr("CAST(sum(vc) AS BIGINT) div CAST(count(vc) AS BIGINT)").alias("mean_c")
+        )
+        out = {
+            r.event_id: (r.vc_imputed, r.was_imputed)
+            for r in df.join(F.broadcast(means), "event_type")
+            .select("event_id", F.coalesce("vc", "mean_c").alias("vc_imputed"),
+                    F.col("vc").isNull().alias("was_imputed"))
+            .collect()
+        }
+        assert out[3] == (15, True) and out[5] == (7, True)
+        assert out[1] == (10, False)
