@@ -206,3 +206,40 @@ def scd2_apply(
         )
     )
     return closed.unionByName(kept_current).unionByName(opens.select(*history.columns))
+
+
+def incremental_join(
+    old_a: DataFrame,
+    delta_a: DataFrame,
+    old_b: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+    prev: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental maintenance of an INNER equi-join under insert-only
+    deltas — the join delta rule of materialized-view maintenance:
+
+        new_join = prev ∪ (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    ``prev`` is the previously-materialized join of (A_old, B_old); pass
+    ``None`` to have it computed here (first build). The identity
+    ``incremental == full rebuild of (A_old∪ΔA) ⋈ (B_old∪ΔB)`` holds
+    exactly for inner equi-joins with insert-only deltas, which is what the
+    registry oracle proves value-for-value. Deletes/updates need signed
+    rows (see :func:`incremental_agg`) and a keyed prev — out of scope of
+    this operator by design.
+
+    Scale shape: the three delta terms each join a DELTA side against a
+    base or another delta — deltas are typically table-fraction-sized, so
+    Spark broadcasts them (AQE decides; the base sides are never
+    re-shuffled when prev is materialized). Refresh cost follows the
+    changes, not the accumulated base — the IVM selling point.
+    """
+    keys = list(on)
+    if prev is None:
+        prev = old_a.join(old_b, keys)
+    return (
+        prev.unionByName(delta_a.join(old_b, keys))
+        .unionByName(old_a.join(delta_b, keys))
+        .unionByName(delta_a.join(delta_b, keys))
+    )

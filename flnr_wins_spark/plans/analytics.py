@@ -1097,3 +1097,35 @@ def x_impute_nulls(spark, sf_dir):
             F.col("vc").isNull().alias("was_imputed"),
         )
     )
+
+
+@query(
+    "x_incremental_join",
+    sql="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_custkey,
+           CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_c
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+    note="incremental join maintenance (IVM delta rule): base/delta split "
+    "by deterministic hash on each side, new join = prev ∪ ΔA⋈B ∪ A⋈ΔB ∪ "
+    "ΔA⋈ΔB — the oracle is the FULL REBUILD join, so the driver "
+    "hash-proves the incremental composition identity value-for-value; "
+    "delta terms broadcast (refresh cost follows the change set) "
+    "(operators/merge.py incremental_join)",
+)
+def x_incremental_join(spark, sf_dir):
+    from flnr_wins_spark.operators.merge import incremental_join
+
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+    )
+    old_a = od.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) != 0)
+    delta_a = od.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) == 0)
+    old_b = li.filter(F.pmod(F.col("l_linenumber"), F.lit(4)) != 0)
+    delta_b = li.filter(F.pmod(F.col("l_linenumber"), F.lit(4)) == 0)
+    return incremental_join(old_a, delta_a, old_b, delta_b, ["o_orderkey"]).select(
+        "o_orderkey", "l_linenumber", "o_custkey", "qty_c"
+    )

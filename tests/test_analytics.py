@@ -636,3 +636,32 @@ class TestM4AndImpute:
         }
         assert out[3] == (15, True) and out[5] == (7, True)
         assert out[1] == (10, False)
+
+
+class TestIncrementalJoin:
+    def test_equals_full_rebuild(self, spark):
+        from flnr_wins_spark.operators.merge import incremental_join
+
+        a = spark.createDataFrame([(k, f"a{k}") for k in range(20)], "k long, av string")
+        b = spark.createDataFrame(
+            [(k % 10, f"b{i}") for i, k in enumerate(range(30))], "k long, bv string"
+        )
+        from pyspark.sql import functions as F
+
+        oa, da = a.filter(F.col("k") % 3 != 0), a.filter(F.col("k") % 3 == 0)
+        ob, db = b.filter(F.col("k") % 2 != 0), b.filter(F.col("k") % 2 == 0)
+        inc = sorted(map(tuple, incremental_join(oa, da, ob, db, ["k"]).collect()))
+        full = sorted(map(tuple, a.join(b, "k").collect()))
+        assert inc == full
+
+    def test_prev_reuse_not_recomputed(self, spark):
+        from flnr_wins_spark.operators.merge import incremental_join
+
+        a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, av string")
+        b = spark.createDataFrame([(1, "p"), (2, "q")], "k long, bv string")
+        empty_a = a.limit(0)
+        empty_b = b.limit(0)
+        prev = a.join(b, ["k"])
+        # with empty deltas the result IS prev
+        out = sorted(map(tuple, incremental_join(a, empty_a, b, empty_b, ["k"], prev=prev).collect()))
+        assert out == sorted(map(tuple, prev.collect()))
