@@ -171,3 +171,40 @@ def sorted_neighborhood(
     if max_dist is not None:
         out = out.filter(F.col("dist") <= max_dist)
     return out
+
+
+def golden_records(
+    entities: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    attr_cols: list[str],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Golden-record consolidation (the MDM step after linkage): cluster the
+    match pairs with connected components, include unmatched entities as
+    singleton clusters, and take every cluster's canonical attributes from
+    its lowest-id member — the same survivor policy as
+    ``operators.graph.dedup_clusters``, applied to full records instead of
+    ids. Returns ``(cluster_id, n_members, *attr_cols-of-the-survivor)``.
+
+    Scale shape: CC is the iterative piece (diameter-bounded rounds on the
+    PAIR graph, which is match-sized, not corpus-sized); the consolidation
+    itself is one left join from entities to labels + one groupBy + one
+    join back to the survivor's attributes — all keyed on ids.
+    """
+    from flnr_wins_spark.operators.graph import connected_components
+
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    labeled = (
+        entities.select(F.col(id_col).alias("id"))
+        .join(cc, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    survivors = entities.select(
+        F.col(id_col).alias("cluster_id"), *[F.col(c) for c in attr_cols]
+    )
+    return sizes.join(survivors, "cluster_id")

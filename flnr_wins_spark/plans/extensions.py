@@ -3657,3 +3657,73 @@ def x_multimodal_qoi_decode(spark, sf_dir):
         f[6].cast("int").alias("min_byte"),
         f[7].cast("int").alias("max_byte"),
     )
+
+
+@query(
+    "x_golden_record",
+    sql=f"""
+    WITH RECURSIVE titles AS ({_TITLES_SQL}),
+    variants AS ({_DIRTY_TITLES_SQL}),
+    ents AS (
+      SELECT t_id AS id, title AS name FROM titles
+      UNION ALL
+      SELECT v_id AS id, v_name AS name FROM variants
+    ),
+    pairs AS (
+      SELECT t_id AS id_a, v_id AS id_b
+      FROM titles JOIN variants
+        ON lower(substr(title, 1, 2)) = lower(substr(v_name, 1, 2))
+       AND abs(len(title) - len(v_name)) <= 2
+      WHERE levenshtein(title, v_name) <= 2
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    full_lab AS (
+      SELECT e.id, coalesce(l.cluster_id, e.id) AS cluster_id
+      FROM ents e LEFT JOIN lab l ON e.id = l.id
+    )
+    SELECT f.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           g.name AS golden_name
+    FROM full_lab f JOIN ents g ON g.id = f.cluster_id
+    GROUP BY 1, 3
+    """,
+    note="golden-record consolidation (MDM): fuzzy-join match pairs -> "
+    "connected components -> singleton-inclusive labeling -> canonical "
+    "attributes from each cluster's lowest-id member; CC rounds run on the "
+    "match-pair graph (match-sized, not corpus-sized), consolidation is "
+    "two keyed joins + one groupBy (operators/linkage.py golden_records)",
+)
+def x_golden_record(spark, sf_dir):
+    from flnr_wins_spark.operators.linkage import fuzzy_join, golden_records
+
+    docs = t(spark, sf_dir, "documents")
+    titles = docs.select(
+        F.col("doc_id").alias("t_id"),
+        F.expr("substr(text, 1, 20 + doc_id % 10)").alias("title"),
+    )
+    variants = titles.filter(F.col("t_id") % 3 == 0).select(
+        (F.col("t_id") + 1000000).alias("v_id"),
+        F.when(
+            F.col("t_id") % 7 == 0,
+            F.concat(
+                F.substring("title", 1, 4), F.expr("substr(title, 6)"), F.lit("x")
+            ),
+        )
+        .otherwise(F.concat(F.substring("title", 1, 4), F.expr("substr(title, 6)")))
+        .alias("v_name"),
+    )
+    pairs = fuzzy_join(titles, variants, "title", "v_name", max_dist=2).select(
+        F.col("t_id").alias("id_a"), F.col("v_id").alias("id_b")
+    )
+    ents = titles.select(F.col("t_id").alias("id"), F.col("title").alias("name")).unionByName(
+        variants.select(F.col("v_id").alias("id"), F.col("v_name").alias("name"))
+    )
+    return golden_records(ents, pairs, "id", ["name"]).select(
+        "cluster_id", "n_members", F.col("name").alias("golden_name")
+    )

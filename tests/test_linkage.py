@@ -183,3 +183,21 @@ class TestTfidfKeywords:
         # equal scores break ties on the term string ascending
         assert out[(1, 1)] == "aa" and out[(1, 2)] == "zz"
         assert out[(2, 1)] == "qq" and out[(2, 2)] == "ww"
+
+
+class TestGoldenRecords:
+    def test_consolidation_with_singletons(self, spark):
+        from flnr_wins_spark.operators.linkage import golden_records
+
+        ents = spark.createDataFrame(
+            [(1, "acme corp"), (2, "acme corp."), (3, "acme inc"), (9, "zebra llc")],
+            "id bigint, name string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+        )
+        out = {r.cluster_id: r for r in golden_records(ents, pairs, "id", ["name"]).collect()}
+        # 1-2-3 merge under survivor id 1; 9 is a singleton cluster
+        assert out[1].n_members == 3 and out[1].name == "acme corp"
+        assert out[9].n_members == 1 and out[9].name == "zebra llc"
+        assert set(out) == {1, 9}
