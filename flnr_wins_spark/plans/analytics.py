@@ -1129,3 +1129,52 @@ def x_incremental_join(spark, sf_dir):
     return incremental_join(old_a, delta_a, old_b, delta_b, ["o_orderkey"]).select(
         "o_orderkey", "l_linenumber", "o_custkey", "qty_c"
     )
+
+
+@query(
+    "x_trajectory_similarity",
+    sql="""
+    WITH seqs AS (
+      SELECT user_id,
+             substr(string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+                    1, 50) AS seq
+      FROM events GROUP BY user_id
+    ), q AS (SELECT seq AS qseq FROM seqs WHERE user_id = 0)
+    SELECT user_id, CAST(levenshtein(seq, qseq) AS BIGINT) AS dist
+    FROM seqs, q
+    WHERE user_id <> 0
+    ORDER BY dist, user_id
+    LIMIT 10
+    """,
+    note="trajectory similarity search (PAPERS.md REPOSE/top-k family, "
+    "reduced to event-type strings): per-user ordered behavioral sequence "
+    "(one user-keyed agg, sequences capped at 50 symbols), broadcast query "
+    "sequence, JVM levenshtein (integer DP, engine-exact), TakeOrdered "
+    "top-10 — query cost is one linear scan of the sequence table, and a "
+    "length-band prefilter (fuzzy_join's gate) bounds it further when a "
+    "distance cutoff is known",
+)
+def x_trajectory_similarity(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.substring(
+            F.expr(
+                "concat_ws('', transform(array_sort("
+                "collect_list(struct(ts, event_id, substring(event_type, 1, 1) AS c))"
+                "), s -> s.c))"
+            ),
+            1,
+            50,
+        ).alias("seq")
+    )
+    q = seqs.filter(F.col("user_id") == 0).select(F.col("seq").alias("qseq"))
+    return (
+        seqs.filter(F.col("user_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "user_id",
+            F.levenshtein(F.col("seq"), F.col("qseq")).cast("bigint").alias("dist"),
+        )
+        .orderBy("dist", "user_id")
+        .limit(10)
+    )

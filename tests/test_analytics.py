@@ -665,3 +665,27 @@ class TestIncrementalJoin:
         # with empty deltas the result IS prev
         out = sorted(map(tuple, incremental_join(a, empty_a, b, empty_b, ["k"], prev=prev).collect()))
         assert out == sorted(map(tuple, prev.collect()))
+
+
+def test_trajectory_similarity_orders_by_edit_distance(spark):
+    import datetime as dt
+    from flnr_wins_spark.plans.common import all_queries
+    import os, tempfile
+
+    base = dt.datetime(2024, 1, 1)
+    # user 0: s,c,p ; user 1: s,c,p (dist 0) ; user 2: s,c (dist 1) ;
+    # user 3: v,v,v (dist 3)
+    rows, eid = [], 0
+    for uid, types in [(0, "scp"), (1, "scp"), (2, "sc"), (3, "vvv")]:
+        for i, ch in enumerate(types):
+            full = {"s": "signup", "c": "click", "p": "purchase", "v": "view"}[ch]
+            rows.append((eid, base + dt.timedelta(minutes=i), uid, full, 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = all_queries()["x_trajectory_similarity"].fn(spark, d).collect()
+    assert [(r.user_id, r.dist) for r in out] == [(1, 0), (2, 1), (3, 3)]
