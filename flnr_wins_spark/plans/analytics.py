@@ -1178,3 +1178,70 @@ def x_trajectory_similarity(spark, sf_dir):
         .orderBy("dist", "user_id")
         .limit(10)
     )
+
+
+@query(
+    "x_time_to_convert",
+    sql="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id,
+             CAST(date_diff('second', s1.t, MIN(e.ts)) AS BIGINT) AS secs
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id, s1.t
+    ), r AS (
+      SELECT secs, row_number() OVER (ORDER BY secs, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN rn = (50 * n + 99) // 100 THEN secs END) AS BIGINT)
+             AS median_s,
+           CAST(MIN(CASE WHEN rn = (90 * n + 99) // 100 THEN secs END) AS BIGINT)
+             AS p90_s
+    FROM r
+    """,
+    note="conversion-latency distribution: earliest signup -> earliest "
+    "subsequent purchase per user (funnel frontier), then EXACT rank-based "
+    "median/p90 in integer seconds (value at rank ceil(p*N/100), the "
+    "winsorize rule — no interpolation ambiguity, engine-bit-exact); the "
+    "rank comes from the range-sharded global_row_number, NOT a "
+    "single-partition window",
+)
+def x_time_to_convert(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t"))
+        .groupBy("user_id", "t")
+        .agg(F.min("ts").alias("pt"))
+        .select(
+            "user_id",
+            (
+                F.unix_micros(F.col("pt").cast("timestamp_ltz")) / 1_000_000
+                - F.unix_micros(F.col("t").cast("timestamp_ltz")) / 1_000_000
+            ).cast("bigint").alias("secs"),
+        )
+    )
+    from flnr_wins_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(conv, ["secs", "user_id"])
+    nrow = conv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = ranked.crossJoin(F.broadcast(nrow)).select("secs", "rn", "n")
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(50 * n + 99) div 100"), F.col("secs")).cast("bigint")
+        ).alias("median_s"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(90 * n + 99) div 100"), F.col("secs")).cast("bigint")
+        ).alias("p90_s"),
+    )
