@@ -3727,3 +3727,86 @@ def x_golden_record(spark, sf_dir):
     return golden_records(ents, pairs, "id", ["name"]).select(
         "cluster_id", "n_members", F.col("name").alias("golden_name")
     )
+
+
+@query(
+    "x_binaryfile_ingest",
+    sql="""
+    WITH b AS (
+      SELECT doc_id, p,
+             CAST('0x' || substr(
+                    md5(CAST(doc_id AS VARCHAR) || ':qoi'
+                        || CAST(((p // 3 - (p // 3) % 2) * 3 + p % 3) // 16 AS VARCHAR)),
+                    2 * (((p // 3 - (p // 3) % 2) * 3 + p % 3) % 16) + 1, 2) AS INT)
+               AS byte
+      FROM documents, range(192) t(p)
+      WHERE doc_id < 50
+    )
+    SELECT doc_id AS media_id,
+           CAST(SUM(CASE WHEN p % 3 = 0 THEN byte ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN p % 3 = 1 THEN byte ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN p % 3 = 2 THEN byte ELSE 0 END) AS BIGINT) AS sum_b
+    FROM b GROUP BY doc_id
+    """,
+    note="media-dataset export/ingest round-trip: QOI-encoded images write "
+    "as ONE FILE PER ROW from the executors (write_binary_files — no "
+    "driver funnel), read back through Spark's built-in binaryFile source "
+    "(path/length/content rows), ids recovered from filenames, REAL QOI "
+    "decode; oracle recomputes expected pixel sums from the construction",
+)
+def x_binaryfile_ingest(spark, sf_dir):
+    import tempfile
+
+    from flnr_wins_spark.functions.multimodal import extract_features, wrap_qoi
+    from flnr_wins_spark.sources.formats import write_binary_files
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    h = F.concat(
+        *[
+            F.unhex(
+                F.md5(
+                    F.encode(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f":qoi{j}")),
+                        "UTF-8",
+                    )
+                )
+            )
+            for j in range(12)
+        ]
+    )
+    pix = F.concat(*[F.substring(h, (i - i % 2) * 3 + 1, 3) for i in range(64)])
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        pix.alias("content"),
+        F.struct(
+            F.lit("image/qoi").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(192).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    base = tempfile.mkdtemp(prefix="binfiles_")
+    encoded = wrap_qoi(media, 8, 8).select(
+        F.concat(F.col("media_id").cast("string"), F.lit(".qoi")).alias("name"),
+        "content",
+    )
+    write_binary_files(encoded, base)
+    back = spark.read.format("binaryFile").load(base)
+    media2 = back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.qoi$", 1).cast("bigint").alias("media_id"),
+        F.col("content"),
+        F.struct(
+            F.lit("image/qoi").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media2, fake=False)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f[3].cast("bigint").alias("sum_r"),
+        f[4].cast("bigint").alias("sum_g"),
+        f[5].cast("bigint").alias("sum_b"),
+    )

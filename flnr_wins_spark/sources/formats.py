@@ -68,3 +68,25 @@ def write_any(
     for k, v in (options or {}).items():
         w = w.option(k, v)
     w.save(path)
+
+
+def write_binary_files(
+    df, path: str, name_col: str = "name", content_col: str = "content"
+) -> None:
+    """Executor-parallel binary-file sink: one file per row (media dataset
+    export — the write half of Spark's built-in ``binaryFile`` source).
+    Rows write from ``foreachPartition`` on the executors, so no content
+    ever funnels through the driver; ``path`` must therefore be a
+    filesystem every executor can reach (local dir in local mode, NFS or a
+    fuse-mounted object store on a cluster — plain ``open()`` here, the
+    Python workers have no JVM gateway for the Hadoop FS API)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(rows):
+        for r in rows:
+            with open(os.path.join(path, r[name_col]), "wb") as fh:
+                fh.write(bytes(r[content_col]))
+
+    df.select(name_col, content_col).foreachPartition(write_part)

@@ -45,3 +45,17 @@ def test_partitioned_write(spark, sample, tmp_path):
     assert sorted(d for d in os.listdir(path) if d.startswith("k="))
     got = read_any(spark, path, fmt="parquet")
     assert got.count() == 3
+
+
+def test_write_binary_files_round_trip(spark, tmp_path):
+    from flnr_wins_spark.sources.formats import write_binary_files
+
+    df = spark.createDataFrame(
+        [(f"f{i}.bin", bytearray(bytes([i] * (i + 1)))) for i in range(5)],
+        "name string, content binary",
+    )
+    out = str(tmp_path / "bin")
+    write_binary_files(df, out)
+    back = spark.read.format("binaryFile").load(out)
+    got = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in back.collect()}
+    assert got == {f"f{i}.bin": bytes([i] * (i + 1)) for i in range(5)}
