@@ -67,8 +67,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "notes": "min-of-2 runs per query (steady-state plan). r4: 24 "
-                "headliners (r3's 22 + x_fuzzy_join, x_bigram_lm_quality). "
+                "notes": "min-of-2 runs per query (steady-state plan). r4: 26 "
+                "headliners (r3's 22 + x_fuzzy_join, x_bigram_lm_quality, "
+                "x_triangle_count, x_tokenize_maxmatch). "
                 "Cross-round caveat: the r4 host runs ~1.5x slower than r3's "
                 "(unchanged plans q1/q18/q21 all scaled 1.26->1.96 / "
                 "1.33->2.06 / 1.28->2.09 uniformly; idle load avg ~2 after a "

@@ -389,6 +389,7 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
     "endpoint so fan-out is O(sqrt(m)) even on power-law graphs; the "
     "triangle SET is orientation-independent, so the oracle's naive "
     "lo<mid<hi 3-way join lands on identical counts",
+    bench=True,
 )
 def x_triangle_count(spark, sf_dir):
     from flnr_wins_spark.operators.graph import triangle_counts

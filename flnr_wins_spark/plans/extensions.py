@@ -3577,6 +3577,7 @@ def _maxmatch_oracle_sql(
     "round explodes <=8 candidate prefix lengths against a broadcast "
     "vocab and keeps MAX(len); per-corpus counts return via one join to "
     "the word-count table. Oracle = 16 fixed-unroll greedy rounds",
+    bench=True,
 )
 def x_tokenize_maxmatch(spark, sf_dir):
     from flnr_wins_spark.functions.text import maxmatch_token_counts
