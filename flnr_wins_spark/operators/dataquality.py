@@ -39,7 +39,12 @@ class Check:
 
 
 def _ratio(num: Column, den: Column) -> Column:
-    return num.cast("bigint").cast("double") / den.cast("bigint").cast("double")
+    # try_divide: an EMPTY table (or an all-null column) yields NULL metrics
+    # instead of an ANSI DIVIDE_BY_ZERO error — checks on empty inputs read
+    # as "no evidence", and NULL >= threshold is false, so they fail closed
+    return F.try_divide(
+        num.cast("bigint").cast("double"), den.cast("bigint").cast("double")
+    )
 
 
 def completeness(col: str, threshold: float = 1.0) -> Check:
@@ -149,7 +154,9 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.col(f"_nd{i}"),
                 F.col(f"_mn{i}"),
                 F.col(f"_mx{i}"),
-                F.col(f"_sl{i}").cast("double") / F.col(f"_nn{i}").cast("double"),
+                F.try_divide(
+                    F.col(f"_sl{i}").cast("double"), F.col(f"_nn{i}").cast("double")
+                ),
             ]
         )
     return agg_row.select(

@@ -115,3 +115,18 @@ def test_k_anonymity_report(spark):
     assert not out["z1"].violates_k and not out["z1"].violates_l
     assert out["z2"].violates_k and out["z2"].violates_l
     assert out["z3"].class_size == 3 and out["z3"].violates_l and not out["z3"].violates_k
+
+
+def test_empty_input_fails_closed(spark):
+    from flnr_wins_spark.operators.dataquality import (
+        check_expectations,
+        completeness,
+        profile_columns,
+    )
+
+    df = spark.createDataFrame([], "k int, s string")
+    out = check_expectations(df, [completeness("k")]).collect()[0]
+    # no evidence -> NULL metric -> passed is NULL-falsy, never True
+    assert out.metric is None and not out.passed
+    prof = {r.col_name: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert prof["k"].n == 0 and prof["k"].avg_len is None
