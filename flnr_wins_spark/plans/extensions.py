@@ -3811,3 +3811,48 @@ def x_binaryfile_ingest(spark, sf_dir):
         f[4].cast("bigint").alias("sum_g"),
         f[5].cast("bigint").alias("sum_b"),
     )
+
+
+@query(
+    "x_quality_filter_pipeline",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+    total AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT id, CAST(SUM(CAST(ln(CAST(total.total AS DOUBLE) / CAST(vocab.tf AS DOUBLE))
+                               AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS avg_nll
+      FROM toks JOIN vocab USING (term) CROSS JOIN total
+      GROUP BY id
+    ),
+    r AS (
+      SELECT id, avg_nll,
+             row_number() OVER (ORDER BY avg_nll, id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored
+    )
+    SELECT id AS doc_id, avg_nll,
+           CAST(((rn - 1) * 10) // n + 1 AS INT) AS decile
+    FROM r
+    WHERE ((rn - 1) * 10) // n + 1 <= 9
+    """,
+    note="corpus-curation composition (the KenLM-style perplexity filter as "
+    "a PIPELINE of registry operators): unigram-LM score -> equi-depth "
+    "decile over (avg_nll, id) via the distributed global rank -> drop the "
+    "worst decile; decile boundaries are pure integer arithmetic on the "
+    "range-sharded rank, so the kept set is engine-exact",
+)
+def x_quality_filter_pipeline(spark, sf_dir):
+    from flnr_wins_spark.functions.text import unigram_quality
+    from flnr_wins_spark.operators.ranking import equidepth_bins
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = unigram_quality(docs).select("id", "avg_nll")
+    binned = equidepth_bins(scored, "avg_nll", "id", k=10)
+    return binned.filter(F.col("bucket") <= 9).select(
+        F.col("id").alias("doc_id"), "avg_nll", F.col("bucket").alias("decile")
+    )
