@@ -946,3 +946,68 @@ def feature_hash_embed(
             ).alias("emb")
         )
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    k: int = 5,
+    lam: float = 0.75,
+    id_col: str = "cand_id",
+    vec_col: str = "v",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity pass a RAG retriever runs AFTER top-k:
+    greedily select k items maximizing
+
+        mmr(i) = lam * rel(i) - (1 - lam) * max_{s in selected} cos(i, s)
+
+    ``cands`` is the candidate POOL (id, vector, relevance) — pool-sized by
+    construction (a prior ANN/exact top-N), so each of the k rounds is a
+    pool-local scan: the selected set broadcasts (<= k rows), cosines reuse
+    the module's index-ordered fold (engine-exact doubles => deterministic
+    argmax with id tiebreak, same contract as brute_force_topk). Pass
+    ``lam`` with an exactly-representable complement (default 0.75/0.25)
+    so both engines compute the identical score expression.
+
+    Returns ``(sel_rank, id, mmr_score)``, sel_rank 1..k.
+    """
+    pool = cands.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(rel_col).cast("double").alias("rel"),
+    ).localCheckpoint()
+    one_minus = 1.0 - lam
+    picked = None
+    remaining = pool
+    for r in range(1, k + 1):
+        if picked is None:
+            scored = remaining.select("id", "v", "rel", F.col("rel").alias("mmr"))
+        else:
+            sel = picked.select(F.col("id").alias("_sid"), F.col("v").alias("_sv"))
+            msim = (
+                remaining.crossJoin(F.broadcast(sel))
+                .groupBy("id")
+                .agg(F.max(cosine(F.col("v"), F.col("_sv"))).alias("_msim"))
+            )
+            scored = remaining.join(msim, "id").select(
+                "id",
+                "v",
+                "rel",
+                (F.lit(lam) * F.col("rel") - F.lit(one_minus) * F.col("_msim")).alias("mmr"),
+            )
+        pick = (
+            scored.orderBy(F.col("mmr").desc(), "id")
+            .limit(1)
+            .withColumn("sel_rank", F.lit(r))
+            .localCheckpoint()
+        )
+        if pick.isEmpty():
+            break
+        picked = pick if picked is None else picked.unionByName(pick)
+        remaining = remaining.join(pick.select("id"), "id", "left_anti").localCheckpoint()
+    return picked.select(
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        "id",
+        F.col("mmr").alias("mmr_score"),
+    )

@@ -3856,3 +3856,78 @@ def x_quality_filter_pipeline(spark, sf_dir):
     return binned.filter(F.col("bucket") <= 9).select(
         F.col("id").alias("doc_id"), "avg_nll", F.col("bucket").alias("decile")
     )
+
+
+def _mmr_oracle_sql(k: int = 5, pool: int = 20) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"""cand AS MATERIALIZED (
+          SELECT id, v, rel FROM (
+            SELECT c.vec_id AS id, c.v, {cos('c.v', 'q.qv')} AS rel,
+                   row_number() OVER (ORDER BY {cos('c.v', 'q.qv')} DESC, c.vec_id) AS rn
+            FROM e c, q WHERE c.vec_id <> 0) t
+          WHERE rn <= {pool})""",
+        """p1 AS MATERIALIZED (
+          SELECT id, v, rel AS mmr, 1 AS sel_rank FROM (
+            SELECT *, row_number() OVER (ORDER BY rel DESC, id) AS rn FROM cand) t
+          WHERE rn = 1)""",
+        "all1 AS (SELECT * FROM p1)",
+    ]
+    for r in range(2, k + 1):
+        p = r - 1
+        parts.append(
+            f"rem{r} AS (SELECT * FROM cand WHERE id NOT IN (SELECT id FROM all{p}))"
+        )
+        parts.append(
+            f"m{r} AS (SELECT c.id, MAX({cos('c.v', 's.v')}) AS msim "
+            f"FROM rem{r} c, all{p} s GROUP BY c.id)"
+        )
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+              SELECT id, v, mmr, {r} AS sel_rank FROM (
+                SELECT c.id, c.v, 0.75 * c.rel - 0.25 * m.msim AS mmr,
+                       row_number() OVER (
+                         ORDER BY 0.75 * c.rel - 0.25 * m.msim DESC, c.id) AS rn
+                FROM rem{r} c JOIN m{r} m USING (id)) t
+              WHERE rn = 1)"""
+        )
+        parts.append(
+            f"all{r} AS (SELECT * FROM all{p} UNION ALL "
+            f"SELECT id, v, mmr, sel_rank FROM p{r})"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT CAST(sel_rank AS INT) AS sel_rank, id, mmr AS mmr_score FROM all{k}"
+    )
+
+
+@query(
+    "x_mmr_rerank",
+    sql=_mmr_oracle_sql(),
+    note="Maximal Marginal Relevance diversity re-rank (Carbonell-Goldstein "
+    "SIGIR'98), the post-top-k RAG step: greedy k rounds of lam*rel - "
+    "(1-lam)*max-sim-to-selected over a top-20 pool; selected set "
+    "broadcasts each round, cosines are the module's index-ordered fold so "
+    "both engines' argmax agrees bit-for-bit (lam=0.75 keeps 1-lam "
+    "exactly representable); oracle = k unrolled selection rounds",
+)
+def x_mmr_rerank(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import brute_force_topk, mmr_rerank
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    pool = brute_force_topk(q, emb, k=20).select(
+        F.col("cand_id").alias("id"), F.col("cosine").alias("rel")
+    )
+    with_v = pool.join(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")), "id"
+    )
+    return mmr_rerank(with_v, k=5, lam=0.75, id_col="id", vec_col="v", rel_col="rel")

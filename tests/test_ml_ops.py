@@ -233,3 +233,33 @@ def test_animated_gif_roundtrip_and_partial_frame_guard():
     bad[pos + 1] = 1
     with pytest.raises(NotImplementedError):
         decode_gif_frames(bytes(bad))
+
+
+class TestMmrRerank:
+    def test_diversity_beats_pure_relevance(self, spark):
+        """Two near-identical high-relevance vectors: MMR must pick only one
+        of them before moving to a diverse lower-relevance item."""
+        from flnr_wins_spark.functions.vectors import mmr_rerank
+
+        cands = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], 0.99),
+                (2, [0.999, 0.01], 0.98),   # near-dup of 1
+                (3, [0.0, 1.0], 0.50),      # orthogonal, diverse
+            ],
+            "id bigint, v array<double>, rel double",
+        )
+        out = {r.sel_rank: r.id for r in mmr_rerank(cands, k=2, lam=0.6, id_col="id").collect()}
+        assert out[1] == 1      # highest relevance first
+        assert out[2] == 3      # diversity wins over the near-dup
+
+    def test_k_larger_than_pool(self, spark):
+        from flnr_wins_spark.functions.vectors import mmr_rerank
+
+        cands = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0.9), (2, [0.0, 1.0], 0.8)],
+            "id bigint, v array<double>, rel double",
+        )
+        out = mmr_rerank(cands, k=5, id_col="id").collect()
+        assert sorted(r.id for r in out) == [1, 2]
+        assert sorted(r.sel_rank for r in out) == [1, 2]
