@@ -1,12 +1,14 @@
-"""Product-analytics + sketch + robust-statistics registry entries.
+"""Product-analytics, sketch, graph-analytics, privacy, and
+robust-statistics registry entries.
 
-The reference has no event-sequence, sketch, or distributional surface at
-all (SURVEY.md §2c — /root/reference/src/wins_transform_staging.py is batch
-attribute QA only); these are engine extensions. Every entry here is
-deterministic by construction (md5 content addressing, integer rank
-arithmetic), so each has an exact DuckDB oracle twin — including the
-Count-Min sketch and the Bloom prefilter, whose bucket functions are
-md5-hex prefixes reproducible in any engine.
+The reference has no event-sequence, sketch, graph, or distributional
+surface at all (SURVEY.md §2c — /root/reference/src/wins_transform_staging.py
+is batch attribute QA only); these are engine extensions. Every entry here
+is deterministic by construction (md5 content addressing, integer rank/
+sufficient-statistic arithmetic, decimal-routed doubles), so each has an
+exact DuckDB oracle twin — including the sketches (Count-Min, Bloom, KMV),
+the unrolled-round graph operators (k-core), and the closed-form statistics
+(OLS, Pearson, two-proportion z).
 """
 
 from __future__ import annotations
