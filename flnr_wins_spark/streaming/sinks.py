@@ -238,3 +238,66 @@ def read_kmv_estimates(spark, state_path: str, k: int = 64) -> DataFrame:
         F.col("hk").isNotNull(), F.lit(scale) / F.col("hk").cast("double")
     ).otherwise(F.col("n_kept").cast("double"))
     return agg.select("g", "n_kept", est.alias("est_distinct"))
+
+
+def exact_dedup_sink(
+    stream: DataFrame,
+    state_path: str,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Ingestion-time exact-dedup gate: each micro-batch drops rows whose
+    content digest (md5 of the text) was already seen — in the persisted
+    seen-set OR earlier in the same batch (lower id wins, matching
+    ``operators.dedup.exact_dedup``'s survivor policy). Survivors append to
+    ``kept/v<batch>``; the seen-set state is versioned exactly like
+    :func:`incremental_agg_sink` (batch N reads v<N, writes vN — replays
+    idempotent, readers race-free).
+
+    The batch-twin test pins: streaming the corpus in arrival order ==
+    one-shot batch exact dedup. Per-batch cost follows the batch: one
+    digest groupBy within the batch + one anti-join against the (digest,
+    ) seen-set — the corpus text itself is never rescanned or stored in
+    state, only 16-byte digests.
+    """
+    from pyspark.sql import Window
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        d = batch_df.withColumn(
+            "_digest", F.md5(F.encode(F.col(text_col).cast("string"), "UTF-8"))
+        )
+        w = Window.partitionBy("_digest").orderBy(F.col(id_col))
+        in_batch_first = d.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+        prior = [v for v in _state_versions(spark, state_path) if v < batch_id]
+        if prior:
+            seen = spark.read.parquet(f"{state_path}/v{prior[-1]}")
+            kept = in_batch_first.join(seen, "_digest", "left_anti")
+            new_seen = seen.unionByName(kept.select("_digest")).distinct()
+        else:
+            kept = in_batch_first
+            new_seen = kept.select("_digest").distinct()
+        kept.drop("_digest").write.mode("overwrite").parquet(
+            f"{state_path.rstrip('/')}_kept/v{batch_id}"
+        )
+        new_seen.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+        for v in _state_versions(spark, state_path)[:-3]:
+            if v != batch_id:
+                _state_delete(spark, f"{state_path}/v{v}")
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_dedup_kept(spark, state_path: str) -> DataFrame:
+    """Union every kept/v* batch output written by :func:`exact_dedup_sink`."""
+    base = f"{state_path.rstrip('/')}_kept"
+    return spark.read.parquet(f"{base}/v*")

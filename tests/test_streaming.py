@@ -399,3 +399,39 @@ def test_kmv_sketch_sink_equals_batch_sketch(spark, tmp_path):
         for r in kmv_distinct(ev, "event_type", "user_id", k=16).collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_exact_dedup_sink_equals_batch_dedup(spark, tmp_path):
+    """Streaming exact-dedup gate over id-ordered micro-batches must keep
+    exactly the rows batch exact_dedup keeps (lowest id per content)."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.operators.dedup import exact_dedup
+    from flnr_wins_spark.streaming.sinks import exact_dedup_sink, read_dedup_kept
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    # duplicate every 4th doc's text under a new higher id (cross-batch dups)
+    dups = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    src = str(tmp_path / "src")
+    # id-ordered batches: originals first, duplicates after
+    docs.coalesce(1).write.mode("append").parquet(src)
+    dups.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = exact_dedup_sink(
+        stream,
+        str(tmp_path / "state"),
+        id_col="doc_id",
+        text_col="text",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in read_dedup_kept(spark, str(tmp_path / "state")).collect()}
+    want = {r.doc_id for r in exact_dedup(corpus, "text", "doc_id").collect()}
+    assert got == want
+    # every injected duplicate was gated out
+    assert not any(d >= 1_000_000 for d in got)
