@@ -193,6 +193,75 @@ def stop_shingle_count(shingles: DataFrame, max_shingle_freq: int) -> DataFrame:
     )
 
 
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hash_tables: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """(id, shset, mh_0..mh_{t-1}) per document — the shared signature
+    construction behind :func:`minhash_lsh_pairs` and the streaming
+    near-dup gate (streaming/sinks.py). Narrow map, zero shuffle; see
+    minhash_lsh_pairs for the full design notes."""
+    n = shingle_n
+    parts = " , ".join(f"element_at(_tk, CAST(i + {j} AS INT))" for j in range(n))
+    if min_parallelism is not None and df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism)
+    staged = (
+        df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_tk"))
+        .filter(F.size("_tk") >= n)
+        .select(
+            "id",
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(_tk) - {n - 1}),"
+                f" i -> concat_ws(' ', {parts})))"
+            ).alias("shset"),
+        )
+    )
+    if hash_fn == "xxhash64":
+        def _mh(i):
+            return F.transform("shset", lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+    elif hash_fn == "md5":
+        def _mh(i):
+            return F.transform(
+                "shset",
+                lambda s, i=i: F.md5(F.encode(F.concat(s, F.lit(f":{seed + i}")), "UTF-8")),
+            )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return staged.select(
+        "id",
+        "shset",
+        *[F.array_min(_mh(i)).alias(f"mh_{i}") for i in range(num_hash_tables)],
+    )
+
+
+def minhash_bands(agg: DataFrame, num_hash_tables: int = 16) -> DataFrame:
+    """Explode a signature table to (id, band, mhv) band-bucket rows."""
+    return agg.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh_{i}").alias("mhv"))
+                    for i in range(num_hash_tables)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.mhv").alias("mhv"))
+
+
+def exact_jaccard(sh_a, sh_b):
+    """True Jaccard between two shingle-set array columns (verify step)."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    return inter.cast("double") / (F.size(sh_a) + F.size(sh_b) - inter)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -242,46 +311,13 @@ def minhash_lsh_pairs(
     while documents are bounded (chunk or re-join by shingle table for
     pathological multi-MB docs).
     """
-    n = shingle_n
-    parts = " , ".join(f"element_at(_tk, CAST(i + {j} AS INT))" for j in range(n))
-    # Signature construction is a narrow map, so its parallelism equals the
-    # scan's split count. A 100 TB corpus has thousands of splits; a small
-    # single-file input would pin the CPU-heavy hash folds to one core —
-    # ``min_parallelism`` spreads the RAW docs (much smaller than their
-    # shingle sets, which the old groupBy design shuffled) when the scan is
-    # under-split.
-    if min_parallelism is not None and df.rdd.getNumPartitions() < min_parallelism:
-        df = df.repartition(min_parallelism)
-    # Stage 1: tokens; stage 2: distinct shingle set (computed once per row —
-    # the projection boundary keeps CollapseProject from inlining it into the
-    # 16 signature folds); stage 3: signatures. Same barrier discipline as
-    # simhash_signatures.
-    staged = (
-        df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_tk"))
-        .filter(F.size("_tk") >= n)
-        .select(
-            "id",
-            F.expr(
-                f"array_distinct(transform(sequence(1, size(_tk) - {n - 1}),"
-                f" i -> concat_ws(' ', {parts})))"
-            ).alias("shset"),
-        )
-    )
-    if hash_fn == "xxhash64":
-        def _mh(i):
-            return F.transform("shset", lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
-    elif hash_fn == "md5":
-        def _mh(i):
-            return F.transform(
-                "shset",
-                lambda s, i=i: F.md5(F.encode(F.concat(s, F.lit(f":{seed + i}")), "UTF-8")),
-            )
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    agg = staged.select(
-        "id",
-        "shset",
-        *[F.array_min(_mh(i)).alias(f"mh_{i}") for i in range(num_hash_tables)],
+    # Signature construction is a narrow map (see minhash_signature_table —
+    # shared with the streaming near-dup gate); ``min_parallelism`` spreads
+    # under-split single-file inputs before the CPU-heavy hash folds.
+    agg = minhash_signature_table(
+        df, text_col, id_col,
+        num_hash_tables=num_hash_tables, shingle_n=shingle_n, seed=seed,
+        hash_fn=hash_fn, min_parallelism=min_parallelism,
     )
     # The signature table feeds three consumers (banding + both verify sides);
     # without an explicit persist each consumer would recompute the shingle
@@ -293,17 +329,7 @@ def minhash_lsh_pairs(
     # signature cache before returning — the right mode for multi-corpus
     # loops, which otherwise accumulate one cached corpus per call.
     agg = agg.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = agg.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), F.col(f"mh_{i}").alias("mhv"))
-                    for i in range(num_hash_tables)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.mhv").alias("mhv"))
+    banded = minhash_bands(agg, num_hash_tables)
     if max_bucket_width is not None:
         width = banded.groupBy("band", "mhv").agg(F.count(F.lit(1)).alias("_w"))
         banded = (
@@ -326,10 +352,7 @@ def minhash_lsh_pairs(
     # true Jaccard via array_intersect over the per-doc shingle sets).
     sa = agg.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
     sb = agg.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = inter.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - inter
-    )
+    jac = exact_jaccard(F.col("sh_a"), F.col("sh_b"))
     out = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")

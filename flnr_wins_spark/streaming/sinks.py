@@ -301,3 +301,99 @@ def read_dedup_kept(spark, state_path: str) -> DataFrame:
     """Union every kept/v* batch output written by :func:`exact_dedup_sink`."""
     base = f"{state_path.rstrip('/')}_kept"
     return spark.read.parquet(f"{base}/v*")
+
+
+def minhash_dedup_sink(
+    stream: DataFrame,
+    state_path: str,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    num_hash_tables: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Ingestion-time NEAR-dup gate (the streaming face of
+    ``operators.dedup.minhash_lsh_pairs``): a document is rejected when its
+    exact Jaccard against ANY earlier-id seen document reaches
+    ``threshold``, with candidates found through the same MinHash band
+    buckets as the batch operator. "Any earlier SEEN doc" (kept or
+    rejected) makes the gate order-independent, which is what lets the
+    batch twin pin it exactly: rejected ids == {id_b of
+    minhash_lsh_pairs(corpus) pairs} for any batch split.
+
+    State per seen doc: its shingle set + signature row (versioned like
+    :func:`incremental_agg_sink`). Per-batch cost: batch signatures are a
+    narrow map; candidate discovery is the batch-bands x state-bands
+    equi-join on (band, minhash); exact verify touches candidates only. At
+    TB-scale states, swap the stored shingle sets for signature-estimated
+    Jaccard (fraction of agreeing min-hashes) — same candidate join, 16
+    ints of state per doc; the exact-verify default is what the batch twin
+    checks. Survivors append to ``<state>_kept/v<batch>``.
+    """
+    from flnr_wins_spark.operators.dedup import (
+        exact_jaccard,
+        minhash_bands,
+        minhash_signature_table,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sig_new = minhash_signature_table(
+            batch_df, text_col, id_col,
+            num_hash_tables=num_hash_tables, shingle_n=shingle_n, seed=seed,
+        ).localCheckpoint()
+        bands_new = minhash_bands(sig_new, num_hash_tables)
+        prior = [v for v in _state_versions(spark, state_path) if v < batch_id]
+        if prior:
+            sig_old = spark.read.parquet(f"{state_path}/v{prior[-1]}")
+            bands_old = minhash_bands(sig_old, num_hash_tables)
+            cand_cross = (
+                bands_new.alias("b")
+                .join(
+                    bands_old.alias("a"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.mhv") == F.col("b.mhv"))
+                    & (F.col("a.id") < F.col("b.id")),
+                )
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            )
+            all_sig = sig_old.unionByName(sig_new)
+        else:
+            cand_cross = None
+            all_sig = sig_new
+        a, b = bands_new.alias("a"), bands_new.alias("b")
+        cand_in = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mhv") == F.col("b.mhv"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cand = cand_in if cand_cross is None else cand_in.unionByName(cand_cross)
+        cand = cand.distinct()
+        sa = all_sig.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
+        sb = sig_new.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
+        dup_ids = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(exact_jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        kept = batch_df.join(dup_ids, id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(
+            f"{state_path.rstrip('/')}_kept/v{batch_id}"
+        )
+        all_sig.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+        for v in _state_versions(spark, state_path)[:-3]:
+            if v != batch_id:
+                _state_delete(spark, f"{state_path}/v{v}")
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

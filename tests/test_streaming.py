@@ -435,3 +435,44 @@ def test_exact_dedup_sink_equals_batch_dedup(spark, tmp_path):
     assert got == want
     # every injected duplicate was gated out
     assert not any(d >= 1_000_000 for d in got)
+
+
+def test_minhash_dedup_sink_equals_batch_pairs(spark, tmp_path):
+    """Streaming near-dup gate: rejected ids across ordered micro-batches ==
+    {later id of every verified batch minhash_lsh_pairs pair} — exact twin
+    because the gate's 'any earlier seen doc' rule is order-independent."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.operators.dedup import minhash_lsh_pairs
+    from flnr_wins_spark.streaming.sinks import minhash_dedup_sink, read_dedup_kept
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    # near-dups: every 5th doc re-appears with one word changed, higher id
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("zq "), F.expr("substring(text, 1, length(text))")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    variants.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = minhash_dedup_sink(
+        stream,
+        str(tmp_path / "state"),
+        id_col="doc_id",
+        text_col="text",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.8,
+    )
+    q.awaitTermination(180)
+    kept = {r.doc_id for r in read_dedup_kept(spark, str(tmp_path / "state")).collect()}
+    pairs = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.8).collect()
+    rejected_want = {r.id_b for r in pairs}
+    want = {r.doc_id for r in corpus.collect()} - rejected_want
+    assert kept == want
+    # the injected variants really are near-dups and really got gated
+    injected_rejects = {v for v in rejected_want if v >= 1_000_000}
+    assert injected_rejects and injected_rejects.isdisjoint(kept)
