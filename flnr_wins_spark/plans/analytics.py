@@ -1248,3 +1248,84 @@ def x_time_to_convert(spark, sf_dir):
             F.when(F.col("rn") == F.expr("(90 * n + 99) div 100"), F.col("secs")).cast("bigint")
         ).alias("p90_s"),
     )
+
+
+@query(
+    "x_recommend_itemknn",
+    sql="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem WHERE l_partkey % 7 = 0
+    ),
+    cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY item),
+    co AS (
+      SELECT a.item AS ia, bb.item AS ib, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM b a JOIN b bb ON a.basket = bb.basket AND a.item < bb.item
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT ia AS item, ib AS rec, cab FROM co
+      UNION ALL
+      SELECT ib, ia, cab FROM co
+    ),
+    scored AS (
+      SELECT s.item, s.rec,
+             CAST(s.cab AS DOUBLE) / (sqrt(CAST(ci.c AS DOUBLE))
+                                      * sqrt(CAST(cj.c AS DOUBLE))) AS score
+      FROM sym s JOIN cnt ci ON ci.item = s.item JOIN cnt cj ON cj.item = s.rec
+    )
+    SELECT item, rec, score, CAST(rn AS INT) AS rec_rank FROM (
+      SELECT item, rec, score,
+             row_number() OVER (PARTITION BY item ORDER BY score DESC, rec) AS rn
+      FROM scored) q
+    WHERE rn <= 5
+    """,
+    note="item-KNN collaborative filtering (classic co-occurrence "
+    "recommender): distinct basket-item pairs, within-basket item pairs "
+    "(fan-out bounded by basket size), cosine over binary basket vectors = "
+    "cab/sqrt(ca*cb) from exact integer counts, per-item top-5 window — "
+    "the %7 item subset keeps the demo co-occurrence graph density "
+    "realistic at every SF",
+)
+def x_recommend_itemknn(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 7 == 0)
+        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    cnt = li.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    )
+    sym = co.select(
+        F.col("ia").alias("item"), F.col("ib").alias("rec"), "cab"
+    ).unionByName(co.select(F.col("ib").alias("item"), F.col("ia").alias("rec"), "cab"))
+    scored = (
+        sym.join(cnt.withColumnRenamed("item", "item").alias("ci"), on=F.col("ci.item") == sym.item)
+        .select(sym.item, sym.rec, sym.cab, F.col("ci.c").alias("ca"))
+        .join(cnt.withColumnRenamed("item", "rec_i").alias("cj"), on=F.col("cj.rec_i") == F.col("rec"))
+        .select(
+            "item",
+            "rec",
+            (
+                F.col("cab").cast("double")
+                / (F.sqrt(F.col("ca").cast("double")) * F.sqrt(F.col("c").cast("double")))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("score").desc(), "rec")
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rec_rank") <= 5)
+        .select("item", "rec", "score", "rec_rank")
+    )

@@ -689,3 +689,28 @@ def test_trajectory_similarity_orders_by_edit_distance(spark):
     df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
     out = all_queries()["x_trajectory_similarity"].fn(spark, d).collect()
     assert [(r.user_id, r.dist) for r in out] == [(1, 0), (2, 1), (3, 3)]
+
+
+def test_itemknn_cooccurrence_cosine(spark):
+    """Hand-checkable 3-basket example: items {1,2} always co-occur; 3
+    appears once with 1."""
+    from flnr_wins_spark.plans.common import all_queries
+    import os, tempfile
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        [(100, 7), (100, 14), (101, 7), (101, 14), (102, 7), (102, 21)],
+        "l_orderkey long, l_partkey long",
+    )
+    d = tempfile.mkdtemp()
+    li.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    out = {
+        (r.item, r.rec): (round(r.score, 6), r.rec_rank)
+        for r in all_queries()["x_recommend_itemknn"].fn(spark, d).collect()
+    }
+    import math
+    # c7=3, c14=2, c21=1; c(7,14)=2, c(7,21)=1
+    assert out[(7, 14)] == (round(2 / math.sqrt(3 * 2), 6), 1)
+    assert out[(7, 21)] == (round(1 / math.sqrt(3 * 1), 6), 2)
+    assert out[(14, 7)][1] == 1 and out[(21, 7)][1] == 1
+    assert (14, 21) not in out  # never co-occur
