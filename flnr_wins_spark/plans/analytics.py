@@ -1329,3 +1329,68 @@ def x_recommend_itemknn(spark, sf_dir):
         .filter(F.col("rec_rank") <= 5)
         .select("item", "rec", "score", "rec_rank")
     )
+
+
+@query(
+    "x_churn_training_set",
+    sql="""
+    WITH cut AS (
+      SELECT MAX(ts) - INTERVAL 7 DAY AS cutoff FROM events
+    ),
+    feats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+             CAST(date_diff('day', CAST(MAX(e.ts) AS DATE),
+                            CAST(cut.cutoff AS DATE)) AS BIGINT) AS days_inactive
+      FROM events e CROSS JOIN cut
+      WHERE e.ts <= cut.cutoff
+      GROUP BY user_id, cut.cutoff
+    ),
+    future AS (
+      SELECT DISTINCT user_id FROM events e CROSS JOIN cut WHERE e.ts > cut.cutoff
+    )
+    SELECT f.user_id, n_events, n_purchases, value_c, days_inactive,
+           future.user_id IS NULL AS churned
+    FROM feats f LEFT JOIN future ON f.user_id = future.user_id
+    """,
+    note="leakage-free churn training-set construction: features aggregate "
+    "STRICTLY before the cutoff (the point-in-time discipline of "
+    "x_pit_join, applied to label generation), the label looks only at the "
+    "7-day future window; the cutoff is a broadcast scalar aggregate, "
+    "features one user-keyed groupBy, label one anti-joinable distinct",
+)
+def x_churn_training_set(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("max(ts) - INTERVAL 7 DAY").alias("cutoff"))
+    before = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("cutoff"))
+    feats = before.groupBy("user_id", "cutoff").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("value_c"),
+        F.datediff(F.col("cutoff").cast("date"), F.max("ts").cast("date"))
+        .cast("bigint")
+        .alias("days_inactive"),
+    )
+    future = (
+        ev.crossJoin(F.broadcast(cut))
+        .filter(F.col("ts") > F.col("cutoff"))
+        .select("user_id")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    return (
+        feats.join(future, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            "value_c",
+            "days_inactive",
+            F.col("_seen").isNull().alias("churned"),
+        )
+    )

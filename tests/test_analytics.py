@@ -714,3 +714,31 @@ def test_itemknn_cooccurrence_cosine(spark):
     assert out[(7, 21)] == (round(1 / math.sqrt(3 * 1), 6), 2)
     assert out[(14, 7)][1] == 1 and out[(21, 7)][1] == 1
     assert (14, 21) not in out  # never co-occur
+
+
+def test_churn_training_set_no_leakage(spark):
+    """Features must not see post-cutoff events; the label must."""
+    import datetime as dt
+    import os, tempfile
+    from flnr_wins_spark.plans.common import all_queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: active before AND after cutoff -> not churned
+        (1, base, 1, "purchase", 100.0, "{}"),
+        (2, base + dt.timedelta(days=20), 1, "view", 1.0, "{}"),
+        # user 2: only before cutoff -> churned; post-cutoff purchase of user 1
+        (3, base + dt.timedelta(days=1), 2, "purchase", 50.0, "{}"),
+        # anchor the max ts (cutoff = day 21 - 7 = day 14)
+        (4, base + dt.timedelta(days=21), 1, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: r for r in all_queries()["x_churn_training_set"].fn(spark, d).collect()}
+    # user 1: features only from pre-cutoff events (1 event, 1 purchase)
+    assert out[1].n_events == 1 and out[1].n_purchases == 1 and not out[1].churned
+    assert out[2].n_events == 1 and out[2].churned
