@@ -1442,3 +1442,30 @@ class TestQoiCodec:
         enc = encode_qoi(3, 10, 10, px)
         assert len(enc) < 40  # header 14 + few run bytes + end marker 8
         assert _decode_qoi(enc)[3] == px
+
+
+class TestCodecGuards:
+    def test_qoi_truncated_raises(self, spark):
+        from flnr_wins_spark.functions.multimodal import _decode_qoi, encode_qoi
+
+        import pytest
+
+        enc = encode_qoi(3, 4, 4, bytes(range(48)))
+        with pytest.raises((ValueError, IndexError)):
+            _decode_qoi(enc[: len(enc) // 2])
+
+    def test_qoi_bad_magic_raises(self, spark):
+        from flnr_wins_spark.functions.multimodal import _decode_qoi
+
+        import pytest
+
+        with pytest.raises(ValueError):
+            _decode_qoi(b"nope" + b"\x00" * 20)
+
+    def test_unknown_container_honest_guard(self, spark):
+        from flnr_wins_spark.functions.multimodal import decode_image
+
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0JFIF-ish")  # JPEG stays guarded
