@@ -1394,3 +1394,76 @@ def x_churn_training_set(spark, sf_dir):
             F.col("_seen").isNull().alias("churned"),
         )
     )
+
+
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+@query(
+    "x_skew_report",
+    sql=f"""
+    WITH kv AS (
+      {" UNION ALL ".join(f"SELECT '{k}' AS key_col, CAST({k} AS VARCHAR) AS key FROM lineitem" for k in _SKEW_KEYS)}
+    ),
+    c AS (
+      SELECT key_col, key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM kv GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT key_col, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(SUM(cnt) AS BIGINT) AS total
+      FROM c GROUP BY key_col
+    )
+    SELECT s.key_col, n_keys, max_cnt,
+           CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_cnt,
+           CAST(max_cnt AS DOUBLE)
+             / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_factor,
+           MIN(CASE WHEN c.cnt = s.max_cnt THEN c.key END) AS hottest_key
+    FROM s JOIN c ON c.key_col = s.key_col
+    GROUP BY s.key_col, n_keys, max_cnt, total
+    """,
+    note="join-key skew diagnostics (the measurement feeding salting/AQE "
+    "decisions): per key column — distinct keys, hottest-key count, "
+    "max/avg skew factor, and the hottest key itself (min-key tiebreak); "
+    "all columns profile in ONE scan via a stacked (col, value) explode "
+    "and a single map-side-combined count",
+)
+def x_skew_report(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    kv = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key_col"), F.col(k).cast("string").alias("key")
+                    )
+                    for k in _SKEW_KEYS
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.key_col", "kv.key")
+    c = kv.groupBy("key_col", "key").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    s = c.groupBy("key_col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    avg = F.col("total").cast("double") / F.col("n_keys").cast("double")
+    return (
+        s.join(c, "key_col")
+        .groupBy("key_col", "n_keys", "max_cnt", "total")
+        .agg(
+            F.min(
+                F.when(F.col("cnt") == F.col("max_cnt"), F.col("key"))
+            ).alias("hottest_key")
+        )
+        .select(
+            "key_col",
+            "n_keys",
+            "max_cnt",
+            avg.alias("avg_cnt"),
+            (F.col("max_cnt").cast("double") / avg).alias("skew_factor"),
+            "hottest_key",
+        )
+    )
