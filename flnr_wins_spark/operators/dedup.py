@@ -223,21 +223,28 @@ def minhash_signature_table(
             ).alias("shset"),
         )
     )
+    # The per-table folds are SQL-parsed lambdas (F.expr), NOT Column-API
+    # F.transform(lambda ...) ones: building many top-level higher-order
+    # columns in one select through the Python lambda API makes their
+    # named lambda variables collide after optimization and silently
+    # corrupts the hash values (found by the x_dedup_minhash_estimate
+    # differential; pinned by test_minhash_signatures_match_reference).
+    # SQL-parsed lambdas resolve each column independently and are immune.
     if hash_fn == "xxhash64":
         def _mh(i):
-            return F.transform("shset", lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+            return F.expr(f"array_min(transform(shset, s -> xxhash64(s, {seed + i})))")
     elif hash_fn == "md5":
         def _mh(i):
-            return F.transform(
-                "shset",
-                lambda s, i=i: F.md5(F.encode(F.concat(s, F.lit(f":{seed + i}")), "UTF-8")),
+            return F.expr(
+                "array_min(transform(shset, "
+                f"s -> md5(encode(concat(s, ':{seed + i}'), 'UTF-8'))))"
             )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return staged.select(
         "id",
         "shset",
-        *[F.array_min(_mh(i)).alias(f"mh_{i}") for i in range(num_hash_tables)],
+        *[_mh(i).alias(f"mh_{i}") for i in range(num_hash_tables)],
     )
 
 

@@ -3931,3 +3931,95 @@ def x_mmr_rerank(spark, sf_dir):
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")), "id"
     )
     return mmr_rerank(with_v, k=5, lam=0.75, id_col="id", vec_col="v", rel_col="rel")
+
+
+# x_dedup_minhash_estimate: the ZERO-SHINGLE-STATE near-dup mode — Jaccard is
+# ESTIMATED as the fraction of agreeing min-hash tables (E[est] = true J),
+# so only the 16-hash signature is ever stored or compared. This is the mode
+# the streaming near-dup gate documents for TB-scale states; grading it
+# hash-exact proves the estimator itself is engine-portable.
+_MINHASH_ESTIMATE_SQL = (
+    f"""
+    WITH docs AS ({_DUP_SQL_DOCS}),
+    tk AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS tks FROM docs
+    ),
+    sh AS (
+      SELECT id, list_distinct(list_transform(range(1, len(tks) - 1),
+             i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2])) AS shset
+      FROM tk WHERE len(tks) >= 3
+    ),
+    sig AS (
+      SELECT id,
+    """
+    + ",\n".join(
+        f"         list_min(list_transform(shset, s -> md5(s || ':{42 + i}'))) AS mh_{i}"
+        for i in range(16)
+    )
+    + """
+      FROM sh
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ("""
+    + " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    + """) / 16.0 AS est_jaccard
+    FROM sig a JOIN sig b ON a.id < b.id
+     AND ("""
+    + " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(16))
+    + """)
+    WHERE ("""
+    + " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    + """) / 16.0 >= 0.5
+    """
+)
+
+
+@query(
+    "x_dedup_minhash_estimate",
+    sql=_MINHASH_ESTIMATE_SQL,
+    note="signature-estimated near-dup pairs (zero shingle state): Jaccard "
+    "~ fraction of agreeing min-hash tables — the 16-ints-per-doc mode the "
+    "streaming gate uses at TB-scale state; md5 signatures make the "
+    "estimator itself hash-exact against the oracle (the exact-verify "
+    "entries remain the precision path)",
+)
+def x_dedup_minhash_estimate(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import minhash_bands, minhash_signature_table
+
+    docs = _docs_with_dups(spark, sf_dir)
+    agg = minhash_signature_table(
+        docs, "text", "doc_id", num_hash_tables=16, hash_fn="md5",
+        min_parallelism=docs.sparkSession.sparkContext.defaultParallelism,
+    ).localCheckpoint()
+    bands = minhash_bands(agg, 16)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mhv") == F.col("b.mhv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = agg.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(16)]
+    )
+    sb = agg.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(16)]
+    )
+    agree = sum(
+        [F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(16)],
+        F.lit(0),
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (agree / F.lit(16.0)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )

@@ -1469,3 +1469,28 @@ class TestCodecGuards:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\xff\xd8\xff\xe0JFIF-ish")  # JPEG stays guarded
+
+
+def test_minhash_signatures_match_reference(spark):
+    """Regression pin for the PySpark Column-API lambda-collision bug: many
+    top-level F.transform(lambda ...) columns in ONE select silently corrupt
+    each other's values (SQL-parsed F.expr lambdas are immune — that's what
+    minhash_signature_table now uses). Every md5 min-hash must equal the
+    hashlib-recomputed minimum over the row's own shingle set, in the full
+    16-column select context where the old code was wrong."""
+    import hashlib
+
+    from flnr_wins_spark.operators.dedup import minhash_signature_table
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " + "the quick brown fox jumps over dog number %d" % (i % 3))
+         for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    agg = minhash_signature_table(docs, "text", "doc_id", num_hash_tables=16, hash_fn="md5")
+    for row in agg.collect():
+        for i in range(16):
+            want = min(
+                hashlib.md5(f"{sh}:{42 + i}".encode()).hexdigest() for sh in row.shset
+            )
+            assert row[f"mh_{i}"] == want, (row.id, i)
