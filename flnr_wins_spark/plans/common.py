@@ -57,6 +57,9 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 _GRADE_FIRST: tuple[str, ...] = (
     # (a) fixed flagship pair — must convert red -> green this round
     "wins_e2e_rejects", "wins_e2e_kept",
+    # bug-witness first: the estimate-mode differential that exposed (and
+    # now guards) the Column-API lambda-collision fix
+    "x_dedup_minhash_estimate",
     # (b) new/changed in round 4
     "x_multimodal_decode",
     "x_similarity_pq", "x_dedup_minhash_portable", "x_dedup_simhash_portable",
@@ -82,7 +85,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_events_m4", "x_impute_nulls", "x_incremental_join", "x_golden_record",
     "x_trajectory_similarity", "x_time_to_convert", "x_binaryfile_ingest",
     "x_quality_filter_pipeline", "x_mmr_rerank", "x_recommend_itemknn",
-    "x_churn_training_set", "x_skew_report", "x_dedup_minhash_estimate",
+    "x_churn_training_set", "x_skew_report",
     # (c) rows-only entries: refresh their rows-evidence every round
     "q_events_approx_distinct", "x_dedup_minhash_lsh", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf", "x_text_langid",
