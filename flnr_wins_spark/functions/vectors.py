@@ -1006,6 +1006,10 @@ def mmr_rerank(
             break
         picked = pick if picked is None else picked.unionByName(pick)
         remaining = remaining.join(pick.select("id"), "id", "left_anti").localCheckpoint()
+    if picked is None:  # empty candidate pool -> empty, schema-stable result
+        picked = pool.select(
+            F.lit(0).alias("sel_rank"), "id", F.lit(0.0).alias("mmr")
+        ).limit(0)
     return picked.select(
         F.col("sel_rank").cast("int").alias("sel_rank"),
         "id",

@@ -263,3 +263,11 @@ class TestMmrRerank:
         out = mmr_rerank(cands, k=5, id_col="id").collect()
         assert sorted(r.id for r in out) == [1, 2]
         assert sorted(r.sel_rank for r in out) == [1, 2]
+
+    def test_empty_pool_returns_empty(self, spark):
+        from flnr_wins_spark.functions.vectors import mmr_rerank
+
+        cands = spark.createDataFrame([], "id bigint, v array<double>, rel double")
+        out = mmr_rerank(cands, k=3, id_col="id")
+        assert out.count() == 0
+        assert out.columns == ["sel_rank", "id", "mmr_score"]
