@@ -730,6 +730,10 @@ def maxmatch_token_counts(
             .filter(F.col("pos") < F.length("w"))
             .localCheckpoint()
         )
+    if not word_tokens:  # empty corpus / no tokenizable words
+        return wc.select(
+            F.col("w").alias("tok"), F.col("n").alias("total")
+        ).limit(0)
     wt = word_tokens[0]
     for part in word_tokens[1:]:
         wt = wt.union(part)

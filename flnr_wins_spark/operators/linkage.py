@@ -129,12 +129,12 @@ def sorted_neighborhood(
 
     u = left.select(
         F.lit(0).alias("_src"),
-        F.col(left_id).cast("bigint").alias("_id"),
+        F.col(left_id).alias("_id"),
         F.col(left_key).cast("string").alias("_k"),
     ).unionByName(
         right.select(
             F.lit(1).alias("_src"),
-            F.col(right_id).cast("bigint").alias("_id"),
+            F.col(right_id).alias("_id"),
             F.col(right_key).cast("string").alias("_k"),
         )
     )

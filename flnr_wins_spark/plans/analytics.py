@@ -1089,8 +1089,14 @@ def x_impute_nulls(spark, sf_dir):
             F.round(F.col("value") * 100).cast("bigint")
         ).alias("vc"),
     )
+    # floor division via pmod (exact for all signs — Spark's `div`
+    # truncates toward zero, DuckDB's `//` floors; pmod is non-negative for
+    # a positive divisor, so (s - pmod(s, c)) div c == floor(s / c))
     means = holes.groupBy("event_type").agg(
-        F.expr("CAST(sum(vc) AS BIGINT) div CAST(count(vc) AS BIGINT)").alias("mean_c")
+        F.expr(
+            "(CAST(sum(vc) AS BIGINT) - pmod(CAST(sum(vc) AS BIGINT), count(vc)))"
+            " div count(vc)"
+        ).alias("mean_c")
     )
     return (
         holes.join(F.broadcast(means), "event_type")
@@ -1229,8 +1235,8 @@ def x_time_to_convert(spark, sf_dir):
         .select(
             "user_id",
             (
-                F.unix_micros(F.col("pt").cast("timestamp_ltz")) / 1_000_000
-                - F.unix_micros(F.col("t").cast("timestamp_ltz")) / 1_000_000
+                F.expr("unix_micros(cast(pt as timestamp_ltz)) div 1000000")
+                - F.expr("unix_micros(cast(t as timestamp_ltz)) div 1000000")
             ).cast("bigint").alias("secs"),
         )
     )

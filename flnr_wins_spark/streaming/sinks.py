@@ -250,8 +250,13 @@ def exact_dedup_sink(
 ) -> StreamingQuery:
     """Ingestion-time exact-dedup gate: each micro-batch drops rows whose
     content digest (md5 of the text) was already seen — in the persisted
-    seen-set OR earlier in the same batch (lower id wins, matching
-    ``operators.dedup.exact_dedup``'s survivor policy). Survivors append to
+    seen-set (FIRST ARRIVAL wins across batches) or earlier in the same
+    batch (lower id wins within a batch). With id-ordered arrival — the
+    normal ingestion case, and what the batch-twin test streams — the
+    survivor set equals ``operators.dedup.exact_dedup``'s lowest-id
+    policy; under out-of-order arrival the first-seen copy survives
+    instead (a gate cannot un-keep an already-published row).
+    Survivors append to
     ``kept/v<batch>``; the seen-set state is versioned exactly like
     :func:`incremental_agg_sink` (batch N reads v<N, writes vN — replays
     idempotent, readers race-free).
@@ -319,15 +324,21 @@ def minhash_dedup_sink(
     ``operators.dedup.minhash_lsh_pairs``): a document is rejected when its
     exact Jaccard against ANY earlier-id seen document reaches
     ``threshold``, with candidates found through the same MinHash band
-    buckets as the batch operator. "Any earlier SEEN doc" (kept or
-    rejected) makes the gate order-independent, which is what lets the
-    batch twin pin it exactly: rejected ids == {id_b of
-    minhash_lsh_pairs(corpus) pairs} for any batch split.
+    buckets as the batch operator. The gate's contract is ARRIVAL order:
+    a new doc is rejected when it matches any previously-seen doc
+    (kept or rejected, regardless of id), plus any earlier-id doc within
+    its own batch. When arrival order follows id order — the normal
+    ingestion case, and what the batch-twin test streams — rejected ids
+    == {later id of every verified minhash_lsh_pairs(corpus) pair};
+    out-of-order arrivals still reject the newcomer (never both copies).
 
-    State per seen doc: its shingle set + signature row (versioned like
-    :func:`incremental_agg_sink`). Per-batch cost: batch signatures are a
-    narrow map; candidate discovery is the batch-bands x state-bands
-    equi-join on (band, minhash); exact verify touches candidates only. At
+    State per seen doc: its shingle set + signature row, written as
+    PER-BATCH DELTA versions (replaying batch N rewrites only v<N>'s own
+    delta — idempotent; the read side unions prior deltas, so per-batch
+    WRITE cost follows the batch, not the accumulated history). Per-batch
+    compute: batch signatures are a narrow map; candidate discovery is the
+    batch-bands x state-bands equi-join on (band, minhash); exact verify
+    touches candidates only. At
     TB-scale states, swap the stored shingle sets for signature-estimated
     Jaccard (fraction of agreeing min-hashes) — same candidate join, 16
     ints of state per doc; the exact-verify default is what the batch twin
@@ -346,17 +357,25 @@ def minhash_dedup_sink(
             num_hash_tables=num_hash_tables, shingle_n=shingle_n, seed=seed,
         ).localCheckpoint()
         bands_new = minhash_bands(sig_new, num_hash_tables)
+        # DELTA state: each version holds only ITS batch's signatures; the
+        # read side unions prior versions. Per-batch write cost is O(batch),
+        # not O(history) — compact the deltas offline if version count grows.
         prior = [v for v in _state_versions(spark, state_path) if v < batch_id]
         if prior:
-            sig_old = spark.read.parquet(f"{state_path}/v{prior[-1]}")
+            sig_old = spark.read.parquet(
+                *[f"{state_path}/v{v}" for v in prior]
+            )
             bands_old = minhash_bands(sig_old, num_hash_tables)
+            # NEW doc vs ANY seen doc — no id comparison: the gate's contract
+            # is arrival order, so a later-arriving near-dup is rejected even
+            # when it carries a lower id than its seen match
             cand_cross = (
                 bands_new.alias("b")
                 .join(
                     bands_old.alias("a"),
                     (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.mhv") == F.col("b.mhv"))
-                    & (F.col("a.id") < F.col("b.id")),
+                    & (F.col("a.id") != F.col("b.id")),
                 )
                 .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             )
@@ -386,10 +405,7 @@ def minhash_dedup_sink(
         kept.write.mode("overwrite").parquet(
             f"{state_path.rstrip('/')}_kept/v{batch_id}"
         )
-        all_sig.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
-        for v in _state_versions(spark, state_path)[:-3]:
-            if v != batch_id:
-                _state_delete(spark, f"{state_path}/v{v}")
+        sig_new.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

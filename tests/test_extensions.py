@@ -1494,3 +1494,11 @@ def test_minhash_signatures_match_reference(spark):
                 hashlib.md5(f"{sh}:{42 + i}".encode()).hexdigest() for sh in row.shset
             )
             assert row[f"mh_{i}"] == want, (row.id, i)
+
+
+def test_maxmatch_empty_corpus(spark):
+    from flnr_wins_spark.functions.text import maxmatch_token_counts
+
+    df = spark.createDataFrame([(1, "!!! ???"), (2, "")], "doc_id bigint, text string")
+    out = maxmatch_token_counts(df)
+    assert out.count() == 0 and out.columns == ["tok", "total"]

@@ -476,3 +476,33 @@ def test_minhash_dedup_sink_equals_batch_pairs(spark, tmp_path):
     # the injected variants really are near-dups and really got gated
     injected_rejects = {v for v in rejected_want if v >= 1_000_000}
     assert injected_rejects and injected_rejects.isdisjoint(kept)
+
+
+def test_minhash_gate_rejects_out_of_order_newcomer(spark, tmp_path):
+    """A near-dup arriving AFTER its match must be rejected even when it
+    carries a LOWER id (the arrival-order contract; the old cross-batch
+    join required state.id < new.id and silently kept both)."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.streaming.sinks import minhash_dedup_sink, read_dedup_kept
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    batch1 = spark.createDataFrame([(1_000_000, text)], "doc_id long, text string")
+    batch2 = spark.createDataFrame([(5, text + " x")], "doc_id long, text string")
+    src = str(tmp_path / "src")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(batch1.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = minhash_dedup_sink(
+        stream,
+        str(tmp_path / "state"),
+        id_col="doc_id",
+        text_col="text",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.8,
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in read_dedup_kept(spark, str(tmp_path / "state")).collect()}
+    assert kept == {1_000_000}  # first arrival kept, low-id newcomer gated
