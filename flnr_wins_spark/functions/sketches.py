@@ -107,6 +107,34 @@ def bloom_prefilter(
     return out
 
 
+def kmv_hash(col: Column) -> Column:
+    """Uniform 48-bit integer hash for the KMV family: first 12 hex chars of
+    md5('kmv:' || value) parsed to a bigint. ONE definition shared by
+    kmv_distinct, kmv_set_similarity, and the streaming kmv_sketch_sink —
+    the batch-twin equivalence of the sink depends on all of them hashing
+    identically."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+KMV_HASH_SPACE = 16**12  # 2^48
+
+
+def kmv_estimate(k: int) -> Column:
+    """Distinct estimate from an aggregated sketch row carrying ``n_kept``
+    and ``hk`` (k-th smallest hash, NULL when fewer than k):
+    (k-1)*2^48/h_k, exact-count fallback."""
+    scale = float((k - 1) * KMV_HASH_SPACE)
+    return F.when(
+        F.col("hk").isNotNull(), F.lit(scale) / F.col("hk").cast("double")
+    ).otherwise(F.col("n_kept").cast("double"))
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,
@@ -142,16 +170,9 @@ def kmv_distinct(
     """
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("kmv:"), F.col(value_col).cast("string"))), 1, 12
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    d = df.select(F.col(group_col).alias("g"), h.alias("h"))
+    d = df.select(F.col(group_col).alias("g"), kmv_hash(F.col(value_col)).alias("h"))
     if prefilter_bits > 0:
-        d = d.filter(F.col("h") < F.lit((16**12) >> prefilter_bits))
+        d = d.filter(F.col("h") < F.lit(KMV_HASH_SPACE >> prefilter_bits))
     d = d.distinct()
     w = Window.partitionBy("g").orderBy("h")
     ranked = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
@@ -162,16 +183,12 @@ def kmv_distinct(
     true_d = df.groupBy(F.col(group_col).alias("g")).agg(
         F.count_distinct(F.col(value_col)).cast("bigint").alias("true_distinct")
     )
-    scale = float((k - 1) * (16**12))
-    est = F.when(
-        F.col("hk").isNotNull(), F.lit(scale) / F.col("hk").cast("double")
-    ).otherwise(F.col("n_kept").cast("double"))
     return (
         agg.join(true_d, "g")
         .select(
             F.col("g").alias(group_col),
             "n_kept",
-            est.alias("est_distinct"),
+            kmv_estimate(k).alias("est_distinct"),
             "true_distinct",
         )
     )
@@ -205,14 +222,9 @@ def kmv_set_similarity(
     """
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("kmv:"), F.col(value_col).cast("string"))), 1, 12
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    d = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    d = df.select(
+        F.col(group_col).alias("g"), kmv_hash(F.col(value_col)).alias("h")
+    ).distinct()
     w = Window.partitionBy("g").orderBy("h")
     sk = (
         d.withColumn("rn", F.row_number().over(w))
@@ -246,10 +258,7 @@ def kmv_set_similarity(
         F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
         F.sum(F.col("a") * F.col("b")).cast("bigint").alias("inter_num"),
     )
-    scale = float((k - 1) * (16**12))
-    union_est = F.when(
-        F.col("hk").isNotNull(), F.lit(scale) / F.col("hk").cast("double")
-    ).otherwise(F.col("n_kept").cast("double"))
+    union_est = kmv_estimate(k)
     jac = F.col("inter_num").cast("double") / F.col("n_kept").cast("double")
     est = agg.select(
         "ga",

@@ -2592,6 +2592,30 @@ _DIRTY_TITLES_SQL = f"""
       FROM ({_TITLES_SQL}) WHERE t_id % 3 = 0
 """
 
+def _titles_and_variants(spark, sf_dir):
+    """Spark twin of _TITLES_SQL/_DIRTY_TITLES_SQL — ONE construction shared
+    by every linkage entry (fuzzy join, sorted neighborhood, golden record);
+    the oracle strings above must mirror exactly this."""
+    docs = t(spark, sf_dir, "documents")
+    titles = docs.select(
+        F.col("doc_id").alias("t_id"),
+        F.expr("substr(text, 1, 20 + doc_id % 10)").alias("title"),
+    )
+    variants = titles.filter(F.col("t_id") % 3 == 0).select(
+        (F.col("t_id") + 1000000).alias("v_id"),
+        F.when(
+            F.col("t_id") % 7 == 0,
+            F.concat(
+                F.substring("title", 1, 4), F.expr("substr(title, 6)"), F.lit("x")
+            ),
+        )
+        .otherwise(F.concat(F.substring("title", 1, 4), F.expr("substr(title, 6)")))
+        .alias("v_name"),
+    )
+    return titles, variants
+
+
+
 
 @query(
     "x_fuzzy_join",
@@ -2615,22 +2639,7 @@ _DIRTY_TITLES_SQL = f"""
 def x_fuzzy_join(spark, sf_dir):
     from flnr_wins_spark.operators.linkage import fuzzy_join
 
-    docs = t(spark, sf_dir, "documents")
-    titles = docs.select(
-        F.col("doc_id").alias("t_id"),
-        F.expr("substr(text, 1, 20 + doc_id % 10)").alias("title"),
-    )
-    variants = titles.filter(F.col("t_id") % 3 == 0).select(
-        (F.col("t_id") + 1000000).alias("v_id"),
-        F.when(
-            F.col("t_id") % 7 == 0,
-            F.concat(
-                F.substring("title", 1, 4), F.expr("substr(title, 6)"), F.lit("x")
-            ),
-        )
-        .otherwise(F.concat(F.substring("title", 1, 4), F.expr("substr(title, 6)")))
-        .alias("v_name"),
-    )
+    titles, variants = _titles_and_variants(spark, sf_dir)
     return fuzzy_join(titles, variants, "title", "v_name", max_dist=2)
 
 
@@ -3451,22 +3460,7 @@ def x_pandas_udaf_median(spark, sf_dir):
 def x_sorted_neighborhood(spark, sf_dir):
     from flnr_wins_spark.operators.linkage import sorted_neighborhood
 
-    docs = t(spark, sf_dir, "documents")
-    titles = docs.select(
-        F.col("doc_id").alias("t_id"),
-        F.expr("substr(text, 1, 20 + doc_id % 10)").alias("title"),
-    )
-    variants = titles.filter(F.col("t_id") % 3 == 0).select(
-        (F.col("t_id") + 1000000).alias("v_id"),
-        F.when(
-            F.col("t_id") % 7 == 0,
-            F.concat(
-                F.substring("title", 1, 4), F.expr("substr(title, 6)"), F.lit("x")
-            ),
-        )
-        .otherwise(F.concat(F.substring("title", 1, 4), F.expr("substr(title, 6)")))
-        .alias("v_name"),
-    )
+    titles, variants = _titles_and_variants(spark, sf_dir)
     return sorted_neighborhood(
         titles, variants, "t_id", "title", "v_id", "v_name", window=5, max_dist=2
     )
@@ -3585,6 +3579,37 @@ def x_tokenize_maxmatch(spark, sf_dir):
     return maxmatch_token_counts(t(spark, sf_dir, "documents"))
 
 
+def _qoi_test_media(docs, tag_limit=None):
+    """md5-derived 8x8 RGB pixels in EQUAL PAIRS, wrapped as media rows —
+    ONE construction shared by the QOI round-trip and binaryFile-ingest
+    entries; both oracles recompute bytes from exactly this rule."""
+    h = F.concat(
+        *[
+            F.unhex(
+                F.md5(
+                    F.encode(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f":qoi{j}")),
+                        "UTF-8",
+                    )
+                )
+            )
+            for j in range(12)
+        ]
+    )
+    pix = F.concat(*[F.substring(h, (i - i % 2) * 3 + 1, 3) for i in range(64)])
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        pix.alias("content"),
+        F.struct(
+            F.lit("image/qoi").alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(192).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+
 @query(
     "x_multimodal_qoi_decode",
     sql="""
@@ -3619,32 +3644,7 @@ def x_multimodal_qoi_decode(spark, sf_dir):
     from flnr_wins_spark.functions.multimodal import extract_features, wrap_qoi
 
     docs = t(spark, sf_dir, "documents")
-    h = F.concat(
-        *[
-            F.unhex(
-                F.md5(
-                    F.encode(
-                        F.concat(F.col("doc_id").cast("string"), F.lit(f":qoi{j}")),
-                        "UTF-8",
-                    )
-                )
-            )
-            for j in range(12)
-        ]
-    )
-    pix = F.concat(
-        *[F.substring(h, (i - i % 2) * 3 + 1, 3) for i in range(64)]
-    )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        pix.alias("content"),
-        F.struct(
-            F.lit("image/qoi").alias("mime"),
-            F.lit(8).alias("width"),
-            F.lit(8).alias("height"),
-            F.lit(192).cast("bigint").alias("n_bytes"),
-        ).alias("meta"),
-    )
+    media = _qoi_test_media(docs)
     feats = extract_features(wrap_qoi(media, 8, 8), fake=False)
     f = F.col("feature")
     return feats.select(
@@ -3703,22 +3703,7 @@ def x_multimodal_qoi_decode(spark, sf_dir):
 def x_golden_record(spark, sf_dir):
     from flnr_wins_spark.operators.linkage import fuzzy_join, golden_records
 
-    docs = t(spark, sf_dir, "documents")
-    titles = docs.select(
-        F.col("doc_id").alias("t_id"),
-        F.expr("substr(text, 1, 20 + doc_id % 10)").alias("title"),
-    )
-    variants = titles.filter(F.col("t_id") % 3 == 0).select(
-        (F.col("t_id") + 1000000).alias("v_id"),
-        F.when(
-            F.col("t_id") % 7 == 0,
-            F.concat(
-                F.substring("title", 1, 4), F.expr("substr(title, 6)"), F.lit("x")
-            ),
-        )
-        .otherwise(F.concat(F.substring("title", 1, 4), F.expr("substr(title, 6)")))
-        .alias("v_name"),
-    )
+    titles, variants = _titles_and_variants(spark, sf_dir)
     pairs = fuzzy_join(titles, variants, "title", "v_name", max_dist=2).select(
         F.col("t_id").alias("id_a"), F.col("v_id").alias("id_b")
     )
@@ -3762,30 +3747,7 @@ def x_binaryfile_ingest(spark, sf_dir):
     from flnr_wins_spark.sources.formats import write_binary_files
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    h = F.concat(
-        *[
-            F.unhex(
-                F.md5(
-                    F.encode(
-                        F.concat(F.col("doc_id").cast("string"), F.lit(f":qoi{j}")),
-                        "UTF-8",
-                    )
-                )
-            )
-            for j in range(12)
-        ]
-    )
-    pix = F.concat(*[F.substring(h, (i - i % 2) * 3 + 1, 3) for i in range(64)])
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        pix.alias("content"),
-        F.struct(
-            F.lit("image/qoi").alias("mime"),
-            F.lit(8).alias("width"),
-            F.lit(8).alias("height"),
-            F.lit(192).cast("bigint").alias("n_bytes"),
-        ).alias("meta"),
-    )
+    media = _qoi_test_media(docs)
     base = tempfile.mkdtemp(prefix="binfiles_")
     encoded = wrap_qoi(media, 8, 8).select(
         F.concat(F.col("media_id").cast("string"), F.lit(".qoi")).alias("name"),

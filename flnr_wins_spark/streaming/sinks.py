@@ -173,19 +173,14 @@ def kmv_sketch_sink(
     """
     from pyspark.sql import Window
 
+    from flnr_wins_spark.functions.sketches import kmv_hash
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("kmv:"), F.col(value_col).cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
         batch_sk = (
-            batch_df.select(F.col(group_col).alias("g"), h.alias("h"))
+            batch_df.select(
+                F.col(group_col).alias("g"), kmv_hash(F.col(value_col)).alias("h")
+            )
             .distinct()
             .withColumn(
                 "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
@@ -229,15 +224,13 @@ def read_kmv_estimates(spark, state_path: str, k: int = 64) -> DataFrame:
     r = sk.withColumn(
         "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
     )
+    from flnr_wins_spark.functions.sketches import kmv_estimate
+
     agg = r.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
     )
-    scale = float((k - 1) * (16**12))
-    est = F.when(
-        F.col("hk").isNotNull(), F.lit(scale) / F.col("hk").cast("double")
-    ).otherwise(F.col("n_kept").cast("double"))
-    return agg.select("g", "n_kept", est.alias("est_distinct"))
+    return agg.select("g", "n_kept", kmv_estimate(k).alias("est_distinct"))
 
 
 def exact_dedup_sink(
