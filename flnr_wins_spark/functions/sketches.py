@@ -288,3 +288,68 @@ def kmv_set_similarity(
         )
     )
     return est.join(tv, ["ga", "gb"])
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    depth: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Equi-join cardinality estimation from Count-Min sketches alone
+    (Alon-Matias-Szegedy inner-product estimator): |A ⋈ B| = Σ_k cA(k)·cB(k),
+    estimated as min over seeds of Σ_bucket cmsA[s][b]·cmsB[s][b]. The
+    estimate NEVER undershoots (hash collisions only add mass), so planners
+    can use it as a safe upper bound without executing the join — the
+    sketch is one aggregation pass per side, 16^hex_chars · depth cells,
+    mergeable across partitions/days like every sketch here. md5 buckets
+    keep it engine-portable/oracle-exact; the exact join size is carried
+    for estimate-quality inspection (drop at scale).
+
+    Returns one row: ``(est_size, true_size)``.
+    """
+    def cells(df: DataFrame, key: str, side: str) -> DataFrame:
+        counts = df.groupBy(F.col(key).alias("item")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        fanned = counts.select(
+            "item",
+            "n",
+            F.explode(
+                F.array(*[F.lit(s_) for s_ in range(depth)])
+            ).alias("seed"),
+        ).select(
+            "seed",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("s"),
+                        F.col("seed").cast("string"),
+                        F.lit(":"),
+                        F.col("item").cast("string"),
+                    )
+                ),
+                1,
+                hex_chars,
+            ).alias("bucket"),
+            "n",
+        )
+        return fanned.groupBy("seed", "bucket").agg(
+            F.sum("n").cast("bigint").alias(f"c_{side}")
+        )
+    ca = cells(left, left_key, "a")
+    cb = cells(right, right_key, "b")
+    per_seed = (
+        ca.join(cb, ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("dot"))
+    )
+    est = per_seed.agg(F.min("dot").cast("bigint").alias("est_size"))
+    true_sz = (
+        left.select(F.col(left_key).alias("k"))
+        .join(right.select(F.col(right_key).alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_size"))
+    )
+    return est.crossJoin(true_sz)

@@ -1473,3 +1473,42 @@ def x_skew_report(spark, sf_dir):
             "hottest_key",
         )
     )
+
+
+@query(
+    "x_join_size_estimate",
+    sql="""
+    WITH ca AS (
+      SELECT s.seed, substr(md5('s' || CAST(s.seed AS VARCHAR) || ':'
+                                || CAST(o_custkey AS VARCHAR)), 1, 2) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c_a
+      FROM orders, (SELECT unnest(range(4)) AS seed) s
+      GROUP BY 1, 2
+    ), cb AS (
+      SELECT s.seed, substr(md5('s' || CAST(s.seed AS VARCHAR) || ':'
+                                || CAST(c_custkey AS VARCHAR)), 1, 2) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c_b
+      FROM customer, (SELECT unnest(range(4)) AS seed) s
+      GROUP BY 1, 2
+    ), per_seed AS (
+      SELECT ca.seed, CAST(SUM(c_a * c_b) AS BIGINT) AS dot
+      FROM ca JOIN cb USING (seed, bucket) GROUP BY ca.seed
+    ), est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_size FROM per_seed),
+    tr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_size
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT est_size, true_size FROM est, tr
+    """,
+    note="join-size estimation WITHOUT executing the join (AMS/CMS inner "
+    "product): min over 4 seeds of the 256-bucket count dot product — a "
+    "guaranteed upper bound (collisions only add mass); one aggregation "
+    "pass per side, sketches mergeable; md5 buckets = oracle-exact "
+    "(functions/sketches.py cms_join_size)",
+)
+def x_join_size_estimate(spark, sf_dir):
+    from flnr_wins_spark.functions.sketches import cms_join_size
+
+    od = t(spark, sf_dir, "orders").select("o_custkey")
+    cu = t(spark, sf_dir, "customer").select("c_custkey")
+    return cms_join_size(od, cu, "o_custkey", "c_custkey", depth=4, hex_chars=2)

@@ -85,7 +85,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_events_m4", "x_impute_nulls", "x_incremental_join", "x_golden_record",
     "x_trajectory_similarity", "x_time_to_convert", "x_binaryfile_ingest",
     "x_quality_filter_pipeline", "x_mmr_rerank", "x_recommend_itemknn",
-    "x_churn_training_set", "x_skew_report",
+    "x_churn_training_set", "x_skew_report", "x_join_size_estimate",
     # (c) rows-only entries: refresh their rows-evidence every round
     "q_events_approx_distinct", "x_dedup_minhash_lsh", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf", "x_text_langid",

@@ -742,3 +742,17 @@ def test_churn_training_set_no_leakage(spark):
     # user 1: features only from pre-cutoff events (1 event, 1 purchase)
     assert out[1].n_events == 1 and out[1].n_purchases == 1 and not out[1].churned
     assert out[2].n_events == 1 and out[2].churned
+
+
+def test_cms_join_size_never_undershoots(spark):
+    from flnr_wins_spark.functions.sketches import cms_join_size
+
+    a = spark.createDataFrame([(i % 20,) for i in range(300)], "k int")
+    b = spark.createDataFrame([(i % 25,) for i in range(200)], "k int")
+    row = cms_join_size(a, b, "k", "k", depth=4, hex_chars=1).collect()[0]
+    true = a.join(b, "k").count()
+    assert row.true_size == true
+    assert row.est_size >= true  # upper-bound guarantee
+    # with only 16 buckets and 20-25 keys, collisions exist but the 4-seed
+    # min keeps the bound loose-but-sane
+    assert row.est_size <= true * 4
