@@ -74,8 +74,13 @@ def main() -> None:
                 "(unchanged plans q1/q18/q21 all scaled 1.26->1.96 / "
                 "1.33->2.06 / 1.28->2.09 uniformly; idle load avg ~2 after a "
                 "host restart) — compare within-round ratios, not absolute "
-                "seconds, against BENCH_r03. No plan regressed: plan audits "
-                "(explain + contract tests) unchanged for every shared query.",
+                "seconds, against BENCH_r03. No plan regressed except "
+                "x_dedup_minhash_lsh (~1.5s -> ~5.8s): its old timing "
+                "measured a BUG — colliding Column-API lambda variables made "
+                "the 16 signature folds evaluate one shared (wrong) fold; "
+                "the fixed operator does 16 real folds (see "
+                "test_minhash_signatures_match_reference). Honest cost, "
+                "correct values.",
             }
         )
     )

@@ -204,7 +204,7 @@ def minhash_signature_table(
     hash_fn: str = "xxhash64",
     min_parallelism: int | None = None,
 ) -> DataFrame:
-    """(id, shset, mh_0..mh_{t-1}) per document — the shared signature
+    """(id, shset, sig array<...>[t]) per document — the shared signature
     construction behind :func:`minhash_lsh_pairs` and the streaming
     near-dup gate (streaming/sinks.py). Narrow map, zero shuffle; see
     minhash_lsh_pairs for the full design notes."""
@@ -223,44 +223,47 @@ def minhash_signature_table(
             ).alias("shset"),
         )
     )
-    # The per-table folds are SQL-parsed lambdas (F.expr), NOT Column-API
-    # F.transform(lambda ...) ones: building many top-level higher-order
-    # columns in one select through the Python lambda API makes their
-    # named lambda variables collide after optimization and silently
-    # corrupts the hash values (found by the x_dedup_minhash_estimate
-    # differential; pinned by test_minhash_signatures_match_reference).
-    # SQL-parsed lambdas resolve each column independently and are immune.
+    # The whole signature is ONE SQL-parsed array expression
+    # (transform over the table indexes), for two reasons learned the hard
+    # way:
+    #  * 16 separate Column-API F.transform(lambda ...) columns in one
+    #    select silently CORRUPT each other — their named lambda variables
+    #    collide after optimization (found by the x_dedup_minhash_estimate
+    #    differential; pinned by test_minhash_signatures_match_reference);
+    #  * 16 separate SQL-parsed columns are value-correct but defeat
+    #    common-subexpression elimination (each gets distinct lambda ids),
+    #    so CollapseProject inlines the shingle construction 16x — a 3-4x
+    #    slowdown at bench. One expression references ``shset`` once.
+    # xxhash64 hashes its argument TUPLE, so the per-table seed can be a
+    # lambda-bound value: xxhash64(s, 42 + i) == the old per-column
+    # xxhash64(s, lit(42 + i)) fold, verified against a lambda-free
+    # explode ground truth.
     if hash_fn == "xxhash64":
-        def _mh(i):
-            return F.expr(f"array_min(transform(shset, s -> xxhash64(s, {seed + i})))")
+        # Two-tier hashing: every shingle STRING hashes once to a 64-bit
+        # base (the expensive part), and the 16 per-table values derive
+        # from the base with cheap integer xxhash64(base, seed+i) — the
+        # standard one-strong-hash + derived-family minhash construction.
+        # ``hbase`` is referenced once inside the single sig expression, so
+        # the string hashing runs once per shingle, not once per table.
+        sig = F.expr(
+            f"transform(sequence(0, {num_hash_tables - 1}), "
+            f"i -> array_min(transform(transform(shset, s -> xxhash64(s)), "
+            f"h -> xxhash64(h, CAST({seed} + i AS INT)))))"
+        )
     elif hash_fn == "md5":
-        def _mh(i):
-            return F.expr(
-                "array_min(transform(shset, "
-                f"s -> md5(encode(concat(s, ':{seed + i}'), 'UTF-8'))))"
-            )
+        sig = F.expr(
+            f"transform(sequence(0, {num_hash_tables - 1}), "
+            f"i -> array_min(transform(shset, "
+            f"s -> md5(encode(concat(s, ':', CAST({seed} + i AS STRING)), 'UTF-8')))))"
+        )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    return staged.select(
-        "id",
-        "shset",
-        *[_mh(i).alias(f"mh_{i}") for i in range(num_hash_tables)],
-    )
+    return staged.select("id", "shset", sig.alias("sig"))
 
 
 def minhash_bands(agg: DataFrame, num_hash_tables: int = 16) -> DataFrame:
     """Explode a signature table to (id, band, mhv) band-bucket rows."""
-    return agg.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), F.col(f"mh_{i}").alias("mhv"))
-                    for i in range(num_hash_tables)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.mhv").alias("mhv"))
+    return agg.select("id", F.posexplode("sig").alias("band", "mhv"))
 
 
 def exact_jaccard(sh_a, sh_b):

@@ -3969,15 +3969,10 @@ def x_dedup_minhash_estimate(spark, sf_dir):
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = agg.select(
-        F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(16)]
-    )
-    sb = agg.select(
-        F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(16)]
-    )
-    agree = sum(
-        [F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(16)],
-        F.lit(0),
+    sa = agg.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = agg.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"
     )
     return (
         cand.join(sa, "id_a")

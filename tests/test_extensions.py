@@ -1493,7 +1493,7 @@ def test_minhash_signatures_match_reference(spark):
             want = min(
                 hashlib.md5(f"{sh}:{42 + i}".encode()).hexdigest() for sh in row.shset
             )
-            assert row[f"mh_{i}"] == want, (row.id, i)
+            assert row.sig[i] == want, (row.id, i)
 
 
 def test_maxmatch_empty_corpus(spark):
