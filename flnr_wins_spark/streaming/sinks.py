@@ -181,6 +181,7 @@ def kmv_sketch_sink(
             batch_df.select(
                 F.col(group_col).alias("g"), kmv_hash(F.col(value_col)).alias("h")
             )
+            .filter(F.col("h").isNotNull())  # NULL rule: see sketches.kmv_distinct
             .distinct()
             .withColumn(
                 "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))

@@ -31,6 +31,15 @@ class BinaryColumnError(TypeError):
     wins_e2e_* failure)."""
 
 
+class ArrayColumnError(TypeError):
+    """Raised when a *graded* projection emits an ARRAY/MAP/STRUCT value.
+    The driver's canonicalizer pandas-factorizes rows and dies on Python
+    lists/dicts (``TypeError: unhashable type: 'list'`` —
+    CORRECTNESS_r04 x_random_projection), so anything that would pass here
+    by silently tuple-izing must instead fail loudly: graded outputs must
+    flatten arrays to scalar columns or a single string on both sides."""
+
+
 def canon(v, strict_binary=True):
     if isinstance(v, float):
         if math.isnan(v):
@@ -43,8 +52,12 @@ def canon(v, strict_binary=True):
                 "hash bytearray; project lower(hex(col)) on both sides instead"
             )
         return bytes(v).hex()
-    if isinstance(v, list):
-        return tuple(canon(x, strict_binary) for x in v)
+    if isinstance(v, (list, tuple, dict)):
+        raise ArrayColumnError(
+            "array/map/struct value in graded output — the driver harness "
+            "cannot hash Python lists; flatten to scalar columns "
+            "(rp[0] AS rp0 ...) or one string (concat_ws/to_json) on both sides"
+        )
     return v
 
 
@@ -121,7 +134,7 @@ def main():
         if ok:
             try:
                 ms, md = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
-            except BinaryColumnError as e:
+            except (BinaryColumnError, ArrayColumnError) as e:
                 print(f"FAIL {name}: {e}")
                 failures.append(name)
                 continue

@@ -437,6 +437,37 @@ class TestKmvDistinct:
         b = sorted(map(tuple, kmv_distinct(df.repartition(3), "g", "v", k=32).collect()))
         assert a == b
 
+    def test_null_values_are_ignored(self, spark):
+        # NULL hashes to NULL; Spark's ascending window ranks NULLs FIRST
+        # while DuckDB ranks them LAST — unfiltered, a NULL would occupy
+        # rank 1 (corrupting n_kept/hk) and break the oracle contract.
+        # The sketch must match COUNT(DISTINCT) semantics: NULLs don't count.
+        from flnr_wins_spark.functions.sketches import kmv_distinct
+
+        clean = spark.createDataFrame(
+            [("a", v) for v in range(10)], "g string, v int"
+        )
+        dirty = spark.createDataFrame(
+            [("a", v) for v in range(10)] + [("a", None)] * 5, "g string, v int"
+        )
+        a = sorted(map(tuple, kmv_distinct(clean, "g", "v", k=8).collect()))
+        b = sorted(map(tuple, kmv_distinct(dirty, "g", "v", k=8).collect()))
+        assert a == b
+
+    def test_null_values_ignored_in_set_similarity(self, spark):
+        from flnr_wins_spark.functions.sketches import kmv_set_similarity
+
+        clean = spark.createDataFrame(
+            [("a", v) for v in range(20)] + [("b", v) for v in range(10, 30)],
+            "g string, v int",
+        )
+        dirty = clean.unionByName(
+            spark.createDataFrame([("a", None), ("b", None)], "g string, v int")
+        )
+        a = sorted(map(tuple, kmv_set_similarity(clean, "g", "v", k=8).collect()))
+        b = sorted(map(tuple, kmv_set_similarity(dirty, "g", "v", k=8).collect()))
+        assert a == b
+
     def test_prefilter_preserves_result_when_dense(self, spark):
         from flnr_wins_spark.functions.sketches import kmv_distinct
 
@@ -756,3 +787,14 @@ def test_cms_join_size_never_undershoots(spark):
     # with only 16 buckets and 20-25 keys, collisions exist but the 4-seed
     # min keeps the bound loose-but-sane
     assert row.est_size <= true * 4
+
+
+def test_cms_join_size_empty_side_estimates_zero(spark):
+    # empty side -> zero per-seed rows -> the estimate must coalesce to 0
+    # (not NULL), keeping the ">= true size" upper-bound contract
+    from flnr_wins_spark.functions.sketches import cms_join_size
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    empty = spark.createDataFrame([], "k int")
+    row = cms_join_size(a, empty, "k", "k", depth=4, hex_chars=1).collect()[0]
+    assert (row.est_size, row.true_size) == (0, 0)

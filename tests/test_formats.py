@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import types as T
 
@@ -59,3 +61,21 @@ def test_write_binary_files_round_trip(spark, tmp_path):
     back = spark.read.format("binaryFile").load(out)
     got = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in back.collect()}
     assert got == {f"f{i}.bin": bytes([i] * (i + 1)) for i in range(5)}
+    # no temp leftovers from the write-then-rename protocol
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+
+
+def test_write_binary_files_rejects_traversal_names(spark, tmp_path):
+    import pytest
+
+    from flnr_wins_spark.sources.formats import write_binary_files
+
+    out = str(tmp_path / "bin")
+    for bad in ["../escape.bin", "a/b.bin", "..", ""]:
+        df = spark.createDataFrame(
+            [(bad, bytearray(b"x"))], "name string, content binary"
+        )
+        with pytest.raises(Exception, match="unsafe file name|ValueError"):
+            write_binary_files(df, out)
+    # nothing escaped the target directory
+    assert not (tmp_path / "escape.bin").exists()
