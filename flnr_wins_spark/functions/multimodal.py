@@ -160,9 +160,13 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
         return _decode_gif(data)
     if data[:4] == b"qoif":
         return _decode_qoi(data)
+    if data[:2] == b"\xff\xd8":
+        from flnr_wins_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
         "unrecognized image container (supported: P6/P5 PPM/PGM, 24-bit BMP, "
-        "8-bit gray/RGB PNG, RGB QOI)"
+        "8-bit gray/RGB PNG, RGB QOI, baseline JPEG)"
     )
 
 

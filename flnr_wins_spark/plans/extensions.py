@@ -2987,6 +2987,75 @@ def x_multimodal_png_decode(spark, sf_dir):
     )
 
 
+@query(
+    "x_multimodal_jpeg_decode",
+    sql="""
+    WITH g AS (
+      SELECT doc_id, t,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':jpg'),
+                                 2 * t + 1, 2) AS INT) AS gv
+      FROM documents, range(4) r(t)
+    ), v AS (
+      SELECT doc_id,
+             LEAST(255, GREATEST(0,
+               2 * (CASE WHEN gv >= 128 THEN (gv - 128 + 1) // 2
+                         ELSE -((128 - gv + 1) // 2) END) + 128)) AS pv
+      FROM g
+    )
+    SELECT doc_id AS media_id,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(64 * SUM(pv) AS BIGINT) AS sum_pix,
+           CAST(MIN(pv) AS INTEGER) AS min_pix,
+           CAST(MAX(pv) AS INTEGER) AS max_pix
+    FROM v GROUP BY doc_id
+    """,
+    note="REAL baseline-JPEG round-trip: four md5-derived flat 8x8 gray "
+    "tiles encode into a genuine JFIF stream (Annex K tables, Huffman DC "
+    "diff coding across tiles, EOB-coded AC) and the stdlib+numpy decoder "
+    "parses markers, entropy-decodes, dequantizes, and runs the real IDCT "
+    "back to pixels. Flat tiles quantize to DC-only blocks, whose decode "
+    "is EXACT integer math — v = clamp(2*rha((g-128)/2) + 128) with q00=16 "
+    "— so the oracle reproduces the lossy codec's output bit-for-bit; "
+    "gradient/color/subsampled/restart paths are pinned by pytest "
+    "(tests/test_multimodal_jpeg.py)",
+)
+def x_multimodal_jpeg_decode(spark, sf_dir):
+    from flnr_wins_spark.functions.jpeg import wrap_jpeg
+    from flnr_wins_spark.functions.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents")
+    md5hex = F.md5(
+        F.encode(F.concat(F.col("doc_id").cast("string"), F.lit(":jpg")), "UTF-8")
+    )
+    tiles = [F.unhex(F.substring(md5hex, 2 * i + 1, 2)) for i in range(4)]
+    row_top = F.concat(*([tiles[0]] * 8 + [tiles[1]] * 8))
+    row_bot = F.concat(*([tiles[2]] * 8 + [tiles[3]] * 8))
+    pix = F.concat(*([row_top] * 8 + [row_bot] * 8))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        pix.alias("content"),
+        F.struct(
+            F.lit("image/jpeg").alias("mime"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(256).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_features(wrap_jpeg(media, 1, 16, 16), fake=False)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f[0].cast("int").alias("channels"),
+        f[1].cast("int").alias("width"),
+        f[2].cast("int").alias("height"),
+        f[3].cast("bigint").alias("sum_pix"),
+        f[6].cast("int").alias("min_pix"),
+        f[7].cast("int").alias("max_pix"),
+    )
+
+
 # x_rag_retrieve: the end-to-end retrieval composition a RAG corpus build
 # runs — chunk the corpus into overlapping context windows, embed every
 # chunk with the vocabulary-free hashing trick, embed the query the same
