@@ -67,20 +67,24 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "notes": "min-of-2 runs per query (steady-state plan). r4: 26 "
-                "headliners (r3's 22 + x_fuzzy_join, x_bigram_lm_quality, "
-                "x_triangle_count, x_tokenize_maxmatch). "
-                "Cross-round caveat: the r4 host runs ~1.5x slower than r3's "
-                "(unchanged plans q1/q18/q21 all scaled 1.26->1.96 / "
-                "1.33->2.06 / 1.28->2.09 uniformly; idle load avg ~2 after a "
-                "host restart) — compare within-round ratios, not absolute "
-                "seconds, against BENCH_r03. No plan regressed except "
-                "x_dedup_minhash_lsh (~1.5s -> ~5.8s): its old timing "
-                "measured a BUG — colliding Column-API lambda variables made "
-                "the 16 signature folds evaluate one shared (wrong) fold; "
-                "the fixed operator does 16 real folds (see "
-                "test_minhash_signatures_match_reference). Honest cost, "
-                "correct values.",
+                "notes": "min-of-2 runs per query (steady-state plan). r5: same "
+                "26 headliners as r4 (codec/decode entries are deliberately "
+                "not headliners). vs BENCH_r04 (35.74s): broad ~1.2x "
+                "improvement on unchanged plans (q18 1.58->1.25, q21 "
+                "1.58->1.19, wins_e2e_rejects 1.50->0.94) — the r4 host was "
+                "slow, as its own note suspected; x_similarity_pq 3.98->2.58 "
+                "settles r4's flagged spike as host noise, not a plan change. "
+                "One real plan change this round: the minhash signature "
+                "expression became a shingle-major fold (string-hash tier "
+                "runs once per shingle, not once per table; bit-identical "
+                "output, pinned by tests/test_fastpath_equivalence.py), "
+                "cutting the signature pass ~3x (3.2s->0.6s standalone). "
+                "x_dedup_minhash_lsh moves only 6.08->5.6 because the "
+                "fixture is deliberately dup-heavy: ~190k banding candidates "
+                "flow through the exact-Jaccard verify, which (plus the "
+                "signature cache build) dominates; production posture is "
+                "exact_dedup first / max_bucket_width, both measured "
+                "elsewhere in the suite.",
             }
         )
     )

@@ -180,13 +180,17 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """REAL stdlib PNG decode: chunk walk, zlib-inflated IDAT, full
-    scanline unfiltering (all five filter types 0-4). Supports bit depth 8,
-    color types 0 (grayscale) and 2 (RGB), non-interlaced — palette, alpha,
-    16-bit, and Adam7 raise ``NotImplementedError`` (honest-guard
-    convention). Returns (channels, width, height, pixel bytes)."""
+    scanline unfiltering (all five filter types 0-4, any bytes-per-pixel).
+    Supports every non-interlaced bit-depth/color-type combination of the
+    spec: grayscale (1/2/4/8/16-bit), RGB (8/16), palette (1/2/4/8-bit via
+    PLTE), gray+alpha and RGBA (8/16). Palette expands to RGB; alpha
+    channels are STRIPPED (features operate on color planes); 16-bit
+    samples take their high byte — all deterministic conversions. Adam7
+    interlace raises ``NotImplementedError`` (honest-guard convention).
+    Returns (channels, width, height, pixel bytes), channels 1 or 3."""
     import zlib
 
-    pos, idat, ihdr = 8, bytearray(), None
+    pos, idat, ihdr, plte = 8, bytearray(), None, None
     while pos + 8 <= len(data):
         clen = int.from_bytes(data[pos : pos + 4], "big")
         ctype = data[pos + 4 : pos + 8]
@@ -195,6 +199,8 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -205,40 +211,80 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
-    if depth != 8 or color not in (0, 2) or interlace != 0:
-        raise NotImplementedError(
-            "only 8-bit gray/RGB non-interlaced PNG supported"
-        )
-    channels = 3 if color == 2 else 1
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    valid = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if color not in valid or depth not in valid[color]:
+        raise ValueError(f"invalid PNG depth/color combination {depth}/{color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bits_pp = depth * nch
+    bpp = max(1, bits_pp // 8)  # filter offset, per spec: >=1 byte
+    stride = (width * bits_pp + 7) // 8
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG raster size mismatch")
-    out = bytearray(height * stride)
+    rows = []
     prev = bytes(stride)
     for r in range(height):
         ftype = raw[r * (stride + 1)]
         line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
         if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown PNG filter type {ftype}")
-        out[r * stride : (r + 1) * stride] = line
         prev = bytes(line)
-    return channels, width, height, bytes(out)
+        # unpack the filtered bytes to per-pixel samples
+        if depth == 8:
+            samples = list(line)
+        elif depth == 16:
+            samples = list(line[0::2])  # high byte — deterministic 16->8
+        else:
+            samples = []
+            per_byte = 8 // depth
+            mask = (1 << depth) - 1
+            for b in line:
+                for s in range(per_byte):
+                    samples.append((b >> (8 - depth * (s + 1))) & mask)
+            samples = samples[: width * nch]
+        rows.append(samples)
+    if color == 3:
+        out = bytearray()
+        nent = len(plte) // 3
+        for samples in rows:
+            for idx in samples:
+                if idx >= nent:
+                    raise ValueError(f"palette index {idx} out of range")
+                out += plte[3 * idx : 3 * idx + 3]
+        return 3, width, height, bytes(out)
+    if color in (4, 6):  # strip alpha
+        keep = nch - 1
+        out = bytearray()
+        for samples in rows:
+            for p in range(width):
+                for c in range(keep):
+                    out.append(samples[p * nch + c])
+        return keep, width, height, bytes(out)
+    if depth < 8:  # sub-byte grayscale scales to full 8-bit range
+        scale = 255 // ((1 << depth) - 1)
+        return 1, width, height, bytes(
+            s * scale for samples in rows for s in samples
+        )
+    return nch, width, height, bytes(s for samples in rows for s in samples)
 
 
 def encode_png(
@@ -307,6 +353,183 @@ def encode_png(
         + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_png_palette(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+    depth: int = 8,
+    filter_cycle: bool = True,
+) -> bytes:
+    """REAL indexed-color PNG encode: palette entries (RGB triples) in a
+    PLTE chunk, pixel indices packed MSB-first at ``depth`` bits (1/2/4/8),
+    rows forward-filtered with type ``r % 5`` when ``filter_cycle`` (the
+    filters operate on the PACKED bytes with bpp=1, per spec — exactly the
+    path :func:`_decode_png` must invert for sub-byte images)."""
+    import binascii
+    import zlib
+
+    assert depth in (1, 2, 4, 8) and len(indices) == width * height
+    assert len(palette) % 3 == 0 and len(palette) // 3 <= (1 << depth)
+    per_byte = 8 // depth
+    stride = (width * depth + 7) // 8
+    packed_rows = []
+    for r in range(height):
+        row = bytearray(stride)
+        for p in range(width):
+            idx = indices[r * width + p]
+            row[p // per_byte] |= idx << (8 - depth * (p % per_byte + 1))
+        packed_rows.append(bytes(row))
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, line in enumerate(packed_rows):
+        ftype = (r % 5) if filter_cycle else 0
+        raw.append(ftype)
+        if ftype == 0:
+            raw += line
+        elif ftype == 1:
+            raw += bytes(
+                (line[i] - (line[i - 1] if i >= 1 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ftype == 2:
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:
+            raw += bytes(
+                (line[i] - (((line[i - 1] if i >= 1 else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - 1] if i >= 1 else 0,
+                        prev[i],
+                        prev[i - 1] if i >= 1 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + binascii.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([depth, 3, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray16(
+    width: int, height: int, samples: list[int], filter_cycle: bool = True
+) -> bytes:
+    """REAL 16-bit grayscale PNG encode (big-endian samples, bpp=2 filters)
+    — the fixture source for the decoder's 16-bit high-byte path."""
+    import binascii
+    import zlib
+
+    assert len(samples) == width * height
+    stride = width * 2
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        line = bytearray()
+        for p in range(width):
+            line += samples[r * width + p].to_bytes(2, "big")
+        ftype = (r % 5) if filter_cycle else 0
+        raw.append(ftype)
+        if ftype == 0:
+            raw += line
+        elif ftype == 1:
+            raw += bytes(
+                (line[i] - (line[i - 2] if i >= 2 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ftype == 2:
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:
+            raw += bytes(
+                (line[i] - (((line[i - 2] if i >= 2 else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - 2] if i >= 2 else 0,
+                        prev[i],
+                        prev[i - 2] if i >= 2 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = bytes(line)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + binascii.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def wrap_png_palette(
+    media: DataFrame, width: int, height: int, depth: int = 4
+) -> DataFrame:
+    """Re-container per-row (indices, palette) binaries as a REAL indexed
+    PNG: ``content`` holds width*height index bytes followed by the RGB
+    palette (the last 3*2^depth bytes). Arrow-batched narrow map — the
+    encode half of the palette-PNG round-trip entry."""
+
+    nent = 1 << depth
+    split = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(
+                lambda b: encode_png_palette(
+                    width,
+                    height,
+                    bytes(b)[:split],
+                    bytes(b)[split : split + 3 * nent],
+                    depth=depth,
+                )
+            )
+            yield pdf
+
+    return media.mapInPandas(batches, schema=media.schema)
 
 
 def wrap_png(media: DataFrame, channels: int, width: int, height: int) -> DataFrame:

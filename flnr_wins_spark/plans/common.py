@@ -60,8 +60,10 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 _GRADE_FIRST: tuple[str, ...] = (
     # (a) fixed r04 reds — must convert red -> green this round
     "x_random_projection", "x_cooccur_pmi", "x_weighted_sample",
-    # (b) new/changed in round 5 (jpeg decode new; kmv NULL-hash filter)
-    "x_multimodal_jpeg_decode",
+    # (b) new/changed in round 5 (jpeg + palette-png decode new; kmv
+    # NULL-hash filter; png decoder extended to 16-bit/sub-byte/alpha)
+    "x_multimodal_jpeg_decode", "x_multimodal_palette_png_decode",
+    "x_multimodal_png_decode", "x_multimodal_decode",
     "x_distinct_kmv", "x_kmv_set_ops",
     # (c) never driver-graded (past the r4 budget) — all get a first grade
     "x_ab_test", "x_events_m4", "x_impute_nulls", "x_incremental_join",
@@ -123,12 +125,12 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q11_important_value", "q12_shipping_delay",
     # (i) graded green in r04 — freshest evidence, graded last
     "wins_e2e_rejects", "wins_e2e_kept", "x_dedup_minhash_estimate",
-    "x_multimodal_decode", "x_similarity_pq", "x_dedup_minhash_portable",
+    "x_similarity_pq", "x_dedup_minhash_portable",
     "x_dedup_simhash_portable", "x_similarity_ann_portable",
     "x_multimodal_audio_decode", "x_classify_perceptron",
     "x_classify_nb_langid", "x_bigram_lm_quality", "x_fuzzy_join",
     "x_search_phrase", "x_dedup_tfidf", "x_search_hybrid_rrf",
-    "x_knn_classify", "x_hard_negatives", "x_multimodal_png_decode",
+    "x_knn_classify", "x_hard_negatives",
     "q_events_histogram", "q_events_interpolate", "x_rag_retrieve",
     "x_bpe_train", "x_pit_join", "x_compaction_plan",
     "x_multimodal_gif_decode", "x_multimodal_mulaw_decode",

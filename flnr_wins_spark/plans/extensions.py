@@ -2988,6 +2988,79 @@ def x_multimodal_png_decode(spark, sf_dir):
 
 
 @query(
+    "x_multimodal_palette_png_decode",
+    sql="""
+    WITH px AS (
+      SELECT doc_id, p,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pix'
+                                     || CAST(p // 32 AS VARCHAR)),
+                                 (p % 32) + 1, 1) AS INT) AS idx
+      FROM documents, range(256) t(p)
+    ), pc AS (
+      SELECT doc_id, p, c,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':plt'
+                                     || CAST((3 * idx + c) // 16 AS VARCHAR)),
+                                 2 * ((3 * idx + c) % 16) + 1, 2) AS INT) AS b
+      FROM px, range(3) u(c)
+    )
+    SELECT doc_id AS media_id,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(MIN(b) AS INTEGER) AS min_byte,
+           CAST(MAX(b) AS INTEGER) AS max_byte
+    FROM pc GROUP BY doc_id
+    """,
+    note="REAL indexed-color PNG round-trip: md5-derived 4-bit indices and "
+    "a 16-entry md5-derived RGB palette encode into a genuine PLTE+packed-"
+    "IDAT PNG (filters cycling 0-4 over the PACKED bytes, bpp=1), the "
+    "chunk-walk decoder unfilters, unpacks nibbles MSB-first, and expands "
+    "through the palette; the oracle recomputes every palette-mapped byte "
+    "from the construction — closes the palette-PNG guard the r4 verdict "
+    "flagged",
+)
+def x_multimodal_palette_png_decode(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import extract_features, wrap_png_palette
+
+    docs = t(spark, sf_dir, "documents")
+
+    def md5hex(tag):
+        return F.md5(
+            F.encode(F.concat(F.col("doc_id").cast("string"), F.lit(tag)), "UTF-8")
+        )
+
+    pixhex = F.concat(*[md5hex(f":pix{j}") for j in range(8)])  # 256 nibbles
+    idx_bytes = F.unhex(F.regexp_replace(pixhex, "(.)", "0$1"))  # 1 byte/idx
+    palette = F.unhex(F.concat(*[md5hex(f":plt{j}") for j in range(3)]))  # 48 B
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(idx_bytes, palette).alias("content"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(304).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_features(wrap_png_palette(media, 16, 16, depth=4), fake=False)
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f[0].cast("int").alias("channels"),
+        f[1].cast("int").alias("width"),
+        f[2].cast("int").alias("height"),
+        f[3].cast("bigint").alias("sum_r"),
+        f[4].cast("bigint").alias("sum_g"),
+        f[5].cast("bigint").alias("sum_b"),
+        f[6].cast("int").alias("min_byte"),
+        f[7].cast("int").alias("max_byte"),
+    )
+
+
+@query(
     "x_multimodal_jpeg_decode",
     sql="""
     WITH g AS (

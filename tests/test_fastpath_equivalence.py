@@ -1,0 +1,220 @@
+"""Fast-path == portable-twin equivalence pins.
+
+Six registry entries run xxhash64/HLL/UDF fast paths the DuckDB oracle
+cannot grade directly (their portable md5 twins carry the hash-checked
+evidence). These tests make each ungraded fast path inherit that evidence:
+every fast path is asserted equal to an independent construction — the
+portable mode, an explode-based ground truth, an exact-scan equivalent, or
+a pure-Python reimplementation — on a fixture.
+
+Entry -> test map:
+  x_dedup_minhash_lsh      -> TestMinhashFastPath (plus the md5==xx pair
+                              test in test_extensions.py)
+  x_dedup_simhash          -> TestSimhashFastPath
+  x_similarity_ann_lsh     -> TestAnnLshFastPath
+  x_similarity_ivf         -> TestIvfFastPath
+  x_text_langid            -> TestLangidFastPath
+  q_events_approx_distinct -> TestApproxDistinct
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestMinhashFastPath:
+    def test_xxhash64_signatures_match_explode_ground_truth(self, spark):
+        """The shingle-major fold (aggregate + zip_with/least) must produce
+        the same per-table minima as a lambda-free explode -> groupBy-min
+        over the SAME two-tier hash — an independent Spark construction
+        that cannot share the fold's (historical) lambda-collision or
+        init-value bugs."""
+        from flnr_wins_spark.operators.dedup import minhash_signature_table
+
+        docs = spark.createDataFrame(
+            [(i, f"u{i} " + "alpha beta gamma delta epsilon zeta %d" % (i % 4))
+             for i in range(12)],
+            "doc_id bigint, text string",
+        )
+        agg = minhash_signature_table(
+            docs, "text", "doc_id", num_hash_tables=16, hash_fn="xxhash64"
+        )
+        truth = (
+            agg.select("id", F.explode("shset").alias("s"))
+            .select(
+                "id",
+                *[
+                    F.expr(f"xxhash64(xxhash64(s), CAST(42 + {i} AS INT))").alias(
+                        f"h{i}"
+                    )
+                    for i in range(16)
+                ],
+            )
+            .groupBy("id")
+            .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(16)])
+        )
+        want = {r["id"]: [r[f"m{i}"] for i in range(16)] for r in truth.collect()}
+        for row in agg.collect():
+            assert list(row.sig) == want[row.id], row.id
+
+    def test_max_shingles_cap_is_prefix_slice(self, spark):
+        from flnr_wins_spark.operators.dedup import minhash_signature_table
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(100)))], "doc_id bigint, text string"
+        )
+        full = minhash_signature_table(docs, "text", "doc_id").collect()[0]
+        capped = minhash_signature_table(
+            docs, "text", "doc_id", max_shingles=10
+        ).collect()[0]
+        assert len(capped.shset) == 10
+        assert list(capped.shset) == list(full.shset)[:10]
+
+
+class TestSimhashFastPath:
+    def test_fast_and_portable_modes_agree_on_pairs(self, spark):
+        """Different hash families give different signatures, but the PAIR
+        decisions must coincide on a fixture whose duplicates are exact
+        (identical docs -> identical signatures in any mode -> hamming 0)
+        and whose non-dups are token-disjoint (expected hamming ~bits/2,
+        far beyond the cap, in any mode)."""
+        from flnr_wins_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+        vocab = [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten",
+            "red orange yellow green blue indigo violet umber ochre teal",
+        ]
+        rows = []
+        for i, text in enumerate(vocab):
+            rows += [(10 * i, text), (10 * i + 1, text)]  # exact-dup pair each
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        fast = simhash_pairs(
+            simhash_signatures(docs, "text", "doc_id", hash_fn="xxhash64", bits=64),
+            max_hamming=8, bands=4, bits=64,
+        )
+        portable = simhash_pairs(
+            simhash_signatures(docs, "text", "doc_id", hash_fn="md5", bits=60),
+            max_hamming=8, bands=4, bits=60,
+        )
+        fp = {(r.id_a, r.id_b) for r in fast.collect()}
+        pp = {(r.id_a, r.id_b) for r in portable.collect()}
+        assert fp == pp == {(0, 1), (10, 11), (20, 21)}
+
+
+class TestAnnLshFastPath:
+    def test_fast_and_portable_modes_agree_on_clustered_vectors(self, spark):
+        """Near-identical vectors share hyperplane signs in ANY hash mode,
+        so on a tight-cluster fixture both modes recall the same
+        candidates and the exact re-rank makes their outputs identical."""
+        from flnr_wins_spark.functions.vectors import ann_lsh_topk
+
+        dim = 16
+        rows = []
+        for c in range(3):  # 3 well-separated clusters of 4
+            base = [1.0 if d % 3 == c else 0.05 * c for d in range(dim)]
+            for j in range(4):
+                vec = list(base)
+                vec[(5 * j) % dim] += 0.01 * j  # tiny intra-cluster jitter
+                rows.append((4 * c + j, vec))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.filter(F.col("vec_id") % 4 == 0)
+
+        def run(mode):
+            out = ann_lsh_topk(q, emb, dim=dim, k=3, hash_fn=mode)
+            return {
+                (r.query_id, r.cand_id, r.rank, round(r.cosine, 9))
+                for r in out.collect()
+            }
+
+        fast, portable = run("xxhash64"), run("md5")
+        assert fast == portable and fast
+        # every query's top hit is from its own cluster
+        top = {r[0]: r[1] for r in fast if r[2] == 1}
+        for qid, cid in top.items():
+            assert qid // 4 == cid // 4
+
+
+class TestIvfFastPath:
+    def test_full_probe_equals_brute_force(self, spark):
+        """nprobe == nlist makes IVF search every cell — the pruning
+        disappears and the output must equal the exact scan, rank for
+        rank. This is the invariant that makes nprobe a pure
+        recall/latency dial rather than a correctness knob."""
+        from flnr_wins_spark.functions.vectors import brute_force_topk, ivf_topk
+
+        rows = [
+            (i, [((i * 7 + d * 3) % 13) / 13.0 + 0.1 for d in range(8)])
+            for i in range(30)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r.query_id, r.cand_id, r.rank): round(r.cosine, 12)
+            for r in brute_force_topk(q, emb, k=4).collect()
+        }
+        ivf = {
+            (r.query_id, r.cand_id, r.rank): round(r.cosine, 12)
+            for r in ivf_topk(q, emb, nlist=4, nprobe=4, k=4).collect()
+        }
+        assert ivf == exact and exact
+
+
+class TestLangidFastPath:
+    def test_langid_and_fingerprint_match_pure_python_reimpl(self, spark):
+        """The pandas-UDF fast path vs an independent driver-side
+        recomputation (own stopword vote + own Rabin-Karp loop) over real
+        fixture documents — the per-row contract the rows-only entry
+        can't get from the oracle."""
+        from flnr_wins_spark.functions.text import _LANG_PROFILES, lang_id, rolling_fingerprint
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang")
+            .limit(60)
+        )
+        got = {
+            r.doc_id: (r.pred, r.fp)
+            for r in docs.select(
+                "doc_id",
+                lang_id(F.col("text")).alias("pred"),
+                rolling_fingerprint(F.col("text")).alias("fp"),
+            ).collect()
+        }
+        MOD, BASE = (1 << 61) - 1, 1_000_003
+        for row in docs.collect():
+            text = row.text or ""
+            if any("一" <= ch <= "鿿" for ch in text[:400]):
+                want_lang = "zh"
+            else:
+                toks = set(text.lower().split())
+                want_lang, best = "und", 0
+                for lang, prof in _LANG_PROFILES.items():
+                    s = len(toks & prof)
+                    if s > best:
+                        want_lang, best = lang, s
+                if best == 0:
+                    want_lang = "en" if text else "und"
+            h = 0
+            for tok in text.split():
+                th = 0
+                for ch in tok:
+                    th = (th * 131 + ord(ch)) % MOD
+                h = (h * BASE + th) % MOD
+            assert got[row.doc_id] == (want_lang, h), row.doc_id
+
+
+class TestApproxDistinct:
+    def test_hll_within_rsd_bound_of_exact(self, spark):
+        """HLL sketches aren't oracle-comparable across engines; the
+        correctness contract is the rsd bound against the exact count —
+        asserted at 5 sigma of the configured 2% rsd."""
+        rows = [(f"t{i % 3}", i % 700) for i in range(5000)]
+        df = spark.createDataFrame(rows, "event_type string, user_id int")
+        out = df.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        for r in out.collect():
+            assert abs(r.approx_users - r.exact_users) <= 0.1 * r.exact_users
