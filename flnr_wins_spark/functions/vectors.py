@@ -1015,3 +1015,164 @@ def mmr_rerank(
         "id",
         F.col("mmr").alias("mmr_score"),
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    scale: int = 4,
+) -> DataFrame:
+    """Exact integer covariance numerators over an embedding column:
+    for every dimension pair i <= j,
+
+        cov_num = n * S(qx*qy) - S(qx) * S(qy)      (qx = floor(x*10^s + .5))
+
+    so that ``cov[i,j] = cov_num / (n^2 * 10^(2s))`` — the mean-centered
+    covariance of the 10^-s-quantized vectors, as an exact BIGINT.
+
+    Why integers: at 1000 executors, float partial sums arrive in
+    nondeterministic order; quantizing first makes every partial an exact
+    integer, so the merged result is bit-identical across partitionings AND
+    engines (the oracle contract). Quantization bias is bounded by 10^-s
+    per component — pick ``scale`` to taste; the DIRECTION of the top
+    eigenvectors is insensitive to it at s=4 for unit-range embeddings.
+
+    Scale shape (the part that matters at 100 TB): one ``mapInPandas``
+    pass emits a dim x dim PARTIAL outer-product matrix per Arrow batch
+    (numpy int64 matmul — thousands of rows collapse to dim*(dim+1)/2+dim+1
+    partial rows before any exchange), and the only shuffle carries those
+    tiny partials to a (i, j)-keyed decimal sum. No row-level explode, no
+    n * dim^2 intermediate. int64 partials hold while
+    rows-per-batch * 10^2s < 9.2e18 (~1e10 rows/batch at s=4); the global
+    sums run in DECIMAL(38,0).
+
+    Returns (i, j, n, sx, sy, sxy, cov_num) for i <= j.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    mult = float(10**scale)
+    part_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("sxy_p", T.LongType()),
+            T.StructField("cnt_p", T.LongType()),
+        ]
+    )
+    iu, ju = np.triu_indices(dim)
+
+    def partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
+            Vq = np.floor(V * mult + 0.5).astype(np.int64)
+            S = Vq.T @ Vq  # dim x dim exact int64
+            sx = Vq.sum(axis=0)
+            out = pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(dim), [-1]]),
+                    "j": np.concatenate([ju, np.full(dim, -1), [-1]]),
+                    "sxy_p": np.concatenate([S[iu, ju], sx, [0]]),
+                    "cnt_p": np.concatenate(
+                        [np.zeros(len(iu) + dim, dtype=np.int64), [len(pdf)]]
+                    ),
+                }
+            )
+            yield out
+
+    agg = (
+        df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(partials, schema=part_schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("sxy_p").cast("decimal(38,0)")).alias("s"),
+            F.sum("cnt_p").cast("bigint").alias("c"),
+        )
+    )
+    n = agg.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("c").alias("n")
+    )
+    lin = agg.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("d"), F.col("s").alias("sd")
+    )
+    cross = agg.filter(F.col("j") >= 0).select("i", "j", F.col("s").alias("sxy"))
+    return (
+        cross.join(F.broadcast(lin.withColumnRenamed("d", "i").withColumnRenamed("sd", "sx")), "i")
+        .join(F.broadcast(lin.withColumnRenamed("d", "j").withColumnRenamed("sd", "sy")), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            "n",
+            F.col("sx").cast("bigint").alias("sx"),
+            F.col("sy").cast("bigint").alias("sy"),
+            F.col("sxy").cast("bigint").alias("sxy"),
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxy")
+                - F.col("sx") * F.col("sy")
+            )
+            .cast("bigint")
+            .alias("cov_num"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    dim: int,
+    k: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 4,
+    n_iter: int = 50,
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components.
+
+    Model fit is the standard Spark pattern for tiny models over huge data
+    (same posture as kmeans_fit / PQ codebooks): the dim x dim covariance
+    comes from ONE distributed pass (:func:`embedding_covariance`, exact
+    integers), the eigendecomposition of that tiny matrix runs driver-side
+    (deterministic orthogonal power iteration with fixed start and
+    iteration count — no RNG), and the resulting components broadcast back
+    into a narrow JVM projection (zip_with/aggregate dot per component).
+    Nothing row-scale ever reaches the driver.
+
+    Returns (id, pc0..pc{k-1}) as doubles. Component SIGN is normalized
+    (largest-|coefficient| entry made positive) so output is reproducible.
+    """
+    import numpy as np
+
+    rows = embedding_covariance(df, dim, vec_col=vec_col, scale=scale).collect()
+    n = rows[0]["n"] if rows else 1
+    denom = float(n) * float(n) * float(10 ** (2 * scale))
+    C = np.zeros((dim, dim))
+    for r in rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov_num"] / denom
+    # deterministic orthogonal (subspace) power iteration: fixed start basis
+    Q = np.eye(dim)[:, :k]
+    for _ in range(n_iter):
+        Z = C @ Q
+        Q, _ = np.linalg.qr(Z)
+    # sign normalization: make each component's largest-|coef| entry positive
+    for c in range(k):
+        m = np.argmax(np.abs(Q[:, c]))
+        if Q[m, c] < 0:
+            Q[:, c] = -Q[:, c]
+    # center: pc = (v - mean) . q == v . q - mean . q (scalar offset)
+    mean = np.zeros(dim)
+    for r in rows:  # every (i, j) row carries both linear sums
+        mean[r["i"]] = r["sx"]
+        mean[r["j"]] = r["sy"]
+    mean = mean / (float(n) * float(10**scale))
+    comps = [[float(Q[d, c]) for d in range(dim)] for c in range(k)]
+    offsets = [float(mean @ Q[:, c]) for c in range(k)]
+    out = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    for c in range(k):
+        comp = F.array(*[F.lit(v) for v in comps[c]])
+        out = out.withColumn(f"pc{c}", dot(F.col("_v"), comp) - F.lit(offsets[c]))
+    return out.drop("_v")

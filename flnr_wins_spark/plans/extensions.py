@@ -2988,6 +2988,58 @@ def x_multimodal_png_decode(spark, sf_dir):
 
 
 @query(
+    "x_embedding_covariance",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+      SELECT vec_id, CAST(i AS INTEGER) AS i,
+             CAST(floor(v[i + 1] * 10000 + 0.5) AS BIGINT) AS x
+      FROM e, range(64) r(i)
+    ),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    lin AS (SELECT i, CAST(SUM(x) AS BIGINT) AS s FROM q GROUP BY i),
+    cr AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT cr.i, cr.j, n, la.s AS sx, lb.s AS sy, sxy,
+           CAST(n::HUGEINT * sxy - la.s::HUGEINT * lb.s AS BIGINT) AS cov_num
+    FROM cr JOIN lin la ON la.i = cr.i JOIN lin lb ON lb.i = cr.j
+    CROSS JOIN cnt
+    """,
+    note="exact integer covariance numerators over the embedding corpus "
+    "(cov = cov_num / (n^2 * 10^8) of the 1e-4-quantized vectors): ONE "
+    "mapInPandas pass emits dim x dim int64 partial outer products per "
+    "Arrow batch (numpy matmul), so the shuffle carries 2,146 partial "
+    "rows per batch instead of n*dim^2 — the fit half of PCA whitening / "
+    "decorrelation at 100 TB; integer partials make the merged result "
+    "bit-identical across partitionings and engines",
+)
+def x_embedding_covariance(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import embedding_covariance
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, dim=64, scale=4)
+
+
+@query(
+    "x_embedding_pca",
+    sql=None,  # driver-side eigensolve of the tiny covariance — not SQL-expressible
+    note="PCA projection: exact-integer covariance fit (x_embedding_"
+    "covariance) -> deterministic subspace power iteration on the tiny "
+    "matrix driver-side -> broadcast components, narrow JVM dot "
+    "projection; pinned against numpy.linalg.eigh in pytest "
+    "(tests/test_pca.py)",
+)
+def x_embedding_pca(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import pca_project
+
+    emb = t(spark, sf_dir, "embeddings")
+    return pca_project(emb, dim=64, k=2)
+
+
+@query(
     "x_multimodal_palette_png_decode",
     sql="""
     WITH px AS (
