@@ -8,10 +8,11 @@ opaquely (`/root/reference/src/wins_transform_staging.py:132,155` — SHAPE
 passthrough); decoding is extension scope for the LLM-data-pipeline surface,
 same contract as the PNG/GIF/QOI codecs in functions/multimodal.py.
 
-Scope (honest-guard convention): baseline sequential DCT, 8-bit samples,
-grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling, restart markers.
-Progressive (SOF2), hierarchical, arithmetic coding, and 12-bit precision
-raise ``NotImplementedError``.
+Scope (honest-guard convention): baseline sequential (SOF0/1) AND
+progressive (SOF2 — spectral selection + successive approximation, EOB
+runs) Huffman decoding, 8-bit samples, grayscale or YCbCr with 4:4:4 /
+4:2:2 / 4:2:0 subsampling, restart markers. Hierarchical, arithmetic
+coding, and 12-bit precision raise ``NotImplementedError``.
 
 Determinism: every step is integer arithmetic except the 8x8 (I)DCT, which
 runs in float64 through one fixed numpy matrix product and rounds with
@@ -239,21 +240,31 @@ def _extend(v: int, t: int) -> int:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline sequential JFIF/JPEG stream. Returns (channels,
-    width, height, pixel bytes row-major, channel-interleaved; channels is
-    1 for grayscale, 3 for YCbCr->RGB).
+    """Decode a baseline (SOF0/SOF1) or PROGRESSIVE (SOF2) Huffman JFIF
+    stream. Returns (channels, width, height, pixel bytes row-major,
+    channel-interleaved; channels is 1 for grayscale, 3 for YCbCr->RGB).
 
-    Supports 8-bit baseline (SOF0) and extended-sequential (SOF1) Huffman
-    streams, 1 or 3 components, subsampling factors up to 2x2 (4:4:4,
-    4:2:2, 4:2:0), restart intervals, 8/16-bit quantization tables.
-    Progressive (SOF2) and every other frame type raise
-    ``NotImplementedError`` — the module's honest-guard convention.
+    Architecture: every entropy-coded scan decodes into per-component raw
+    DCT-coefficient planes — baseline is the degenerate one-scan case
+    (Ss=0, Se=63, Ah=Al=0, interleaved); progressive accumulates DC/AC
+    first and refinement scans (spectral selection + successive
+    approximation, EOB runs, per the T.81 G.2 procedures). Dequantization,
+    IDCT, chroma upsampling, and color conversion run once at EOI from the
+    final coefficients, so a spectral/successive scan script and a
+    baseline scan of the same quantized coefficients decode to IDENTICAL
+    pixels (the property the tests pin).
+
+    Supports 8-bit samples, 1 or 3 components, subsampling up to 2x2,
+    restart intervals, 8/16-bit quantization tables. Hierarchical,
+    arithmetic-coded, and 12-bit frames raise ``NotImplementedError`` —
+    the module's honest-guard convention.
     """
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream (missing SOI)")
     qt: dict[int, list[int]] = {}
     hufftabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    coefs = None
     restart_interval = 0
     i = 2
     while i < len(data) - 1:
@@ -263,7 +274,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         i += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         seglen = int.from_bytes(data[i : i + 2], "big")
         seg = data[i + 2 : i + seglen]
@@ -294,7 +305,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + n])
                 hufftabs[(tc, th)] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("only 8-bit sample precision")
@@ -307,95 +318,215 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"w": width, "h": height, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError("subsampling factors above 2 not supported")
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            frame = {
+                "w": width, "h": height, "comps": comps,
+                "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+                "progressive": marker == 0xC2,
+            }
+            # raw coefficient planes (natural order), MCU-padded
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"unsupported frame type SOF marker 0x{marker:02X}")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xDA:  # SOS — decode the scan and finish
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                data, i + seglen, frame, scan, qt, hufftabs, restart_interval
+                ci = next(
+                    k for k, x in enumerate(frame["comps"]) if x["id"] == cs
+                )
+                scan.append((ci, tdta >> 4, tdta & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            i = _decode_scan_into(
+                data, i + seglen, frame, scan, hufftabs, restart_interval,
+                coefs, ss, se, ahl >> 4, ahl & 0x0F,
             )
+            continue
         i += seglen
-    raise ValueError("no SOS marker found")
+    if frame is None or coefs is None:
+        raise ValueError("no frame decoded")
+    return _reconstruct(frame, coefs, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, hufftabs, restart_interval):
-    w, h, comps = frame["w"], frame["h"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2:
-        raise NotImplementedError("subsampling factors above 2 not supported")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component sample planes at component resolution
-    planes = []
-    for c in comps:
-        cw, ch = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ch, cw), dtype=np.int32))
+def _comp_blocks(frame, ci):
+    """True (non-padded) block-grid dims for a component — what
+    non-interleaved scans traverse (T.81 A.2.2)."""
+    c = frame["comps"][ci]
+    cw = (frame["w"] * c["h"] + frame["hmax"] - 1) // frame["hmax"]
+    ch = (frame["h"] * c["v"] + frame["vmax"] - 1) // frame["vmax"]
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_scan_into(
+    data, pos, frame, scan, hufftabs, restart_interval, coefs, ss, se, ah, al
+):
+    """Decode one entropy-coded scan into the raw coefficient planes.
+    Returns the stream offset just past the scan. Handles all four
+    progressive scan kinds plus the baseline full-band scan uniformly."""
     br = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                m = br.align_to_marker()
-                if not (0xD0 <= m <= 0xD7):
-                    raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
-                pred = [0] * len(comps)
-            for si, (comp, td, ta) in enumerate(scan):
-                ci = comps.index(comp)  # plane index = SOF order, not SOS order
-                dct = hufftabs[(0, td)]
-                act = hufftabs[(1, ta)]
-                q = qt[comp["tq"]]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        block = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(br, dct)
-                        diff = _extend(br.bits(t), t)
-                        pred[ci] += diff
-                        block[0] = pred[ci] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(br, act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            block[ZIGZAG[k]] = _extend(br.bits(s), s) * q[ZIGZAG[k]]
+    pred = [0] * len(frame["comps"])
+    eobrun = 0
+
+    def decode_block(ci, by, bx, td, ta):
+        nonlocal eobrun
+        block = coefs[ci][by, bx]
+        if ss == 0:
+            if ah == 0:  # DC first (or baseline DC)
+                t = _huff_decode(br, hufftabs[(0, td)])
+                diff = _extend(br.bits(t), t)
+                pred[ci] += diff
+                block[0] = pred[ci] << al
+            else:  # DC refinement: one raw bit
+                if br.bit():
+                    block[0] |= 1 << al
+            if se == 0:
+                return
+        if ah == 0:  # AC first scan (or baseline AC band)
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = max(ss, 1)
+            act = hufftabs[(1, ta)]
+            while k <= se:
+                rs = _huff_decode(br, act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    # EOBn: run of 2^r + bits(r) blocks ends here
+                    eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                block[ZIGZAG[k]] = _extend(br.bits(s), s) << al
+                k += 1
+        else:  # AC refinement scan (T.81 G.1.2.3)
+            act = hufftabs[(1, ta)]
+            p1, m1 = 1 << al, -1 << al
+
+            def refine(k):
+                v = block[ZIGZAG[k]]
+                if v and br.bit() and not (abs(v) & p1):
+                    block[ZIGZAG[k]] += p1 if v > 0 else m1
+
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(br, act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) + (br.bits(r) if r else 0)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("invalid refinement magnitude")
+                        val = p1 if br.bit() else m1
+                    while k <= se:
+                        if block[ZIGZAG[k]] != 0:
+                            refine(k)
                             k += 1
-                        spatial = _C.T @ block.reshape(8, 8).astype(np.float64) @ _C
-                        px = np.floor(spatial + 128.5).astype(np.int32)
-                        np.clip(px, 0, 255, out=px)
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
+                        else:
+                            if r == 0:
+                                if val:
+                                    block[ZIGZAG[k]] = val
+                                k += 1
+                                break
+                            r -= 1
+                            k += 1
+            if eobrun > 0:
+                while k <= se:
+                    refine(k)
+                    k += 1
+                eobrun -= 1
+
+    def restart():
+        nonlocal eobrun, pred
+        m = br.align_to_marker()
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
+        pred = [0] * len(frame["comps"])
+        eobrun = 0
+
+    if len(scan) > 1 or (ss == 0 and not frame["progressive"]):
+        # interleaved: MCU traversal over all scan components
+        count = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if restart_interval and count and count % restart_interval == 0:
+                    restart()
+                for ci, td, ta in scan:
+                    c = frame["comps"][ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                ci, my * c["v"] + by, mx * c["h"] + bx, td, ta
+                            )
+                count += 1
+    else:
+        # non-interleaved: the single component's true block grid
+        ci, td, ta = scan[0]
+        bh, bw = _comp_blocks(frame, ci)
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and count and count % restart_interval == 0:
+                    restart()
+                decode_block(ci, by, bx, td, ta)
+                count += 1
+    # skip remaining pad bits, then rewind before any non-RST marker so the
+    # outer loop sees the next segment
+    br.acc = 0
+    br.nbits = 0
+    d = br.data
+    p = br.pos
+    while p < len(d) - 1 and (d[p] != 0xFF or d[p + 1] in (0x00, 0xFF)):
+        p += 1
+    return p
+
+
+def _reconstruct(frame, coefs, qt):
+    """Dequantize + IDCT all blocks, upsample, color-convert — shared back
+    half for baseline and progressive."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        q = np.array(qt[c["tq"]], dtype=np.int64)
+        by_n, bx_n = coefs[ci].shape[:2]
+        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.int32)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = coefs[ci][by, bx].astype(np.int64) * q
+                spatial = _C.T @ block.reshape(8, 8).astype(np.float64) @ _C
+                px = np.floor(spatial + 128.5).astype(np.int32)
+                np.clip(px, 0, 255, out=px)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        planes.append(plane)
     if len(comps) == 1:
         return 1, w, h, planes[0][:h, :w].astype(np.uint8).tobytes()
-    # upsample chroma to full resolution by sample replication, then convert
     out = np.zeros((h, w, 3), dtype=np.uint8)
     ups = []
     for ci, c in enumerate(comps):
-        plane = planes[ci]
-        ys = (np.arange(h) * c["v"]) // vmax
-        xs = (np.arange(w) * c["h"]) // hmax
-        ups.append(plane[np.ix_(ys, xs)])
+        ys = (np.arange(h) * c["v"]) // frame["vmax"]
+        xs = (np.arange(w) * c["h"]) // frame["hmax"]
+        ups.append(planes[ci][np.ix_(ys, xs)])
     yp, cbp, crp = ups[0], ups[1], ups[2]
     for yy in range(h):
         for xx in range(w):
@@ -440,9 +571,9 @@ def _csize(v: int) -> int:
     return t
 
 
-def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
-    """Quantize one level-shifted spatial block and Huffman-encode it.
-    Returns the new DC predictor."""
+def _block_zz(block, q):
+    """Forward-DCT + quantize one level-shifted spatial block; returns the
+    64 zigzag-order coefficients."""
     coef = _C @ block.astype(np.float64) @ _C.T
     # snap near-integer coefficients: a flat block's DC is EXACTLY 8*mean,
     # but float cosine products leave ~1e-13 noise that flips the quantizer
@@ -454,6 +585,13 @@ def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
     for k in range(64):
         nat = ZIGZAG[k]
         zz[k] = _rha(coef.flat[nat] / q[nat])
+    return zz
+
+
+def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
+    """Quantize one level-shifted spatial block and Huffman-encode it
+    (baseline full-band coding). Returns the new DC predictor."""
+    zz = _block_zz(block, q)
     diff = zz[0] - pred
     t = _csize(diff)
     code, ln = dc_codes[t]
@@ -484,21 +622,10 @@ def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
     return zz[0]
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    pixels: bytes,
-    channels: int = 1,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode row-major 8-bit pixels (gray when ``channels=1``, RGB
-    interleaved when 3) as a real baseline JFIF stream with the Annex K
-    quantization and Huffman tables. ``subsampling``: "444" or "420"
-    (3-channel only); ``restart_interval`` > 0 writes a DRI segment and
-    RSTn markers every N MCUs (predictors reset — exercises the decoder's
-    restart path). Deterministic: fixed tables, fixed-point color
-    conversion, float64 DCT with half-away-from-zero quantizer rounding."""
+def _prepare_components(width, height, pixels, channels, subsampling):
+    """Shared encode front half: color transform, chroma downsample,
+    MCU-pad by edge replication, level shift. Returns (comps, hmax, vmax,
+    mcux, mcuy) with each comp carrying its padded int32 plane."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if subsampling not in ("444", "420"):
@@ -513,10 +640,7 @@ def encode_jpeg(
         for yy in range(height):
             for xx in range(width):
                 ycc[yy, xx] = _rgb_to_ycbcr(*(int(v) for v in arr[yy, xx]))
-        if subsampling == "444":
-            sub = [(1, 1), (1, 1), (1, 1)]
-        else:
-            sub = [(2, 2), (1, 1), (1, 1)]
+        sub = [(1, 1)] * 3 if subsampling == "444" else [(2, 2), (1, 1), (1, 1)]
         hmax = max(s[0] for s in sub)
         vmax = max(s[1] for s in sub)
         comps = []
@@ -552,7 +676,27 @@ def encode_jpeg(
         ys = np.minimum(np.arange(ph), plane.shape[0] - 1)
         xs = np.minimum(np.arange(pw), plane.shape[1] - 1)
         c["plane"] = plane[np.ix_(ys, xs)].astype(np.int32) - 128
+    return comps, hmax, vmax, mcux, mcuy
 
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode row-major 8-bit pixels (gray when ``channels=1``, RGB
+    interleaved when 3) as a real baseline JFIF stream with the Annex K
+    quantization and Huffman tables. ``subsampling``: "444" or "420"
+    (3-channel only); ``restart_interval`` > 0 writes a DRI segment and
+    RSTn markers every N MCUs (predictors reset — exercises the decoder's
+    restart path). Deterministic: fixed tables, fixed-point color
+    conversion, float64 DCT with half-away-from-zero quantizer rounding."""
+    comps, hmax, vmax, mcux, mcuy = _prepare_components(
+        width, height, pixels, channels, subsampling
+    )
     dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -614,6 +758,243 @@ def encode_jpeg(
     out += seg(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# Progressive AC scans need EOBn symbols (r<<4 with r=1..14), which the
+# Annex K baseline tables don't carry. This "flat" table holds every rs
+# symbol: 255 codes at 8 bits + 1 at 9 (the all-ones 8-bit code must stay
+# reserved per T.81 C.2), canonical order = symbol order.
+_AC_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_AC_FLAT_VALS = list(range(256))
+
+
+def _trunc(v: int, al: int) -> int:
+    """Point transform for AC coefficients: divide by 2^Al toward zero."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    subsampling: str = "444",
+) -> bytes:
+    """Encode pixels as a PROGRESSIVE (SOF2) JFIF stream exercising every
+    scan kind the decoder implements: interleaved DC first at Al=1, DC
+    refinement, per-component spectral-selection AC first scans (bands
+    1-5 and 6-63) at Al=1 with cross-block EOB-run accumulation, and
+    per-component AC refinement scans down to Al=0.
+
+    Starts from the SAME quantized coefficients as :func:`encode_jpeg`
+    (shared `_prepare_components` + `_block_zz`), so decoding this stream
+    must yield pixels IDENTICAL to decoding the baseline stream — the
+    equivalence the test suite pins.
+    """
+    comps, hmax, vmax, mcux, mcuy = _prepare_components(
+        width, height, pixels, channels, subsampling
+    )
+    frame = {
+        "w": width, "h": height, "comps": comps,
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+    }
+    # full-band quantized coefficients for every MCU-grid block
+    zz_all = []
+    for c in comps:
+        q = QUANT_LUMA if c["tq"] == 0 else QUANT_CHROMA
+        rows = []
+        for by in range(mcuy * c["v"]):
+            row = []
+            for bx in range(mcux * c["h"]):
+                block = c["plane"][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                row.append(_block_zz(block, q))
+            rows.append(row)
+        zz_all.append(rows)
+
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_flat = _build_codes(_AC_FLAT_BITS, _AC_FLAT_VALS)
+
+    def comp_true_blocks(ci):
+        c = comps[ci]
+        cw = (width * c["h"] + hmax - 1) // hmax
+        ch = (height * c["v"] + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def sos_header(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            td = 0 if comps[ci]["tq"] == 0 else 1
+            body += bytes([comps[ci]["id"], (td << 4) | 0x02])  # ta=2: flat AC
+        body += bytes([ss, se, (ah << 4) | al])
+        return bytes([0xFF, 0xDA]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    scans = bytearray()
+
+    # --- scan 1: DC first, interleaved, Al=1 -------------------------------
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                dct = dc_l if c["tq"] == 0 else dc_c
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = zz_all[ci][my * c["v"] + by][mx * c["h"] + bx][0] >> 1
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t = _csize(diff)
+                        code, ln = dct[t]
+                        bw.put(code, ln)
+                        if t:
+                            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    scans += sos_header(list(range(len(comps))), 0, 0, 0, 1) + bw.out
+
+    # --- per-component AC first scans (two spectral bands), Al=1 -----------
+    def ac_first_scan(ci, ss, se, al):
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_flat[r << 4]
+                bw.put(code, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        bh, bwd = comp_true_blocks(ci)
+        for by in range(bh):
+            for bx in range(bwd):
+                ts = [_trunc(v, al) for v in zz_all[ci][by][bx]]
+                last = 0
+                for k in range(ss, se + 1):
+                    if ts[k]:
+                        last = k
+                if last == 0:  # band all zero -> extend the EOB run
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(ss, last + 1):
+                    if ts[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_flat[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    s = _csize(ts[k])
+                    code, ln = ac_flat[(run << 4) | s]
+                    bw.put(code, ln)
+                    v = ts[k]
+                    bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < se:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        return sos_header([ci], ss, se, 0, al) + bw.out
+
+    for ci in range(len(comps)):
+        scans += ac_first_scan(ci, 1, 5, 1)
+        scans += ac_first_scan(ci, 6, 63, 1)
+
+    # --- scan: DC refinement, interleaved, Al=0 ----------------------------
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bw.put(zz_all[ci][my * c["v"] + by][mx * c["h"] + bx][0] & 1, 1)
+    bw.flush()
+    scans += sos_header(list(range(len(comps))), 0, 0, 1, 0) + bw.out
+
+    # --- per-component AC refinement scans, Ah=1 -> Al=0 -------------------
+    def ac_refine_scan(ci, ss, se, al):
+        bw = _BitWriter()
+        bh, bwd = comp_true_blocks(ci)
+        for by in range(bh):
+            for bx in range(bwd):
+                ts = [_trunc(v, al) for v in zz_all[ci][by][bx]]
+                news = [k for k in range(ss, se + 1) if abs(ts[k]) == 1]
+                if not news:
+                    code, ln = ac_flat[0x00]  # EOB covering just this block
+                    bw.put(code, ln)
+                    for k in range(ss, se + 1):
+                        if ts[k]:
+                            bw.put(abs(ts[k]) & 1, 1)
+                    continue
+                k = ss
+                for nk in news:
+                    while True:
+                        run = sum(1 for j in range(k, nk) if ts[j] == 0)
+                        if run <= 15:
+                            break
+                        code, ln = ac_flat[0xF0]  # ZRL: 16 zero-history slots
+                        bw.put(code, ln)
+                        cnt = 0
+                        while cnt < 16:
+                            if ts[k] == 0:
+                                cnt += 1
+                            else:
+                                bw.put(abs(ts[k]) & 1, 1)
+                            k += 1
+                    code, ln = ac_flat[(run << 4) | 1]
+                    bw.put(code, ln)
+                    bw.put(1 if ts[nk] > 0 else 0, 1)
+                    while k < nk:
+                        if ts[k]:
+                            bw.put(abs(ts[k]) & 1, 1)
+                        k += 1
+                    k = nk + 1
+                if k <= se:
+                    code, ln = ac_flat[0x00]
+                    bw.put(code, ln)
+                    for j in range(k, se + 1):
+                        if ts[j]:
+                            bw.put(abs(ts[j]) & 1, 1)
+        bw.flush()
+        return sos_header([ci], ss, se, al + 1, al) + bw.out
+
+    for ci in range(len(comps)):
+        scans += ac_refine_scan(ci, 1, 63, 0)
+
+    # --- headers -----------------------------------------------------------
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dqt(tq: int, table: list[int]) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(table[ZIGZAG[k]] for k in range(64)))
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, QUANT_LUMA)
+    if len(comps) == 3:
+        out += dqt(1, QUANT_CHROMA)
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    if len(comps) == 3:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += dht(1, 2, _AC_FLAT_BITS, _AC_FLAT_VALS)
+    out += scans
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -166,7 +166,7 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
         return decode_jpeg(data)
     raise NotImplementedError(
         "unrecognized image container (supported: P6/P5 PPM/PGM, 24-bit BMP, "
-        "8-bit gray/RGB PNG, RGB QOI, baseline JPEG)"
+        "PNG, RGB QOI, baseline/progressive JPEG)"
     )
 
 

@@ -612,8 +612,11 @@ class TestRealImageDecode:
     def test_unsupported_raises(self):
         from flnr_wins_spark.functions.multimodal import decode_image
 
-        with pytest.raises(NotImplementedError):
+        # truncated JPEG fails loudly (real decoder now dispatches on FFD8)
+        with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+        with pytest.raises(NotImplementedError):
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # still no webp
         with pytest.raises(NotImplementedError):
             decode_image(b"")
 
@@ -1467,8 +1470,12 @@ class TestCodecGuards:
 
         import pytest
 
+        # JPEG now really decodes; a truncated stream fails loudly rather
+        # than guard-raising, and unknown containers keep the honest guard
+        with pytest.raises(ValueError):
+            decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
         with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff\xe0JFIF-ish")  # JPEG stays guarded
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_minhash_signatures_match_reference(spark):

@@ -104,10 +104,76 @@ class TestRoundTripBounds:
         assert a == b
 
 
+class TestProgressive:
+    """Progressive (SOF2) streams must decode to pixels BYTE-IDENTICAL to
+    the baseline stream of the same image: both encoders start from the
+    same quantized coefficients, so any DC-first/refine, spectral-band,
+    EOB-run, or AC-refinement slip shows up as a pixel diff."""
+
+    @pytest.mark.parametrize(
+        "name,ch,sub,shape",
+        [
+            ("gray-even", 1, "444", (16, 16)),
+            ("gray-odd", 1, "444", (11, 13)),
+            ("color-444", 3, "444", (16, 16)),
+            ("color-420", 3, "420", (20, 12)),
+        ],
+    )
+    def test_matches_baseline_on_noise(self, name, ch, sub, shape):
+        from flnr_wins_spark.functions.jpeg import encode_jpeg_progressive
+
+        rng = np.random.RandomState(hash(name) % 2**31)
+        w, h = shape
+        arr = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        pix = arr.tobytes()
+        base = decode_jpeg(encode_jpeg(w, h, pix, channels=ch, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(w, h, pix, channels=ch, subsampling=sub)
+        )
+        assert base == prog
+
+    def test_matches_baseline_on_smooth_image(self):
+        # smooth high-band-sparse content drives cross-block EOB runs
+        from flnr_wins_spark.functions.jpeg import encode_jpeg_progressive
+
+        img = np.clip(np.add.outer(np.arange(24) * 4, np.arange(32) * 3), 0, 255)
+        pix = img.astype(np.uint8).tobytes()
+        assert decode_jpeg(encode_jpeg(32, 24, pix, channels=1)) == decode_jpeg(
+            encode_jpeg_progressive(32, 24, pix, channels=1)
+        )
+
+    def test_matches_baseline_on_lone_high_frequency(self):
+        # a single high-zigzag coefficient forces run > 15 before the new
+        # nonzero — the ZRL path in both AC-first and AC-refinement scans
+        from flnr_wins_spark.functions.jpeg import _C, encode_jpeg_progressive
+
+        for amp in (150, 220, 300, 450):
+            S = np.zeros((8, 8))
+            S[7, 0] = amp  # natural index 56 = zigzag position 31
+            spatial = _C.T @ S @ _C
+            img = np.clip(np.floor(spatial + 128.5), 0, 255).astype(np.uint8)
+            pix = np.tile(img, (2, 2)).tobytes()
+            base = decode_jpeg(encode_jpeg(16, 16, pix, channels=1))
+            prog = decode_jpeg(encode_jpeg_progressive(16, 16, pix, channels=1))
+            assert base == prog, amp
+
+    def test_dc_only_construction_still_exact(self):
+        # progressive DC first+refine reconstructs the same DC the integer
+        # oracle predicts
+        from flnr_wins_spark.functions.jpeg import encode_jpeg_progressive
+
+        for g in (0, 37, 128, 200, 255):
+            img = np.full((8, 8), g, dtype=np.uint8)
+            ch, w, h, px = decode_jpeg(
+                encode_jpeg_progressive(8, 8, img.tobytes(), channels=1)
+            )
+            assert set(px) == {_dc_only_value(g)}, g
+
+
 class TestGuards:
-    def test_progressive_raises(self):
-        with pytest.raises(NotImplementedError, match="progressive"):
-            decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9))
+    def test_arithmetic_coded_raises(self):
+        with pytest.raises(NotImplementedError, match="SOF"):
+            decode_jpeg(b"\xff\xd8\xff\xc9\x00\x0b" + bytes(9))
 
     def test_non_jpeg_raises(self):
         with pytest.raises(NotImplementedError):
