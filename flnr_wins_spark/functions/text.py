@@ -761,3 +761,31 @@ def maxmatch_token_counts(
         .limit(top_k)
     )
     return totals
+
+
+@pandas_udf(T.StringType())
+def nfc_normalize(texts: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (canonical composition) — the first step
+    of any web-crawl text-cleaning pipeline: visually-identical strings
+    with different combining-mark encodings ('e' + U+0301 vs U+00E9)
+    become byte-identical, so every downstream exact/near dedup hash sees
+    one canonical form. Arrow-batched (stdlib unicodedata implements
+    UAX#15 — the DuckDB oracle's nfc_normalize() agrees codepoint for
+    codepoint, which is what x_text_nfc hash-checks)."""
+    import unicodedata
+
+    return texts.map(lambda t: unicodedata.normalize("NFC", t or ""))
+
+
+def html_strip(col: Column) -> Column:
+    """Boilerplate markup removal, entirely JVM-side: drop tags, decode
+    the five predefined XML entities, collapse whitespace runs, trim.
+    regexp semantics chosen to behave identically under Java regex
+    (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround."""
+    s = F.regexp_replace(col, "<[^>]*>", " ")
+    for ent, ch in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+    ]:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, "\\s+", " "))

@@ -2988,6 +2988,113 @@ def x_multimodal_png_decode(spark, sf_dir):
 
 
 @query(
+    "x_text_nfc",
+    sql="""
+    WITH c AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':nfc') AS h
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+             decode(unhex(
+               '6' || substr(h, 1, 1) || 'cc8' || substr(h, 2, 1) ||
+               '6' || substr(h, 3, 1) || 'cc8' || substr(h, 4, 1) ||
+               '6' || substr(h, 5, 1) || 'cc8' || substr(h, 6, 1) ||
+               '6' || substr(h, 7, 1) || 'cc8' || substr(h, 8, 1) ||
+               '6' || substr(h, 9, 1) || 'cc8' || substr(h, 10, 1) ||
+               '6' || substr(h, 11, 1) || 'cc8' || substr(h, 12, 1) ||
+               '6' || substr(h, 13, 1) || 'cc8' || substr(h, 14, 1) ||
+               '6' || substr(h, 15, 1) || 'cc8' || substr(h, 16, 1))) AS raw
+      FROM c
+    )
+    SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+    FROM built
+    """,
+    note="Unicode NFC normalization (UAX#15 canonical composition) — the "
+    "first text-cleaning step of a web-crawl pipeline, making visually "
+    "identical combining-mark encodings hash-identical for downstream "
+    "dedup. Construction builds md5-derived base+combining-mark sequences "
+    "(raw UTF-8 bytes, engine-identical); Spark normalizes via an "
+    "Arrow-batched unicodedata UDF, the oracle via DuckDB's "
+    "nfc_normalize() — two INDEPENDENT UAX#15 implementations must agree "
+    "codepoint-for-codepoint for the hash check to pass",
+)
+def x_text_nfc(spark, sf_dir):
+    from flnr_wins_spark.functions.text import nfc_normalize
+
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(
+        F.encode(F.concat(F.col("doc_id").cast("string"), F.lit(":nfc")), "UTF-8")
+    )
+    hexpairs = F.concat(
+        *[
+            F.concat(
+                F.lit("6"), F.substring(h, 2 * j + 1, 1),
+                F.lit("cc8"), F.substring(h, 2 * j + 2, 1),
+            )
+            for j in range(8)
+        ]
+    )
+    raw = F.decode(F.unhex(hexpairs), "UTF-8")
+    return docs.select(
+        "doc_id",
+        nfc_normalize(raw).alias("nfc_text"),
+        F.length(raw).cast("bigint").alias("len_raw"),
+        F.length(nfc_normalize(raw)).cast("bigint").alias("len_nfc"),
+    )
+
+
+@query(
+    "x_html_strip",
+    sql="""
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<div class="x"><p>' || text ||
+             '</p> <br/> <span>&amp;co &lt;tag&gt; &quot;q&quot;</span></div>'
+               AS html
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id, html,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&apos;', ''''), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM wrapped
+    )
+    SELECT doc_id, clean,
+           CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+           CAST(length(clean) AS BIGINT) AS len_clean
+    FROM stripped
+    """,
+    note="HTML boilerplate removal (tag strip, predefined-entity decode "
+    "with &amp; last so double-escapes survive, whitespace collapse) — "
+    "entirely JVM regexp/replace, no UDF; patterns restricted to "
+    "constructs with identical Java-regex/RE2 semantics so the oracle "
+    "reproduces every byte",
+)
+def x_html_strip(spark, sf_dir):
+    from flnr_wins_spark.functions.text import html_strip
+
+    docs = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="x"><p>'),
+        F.col("text"),
+        F.lit('</p> <br/> <span>&amp;co &lt;tag&gt; &quot;q&quot;</span></div>'),
+    )
+    return docs.select(
+        "doc_id",
+        html_strip(html).alias("clean"),
+        F.size(F.regexp_extract_all(html, F.lit("<[^>]*>"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tags"),
+        F.length(html_strip(html)).cast("bigint").alias("len_clean"),
+    )
+
+
+@query(
     "x_embedding_covariance",
     sql="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

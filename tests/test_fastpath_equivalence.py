@@ -218,3 +218,36 @@ class TestApproxDistinct:
         )
         for r in out.collect():
             assert abs(r.approx_users - r.exact_users) <= 0.1 * r.exact_users
+
+
+class TestTextCleaning:
+    def test_html_strip_entities_and_double_escapes(self, spark):
+        from flnr_wins_spark.functions.text import html_strip
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "<p>a  b</p>", "a b"),
+            (2, "x &amp; y", "x & y"),
+            # double-escape survives: &amp;lt; must become the LITERAL &lt;
+            (3, "&amp;lt;not-a-tag&amp;gt;", "&lt;not-a-tag&gt;"),
+            (4, "<a href='q'>link</a>trail", "link trail"),
+            (5, "&quot;q&quot; &apos;a&apos;", "\"q\" 'a'"),
+            (6, "", ""),
+        ]
+        df = spark.createDataFrame([(i, s) for i, s, _ in rows], "id long, s string")
+        got = {r.id: r.c for r in df.select("id", html_strip(F.col("s")).alias("c")).collect()}
+        for i, _, want in rows:
+            assert got[i] == want, i
+
+    def test_nfc_composes_combining_marks(self, spark):
+        import unicodedata
+
+        from flnr_wins_spark.functions.text import nfc_normalize
+        from pyspark.sql import functions as F
+
+        decomposed = "éclair; Å; b̀"  # é, Å, b+grave(no precomposed)
+        df = spark.createDataFrame([(1, decomposed)], "id long, s string")
+        got = df.select(nfc_normalize(F.col("s")).alias("n")).collect()[0].n
+        assert got == unicodedata.normalize("NFC", decomposed)
+        assert "é" in got and "Å" in got  # composed forms present
+        assert "b̀" in got  # no precomposed b-grave: stays decomposed
