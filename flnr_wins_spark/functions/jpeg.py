@@ -998,6 +998,27 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+def wrap_jpeg_progressive(media, channels: int, width: int, height: int,
+                          subsampling: str = "444"):
+    """Re-container raw pixel bytes as a PROGRESSIVE (SOF2) JPEG stream
+    (see :func:`encode_jpeg_progressive`) — the encode half of the
+    progressive round-trip entry; mirrors :func:`wrap_jpeg`."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(
+                lambda b: encode_jpeg_progressive(
+                    width, height, bytes(b), channels=channels,
+                    subsampling=subsampling,
+                )
+            )
+            yield pdf
+
+    return media.mapInPandas(batches, schema=media.schema)
+
+
 def wrap_jpeg(media, channels: int, width: int, height: int, subsampling: str = "444"):
     """Re-container raw pixel bytes in the ``content`` column as a REAL
     baseline JPEG (see :func:`encode_jpeg`). A narrow Arrow-batched map —

@@ -62,7 +62,8 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_random_projection", "x_cooccur_pmi", "x_weighted_sample",
     # (b) new/changed in round 5 (jpeg + palette-png decode new; kmv
     # NULL-hash filter; png decoder extended to 16-bit/sub-byte/alpha)
-    "x_multimodal_jpeg_decode", "x_multimodal_palette_png_decode",
+    "x_multimodal_jpeg_decode", "x_multimodal_jpeg_progressive",
+    "x_multimodal_palette_png_decode",
     "x_multimodal_png_decode", "x_multimodal_decode",
     "x_embedding_covariance", "x_embedding_pca",
     "x_text_nfc", "x_html_strip",

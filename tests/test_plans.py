@@ -405,3 +405,20 @@ def test_dq_and_profile_no_python(spark):
         plan = _plan(spark, name)
         assert "EvalPython" not in plan, name
         assert "Exchange" in plan  # the single agg shuffle
+
+
+def test_embedding_covariance_no_rowlevel_explode(spark):
+    """The covariance fit must keep its n*dim^2 work inside the Arrow
+    batches (one MapInPandas over the scan, partials-only shuffle) — a
+    Generate/explode node here means the row-level blow-up reached the
+    exchange, which is exactly what the operator exists to avoid."""
+    plan = _plan(spark, "x_embedding_covariance")
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan  # no explode of (row, i, j)
+
+
+def test_jpeg_entries_are_arrow_batched(spark):
+    for name in ("x_multimodal_jpeg_decode", "x_multimodal_jpeg_progressive"):
+        plan = _plan(spark, name)
+        assert "MapInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name  # no row-at-a-time UDF
