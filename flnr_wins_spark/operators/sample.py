@@ -209,3 +209,99 @@ def weighted_sample(
         .orderBy(F.col("pri_q").desc(), F.col(id_col))
         .limit(n)
     )
+
+
+def corpus_mixture(
+    df: DataFrame,
+    source_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    temperature: float = 2.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the Pile/ROOTS/multilingual-LM
+    mixture recipe): allocate an ``n``-document budget across sources
+    proportionally to ``count_s^(1/T)`` — T > 1 upweights low-resource
+    sources relative to their raw share — then fill each source's quota
+    with its content-addressed (md5-ranked) documents.
+
+    Exactness discipline (the lesson of CORRECTNESS_r04): only ``T = 2``
+    (the common "square-root sampling") and ``T = 1`` (proportional) are
+    supported, because ``sqrt`` is the one power IEEE 754 requires to be
+    correctly rounded — both engines produce the identical double, and the
+    allocation then runs in pure integers: ``q_s = floor(sqrt(c_s)*1e6)``,
+    quota ``n_s = (n*q_s) div Q`` plus largest-remainder distribution of
+    the leftover (remainders ``(n*q_s) mod Q``, ties by source name).
+    General real temperatures need ``pow``, which libm does NOT correctly
+    round — use the nearest supported T or accept an inexact oracle.
+
+    Quotas are NOMINAL: a source smaller than its quota contributes
+    everything it has and the shortfall is NOT redistributed (single-pass
+    semantics — re-run with a larger n or fewer sources if the exact
+    budget matters). Integer envelope: n * floor(sqrt(c)*1e6) must fit a
+    BIGINT — safe for n up to ~1e6 at c ~ 1e12 docs/source.
+
+    Scale shape: source stats are one tiny groupBy; quotas broadcast; the
+    per-source fill is one md5-ranked window partitioned by source (each
+    partition k-bounded by its quota after the rank filter; for a
+    pathologically hot source, the group_cap prefilter_margin trick in
+    this module applies before the window). Returns (id, source,
+    mix_rank) — mix_rank 1..n_s within each source.
+    """
+    if temperature == 2.0:
+        qexpr = F.floor(F.sqrt(F.col("c").cast("double")) * 1e6).cast("long")
+    elif temperature == 1.0:
+        qexpr = F.col("c").cast("long")
+    else:
+        raise ValueError(
+            "temperature must be 1.0 or 2.0 (the engine-exact powers; "
+            "libm pow is not correctly rounded)"
+        )
+    stats = (
+        df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("s", qexpr.alias("q"))
+    )
+    tot = stats.agg(F.sum("q").cast("long").alias("bigq"))
+    alloc = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "s",
+            (F.lit(n).cast("long") * F.col("q")).alias("nq"),
+            "bigq",
+        )
+        .select(
+            "s",
+            F.expr("nq div bigq").alias("base"),
+            F.expr("nq % bigq").alias("rem"),
+        )
+    )
+    # largest-remainder: leftover = n - sum(base) quotas go to the biggest
+    # remainders (source-name tiebreak) — all-integer, engine-exact
+    leftover = alloc.agg((F.lit(n) - F.sum("base")).cast("long").alias("lo"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("s"))
+    quotas = (
+        alloc.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "s",
+            (F.col("base") + F.when(F.col("rk") <= F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    ranked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("s"),
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":mix{seed}"))
+        ).alias("_h"),
+    ).withColumn(
+        "mix_rank",
+        F.row_number().over(Window.partitionBy("s").orderBy("_h", "id")),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "s")
+        .filter(F.col("mix_rank") <= F.col("quota"))
+        .select("id", F.col("s").alias(source_col), "mix_rank")
+    )

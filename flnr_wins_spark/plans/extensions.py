@@ -2988,6 +2988,44 @@ def x_multimodal_png_decode(spark, sf_dir):
 
 
 @query(
+    "x_corpus_mixture",
+    sql="""
+    WITH stats AS (SELECT lang AS s, COUNT(*) AS c FROM documents GROUP BY 1),
+    q AS (SELECT s, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS q
+          FROM stats),
+    tot AS (SELECT CAST(SUM(q) AS BIGINT) AS bigq FROM q),
+    alloc AS (SELECT s, (300 * q) // bigq AS base, (300 * q) % bigq AS rem
+              FROM q CROSS JOIN tot),
+    lo AS (SELECT 300 - CAST(SUM(base) AS BIGINT) AS lo FROM alloc),
+    quotas AS (
+      SELECT s, base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, s) <= lo
+                            THEN 1 ELSE 0 END AS quota
+      FROM alloc CROSS JOIN lo),
+    ranked AS (
+      SELECT doc_id AS id, lang AS s,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix42'), doc_id)
+               AS mix_rank
+      FROM documents)
+    SELECT id, s AS lang, CAST(mix_rank AS INTEGER) AS mix_rank
+    FROM ranked JOIN quotas USING (s) WHERE mix_rank <= quota
+    """,
+    note="temperature-2 corpus mixture (Pile/ROOTS square-root sampling): "
+    "a fixed n=300 budget allocated across languages by count^(1/2) — "
+    "engine-exact because sqrt is THE correctly-rounded IEEE power, and "
+    "the allocation itself is pure integers (q=floor(sqrt(c)*1e6), "
+    "quota=(n*q) div Q, largest-remainder leftovers with name tiebreak); "
+    "per-source fill is the content-addressed md5 rank. Complements "
+    "x_corpus_resample (rate-based tempering) with budgeted allocation",
+)
+def x_corpus_mixture(spark, sf_dir):
+    from flnr_wins_spark.operators.sample import corpus_mixture
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return corpus_mixture(docs, "lang", n=300, temperature=2.0)
+
+
+@query(
     "x_text_nfc",
     sql="""
     WITH c AS (

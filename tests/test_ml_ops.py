@@ -271,3 +271,51 @@ class TestMmrRerank:
         out = mmr_rerank(cands, k=3, id_col="id")
         assert out.count() == 0
         assert out.columns == ["sel_rank", "id", "mmr_score"]
+
+
+class TestCorpusMixture:
+    def test_sqrt_temperature_upweights_small_sources(self, spark):
+        from flnr_wins_spark.operators.sample import corpus_mixture
+
+        rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = corpus_mixture(df, "lang", n=100, id_col="doc_id").collect()
+        got = {}
+        for r in out:
+            got[r.lang] = got.get(r.lang, 0) + 1
+        assert sum(got.values()) == 100
+        # proportional would give small 10; sqrt tempering gives
+        # 100*sqrt(100)/(sqrt(900)+sqrt(100)) = 25
+        assert got["small"] == 25 and got["big"] == 75
+
+    def test_small_source_contributes_everything_no_redistribution(self, spark):
+        from flnr_wins_spark.operators.sample import corpus_mixture
+
+        rows = [(i, "big") for i in range(400)] + [(900 + i, "tiny") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = corpus_mixture(df, "lang", n=100, id_col="doc_id").collect()
+        got = {}
+        for r in out:
+            got[r.lang] = got.get(r.lang, 0) + 1
+        # tiny's sqrt quota (100*2/22 = 9) exceeds its 4 docs: it gives all 4,
+        # and the shortfall is NOT redistributed
+        assert got["tiny"] == 4
+        assert sum(got.values()) < 100
+
+    def test_deterministic_across_partitionings(self, spark):
+        from flnr_wins_spark.operators.sample import corpus_mixture
+
+        rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(600)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        a = sorted(map(tuple, corpus_mixture(df, "lang", n=90).collect()))
+        b = sorted(map(tuple, corpus_mixture(df.repartition(13), "lang", n=90).collect()))
+        assert a == b and len(a) == 90
+
+    def test_unsupported_temperature_rejected(self, spark):
+        import pytest
+
+        from flnr_wins_spark.operators.sample import corpus_mixture
+
+        df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+        with pytest.raises(ValueError, match="temperature"):
+            corpus_mixture(df, "lang", n=1, temperature=1.7)
