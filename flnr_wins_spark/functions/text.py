@@ -789,3 +789,100 @@ def html_strip(col: Column) -> Column:
     ]:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(s, "\\s+", " "))
+
+
+def optimal_segment_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_words: int = 200,
+    max_token_len: int = 8,
+    max_word_len: int = 16,
+    top_k: int = 200,
+) -> DataFrame:
+    """OPTIMAL (minimal-piece) subword segmentation — the DP objective of
+    unigram/WordPiece tokenizers, next to :func:`maxmatch_token_counts`'s
+    greedy heuristic. For each distinct word, computes the MINIMUM number
+    of vocabulary pieces that exactly cover it (the same corpus-derived
+    vocabulary as MaxMatch: ``top_words`` frequent whole words of length
+    <= ``max_token_len``, ties by word, plus every single character — the
+    char fallback guarantees a segmentation exists). Returns the ``top_k``
+    most frequent words (ties by word) as (w, n_chars, n_pieces, n_occ).
+
+    Implementation is breadth-first shortest path over (word, position)
+    run ENTIRELY as DataFrame rounds (no Python in the loop): each round
+    explodes candidate piece lengths from the frontier, broadcast-joins
+    the vocabulary, and keeps newly reached positions (anti-join against
+    visited). The first round that reaches position == len(word) IS the
+    minimum — rounds are bounded by ``max_word_len``, so a recursive-CTE
+    twin enumerating reachable (word, pos, steps) states and taking
+    MIN(steps) is exact. Memoized by distinct word, same 100 TB posture
+    as MaxMatch: corpus size only enters through the word-count join.
+    """
+    occ = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("w0")
+    ).filter(F.col("w0") != "")
+    wc = (
+        occ.select(F.substring("w0", 1, max_word_len).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    top = (
+        wc.filter(F.length("w") <= max_token_len)
+        .orderBy(F.col("n").desc(), "w")
+        .limit(top_words)
+        .select(F.col("w").alias("tok"))
+    )
+    chars = wc.select(
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"), F.col("w")
+    ).select(F.expr("substring(w, i, 1)").alias("tok")).distinct()
+    vocab = top.union(chars).distinct().localCheckpoint()
+
+    frontier = wc.select("w", F.lit(0).alias("pos"))
+    visited = frontier
+    done = None
+    for step in range(1, max_word_len + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            frontier.select(
+                "w",
+                "pos",
+                F.explode(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(max_token_len), F.length("w") - F.col("pos")),
+                    )
+                ).alias("L"),
+            )
+            .withColumn("piece", F.expr("substring(w, pos + 1, L)"))
+            .join(F.broadcast(vocab), F.col("piece") == F.col("tok"))
+            .select("w", (F.col("pos") + F.col("L")).alias("pos"))
+            .distinct()
+            .join(visited, ["w", "pos"], "left_anti")
+            .localCheckpoint()
+        )
+        finished = nxt.filter(F.col("pos") == F.length("w")).select(
+            "w", F.lit(step).cast("int").alias("n_pieces")
+        )
+        done = finished if done is None else done.union(finished)
+        frontier = nxt.filter(F.col("pos") < F.length("w"))
+        visited = visited.union(nxt).localCheckpoint()
+    if done is None:
+        return wc.select(
+            "w",
+            F.length("w").cast("int").alias("n_chars"),
+            F.lit(0).cast("int").alias("n_pieces"),
+            F.col("n").alias("n_occ"),
+        ).limit(0)
+    return (
+        done.join(wc, "w")
+        .select(
+            "w",
+            F.length("w").cast("int").alias("n_chars"),
+            "n_pieces",
+            F.col("n").alias("n_occ"),
+        )
+        .orderBy(F.col("n_occ").desc(), "w")
+        .limit(top_k)
+    )

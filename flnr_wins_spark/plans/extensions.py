@@ -3968,6 +3968,82 @@ def x_tokenize_maxmatch(spark, sf_dir):
     return maxmatch_token_counts(t(spark, sf_dir, "documents"))
 
 
+def _optseg_oracle_sql(
+    top_words: int = 200,
+    max_token_len: int = 8,
+    max_word_len: int = 16,
+    top_k: int = 200,
+) -> str:
+    """Fixed-unroll SQL twin of functions/text.py optimal_segment_stats:
+    BFS over (word, pos) in max_word_len materialized rounds; a word's
+    n_pieces is the FIRST (minimum) round that reaches pos == len(w).
+    Unlike the Spark side there is no visited-pruning — re-reached states
+    just add redundant rows (positions are bounded by word length) and
+    MIN(round) restores the identical BFS answer."""
+    rounds = max_word_len
+    ctes = [
+        """occ AS MATERIALIZED (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS w0
+          FROM documents)""",
+        f"""wc AS MATERIALIZED (
+          SELECT substr(w0, 1, {max_word_len}) AS w, CAST(COUNT(*) AS BIGINT) AS n
+          FROM occ GROUP BY 1)""",
+        f"""top AS MATERIALIZED (
+          SELECT w AS tok FROM (
+            SELECT w, row_number() OVER (ORDER BY n DESC, w) AS rn
+            FROM wc WHERE len(w) <= {max_token_len}) q
+          WHERE rn <= {top_words})""",
+        """chars AS MATERIALIZED (
+          SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS tok
+          FROM wc, UNNEST(range(1, len(w) + 1)) u(i))""",
+        "vocab AS MATERIALIZED (SELECT tok FROM top UNION SELECT tok FROM chars)",
+        "r0 AS MATERIALIZED (SELECT w, 0 AS pos FROM wc)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+              SELECT DISTINCT s.w, s.pos + CAST(u.L AS INT) AS pos
+              FROM r{p} s, range(1, {max_token_len + 1}) u(L)
+              WHERE s.pos < len(s.w) AND s.pos + u.L <= len(s.w)
+                AND substr(s.w, s.pos + 1, CAST(u.L AS INT)) IN (SELECT tok FROM vocab))"""
+        )
+    fins = " UNION ALL ".join(
+        f"SELECT w, {i} AS s FROM r{i} WHERE pos = len(w)"
+        for i in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""", fin AS ({fins}),
+        np AS (SELECT w, CAST(MIN(s) AS INT) AS n_pieces FROM fin GROUP BY w)
+        SELECT w, n_chars, n_pieces, n_occ FROM (
+          SELECT np.w, CAST(len(np.w) AS INT) AS n_chars, np.n_pieces,
+                 wc.n AS n_occ,
+                 row_number() OVER (ORDER BY wc.n DESC, np.w) AS rn
+          FROM np JOIN wc USING (w)) q
+        WHERE rn <= {top_k}"""
+    )
+
+
+@query(
+    "x_tokenize_optimal",
+    sql=_optseg_oracle_sql(),
+    note="OPTIMAL (minimal-piece) subword segmentation — the DP objective "
+    "of unigram/WordPiece tokenizers beside x_tokenize_maxmatch's greedy "
+    "heuristic, same corpus-derived vocab (top-200 words + char "
+    "fallback). BFS shortest path over (word, pos) run as pure DataFrame "
+    "rounds (frontier explode -> broadcast vocab join -> anti-join "
+    "visited), memoized by distinct word; oracle = 16 fixed-unroll BFS "
+    "rounds with MIN(first-finishing round)",
+)
+def x_tokenize_optimal(spark, sf_dir):
+    from flnr_wins_spark.functions.text import optimal_segment_stats
+
+    return optimal_segment_stats(t(spark, sf_dir, "documents"))
+
+
 def _qoi_test_media(docs, tag_limit=None):
     """md5-derived 8x8 RGB pixels in EQUAL PAIRS, wrapped as media rows —
     ONE construction shared by the QOI round-trip and binaryFile-ingest

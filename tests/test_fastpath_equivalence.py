@@ -251,3 +251,37 @@ class TestTextCleaning:
         assert got == unicodedata.normalize("NFC", decomposed)
         assert "é" in got and "Å" in got  # composed forms present
         assert "b̀" in got  # no precomposed b-grave: stays decomposed
+
+
+class TestOptimalSegmentation:
+    def test_optimal_beats_greedy_on_crafted_vocab(self, spark):
+        """'abcd' with vocab {abc, cd, ab, a..d}: greedy longest-first takes
+        abc + d = 2... craft the classic case where greedy is WORSE:
+        vocab {ab, abc, cde, c, d, e}: 'abcde' greedy = abc+d+e (3),
+        optimal = ab+cde (2)."""
+        from flnr_wins_spark.functions.text import optimal_segment_stats
+
+        # corpus frequencies force the vocab: make 'ab', 'abc', 'cde'
+        # frequent whole words, then measure the rare word 'abcde'
+        rows = (
+            [(i, "ab abc cde") for i in range(50)]
+            + [(1000, "abcde")]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # top_words=3 keeps only the frequent {ab, abc, cde} as whole-word
+        # vocab — the rare 'abcde' itself must NOT enter the vocabulary
+        out = {r.w: r.n_pieces for r in
+               optimal_segment_stats(df, top_words=3, top_k=50).collect()}
+        assert out["ab"] == 1 and out["abc"] == 1 and out["cde"] == 1
+        assert out["abcde"] == 2  # ab + cde; greedy would need 3 (abc,d,e)
+
+    def test_char_fallback_always_segments(self, spark):
+        from flnr_wins_spark.functions.text import optimal_segment_stats
+
+        df = spark.createDataFrame(
+            [(1, "zzqqxx unseen")], "doc_id long, text string"
+        )
+        out = {r.w: (r.n_chars, r.n_pieces) for r in
+               optimal_segment_stats(df, top_words=0, top_k=50).collect()}
+        # with no whole-word vocab, every word segments to its chars
+        assert out["zzqqxx"] == (6, 6) and out["unseen"] == (6, 6)
