@@ -2988,6 +2988,49 @@ def x_multimodal_png_decode(spark, sf_dir):
 
 
 @query(
+    "x_quantile_bottomk",
+    sql="""
+    WITH d AS (
+      SELECT event_type AS g, value AS v,
+             md5('bq:' || CAST(event_id AS VARCHAR)) AS h
+      FROM events
+      WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ), sample AS (
+      SELECT g, v, h FROM (
+        SELECT g, v, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM d) q WHERE rn <= 256
+    ), ranked AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v, h) AS vr,
+             COUNT(*) OVER (PARTITION BY g) AS n_kept
+      FROM sample
+    ), est AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             MAX(CASE WHEN vr = CAST(ceil(0.5 * n_kept) AS INT) THEN v END) AS q50,
+             MAX(CASE WHEN vr = CAST(ceil(0.9 * n_kept) AS INT) THEN v END) AS q90
+      FROM ranked GROUP BY g
+    ), tot AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_total FROM d GROUP BY g
+    )
+    SELECT est.g AS event_type, n_total, n_kept, q50, q90
+    FROM est JOIN tot USING (g)
+    """,
+    note="quantile estimation from a bottom-k uniform row sample (the KMV "
+    "bottom-k device on rows): partition-invariant and engine-exact where "
+    "t-digest/KLL compactions are arrival-order-dependent; estimate = "
+    "exact order statistic of the 256-row md5-selected sample, rank "
+    "stderr ~ sqrt(q(1-q)/k); sketches merge like KMV (union, re-rank)",
+)
+def x_quantile_bottomk(spark, sf_dir):
+    from flnr_wins_spark.functions.sketches import bottomk_quantiles
+
+    ev = t(spark, sf_dir, "events")
+    return bottomk_quantiles(
+        ev, "event_type", "value", "event_id", k=256, quantiles=(0.5, 0.9)
+    )
+
+
+@query(
     "x_corpus_mixture",
     sql="""
     WITH stats AS (SELECT lang AS s, COUNT(*) AS c FROM documents GROUP BY 1),

@@ -798,3 +798,42 @@ def test_cms_join_size_empty_side_estimates_zero(spark):
     empty = spark.createDataFrame([], "k int")
     row = cms_join_size(a, empty, "k", "k", depth=4, hex_chars=1).collect()[0]
     assert (row.est_size, row.true_size) == (0, 0)
+
+
+class TestBottomkQuantiles:
+    def test_estimates_close_to_exact_quantiles(self, spark):
+        from flnr_wins_spark.functions.sketches import bottomk_quantiles
+
+        rows = [(i, "a", float(i % 1000)) for i in range(20000)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        row = bottomk_quantiles(df, "event_type", "value", "event_id", k=256).collect()[0]
+        assert row.n_total == 20000 and row.n_kept == 256
+        # uniform 0..999: true p50=500, p90=900; rank stderr ~ 3% of range
+        assert abs(row.q50 - 500) < 100
+        assert abs(row.q90 - 900) < 100
+
+    def test_partition_invariant_and_merge_equivalent(self, spark):
+        from flnr_wins_spark.functions.sketches import bottomk_quantiles
+
+        rows = [(i, "g", float((i * 37) % 500)) for i in range(5000)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        a = sorted(map(tuple, bottomk_quantiles(df, "event_type", "value", "event_id").collect()))
+        b = sorted(map(tuple, bottomk_quantiles(df.repartition(17), "event_type", "value", "event_id").collect()))
+        assert a == b
+
+    def test_null_values_and_keys_excluded(self, spark):
+        from flnr_wins_spark.functions.sketches import bottomk_quantiles
+
+        clean = spark.createDataFrame(
+            [(i, "g", float(i)) for i in range(50)],
+            "event_id long, event_type string, value double",
+        )
+        dirty = clean.unionByName(
+            spark.createDataFrame(
+                [(999, "g", None), (None, "g", 3.0)],
+                "event_id long, event_type string, value double",
+            )
+        )
+        a = sorted(map(tuple, bottomk_quantiles(clean, "event_type", "value", "event_id", k=16).collect()))
+        b = sorted(map(tuple, bottomk_quantiles(dirty, "event_type", "value", "event_id", k=16).collect()))
+        assert a == b
