@@ -2987,6 +2987,120 @@ def x_multimodal_png_decode(spark, sf_dir):
     )
 
 
+def _geohash_oracle_sql() -> str:
+    from flnr_wins_spark.functions.geo import geohash_expr_sql
+
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS point_id,
+             CAST('0x' || substr(md5('geo:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+                  AS BIGINT) % 180000001 AS lat_u,
+             CAST('0x' || substr(md5('geo:' || CAST(c_custkey AS VARCHAR)), 13, 12)
+                  AS BIGINT) % 360000001 AS lon_u
+      FROM customer)
+    SELECT point_id, lat_u, lon_u,
+           {geohash_expr_sql('lat_u', 'lon_u', 8, div='//')} AS gh8
+    FROM pts
+    """
+
+
+@query(
+    "x_geo_geohash",
+    sql=_geohash_oracle_sql(),
+    note="geohash spatial bucketing key (public-domain encoding) over "
+    "md5-derived microdegree points: quantize, bit-interleave lon/lat, "
+    "base32 — ONE fully unrolled JVM integer expression, no UDF, no "
+    "floats (pinned against canonical geohash values in pytest); the "
+    "spatial analog of the S11 secondary index (equal prefix = nearby "
+    "cell, so spatial neighborhood joins become equi-joins). Oracle runs "
+    "the same unrolled arithmetic with DuckDB's // integer division",
+)
+def x_geo_geohash(spark, sf_dir):
+    from flnr_wins_spark.functions.geo import geohash_encode
+
+    points = t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS point_id",
+        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 1, 12),"
+        " 16, 10) AS BIGINT) % 180000001 AS lat_u",
+        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 13, 12),"
+        " 16, 10) AS BIGINT) % 360000001 AS lon_u",
+    )
+    return points.select(
+        "point_id",
+        "lat_u",
+        "lon_u",
+        geohash_encode("lat_u", "lon_u", precision=8).alias("gh8"),
+    )
+
+
+@query(
+    "x_geo_grid_join",
+    sql="""
+    WITH pts AS (
+      SELECT c_custkey AS point_id,
+             CAST('0x' || substr(md5('geo:' || CAST(c_custkey AS VARCHAR)), 13, 12)
+                  AS BIGINT) % 360000001 AS x_u,
+             CAST('0x' || substr(md5('geo:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+                  AS BIGINT) % 180000001 AS y_u
+      FROM customer),
+    ctr AS (
+      SELECT n_nationkey AS box_id,
+             CAST('0x' || substr(md5('box:' || CAST(n_nationkey AS VARCHAR)), 13, 12)
+                  AS BIGINT) % 360000001 AS cx,
+             CAST('0x' || substr(md5('box:' || CAST(n_nationkey AS VARCHAR)), 1, 12)
+                  AS BIGINT) % 180000001 AS cy,
+             500000 + CAST('0x' || substr(md5('box:' || CAST(n_nationkey AS VARCHAR)), 25, 6)
+                           AS BIGINT) % 2500001 AS hx,
+             500000 + CAST('0x' || substr(md5('ext:' || CAST(n_nationkey AS VARCHAR)), 25, 6)
+                           AS BIGINT) % 2500001 AS hy
+      FROM nation),
+    boxes AS (
+      SELECT box_id,
+             GREATEST(cx - hx, 0) AS xmin_u, LEAST(cx + hx, 360000000) AS xmax_u,
+             GREATEST(cy - hy, 0) AS ymin_u, LEAST(cy + hy, 180000000) AS ymax_u
+      FROM ctr)
+    SELECT point_id, box_id, x_u, y_u
+    FROM pts JOIN boxes
+      ON x_u >= xmin_u AND x_u <= xmax_u AND y_u >= ymin_u AND y_u <= ymax_u
+    """,
+    note="points-in-rectangles spatial join WITHOUT a cartesian product "
+    "(the SpatialHadoop/GeoSpark grid-partition shape): rectangles "
+    "explode to the 1-degree grid cells they cover, points map to their "
+    "single cell, candidates meet in an equi-join on cell, exact integer "
+    "containment finishes; a point lives in one cell so no dedup pass. "
+    "Oracle is the brute-force containment join — the grid is pure "
+    "execution strategy, contract-tested to produce no CartesianProduct",
+)
+def x_geo_grid_join(spark, sf_dir):
+    from flnr_wins_spark.functions.geo import grid_bbox_join
+
+    points = t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS point_id",
+        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 13, 12),"
+        " 16, 10) AS BIGINT) % 360000001 AS x_u",
+        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 1, 12),"
+        " 16, 10) AS BIGINT) % 180000001 AS y_u",
+    )
+    boxes = t(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS box_id",
+        "CAST(conv(substring(md5(concat('box:', CAST(n_nationkey AS STRING))), 13, 12),"
+        " 16, 10) AS BIGINT) % 360000001 AS cx",
+        "CAST(conv(substring(md5(concat('box:', CAST(n_nationkey AS STRING))), 1, 12),"
+        " 16, 10) AS BIGINT) % 180000001 AS cy",
+        "500000 + CAST(conv(substring(md5(concat('box:', CAST(n_nationkey AS STRING))), 25, 6),"
+        " 16, 10) AS BIGINT) % 2500001 AS hx",
+        "500000 + CAST(conv(substring(md5(concat('ext:', CAST(n_nationkey AS STRING))), 25, 6),"
+        " 16, 10) AS BIGINT) % 2500001 AS hy",
+    ).selectExpr(
+        "box_id",
+        "GREATEST(cx - hx, CAST(0 AS BIGINT)) AS xmin_u",
+        "LEAST(cx + hx, CAST(360000000 AS BIGINT)) AS xmax_u",
+        "GREATEST(cy - hy, CAST(0 AS BIGINT)) AS ymin_u",
+        "LEAST(cy + hy, CAST(180000000 AS BIGINT)) AS ymax_u",
+    )
+    return grid_bbox_join(points, boxes, cell_u=1_000_000)
+
+
 @query(
     "x_quantile_bottomk",
     sql="""
