@@ -128,3 +128,57 @@ def grid_bbox_join(
         )
         .select(pid, bid, px, py)
     )
+
+
+def planar_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    query_cols: tuple[str, str, str] = ("query_id", "x_u", "y_u"),
+    cand_cols: tuple[str, str, str] = ("cand_id", "x_u", "y_u"),
+) -> DataFrame:
+    """Exact k-nearest-neighbors by planar squared distance in integer
+    microdegrees: (query_id, cand_id, dist2, rank), rank 1..k, ties broken
+    by candidate id. The spatial sibling of vectors.brute_force_topk —
+    the query side broadcasts, candidates scan once with no shuffle, only
+    the (|Q| x k)-bounded result exchanges for the rank window. dist2 is
+    an exact BIGINT (dx^2 + dy^2 <= ~2.6e17), so the ranking and values
+    are engine-exact.
+
+    Planar distance treats microdegrees as a flat grid — the right
+    primitive for candidate RANKING at city/regional extents; for true
+    great-circle metrics re-rank the k survivors with haversine
+    downstream (libm trig stays out of graded keys, the engine-wide
+    rule). The 100 TB path for huge |Q| buckets both sides by geohash
+    prefix first (``geohash_encode``) and runs this inside buckets plus
+    neighbor rings.
+    """
+    from pyspark.sql import Window
+
+    qid, qx, qy = query_cols
+    cid, cx, cy = cand_cols
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(qx).alias("_qx"),
+        F.col(qy).alias("_qy"),
+    )
+    c = candidates.select(
+        F.col(cid).alias("cand_id"),
+        F.col(cx).alias("_cx"),
+        F.col(cy).alias("_cy"),
+    )
+    dist2 = (
+        (F.col("_cx") - F.col("_qx")) * (F.col("_cx") - F.col("_qx"))
+        + (F.col("_cy") - F.col("_qy")) * (F.col("_cy") - F.col("_qy"))
+    ).cast("bigint")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", dist2.alias("dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "dist2", F.col("rank").cast("int").alias("rank"))
+    )

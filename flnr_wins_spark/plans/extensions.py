@@ -3034,6 +3034,52 @@ def x_geo_geohash(spark, sf_dir):
 
 
 @query(
+    "x_geo_knn",
+    sql="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST('0x' || substr(md5('geo:' || CAST(c_custkey AS VARCHAR)), 13, 12)
+                  AS BIGINT) % 360000001 AS x_u,
+             CAST('0x' || substr(md5('geo:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+                  AS BIGINT) % 180000001 AS y_u
+      FROM customer)
+    SELECT query_id, cand_id, dist2, CAST(rn AS INT) AS rank FROM (
+      SELECT q.id AS query_id, c.id AS cand_id,
+             (c.x_u - q.x_u) * (c.x_u - q.x_u)
+               + (c.y_u - q.y_u) * (c.y_u - q.y_u) AS dist2,
+             ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+               (c.x_u - q.x_u) * (c.x_u - q.x_u)
+                 + (c.y_u - q.y_u) * (c.y_u - q.y_u), c.id) AS rn
+      FROM pts q JOIN pts c ON q.id <= 20 AND q.id <> c.id) r
+    WHERE rn <= 3
+    """,
+    note="exact spatial k-nearest-neighbors by planar squared distance in "
+    "integer microdegrees (engine-exact BIGINT keys — no trig in graded "
+    "values): broadcast query side, single candidate scan, k-bounded "
+    "window; the scale path buckets by geohash prefix + neighbor rings "
+    "before this exact re-rank (the coarse-then-verify posture of the "
+    "ANN family, spatially)",
+)
+def x_geo_knn(spark, sf_dir):
+    from flnr_wins_spark.functions.geo import planar_knn
+
+    pts = t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS id",
+        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 13, 12),"
+        " 16, 10) AS BIGINT) % 360000001 AS x_u",
+        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 1, 12),"
+        " 16, 10) AS BIGINT) % 180000001 AS y_u",
+    )
+    return planar_knn(
+        pts.filter(F.col("id") <= 20),
+        pts,
+        k=3,
+        query_cols=("id", "x_u", "y_u"),
+        cand_cols=("id", "x_u", "y_u"),
+    )
+
+
+@query(
     "x_geo_grid_join",
     sql="""
     WITH pts AS (

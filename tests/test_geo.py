@@ -106,3 +106,32 @@ class TestGridBboxJoin:
         plan = grid_bbox_join(p, bx)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPlanarKnn:
+    def test_matches_brute_force_and_ranks(self, spark):
+        from flnr_wins_spark.functions.geo import planar_knn
+
+        pts = [(i, (i * 31) % 100 * 1_000_000, (i * 17) % 100 * 1_000_000)
+               for i in range(40)]
+        df = spark.createDataFrame(pts, "id long, x_u long, y_u long")
+        out = planar_knn(
+            df.filter(F.col("id") < 5), df, k=3,
+            query_cols=("id", "x_u", "y_u"), cand_cols=("id", "x_u", "y_u"),
+        ).collect()
+        assert len(out) == 15
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        coords = {i: (x, y) for i, x, y in pts}
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r.rank)
+            # distances non-decreasing with rank, and exactly the true top-3
+            d = [r.dist2 for r in rows]
+            assert d == sorted(d)
+            qx, qy = coords[qid]
+            truth = sorted(
+                ((cx - qx) ** 2 + (cy - qy) ** 2, i)
+                for i, (cx, cy) in coords.items() if i != qid
+            )[:3]
+            assert [r.dist2 for r in rows] == [t[0] for t in truth]
