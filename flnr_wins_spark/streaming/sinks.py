@@ -407,3 +407,95 @@ def minhash_dedup_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def quantile_sketch_sink(
+    stream: DataFrame,
+    state_path: str,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained bottom-k quantile sample (streaming cousin
+    of ``functions.sketches.bottomk_quantiles``): each micro-batch keeps
+    its per-group k rows with smallest ``md5('bq:' || key)`` and merges
+    them with the previous state — union, re-rank by hash, keep k. The
+    bottom-k sample is a pure function of the row-key SET, so the
+    maintained state is IDENTICAL to one built from the full history in
+    batch (the batch-twin test pins this), and replays dedup through the
+    (g, h, v) distinct. State versioning/idempotency follows
+    :func:`incremental_agg_sink`.
+
+    Rows whose value or key is NULL are excluded (same rule as the batch
+    operator: NULL hashes rank first in Spark, last in DuckDB)."""
+    from pyspark.sql import Window
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        h = F.md5(F.concat(F.lit("bq:"), F.col(key_col).cast("string")))
+        batch_sk = (
+            batch_df.select(
+                F.col(group_col).alias("g"),
+                F.col(value_col).alias("v"),
+                h.alias("h"),
+            )
+            .filter(F.col("v").isNotNull() & F.col("h").isNotNull())
+            .withColumn(
+                "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
+            )
+            .filter(F.col("rn") <= k)
+            .select("g", "h", "v")
+        )
+        prior = [v for v in _state_versions(spark, state_path) if v < batch_id]
+        merged = batch_sk
+        if prior:
+            prev = spark.read.parquet(f"{state_path}/v{prior[-1]}")
+            merged = prev.unionByName(batch_sk)
+        new = (
+            merged.distinct()
+            .withColumn(
+                "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
+            )
+            .filter(F.col("rn") <= k)
+            .select("g", "h", "v")
+        )
+        new.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+        for v in _state_versions(spark, state_path)[:-3]:
+            if v != batch_id:
+                _state_delete(spark, f"{state_path}/v{v}")
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_quantile_estimates(
+    spark, state_path: str, quantiles: tuple[float, ...] = (0.5, 0.9)
+) -> DataFrame:
+    """Quantile estimates from the newest sample state written by
+    :func:`quantile_sketch_sink` — same order-statistic estimator as
+    ``bottomk_quantiles`` (value rank ceil(q * n_kept), hash tiebreak)."""
+    from pyspark.sql import Window
+
+    sk = read_agg_state(spark, state_path)
+    ranked = sk.withColumn(
+        "vr", F.row_number().over(Window.partitionBy("g").orderBy("v", "h"))
+    ).withColumn("n_kept", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_kept")]
+    for q in quantiles:
+        pct = int(round(q * 100))
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("vr") == F.ceil(F.lit(q) * F.col("n_kept")).cast("int"),
+                    F.col("v"),
+                )
+            ).alias(f"q{pct}")
+        )
+    return ranked.groupBy("g").agg(*aggs)

@@ -506,3 +506,51 @@ def test_minhash_gate_rejects_out_of_order_newcomer(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r.doc_id for r in read_dedup_kept(spark, str(tmp_path / "state")).collect()}
     assert kept == {1_000_000}  # first arrival kept, low-id newcomer gated
+
+
+def test_quantile_sketch_sink_equals_batch_sketch(spark, tmp_path):
+    """Streaming bottom-k quantile maintenance: merging per-micro-batch
+    samples (union, re-rank by hash, keep k) must land on the IDENTICAL
+    sample — and hence identical order-statistic estimates — as one batch
+    pass over the full history (the sample is a pure function of the
+    row-key set)."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.functions.sketches import bottomk_quantiles
+    from flnr_wins_spark.streaming.sinks import (
+        quantile_sketch_sink,
+        read_quantile_estimates,
+    )
+
+    src = str(tmp_path / "src")
+    ev = read_table(spark, SF, "events").select(
+        "event_id", "event_type", "value",
+        F.pmod(F.col("event_id"), F.lit(3)).alias("_b"),
+    )
+    for i in range(3):
+        ev.filter(F.col("_b") == i).coalesce(1).write.mode("append").parquet(src)
+    ev = ev.drop("_b")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = quantile_sketch_sink(
+        stream,
+        str(tmp_path / "state"),
+        group_col="event_type",
+        value_col="value",
+        key_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=32,
+    )
+    q.awaitTermination(120)
+    got = {
+        r.g: (r.n_kept, r.q50, r.q90)
+        for r in read_quantile_estimates(spark, str(tmp_path / "state")).collect()
+    }
+    want = {
+        r.event_type: (r.n_kept, r.q50, r.q90)
+        for r in bottomk_quantiles(
+            ev, "event_type", "value", "event_id", k=32
+        ).collect()
+    }
+    assert got == want and len(got) == 5
