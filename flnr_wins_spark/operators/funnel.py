@@ -102,3 +102,79 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(user_col).alias("active_users"))
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear MULTI-touch marketing attribution: each conversion's value
+    splits EQUALLY across every distinct-channel touch the user made
+    before it (the position-agnostic complement of last-touch). Returns
+    per channel (touch, n_purchases_touched, revenue_micro) — plus a
+    'none' row for conversions with no prior touch, which keep full
+    credit.
+
+    Exactness discipline: credit is computed in integer micro-units —
+    ``value_micro = floor(value * 1e6 + 0.5)`` and each channel gets
+    ``(value_micro * cnt_c) div n`` where cnt_c is the channel's touch
+    count and n the conversion's total touches. Floor division drops at
+    most n-1 micro-units of "dust" per conversion (deterministic, both
+    engines identical) — the price of an engine-exact oracle, documented
+    rather than papered over with decimal division whose scale rules
+    differ between engines.
+
+    Shape: conversions join their user's prior events (ordering by
+    (ts, id) so simultaneous events break ties deterministically), then
+    two small aggregations. The join fans out per user activity — for
+    power users at 100 TB, pre-bucket both sides by user (bucketing.py)
+    and cap lookback with a time-range predicate so the join condition
+    prunes.
+    """
+    vmic = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("p_ts"),
+        F.col(id_col).alias("p_id"),
+        vmic.alias("v_mic"),
+    )
+    touches = events.filter(F.col(type_col) != conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t_ts"),
+        F.col(id_col).alias("t_id"),
+        F.col(type_col).alias("touch"),
+    )
+    before = (F.col("t_ts") < F.col("p_ts")) | (
+        (F.col("t_ts") == F.col("p_ts")) & (F.col("t_id") < F.col("p_id"))
+    )
+    per = (
+        conv.join(touches, "u")
+        .filter(before)
+        .groupBy("p_id", "v_mic", "touch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = per.groupBy("p_id").agg(F.sum("cnt").cast("bigint").alias("n"))
+    credited = per.join(tot, "p_id").select(
+        "touch",
+        "p_id",
+        F.expr("(v_mic * cnt) div n").alias("credit_mic"),
+    )
+    touched = credited.groupBy("touch").agg(
+        F.count_distinct("p_id").cast("bigint").alias("n_purchases_touched"),
+        F.sum("credit_mic").cast("bigint").alias("revenue_micro"),
+    )
+    untouched = (
+        conv.join(per.select("p_id").distinct(), "p_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases_touched"),
+            F.coalesce(F.sum("v_mic"), F.lit(0)).cast("bigint").alias("revenue_micro"),
+        )
+        .select(F.lit("none").alias("touch"), "n_purchases_touched", "revenue_micro")
+        .filter(F.col("n_purchases_touched") > 0)
+    )
+    return touched.unionByName(untouched)

@@ -713,6 +713,51 @@ def x_user_streaks(spark, sf_dir):
 
 
 @query(
+    "x_attribution_linear",
+    sql="""
+    WITH conv AS (
+      SELECT user_id AS u, ts AS p_ts, event_id AS p_id,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_mic
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id AS u, ts AS t_ts, event_id AS t_id, event_type AS touch
+      FROM events WHERE event_type <> 'purchase'
+    ), per AS (
+      SELECT p_id, v_mic, touch, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM conv JOIN touches USING (u)
+      WHERE t_ts < p_ts OR (t_ts = p_ts AND t_id < p_id)
+      GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT p_id, CAST(SUM(cnt) AS BIGINT) AS n FROM per GROUP BY 1
+    ), credited AS (
+      SELECT touch, per.p_id, (v_mic * cnt) // n AS credit_mic
+      FROM per JOIN tot USING (p_id)
+    ), touched AS (
+      SELECT touch, CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
+             CAST(SUM(credit_mic) AS BIGINT) AS revenue_micro
+      FROM credited GROUP BY 1
+    ), untouched AS (
+      SELECT 'none' AS touch, CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+             CAST(COALESCE(SUM(v_mic), 0) AS BIGINT) AS revenue_micro
+      FROM conv WHERE p_id NOT IN (SELECT DISTINCT p_id FROM per)
+    )
+    SELECT * FROM touched
+    UNION ALL
+    SELECT * FROM untouched WHERE n_purchases_touched > 0
+    """,
+    note="linear multi-touch attribution: every prior touch shares the "
+    "conversion's value equally, in integer micro-units with floor-"
+    "division credit ((v*cnt) div n — deterministic dust, engine-exact, "
+    "no cross-engine decimal-division scale rules); untouched conversions "
+    "keep full credit under 'none'. Complements x_attribution_last_touch",
+)
+def x_attribution_linear(spark, sf_dir):
+    from flnr_wins_spark.operators.funnel import linear_attribution
+
+    return linear_attribution(t(spark, sf_dir, "events"))
+
+
+@query(
     "x_attribution_last_touch",
     sql=f"""
     WITH marked AS (

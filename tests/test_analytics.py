@@ -837,3 +837,48 @@ class TestBottomkQuantiles:
         a = sorted(map(tuple, bottomk_quantiles(clean, "event_type", "value", "event_id", k=16).collect()))
         b = sorted(map(tuple, bottomk_quantiles(dirty, "event_type", "value", "event_id", k=16).collect()))
         assert a == b
+
+
+class TestLinearAttribution:
+    def test_equal_split_with_floor_dust(self, spark):
+        import datetime as dt
+
+        from flnr_wins_spark.operators.funnel import linear_attribution
+
+        b = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: ad, email, ad, then a 10.0 purchase -> ad 2/3, email 1/3
+            (1, b, 1, "ad", 0.0),
+            (2, b.replace(hour=1), 1, "email", 0.0),
+            (3, b.replace(hour=2), 1, "ad", 0.0),
+            (4, b.replace(hour=3), 1, "purchase", 10.0),
+            # user 2: no touches -> full credit under 'none'
+            (5, b, 2, "purchase", 5.0),
+        ]
+        ev = spark.createDataFrame(
+            [(eid, ts, u, t, v) for eid, ts, u, t, v in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        out = {r.touch: (r.n_purchases_touched, r.revenue_micro)
+               for r in linear_attribution(ev).collect()}
+        # 10.0 -> 10_000_000 micro; ad: (1e7*2) div 3 = 6_666_666;
+        # email: (1e7*1) div 3 = 3_333_333; 1 micro-unit of dust dropped
+        assert out["ad"] == (1, 6_666_666)
+        assert out["email"] == (1, 3_333_333)
+        assert out["none"] == (1, 5_000_000)
+
+    def test_touch_after_purchase_not_credited(self, spark):
+        import datetime as dt
+
+        from flnr_wins_spark.operators.funnel import linear_attribution
+
+        b = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (1, b, 1, "purchase", 4.0),
+                (2, b.replace(hour=1), 1, "ad", 0.0),  # after: no credit
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        out = {r.touch: r.revenue_micro for r in linear_attribution(ev).collect()}
+        assert out == {"none": 4_000_000}
