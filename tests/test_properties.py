@@ -387,3 +387,81 @@ def test_maxmatch_tokens_reconcatenate(spark, words):
     want_chars = sum(len(w[:8]) for w in words)
     got_chars = sum(len(tok) * n for tok, n in totals.items())
     assert got_chars == want_chars
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["en", "de", "fr"])),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(1, 10),
+)
+@SLOW
+def test_corpus_mixture_budget_and_quota_invariants(spark, rows, n):
+    """For ANY corpus and budget: output size <= n, per-source takes never
+    exceed the source size, takes are the md5-smallest docs of each source,
+    and the whole selection is a pure function of the input set."""
+    from flnr_wins_spark.operators.sample import corpus_mixture
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus_mixture(df, "lang", n=n).collect()
+    assert len(out) <= n
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.lang, []).append(r)
+    sizes = {}
+    for _, lang in rows:
+        sizes[lang] = sizes.get(lang, 0) + 1
+    import hashlib
+
+    for lang, taken in by_src.items():
+        assert len(taken) <= sizes[lang]
+        # taken docs are exactly the md5-smallest of that source
+        src_ids = [d for d, s in rows if s == lang]
+        order = sorted(
+            src_ids, key=lambda d: (hashlib.md5(f"{d}:mix42".encode()).hexdigest(), d)
+        )
+        assert sorted(r.id for r in taken) == sorted(order[: len(taken)])
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=2, max_size=14, unique=True)
+)
+@SLOW
+def test_bottomk_quantiles_exact_when_k_covers_everything(spark, vals):
+    """k >= n makes the 'sketch' the full data: estimates must equal the
+    exact order statistics at ceil(q*n)."""
+    import math
+
+    from flnr_wins_spark.functions.sketches import bottomk_quantiles
+
+    rows = [(i, "g", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    row = bottomk_quantiles(df, "event_type", "value", "event_id", k=100).collect()[0]
+    s = sorted(float(v) for v in vals)
+    n = len(s)
+    assert row.n_kept == n
+    assert row.q50 == s[math.ceil(0.5 * n) - 1]
+    assert row.q90 == s[math.ceil(0.9 * n) - 1]
+
+
+@given(
+    lat_u=st.integers(0, 180_000_000),
+    lon_u=st.integers(0, 360_000_000),
+)
+@SLOW
+def test_geohash_spark_matches_duckdb_dialect(spark, lat_u, lon_u):
+    """The two dialect renderings of the unrolled geohash arithmetic must
+    agree for ANY coordinate, including the exact top edges."""
+    import duckdb
+
+    from flnr_wins_spark.functions.geo import geohash_encode, geohash_expr_sql
+
+    df = spark.createDataFrame([(lat_u, lon_u)], "lat_u long, lon_u long")
+    got = df.select(geohash_encode("lat_u", "lon_u", 7).alias("g")).collect()[0].g
+    want = duckdb.sql(
+        "select " + geohash_expr_sql(str(lat_u), str(lon_u), 7, div="//")
+    ).fetchone()[0]
+    assert got == want
