@@ -10,19 +10,23 @@ Decoding has two tiers:
     and uncompressed 24-bit BMP — header parsing, row-padding/ordering and
     channel normalization included — driven by ``extract_features(...,
     fake=False)``;
-  * 8-bit gray/RGB non-interlaced PNG decodes for REAL too (stdlib zlib
-    chunk walk + full five-filter unfiltering, :func:`_decode_png`), with a
-    matching REAL encoder (:func:`encode_png`) for round-trip entries;
+  * PNG decodes for REAL across the full spec matrix (stdlib zlib chunk
+    walk + five-filter unfiltering at any bpp; palette/sub-byte/16-bit/
+    alpha color types; Adam7 interlace via per-pass scatter,
+    :func:`_decode_png`), with matching REAL encoders (:func:`encode_png`,
+    :func:`encode_png_palette`, :func:`encode_png_gray16`,
+    :func:`encode_png_adam7`) for round-trip entries;
   * GIF decodes (and encodes) for REAL as well — stdlib variable-width
     LZW in both directions (:func:`_decode_gif`/:func:`encode_gif`);
   * QOI (qoiformat.org) round-trips for REAL — the full op walk
     (RUN/INDEX/DIFF/LUMA/literals) is integer byte arithmetic
     (:func:`_decode_qoi`/:func:`encode_qoi`);
-  * every other container (JPEG/palette-PNG/video) still raises
-    ``NotImplementedError`` because general codec libraries are not
-    available in this environment; ``fake=True`` substitutes a
-    deterministic digest decoder so those pipeline shapes can be exercised
-    end-to-end anyway.
+  * JPEG (baseline AND progressive) decodes for REAL in
+    ``functions/jpeg.py``, dispatched from :func:`decode_image`;
+  * genuinely absent codecs (webp/video containers, arithmetic-coded
+    JPEG) raise ``NotImplementedError``; ``fake=True`` substitutes a
+    deterministic digest decoder so those pipeline shapes can be
+    exercised end-to-end anyway.
 """
 
 from __future__ import annotations
@@ -170,6 +174,13 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
     )
 
 
+# Adam7 interlace pass grid: (x_origin, y_origin, x_step, y_step)
+ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -186,8 +197,11 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     PLTE), gray+alpha and RGBA (8/16). Palette expands to RGB; alpha
     channels are STRIPPED (features operate on color planes); 16-bit
     samples take their high byte — all deterministic conversions. Adam7
-    interlace raises ``NotImplementedError`` (honest-guard convention).
-    Returns (channels, width, height, pixel bytes), channels 1 or 3."""
+    INTERLACED images decode too: the seven passes are independent
+    sub-images (own dimensions, own filter chains) whose samples scatter
+    back to the (x0 + i*dx, y0 + j*dy) grid positions; empty passes are
+    skipped per spec. Returns (channels, width, height, pixel bytes),
+    channels 1 or 3."""
     import zlib
 
     pos, idat, ihdr, plte = 8, bytearray(), None, None
@@ -211,8 +225,8 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     valid = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
     if color not in valid or depth not in valid[color]:
         raise ValueError(f"invalid PNG depth/color combination {depth}/{color}")
@@ -221,47 +235,77 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     bits_pp = depth * nch
     bpp = max(1, bits_pp // 8)  # filter offset, per spec: >=1 byte
-    stride = (width * bits_pp + 7) // 8
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
-    rows = []
-    prev = bytes(stride)
-    for r in range(height):
-        ftype = raw[r * (stride + 1)]
-        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                ul = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        prev = bytes(line)
-        # unpack the filtered bytes to per-pixel samples
-        if depth == 8:
-            samples = list(line)
-        elif depth == 16:
-            samples = list(line[0::2])  # high byte — deterministic 16->8
-        else:
-            samples = []
-            per_byte = 8 // depth
-            mask = (1 << depth) - 1
-            for b in line:
-                for s in range(per_byte):
-                    samples.append((b >> (8 - depth * (s + 1))) & mask)
-            samples = samples[: width * nch]
-        rows.append(samples)
+
+    def unfilter_block(off: int, w: int, h: int) -> tuple[list[list[int]], int]:
+        """Unfilter + unpack one (sub-)image of w x h pixels starting at
+        ``off`` in the inflated stream; returns (rows-of-samples, consumed)."""
+        stride = (w * bits_pp + 7) // 8
+        out_rows: list[list[int]] = []
+        prev = bytes(stride)
+        p = off
+        for _ in range(h):
+            if p + 1 + stride > len(raw):
+                raise ValueError("PNG raster size mismatch")
+            ftype = raw[p]
+            line = bytearray(raw[p + 1 : p + 1 + stride])
+            p += 1 + stride
+            if ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            prev = bytes(line)
+            # unpack the filtered bytes to per-pixel samples
+            if depth == 8:
+                samples = list(line)
+            elif depth == 16:
+                samples = list(line[0::2])  # high byte — deterministic 16->8
+            else:
+                samples = []
+                per_byte = 8 // depth
+                mask = (1 << depth) - 1
+                for b in line:
+                    for s in range(per_byte):
+                        samples.append((b >> (8 - depth * (s + 1))) & mask)
+                samples = samples[: w * nch]
+            out_rows.append(samples)
+        return out_rows, p - off
+
+    if interlace == 0:
+        rows, used = unfilter_block(0, width, height)
+        if used != len(raw):
+            raise ValueError("PNG raster size mismatch")
+    else:  # Adam7: seven independent sub-images scattered onto the grid
+        rows = [[0] * (width * nch) for _ in range(height)]
+        off = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass: contributes no scanlines at all
+            sub, used = unfilter_block(off, wp, hp)
+            off += used
+            for j, samples in enumerate(sub):
+                y = y0 + j * dy
+                for i in range(wp):
+                    x = x0 + i * dx
+                    for c in range(nch):
+                        rows[y][x * nch + c] = samples[i * nch + c]
+        if off != len(raw):
+            raise ValueError("PNG raster size mismatch")
     if color == 3:
         out = bytearray()
         nent = len(plte) // 3
@@ -495,6 +539,84 @@ def encode_png_gray16(
 
     ihdr = (
         width.to_bytes(4, "big") + height.to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_adam7(
+    channels: int, width: int, height: int, pixels: bytes
+) -> bytes:
+    """REAL Adam7-interlaced PNG encode (8-bit gray/RGB): each of the
+    seven passes is an independent sub-image with its own filter chain
+    (cycling 0-4 per pass row) — the fixture source for the decoder's
+    interlaced scatter path."""
+    import binascii
+    import zlib
+
+    assert channels in (1, 3) and len(pixels) == width * height * channels
+    raw = bytearray()
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        stride = wp * channels
+        prev = bytes(stride)
+        for j in range(hp):
+            y = y0 + j * dy
+            line = bytearray()
+            for i in range(wp):
+                x = x0 + i * dx
+                base = (y * width + x) * channels
+                line += pixels[base : base + channels]
+            ftype = j % 5
+            raw.append(ftype)
+            if ftype == 0:
+                raw += line
+            elif ftype == 1:
+                raw += bytes(
+                    (line[i] - (line[i - channels] if i >= channels else 0)) & 0xFF
+                    for i in range(stride)
+                )
+            elif ftype == 2:
+                raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+            elif ftype == 3:
+                raw += bytes(
+                    (line[i] - (((line[i - channels] if i >= channels else 0) + prev[i]) >> 1)) & 0xFF
+                    for i in range(stride)
+                )
+            else:
+                raw += bytes(
+                    (
+                        line[i]
+                        - _paeth(
+                            line[i - channels] if i >= channels else 0,
+                            prev[i],
+                            prev[i - channels] if i >= channels else 0,
+                        )
+                    )
+                    & 0xFF
+                    for i in range(stride)
+                )
+            prev = bytes(line)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + binascii.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2 if channels == 3 else 0, 0, 0, 1])  # interlace = Adam7
     )
     return (
         b"\x89PNG\r\n\x1a\n"

@@ -125,7 +125,20 @@ class TestAlphaStripping:
 
 
 class TestGuards:
-    def test_adam7_still_guarded(self):
+    def test_unknown_interlace_method_rejected(self):
+        # Adam7 (method 1) now decodes for real; only methods 0/1 exist
+        ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 2])
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="interlace"):
+            decode_image(png)
+
+    def test_truncated_adam7_raster_rejected(self):
+        # a 2x2 Adam7 stream needs 7 raster bytes (3 passes); 3 is short
         ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
         png = (
             b"\x89PNG\r\n\x1a\n"
@@ -133,10 +146,41 @@ class TestGuards:
             + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
             + _chunk(b"IEND", b"")
         )
-        with pytest.raises(NotImplementedError, match="Adam7"):
+        with pytest.raises(ValueError, match="raster"):
             decode_image(png)
 
     def test_invalid_depth_color_combo_rejected(self):
         png = _raw_png(2, 2, 16, 3, b"")  # 16-bit palette is not a thing
         with pytest.raises(ValueError, match="combination"):
             decode_image(png)
+
+
+class TestAdam7:
+    @pytest.mark.parametrize("ch", [1, 3])
+    @pytest.mark.parametrize("w,h", [(16, 16), (13, 11), (8, 3), (1, 1), (3, 9)])
+    def test_roundtrip_exact(self, ch, w, h):
+        from flnr_wins_spark.functions.multimodal import encode_png_adam7
+
+        pixels = bytes(((i * 37) + c * 11) % 256 for i in range(w * h) for c in range(ch))
+        png = encode_png_adam7(ch, w, h, pixels)
+        gch, gw, gh, px = decode_image(png)
+        assert (gch, gw, gh) == (ch, w, h)
+        assert px == pixels
+
+    def test_tiny_images_skip_empty_passes(self):
+        # a 2x2 image has empty passes 2,3 (need width>4 / height>4 regions)
+        from flnr_wins_spark.functions.multimodal import encode_png_adam7
+
+        pixels = bytes([10, 200, 30, 250])
+        png = encode_png_adam7(1, 2, 2, pixels)
+        ch, w, h, px = decode_image(png)
+        assert (ch, w, h) == (1, 2, 2)
+        assert px == pixels
+
+    def test_interlaced_and_sequential_decode_identically(self):
+        from flnr_wins_spark.functions.multimodal import encode_png, encode_png_adam7
+
+        pixels = bytes((i * 91) % 256 for i in range(12 * 7 * 3))
+        seq = decode_image(encode_png(3, 12, 7, pixels))
+        inter = decode_image(encode_png_adam7(3, 12, 7, pixels))
+        assert seq == inter
