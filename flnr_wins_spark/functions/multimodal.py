@@ -895,7 +895,7 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         raise NotImplementedError(
             "unrecognized audio container (supported: RIFF/WAVE PCM16)"
         )
-    fmt: tuple[int, int] | None = None
+    fmt: tuple[int, int, int, int] | None = None
     payload: bytes | None = None
     pos = 12
     while pos + 8 <= len(data):
@@ -908,13 +908,17 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
             audio_format = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
             if not (
                 (audio_format == 1 and bits == 16)
                 or (audio_format == 7 and bits == 8)
+                or (audio_format == 0x11 and bits == 4 and channels == 1)
             ):
-                raise NotImplementedError("only PCM16 or G.711 mu-law WAV")
-            fmt = (channels, rate, audio_format)
+                raise NotImplementedError(
+                    "only PCM16, G.711 mu-law, or mono IMA-ADPCM WAV"
+                )
+            fmt = (channels, rate, audio_format, block_align)
         elif cid == b"data":
             if len(body) != csz:
                 raise ValueError("truncated data chunk")
@@ -924,6 +928,17 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("missing fmt or data chunk")
     if fmt[2] == 7:  # G.711 mu-law: one byte per sample, expand to PCM16
         return fmt[0], fmt[1], [_mulaw_expand(b) for b in payload]
+    if fmt[2] == 0x11:  # IMA ADPCM (DVI): 4-bit nibbles, per-block state
+        out: list[int] = []
+        ba = fmt[3]
+        if ba < 5:
+            raise ValueError("IMA-ADPCM block align must be >= 5")
+        for off in range(0, len(payload), ba):
+            block = payload[off : off + ba]
+            if len(block) < 4:
+                raise ValueError("truncated IMA-ADPCM block header")
+            out.extend(_adpcm_decode_block(block))
+        return fmt[0], fmt[1], out
     if len(payload) % 2:
         raise ValueError("odd PCM16 payload length")
     samples = [
@@ -931,6 +946,118 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         for i in range(0, len(payload), 2)
     ]
     return fmt[0], fmt[1], samples
+
+
+# IMA/DVI ADPCM tables (public spec: IMA Recommended Practices, 1992)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA-ADPCM state transition; returns (new predictor, new index).
+    Pure integer arithmetic — deterministic in any implementation."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return pred, index
+
+
+def _adpcm_decode_block(block: bytes) -> list[int]:
+    """Decode one mono IMA-ADPCM block: 4-byte header (int16 predictor —
+    emitted as the block's first sample — uint8 step index, reserved),
+    then two low-nibble-first samples per data byte."""
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    index = block[2]
+    if index > 88:
+        raise ValueError(f"IMA-ADPCM step index {index} out of range")
+    out = [pred]
+    for b in block[4:]:
+        for nibble in (b & 0x0F, b >> 4):
+            pred, index = _adpcm_step(pred, index, nibble)
+            out.append(pred)
+    return out
+
+
+def encode_wav_adpcm(
+    rate: int, samples: list[int], samples_per_block: int = 9
+) -> bytes:
+    """Encode mono PCM16 samples as a REAL IMA-ADPCM WAV (format 0x11):
+    per block, the first sample goes verbatim into the header along with
+    the RUNNING step index (standard practice — the index adapts across
+    blocks so sloped signals keep tracking), and the remaining
+    ``samples_per_block - 1`` samples quantize through the standard
+    nibble search + shared state transition.
+
+    Exactness property the oracle entry uses: an ALL-CONSTANT-BLOCK
+    signal decodes bit-exactly — zero nibbles at step index 0 have
+    diff 7>>3 = 0 and the index stays clamped at 0, so the carried
+    index never leaves 0 and every block reproduces its header value
+    verbatim. (samples_per_block - 1) must be even (two nibbles/byte)."""
+    if (samples_per_block - 1) % 2:
+        raise ValueError("samples_per_block - 1 must be even")
+    if len(samples) % samples_per_block:
+        raise ValueError("sample count must be a multiple of samples_per_block")
+    block_align = 4 + (samples_per_block - 1) // 2
+    blocks = bytearray()
+    index = 0
+    for off in range(0, len(samples), samples_per_block):
+        chunk = samples[off : off + samples_per_block]
+        pred = chunk[0]
+        blocks += int(pred).to_bytes(2, "little", signed=True) + bytes([index, 0])
+        nibbles = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[index]
+            delta = s - pred
+            nibble = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nibble |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nibble |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nibble |= 1
+            pred, index = _adpcm_step(pred, index, nibble)
+            nibbles.append(nibble)
+        for i in range(0, len(nibbles), 2):
+            blocks.append(nibbles[i] | (nibbles[i + 1] << 4))
+    n_blocks = len(samples) // samples_per_block
+    data = bytes(blocks)
+    fmt = (
+        (0x11).to_bytes(2, "little")      # wFormatTag = IMA ADPCM
+        + (1).to_bytes(2, "little")       # mono
+        + rate.to_bytes(4, "little")
+        + (rate * block_align // samples_per_block).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")       # bits per sample
+        + (2).to_bytes(2, "little")       # cbSize
+        + samples_per_block.to_bytes(2, "little")
+    )
+    fact = (n_blocks * samples_per_block).to_bytes(4, "little")
+    riff = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"fact" + len(fact).to_bytes(4, "little") + fact
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
 
 
 def _mulaw_expand(u: int) -> int:
@@ -964,6 +1091,33 @@ def _audio_features(content: bytes) -> list[float]:
         float(sum(abs(s) for s in ss)),
         float(crossings),
     ]
+
+
+def wrap_wav_adpcm(
+    media: DataFrame, samples_per_block: int = 9, rate: int = 8000
+) -> DataFrame:
+    """Re-container per-row binary content as a REAL mono IMA-ADPCM WAV:
+    each consecutive little-endian int16 of ``content`` becomes one
+    CONSTANT block of ``samples_per_block`` samples (the construction
+    that decodes bit-exactly — see :func:`encode_wav_adpcm`). Arrow-
+    batched narrow map, the encode half of the ADPCM round-trip entry."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def build(b: bytes) -> bytes:
+            b = bytes(b)
+            vals = [
+                int.from_bytes(b[i : i + 2], "little", signed=True)
+                for i in range(0, len(b) - len(b) % 2, 2)
+            ]
+            samples = [v for v in vals for _ in range(samples_per_block)]
+            return encode_wav_adpcm(rate, samples, samples_per_block)
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(build)
+            yield pdf
+
+    return media.mapInPandas(batches, schema=media.schema)
 
 
 def extract_audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:

@@ -3859,6 +3859,82 @@ _MULAW_HDR_HEX = (
 
 
 @query(
+    "x_multimodal_adpcm_decode",
+    sql="""
+    WITH v AS (
+      SELECT doc_id, b,
+             CAST(CASE WHEN lo + 256 * hi >= 32768
+                       THEN lo + 256 * hi - 65536
+                       ELSE lo + 256 * hi END AS INT) AS val
+      FROM (
+        SELECT doc_id, b,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ad'),
+                                   4 * b + 1, 2) AS INT) AS lo,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ad'),
+                                   4 * b + 3, 2) AS INT) AS hi
+        FROM documents, range(8) t(b))
+    ), lagged AS (
+      SELECT doc_id, val, LAG(val) OVER (PARTITION BY doc_id ORDER BY b) AS pv
+      FROM v
+    )
+    SELECT doc_id AS media_id,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(72 AS INTEGER) AS n_samples,
+           CAST(9 * SUM(val) AS BIGINT) AS sum_s,
+           CAST(MIN(val) AS INTEGER) AS min_s,
+           CAST(MAX(val) AS INTEGER) AS max_s,
+           CAST(9 * SUM(ABS(val)) AS BIGINT) AS sum_abs,
+           CAST(SUM(CASE WHEN val * pv < 0 THEN 1 ELSE 0 END) AS INTEGER)
+             AS zero_crossings
+    FROM lagged GROUP BY doc_id
+    """,
+    note="REAL IMA-ADPCM (DVI 4-bit) audio round-trip: md5-derived int16 "
+    "block constants encode through the genuine nibble-quantizer state "
+    "machine and decode back through the full table-driven expansion; "
+    "constant blocks decode BIT-EXACTLY (zero nibbles at step index 0 "
+    "have diff 7>>3 = 0), so the oracle predicts every sample — the "
+    "adaptive-codec twin of the mu-law entry; sloped-signal behavior is "
+    "pinned by pytest bounds",
+)
+def x_multimodal_adpcm_decode(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import (
+        extract_audio_features,
+        wrap_wav_adpcm,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    payload = F.unhex(
+        F.md5(
+            F.encode(F.concat(F.col("doc_id").cast("string"), F.lit(":ad")), "UTF-8")
+        )
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("content"),
+        F.struct(
+            F.lit("audio/adpcm").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_audio_features(wrap_wav_adpcm(media, samples_per_block=9))
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f[0].cast("int").alias("channels"),
+        f[1].cast("int").alias("sample_rate"),
+        f[2].cast("int").alias("n_samples"),
+        f[3].cast("bigint").alias("sum_s"),
+        f[4].cast("int").alias("min_s"),
+        f[5].cast("int").alias("max_s"),
+        f[6].cast("bigint").alias("sum_abs"),
+        f[7].cast("int").alias("zero_crossings"),
+    )
+
+
+@query(
     "x_multimodal_mulaw_decode",
     sql="""
     WITH b AS (

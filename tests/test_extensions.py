@@ -1509,3 +1509,40 @@ def test_maxmatch_empty_corpus(spark):
     df = spark.createDataFrame([(1, "!!! ???"), (2, "")], "doc_id bigint, text string")
     out = maxmatch_token_counts(df)
     assert out.count() == 0 and out.columns == ["tok", "total"]
+
+
+class TestAdpcm:
+    def test_constant_blocks_decode_bit_exactly(self, spark):
+        from flnr_wins_spark.functions.multimodal import decode_wav, encode_wav_adpcm
+
+        vals = [0, 100, -32768, 32767, -5, 1234, -9999, 42]
+        samples = [v for v in vals for _ in range(9)]
+        ch, rate, out = decode_wav(encode_wav_adpcm(8000, samples))
+        assert (ch, rate) == (1, 8000)
+        assert out == samples
+
+    def test_sloped_signal_tracks_after_adaptation(self, spark):
+        import math
+
+        from flnr_wins_spark.functions.multimodal import decode_wav, encode_wav_adpcm
+
+        sig = [int(8000 * math.sin(i / 5)) for i in range(90)]
+        _, _, out = decode_wav(encode_wav_adpcm(8000, sig, samples_per_block=9))
+        # first block is the cold-start ramp (step index adapts from 0);
+        # once adapted the per-sample error is step-bounded and small
+        tail_err = max(abs(a - b) for a, b in zip(sig[18:], out[18:]))
+        assert tail_err < 600
+        # headers resync the predictor every block: block-start samples exact
+        assert all(out[i] == sig[i] for i in range(0, 90, 9))
+
+    def test_bad_step_index_rejected(self, spark):
+        from flnr_wins_spark.functions.multimodal import decode_wav, encode_wav_adpcm
+
+        data = bytearray(encode_wav_adpcm(8000, [7] * 9))
+        # corrupt the block header's step index past the table
+        idx = data.index(b"data") + 8 + 2
+        data[idx] = 120
+        import pytest
+
+        with pytest.raises(ValueError, match="step index"):
+            decode_wav(bytes(data))
