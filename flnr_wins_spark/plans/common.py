@@ -58,8 +58,10 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 # zero never-graded entries after r5 and no latest grade older than r02.
 # Names absent from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
-    # (a) fixed r04 reds — must convert red -> green this round
+    # (a) fixed r04 reds — must convert red -> green this round — and the
+    # new LLM-side e2e flagship
     "x_random_projection", "x_cooccur_pmi", "x_weighted_sample",
+    "x_llm_corpus_e2e",
     # (b) new/changed in round 5 (jpeg + palette-png decode new; kmv
     # NULL-hash filter; png decoder extended to 16-bit/sub-byte/alpha)
     "x_multimodal_jpeg_decode", "x_multimodal_jpeg_progressive",

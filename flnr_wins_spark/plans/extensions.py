@@ -3228,6 +3228,113 @@ def x_corpus_mixture(spark, sf_dir):
     return corpus_mixture(docs, "lang", n=300, temperature=2.0)
 
 
+# x_llm_corpus_e2e: the end-to-end corpus-curation composition an LLM data
+# pipeline runs — quality-rule filtering, exact deduplication, temperature
+# mixture sampling, and a training-manifest projection — every stage an
+# existing oracle-checked operator, composed and hash-checked as ONE entry
+# (the LLM-side sibling of the wins_e2e reference pipeline pair).
+@query(
+    "x_llm_corpus_e2e",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, lang, text,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+               / len(toks) AS mwl,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+               / len(toks) AS awr,
+             CAST(len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+               / len(toks) AS swr,
+             CASE WHEN len(toks) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS DOUBLE)
+                     / (len(toks) - 2)
+             ELSE 0.0 END AS dtr
+      FROM s
+    ), passed AS (
+      SELECT doc_id, lang, text FROM m
+      WHERE n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND awr >= 0.80 AND swr <= 0.10 AND dtr <= 0.30
+    ), kept AS (
+      SELECT p.doc_id, p.lang, p.text
+      FROM passed p
+      JOIN (SELECT text, MIN(doc_id) AS doc_id FROM passed GROUP BY text) k
+        ON p.doc_id = k.doc_id
+    ), stats AS (SELECT lang AS s, COUNT(*) AS c FROM kept GROUP BY 1),
+    q AS (SELECT s, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS q
+          FROM stats),
+    tot AS (SELECT CAST(SUM(q) AS BIGINT) AS bigq FROM q),
+    alloc AS (SELECT s, (120 * q) // bigq AS base, (120 * q) % bigq AS rem
+              FROM q CROSS JOIN tot),
+    lo AS (SELECT 120 - CAST(SUM(base) AS BIGINT) AS lo FROM alloc),
+    quotas AS (
+      SELECT s, base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, s) <= lo
+                            THEN 1 ELSE 0 END AS quota
+      FROM alloc CROSS JOIN lo),
+    ranked AS (
+      SELECT doc_id, lang AS s, text,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix42'), doc_id)
+               AS mix_rank
+      FROM kept)
+    SELECT doc_id, s AS lang, CAST(mix_rank AS INT) AS mix_rank,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM ranked JOIN quotas USING (s) WHERE mix_rank <= quota
+    """,
+    note="END-TO-END LLM corpus curation, hash-checked as one pipeline "
+    "(the LLM-side sibling of wins_e2e): Gopher/C4 quality rules "
+    "(fixture-tuned thresholds: min 30 words, stopword rule off — the "
+    "synthetic corpus has no English stopwords) -> exact dedup (min-id "
+    "survivor per distinct text) -> sqrt-temperature mixture (budget "
+    "120) -> training-manifest projection (doc, source, rank, token and "
+    "char counts). Every stage is an already-graded operator; this entry "
+    "grades their COMPOSITION",
+    bench=True,
+)
+def x_llm_corpus_e2e(spark, sf_dir):
+    from flnr_wins_spark.functions.text import quality_rules, token_count
+    from flnr_wins_spark.operators.sample import corpus_mixture
+
+    # spread the under-split single-file input BEFORE the rule projection:
+    # higher-order array expressions run interpreted (outside whole-stage
+    # codegen), so per-core parallelism is the lever. The localCheckpoint
+    # PINS the 32-way distribution — a bare repartition is a shuffle whose
+    # tiny byte size makes AQE coalesce the read back to ONE partition,
+    # serializing the expensive filter right after we paid to spread it
+    # (measured 9.6s -> 0.7s at sf0.1 for the rule filter alone)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    passed = (
+        quality_rules(docs, min_words=30, min_stopword_hits=0)
+        .filter(F.col("passes"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    survivors = passed.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # the curated table feeds FOUR consumers (mixture stats, quotas, rank,
+    # manifest join); pin it once or each re-scans the interpreted
+    # rule chain — the filtered survivor set is small by construction
+    kept = passed.join(survivors.select("doc_id"), "doc_id").localCheckpoint()
+    mix = corpus_mixture(kept.select("doc_id", "lang"), "lang", n=120).select(
+        F.col("id").alias("doc_id"), F.col("mix_rank").cast("int").alias("mix_rank")
+    )
+    return mix.join(kept, "doc_id").select(
+        "doc_id",
+        "lang",
+        "mix_rank",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
 @query(
     "x_text_nfc",
     sql="""
