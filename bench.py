@@ -67,9 +67,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "notes": "min-of-2 runs per query (steady-state plan). r5: same "
-                "26 headliners as r4 (codec/decode entries are deliberately "
-                "not headliners). vs BENCH_r04 (35.74s): broad ~1.2x "
+                "notes": "min-of-2 runs per query (steady-state plan). r5: r4's "
+                "26 headliners plus the new x_llm_corpus_e2e composition "
+                "(codec/decode entries stay out of the headline set). "
+                "vs BENCH_r04 (35.74s): broad ~1.2x "
                 "improvement on unchanged plans (q18 1.58->1.25, q21 "
                 "1.58->1.19, wins_e2e_rejects 1.50->0.94) — the r4 host was "
                 "slow, as its own note suspected; x_similarity_pq 3.98->2.58 "

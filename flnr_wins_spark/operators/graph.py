@@ -374,3 +374,52 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
     the survivor is the lowest id in each cluster (the keep-one policy)."""
     cc = connected_components(pairs, src=id_a, dst=id_b)
     return cc.withColumn("is_survivor", F.col("id") == F.col("cluster_id"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    source_col: str = "id",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source breadth-first distances over the undirected edge list:
+    (id, dist) with dist = minimum hop count from ANY source vertex,
+    covering every vertex within ``max_hops`` (sources at dist 0).
+    Unreached vertices emit no row.
+
+    Same frontier discipline as the other iterative ops here: each round
+    expands the frontier through ONE join against the symmetrized edges,
+    anti-joins the visited set (so a vertex's first reach IS its minimum —
+    the BFS invariant), and localCheckpoints to cut lineage. ``max_hops``
+    is a fixed unroll, so the SQL twin enumerates the same rounds and
+    takes MIN(first-reaching round) without needing the visited pruning.
+    Scale: each round shuffles (frontier x degree) rows on the vertex key;
+    the visited set grows to the reachable ball — for billion-vertex
+    graphs cap ``max_hops`` (distances beyond a few hops rarely inform)
+    exactly as published BFS-on-MapReduce formulations do.
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        fwd.select(F.explode(F.array(F.struct("a", "b"), F.struct(F.col("b").alias("a"), F.col("a").alias("b")))).alias("e"))
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .distinct()
+    )
+    frontier = sources.select(F.col(source_col).alias("id")).distinct()
+    out = frontier.select("id", F.lit(0).alias("dist"))
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            frontier.join(e, frontier["id"] == e["a"])
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint()
+        )
+        out = out.unionByName(nxt.select("id", F.lit(hop).alias("dist")))
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return out.select("id", F.col("dist").cast("int").alias("dist"))

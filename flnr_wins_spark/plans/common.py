@@ -70,7 +70,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_embedding_covariance", "x_embedding_pca",
     "x_text_nfc", "x_html_strip", "x_corpus_mixture", "x_tokenize_optimal",
     "x_quantile_bottomk", "x_geo_geohash", "x_geo_grid_join", "x_geo_knn",
-    "x_attribution_linear", "x_multimodal_adpcm_decode",
+    "x_attribution_linear", "x_multimodal_adpcm_decode", "x_graph_bfs",
     "x_distinct_kmv", "x_kmv_set_ops",
     # (c) never driver-graded (past the r4 budget) — all get a first grade
     "x_ab_test", "x_events_m4", "x_impute_nulls", "x_incremental_join",

@@ -548,6 +548,61 @@ def x_pagerank(spark, sf_dir):
     return pagerank_integer(edges, n_iter=5)
 
 
+def _bfs_oracle_sql(max_hops: int = 4) -> str:
+    """Fixed-unroll BFS twin: round CTEs reach = one-join expansions; a
+    vertex's distance is the MIN round that reaches it (no visited-pruning
+    needed — same equivalence argument as the optimal-segmentation oracle)."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+          SELECT 's' || CAST(l_suppkey AS VARCHAR) AS sup,
+                 'c' || CAST(o_custkey AS VARCHAR) AS cust
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        """e AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT sup AS a, cust AS b FROM pairs
+            UNION ALL SELECT cust AS a, sup AS b FROM pairs))""",
+        "r0 AS (SELECT * FROM (VALUES ('s1'), ('s2'), ('s3')) v(id))",
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+              SELECT DISTINCT e.b AS id FROM r{i - 1} r JOIN e ON r.id = e.a)"""
+        )
+    fins = " UNION ALL ".join(
+        f"SELECT id, {i} AS d FROM r{i}" for i in range(0, max_hops + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""", fin AS ({fins})
+        SELECT id, CAST(MIN(d) AS INT) AS dist FROM fin GROUP BY id"""
+    )
+
+
+@query(
+    "x_graph_bfs",
+    sql=_bfs_oracle_sql(),
+    note="multi-source BFS distances over the supplier-customer bipartite "
+    "graph (frontier expansion join + visited anti-join per round, "
+    "lineage checkpointed — the reachability primitive next to the "
+    "CC/PageRank/k-core family); oracle = fixed-unroll rounds with "
+    "MIN(first-reaching round)",
+)
+def x_graph_bfs(spark, sf_dir):
+    from flnr_wins_spark.operators.graph import bfs_distances
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("id_a"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("id_b"),
+    )
+    sources = pairs.sparkSession.createDataFrame(
+        [("s1",), ("s2",), ("s3",)], "id string"
+    )
+    return bfs_distances(pairs, sources, max_hops=4)
+
+
 @query(
     "x_dedup_minhash_lsh",
     sql=None,  # probabilistic candidate generation; exact-verified but not SQL-expressible

@@ -882,3 +882,27 @@ class TestLinearAttribution:
         )
         out = {r.touch: r.revenue_micro for r in linear_attribution(ev).collect()}
         assert out == {"none": 4_000_000}
+
+
+class TestBfsDistances:
+    def test_min_hop_distances_on_path_graph(self, spark):
+        from flnr_wins_spark.operators.graph import bfs_distances
+
+        # path 1-2-3-4-5 plus a shortcut 1-4: dist(4) must be 1 via shortcut
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "id_a long, id_b long"
+        )
+        srcs = spark.createDataFrame([(1,)], "id long")
+        got = {r.id: r.dist for r in bfs_distances(edges, srcs, max_hops=4).collect()}
+        assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+    def test_max_hops_truncates_and_multi_source_min(self, spark):
+        from flnr_wins_spark.operators.graph import bfs_distances
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+        )
+        srcs = spark.createDataFrame([(0,), (10,)], "id long")
+        got = {r.id: r.dist for r in bfs_distances(edges, srcs, max_hops=2).collect()}
+        # reachable ball only, min over the two sources
+        assert got == {0: 0, 10: 0, 1: 1, 9: 1, 2: 2, 8: 2}
