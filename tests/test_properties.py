@@ -465,3 +465,33 @@ def test_geohash_spark_matches_duckdb_dialect(spark, lat_u, lon_u):
         "select " + geohash_expr_sql(str(lat_u), str(lon_u), 7, div="//")
     ).fetchone()[0]
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(-32768, 32767), min_size=1, max_size=6)
+)
+@SLOW
+def test_adpcm_constant_blocks_roundtrip_exactly(spark, vals):
+    """ANY all-constant-block signal survives the lossy ADPCM codec
+    bit-exactly (the invariant the oracle entry's construction relies on)."""
+    from flnr_wins_spark.functions.multimodal import decode_wav, encode_wav_adpcm
+
+    samples = [v for v in vals for _ in range(9)]
+    ch, rate, out = decode_wav(encode_wav_adpcm(8000, samples))
+    assert out == samples
+
+
+@given(g=st.integers(0, 255))
+@SLOW
+def test_jpeg_dc_only_matches_integer_oracle_formula(spark, g):
+    """Every flat tile decodes to exactly the closed-form integer value the
+    JPEG oracle predicts — across the whole gray range."""
+    import numpy as np
+
+    from flnr_wins_spark.functions.jpeg import QUANT_LUMA, decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8), g, dtype=np.uint8)
+    _, _, _, px = decode_jpeg(encode_jpeg(8, 8, img.tobytes(), channels=1))
+    x = 8 * (g - 128)
+    dc = (abs(x) + QUANT_LUMA[0] // 2) // QUANT_LUMA[0] * (1 if x >= 0 else -1)
+    assert set(px) == {max(0, min(255, 2 * dc + 128))}
