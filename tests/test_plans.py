@@ -422,3 +422,18 @@ def test_jpeg_entries_are_arrow_batched(spark):
         plan = _plan(spark, name)
         assert "MapInPandas" in plan, name
         assert "BatchEvalPython" not in plan, name  # no row-at-a-time UDF
+
+
+def test_llm_corpus_e2e_stays_jvm_side(spark):
+    """The curation flagship must run without any Python-row evaluation:
+    rules, dedup, mixture, and manifest are all JVM expression code."""
+    plan = _plan(spark, "x_llm_corpus_e2e")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan  # nothing needs Arrow here either
+
+
+def test_corpus_mixture_quotas_broadcast(spark):
+    """Mixture quotas are a per-source handful of rows — they must attach
+    to the ranked corpus by broadcast, never a shuffled join."""
+    plan = _plan(spark, "x_corpus_mixture")
+    assert "BroadcastHashJoin" in plan
