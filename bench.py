@@ -69,23 +69,25 @@ def main() -> None:
                 "sf": sf,
                 "notes": "min-of-2 runs per query (steady-state plan). r5: r4's "
                 "26 headliners plus the new x_llm_corpus_e2e composition "
-                "(codec/decode entries stay out of the headline set). "
-                "vs BENCH_r04 (35.74s): broad ~1.2x "
-                "improvement on unchanged plans (q18 1.58->1.25, q21 "
-                "1.58->1.19, wins_e2e_rejects 1.50->0.94) — the r4 host was "
-                "slow, as its own note suspected; x_similarity_pq 3.98->2.58 "
-                "settles r4's flagged spike as host noise, not a plan change. "
-                "One real plan change this round: the minhash signature "
-                "expression became a shingle-major fold (string-hash tier "
-                "runs once per shingle, not once per table; bit-identical "
-                "output, pinned by tests/test_fastpath_equivalence.py), "
-                "cutting the signature pass ~3x (3.2s->0.6s standalone). "
-                "x_dedup_minhash_lsh moves only 6.08->5.6 because the "
-                "fixture is deliberately dup-heavy: ~190k banding candidates "
-                "flow through the exact-Jaccard verify, which (plus the "
-                "signature cache build) dominates; production posture is "
-                "exact_dedup first / max_bucket_width, both measured "
-                "elsewhere in the suite.",
+                "(codec/decode entries stay out of the headline set), local "
+                "quiet-host runs totalled 30-34s across repeats. vs BENCH_r04 "
+                "(35.74s): broad ~1.1-1.3x improvement on unchanged plans "
+                "(q18/q21/wins_e2e all faster) — the r4 host was slow, as "
+                "its own note suspected; x_similarity_pq back to ~2.6-3.0s "
+                "settles r4's flagged 3.98s spike as host noise, not a plan "
+                "change. One real plan change this round: the minhash "
+                "signature expression became a shingle-major fold "
+                "(string-hash tier runs once per shingle, not once per "
+                "table; bit-identical output, pinned by "
+                "tests/test_fastpath_equivalence.py), cutting the signature "
+                "pass ~3x (3.2s->0.6s standalone). x_dedup_minhash_lsh "
+                "stays ~5.2-6.2s because the fixture is deliberately "
+                "dup-heavy: ~190k banding candidates flow through the "
+                "exact-Jaccard verify, which (plus the signature cache "
+                "build) dominates; production posture is exact_dedup first "
+                "/ max_bucket_width, both measured elsewhere in the suite "
+                "(x_llm_corpus_e2e composes dedup-before-near-dup and runs "
+                "~2.1-2.5s end-to-end after the AQE-coalesce fix).",
             }
         )
     )
