@@ -181,6 +181,70 @@ ADAM7_PASSES = [
 ]
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    """length + type + body + CRC32 — the one chunk writer every PNG
+    encoder in this module shares."""
+    import binascii
+
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + binascii.crc32(ctype + body).to_bytes(4, "big")
+    )
+
+
+def _png_container(
+    width: int, height: int, depth: int, color: int, raw: bytes,
+    plte: bytes | None = None, interlace: int = 0,
+) -> bytes:
+    """Assemble IHDR(+PLTE)+IDAT(+IEND) around a filtered raster."""
+    import zlib
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([depth, color, 0, 0, interlace])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw, 6)) + _png_chunk(b"IEND", b"")
+
+
+def _png_filter_row(line: bytes, prev: bytes, bpp: int, ftype: int) -> bytes:
+    """Forward-filter one scanline (the encode half of the five spec
+    filters, parameterized by bytes-per-pixel) — ONE implementation shared
+    by every encoder, the mirror of the decoder's unfilter block."""
+    stride = len(line)
+    if ftype == 0:
+        return bytes(line)
+    if ftype == 1:  # Sub
+        return bytes(
+            (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+            for i in range(stride)
+        )
+    if ftype == 2:  # Up
+        return bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+    if ftype == 3:  # Average
+        return bytes(
+            (line[i] - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
+            for i in range(stride)
+        )
+    return bytes(  # Paeth
+        (
+            line[i]
+            - _paeth(
+                line[i - bpp] if i >= bpp else 0,
+                prev[i],
+                prev[i - bpp] if i >= bpp else 0,
+            )
+        )
+        & 0xFF
+        for i in range(stride)
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -334,13 +398,10 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 def encode_png(
     channels: int, width: int, height: int, pixels: bytes, filter_cycle: bool = True
 ) -> bytes:
-    """REAL stdlib PNG encode (zlib + binascii.crc32): 8-bit gray (1ch) or
-    RGB (3ch), non-interlaced. With ``filter_cycle`` row r is forward-
-    filtered with type ``r % 5`` — deliberately exercising every unfilter
-    path in :func:`_decode_png` on round-trip."""
-    import binascii
-    import zlib
-
+    """REAL stdlib PNG encode (zlib + crc32): 8-bit gray (1ch) or RGB
+    (3ch), non-interlaced. With ``filter_cycle`` row r is forward-filtered
+    with type ``r % 5`` — deliberately exercising every unfilter path in
+    :func:`_decode_png` on round-trip."""
     assert channels in (1, 3) and len(pixels) == width * height * channels
     stride = width * channels
     raw = bytearray()
@@ -349,54 +410,9 @@ def encode_png(
         line = pixels[r * stride : (r + 1) * stride]
         ftype = (r % 5) if filter_cycle else 0
         raw.append(ftype)
-        if ftype == 0:
-            raw += line
-        elif ftype == 1:
-            raw += bytes(
-                (line[i] - (line[i - channels] if i >= channels else 0)) & 0xFF
-                for i in range(stride)
-            )
-        elif ftype == 2:
-            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
-        elif ftype == 3:
-            raw += bytes(
-                (line[i] - (((line[i - channels] if i >= channels else 0) + prev[i]) >> 1)) & 0xFF
-                for i in range(stride)
-            )
-        else:
-            raw += bytes(
-                (
-                    line[i]
-                    - _paeth(
-                        line[i - channels] if i >= channels else 0,
-                        prev[i],
-                        prev[i - channels] if i >= channels else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(stride)
-            )
+        raw += _png_filter_row(line, prev, channels, ftype)
         prev = line
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big")
-            + ctype
-            + body
-            + binascii.crc32(ctype + body).to_bytes(4, "big")
-        )
-
-    ihdr = (
-        width.to_bytes(4, "big")
-        + height.to_bytes(4, "big")
-        + bytes([8, 2 if channels == 3 else 0, 0, 0, 0])
-    )
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + chunk(b"IEND", b"")
-    )
+    return _png_container(width, height, 8, 2 if channels == 3 else 0, bytes(raw))
 
 
 def encode_png_palette(
@@ -412,74 +428,23 @@ def encode_png_palette(
     rows forward-filtered with type ``r % 5`` when ``filter_cycle`` (the
     filters operate on the PACKED bytes with bpp=1, per spec — exactly the
     path :func:`_decode_png` must invert for sub-byte images)."""
-    import binascii
-    import zlib
-
     assert depth in (1, 2, 4, 8) and len(indices) == width * height
     assert len(palette) % 3 == 0 and len(palette) // 3 <= (1 << depth)
     per_byte = 8 // depth
     stride = (width * depth + 7) // 8
-    packed_rows = []
+    raw = bytearray()
+    prev = bytes(stride)
     for r in range(height):
         row = bytearray(stride)
         for p in range(width):
             idx = indices[r * width + p]
             row[p // per_byte] |= idx << (8 - depth * (p % per_byte + 1))
-        packed_rows.append(bytes(row))
-    raw = bytearray()
-    prev = bytes(stride)
-    for r, line in enumerate(packed_rows):
+        line = bytes(row)
         ftype = (r % 5) if filter_cycle else 0
         raw.append(ftype)
-        if ftype == 0:
-            raw += line
-        elif ftype == 1:
-            raw += bytes(
-                (line[i] - (line[i - 1] if i >= 1 else 0)) & 0xFF
-                for i in range(stride)
-            )
-        elif ftype == 2:
-            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
-        elif ftype == 3:
-            raw += bytes(
-                (line[i] - (((line[i - 1] if i >= 1 else 0) + prev[i]) >> 1)) & 0xFF
-                for i in range(stride)
-            )
-        else:
-            raw += bytes(
-                (
-                    line[i]
-                    - _paeth(
-                        line[i - 1] if i >= 1 else 0,
-                        prev[i],
-                        prev[i - 1] if i >= 1 else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(stride)
-            )
+        raw += _png_filter_row(line, prev, 1, ftype)
         prev = line
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big")
-            + ctype
-            + body
-            + binascii.crc32(ctype + body).to_bytes(4, "big")
-        )
-
-    ihdr = (
-        width.to_bytes(4, "big")
-        + height.to_bytes(4, "big")
-        + bytes([depth, 3, 0, 0, 0])
-    )
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"PLTE", palette)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + chunk(b"IEND", b"")
-    )
+    return _png_container(width, height, depth, 3, bytes(raw), plte=palette)
 
 
 def encode_png_gray16(
@@ -487,65 +452,18 @@ def encode_png_gray16(
 ) -> bytes:
     """REAL 16-bit grayscale PNG encode (big-endian samples, bpp=2 filters)
     — the fixture source for the decoder's 16-bit high-byte path."""
-    import binascii
-    import zlib
-
     assert len(samples) == width * height
-    stride = width * 2
     raw = bytearray()
-    prev = bytes(stride)
+    prev = bytes(width * 2)
     for r in range(height):
-        line = bytearray()
-        for p in range(width):
-            line += samples[r * width + p].to_bytes(2, "big")
+        line = b"".join(
+            samples[r * width + p].to_bytes(2, "big") for p in range(width)
+        )
         ftype = (r % 5) if filter_cycle else 0
         raw.append(ftype)
-        if ftype == 0:
-            raw += line
-        elif ftype == 1:
-            raw += bytes(
-                (line[i] - (line[i - 2] if i >= 2 else 0)) & 0xFF
-                for i in range(stride)
-            )
-        elif ftype == 2:
-            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
-        elif ftype == 3:
-            raw += bytes(
-                (line[i] - (((line[i - 2] if i >= 2 else 0) + prev[i]) >> 1)) & 0xFF
-                for i in range(stride)
-            )
-        else:
-            raw += bytes(
-                (
-                    line[i]
-                    - _paeth(
-                        line[i - 2] if i >= 2 else 0,
-                        prev[i],
-                        prev[i - 2] if i >= 2 else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(stride)
-            )
-        prev = bytes(line)
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big")
-            + ctype
-            + body
-            + binascii.crc32(ctype + body).to_bytes(4, "big")
-        )
-
-    ihdr = (
-        width.to_bytes(4, "big") + height.to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
-    )
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + chunk(b"IEND", b"")
-    )
+        raw += _png_filter_row(line, prev, 2, ftype)
+        prev = line
+    return _png_container(width, height, 16, 0, bytes(raw))
 
 
 def encode_png_adam7(
@@ -555,9 +473,6 @@ def encode_png_adam7(
     seven passes is an independent sub-image with its own filter chain
     (cycling 0-4 per pass row) — the fixture source for the decoder's
     interlaced scatter path."""
-    import binascii
-    import zlib
-
     assert channels in (1, 3) and len(pixels) == width * height * channels
     raw = bytearray()
     for x0, y0, dx, dy in ADAM7_PASSES:
@@ -565,64 +480,19 @@ def encode_png_adam7(
         hp = (height - y0 + dy - 1) // dy
         if wp <= 0 or hp <= 0:
             continue
-        stride = wp * channels
-        prev = bytes(stride)
+        prev = bytes(wp * channels)
         for j in range(hp):
             y = y0 + j * dy
-            line = bytearray()
-            for i in range(wp):
-                x = x0 + i * dx
-                base = (y * width + x) * channels
-                line += pixels[base : base + channels]
+            line = b"".join(
+                pixels[(y * width + x0 + i * dx) * channels :][:channels]
+                for i in range(wp)
+            )
             ftype = j % 5
             raw.append(ftype)
-            if ftype == 0:
-                raw += line
-            elif ftype == 1:
-                raw += bytes(
-                    (line[i] - (line[i - channels] if i >= channels else 0)) & 0xFF
-                    for i in range(stride)
-                )
-            elif ftype == 2:
-                raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
-            elif ftype == 3:
-                raw += bytes(
-                    (line[i] - (((line[i - channels] if i >= channels else 0) + prev[i]) >> 1)) & 0xFF
-                    for i in range(stride)
-                )
-            else:
-                raw += bytes(
-                    (
-                        line[i]
-                        - _paeth(
-                            line[i - channels] if i >= channels else 0,
-                            prev[i],
-                            prev[i - channels] if i >= channels else 0,
-                        )
-                    )
-                    & 0xFF
-                    for i in range(stride)
-                )
-            prev = bytes(line)
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big")
-            + ctype
-            + body
-            + binascii.crc32(ctype + body).to_bytes(4, "big")
-        )
-
-    ihdr = (
-        width.to_bytes(4, "big")
-        + height.to_bytes(4, "big")
-        + bytes([8, 2 if channels == 3 else 0, 0, 0, 1])  # interlace = Adam7
-    )
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + chunk(b"IEND", b"")
+            raw += _png_filter_row(line, prev, channels, ftype)
+            prev = line
+    return _png_container(
+        width, height, 8, 2 if channels == 3 else 0, bytes(raw), interlace=1
     )
 
 

@@ -417,15 +417,37 @@ def bottomk_quantiles(
         # but LAST in DuckDB, so they must never enter the bottom-k
         .filter(F.col("v").isNotNull() & F.col("h").isNotNull())
     )
-    rn = F.row_number().over(Window.partitionBy("g").orderBy("h"))
+    # (h, v) ordering: h alone leaves the cut nondeterministic when
+    # duplicate keys produce tied hashes with different values — the value
+    # tiebreak keeps the sample a pure function of the row SET on both
+    # engines (Spark and the SQL twin order identically)
+    rn = F.row_number().over(Window.partitionBy("g").orderBy("h", "v"))
     sample = d.withColumn("rn", rn).filter(F.col("rn") <= k)
-    vr = F.row_number().over(Window.partitionBy("g").orderBy("v", "h"))
-    ranked = sample.withColumn("vr", vr).withColumn(
-        "n_kept", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    est = sample_quantiles(sample, quantiles)
+    totals = d.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return est.join(totals, "g").select(
+        F.col("g").alias(group_col),
+        "n_total",
+        "n_kept",
+        *[f"q{int(round(q * 100))}" for q in quantiles],
     )
-    aggs = [
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-    ]
+
+
+def sample_quantiles(
+    sample: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.9)
+) -> DataFrame:
+    """Order-statistic quantile estimates from a (g, h, v) bottom-k sample:
+    the q-th estimate is the value at rank ``ceil(q * n_kept)`` ordered by
+    (v, h). ONE definition shared by :func:`bottomk_quantiles` and the
+    streaming ``read_quantile_estimates`` — the batch-twin equivalence of
+    the sink depends on both estimating identically. Returns
+    (g, n_kept, q<pct>...)."""
+    from pyspark.sql import Window
+
+    ranked = sample.withColumn(
+        "vr", F.row_number().over(Window.partitionBy("g").orderBy("v", "h"))
+    ).withColumn("n_kept", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_kept")]
     for q in quantiles:
         pct = int(round(q * 100))
         aggs.append(
@@ -436,11 +458,4 @@ def bottomk_quantiles(
                 )
             ).alias(f"q{pct}")
         )
-    est = ranked.groupBy("g").agg(*aggs)
-    totals = d.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-    return est.join(totals, "g").select(
-        F.col("g").alias(group_col),
-        "n_total",
-        "n_kept",
-        *[f"q{int(round(q * 100))}" for q in quantiles],
-    )
+    return ranked.groupBy("g").agg(*aggs)

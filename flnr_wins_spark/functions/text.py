@@ -788,7 +788,9 @@ def html_strip(col: Column) -> Column:
         ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
     ]:
         s = F.replace(s, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(s, "\\s+", " "))
+    # explicit class, NOT \s: Java's \s includes \x0B (vertical tab) but
+    # RE2's does not — the one place the two regex dialects disagree here
+    return F.trim(F.regexp_replace(s, "[ \\t\\n\\r\\f\\x0B]+", " "))
 
 
 def optimal_segment_stats(

@@ -405,6 +405,10 @@ def bfs_distances(
         fwd.select(F.explode(F.array(F.struct("a", "b"), F.struct(F.col("b").alias("a"), F.col("a").alias("b")))).alias("e"))
         .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
         .distinct()
+        # every hop joins against e — pin it once (same discipline as
+        # connected_components/pagerank) instead of re-running the
+        # upstream join+symmetrize+distinct max_hops times
+        .localCheckpoint()
     )
     frontier = sources.select(F.col(source_col).alias("id")).distinct()
     out = frontier.select("id", F.lit(0).alias("dist"))

@@ -3042,6 +3042,19 @@ def x_multimodal_png_decode(spark, sf_dir):
     )
 
 
+def _geo_points(spark, sf_dir, id_alias="point_id", x="lon_u", y="lat_u"):
+    """md5 -> microdegree customer points — ONE construction shared by the
+    three geo entries (their SQL twins repeat it with the '0x' hex cast);
+    lat from md5 chars 1-12, lon from 13-24."""
+    return t(spark, sf_dir, "customer").selectExpr(
+        f"c_custkey AS {id_alias}",
+        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 1, 12),"
+        f" 16, 10) AS BIGINT) % 180000001 AS {y}",
+        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 13, 12),"
+        f" 16, 10) AS BIGINT) % 360000001 AS {x}",
+    )
+
+
 def _geohash_oracle_sql() -> str:
     from flnr_wins_spark.functions.geo import geohash_expr_sql
 
@@ -3073,13 +3086,7 @@ def _geohash_oracle_sql() -> str:
 def x_geo_geohash(spark, sf_dir):
     from flnr_wins_spark.functions.geo import geohash_encode
 
-    points = t(spark, sf_dir, "customer").selectExpr(
-        "c_custkey AS point_id",
-        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 1, 12),"
-        " 16, 10) AS BIGINT) % 180000001 AS lat_u",
-        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 13, 12),"
-        " 16, 10) AS BIGINT) % 360000001 AS lon_u",
-    )
+    points = _geo_points(spark, sf_dir)
     return points.select(
         "point_id",
         "lat_u",
@@ -3118,13 +3125,7 @@ def x_geo_geohash(spark, sf_dir):
 def x_geo_knn(spark, sf_dir):
     from flnr_wins_spark.functions.geo import planar_knn
 
-    pts = t(spark, sf_dir, "customer").selectExpr(
-        "c_custkey AS id",
-        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 13, 12),"
-        " 16, 10) AS BIGINT) % 360000001 AS x_u",
-        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 1, 12),"
-        " 16, 10) AS BIGINT) % 180000001 AS y_u",
-    )
+    pts = _geo_points(spark, sf_dir, id_alias="id", x="x_u", y="y_u")
     return planar_knn(
         pts.filter(F.col("id") <= 20),
         pts,
@@ -3175,13 +3176,7 @@ def x_geo_knn(spark, sf_dir):
 def x_geo_grid_join(spark, sf_dir):
     from flnr_wins_spark.functions.geo import grid_bbox_join
 
-    points = t(spark, sf_dir, "customer").selectExpr(
-        "c_custkey AS point_id",
-        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 13, 12),"
-        " 16, 10) AS BIGINT) % 360000001 AS x_u",
-        "CAST(conv(substring(md5(concat('geo:', CAST(c_custkey AS STRING))), 1, 12),"
-        " 16, 10) AS BIGINT) % 180000001 AS y_u",
-    )
+    points = _geo_points(spark, sf_dir, x="x_u", y="y_u")
     boxes = t(spark, sf_dir, "nation").selectExpr(
         "n_nationkey AS box_id",
         "CAST(conv(substring(md5(concat('box:', CAST(n_nationkey AS STRING))), 13, 12),"
@@ -3212,7 +3207,7 @@ def x_geo_grid_join(spark, sf_dir):
       WHERE value IS NOT NULL AND event_id IS NOT NULL
     ), sample AS (
       SELECT g, v, h FROM (
-        SELECT g, v, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        SELECT g, v, h, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
         FROM d) q WHERE rn <= 256
     ), ranked AS (
       SELECT g, v,
@@ -3464,7 +3459,7 @@ def x_text_nfc(spark, sf_dir):
                  regexp_replace(html, '<[^>]*>', ' ', 'g'),
                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                  '&apos;', ''''), '&amp;', '&'),
-               '\\s+', ' ', 'g')) AS clean
+               '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS clean
       FROM wrapped
     )
     SELECT doc_id, clean,

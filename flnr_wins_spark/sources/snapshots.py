@@ -117,6 +117,11 @@ def vacuum(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[int
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     complete = _complete_versions(spark, table_path)
+    if not complete:
+        # nothing committed yet: any version directory present is an
+        # in-flight first write — deleting it would yank the directory out
+        # from under the running job, so vacuum is a no-op here
+        return []
     keep = set(complete[-keep_last:])
     deleted = []
     for v in _versions(spark, table_path):

@@ -443,8 +443,13 @@ def quantile_sketch_sink(
                 h.alias("h"),
             )
             .filter(F.col("v").isNotNull() & F.col("h").isNotNull())
+            # dedup BEFORE the cut (same order as kmv_sketch_sink): an
+            # at-least-once redelivered row must not occupy two of the k
+            # slots and evict a distinct row — that loss would be permanent
+            .distinct()
             .withColumn(
-                "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
+                "rn",
+                F.row_number().over(Window.partitionBy("g").orderBy("h", "v")),
             )
             .filter(F.col("rn") <= k)
             .select("g", "h", "v")
@@ -457,7 +462,8 @@ def quantile_sketch_sink(
         new = (
             merged.distinct()
             .withColumn(
-                "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
+                "rn",
+                F.row_number().over(Window.partitionBy("g").orderBy("h", "v")),
             )
             .filter(F.col("rn") <= k)
             .select("g", "h", "v")
@@ -479,23 +485,9 @@ def read_quantile_estimates(
     spark, state_path: str, quantiles: tuple[float, ...] = (0.5, 0.9)
 ) -> DataFrame:
     """Quantile estimates from the newest sample state written by
-    :func:`quantile_sketch_sink` — same order-statistic estimator as
-    ``bottomk_quantiles`` (value rank ceil(q * n_kept), hash tiebreak)."""
-    from pyspark.sql import Window
+    :func:`quantile_sketch_sink` — delegates to the ONE estimator
+    (``sketches.sample_quantiles``) the batch operator uses, so the two
+    can never silently diverge."""
+    from flnr_wins_spark.functions.sketches import sample_quantiles
 
-    sk = read_agg_state(spark, state_path)
-    ranked = sk.withColumn(
-        "vr", F.row_number().over(Window.partitionBy("g").orderBy("v", "h"))
-    ).withColumn("n_kept", F.count(F.lit(1)).over(Window.partitionBy("g")))
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_kept")]
-    for q in quantiles:
-        pct = int(round(q * 100))
-        aggs.append(
-            F.max(
-                F.when(
-                    F.col("vr") == F.ceil(F.lit(q) * F.col("n_kept")).cast("int"),
-                    F.col("v"),
-                )
-            ).alias(f"q{pct}")
-        )
-    return ranked.groupBy("g").agg(*aggs)
+    return sample_quantiles(read_agg_state(spark, state_path), quantiles)

@@ -906,3 +906,24 @@ class TestBfsDistances:
         got = {r.id: r.dist for r in bfs_distances(edges, srcs, max_hops=2).collect()}
         # reachable ball only, min over the two sources
         assert got == {0: 0, 10: 0, 1: 1, 9: 1, 2: 2, 8: 2}
+
+
+class TestBottomkDuplicateKeys:
+    def test_duplicate_key_ties_cut_deterministically(self, spark):
+        """Review finding: ordering the bottom-k cut by hash alone made the
+        sample depend on arrival order when duplicate keys (same hash,
+        different values) straddle rank k; (h, v) ordering pins it."""
+        from flnr_wins_spark.functions.sketches import bottomk_quantiles
+
+        rows = [(i, "g", float(i)) for i in range(8)]
+        rows += [(3, "g", 99.0), (3, "g", -7.0)]  # duplicate key 3, 3 values
+        df = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+        outs = [
+            sorted(map(tuple, bottomk_quantiles(
+                df.repartition(p), "event_type", "value", "event_id", k=5
+            ).collect()))
+            for p in (1, 7, 13)
+        ]
+        assert outs[0] == outs[1] == outs[2]

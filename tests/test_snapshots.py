@@ -63,3 +63,14 @@ def test_vacuum_keeps_newest_and_readers_still_work(spark, tmp_path):
     assert read_snapshot(spark, path, version=3).count() == 3
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, path, version=1)
+
+
+def test_vacuum_is_noop_while_first_write_in_flight(spark, tmp_path):
+    """Review finding: with zero complete versions, vacuum's in-flight
+    guard used to collapse and delete the very first write's directory
+    out from under the running job. It must be a no-op instead."""
+    path = str(tmp_path / "tbl")
+    write_snapshot(spark.range(5), path)
+    (tmp_path / "tbl" / "v1" / "_SUCCESS").unlink()  # simulate in-flight v1
+    assert vacuum(spark, path, keep_last=1) == []
+    assert (tmp_path / "tbl" / "v1").exists()

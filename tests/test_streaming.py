@@ -554,3 +554,41 @@ def test_quantile_sketch_sink_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_quantile_sink_batch_duplicates_do_not_evict(spark, tmp_path):
+    """Review finding: the sink cut its per-batch bottom-k BEFORE
+    deduplication, so an at-least-once redelivered row occupied two of the
+    k slots and permanently evicted a distinct row. Dedup-then-cut (the
+    kmv_sketch_sink order) keeps the state equal to the batch twin."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.functions.sketches import bottomk_quantiles
+    from flnr_wins_spark.streaming.sinks import (
+        quantile_sketch_sink,
+        read_quantile_estimates,
+    )
+
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(i, "g", float(i * 3 % 11)) for i in range(6)],
+        "event_id long, event_type string, value double",
+    )
+    # one micro-batch containing every row TWICE (at-least-once delivery)
+    base.unionByName(base).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = quantile_sketch_sink(
+        stream,
+        str(tmp_path / "state"),
+        group_col="event_type",
+        value_col="value",
+        key_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=4,  # k < distinct rows: eviction would be visible
+    )
+    q.awaitTermination(120)
+    got = {r.g: (r.n_kept, r.q50, r.q90)
+           for r in read_quantile_estimates(spark, str(tmp_path / "state")).collect()}
+    want = {r.event_type: (r.n_kept, r.q50, r.q90)
+            for r in bottomk_quantiles(base, "event_type", "value", "event_id", k=4).collect()}
+    assert got == want
