@@ -372,6 +372,15 @@ def cms_join_size(
     return est.crossJoin(true_sz)
 
 
+def bq_hash(col: Column) -> Column:
+    """Row hash for the bottom-k quantile family: md5('bq:' || key). ONE
+    definition shared by :func:`bottomk_quantiles` and the streaming
+    quantile_sketch_sink — their batch-twin equivalence (and the SQL
+    oracle) depends on both hashing identically, same contract as
+    :func:`kmv_hash`."""
+    return F.md5(F.concat(F.lit("bq:"), col.cast("string")))
+
+
 def bottomk_quantiles(
     df: DataFrame,
     group_col: str,
@@ -406,7 +415,7 @@ def bottomk_quantiles(
     """
     from pyspark.sql import Window
 
-    h = F.md5(F.concat(F.lit("bq:"), F.col(key_col).cast("string")))
+    h = bq_hash(F.col(key_col))
     d = (
         df.select(
             F.col(group_col).alias("g"),

@@ -73,6 +73,32 @@ def session_counts(events: DataFrame, gap: str = "15 minutes") -> DataFrame:
     )
 
 
+def _join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str,
+    watermark: str,
+    how: str,
+) -> DataFrame:
+    """Shared body of the stream-stream joins: watermark both sides,
+    suffix the right with ``_r``, and join on key + time-range. ONE copy —
+    the inner and left-outer variants must never drift apart on the range
+    condition or rename logic."""
+    l_ = left.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    r_ = right.select([F.col(c).alias(f"{c}_r") for c in right.columns]).withColumn(
+        "ts_r", F.col("ts_r").cast("timestamp")
+    ).withWatermark("ts_r", watermark)
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col("ts_r") >= F.col("ts") - F.expr(f"INTERVAL {within}"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l_.join(r_, cond, how)
+
+
 def join_streams(
     left: DataFrame,
     right: DataFrame,
@@ -89,18 +115,7 @@ def join_streams(
     condition, state grows forever; this function makes it impossible to
     omit. Left columns keep their names; right columns get ``_r``.
     """
-    l_ = left.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
-        "ts", watermark
-    )
-    r_ = right.select([F.col(c).alias(f"{c}_r") for c in right.columns]).withColumn(
-        "ts_r", F.col("ts_r").cast("timestamp")
-    ).withWatermark("ts_r", watermark)
-    cond = (
-        (F.col(key) == F.col(f"{key}_r"))
-        & (F.col("ts_r") >= F.col("ts") - F.expr(f"INTERVAL {within}"))
-        & (F.col("ts_r") <= F.col("ts") + F.expr(f"INTERVAL {within}"))
-    )
-    return l_.join(r_, cond, "inner")
+    return _join_streams(left, right, key, within, watermark, "inner")
 
 
 def join_streams_outer(
@@ -116,18 +131,7 @@ def join_streams_outer(
     right row can still arrive — so outer results are delayed by design,
     never speculative. Same watermark + time-range requirements (they are
     what make outer emission decidable at all)."""
-    l_ = left.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
-        "ts", watermark
-    )
-    r_ = right.select([F.col(c).alias(f"{c}_r") for c in right.columns]).withColumn(
-        "ts_r", F.col("ts_r").cast("timestamp")
-    ).withWatermark("ts_r", watermark)
-    cond = (
-        (F.col(key) == F.col(f"{key}_r"))
-        & (F.col("ts_r") >= F.col("ts") - F.expr(f"INTERVAL {within}"))
-        & (F.col("ts_r") <= F.col("ts") + F.expr(f"INTERVAL {within}"))
-    )
-    return l_.join(r_, cond, "leftOuter")
+    return _join_streams(left, right, key, within, watermark, "leftOuter")
 
 
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:

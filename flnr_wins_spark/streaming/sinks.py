@@ -84,6 +84,30 @@ def _state_delete(spark, path: str) -> None:
     fs.delete(jpath, True)
 
 
+def _drop_superseded(spark, path: str, batch_id: int) -> None:
+    """Delete versions NUMBERED ABOVE the current batch: they belong to an
+    abandoned timeline (a checkpoint reset renumbers batches from 0, and a
+    coarser re-batching writes fewer, lower-numbered versions). Left in
+    place, readers — which always pick the HIGHEST version — would prefer
+    the stale timeline's state forever."""
+    for v in _state_versions(spark, path):
+        if v > batch_id:
+            _state_delete(spark, f"{path}/v{v}")
+
+
+def _prune_state_versions(spark, state_path: str, batch_id: int, keep: int = 3) -> None:
+    """The one retention policy every snapshot-state sink shares: drop the
+    superseded timeline (versions > batch_id), then all but the newest
+    ``keep`` versions at/below it (in-flight readers finish on the
+    retained ones). NOT for delta-layout state, whose union-of-versions IS
+    the state."""
+    _drop_superseded(spark, state_path, batch_id)
+    versions = [v for v in _state_versions(spark, state_path) if v <= batch_id]
+    for v in versions[:-keep]:
+        if v != batch_id:
+            _state_delete(spark, f"{state_path}/v{v}")
+
+
 def incremental_agg_sink(
     stream: DataFrame,
     state_path: str,
@@ -128,9 +152,7 @@ def incremental_agg_sink(
             )
         new = incremental_agg(prev, delta, key_cols, sum_cols, sign_col="_sign")
         new.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
-        for v in _state_versions(spark, state_path)[:-3]:  # keep the newest 3
-            if v != batch_id:
-                _state_delete(spark, f"{state_path}/v{v}")
+        _prune_state_versions(spark, state_path, batch_id)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -203,9 +225,7 @@ def kmv_sketch_sink(
             .select("g", "h")
         )
         new.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
-        for v in _state_versions(spark, state_path)[:-3]:
-            if v != batch_id:
-                _state_delete(spark, f"{state_path}/v{v}")
+        _prune_state_versions(spark, state_path, batch_id)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -251,20 +271,28 @@ def exact_dedup_sink(
     policy; under out-of-order arrival the first-seen copy survives
     instead (a gate cannot un-keep an already-published row).
     Survivors append to
-    ``kept/v<batch>``; the seen-set state is versioned exactly like
-    :func:`incremental_agg_sink` (batch N reads v<N, writes vN — replays
-    idempotent, readers race-free).
+    ``kept/v<batch>``; the seen-set state is PER-BATCH DELTAS (the
+    ``minhash_dedup_sink`` layout): version N holds only batch N's newly
+    kept digests, the anti-join reads the union of prior deltas, and a
+    replay rewrites only its own delta — so per-batch WRITE cost follows
+    the batch, never the accumulated history (the previous full-snapshot
+    layout re-shuffled and rewrote every digest ever seen, each batch).
 
     The batch-twin test pins: streaming the corpus in arrival order ==
-    one-shot batch exact dedup. Per-batch cost follows the batch: one
-    digest groupBy within the batch + one anti-join against the (digest,
-    ) seen-set — the corpus text itself is never rescanned or stored in
-    state, only 16-byte digests.
+    one-shot batch exact dedup — including NULL text, whose NULL digest
+    joins null-safely (a plain equi anti-join never matches NULL==NULL
+    and would keep one NULL row per batch instead of one globally).
     """
     from pyspark.sql import Window
 
+    kept_base = f"{state_path.rstrip('/')}_kept"
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # a checkpoint reset renumbers batches: both the delta state and
+        # the kept output must shed the abandoned timeline's versions
+        _drop_superseded(spark, state_path, batch_id)
+        _drop_superseded(spark, kept_base, batch_id)
         d = batch_df.withColumn(
             "_digest", F.md5(F.encode(F.col(text_col).cast("string"), "UTF-8"))
         )
@@ -274,19 +302,20 @@ def exact_dedup_sink(
         ).drop("_rn")
         prior = [v for v in _state_versions(spark, state_path) if v < batch_id]
         if prior:
-            seen = spark.read.parquet(f"{state_path}/v{prior[-1]}")
-            kept = in_batch_first.join(seen, "_digest", "left_anti")
-            new_seen = seen.unionByName(kept.select("_digest")).distinct()
+            seen = spark.read.parquet(*[f"{state_path}/v{v}" for v in prior])
+            kept = in_batch_first.alias("n").join(
+                seen.alias("s"),
+                F.col("n._digest").eqNullSafe(F.col("s._digest")),
+                "left_anti",
+            )
         else:
             kept = in_batch_first
-            new_seen = kept.select("_digest").distinct()
         kept.drop("_digest").write.mode("overwrite").parquet(
-            f"{state_path.rstrip('/')}_kept/v{batch_id}"
+            f"{kept_base}/v{batch_id}"
         )
-        new_seen.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
-        for v in _state_versions(spark, state_path)[:-3]:
-            if v != batch_id:
-                _state_delete(spark, f"{state_path}/v{v}")
+        kept.select("_digest").distinct().write.mode("overwrite").parquet(
+            f"{state_path}/v{batch_id}"
+        )
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -346,6 +375,9 @@ def minhash_dedup_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # shed an abandoned timeline's deltas/outputs before reading priors
+        _drop_superseded(spark, state_path, batch_id)
+        _drop_superseded(spark, f"{state_path.rstrip('/')}_kept", batch_id)
         sig_new = minhash_signature_table(
             batch_df, text_col, id_col,
             num_hash_tables=num_hash_tables, shingle_n=shingle_n, seed=seed,
@@ -435,7 +467,9 @@ def quantile_sketch_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        h = F.md5(F.concat(F.lit("bq:"), F.col(key_col).cast("string")))
+        from flnr_wins_spark.functions.sketches import bq_hash
+
+        h = bq_hash(F.col(key_col))
         batch_sk = (
             batch_df.select(
                 F.col(group_col).alias("g"),
@@ -469,9 +503,7 @@ def quantile_sketch_sink(
             .select("g", "h", "v")
         )
         new.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
-        for v in _state_versions(spark, state_path)[:-3]:
-            if v != batch_id:
-                _state_delete(spark, f"{state_path}/v{v}")
+        _prune_state_versions(spark, state_path, batch_id)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -592,3 +592,69 @@ def test_quantile_sink_batch_duplicates_do_not_evict(spark, tmp_path):
     want = {r.event_type: (r.n_kept, r.q50, r.q90)
             for r in bottomk_quantiles(base, "event_type", "value", "event_id", k=4).collect()}
     assert got == want
+
+
+def test_checkpoint_reset_sheds_stale_timeline(spark, tmp_path):
+    """Review finding: after a checkpoint reset, the re-run's batch ids
+    restart at 0 but the old timeline's higher-numbered state versions
+    survived pruning — and every reader prefers the HIGHEST version, so
+    fresh data was silently invisible forever. Superseded versions must be
+    dropped at write time."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.operators.merge import incremental_agg  # noqa: F401
+    from flnr_wins_spark.streaming.sinks import incremental_agg_sink, read_agg_state
+
+    src = str(tmp_path / "src")
+    for i in range(3):  # three files -> three micro-batches
+        spark.createDataFrame([(i, 10)], "k long, v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = "k long, v long"
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = incremental_agg_sink(
+            stream, str(tmp_path / "state"), ["k"], ["v"],
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")  # writes v0, v1, v2
+    # new data arrives, then the checkpoint is lost -> whole backlog = batch 0
+    spark.createDataFrame([(99, 10)], schema).coalesce(1).write.mode("append").parquet(src)
+    run("ckpt2")
+    got = {r.k for r in read_agg_state(spark, str(tmp_path / "state")).collect()}
+    assert 99 in got  # the fresh timeline's data is what readers see
+    assert got == {0, 1, 2, 99}
+
+
+def test_exact_dedup_sink_null_text_deduped_across_batches(spark, tmp_path):
+    """Review finding: the seen-set anti-join on _digest never matched
+    NULL == NULL, so one NULL-text row survived PER BATCH instead of one
+    globally; the null-safe join restores batch-twin equality."""
+    from flnr_wins_spark.operators.dedup import exact_dedup
+    from flnr_wins_spark.streaming.sinks import exact_dedup_sink, read_dedup_kept
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, None), (2, "x")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(3, None), (4, "y")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = exact_dedup_sink(
+        stream, str(tmp_path / "state"), "doc_id", "text",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.doc_id for r in read_dedup_kept(spark, str(tmp_path / "state")).collect())
+    corpus = spark.createDataFrame([(1, None), (2, "x"), (3, None), (4, "y")], schema)
+    want = sorted(r.doc_id for r in exact_dedup(corpus, "text", "doc_id").collect())
+    assert kept == want == [1, 2, 4]
