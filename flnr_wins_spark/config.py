@@ -27,8 +27,20 @@ _ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 
 def _resolve_env(value: Any) -> Any:
+    def sub(m: "re.Match[str]") -> str:
+        # an UNSET variable must fail loudly, not substitute "" — an empty
+        # staging_dir silently publishes to cwd-relative paths and an empty
+        # password "succeeds" into an auth error far from the real cause
+        name = m.group(1)
+        if name not in os.environ:
+            raise KeyError(
+                f"config references ${{{name}}} but {name} is not set in the "
+                "environment"
+            )
+        return os.environ[name]
+
     if isinstance(value, str):
-        return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), ""), value)
+        return _ENV_RE.sub(sub, value)
     if isinstance(value, dict):
         return {k: _resolve_env(v) for k, v in value.items()}
     if isinstance(value, list):
@@ -69,10 +81,12 @@ def load_credentials(
 ) -> tuple[str, str]:
     """Resolve (user, password) with the reference's dual-environment
     precedence (``src/wins_transform_staging.py:69-78``): environment
-    variables win when the user var is present; otherwise the ConfigParser
-    INI ``section`` supplies ``user``/``password``. Raises KeyError/
-    configparser errors exactly where the reference would assert."""
-    if env_user in os.environ:
+    variables win when BOTH are present; a half-set environment (user
+    exported, password not — e.g. leaked from another tool) falls through
+    to the INI instead of raising a bare KeyError and bricking the
+    documented fallback. Raises KeyError/configparser errors exactly where
+    the reference would assert."""
+    if env_user in os.environ and env_pass in os.environ:
         return os.environ[env_user], os.environ[env_pass]
     if ini_path is None:
         raise KeyError(

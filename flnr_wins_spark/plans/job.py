@@ -37,7 +37,19 @@ def run_job(
         lookup_src = config.lookup.get("water_pod_table")
         if lookup_src is None:
             raise ValueError("config.lookup must provide water_pod_table")
-        pod = read_lookup(spark, lookup_src)
+        creds = None
+        if lookup_src.startswith("jdbc:"):
+            # the reference's dual-environment credential resolution
+            # (env wins, INI fallback) wired to the JDBC branch; parquet
+            # stand-ins need none
+            from flnr_wins_spark.config import load_credentials
+
+            ini = config.options.get("credentials_ini")
+            try:
+                creds = load_credentials(ini_path=ini)
+            except KeyError:
+                log.info("no credentials configured; connecting without auth")
+        pod = read_lookup(spark, lookup_src, credentials=creds)
         log.info("loaded POD lookup from %s", lookup_src)
 
         result = run_staging(tables, pod)

@@ -35,6 +35,12 @@ class RunLog:
     def close(self) -> None:
         self.logger.removeHandler(self.handler)
         self.logger.setLevel(self._prior_level)
+        # evict the per-run child logger from logging's manager dict —
+        # loggers are retained forever otherwise, an unbounded leak in a
+        # long-lived scheduler process that runs logged_run per job
+        import logging as _logging
+
+        _logging.Logger.manager.loggerDict.pop(self.logger.name, None)
 
 
 def capture_log(name: str = "flnr_wins_spark", level: int = logging.INFO) -> RunLog:

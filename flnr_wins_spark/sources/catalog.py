@@ -25,12 +25,20 @@ def dataset_exists(spark: SparkSession, path_or_table: str) -> bool:
         or os.path.sep in path_or_table
         or path_or_table.endswith(".parquet")
     ):
+        is_remote_uri = "://" in path_or_table and not path_or_table.startswith(
+            "file://"
+        )
         try:
-            jvm = spark._jvm
-            p = jvm.org.apache.hadoop.fs.Path(path_or_table)
-            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            from flnr_wins_spark.fsutil import hadoop_fs
+
+            fs, p = hadoop_fs(spark, path_or_table)
             return bool(fs.exists(p))
         except Exception:
+            if is_remote_uri:
+                # s3a://... with a broken classpath must SURFACE, not
+                # silently answer "missing" through an os.path fallback
+                # that can never see a remote store
+                raise
             return os.path.exists(path_or_table)
     try:
         return spark.catalog.tableExists(path_or_table)

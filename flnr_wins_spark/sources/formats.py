@@ -81,27 +81,36 @@ def write_binary_files(
     fuse-mounted object store on a cluster — plain ``open()`` here, the
     Python workers have no JVM gateway for the Hadoop FS API).
 
-    Names containing a path separator or ``..`` are rejected (a hostile
-    name must not escape ``path``), and each file writes to a ``.tmp-``
-    sibling then ``os.replace``s into place so a task that dies mid-write
-    leaves no partial file under the final name (task retries simply
-    overwrite — the write is idempotent per name)."""
+    Names containing a path separator, ``..``, or a ``.tmp-`` prefix are
+    rejected (a hostile name must not escape ``path``, and a legitimate
+    ``.tmp-x`` row would collide with row x's in-flight temp file and be
+    silently destroyed by its rename), and each file writes to a
+    ``.tmp-`` sibling then ``os.replace``s into place so a task that dies
+    mid-write leaves no partial file under the final name (task retries
+    simply overwrite — the write is idempotent per name). The directory
+    is created ON THE EXECUTORS (inside the partition function): the
+    driver's filesystem may not even mount ``path`` in the NFS/fuse
+    deployments this sink exists for."""
     import os
 
-    os.makedirs(path, exist_ok=True)
-
     def write_part(rows):
+        made = False
         for r in rows:
+            if not made:
+                os.makedirs(path, exist_ok=True)
+                made = True
             name = r[name_col]
             if (
                 not name
                 or os.sep in name
                 or (os.altsep and os.altsep in name)
                 or ".." in name
+                or name.startswith(".tmp-")
             ):
                 raise ValueError(
                     f"write_binary_files: unsafe file name {name!r} "
-                    "(must not contain path separators or '..')"
+                    "(must not contain path separators, '..', or a "
+                    "'.tmp-' prefix)"
                 )
             final = os.path.join(path, name)
             tmp = os.path.join(path, f".tmp-{name}")

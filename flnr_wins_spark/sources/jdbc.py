@@ -56,13 +56,28 @@ def snapshot_view(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def read_lookup(spark: SparkSession, source: str) -> DataFrame:
+def read_lookup(
+    spark: SparkSession,
+    source: str,
+    credentials: tuple[str, str] | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
     """Resolve a lookup source: ``jdbc:`` URLs go through read_jdbc_view
     (``table`` after a ``#`` fragment), anything else is a parquet path —
-    the test-environment stand-in per SURVEY.md §1's Spark mapping."""
+    the test-environment stand-in per SURVEY.md §1's Spark mapping.
+
+    ``credentials`` is the (user, password) pair from
+    ``config.load_credentials`` — without this pass-through the
+    config-driven pipeline could never authenticate to the real source
+    (the reference's whole dual-environment credential dance,
+    wts.py:69-78, would be dead code)."""
     if source.startswith("jdbc:"):
         url, _, table = source.partition("#")
         if not table:
             raise ValueError("jdbc source must be 'jdbc:<url>#<table>'")
-        return read_jdbc_view(spark, url, table)
+        opts = dict(options or {})
+        if credentials is not None:
+            opts.setdefault("user", credentials[0])
+            opts.setdefault("password", credentials[1])
+        return read_jdbc_view(spark, url, table, options=opts)
     return spark.read.parquet(source)

@@ -27,9 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+    from flnr_wins_spark.fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _versions(spark: SparkSession, table_path: str) -> list[int]:
@@ -64,11 +64,15 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
     return v
 
 
-def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:
+def snapshot_history(
+    spark: SparkSession, table_path: str, _complete: list[int] | None = None
+) -> list[dict]:
     """[{'version': N, 'committed_at_ms': marker mtime}] for every COMPLETE
-    version, oldest first."""
+    version, oldest first. ``_complete`` lets callers that already listed
+    the versions skip a second round of remote-FS metadata RPCs."""
     out = []
-    for v in _complete_versions(spark, table_path):
+    for v in (_complete if _complete is not None
+              else _complete_versions(spark, table_path)):
         fs, jpath = _fs(spark, f"{table_path}/v{v}/_SUCCESS")
         out.append(
             {"version": v, "committed_at_ms": fs.getFileStatus(jpath).getModificationTime()}
@@ -98,7 +102,7 @@ def read_snapshot(
     elif as_of_ms is not None:
         eligible = [
             h["version"]
-            for h in snapshot_history(spark, table_path)
+            for h in snapshot_history(spark, table_path, _complete=complete)
             if h["committed_at_ms"] <= as_of_ms
         ]
         if not eligible:

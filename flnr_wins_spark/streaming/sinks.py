@@ -58,13 +58,12 @@ def partitioned_overwrite_sink(
 
 
 def _state_fs(spark, path: str):
-    """(FileSystem, Path) for ``path`` on whatever filesystem owns it —
-    resolved through Hadoop's FileSystem API so versioned state works on any
-    Spark-writable scheme (file://, hdfs://, s3a://...), not only the
-    driver's local disk."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+    """(FileSystem, Path) via the shared ``fsutil.hadoop_fs`` — versioned
+    state works on any Spark-writable scheme (file://, hdfs://, s3a://...),
+    not only the driver's local disk."""
+    from flnr_wins_spark.fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _state_versions(spark, state_path: str) -> list[int]:

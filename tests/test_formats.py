@@ -79,3 +79,16 @@ def test_write_binary_files_rejects_traversal_names(spark, tmp_path):
             write_binary_files(df, out)
     # nothing escaped the target directory
     assert not (tmp_path / "escape.bin").exists()
+
+
+def test_write_binary_files_rejects_tmp_prefix_names(spark, tmp_path):
+    """Review finding: a legitimate '.tmp-x' row collided with row 'x's
+    in-flight temp file and was silently destroyed by its rename."""
+    from flnr_wins_spark.sources.formats import write_binary_files
+
+    df = spark.createDataFrame(
+        [(".tmp-x", bytearray(b"a")), ("x", bytearray(b"b"))],
+        "name string, content binary",
+    )
+    with pytest.raises(Exception, match="unsafe file name"):
+        write_binary_files(df, str(tmp_path / "bin"))

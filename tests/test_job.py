@@ -177,3 +177,43 @@ def test_load_credentials_dual_environment(tmp_path, monkeypatch):
         load_credentials(None)
     with pytest.raises(FileNotFoundError):
         load_credentials(str(tmp_path / "missing.ini"))
+
+
+def test_unset_env_reference_raises(tmp_path, monkeypatch):
+    """Review finding: unset ${VAR} used to substitute "" — an empty
+    staging_dir silently published to cwd-relative paths. It must raise."""
+    import pytest
+
+    from flnr_wins_spark.config import PipelineConfig
+
+    monkeypatch.delenv("WINS_NOPE", raising=False)
+    cfg = tmp_path / "app.yml"
+    cfg.write_text("staging_dir: ${WINS_NOPE}\n")
+    with pytest.raises(KeyError, match="WINS_NOPE"):
+        PipelineConfig.from_yaml(str(cfg))
+
+
+def test_half_set_env_credentials_fall_back_to_ini(tmp_path, monkeypatch):
+    """Review finding: user var exported but password var missing used to
+    raise a bare KeyError instead of using the documented INI fallback."""
+    from flnr_wins_spark.config import load_credentials
+
+    monkeypatch.setenv("MAPHUB_USER", "leaked")
+    monkeypatch.delenv("MAPHUB_PASS", raising=False)
+    ini = tmp_path / "creds.ini"
+    ini.write_text("[bcmaphub]\nuser = iniuser\npassword = inipass\n")
+    assert load_credentials(ini_path=str(ini)) == ("iniuser", "inipass")
+
+
+def test_runlog_logger_evicted_on_close():
+    """Review finding: per-run child loggers were retained forever in
+    logging's manager dict — unbounded growth in a scheduler process."""
+    import logging
+
+    from flnr_wins_spark.runlog import capture_log
+
+    rl = capture_log()
+    name = rl.logger.name
+    assert name in logging.Logger.manager.loggerDict
+    rl.close()
+    assert name not in logging.Logger.manager.loggerDict
