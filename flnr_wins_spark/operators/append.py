@@ -21,13 +21,29 @@ from pyspark.sql import types as T
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project ``df`` onto ``schema``: name-matched columns cast to the
     template type, missing columns NULL, extra columns dropped — the NO_TEST
-    mapping of ``src/wins_transform_staging.py:155``."""
+    mapping of ``src/wins_transform_staging.py:155``.
+
+    The cast is ``try_cast``, not ``cast``: under Spark 4's default ANSI
+    mode a plain cast THROWS on an unparsable value at action time,
+    whereas NO_TEST semantics (and this module's 'best-effort cast'
+    contract) load NULL and continue. Source column names that collide
+    case-insensitively are ambiguous and raise rather than silently
+    picking whichever the dict kept last."""
+    existing: dict[str, str] = {}
+    for f in df.schema.fields:
+        low = f.name.lower()
+        if low in existing:
+            raise ValueError(
+                f"align_to_schema: source columns {existing[low]!r} and "
+                f"{f.name!r} collide case-insensitively — mapping would be "
+                "arbitrary"
+            )
+        existing[low] = f.name
     cols = []
-    existing = {f.name.lower(): f.name for f in df.schema.fields}
     for field in schema.fields:
         src = existing.get(field.name.lower())
         if src is not None:
-            cols.append(F.col(src).cast(field.dataType).alias(field.name))
+            cols.append(F.col(src).try_cast(field.dataType).alias(field.name))
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)

@@ -34,8 +34,22 @@ def enrich(
     place, appended if new) — mirroring the reference's in-place calculate.
     """
     df_key, lk_key = on
-    needed = [lk_key] + [src for src in mapping.values() if src != lk_key]
-    lk = lookup.select(*dict.fromkeys(needed)).alias("_lk")
+    needed = list(dict.fromkeys([lk_key] + [s for s in mapping.values() if s != lk_key]))
+    # ONE row per lookup key, deterministically (first by the contributed
+    # columns' sort order): the reference's correlated UPDATE semantics
+    # assume a unique lookup — without this guard a duplicated lookup key
+    # MULTIPLIES base rows, and downstream duplicate-QA then rejects
+    # perfectly valid unique source rows as duplicates
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lk_key).orderBy(*[F.col(c) for c in needed])
+    lk = (
+        lookup.select(*needed)
+        .withColumn("_lk_rn", F.row_number().over(w))
+        .filter(F.col("_lk_rn") == 1)
+        .drop("_lk_rn")
+        .alias("_lk")
+    )
     if broadcast_lookup:
         lk = F.broadcast(lk)
     base = df.alias("_base")

@@ -46,21 +46,33 @@ def reject_duplicates(df: DataFrame, key: str, flag: str | None = None) -> Rejec
     Frequency table + AddJoin (``:240-249``).
     """
     flag = flag or DUPLICATE_FLAG.format(key=key)
+    if "__wins_freq" in df.columns:
+        raise ValueError("reject_duplicates: input already has a __wins_freq column")
     cnt = F.count(F.lit(1)).over(Window.partitionBy(key))
-    tagged = df.withColumn("_freq", cnt)
+    tagged = df.withColumn("__wins_freq", cnt)
     # NULL keys are never duplicates: the reference builds the frequency via
     # an equi-join back to the source (``:246-249``), and SQL equi-joins skip
     # NULL tags — FREQUENCY stays NULL, ``FREQUENCY > 1`` is false, the row
     # is KEPT. The window groups all NULLs together, so without this guard
     # >=2 NULL-keyed rows would diverge from reference semantics.
-    is_dup = (F.col("_freq") > 1) & F.col(key).isNotNull()
-    kept = tagged.filter(~is_dup).drop("_freq")
+    is_dup = (F.col("__wins_freq") > 1) & F.col(key).isNotNull()
+    kept = tagged.filter(~is_dup).drop("__wins_freq")
     rejected = (
         tagged.filter(is_dup)
-        .drop("_freq")
-        .withColumn("REJECT_FLAG", F.lit(flag))
+        .drop("__wins_freq")
+        .withColumn("REJECT_FLAG", _stamp_flag(df, flag))
     )
     return RejectSplit(kept=kept, rejected=rejected)
+
+
+def _stamp_flag(df: DataFrame, flag: str):
+    """Precedence-aware REJECT_FLAG stamp: the reference only flags rows
+    whose flag is still NULL (``"REJECT_FLAG IS null"`` definition query,
+    ``src/wins_transform_staging.py:268-269``) — an input already carrying
+    a flag keeps it; a plain ``withColumn(lit)`` would clobber it."""
+    if "REJECT_FLAG" in df.columns:
+        return F.coalesce(F.col("REJECT_FLAG"), F.lit(flag))
+    return F.lit(flag)
 
 
 def reject_unmatched(
@@ -85,7 +97,9 @@ def reject_unmatched(
         keys = F.broadcast(keys)
     cond = df[df_key] == keys[lk_key]
     kept = df.join(keys, cond, "left_semi")
-    rejected = df.join(keys, cond, "left_anti").withColumn("REJECT_FLAG", F.lit(flag))
+    rejected = df.join(keys, cond, "left_anti").withColumn(
+        "REJECT_FLAG", _stamp_flag(df, flag)
+    )
     return RejectSplit(kept=kept, rejected=rejected)
 
 

@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from flnr_wins_spark.operators.enrich import enrich
 from flnr_wins_spark.operators.reject import (
     RejectSplit,
-    flag_where_null,
     reject_duplicates,
     reject_unmatched,
 )
@@ -34,9 +33,17 @@ class StagingResult(NamedTuple):
     rejects: dict[str, DataFrame]  # reject tables by name
 
 
-def transform_reserves(rrr: DataFrame, pod: DataFrame) -> DataFrame:
+def transform_reserves(
+    rrr: DataFrame, pod: DataFrame, broadcast_lookup: bool = True
+) -> DataFrame:
     """RESERVES_AND_RESTRICTIONS calc block, ``src/wins_transform_staging.py:163-179``:
-    prefix-cased FEATURE_CODE then DESCRIPTION <- POD.PNTS_DESCR."""
+    prefix-cased FEATURE_CODE then DESCRIPTION <- POD.PNTS_DESCR.
+
+    ``broadcast_lookup=True`` matches the reference posture (the POD
+    snapshot is a dimension); pass False when the lookup is fact-sized —
+    a forced broadcast bypasses the auto threshold and a big lookup
+    would OOM the driver (parity.py's e2e fixtures derive pod from
+    orders and do exactly that)."""
     rrr = conditional_update(
         rrr,
         "FEATURE_CODE",
@@ -45,15 +52,23 @@ def transform_reserves(rrr: DataFrame, pod: DataFrame) -> DataFrame:
             (F.col("TRRR_TAG").like("RS%"), "EA83040000"),
         ],
     )
-    return enrich(rrr, pod, on=("TRRR_TAG", "PNTS_CODE"), mapping={"DESCRIPTION": "PNTS_DESCR"})
+    return enrich(
+        rrr, pod, on=("TRRR_TAG", "PNTS_CODE"),
+        mapping={"DESCRIPTION": "PNTS_DESCR"}, broadcast_lookup=broadcast_lookup,
+    )
 
 
-def transform_hydrography(nth: DataFrame, pod: DataFrame) -> DataFrame:
+def transform_hydrography(
+    nth: DataFrame, pod: DataFrame, broadcast_lookup: bool = True
+) -> DataFrame:
     """NON_TRIM_HYDROGRAPHY block, ``src/wins_transform_staging.py:185-206``:
     blank TNTH_TAG -> NULL, constant FEATURE_CODE, STREAM_NAME <- SRCE_GAZETTED."""
     nth = blank_to_null(nth, "TNTH_TAG")
     nth = nth.withColumn("FEATURE_CODE", F.lit("GA24850000"))
-    return enrich(nth, pod, on=("TNTH_TAG", "PNTS_CODE"), mapping={"STREAM_NAME": "SRCE_GAZETTED"})
+    return enrich(
+        nth, pod, on=("TNTH_TAG", "PNTS_CODE"),
+        mapping={"STREAM_NAME": "SRCE_GAZETTED"}, broadcast_lookup=broadcast_lookup,
+    )
 
 
 def transform_works(wrk: DataFrame) -> DataFrame:
@@ -68,11 +83,15 @@ def transform_flooded(fal: DataFrame) -> DataFrame:
     return fal.withColumn("FEATURE_CODE", F.lit("GB11350000"))
 
 
-def qa_reserves(rrr: DataFrame, pod: DataFrame) -> RejectSplit:
+def qa_reserves(
+    rrr: DataFrame, pod: DataFrame, broadcast_lookup: bool = True
+) -> RejectSplit:
     """QA stage, ``src/wins_transform_staging.py:236-273``: duplicate-tag
     rejection first, then referential-integrity rejection against POD; the
     not-found flag only lands where no flag exists yet (flag precedence,
-    ``:268-269``)."""
+    ``:268-269`` — enforced INSIDE the reject operators' precedence-aware
+    stamp, so a row entering either operator with an existing flag keeps
+    it; no separate flag_where_null pass needed)."""
     dup = reject_duplicates(rrr, "TRRR_TAG", flag="Duplicate TRRR_TAG")
     ri = reject_unmatched(
         dup.kept,
@@ -80,10 +99,9 @@ def qa_reserves(rrr: DataFrame, pod: DataFrame) -> RejectSplit:
         on=("TRRR_TAG", "PNTS_CODE"),
         flag="TRRR_TAG not found in Water POD Table",
         lookup_name="Water POD Table",
+        broadcast_lookup=broadcast_lookup,
     )
-    rejected = dup.rejected.unionByName(
-        flag_where_null(ri.rejected, "TRRR_TAG not found in Water POD Table")
-    )
+    rejected = dup.rejected.unionByName(ri.rejected)
     return RejectSplit(kept=ri.kept, rejected=rejected)
 
 

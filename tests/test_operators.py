@@ -398,3 +398,63 @@ class TestScd2:
         h = self._hist(spark, b3, 3, prev=self._hist(spark, b2, 2, prev=self._hist(spark, b1, 1)))
         versions = sorted((r.valid_from, r.valid_to, r.is_current, r.s) for r in h.collect())
         assert versions == [(1, 2, False, "a"), (2, 3, False, "b"), (3, None, True, "c")]
+
+
+class TestParityReviewFixes:
+    def test_align_to_schema_best_effort_cast_yields_null(self, spark):
+        """Review finding: ANSI-mode cast threw on unparsable values at
+        action time; NO_TEST semantics load NULL and continue."""
+        from pyspark.sql import types as T
+
+        from flnr_wins_spark.operators.append import align_to_schema
+
+        df = spark.createDataFrame([("N/A",), ("42",)], "k string")
+        schema = T.StructType([T.StructField("k", T.LongType())])
+        got = sorted(r.k for r in align_to_schema(df, schema).collect()
+                     if r.k is not None)
+        vals = [r.k for r in align_to_schema(df, schema).collect()]
+        assert got == [42] and None in vals
+
+    def test_align_to_schema_case_ambiguity_raises(self, spark):
+        import pytest
+        from pyspark.sql import types as T
+
+        from flnr_wins_spark.operators.append import align_to_schema
+
+        df = spark.createDataFrame([(1, 2)], ["Tag", "TAG"])
+        schema = T.StructType([T.StructField("tag", T.LongType())])
+        with pytest.raises(ValueError, match="collide case-insensitively"):
+            align_to_schema(df, schema)
+
+    def test_enrich_duplicate_lookup_does_not_multiply_rows(self, spark):
+        """Review finding: a duplicated lookup key multiplied base rows,
+        making downstream duplicate-QA reject valid unique source rows.
+        The lookup now dedups deterministically (first by contributed
+        columns)."""
+        from flnr_wins_spark.operators.enrich import enrich
+
+        base = spark.createDataFrame([(1, "K1"), (2, "K2")], "id long, tag string")
+        lookup = spark.createDataFrame(
+            [("K1", "b-desc"), ("K1", "a-desc"), ("K2", "x")],
+            "code string, descr string",
+        )
+        out = enrich(base, lookup, on=("tag", "code"), mapping={"d": "descr"}).collect()
+        assert len(out) == 2  # no row multiplication
+        got = {r.id: r.d for r in out}
+        assert got[1] == "a-desc"  # deterministic survivor: sorted first
+        assert got[2] == "x"
+
+    def test_reject_operators_respect_existing_flag(self, spark):
+        """Review finding: reject_unmatched's unconditional withColumn
+        clobbered pre-existing REJECT_FLAG values, violating the
+        reference's 'REJECT_FLAG IS NULL' precedence rule."""
+        from flnr_wins_spark.operators.reject import reject_unmatched
+
+        df = spark.createDataFrame(
+            [(1, "A", "earlier flag"), (2, "B", None)],
+            "id long, tag string, REJECT_FLAG string",
+        )
+        lookup = spark.createDataFrame([("Z",)], "code string")
+        _, rejected = reject_unmatched(df, lookup, on=("tag", "code"), flag="not found")
+        got = {r.id: r.REJECT_FLAG for r in rejected.collect()}
+        assert got == {1: "earlier flag", 2: "not found"}
