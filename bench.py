@@ -87,7 +87,13 @@ def main() -> None:
                 "build) dominates; production posture is exact_dedup first "
                 "/ max_bucket_width, both measured elsewhere in the suite "
                 "(x_llm_corpus_e2e composes dedup-before-near-dup and runs "
-                "~2.1-2.5s end-to-end after the AQE-coalesce fix).",
+                "~2.1-2.5s end-to-end after the AQE-coalesce fix). Late-round "
+                "review fixes moved wins_e2e_* from ~0.9-1.2s to ~1.3-1.7s: "
+                "the fact-sized pod lookup is no longer force-broadcast "
+                "(driver-OOM posture at 100x) and enrich now dedups its "
+                "lookup to one deterministic row per key (correlated-UPDATE "
+                "parity) — one extra dimension-side window shuffle, the "
+                "honest price of both fixes.",
             }
         )
     )
