@@ -52,6 +52,7 @@ def brute_force_topk(
     query_id: str = "vec_id",
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, cand_id, cosine, rank), rank 1..k,
     ties broken by candidate id (deterministic).
@@ -65,9 +66,15 @@ def brute_force_topk(
     c = candidates.select(
         F.col(cand_id).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("_cv")
     )
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        # self-search dedup: only valid when queries and candidates share
+        # an id namespace (same table); classify-style disjoint datasets
+        # must pass False or a train row sharing a query's id is silently
+        # never a neighbor
+        scored = scored.filter(F.col("query_id") != F.col("cand_id"))
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("cand_id"))
+        scored
         .select("query_id", "cand_id", cosine(F.col("_qv"), F.col("_cv")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
@@ -75,6 +82,25 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _hyperplane_component_sql(j: int, dim: int, seed: int, hash_fn: str) -> str:
+    """SQL text for hyperplane j's ±1 component at lambda-bound index d —
+    the ONE definition of the deterministic hyperplane family shared by
+    hyperplane_signature and random_projection (their cross-function
+    reproducibility contract depends on byte-identical derivation)."""
+    if hash_fn == "xxhash64":
+        return (
+            f"CAST(IF(xxhash64(CAST({j} * {dim} AS BIGINT) + d, {seed}) % 2 = 0,"
+            " 1.0, -1.0) AS DOUBLE)"
+        )
+    if hash_fn == "md5":
+        return (
+            f"CAST(IF(substring(md5(concat(CAST({j} * {dim} + d AS STRING),"
+            f" ':{seed}')), 32, 1)"
+            " IN ('1','3','5','7','9','b','d','f'), 1.0, -1.0) AS DOUBLE)"
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
 def hyperplane_signature(
@@ -92,19 +118,7 @@ def hyperplane_signature(
     hyperplanes, making the whole ANN result oracle-checkable)."""
     terms = []
     for j in range(bits):
-        if hash_fn == "xxhash64":
-            comp = (
-                f"CAST(IF(xxhash64(CAST({j} * {dim} AS BIGINT) + d, {seed}) % 2 = 0,"
-                " 1.0, -1.0) AS DOUBLE)"
-            )
-        elif hash_fn == "md5":
-            comp = (
-                f"CAST(IF(substring(md5(concat(CAST({j} * {dim} + d AS STRING),"
-                f" ':{seed}')), 32, 1)"
-                " IN ('1','3','5','7','9','b','d','f'), 1.0, -1.0) AS DOUBLE)"
-            )
-        else:
-            raise ValueError(f"unknown hash_fn {hash_fn!r}")
+        comp = _hyperplane_component_sql(j, dim, seed, hash_fn)
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -202,8 +216,13 @@ def kmeans_fit(
         # TakeOrderedAndProject: per-partition partial top-S, single merge —
         # the one full-corpus pass. The result is model-fit-sized and lands
         # in few partitions, so each Lloyd's round is cheap.
-        train = train.orderBy("_h").limit(max(fit_sample, k))
-    train = train.localCheckpoint()
+        train = train.orderBy("_h").limit(max(fit_sample, k)).localCheckpoint()
+    else:
+        # exact mode trains on the CORPUS: persist with spill instead of
+        # eagerly copying the whole dataset into executor-local checkpoint
+        # storage (an out-of-disk failure mode at the module's own scale
+        # framing); persist re-derives deterministically if evicted
+        train = train.persist(StorageLevel.MEMORY_AND_DISK)
     # no checkpoint on the init head: it derives from the train checkpoint
     # above with one tiny TakeOrdered, so materializing it would only add an
     # eager job (per-job barrier tax measured ~0.3-0.5 s on local[32])
@@ -376,6 +395,10 @@ def pq_fit(
     ``iters + 1`` full scans. A ksub=256 codebook needs ~10^5 points, not
     100 TB. The sampled ROW set is shared by all subspaces (one draw, then
     slice); per-subspace init still uses the seed+sub hash within it.
+    Exact mode (``fit_sample=None``) additionally ranks the FULL corpus's
+    slices per subspace for centroid init (a window over only m
+    partitions) — a straggler/OOM hazard at scale; the sampled default is
+    the 100 TB path.
     Pass ``None`` to train on everything."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -790,19 +813,7 @@ def random_projection(
     """
     comps = []
     for j in range(out_dim):
-        if hash_fn == "xxhash64":
-            comp = (
-                f"CAST(IF(xxhash64(CAST({j} * {dim} AS BIGINT) + d, {seed}) % 2 = 0,"
-                " 1.0, -1.0) AS DOUBLE)"
-            )
-        elif hash_fn == "md5":
-            comp = (
-                f"CAST(IF(substring(md5(concat(CAST({j} * {dim} + d AS STRING),"
-                f" ':{seed}')), 32, 1)"
-                " IN ('1','3','5','7','9','b','d','f'), 1.0, -1.0) AS DOUBLE)"
-            )
-        else:
-            raise ValueError(f"unknown hash_fn {hash_fn!r}")
+        comp = _hyperplane_component_sql(j, dim, seed, hash_fn)
         vec = F.col(vec_col).cast("array<double>")
         comps.append(
             F.aggregate(
@@ -838,7 +849,11 @@ def knn_classify(
     unique query id.
     """
     knn = brute_force_topk(
-        queries, train, k=k, query_id=query_id, cand_id=cand_id, vec_col=vec_col
+        queries, train, k=k, query_id=query_id, cand_id=cand_id, vec_col=vec_col,
+        # classification uses a DISJOINT train set: ids are different
+        # namespaces, so id-equality self-exclusion would silently drop a
+        # legitimate nearest neighbor whose id collides with the query's
+        exclude_self=False,
     )
     votes = (
         knn.join(
@@ -1043,9 +1058,11 @@ def embedding_covariance(
     (numpy int64 matmul — thousands of rows collapse to dim*(dim+1)/2+dim+1
     partial rows before any exchange), and the only shuffle carries those
     tiny partials to a (i, j)-keyed decimal sum. No row-level explode, no
-    n * dim^2 intermediate. int64 partials hold while
-    rows-per-batch * 10^2s < 9.2e18 (~1e10 rows/batch at s=4); the global
-    sums run in DECIMAL(38,0).
+    n * dim^2 intermediate. Partial matmuls run in int64 with
+    magnitude-aware row chunking (chunk_rows * max|q|^2 < 2^62 — numpy
+    would WRAP silently otherwise); the global sums and every output
+    column run in DECIMAL(38,0), exact to ~1e38 (a bigint output would
+    silently NULL past ~3e5 unit-range rows at s=4).
 
     Returns (i, j, n, sx, sy, sxy, cov_num) for i <= j.
     """
@@ -1071,19 +1088,27 @@ def embedding_covariance(
                 continue
             V = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(np.float64)
             Vq = np.floor(V * mult + 0.5).astype(np.int64)
-            S = Vq.T @ Vq  # dim x dim exact int64
-            sx = Vq.sum(axis=0)
-            out = pd.DataFrame(
-                {
-                    "i": np.concatenate([iu, np.arange(dim), [-1]]),
-                    "j": np.concatenate([ju, np.full(dim, -1), [-1]]),
-                    "sxy_p": np.concatenate([S[iu, ju], sx, [0]]),
-                    "cnt_p": np.concatenate(
-                        [np.zeros(len(iu) + dim, dtype=np.int64), [len(pdf)]]
-                    ),
-                }
-            )
-            yield out
+            # numpy int64 WRAPS silently on overflow — bound each partial by
+            # chunking rows so chunk_rows * max|q|^2 < 2^62; the decimal
+            # global sum merges any number of chunk partials exactly, so
+            # emitting more partial rows costs a few shuffle bytes, never
+            # correctness
+            mx = int(np.abs(Vq).max()) if Vq.size else 0
+            safe = max(1, (1 << 62) // max(1, mx * mx))
+            for start in range(0, len(Vq), safe):
+                chunk = Vq[start : start + safe]
+                S = chunk.T @ chunk  # dim x dim exact int64 (bounded above)
+                sx = chunk.sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate([iu, np.arange(dim), [-1]]),
+                        "j": np.concatenate([ju, np.full(dim, -1), [-1]]),
+                        "sxy_p": np.concatenate([S[iu, ju], sx, [0]]),
+                        "cnt_p": np.concatenate(
+                            [np.zeros(len(iu) + dim, dtype=np.int64), [len(chunk)]]
+                        ),
+                    }
+                )
 
     agg = (
         df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
@@ -1109,14 +1134,18 @@ def embedding_covariance(
             "i",
             "j",
             "n",
-            F.col("sx").cast("bigint").alias("sx"),
-            F.col("sy").cast("bigint").alias("sy"),
-            F.col("sxy").cast("bigint").alias("sxy"),
+            # DECIMAL(38,0), NOT bigint: cov_num = n*Sxy - Sx*Sy scales as
+            # n^2 * 10^(2*scale) and blows past bigint around n ~ 3e5 rows
+            # at scale=4 — where a non-ANSI cast would silently NULL and
+            # crash pca_project far from the cause
+            F.col("sx").cast("decimal(38,0)").alias("sx"),
+            F.col("sy").cast("decimal(38,0)").alias("sy"),
+            F.col("sxy").cast("decimal(38,0)").alias("sxy"),
             (
                 F.col("n").cast("decimal(38,0)") * F.col("sxy")
                 - F.col("sx") * F.col("sy")
             )
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias("cov_num"),
         )
     )
@@ -1152,7 +1181,7 @@ def pca_project(
     denom = float(n) * float(n) * float(10 ** (2 * scale))
     C = np.zeros((dim, dim))
     for r in rows:
-        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov_num"] / denom
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = float(r["cov_num"]) / denom
     # deterministic orthogonal (subspace) power iteration: fixed start basis
     Q = np.eye(dim)[:, :k]
     for _ in range(n_iter):
@@ -1166,8 +1195,8 @@ def pca_project(
     # center: pc = (v - mean) . q == v . q - mean . q (scalar offset)
     mean = np.zeros(dim)
     for r in rows:  # every (i, j) row carries both linear sums
-        mean[r["i"]] = r["sx"]
-        mean[r["j"]] = r["sy"]
+        mean[r["i"]] = float(r["sx"])
+        mean[r["j"]] = float(r["sy"])
     mean = mean / (float(n) * float(10**scale))
     comps = [[float(Q[d, c]) for d in range(dim)] for c in range(k)]
     offsets = [float(mean @ Q[:, c]) for c in range(k)]

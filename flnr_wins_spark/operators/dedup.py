@@ -10,8 +10,11 @@ All operators are partition-parallel with no driver-side collection:
   * MinHash-LSH:    pyspark.ml MinHashLSH banding join (candidate pairs) with
                     exact Jaccard verification of candidates only.
   * SimHash:   64-bit signatures via JVM-side higher-order functions, banded
-               Hamming join (4 x 16-bit bands finds all pairs within
-               Hamming distance 8 in at most 4 bucket joins).
+               Hamming join. Pigeonhole guarantee: b bands find ALL pairs
+               within Hamming distance b-1 (<=3 at the default 4 bands);
+               pairs between that and ``max_hamming`` are found only when
+               their differing bits happen to concentrate outside one band
+               — standard LSH recall, not a completeness guarantee.
 
 Scale notes: the inverted-index join is the textbook blow-up risk — frequent
 shingles create quadratic bucket sizes. ``jaccard_pairs`` therefore drops
@@ -50,7 +53,20 @@ def exact_dedup(
     tagged = df.withColumn("_rn", F.row_number().over(w.orderBy(F.col(id_col)))).withColumn(
         "n_copies", F.count(F.lit(1)).over(w)
     )
-    return tagged.filter(F.col("_rn") == 1).drop("_rn")
+    # NULL text has no content to compare: the window groups NULL digests
+    # together, which would silently delete all but one of a million
+    # failed-extraction rows as "duplicates" of each other. Rows with a
+    # NULL digest are all KEPT (n_copies forced to 1) — same NULL doctrine
+    # as reject_duplicates.
+    is_dup_loser = fp.isNotNull() & (F.col("_rn") > 1)
+    return (
+        tagged.filter(~is_dup_loser)
+        .withColumn(
+            "n_copies",
+            F.when(fp.isNull(), F.lit(1)).otherwise(F.col("n_copies")),
+        )
+        .drop("_rn")
+    )
 
 
 def shingle_sets(
@@ -104,21 +120,7 @@ def jaccard_pairs(
     how many shingles the cap drops.
     """
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sh = shingles
-    if max_shingle_freq is not None:
-        # Make the capped semantics observable without forcing an action in
-        # a lazy operator: a duplicate cluster wider than the cap yields NO
-        # pairs from its shared shingles. Callers audit the actual drop
-        # volume with ``stop_shingle_count`` (pass ``None`` for exact mode).
-        _LOG.info(
-            "jaccard_pairs: stop-shingle cap active (max_shingle_freq=%d); "
-            "shingles shared by more docs are dropped before the pair join — "
-            "audit with stop_shingle_count()", max_shingle_freq,
-        )
-        freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = shingles.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").select(
-            "id", "shingle"
-        )
+    sh = _cap_stop_shingles(shingles, max_shingle_freq, "jaccard_pairs")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -135,6 +137,26 @@ def jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _cap_stop_shingles(shingles: DataFrame, max_shingle_freq: int | None, op: str) -> DataFrame:
+    """ONE stop-shingle cap shared by jaccard_pairs and containment_pairs:
+    drop shingles occurring in more than ``max_shingle_freq`` docs before
+    any pair join, logging that the cap is active. Make the capped
+    semantics observable without forcing an action in a lazy operator —
+    callers audit the actual drop volume with ``stop_shingle_count``
+    (pass ``None`` for exact mode)."""
+    if max_shingle_freq is None:
+        return shingles
+    _LOG.info(
+        "%s: stop-shingle cap active (max_shingle_freq=%d); shingles shared "
+        "by more docs are dropped before the pair join — audit with "
+        "stop_shingle_count()", op, max_shingle_freq,
+    )
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    return shingles.join(
+        freq.filter(F.col("_f") <= max_shingle_freq), "shingle"
+    ).select("id", "shingle")
 
 
 def containment_pairs(
@@ -155,12 +177,7 @@ def containment_pairs(
     mirrors the cap with a HAVING filter.
     """
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sh = shingles
-    if max_shingle_freq is not None:
-        freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = shingles.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").select(
-            "id", "shingle"
-        )
+    sh = _cap_stop_shingles(shingles, max_shingle_freq, "containment_pairs")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -427,7 +444,11 @@ def simhash_signatures(
         )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    staged = df.select(
+    staged = df.filter(F.col(text_col).isNotNull()).select(
+        # NULL text must not enter: it would fold to signature 0, making
+        # every contentless doc a hamming-0 "near-dup" of every other (and
+        # of any real all-zero-signature doc) and turning the shared band
+        # bucket into a quadratic hot spot
         F.col(id_col).alias("id"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("_tk"),
     ).select(
@@ -458,12 +479,17 @@ def simhash_signatures(
 def simhash_pairs(
     signatures: DataFrame, max_hamming: int = 8, bands: int = 4, bits: int = 64
 ) -> DataFrame:
-    """Pairs within Hamming distance ``max_hamming`` via banded bucket join.
+    """Candidate pairs within Hamming distance ``max_hamming`` via banded
+    bucket join. Returns (id_a, id_b, hamming).
 
-    Pigeonhole: distance <= bands-1 (or <= 8 with 4 bands when distances
-    concentrate) over ``bands`` bands of ``bits/bands`` bits => at least one
-    band is identical, so joining per-band on exact band value finds every
-    such pair without the quadratic cross join. Returns (id_a, id_b, hamming).
+    Recall contract (be precise — the naive reading overpromises):
+    pigeonhole over ``bands`` bands guarantees a shared band ONLY for
+    distance <= bands-1 (<= 3 at the defaults), because each differing bit
+    can spoil at most one band. Pairs with distance in (bands-1,
+    max_hamming] are emitted only when their differing bits happen to
+    leave one band untouched — near-dup bit flips cluster in practice, so
+    recall there is high, but it is probabilistic LSH recall, NOT
+    completeness. For a hard distance-d guarantee use ``bands >= d+1``.
     """
     width = bits // bands
     mask = (1 << width) - 1
@@ -618,6 +644,12 @@ def tfidf_cosine_pairs(
             .alias("w"),
         )
     )
+    # the weight table feeds THREE consumers (norms + both sides of the
+    # postings self-join); without a persist each re-runs the full corpus
+    # tokenize + tf shuffle — the same multi-consumer rule as
+    # minhash_lsh_pairs' signature persist. MEMORY_AND_DISK: corpus-sized,
+    # spills rather than OOMs.
+    w = w.persist(StorageLevel.MEMORY_AND_DISK)
     norms = w.groupBy("id").agg(
         F.sqrt(
             F.sum((F.col("w") * F.col("w")).cast("decimal(27,12)")).cast("double")

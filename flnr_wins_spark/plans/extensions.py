@@ -3508,8 +3508,11 @@ def x_html_strip(spark, sf_dir):
       FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
     )
-    SELECT cr.i, cr.j, n, la.s AS sx, lb.s AS sy, sxy,
-           CAST(n::HUGEINT * sxy - la.s::HUGEINT * lb.s AS BIGINT) AS cov_num
+    SELECT cr.i, cr.j, n,
+           CAST(la.s AS DECIMAL(38,0)) AS sx,
+           CAST(lb.s AS DECIMAL(38,0)) AS sy,
+           CAST(sxy AS DECIMAL(38,0)) AS sxy,
+           CAST(n::HUGEINT * sxy - la.s::HUGEINT * lb.s AS DECIMAL(38,0)) AS cov_num
     FROM cr JOIN lin la ON la.i = cr.i JOIN lin lb ON lb.i = cr.j
     CROSS JOIN cnt
     """,

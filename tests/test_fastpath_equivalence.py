@@ -285,3 +285,66 @@ class TestOptimalSegmentation:
                optimal_segment_stats(df, top_words=0, top_k=50).collect()}
         # with no whole-word vocab, every word segments to its chars
         assert out["zzqqxx"] == (6, 6) and out["unseen"] == (6, 6)
+
+
+class TestLlmCoreReviewFixes:
+    def test_exact_dedup_keeps_all_null_text_rows(self, spark):
+        """Review finding: NULL digests grouped into one window partition,
+        silently deleting all but one failed-extraction row. NULL text has
+        no content to compare — every such row is kept (n_copies=1)."""
+        from flnr_wins_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x"), (4, "x")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.n_copies for r in exact_dedup(df, "text", "doc_id").collect()}
+        assert out == {1: 1, 2: 1, 3: 2}
+
+    def test_simhash_signatures_skip_null_text(self, spark):
+        """Review finding: NULL text folded to signature 0, pairing every
+        contentless doc with every other at hamming 0."""
+        from flnr_wins_spark.operators.dedup import simhash_signatures
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a b c"), (3, None)], "doc_id long, text string"
+        )
+        sigs = simhash_signatures(df, "text", "doc_id").collect()
+        assert [r.id for r in sigs] == [2]
+
+    def test_knn_classify_uses_colliding_id_train_rows(self, spark):
+        """Review finding: brute_force_topk's self-exclusion filtered out
+        train rows whose id equals the query's id even though queries and
+        train are disjoint datasets with separate id namespaces."""
+        from flnr_wins_spark.functions.vectors import knn_classify
+
+        q = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+        train = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], 7),   # id collides with the query; nearest
+                (2, [0.9, 0.1], 7),
+                (3, [0.0, 1.0], 9),
+                (4, [0.1, 1.0], 9),
+                (5, [0.0, 0.9], 9),
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        out = knn_classify(q, train, k=3).collect()[0]
+        # with row 1 included the 3-NN are labels {7,7,9} -> 7; the old
+        # exclusion made them {7,9,9} -> 9
+        assert out.pred_lbl == 7 if hasattr(out, "pred_lbl") else out[1] == 7
+
+    def test_embedding_covariance_survives_bigint_scale(self, spark):
+        """Review finding: cov_num cast to BIGINT silently NULLed past
+        ~3e5 rows; the DECIMAL(38,0) output must stay exact and pca must
+        accept it."""
+        from flnr_wins_spark.functions.vectors import embedding_covariance
+
+        # big values so n*Sxy exceeds what float64 could even hold exactly
+        rows = [(i, [30000.0, -30000.0]) for i in range(2000)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {(r.i, r.j): r for r in embedding_covariance(df, 2, scale=4).collect()}
+        v = out[(0, 0)]
+        assert v.cov_num is not None
+        q = 30000 * 10**4
+        assert int(v.sxy) == 2000 * q * q  # 1.8e23 — far beyond BIGINT
+        assert int(v.cov_num) == 2000 * int(v.sxy) - int(v.sx) * int(v.sx)

@@ -35,7 +35,11 @@ class TestEmbeddingCovariance:
         sx = Vq.sum(0)
         for r in out:
             assert r["n"] == n
-            assert r["cov_num"] == n * S[r["i"], r["j"]] - sx[r["i"]] * sx[r["j"]]
+            # cov_num is DECIMAL(38,0) now (bigint silently overflowed);
+            # compare as Python ints
+            assert int(r["cov_num"]) == int(n * S[r["i"], r["j"]]) - int(
+                sx[r["i"]]
+            ) * int(sx[r["j"]])
 
     def test_partition_invariant(self, spark, anisotropic):
         V, df = anisotropic
@@ -57,7 +61,7 @@ class TestEmbeddingCovariance:
         S = q.T @ q
         sx = q.sum(0)
         for (i, j), r in out.items():
-            assert r["cov_num"] == 2 * S[i, j] - sx[i] * sx[j]
+            assert int(r["cov_num"]) == int(2 * S[i, j]) - int(sx[i]) * int(sx[j])
 
 
 class TestPcaProject:
