@@ -278,9 +278,12 @@ def exact_dedup_sink(
     layout re-shuffled and rewrote every digest ever seen, each batch).
 
     The batch-twin test pins: streaming the corpus in arrival order ==
-    one-shot batch exact dedup — including NULL text, whose NULL digest
-    joins null-safely (a plain equi anti-join never matches NULL==NULL
-    and would keep one NULL row per batch instead of one globally).
+    one-shot batch exact dedup — including NULL text, which has no
+    content to compare: NULL-digest rows bypass deduplication entirely
+    (all kept, never entering the seen-set), the same NULL doctrine as
+    the batch operator. Without the split, the within-batch window would
+    group NULL digests as "duplicates" while the cross-batch equi
+    anti-join never matches NULL==NULL — two different wrong answers.
     """
     from pyspark.sql import Window
 
@@ -295,24 +298,23 @@ def exact_dedup_sink(
         d = batch_df.withColumn(
             "_digest", F.md5(F.encode(F.col(text_col).cast("string"), "UTF-8"))
         )
+        nulls = d.filter(F.col("_digest").isNull())
+        nn = d.filter(F.col("_digest").isNotNull())
         w = Window.partitionBy("_digest").orderBy(F.col(id_col))
-        in_batch_first = d.withColumn("_rn", F.row_number().over(w)).filter(
+        in_batch_first = nn.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") == 1
         ).drop("_rn")
         prior = [v for v in _state_versions(spark, state_path) if v < batch_id]
         if prior:
             seen = spark.read.parquet(*[f"{state_path}/v{v}" for v in prior])
-            kept = in_batch_first.alias("n").join(
-                seen.alias("s"),
-                F.col("n._digest").eqNullSafe(F.col("s._digest")),
-                "left_anti",
-            )
+            deduped = in_batch_first.join(seen, "_digest", "left_anti")
         else:
-            kept = in_batch_first
+            deduped = in_batch_first
+        kept = deduped.unionByName(nulls)
         kept.drop("_digest").write.mode("overwrite").parquet(
             f"{kept_base}/v{batch_id}"
         )
-        kept.select("_digest").distinct().write.mode("overwrite").parquet(
+        deduped.select("_digest").distinct().write.mode("overwrite").parquet(
             f"{state_path}/v{batch_id}"
         )
 

@@ -632,9 +632,10 @@ def test_checkpoint_reset_sheds_stale_timeline(spark, tmp_path):
 
 
 def test_exact_dedup_sink_null_text_deduped_across_batches(spark, tmp_path):
-    """Review finding: the seen-set anti-join on _digest never matched
-    NULL == NULL, so one NULL-text row survived PER BATCH instead of one
-    globally; the null-safe join restores batch-twin equality."""
+    """Review finding: NULL-text handling diverged between the sink and
+    the batch operator. The aligned doctrine: NULL text has no content to
+    compare, so every NULL-text row is KEPT (bypassing dedup entirely) on
+    both sides."""
     from flnr_wins_spark.operators.dedup import exact_dedup
     from flnr_wins_spark.streaming.sinks import exact_dedup_sink, read_dedup_kept
 
@@ -657,4 +658,4 @@ def test_exact_dedup_sink_null_text_deduped_across_batches(spark, tmp_path):
     kept = sorted(r.doc_id for r in read_dedup_kept(spark, str(tmp_path / "state")).collect())
     corpus = spark.createDataFrame([(1, None), (2, "x"), (3, None), (4, "y")], schema)
     want = sorted(r.doc_id for r in exact_dedup(corpus, "text", "doc_id").collect())
-    assert kept == want == [1, 2, 4]
+    assert kept == want == [1, 2, 3, 4]
