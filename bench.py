@@ -67,33 +67,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "notes": "min-of-2 runs per query (steady-state plan). r5: r4's "
-                "26 headliners plus the new x_llm_corpus_e2e composition "
-                "(codec/decode entries stay out of the headline set), local "
-                "quiet-host runs totalled 30-34s across repeats. vs BENCH_r04 "
-                "(35.74s): broad ~1.1-1.3x improvement on unchanged plans "
-                "(q18/q21/wins_e2e all faster) — the r4 host was slow, as "
-                "its own note suspected; x_similarity_pq back to ~2.6-3.0s "
-                "settles r4's flagged 3.98s spike as host noise, not a plan "
-                "change. One real plan change this round: the minhash "
-                "signature expression became a shingle-major fold "
-                "(string-hash tier runs once per shingle, not once per "
-                "table; bit-identical output, pinned by "
-                "tests/test_fastpath_equivalence.py), cutting the signature "
-                "pass ~3x (3.2s->0.6s standalone). x_dedup_minhash_lsh "
-                "stays ~5.2-6.2s because the fixture is deliberately "
-                "dup-heavy: ~190k banding candidates flow through the "
-                "exact-Jaccard verify, which (plus the signature cache "
-                "build) dominates; production posture is exact_dedup first "
-                "/ max_bucket_width, both measured elsewhere in the suite "
-                "(x_llm_corpus_e2e composes dedup-before-near-dup and runs "
-                "~2.1-2.5s end-to-end after the AQE-coalesce fix). Late-round "
-                "review fixes moved wins_e2e_* from ~0.9-1.2s to ~1.3-1.7s: "
-                "the fact-sized pod lookup is no longer force-broadcast "
-                "(driver-OOM posture at 100x) and enrich now dedups its "
-                "lookup to one deterministic row per key (correlated-UPDATE "
-                "parity) — one extra dimension-side window shuffle, the "
-                "honest price of both fixes.",
+                # keep notes SHORT (<300 chars): the driver captures only the
+                # last 2,000 chars of stdout — a long note truncated 9 of 27
+                # r5 timings out of BENCH_r05.json. Prose lives in SURVEY §8.
+                "notes": "min-of-2 per query, steady-state plan; "
+                "27 headliners; see SURVEY.md §8 for per-round analysis.",
             }
         )
     )

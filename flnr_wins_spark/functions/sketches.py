@@ -429,9 +429,13 @@ def bottomk_quantiles(
     # (h, v) ordering: h alone leaves the cut nondeterministic when
     # duplicate keys produce tied hashes with different values — the value
     # tiebreak keeps the sample a pure function of the row SET on both
-    # engines (Spark and the SQL twin order identically)
+    # engines (Spark and the SQL twin order identically).
+    # distinct BEFORE the cut: the streaming sink dedups (g, h, v) so an
+    # at-least-once redelivery can't occupy two slots; the batch twin must
+    # collapse genuinely-duplicated (key, value) rows the same way or
+    # n_kept/quantiles diverge streaming vs batch (batch-twin contract)
     rn = F.row_number().over(Window.partitionBy("g").orderBy("h", "v"))
-    sample = d.withColumn("rn", rn).filter(F.col("rn") <= k)
+    sample = d.distinct().withColumn("rn", rn).filter(F.col("rn") <= k)
     est = sample_quantiles(sample, quantiles)
     totals = d.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     return est.join(totals, "g").select(

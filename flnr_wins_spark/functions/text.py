@@ -771,10 +771,12 @@ def nfc_normalize(texts: pd.Series) -> pd.Series:
     become byte-identical, so every downstream exact/near dedup hash sees
     one canonical form. Arrow-batched (stdlib unicodedata implements
     UAX#15 — the DuckDB oracle's nfc_normalize() agrees codepoint for
-    codepoint, which is what x_text_nfc hash-checks)."""
+    codepoint, which is what x_text_nfc hash-checks). NULL in -> NULL out,
+    matching both the oracle's nfc_normalize(NULL) and Spark's own
+    string-function convention."""
     import unicodedata
 
-    return texts.map(lambda t: unicodedata.normalize("NFC", t or ""))
+    return texts.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
 
 
 def html_strip(col: Column) -> Column:

@@ -595,6 +595,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     min_cosine: float = 0.8,
     max_df: int = 256,
+    unpersist: bool = False,
 ) -> DataFrame:
     """TF-IDF weighted cosine near-duplicate pairs: each document is a
     sparse tf·ln(N/df) vector; returns ``(a, b, cosine)`` for pairs with
@@ -667,7 +668,7 @@ def tfidf_cosine_pairs(
             .alias("dot")
         )
     )
-    return (
+    out = (
         dots.join(norms.select(F.col("id").alias("a"), F.col("norm").alias("na")), "a")
         .join(norms.select(F.col("id").alias("b"), F.col("norm").alias("nb")), "b")
         .select(
@@ -677,3 +678,11 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+    if unpersist:
+        # same lifecycle contract as minhash_lsh_pairs: the verified-pairs
+        # result is duplicate-count-sized (<< corpus) — pin it eagerly,
+        # then release the corpus-sized weight cache so multi-corpus loops
+        # don't accumulate one cached corpus per call
+        out = out.localCheckpoint(eager=True)
+        w.unpersist()
+    return out

@@ -179,9 +179,20 @@ def weighted_sample(
     pure integer arithmetic both engines compute bit-identically; ties
     (deterministic truncation) break on id.
 
-    Magnitude envelope: pri_q <= w * 2^37 * 1000, BIGINT-safe for
-    w <= ~6.7e4 (char/token-count weights; priorities are invariant under
-    global weight rescaling, so divide larger weights down first).
+    Weight dtype contract (priorities are invariant under global weight
+    rescaling, so each path is a valid DLT sample; the key formula is
+    fixed per dtype so results stay engine- and rerun-deterministic):
+
+    - INTEGRAL weight columns (int/bigint/decimal scale 0): key is
+      ``(w * 2^37 * 1000) div (2h+1)`` — BIGINT-safe for w <= ~6.7e4
+      (char/token-count weights; divide larger weights down first).
+    - FRACTIONAL weight columns (float/double/decimal scale > 0): the
+      weight is first scaled EXACTLY into the numerator as
+      ``w6 = CAST(CAST(w AS DECIMAL(25,6)) * 1000000 AS DECIMAL(38,0))``
+      (6 decimal digits preserved — no silent floor-to-integer collapse
+      of weights in (0,1)), and the key is ``(w6 * 2^37) div (2h+1)`` —
+      BIGINT-safe for w <= ~67, which covers normalized / temperature /
+      ratio weights; rescale larger fractional weights down first.
 
     Same content-addressing discipline as the rest of this module: the
     key is a pure function of the row id, so the sample is identical
@@ -197,10 +208,24 @@ def weighted_sample(
         16,
         10,
     ).cast("long")
-    key = F.expr(
-        f"(CAST({weight_col} AS DECIMAL(38,0)) * {2**37} * 1000)"
-        " div CAST(2 * _h + 1 AS DECIMAL(19,0))"
+    wtype = dict(df.dtypes)[weight_col]
+    integral = wtype in ("tinyint", "smallint", "int", "bigint") or (
+        wtype.startswith("decimal") and wtype.rstrip(")").endswith(",0")
     )
+    if integral:
+        key = F.expr(
+            f"(CAST({weight_col} AS DECIMAL(38,0)) * {2**37} * 1000)"
+            " div CAST(2 * _h + 1 AS DECIMAL(19,0))"
+        )
+    else:
+        # exact 6-dp scaling: DECIMAL(25,6) * 1000000 has precision 33 —
+        # no Spark precision-overflow scale truncation — and an integral
+        # value, so the DECIMAL(38,0) cast is exact
+        key = F.expr(
+            f"(CAST(CAST({weight_col} AS DECIMAL(25,6)) * 1000000"
+            f" AS DECIMAL(38,0)) * {2**37})"
+            " div CAST(2 * _h + 1 AS DECIMAL(19,0))"
+        )
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("_h", h)

@@ -3151,10 +3151,10 @@ def x_geo_knn(spark, sf_dir):
                   AS BIGINT) % 360000001 AS cx,
              CAST('0x' || substr(md5('box:' || CAST(n_nationkey AS VARCHAR)), 1, 12)
                   AS BIGINT) % 180000001 AS cy,
-             500000 + CAST('0x' || substr(md5('box:' || CAST(n_nationkey AS VARCHAR)), 25, 6)
-                           AS BIGINT) % 2500001 AS hx,
-             500000 + CAST('0x' || substr(md5('ext:' || CAST(n_nationkey AS VARCHAR)), 25, 6)
-                           AS BIGINT) % 2500001 AS hy
+             2000000 + CAST('0x' || substr(md5('box:' || CAST(n_nationkey AS VARCHAR)), 25, 6)
+                           AS BIGINT) % 8000001 AS hx,
+             2000000 + CAST('0x' || substr(md5('ext:' || CAST(n_nationkey AS VARCHAR)), 25, 6)
+                           AS BIGINT) % 8000001 AS hy
       FROM nation),
     boxes AS (
       SELECT box_id,
@@ -3171,7 +3171,9 @@ def x_geo_knn(spark, sf_dir):
     "single cell, candidates meet in an equi-join on cell, exact integer "
     "containment finishes; a point lives in one cell so no dedup pass. "
     "Oracle is the brute-force containment join — the grid is pure "
-    "execution strategy, contract-tested to produce no CartesianProduct",
+    "execution strategy, contract-tested to produce no CartesianProduct. "
+    "Box half-widths are 2-10M microdeg so the graded differential is "
+    "non-vacuous (tens of real matches) at every sf, incl. sf0.001",
 )
 def x_geo_grid_join(spark, sf_dir):
     from flnr_wins_spark.functions.geo import grid_bbox_join
@@ -3183,10 +3185,10 @@ def x_geo_grid_join(spark, sf_dir):
         " 16, 10) AS BIGINT) % 360000001 AS cx",
         "CAST(conv(substring(md5(concat('box:', CAST(n_nationkey AS STRING))), 1, 12),"
         " 16, 10) AS BIGINT) % 180000001 AS cy",
-        "500000 + CAST(conv(substring(md5(concat('box:', CAST(n_nationkey AS STRING))), 25, 6),"
-        " 16, 10) AS BIGINT) % 2500001 AS hx",
-        "500000 + CAST(conv(substring(md5(concat('ext:', CAST(n_nationkey AS STRING))), 25, 6),"
-        " 16, 10) AS BIGINT) % 2500001 AS hy",
+        "2000000 + CAST(conv(substring(md5(concat('box:', CAST(n_nationkey AS STRING))), 25, 6),"
+        " 16, 10) AS BIGINT) % 8000001 AS hx",
+        "2000000 + CAST(conv(substring(md5(concat('ext:', CAST(n_nationkey AS STRING))), 25, 6),"
+        " 16, 10) AS BIGINT) % 8000001 AS hy",
     ).selectExpr(
         "box_id",
         "GREATEST(cx - hx, CAST(0 AS BIGINT)) AS xmin_u",
@@ -3208,7 +3210,7 @@ def x_geo_grid_join(spark, sf_dir):
     ), sample AS (
       SELECT g, v, h FROM (
         SELECT g, v, h, row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
-        FROM d) q WHERE rn <= 256
+        FROM (SELECT DISTINCT g, v, h FROM d) dd) q WHERE rn <= 256
     ), ranked AS (
       SELECT g, v,
              row_number() OVER (PARTITION BY g ORDER BY v, h) AS vr,
@@ -3352,15 +3354,19 @@ def x_llm_corpus_e2e(spark, sf_dir):
 
     # spread the under-split single-file input BEFORE the rule projection:
     # higher-order array expressions run interpreted (outside whole-stage
-    # codegen), so per-core parallelism is the lever. The localCheckpoint
-    # PINS the 32-way distribution — a bare repartition is a shuffle whose
-    # tiny byte size makes AQE coalesce the read back to ONE partition,
-    # serializing the expensive filter right after we paid to spread it
-    # (measured 9.6s -> 0.7s at sf0.1 for the rule filter alone)
+    # codegen), so per-core parallelism is the lever; the corpus then feeds
+    # multiple consumers (rule side + payload join side), so persist it.
+    # persist(MEMORY_AND_DISK), NOT localCheckpoint: identical measured time
+    # at sf0.1 (2.4-2.6 s steady both ways), but lineage stays intact — at
+    # 100 TB a full-corpus localCheckpoint is a storage bill AND a
+    # fault-tolerance hole (lost executor = lost partition, no recompute),
+    # while a spillable cache is evictable and recomputable
+    from pyspark import StorageLevel
+
     docs = (
         t(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     passed = (
         quality_rules(docs, min_words=30, min_stopword_hits=0)
@@ -3509,10 +3515,11 @@ def x_html_strip(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT cr.i, cr.j, n,
-           CAST(la.s AS DECIMAL(38,0)) AS sx,
-           CAST(lb.s AS DECIMAL(38,0)) AS sy,
-           CAST(sxy AS DECIMAL(38,0)) AS sxy,
-           CAST(n::HUGEINT * sxy - la.s::HUGEINT * lb.s AS DECIMAL(38,0)) AS cov_num
+           CAST(CAST(la.s AS DECIMAL(38,0)) AS VARCHAR) AS sx,
+           CAST(CAST(lb.s AS DECIMAL(38,0)) AS VARCHAR) AS sy,
+           CAST(CAST(sxy AS DECIMAL(38,0)) AS VARCHAR) AS sxy,
+           CAST(CAST(n::HUGEINT * sxy - la.s::HUGEINT * lb.s AS DECIMAL(38,0))
+                AS VARCHAR) AS cov_num
     FROM cr JOIN lin la ON la.i = cr.i JOIN lin lb ON lb.i = cr.j
     CROSS JOIN cnt
     """,
@@ -3522,13 +3529,29 @@ def x_html_strip(spark, sf_dir):
     "Arrow batch (numpy matmul), so the shuffle carries 2,146 partial "
     "rows per batch instead of n*dim^2 — the fit half of PCA whitening / "
     "decorrelation at 100 TB; integer partials make the merged result "
-    "bit-identical across partitionings and engines",
+    "bit-identical across partitionings and engines. GRADED projection "
+    "stringifies the DECIMAL(38,0) columns on both sides (r03 hex-"
+    "projection pattern): values exceed int64/exact-f64, and the driver's "
+    "pandas-factorize canonicalizer can surface Decimal vs float64 "
+    "differently per engine (the r05 hash_match=false root cause)",
 )
 def x_embedding_covariance(spark, sf_dir):
     from flnr_wins_spark.functions.vectors import embedding_covariance
 
     emb = t(spark, sf_dir, "embeddings")
-    return embedding_covariance(emb, dim=64, scale=4)
+    cov = embedding_covariance(emb, dim=64, scale=4)
+    # graded entry only: DECIMAL(38,0) -> string so the driver harness
+    # factorizes identical keys from both engines; pca_project keeps the
+    # decimal-typed internals
+    return cov.select(
+        "i",
+        "j",
+        "n",
+        F.col("sx").cast("string").alias("sx"),
+        F.col("sy").cast("string").alias("sy"),
+        F.col("sxy").cast("string").alias("sxy"),
+        F.col("cov_num").cast("string").alias("cov_num"),
+    )
 
 
 @query(

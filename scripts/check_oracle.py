@@ -31,6 +31,19 @@ class BinaryColumnError(TypeError):
     wins_e2e_* failure)."""
 
 
+class DecimalColumnError(TypeError):
+    """Raised when a *graded* projection emits a ``decimal.Decimal`` outside
+    exact-int64 range (or with a fractional part). The driver's
+    pandas-factorize canonicalizer can surface high-precision DECIMAL
+    differently per engine (object ``Decimal`` from Spark's ``toPandas`` vs
+    float64 from DuckDB's ``.df()``), which factorizes as unequal keys —
+    the CORRECTNESS_r05 ``x_embedding_covariance`` hash_match=false root
+    cause, fourth instance of the representability bug class (bytearray
+    r03, arrays r04, libm-ulp floats r04). Graded outputs must project
+    wide decimals as strings (``CAST(col AS VARCHAR)`` / ``.cast("string")``)
+    on both sides."""
+
+
 class ArrayColumnError(TypeError):
     """Raised when a *graded* projection emits an ARRAY/MAP/STRUCT value.
     The driver's canonicalizer pandas-factorizes rows and dies on Python
@@ -41,6 +54,19 @@ class ArrayColumnError(TypeError):
 
 
 def canon(v, strict_binary=True):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # In-range integral decimals canonicalize to int (both engines
+        # factorize them identically); anything wider or fractional must be
+        # projected as a string by the graded entry itself.
+        if v == v.to_integral_value() and abs(v) < (1 << 63):
+            return int(v)
+        raise DecimalColumnError(
+            f"Decimal value {v} outside exact-int64 range (or fractional) in "
+            "graded output — the driver harness factorizes Decimal vs "
+            "float64 as unequal keys; CAST to VARCHAR/string on both sides"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

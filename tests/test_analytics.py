@@ -838,6 +838,26 @@ class TestBottomkQuantiles:
         b = sorted(map(tuple, bottomk_quantiles(dirty, "event_type", "value", "event_id", k=16).collect()))
         assert a == b
 
+    def test_duplicate_rows_collapse_like_the_streaming_sink(self, spark):
+        """Advisor finding (r5): the streaming sink dedups (g, h, v) before
+        the bottom-k cut but the batch twin did not, so a corpus with
+        genuinely duplicated (key, value) rows broke batch-twin
+        equivalence. The sample must be a pure function of the row SET:
+        duplicated rows may not occupy two of the k slots."""
+        from flnr_wins_spark.functions.sketches import bottomk_quantiles
+
+        base = spark.createDataFrame(
+            [(i, "g", float(i * 3 % 11)) for i in range(12)],
+            "event_id long, event_type string, value double",
+        )
+        doubled = base.unionByName(base)
+        a = bottomk_quantiles(base, "event_type", "value", "event_id", k=4).collect()[0]
+        b = bottomk_quantiles(doubled, "event_type", "value", "event_id", k=4).collect()[0]
+        # identical sample (n_kept + order statistics); only the raw row
+        # total reflects the duplication
+        assert (a.n_kept, a.q50, a.q90) == (b.n_kept, b.q50, b.q90)
+        assert (a.n_total, b.n_total) == (12, 24)
+
 
 class TestLinearAttribution:
     def test_equal_split_with_floor_dust(self, spark):

@@ -252,6 +252,18 @@ class TestTextCleaning:
         assert "é" in got and "Å" in got  # composed forms present
         assert "b̀" in got  # no precomposed b-grave: stays decomposed
 
+    def test_nfc_preserves_null(self, spark):
+        """Advisor finding (r5): NULL must map to NULL (the oracle's
+        nfc_normalize(NULL) and Spark string-function convention), not to
+        the empty string."""
+        from flnr_wins_spark.functions.text import nfc_normalize
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, None), (2, "x")], "id long, s string")
+        got = {r.id: r.n for r in
+               df.select("id", nfc_normalize(F.col("s")).alias("n")).collect()}
+        assert got[1] is None and got[2] == "x"
+
 
 class TestOptimalSegmentation:
     def test_optimal_beats_greedy_on_crafted_vocab(self, spark):

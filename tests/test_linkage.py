@@ -98,6 +98,34 @@ def test_tfidf_pairs_rank_rare_term_overlap_higher(spark):
     assert pairs[(1, 2)] > 0.7
 
 
+def test_tfidf_unpersist_releases_weight_cache(spark):
+    """Advisor finding (r5): tfidf_cosine_pairs persisted its corpus-sized
+    weight table with no release path — repeated calls in a long session
+    accumulate cached corpora. Mirror minhash_lsh_pairs: unpersist=True
+    pins the tiny pairs result and drops the weight cache."""
+    from flnr_wins_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique glyph unique glyph common common common"),
+            (2, "unique glyph unique glyph common common other"),
+            (3, "common common common common common common stuff"),
+        ],
+        "doc_id long, text string",
+    )
+    jsc = spark.sparkContext._jsc
+    base = set(jsc.getPersistentRDDs().keySet().toArray())
+    results = []
+    for _ in range(2):
+        out = tfidf_cosine_pairs(docs, min_cosine=0.0, max_df=10, unpersist=True)
+        results.append({(r["a"], r["b"]) for r in out.collect()})
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    # <= 1 new persisted RDD per call (the checkpointed pairs); the weight
+    # cache itself was registered AND released inside each call
+    assert len(after - base) <= 2
+    assert results[0] == results[1] and (1, 2) in results[0]
+
+
 def test_tfidf_max_df_prunes_hot_terms(spark):
     from flnr_wins_spark.operators.dedup import tfidf_cosine_pairs
 

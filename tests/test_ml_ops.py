@@ -58,6 +58,29 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert len(got) == 200
 
 
+def test_weighted_sample_fractional_weights_not_collapsed(spark):
+    """Advisor finding (r5): the DECIMAL(38,0) priority cast silently
+    floored fractional weights — everything in (0, 0.5) collapsed to
+    priority 0 and 1.4 vs 0.6 became indistinguishable. Fractional weight
+    columns must route through the exact DECIMAL(38,6) numerator."""
+    rows = [(i, 1.4 if i % 2 == 0 else 0.014) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "w", n=200, id_col="doc_id").collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r["w"] > 1.0)
+    assert heavy > 150  # 100x weight dominates, exactly like the int path
+    assert all(r["pri_q"] > 0 for r in got)  # no floor-to-zero collapse
+    # sub-integer distinctions survive: 1.4 vs 0.6 weights produce
+    # different priorities for the same id-hash
+    a = weighted_sample(
+        spark.createDataFrame([(7, 1.4)], "doc_id long, w double"), "w", n=1
+    ).collect()[0]["pri_q"]
+    b = weighted_sample(
+        spark.createDataFrame([(7, 0.6)], "doc_id long, w double"), "w", n=1
+    ).collect()[0]["pri_q"]
+    assert a != b and a > b
+
+
 def test_weighted_sample_excludes_nonpositive_and_is_stable(spark):
     df = spark.createDataFrame(
         [(1, 0), (2, -5), (3, 10), (4, 10)], "doc_id long, w long"

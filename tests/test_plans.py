@@ -432,6 +432,38 @@ def test_llm_corpus_e2e_stays_jvm_side(spark):
     assert "MapInPandas" not in plan  # nothing needs Arrow here either
 
 
+def test_llm_corpus_e2e_never_checkpoints_full_corpus(spark):
+    """The full-corpus multi-consumer pin must be a spillable CACHE
+    (lineage intact, evictable, recomputable on executor loss), never a
+    lineage-truncating localCheckpoint of the whole input — at 100 TB
+    that is a storage bill and a fault-tolerance hole. Only the
+    post-filter+dedup ``kept`` set may checkpoint."""
+    from flnr_wins_spark.plans.common import all_queries
+
+    # patch the CONCRETE class (pyspark 4 routes pyspark.sql.DataFrame to
+    # an abstract base; instances are classic.dataframe.DataFrame)
+    cls = type(spark.range(1))
+    calls = []
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(self._jdf.queryExecution().analyzed().toString())
+        return orig(self, eager)
+
+    cls.localCheckpoint = spy
+    try:
+        all_queries()["x_llm_corpus_e2e"].fn(spark, SF_DIR)
+    finally:
+        cls.localCheckpoint = orig
+    assert len(calls) == 1  # kept only
+    # the checkpointed plan is the FILTERED corpus (rules join + survivor
+    # join), not the bare scan+repartition of the raw input — and the
+    # repartitioned scan inside it is a plain (cache-backed) subtree with
+    # lineage, so it appears UNDER the join rather than being the root
+    assert "Join" in calls[0]
+    assert not calls[0].lstrip().startswith("Repartition")
+
+
 def test_corpus_mixture_quotas_broadcast(spark):
     """Mixture quotas are a per-source handful of rows — they must attach
     to the ranked corpus by broadcast, never a shuffled join."""
