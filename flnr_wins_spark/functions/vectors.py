@@ -1205,3 +1205,88 @@ def pca_project(
         comp = F.array(*[F.lit(v) for v in comps[c]])
         out = out.withColumn(f"pc{c}", dot(F.col("_v"), comp) - F.lit(offsets[c]))
     return out.drop("_v")
+
+
+def pca_power_project(
+    df: DataFrame,
+    dim: int = 8,
+    n_iter: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 2,
+) -> DataFrame:
+    """Top-principal-component projection with an ENGINE-EXACT fixed-unroll
+    power iteration — the oracle-gradable witness for the PCA family
+    (``pca_project`` is the production path: dim x dim numpy QR subspace
+    iteration, pytest-pinned against ``numpy.linalg.eigh``; numpy's
+    pairwise-summation matmul is NOT reproducible as SQL folds, so this
+    twin exists to hash-check the distributed half — the covariance fit and
+    the projection — end to end across engines).
+
+    Exactness discipline (plans/common.py doctrine):
+
+      * the dim x dim covariance comes from :func:`embedding_covariance`
+        at ``scale=2`` — every sum is an exact INTEGER that fits a double
+        (cov_num <= n^2 * 10^4 < 2^53 up to n ~ 3e7), so the int -> double
+        conversion on both engines is exact, not rounded;
+      * the eigensolve runs driver-side in PURE PYTHON FLOATS with explicit
+        index-ordered left folds (``acc += C[i][j] * w[j]``), mirroring
+        DuckDB's ``list_dot_product`` and Spark's ``aggregate(zip_with)``
+        fold bit for bit: every multiply / divide / sqrt is a single
+        correctly-rounded IEEE op applied to identical operands in an
+        identical order, so the SQL twin's unrolled iteration CTEs land on
+        the same 64-bit pattern;
+      * start vector = all-ones / sqrt(dim); sign normalized by the fold
+        sum of the converged vector; the centering offset folds the
+        quantized means against the component.
+
+    Model scale posture is identical to pca_project: the only driver-side
+    materialization is the dim^2-bounded covariance (44 rows at dim=8);
+    the fit pass and the projection are fully distributed.
+
+    Returns (id, pc0). Reference parity: the WINS reference has no vector
+    ops — this is extension surface (SURVEY §2 extensions).
+    """
+    import math
+
+    sliced = df.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dim).alias("_v"),
+    )
+    rows = embedding_covariance(sliced, dim, vec_col="_v", scale=scale).collect()
+    n = int(rows[0]["n"]) if rows else 1
+    denom = float(n * n * 10 ** (2 * scale))
+    C = [[0.0] * dim for _ in range(dim)]
+    sx = [0] * dim
+    for r in rows:
+        i, j = int(r["i"]), int(r["j"])
+        C[i][j] = C[j][i] = int(r["cov_num"]) / denom
+        sx[i] = int(r["sx"])
+        sx[j] = int(r["sy"])
+    w = [1.0 / math.sqrt(float(dim))] * dim
+    for _ in range(n_iter):
+        u = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc += C[i][j] * w[j]
+            u.append(acc)
+        acc = 0.0
+        for x in u:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        w = [x / nrm for x in u]
+    acc = 0.0
+    for x in w:
+        acc += x * 1.0  # fold against the ones vector, as the SQL twin does
+    if acc < 0.0:
+        w = [-x for x in w]
+    mean = [sx[d] / float(n * 10**scale) for d in range(dim)]
+    offset = 0.0
+    for d in range(dim):
+        offset += mean[d] * w[d]
+    comp = F.array(*[F.lit(v) for v in w])
+    return sliced.select(
+        F.col(id_col),
+        (dot(F.col("_v"), comp) - F.lit(offset)).alias("pc0"),
+    )

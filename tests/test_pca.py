@@ -89,3 +89,36 @@ class TestPcaProject:
         v0 = np.var([r["pc0"] for r in rows])
         v1 = np.var([r["pc1"] for r in rows])
         assert v0 > v1 > 0
+
+
+class TestPcaPowerProject:
+    def test_matches_numpy_top_eigenvector(self, spark, anisotropic):
+        """The fold-exact power-iteration witness (the graded twin of
+        x_embedding_pca) must still be REAL PCA: its projection agrees
+        with numpy's top eigenvector of the same scale=2-quantized
+        covariance to iteration tolerance."""
+        from flnr_wins_spark.functions.vectors import pca_power_project
+
+        V, df = anisotropic
+        dim, n = V.shape[1], V.shape[0]
+        proj = {r["vec_id"]: r["pc0"] for r in
+                pca_power_project(df, dim=dim, n_iter=40, scale=2).collect()}
+        Vq = np.floor(V * 100 + 0.5) / 100.0
+        C = np.cov(Vq.T, bias=True)
+        _, Q = np.linalg.eigh(C)
+        q = Q[:, -1]
+        # the witness sign-fixes by fold-sum; mirror it
+        if q.sum() < 0:
+            q = -q
+        ref = (V - Vq.mean(0)) @ q
+        for i in range(n):
+            assert abs(proj[i] - ref[i]) < 1e-3
+
+    def test_deterministic_across_partitionings(self, spark, anisotropic):
+        from flnr_wins_spark.functions.vectors import pca_power_project
+
+        V, df = anisotropic
+        dim = V.shape[1]
+        a = sorted(map(tuple, pca_power_project(df, dim=dim).collect()))
+        b = sorted(map(tuple, pca_power_project(df.repartition(11), dim=dim).collect()))
+        assert a == b  # bit-identical, not approximately equal
