@@ -14,7 +14,12 @@ from flnr_wins_spark.operators.enrich import enrich
 from flnr_wins_spark.operators.frequency import frequency
 from flnr_wins_spark.operators.graph import connected_components, dedup_clusters
 from flnr_wins_spark.operators.interval import interval_join
-from flnr_wins_spark.operators.merge import merge_upsert, scd2_apply, snapshot_diff
+from flnr_wins_spark.operators.merge import (
+    merge_upsert,
+    merge_upsert_evolve,
+    scd2_apply,
+    snapshot_diff,
+)
 from flnr_wins_spark.operators.packing import chunk_documents, pack_manifest, pack_sequences
 from flnr_wins_spark.operators.reject import reject_duplicates, reject_unmatched
 from flnr_wins_spark.operators.sample import stratified_sample
@@ -39,6 +44,7 @@ __all__ = [
     "interval_join",
     "jaccard_pairs",
     "merge_upsert",
+    "merge_upsert_evolve",
     "minhash_lsh_pairs",
     "pack_manifest",
     "pack_sequences",

@@ -90,6 +90,101 @@ def merge_upsert(
     return out
 
 
+# Safe type-widening lattice for schema evolution — the Iceberg/Delta rule
+# set: integer chain widening and float->double only; everything else is a
+# LOUD error (silently casting bigint->double or string->int loses data).
+_WIDEN: dict[tuple[str, str], str] = {
+    ("tinyint", "smallint"): "smallint",
+    ("tinyint", "int"): "int",
+    ("tinyint", "bigint"): "bigint",
+    ("smallint", "int"): "int",
+    ("smallint", "bigint"): "bigint",
+    ("int", "bigint"): "bigint",
+    ("float", "double"): "double",
+}
+
+
+def _evolved_type(name: str, t_type: str, s_type: str) -> str:
+    if t_type == s_type:
+        return t_type
+    widened = _WIDEN.get((t_type, s_type)) or _WIDEN.get((s_type, t_type))
+    if widened is None:
+        raise ValueError(
+            f"schema evolution cannot reconcile column '{name}': target is "
+            f"{t_type}, source is {s_type} — only integer-chain and "
+            "float->double widenings are safe; cast explicitly upstream"
+        )
+    return widened
+
+
+def merge_upsert_evolve(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    delete_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Delta-style ``MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    MATCHED THEN INSERT *`` **with schema evolution** (Delta's
+    ``withSchemaEvolution()`` / Iceberg's safe type promotion):
+
+      * columns only in ``source`` are ADDED to the result schema
+        (appended after the target's columns, in source order); unmatched
+        target rows carry NULL there;
+      * columns only in ``target`` keep their old values on matched rows
+        (``UPDATE SET *`` touches source columns only) and flow through
+        unchanged on unmatched rows; pure inserts carry NULL there;
+      * same-named columns with different types widen through the safe
+        lattice (integer chain, float->double) — anything lossy raises.
+
+    Physical shape: ONE full-outer equi-join on the key (AQE-skew-splittable;
+    a small changeset side broadcasts under AQE), then a column-wise
+    matched/unmatched projection — no second pass, no per-column joins.
+    ``merge_upsert`` (same-schema SCD1) stays the cheaper anti-join+union
+    when no evolution is needed — it never compares column values at all.
+
+    Key columns must be present on both sides with reconcilable types.
+    Reference parity: the reference's publish step is drop-and-replace
+    (``wts.py:280-286``); MERGE is the incremental posture at 100 TB.
+    """
+    keys = list(key_cols)
+    t_types = dict(target.dtypes)
+    s_types = dict(source.dtypes)
+    for k in keys:
+        if k not in t_types or k not in s_types:
+            raise ValueError(f"key column '{k}' must exist on both sides")
+    # alias-qualified references, NOT DataFrame-object refs: target and
+    # source routinely share lineage (both derived from one scan), where
+    # df[c] is ambiguous under Spark's self-join check
+    t = target.alias("_mt")
+    s = source.withColumn("_src", F.lit(1)).alias("_ms")
+    tc = lambda c: F.col(f"_mt.{c}")  # noqa: E731
+    sc = lambda c: F.col(f"_ms.{c}")  # noqa: E731
+    matched = sc("_src").isNotNull()
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            kt = _evolved_type(c, t_types[c], s_types[c])
+            out_cols.append(F.coalesce(tc(c), sc(c)).cast(kt).alias(c))
+        elif c in s_types:
+            w = _evolved_type(c, t_types[c], s_types[c])
+            out_cols.append(
+                F.when(matched, sc(c).cast(w)).otherwise(tc(c).cast(w)).alias(c)
+            )
+        else:  # target-only: UPDATE SET * leaves it; inserts get NULL
+            out_cols.append(tc(c).alias(c))
+    for c in source.columns:
+        if c not in t_types and c != "_src":  # evolved (new) column
+            out_cols.append(sc(c).alias(c))
+    cond = None
+    for k in keys:
+        eq = tc(k) == sc(k)
+        cond = eq if cond is None else (cond & eq)
+    out = t.join(s, cond, "full_outer").select(*out_cols)
+    if delete_keys is not None:
+        out = out.join(delete_keys.select(*keys), keys, "left_anti")
+    return out
+
+
 def incremental_agg(
     prev: DataFrame,
     delta: DataFrame,

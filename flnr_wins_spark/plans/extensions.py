@@ -326,6 +326,53 @@ def x_merge_upsert(spark, sf_dir):
 
 
 @query(
+    "x_merge_evolve",
+    sql="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 3
+    ),
+    s AS (
+      SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey,
+             o_totalprice + 5.0 AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                     ELSE t.o_custkey END AS BIGINT) AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           t.o_orderstatus AS o_orderstatus,
+           s.o_orderpriority AS o_orderpriority
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    """,
+    note="MERGE with SCHEMA EVOLUTION (Delta withSchemaEvolution / "
+    "Iceberg safe promotion): UPDATE SET * / INSERT * over one full-outer "
+    "key join; the changeset ADDS a column (o_orderpriority, NULL for unmatched "
+    "target rows), OMITS a target column (o_orderstatus, preserved on "
+    "matched rows, NULL on inserts), and NARROWS a key-adjacent type "
+    "(int o_custkey widens back to the target's bigint through the safe "
+    "lattice). Column-wise projection, no per-column joins; "
+    "merge_snapshot composes this with the versioned snapshot layer "
+    "(old versions keep their old schema — time travel is evolution-safe)",
+)
+def x_merge_evolve(spark, sf_dir):
+    from flnr_wins_spark.operators.merge import merge_upsert_evolve
+
+    orders = t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 97 != 3).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        (F.col("o_totalprice") + F.lit(5.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return merge_upsert_evolve(target, source, ["o_orderkey"])
+
+
+@query(
     "x_scd2_history",
     sql=f"""
     WITH {_SNAP_SQL}

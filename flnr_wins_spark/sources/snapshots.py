@@ -115,6 +115,47 @@ def read_snapshot(
     return spark.read.parquet(f"{table_path}/v{pick}")
 
 
+def merge_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_keys: DataFrame | None = None,
+) -> int:
+    """MERGE a changeset into the versioned table — upsert-into-version
+    with schema evolution, the Delta ``MERGE ... withSchemaEvolution()``
+    analog on the snapshot layer: read the newest complete version, apply
+    :func:`flnr_wins_spark.operators.merge.merge_upsert_evolve` (matched
+    rows updated column-wise, new rows inserted, new source columns added
+    to the schema, safe type widening), and commit the result as the next
+    version. Returns the new version number.
+
+    Because every version is immutable, schema evolution is free of the
+    usual in-place-ALTER hazards: old versions keep their old schema and
+    stay readable via time travel; only readers of the NEW version see the
+    evolved columns. Bootstrap: with no prior complete version, the source
+    itself becomes v1 (MERGE into an empty table inserts everything).
+
+    Cost shape: one full-outer join on the key plus one full rewrite of the
+    table directory — the rewrite is inherent to format-less parquet MVCC
+    (Delta/Iceberg avoid it with file-level manifests; this layer
+    deliberately stays jar-free). For delta-proportional cost on huge
+    tables, keep the aggregate small (incremental_agg) or partition the
+    table path and merge only touched partitions.
+    """
+    try:
+        target = read_snapshot(spark, table_path)
+    except FileNotFoundError:
+        out = source
+        if delete_keys is not None:
+            out = out.join(delete_keys.select(*key_cols), list(key_cols), "left_anti")
+        return write_snapshot(out, table_path)
+    from flnr_wins_spark.operators.merge import merge_upsert_evolve
+
+    merged = merge_upsert_evolve(target, source, key_cols, delete_keys=delete_keys)
+    return write_snapshot(merged, table_path)
+
+
 def vacuum(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[int]:
     """Delete all but the newest ``keep_last`` complete versions (and any
     incomplete stragglers older than them). Returns the deleted versions."""

@@ -74,3 +74,79 @@ def test_vacuum_is_noop_while_first_write_in_flight(spark, tmp_path):
     (tmp_path / "tbl" / "v1" / "_SUCCESS").unlink()  # simulate in-flight v1
     assert vacuum(spark, path, keep_last=1) == []
     assert (tmp_path / "tbl" / "v1").exists()
+
+
+class TestMergeSnapshot:
+    """merge_snapshot: Delta-style MERGE-with-schema-evolution committed as
+    the table's next immutable version."""
+
+    def _base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, score double",
+        )
+
+    def test_bootstrap_then_upsert(self, spark, tmp_path):
+        from flnr_wins_spark.sources.snapshots import merge_snapshot
+
+        path = str(tmp_path / "tbl")
+        v1 = merge_snapshot(spark, path, self._base(spark), ["id"])
+        assert v1 == 1
+        change = spark.createDataFrame(
+            [(2, "B", 21.0), (4, "d", 40.0)], "id long, name string, score double"
+        )
+        v2 = merge_snapshot(spark, path, change, ["id"])
+        assert v2 == 2
+        got = {r.id: (r.name, r.score) for r in read_snapshot(spark, path).collect()}
+        assert got == {1: ("a", 10.0), 2: ("B", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+        # time travel still sees the pre-merge table
+        assert read_snapshot(spark, path, version=1).count() == 3
+
+    def test_schema_evolution_adds_column_and_preserves_target_only(
+        self, spark, tmp_path
+    ):
+        from flnr_wins_spark.sources.snapshots import merge_snapshot
+
+        path = str(tmp_path / "tbl")
+        merge_snapshot(spark, path, self._base(spark), ["id"])
+        # changeset ADDS lang, OMITS score (target-only)
+        change = spark.createDataFrame(
+            [(2, "B", "en"), (4, "d", "fr")], "id long, name string, lang string"
+        )
+        merge_snapshot(spark, path, change, ["id"])
+        cur = read_snapshot(spark, path)
+        assert cur.columns == ["id", "name", "score", "lang"]
+        got = {r.id: (r.name, r.score, r.lang) for r in cur.collect()}
+        assert got == {
+            1: ("a", 10.0, None),   # untouched: new column NULL
+            2: ("B", 20.0, "en"),   # updated: target-only score PRESERVED
+            3: ("c", 30.0, None),
+            4: ("d", None, "fr"),   # insert: target-only score NULL
+        }
+        # old version keeps the OLD schema — evolution never rewrites history
+        assert read_snapshot(spark, path, version=1).columns == [
+            "id", "name", "score",
+        ]
+
+    def test_type_widening_and_lossy_rejection(self, spark, tmp_path):
+        from flnr_wins_spark.operators.merge import merge_upsert_evolve
+
+        target = spark.createDataFrame([(1, 10)], "id long, n int")
+        source = spark.createDataFrame([(2, 2**40)], "id long, n long")
+        out = merge_upsert_evolve(target, source, ["id"])
+        assert dict(out.dtypes)["n"] == "bigint"
+        assert {r.id: r.n for r in out.collect()} == {1: 10, 2: 2**40}
+        # lossy string->int must raise, not silently cast
+        bad = spark.createDataFrame([(2, "x")], "id long, n string")
+        with pytest.raises(ValueError, match="cannot reconcile"):
+            merge_upsert_evolve(target, bad, ["id"])
+
+    def test_delete_keys_applied(self, spark, tmp_path):
+        from flnr_wins_spark.sources.snapshots import merge_snapshot
+
+        path = str(tmp_path / "tbl")
+        merge_snapshot(spark, path, self._base(spark), ["id"])
+        change = spark.createDataFrame([(4, "d", 40.0)], "id long, name string, score double")
+        dels = spark.createDataFrame([(1,)], "id long")
+        merge_snapshot(spark, path, change, ["id"], delete_keys=dels)
+        assert {r.id for r in read_snapshot(spark, path).collect()} == {2, 3, 4}
