@@ -4817,6 +4817,84 @@ def x_binaryfile_ingest(spark, sf_dir):
 
 
 @query(
+    "x_warc_ingest",
+    sql="""
+    WITH w AS (
+      SELECT doc_id,
+             '<html><body><p>' || text || '</p><!-- crawl --></body></html>'
+               AS html
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, 'response' AS warc_type,
+           CAST(length(html) AS BIGINT) AS content_length,
+           md5(html) AS payload_md5,
+           CAST(length(trim(regexp_replace(
+                  regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                  '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS BIGINT) AS clean_len
+    FROM w
+    """,
+    note="WARC crawl-container round trip (ISO 28500 / Common Crawl "
+    "layout): HTML pages wrap into multi-member-gzip WARC files (one gzip "
+    "member per record, stdlib zlib, mtime=0 determinism), write as real "
+    "files from the executors, read back through binaryFile + an "
+    "Arrow-batched member-split/header-parse (sources/warc.py), then feed "
+    "the existing JVM html_strip chain; oracle recomputes length/md5/"
+    "clean-length from the construction. One file = one task — the "
+    "standard per-file WARC parallelism at crawl scale",
+)
+def x_warc_ingest(spark, sf_dir):
+    import tempfile
+
+    from flnr_wins_spark.functions.text import html_strip
+    from flnr_wins_spark.sources.formats import write_binary_files
+    from flnr_wins_spark.sources.warc import encode_warc_gz, read_warc, warc_text
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text", (F.col("doc_id") % 8).alias("_f"))
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["_f"].iloc[0])
+        recs = []
+        for _, r in pdf.iterrows():
+            payload = (
+                "<html><body><p>" + r["text"] + "</p><!-- crawl --></body></html>"
+            ).encode("utf-8")
+            recs.append(
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:doc:{int(r['doc_id'])}>",
+                        "WARC-Target-URI": f"http://crawl.test/doc/{int(r['doc_id'])}",
+                        "Content-Type": "text/html",
+                    },
+                    "payload": payload,
+                }
+            )
+        return pd.DataFrame(
+            {"name": [f"{fid}.warc.gz"], "content": [encode_warc_gz(recs)]}
+        )
+
+    files = docs.groupBy("_f").applyInPandas(build, "name string, content binary")
+    base = tempfile.mkdtemp(prefix="warc_")
+    write_binary_files(files, base)
+    recs = warc_text(read_warc(spark, base))
+    clean = html_strip(F.col("text"))
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "warc_type",
+        "content_length",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+    )
+
+
+@query(
     "x_quality_filter_pipeline",
     sql="""
     WITH toks AS (
