@@ -4817,6 +4817,97 @@ def x_binaryfile_ingest(spark, sf_dir):
 
 
 @query(
+    "x_rerank_cross",
+    sql="""
+    WITH q AS (
+      SELECT doc_id AS query_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+               AS qtext
+      FROM documents WHERE doc_id < 5
+    ),
+    qt AS (
+      SELECT query_id, qtext,
+             list_distinct(list_filter(
+               string_split_regex(lower(qtext), '[^a-z0-9]+'), t -> t <> ''))
+               AS qts
+      FROM q
+    ),
+    dt AS (
+      SELECT doc_id, text,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+               AS dts
+      FROM documents
+    ),
+    cand AS (
+      SELECT query_id, doc_id, qtext, qts, dts, text, shared FROM (
+        SELECT qt.query_id, d.doc_id, qt.qtext, qt.qts, d.dts, d.text,
+               len(list_intersect(d.dts, qt.qts)) AS shared,
+               ROW_NUMBER() OVER (PARTITION BY qt.query_id
+                 ORDER BY len(list_intersect(d.dts, qt.qts)) DESC, d.doc_id)
+                 AS rn
+        FROM dt d CROSS JOIN qt
+        WHERE len(list_intersect(d.dts, qt.qts)) >= 1) WHERE rn <= 20
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dt),
+    qv AS (SELECT DISTINCT unnest(qts) AS term FROM qt),
+    dfq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM (SELECT d.doc_id, u.term FROM dt d, UNNEST(d.dts) AS u(term)) p
+      JOIN qv USING (term) GROUP BY term
+    ),
+    fidf AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+                           AS DECIMAL(27,9))) AS DOUBLE) AS fidf
+      FROM (SELECT c.query_id, c.doc_id, u.term
+            FROM cand c, UNNEST(list_intersect(c.dts, c.qts)) AS u(term)) s
+      JOIN dfq USING (term) CROSS JOIN nd
+      GROUP BY query_id, doc_id
+    ),
+    fx AS (
+      SELECT query_id, doc_id,
+             CAST(shared AS DOUBLE) / CAST(len(qts) AS DOUBLE) AS fov,
+             CAST(len(list_filter(
+               list_transform(range(1, len(string_split(qtext, ' '))),
+                 i -> string_split(qtext, ' ')[i] || ' '
+                      || string_split(qtext, ' ')[i + 1]),
+               bg -> strpos(text, bg) > 0)) AS DOUBLE) AS fph
+      FROM cand
+    ),
+    scored AS (
+      SELECT f.query_id, f.doc_id,
+             ((CAST(1.0 AS DOUBLE) * fov) + (CAST(0.2 AS DOUBLE) * fidf))
+               + (CAST(0.5 AS DOUBLE) * fph) AS score
+      FROM fx f JOIN fidf USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+    note="retrieve-then-RERANK, the production search/RAG posture: cheap "
+    "term-overlap recall bounds candidates to 20/query, then a "
+    "cross-encoder-style JOINT pair scorer (overlap ratio + idf-weighted "
+    "shared terms + verbatim query-bigram phrase hits — the adjacency "
+    "signal bag-of-words loses) re-scores only the candidates. Linear "
+    "scorer is the oracle-exact stand-in for a learned cross-encoder "
+    "(which would slot in as an Arrow pandas_udf with broadcast weights "
+    "over the same k-bounded pairs). Completes the retrieval stack: "
+    "bm25 -> rrf hybrid -> MMR diversity -> cross rerank",
+)
+def x_rerank_cross(spark, sf_dir):
+    from flnr_wins_spark.functions.search import cross_rerank
+
+    docs = t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6)).alias("q_text"),
+    )
+    return cross_rerank(queries, docs, k=5, n_candidates=20)
+
+
+@query(
     "x_warc_ingest",
     sql="""
     WITH w AS (

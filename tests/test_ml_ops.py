@@ -342,3 +342,66 @@ class TestCorpusMixture:
         df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
         with pytest.raises(ValueError, match="temperature"):
             corpus_mixture(df, "lang", n=1, temperature=1.7)
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder-style reranker (functions/search.py round-6 addition)
+# ---------------------------------------------------------------------------
+
+def test_cross_rerank_phrase_signal_beats_bag_of_words(spark):
+    """The reranker's reason to exist: two docs with IDENTICAL term
+    overlap, but one contains the query words ADJACENT (phrase hit) —
+    the phrase feature must rank it first, which no bag-of-words
+    first-stage score can do."""
+    from flnr_wins_spark.functions.search import cross_rerank
+
+    queries = spark.createDataFrame(
+        [(0, "fast spark engine")], "query_id long, q_text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "the fast spark engine wins the race today"),   # adjacent
+            (11, "engine parts spark when the fast car brakes"), # scattered
+            (12, "nothing relevant here at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = cross_rerank(queries, docs, k=3).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == 10 and 12 not in ranked
+    s = {r.doc_id: r.score for r in out}
+    assert s[10] > s[11]  # same overlap, phrase hits decide
+
+
+def test_cross_rerank_k_bounded_and_deterministic(spark):
+    from flnr_wins_spark.functions.search import cross_rerank
+
+    queries = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "query_id long, q_text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta filler{i} gamma extra words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = cross_rerank(queries, docs, k=5).collect()
+    b = cross_rerank(queries, docs.repartition(7), k=5).collect()
+    assert len(a) == 5
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cross_rerank_query_side_broadcasts(spark):
+    """Plan contract: the query side (and the query-vocab df/idf frames)
+    must broadcast — the corpus side may never shuffle into a join with
+    a handful of queries."""
+    from flnr_wins_spark.functions.search import cross_rerank
+
+    queries = spark.createDataFrame(
+        [(0, "alpha beta")], "query_id long, q_text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = cross_rerank(queries, docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
