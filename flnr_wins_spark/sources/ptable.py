@@ -1,0 +1,269 @@
+"""Partition-level MVCC tables: manifest-committed partitioned snapshots
+with DELTA-PROPORTIONAL merge.
+
+``sources/snapshots.py`` gives whole-table MVCC — correct, but every merge
+rewrites the entire table, which at 100 TB is the wrong physical plan when
+a changeset touches a handful of partitions. This module adds the
+mini-manifest construction the table formats (Delta/Iceberg) use, on plain
+parquet with zero extra jars:
+
+  * data lives in immutable STAGE directories,
+    ``<table>/stage/m<K>/<part_col>=<value>/`` (one hive-partitioned write
+    job per commit — only the partitions that commit touches);
+  * a MANIFEST ``<table>/manifests/m<K>.json`` maps every partition value
+    to the stage directory that holds its current data. Untouched
+    partitions keep pointing at their OLD stage dirs — no rewrite, no
+    copy;
+  * a commit is one atomic manifest rename (Hadoop ``rename``, atomic on
+    HDFS/local; on S3 use a rename-consistent layer, same caveat as every
+    manifest-based format). Readers resolve the newest manifest and read
+    exactly the directories it names — never a half-written commit;
+  * ``merge_ptable`` reads ONLY the partitions the changeset touches,
+    merges with full schema evolution (``merge_upsert_evolve``), writes
+    only those partitions, and commits a manifest that reuses every other
+    partition as-is — merge cost is O(touched data), not O(table);
+  * time travel = read an older manifest; ``vacuum_ptable`` deletes stage
+    dirs no retained manifest references.
+
+Schema evolution across partitions: evolved columns exist only in
+partitions written after the evolution; reads merge schemas
+(``mergeSchema``) and null-fill older partitions — the same read-time
+semantics Delta gives.
+
+Single-writer-per-table, like snapshots.py (manifest allocation is
+max+1); multi-writer needs a coordination layer this engine deliberately
+does not fake.
+
+The reference's publish step is whole-table drop-and-replace
+(``/root/reference/src/wins_transform_staging.py:280-286``); this module is
+the incremental-at-scale posture, extension surface per SURVEY §2c.
+"""
+
+from __future__ import annotations
+
+import json
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs(spark: SparkSession, path: str):
+    from flnr_wins_spark.fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path)
+
+
+def _enc(val) -> str:
+    return quote(str(val), safe="")
+
+
+def _manifest_ids(spark: SparkSession, table_path: str) -> list[int]:
+    fs, jpath = _fs(spark, f"{table_path}/manifests")
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith("m") and name.endswith(".json"):
+            stem = name[1:-5]
+            if stem.isdigit():
+                out.append(int(stem))
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, table_path: str, k: int) -> dict:
+    fs, jpath = _fs(spark, f"{table_path}/manifests/m{k}.json")
+    stream = fs.open(jpath)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _write_manifest(spark: SparkSession, table_path: str, k: int, m: dict) -> None:
+    """Atomic commit: write to a temp name, then Hadoop-rename into place
+    (atomic on HDFS and local FS — the manifest-format commit protocol)."""
+    fs, jdir = _fs(spark, f"{table_path}/manifests")
+    fs.mkdirs(jdir)
+    tmp = f"{table_path}/manifests/.tmp-m{k}.json"
+    final = f"{table_path}/manifests/m{k}.json"
+    fs_t, jtmp = _fs(spark, tmp)
+    out = fs_t.create(jtmp, True)
+    try:
+        out.write(bytearray(json.dumps(m, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+    _, jfinal = _fs(spark, final)
+    if not fs_t.rename(jtmp, jfinal):
+        raise IOError(f"manifest commit failed: rename {tmp} -> {final}")
+
+
+def _stage_partitions(spark: SparkSession, stage_path: str, part_col: str) -> list[str]:
+    fs, jpath = _fs(spark, stage_path)
+    vals = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith(f"{part_col}="):
+            vals.append(unquote(name[len(part_col) + 1 :]))
+    return sorted(vals)
+
+
+def write_ptable(df: DataFrame, table_path: str, part_col: str) -> int:
+    """Write ``df`` as a new FULL commit of the partitioned table (every
+    partition staged fresh); returns the manifest id. The partition column
+    stays a real column on read (recovered from the directory name)."""
+    spark = df.sparkSession
+    ids = _manifest_ids(spark, table_path)
+    k = (ids[-1] + 1) if ids else 1
+    stage = f"{table_path}/stage/m{k}"
+    df.write.mode("error").partitionBy(part_col).parquet(stage)
+    part_type = dict(df.dtypes)[part_col]
+    mapping = {
+        v: f"stage/m{k}/{part_col}={_enc(v)}"
+        for v in _stage_partitions(spark, stage, part_col)
+    }
+    _write_manifest(
+        spark, table_path, k,
+        {"part_col": part_col, "part_type": part_type, "partitions": mapping},
+    )
+    return k
+
+
+def read_ptable(
+    spark: SparkSession,
+    table_path: str,
+    manifest: int | None = None,
+    partitions: list | None = None,
+) -> DataFrame:
+    """Read the table at the newest manifest (default) or an explicit one
+    (time travel). ``partitions`` prunes to the named partition VALUES
+    without touching any other directory — manifest-level pruning, the
+    pushdown this layout exists for. Schemas merge across stage dirs
+    (evolved columns null-fill partitions written before the evolution)."""
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    k = manifest if manifest is not None else ids[-1]
+    if k not in ids:
+        raise FileNotFoundError(f"manifest m{k} of {table_path} does not exist")
+    m = _read_manifest(spark, table_path, k)
+    part_col, part_type = m["part_col"], m["part_type"]
+    items = sorted(m["partitions"].items())
+    if partitions is not None:
+        want = {str(p) for p in partitions}
+        items = [(v, d) for v, d in items if v in want]
+    if not items:
+        raise FileNotFoundError(f"no matching partitions in manifest m{k}")
+    parts = []
+    for val, rel in items:
+        df = spark.read.option("mergeSchema", "true").parquet(f"{table_path}/{rel}")
+        parts.append(df.withColumn(part_col, F.lit(val).cast(part_type)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def ptable_history(spark: SparkSession, table_path: str) -> list[int]:
+    return _manifest_ids(spark, table_path)
+
+
+def merge_ptable(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_keys: DataFrame | None = None,
+) -> int:
+    """MERGE a changeset into the partitioned table, touching ONLY the
+    partitions the changeset names — the delta-proportional upsert. The
+    source must carry the table's partition column; ``delete_keys`` must
+    carry it too (keys + partition), so deletes never force a full-table
+    scan. Untouched partitions are carried into the new manifest by
+    REFERENCE (their bytes are never read or rewritten).
+
+    Contract (the standard one for partition-pruned upserts): the source
+    is a KEYED changeset (one row per key), and a row that MOVES a key to
+    a different partition must be accompanied by a delete_keys row for the
+    old (key, partition) — the merge only reads the partitions named by
+    the changeset, so it cannot see (and will not remove) the key's old
+    copy elsewhere. Detecting moves automatically would force a full-table
+    scan, which is exactly what this layout exists to avoid."""
+    from flnr_wins_spark.operators.merge import merge_upsert_evolve
+
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(
+            "bootstrap a partitioned table with write_ptable(df, path, part_col) "
+            "first — merge_ptable takes the partition column from the committed "
+            "manifest"
+        )
+    prev = _read_manifest(spark, table_path, ids[-1])
+    part_col = prev["part_col"]
+    if part_col not in source.columns:
+        raise ValueError(f"source must carry partition column '{part_col}'")
+    if delete_keys is not None and part_col not in delete_keys.columns:
+        raise ValueError(f"delete_keys must carry partition column '{part_col}'")
+
+    touched = {str(r[0]) for r in source.select(part_col).distinct().collect()}
+    if delete_keys is not None:
+        touched |= {
+            str(r[0]) for r in delete_keys.select(part_col).distinct().collect()
+        }
+    existing = set(prev["partitions"])
+    read_vals = sorted(touched & existing)
+    k = ids[-1] + 1
+    stage = f"{table_path}/stage/m{k}"
+    if read_vals:
+        target = read_ptable(spark, table_path, partitions=read_vals)
+        merged = merge_upsert_evolve(target, source, key_cols, delete_keys=delete_keys)
+    else:
+        merged = source
+        if delete_keys is not None:
+            merged = merged.join(
+                delete_keys.select(*key_cols), list(key_cols), "left_anti"
+            )
+    merged.write.mode("error").partitionBy(part_col).parquet(stage)
+    written = set(_stage_partitions(spark, stage, part_col))
+    mapping = dict(prev["partitions"])
+    for v in touched:
+        mapping.pop(v, None)  # an all-deleted partition leaves the manifest
+    for v in written:
+        mapping[v] = f"stage/m{k}/{part_col}={_enc(v)}"
+    _write_manifest(
+        spark, table_path, k,
+        {"part_col": part_col, "part_type": prev["part_type"], "partitions": mapping},
+    )
+    return k
+
+
+def vacuum_ptable(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[str]:
+    """Delete stage directories referenced by NO retained manifest, and the
+    manifests older than the newest ``keep_last``. Returns deleted paths."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        return []
+    keep_ids = ids[-keep_last:]
+    referenced: set[str] = set()
+    for k in keep_ids:
+        m = _read_manifest(spark, table_path, k)
+        for rel in m["partitions"].values():
+            referenced.add(rel.split("/")[1])  # stage/m<K>/... -> m<K>
+    deleted = []
+    fs, jstage = _fs(spark, f"{table_path}/stage")
+    if fs.exists(jstage):
+        for status in fs.listStatus(jstage):
+            name = status.getPath().getName()
+            if name not in referenced:
+                fs.delete(status.getPath(), True)
+                deleted.append(f"{table_path}/stage/{name}")
+    for k in ids:
+        if k not in keep_ids:
+            fs_m, jm = _fs(spark, f"{table_path}/manifests/m{k}.json")
+            fs_m.delete(jm, False)
+            deleted.append(f"{table_path}/manifests/m{k}.json")
+    return deleted

@@ -1,0 +1,142 @@
+"""Partition-level MVCC table tests — sources/ptable.py (manifest-committed
+partitioned snapshots with delta-proportional merge)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flnr_wins_spark.sources.ptable import (
+    merge_ptable,
+    ptable_history,
+    read_ptable,
+    vacuum_ptable,
+    write_ptable,
+)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [
+            (1, "en", 10.0), (2, "en", 20.0),
+            (3, "fr", 30.0), (4, "fr", 40.0),
+            (5, "de", 50.0),
+        ],
+        "id long, lang string, score double",
+    )
+
+
+def test_write_read_roundtrip_with_partition_column(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    k = write_ptable(_base(spark), path, "lang")
+    assert k == 1
+    got = read_ptable(spark, path)
+    assert {tuple(r) for r in got.select("id", "lang", "score").collect()} == {
+        (1, "en", 10.0), (2, "en", 20.0), (3, "fr", 30.0),
+        (4, "fr", 40.0), (5, "de", 50.0),
+    }
+    # manifest-level pruning reads ONLY the named partition dirs
+    fr = read_ptable(spark, path, partitions=["fr"])
+    assert {r.id for r in fr.collect()} == {3, 4}
+
+
+def test_merge_touches_only_changed_partitions(spark, tmp_path):
+    """The reason this layout exists: untouched partitions carry into the
+    new manifest BY REFERENCE — their files are never read or rewritten."""
+    import glob
+
+    path = str(tmp_path / "tbl")
+    write_ptable(_base(spark), path, "lang")
+    before = set(glob.glob(f"{path}/stage/m1/lang=fr/*.parquet"))
+    change = spark.createDataFrame(
+        [(2, "en", 21.0), (6, "en", 60.0)], "id long, lang string, score double"
+    )
+    k = merge_ptable(spark, path, change, ["id"])
+    assert k == 2
+    # fr/de dirs: no new stage written, manifest points at the ORIGINAL m1
+    assert set(glob.glob(f"{path}/stage/m1/lang=fr/*.parquet")) == before
+    assert glob.glob(f"{path}/stage/m2/lang=fr") == []
+    assert glob.glob(f"{path}/stage/m2/lang=en") != []
+    got = {r.id: (r.lang, r.score) for r in read_ptable(spark, path).collect()}
+    assert got == {
+        1: ("en", 10.0), 2: ("en", 21.0), 6: ("en", 60.0),
+        3: ("fr", 30.0), 4: ("fr", 40.0), 5: ("de", 50.0),
+    }
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_ptable(_base(spark), path, "lang")
+    merge_ptable(
+        spark,
+        path,
+        spark.createDataFrame([(2, "en", 99.0)], "id long, lang string, score double"),
+        ["id"],
+    )
+    assert ptable_history(spark, path) == [1, 2]
+    old = {r.id: r.score for r in read_ptable(spark, path, manifest=1).collect()}
+    new = {r.id: r.score for r in read_ptable(spark, path).collect()}
+    assert old[2] == 20.0 and new[2] == 99.0
+
+
+def test_schema_evolution_nullfills_untouched_partitions(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_ptable(_base(spark), path, "lang")
+    change = spark.createDataFrame(
+        [(2, "en", "web")], "id long, lang string, origin string"
+    )
+    merge_ptable(spark, path, change, ["id"])
+    cur = read_ptable(spark, path)
+    assert "origin" in cur.columns and "score" in cur.columns
+    got = {r.id: (r.score, r.origin) for r in cur.collect()}
+    assert got[2] == (20.0, "web")   # target-only score preserved
+    assert got[3] == (30.0, None)    # untouched fr partition null-fills
+
+
+def test_deletes_and_partition_removal(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_ptable(_base(spark), path, "lang")
+    dels = spark.createDataFrame([(5, "de")], "id long, lang string")
+    empty_change = spark.createDataFrame(
+        [], "id long, lang string, score double"
+    )
+    merge_ptable(spark, path, empty_change, ["id"], delete_keys=dels)
+    cur = read_ptable(spark, path)
+    assert {r.id for r in cur.collect()} == {1, 2, 3, 4}
+    # the all-deleted partition left the manifest entirely
+    with pytest.raises(FileNotFoundError):
+        read_ptable(spark, path, partitions=["de"])
+
+
+def test_vacuum_drops_unreferenced_stages_only(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "tbl")
+    write_ptable(_base(spark), path, "lang")
+    for i in range(3):
+        merge_ptable(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(2, "en", float(i))], "id long, lang string, score double"
+            ),
+            ["id"],
+        )
+    deleted = vacuum_ptable(spark, path, keep_last=2)
+    # manifests m3/m4 retained; m1 is STILL referenced (fr/de partitions were
+    # never rewritten) so its stage survives; only m2's stage is orphaned
+    assert ptable_history(spark, path) == [3, 4]
+    assert any(d.endswith("stage/m2") for d in deleted)
+    assert os.path.isdir(f"{path}/stage/m1")
+    assert not os.path.isdir(f"{path}/stage/m2")
+    got = {r.id: r.score for r in read_ptable(spark, path).collect()}
+    assert got[2] == 2.0 and got[3] == 30.0
+
+
+def test_merge_requires_bootstrap_and_partition_column(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    src = spark.createDataFrame([(1, "en", 1.0)], "id long, lang string, score double")
+    with pytest.raises(FileNotFoundError, match="bootstrap"):
+        merge_ptable(spark, path, src, ["id"])
+    write_ptable(_base(spark), path, "lang")
+    with pytest.raises(ValueError, match="partition column"):
+        merge_ptable(spark, path, src.drop("lang"), ["id"])
