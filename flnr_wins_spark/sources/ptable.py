@@ -110,6 +110,17 @@ def _stage_partitions(spark: SparkSession, stage_path: str, part_col: str) -> li
     return sorted(vals)
 
 
+def _clear_crashed_stage(spark: SparkSession, table_path: str, k: int) -> None:
+    """A stage dir with no committed manifest is a crashed earlier attempt
+    at this same commit id (the manifest rename is the commit point, so an
+    uncommitted stage is unreferenced by definition) — delete it so the
+    retry's ``mode("error")`` write can proceed. Never touches a stage a
+    manifest references: committed manifests advance ``k`` past it."""
+    fs, jpath = _fs(spark, f"{table_path}/stage/m{k}")
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 def write_ptable(df: DataFrame, table_path: str, part_col: str) -> int:
     """Write ``df`` as a new FULL commit of the partitioned table (every
     partition staged fresh); returns the manifest id. The partition column
@@ -118,6 +129,7 @@ def write_ptable(df: DataFrame, table_path: str, part_col: str) -> int:
     ids = _manifest_ids(spark, table_path)
     k = (ids[-1] + 1) if ids else 1
     stage = f"{table_path}/stage/m{k}"
+    _clear_crashed_stage(spark, table_path, k)
     df.write.mode("error").partitionBy(part_col).parquet(stage)
     part_type = dict(df.dtypes)[part_col]
     mapping = {
@@ -176,6 +188,7 @@ def merge_ptable(
     source: DataFrame,
     key_cols: list[str],
     delete_keys: DataFrame | None = None,
+    meta: dict | None = None,
 ) -> int:
     """MERGE a changeset into the partitioned table, touching ONLY the
     partitions the changeset names — the delta-proportional upsert. The
@@ -216,6 +229,7 @@ def merge_ptable(
     read_vals = sorted(touched & existing)
     k = ids[-1] + 1
     stage = f"{table_path}/stage/m{k}"
+    _clear_crashed_stage(spark, table_path, k)
     if read_vals:
         target = read_ptable(spark, table_path, partitions=read_vals)
         merged = merge_upsert_evolve(target, source, key_cols, delete_keys=delete_keys)
@@ -232,11 +246,30 @@ def merge_ptable(
         mapping.pop(v, None)  # an all-deleted partition leaves the manifest
     for v in written:
         mapping[v] = f"stage/m{k}/{part_col}={_enc(v)}"
-    _write_manifest(
-        spark, table_path, k,
-        {"part_col": part_col, "part_type": prev["part_type"], "partitions": mapping},
-    )
+    manifest = {
+        "part_col": part_col,
+        "part_type": prev["part_type"],
+        "partitions": mapping,
+    }
+    if meta:
+        # caller-owned metadata rides the atomic commit (e.g. the streaming
+        # sink's applied-batch-id for exactly-once replay skipping); the
+        # reserved structural keys stay ours
+        bad = set(meta) & set(manifest)
+        if bad:
+            raise ValueError(f"meta may not shadow manifest keys: {sorted(bad)}")
+        manifest["meta"] = dict(meta)
+    _write_manifest(spark, table_path, k, manifest)
     return k
+
+
+def read_manifest_meta(spark: SparkSession, table_path: str) -> dict:
+    """The ``meta`` dict of the newest committed manifest ({} if none) —
+    how the streaming sink recovers its last applied batch id."""
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        return {}
+    return _read_manifest(spark, table_path, ids[-1]).get("meta", {})
 
 
 def vacuum_ptable(spark: SparkSession, table_path: str, keep_last: int = 2) -> list[str]:

@@ -524,3 +524,69 @@ def read_quantile_estimates(
     from flnr_wins_spark.functions.sketches import sample_quantiles
 
     return sample_quantiles(read_agg_state(spark, state_path), quantiles)
+
+
+def ptable_merge_sink(
+    stream: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    delete_flag_col: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CDC stream -> partitioned lakehouse table: each micro-batch MERGEs
+    into a manifest-committed partition-level MVCC table
+    (:func:`flnr_wins_spark.sources.ptable.merge_ptable`) — the canonical
+    "stream upserts into the lake" pattern, with delta-proportional cost
+    (only the partitions the batch touches are read or written; everything
+    else carries into the new manifest by reference).
+
+    Rows whose ``delete_flag_col`` is true are applied as deletes (their
+    key + partition), the rest upsert; schema evolution flows through
+    (a new column in the stream evolves the table). The table must be
+    bootstrapped with ``write_ptable`` first — the sink takes the
+    partition column from the committed manifest.
+
+    Replay idempotency is EXACTLY-ONCE by construction: the applied batch
+    id commits atomically WITH the data (it rides the manifest's ``meta``
+    in the same rename), so after any crash/redelivery the sink compares
+    the incoming batch id against the newest manifest and SKIPS batches
+    already applied — no partial re-merge, no double-upsert, the same
+    commit protocol Delta's idempotent ``txnVersion`` writes use. A
+    crashed attempt's uncommitted stage dir is cleared by the retry."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from flnr_wins_spark.sources.ptable import (
+            _manifest_ids,
+            _read_manifest,
+            merge_ptable,
+            read_manifest_meta,
+        )
+
+        last = read_manifest_meta(spark, table_path).get("batch_id")
+        if last is not None and batch_id <= last:
+            return  # redelivered batch: already committed atomically
+        src = batch_df
+        dels = None
+        if delete_flag_col is not None:
+            ids = _manifest_ids(spark, table_path)
+            part_col = _read_manifest(spark, table_path, ids[-1])["part_col"]
+            dels = (
+                batch_df.filter(F.col(delete_flag_col))
+                .select(*key_cols, part_col)
+            )
+            src = batch_df.filter(
+                ~F.coalesce(F.col(delete_flag_col), F.lit(False))
+            ).drop(delete_flag_col)
+        merge_ptable(
+            spark, table_path, src, key_cols,
+            delete_keys=dels, meta={"batch_id": batch_id},
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

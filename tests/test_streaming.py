@@ -659,3 +659,94 @@ def test_exact_dedup_sink_null_text_deduped_across_batches(spark, tmp_path):
     corpus = spark.createDataFrame([(1, None), (2, "x"), (3, None), (4, "y")], schema)
     want = sorted(r.doc_id for r in exact_dedup(corpus, "text", "doc_id").collect())
     assert kept == want == [1, 2, 3, 4]
+
+
+class TestPtableMergeSink:
+    """CDC stream -> partition-level MVCC table (delta-proportional MERGE
+    per micro-batch, exactly-once via the manifest-riding batch id)."""
+
+    def _bootstrap(self, spark, tmp_path):
+        from flnr_wins_spark.sources.ptable import write_ptable
+
+        base = spark.createDataFrame(
+            [(1, "en", 10.0), (2, "en", 20.0), (3, "fr", 30.0)],
+            "id long, lang string, score double",
+        )
+        path = str(tmp_path / "tbl")
+        write_ptable(base, path, "lang")
+        return path
+
+    def _feed(self, spark, tmp_path):
+        """Three single-file micro-batches of changesets."""
+        src = str(tmp_path / "src")
+        batches = [
+            [(2, "en", 21.0, False)],                      # update
+            [(4, "de", 40.0, False), (1, "en", 0.0, True)],  # insert + delete
+            [(3, "fr", 33.0, False)],                      # update
+        ]
+        schema = "id long, lang string, score double, is_delete boolean"
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        return src, schema
+
+    def test_stream_merge_equals_sequential_batch_merge(self, spark, tmp_path):
+        from flnr_wins_spark.sources.ptable import read_ptable
+        from flnr_wins_spark.streaming.sinks import ptable_merge_sink
+
+        path = self._bootstrap(spark, tmp_path)
+        src, schema = self._feed(spark, tmp_path)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = ptable_merge_sink(
+            stream, path, ["id"], str(tmp_path / "ckpt"),
+            delete_flag_col="is_delete",
+        )
+        q.awaitTermination(120)
+        got = {r.id: (r.lang, r.score) for r in read_ptable(spark, path).collect()}
+        assert got == {2: ("en", 21.0), 3: ("fr", 33.0), 4: ("de", 40.0)}
+
+    def test_checkpoint_reset_replay_is_skipped(self, spark, tmp_path):
+        """A fresh checkpoint redelivers every batch with restarted ids;
+        the manifest-riding applied-batch-id must gate them all out —
+        content unchanged, exactly-once preserved."""
+        from flnr_wins_spark.sources.ptable import ptable_history, read_ptable
+        from flnr_wins_spark.streaming.sinks import ptable_merge_sink
+
+        path = self._bootstrap(spark, tmp_path)
+        src, schema = self._feed(spark, tmp_path)
+        for ckpt in ("ckpt1", "ckpt2"):  # second run = full redelivery
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = ptable_merge_sink(
+                stream, path, ["id"], str(tmp_path / ckpt),
+                delete_flag_col="is_delete",
+            )
+            q.awaitTermination(120)
+            if ckpt == "ckpt1":
+                history = ptable_history(spark, path)
+                content = {tuple(r) for r in read_ptable(spark, path).collect()}
+        assert ptable_history(spark, path) == history  # no extra commits
+        assert {tuple(r) for r in read_ptable(spark, path).collect()} == content
+
+    def test_stream_schema_evolution_reaches_table(self, spark, tmp_path):
+        from flnr_wins_spark.sources.ptable import read_ptable
+        from flnr_wins_spark.streaming.sinks import ptable_merge_sink
+
+        path = self._bootstrap(spark, tmp_path)
+        src = str(tmp_path / "src2")
+        schema = "id long, lang string, origin string"
+        spark.createDataFrame([(2, "en", "web")], schema).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = ptable_merge_sink(stream, path, ["id"], str(tmp_path / "ckpt3"))
+        q.awaitTermination(120)
+        got = {r.id: (r.score, r.origin) for r in read_ptable(spark, path).collect()}
+        assert got[2] == (20.0, "web")  # score preserved, origin evolved
+        assert got[3] == (30.0, None)   # untouched partition null-fills
