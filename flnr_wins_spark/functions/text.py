@@ -890,3 +890,139 @@ def optimal_segment_stats(
         .orderBy(F.col("n_occ").desc(), "w")
         .limit(top_k)
     )
+
+
+@pandas_udf(T.DoubleType())
+def compression_ratio(texts: pd.Series) -> pd.Series:
+    """zlib-compressed size over raw size — the CCNet/Gopher-family
+    "compressibility" quality signal: highly repetitive boilerplate and
+    template spam compress far below natural prose (ratio < ~0.3 on web
+    text is a strong junk indicator), while random noise refuses to
+    compress (ratio near 1). Arrow-batched; fixed zlib level 6 so the
+    score is deterministic per zlib build. NULL in -> NULL out; empty
+    text -> NULL (a 0-byte doc has no meaningful ratio).
+
+    No cross-engine oracle exists (DuckDB has no zlib expression), so the
+    signal is pytest-gated like the streaming sinks; downstream
+    filter/aggregate plumbing stays inside the oracle-checked quality
+    chain."""
+    import zlib
+
+    def ratio(t):
+        if t is None or len(t) == 0:
+            return None
+        raw = t.encode("utf-8")
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    return texts.map(ratio)
+
+
+def unigram_lm_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_words: int = 150,
+    top_pieces: int = 300,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """SentencePiece-style UNIGRAM-LM tokenizer fit + Viterbi evaluation —
+    the probabilistic member of the tokenizer family (BPE = merge-based,
+    MaxMatch = greedy longest-first, optimal_segment_stats = minimal-piece;
+    unigram-LM = maximum-likelihood segmentation under piece log-probs).
+
+    Fit (the corpus-scale half, fully distributed):
+
+      * word counts over lowercase alnum tokens (words truncated to
+        ``max_word_len``) — one shuffle;
+      * seed piece counts: every substring of length <= ``max_piece_len``
+        of every DISTINCT word, weighted by the word's occurrence count
+        (overlapping occurrences counted) — memoized by distinct word,
+        so corpus size enters only through the word-count join;
+      * vocabulary = ALL single characters (the fallback that guarantees
+        a segmentation exists) + the ``top_pieces`` most frequent longer
+        pieces (ties by piece); piece score = ln(count/total) rounded
+        through DECIMAL(27,9) IN-ENGINE (the plans/common.py libm rule —
+        both engines compute their own ln, the rounding absorbs the ulp).
+
+    Evaluate (the model-sized half, driver-side): for the ``top_words``
+    most frequent words, the Viterbi-best segmentation under the
+    lexicographic objective (max total score, tie -> fewest pieces) via
+    exact ``decimal.Decimal`` DP — decimal sums are order-free, so the
+    best (score, n_pieces) VALUE is unique regardless of which optimal
+    path realizes it, which is what makes the SQL twin (bounded
+    recursive-CTE path enumeration, exact decimal sums, argmax) land on
+    identical values with no path-tiebreak hazard.
+
+    Returns (w, n_occ, n_pieces, score_e9) — score in exact 1e-9 units
+    (BIGINT), the driver-representable projection of the decimal sum.
+    Scale posture: the only driver-side materializations are the
+    vocabulary (<= top_pieces + alphabet) and the graded word list —
+    model-sized, the kmeans_fit/pca posture.
+    """
+    from decimal import Decimal
+
+    occ = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("w0")
+    ).filter(F.col("w0") != "")
+    wc = (
+        occ.select(F.substring("w0", 1, max_word_len).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    pieces = (
+        wc.select(
+            "w", "n", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
+        )
+        .select(
+            "w", "n", "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.length("w") - F.col("i") + 1),
+                )
+            ).alias("l"),
+        )
+        .select(F.expr("substring(w, i, l)").alias("p"), "n")
+        .groupBy("p")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    chars = pieces.filter(F.length("p") == 1)
+    multi = (
+        pieces.filter(F.length("p") >= 2)
+        .orderBy(F.col("cnt").desc(), "p")
+        .limit(top_pieces)
+    )
+    vocab = chars.unionByName(multi)
+    total = vocab.groupBy().agg(F.sum("cnt").cast("bigint").alias("t"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "p",
+        F.log(F.col("cnt").cast("double") / F.col("t").cast("double"))
+        .cast("decimal(27,9)")
+        .alias("s"),
+    )
+    model = {r["p"]: Decimal(r["s"]) for r in scored.collect()}
+    top = (
+        wc.orderBy(F.col("n").desc(), "w").limit(top_words).collect()
+    )
+    rows = []
+    for r in top:
+        w, n_occ = r["w"], int(r["n"])
+        best: dict[int, tuple[Decimal, int]] = {0: (Decimal(0), 0)}
+        for pos in range(1, len(w) + 1):
+            cands = []
+            for ln_ in range(1, min(max_piece_len, pos) + 1):
+                piece = w[pos - ln_ : pos]
+                prev = best.get(pos - ln_)
+                if prev is not None and piece in model:
+                    cands.append((prev[0] + model[piece], -(prev[1] + 1)))
+            if cands:
+                s, negk = max(cands)
+                best[pos] = (s, -negk)
+        score, k = best[len(w)]
+        rows.append((w, n_occ, k, int(score.scaleb(9))))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "w string, n_occ bigint, n_pieces int, score_e9 bigint"
+    )

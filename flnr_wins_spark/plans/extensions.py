@@ -355,6 +355,7 @@ def x_merge_upsert(spark, sf_dir):
     "lattice). Column-wise projection, no per-column joins; "
     "merge_snapshot composes this with the versioned snapshot layer "
     "(old versions keep their old schema — time travel is evolution-safe)",
+    bench=True,
 )
 def x_merge_evolve(spark, sf_dir):
     from flnr_wins_spark.operators.merge import merge_upsert_evolve
@@ -4817,6 +4818,85 @@ def x_binaryfile_ingest(spark, sf_dir):
 
 
 @query(
+    "x_tokenize_unigram",
+    sql="""
+    WITH RECURSIVE occ AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+               AS w0
+      FROM documents
+    ),
+    wc AS (
+      SELECT substr(w0, 1, 12) AS w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM occ GROUP BY 1
+    ),
+    pc AS (
+      SELECT substr(w, i, l) AS p, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM wc,
+           LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) ii,
+           LATERAL (SELECT unnest(range(1, least(4, len(w) - i + 1) + 1)) AS l) ll
+      GROUP BY 1
+    ),
+    vocab AS (
+      SELECT p, cnt FROM pc WHERE length(p) = 1
+      UNION ALL
+      SELECT p, cnt FROM (
+        SELECT p, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, p) AS rn
+        FROM pc WHERE length(p) >= 2) WHERE rn <= 300
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
+    sc AS (
+      SELECT p,
+             CAST(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE))
+                  AS DECIMAL(27,9)) AS s
+      FROM vocab CROSS JOIN tot
+    ),
+    topw AS (
+      SELECT w, n FROM (
+        SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rn FROM wc)
+      WHERE rn <= 150
+    ),
+    seg(w, pos, score, pieces) AS (
+      SELECT w, 0, CAST(0 AS DECIMAL(38,9)), 0 FROM topw
+      UNION
+      SELECT s.w, s.pos + ll.l,
+             CAST(s.score + v.s AS DECIMAL(38,9)), s.pieces + 1
+      FROM seg s,
+           LATERAL (SELECT unnest(range(1, 5)) AS l) ll,
+           sc v
+      WHERE s.pos + ll.l <= len(s.w)
+        AND v.p = substr(s.w, s.pos + 1, ll.l)
+    ),
+    done AS (
+      SELECT w, score, pieces,
+             ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, pieces)
+               AS rn
+      FROM seg WHERE pos = len(w)
+    )
+    SELECT t.w, t.n AS n_occ, CAST(d.pieces AS INTEGER) AS n_pieces,
+           CAST(d.score * 1000000000 AS BIGINT) AS score_e9
+    FROM done d JOIN topw t USING (w) WHERE d.rn = 1
+    """,
+    note="unigram-LM (SentencePiece-style) tokenizer fit + Viterbi "
+    "evaluation, completing the tokenizer family (BPE merges / greedy "
+    "MaxMatch / minimal-piece DP / probabilistic unigram): distributed "
+    "substring-count fit weighted by word frequency, char fallback "
+    "vocabulary, ln(count/total) scores decimal-rounded IN-ENGINE; "
+    "Viterbi DP runs driver-side in exact decimal arithmetic on the "
+    "model-sized word list (kmeans/pca posture), and because decimal "
+    "sums are order-free the best (score, n_pieces) value is unique — "
+    "the recursive-CTE oracle enumerates all segmentations (bounded "
+    "tetranacci(12) paths/word) and lands on identical values with no "
+    "path-tiebreak hazard; score graded as exact 1e-9 BIGINT units",
+)
+def x_tokenize_unigram(spark, sf_dir):
+    from flnr_wins_spark.functions.text import unigram_lm_stats
+
+    docs = t(spark, sf_dir, "documents")
+    return unigram_lm_stats(docs)
+
+
+@query(
     "x_rerank_cross",
     sql="""
     WITH q AS (
@@ -4895,6 +4975,7 @@ def x_binaryfile_ingest(spark, sf_dir):
     "(which would slot in as an Arrow pandas_udf with broadcast weights "
     "over the same k-bounded pairs). Completes the retrieval stack: "
     "bm25 -> rrf hybrid -> MMR diversity -> cross rerank",
+    bench=True,
 )
 def x_rerank_cross(spark, sf_dir):
     from flnr_wins_spark.functions.search import cross_rerank
@@ -4932,6 +5013,7 @@ def x_rerank_cross(spark, sf_dir):
     "the existing JVM html_strip chain; oracle recomputes length/md5/"
     "clean-length from the construction. One file = one task — the "
     "standard per-file WARC parallelism at crawl scale",
+    bench=True,
 )
 def x_warc_ingest(spark, sf_dir):
     import tempfile

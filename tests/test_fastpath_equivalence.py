@@ -360,3 +360,84 @@ class TestLlmCoreReviewFixes:
         q = 30000 * 10**4
         assert int(v.sxy) == 2000 * q * q  # 1.8e23 — far beyond BIGINT
         assert int(v.cov_num) == 2000 * int(v.sxy) - int(v.sx) * int(v.sx)
+
+
+class TestCompressionRatio:
+    def test_repetitive_text_compresses_far_below_prose(self, spark):
+        from flnr_wins_spark.functions.text import compression_ratio
+        from pyspark.sql import functions as F
+
+        import random
+
+        rng = random.Random(7)
+        prose = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+            for _ in range(200)
+        )
+        rows = [
+            (1, "spam spam spam " * 100),  # template junk
+            (2, prose),                    # high-entropy "natural" text
+            (3, None),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r.id: r.cr for r in
+               df.select("id", compression_ratio(F.col("text")).alias("cr")).collect()}
+        assert got[1] < 0.15 < got[2] <= 1.2
+        assert got[3] is None and got[4] is None
+
+    def test_matches_driver_zlib_exactly(self, spark):
+        import zlib
+
+        from flnr_wins_spark.functions.text import compression_ratio
+        from pyspark.sql import functions as F
+
+        t = "the quick brown fox jumps over the lazy dog " * 10
+        df = spark.createDataFrame([(1, t)], "id long, text string")
+        got = df.select(compression_ratio(F.col("text")).alias("cr")).collect()[0].cr
+        raw = t.encode()
+        assert got == len(zlib.compress(raw, 6)) / len(raw)
+
+
+class TestUnigramLm:
+    def test_frequent_short_word_is_one_piece_and_scores_rank_sanely(self, spark):
+        from flnr_wins_spark.functions.text import unigram_lm_stats
+
+        docs = spark.createDataFrame(
+            [(i, "data " * 20 + "qzxvkj") for i in range(5)],
+            "doc_id long, text string",
+        )
+        got = {r.w: r for r in unigram_lm_stats(docs).collect()}
+        # 'data' (<= max_piece_len) is its own vocabulary piece: 1-piece
+        # Viterbi segmentation with a better (less negative) score than the
+        # rare junk word, which must fall back to characters
+        assert got["data"].n_pieces == 1
+        assert got["qzxvkj"].n_pieces >= 2
+        assert got["data"].score_e9 > got["qzxvkj"].score_e9
+        assert got["data"].n_occ == 100 and got["qzxvkj"].n_occ == 5
+
+    def test_viterbi_prefers_likely_pieces_over_fewest(self, spark):
+        """Unigram-LM's defining behavior vs minimal-piece DP: with 'ab'
+        overwhelmingly frequent and 'abab' rare-but-present, the word
+        'abab' segments as ab+ab (2 likely pieces) when 2*ln P(ab) beats
+        ln P(abab) — the probability objective, not the piece-count one."""
+        from flnr_wins_spark.functions.text import unigram_lm_stats
+
+        docs = spark.createDataFrame(
+            [(0, "ab " * 400 + "abab")], "doc_id long, text string"
+        )
+        got = {r.w: r for r in unigram_lm_stats(docs).collect()}
+        # ln P(ab) ~ ln(~0.45); 2x that ~ -1.6 vs ln P(abab) ~ ln(1/total)
+        # ~ -7: the two-piece segmentation wins despite more pieces
+        assert got["abab"].n_pieces == 2
+
+    def test_deterministic_across_partitionings(self, spark):
+        from flnr_wins_spark.functions.text import unigram_lm_stats
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta{i % 7} gamma delta{i % 3}") for i in range(60)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, unigram_lm_stats(docs).collect()))
+        b = sorted(map(tuple, unigram_lm_stats(docs.repartition(11)).collect()))
+        assert a == b  # exact decimal DP: bit-identical, not approximate

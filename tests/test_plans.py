@@ -469,3 +469,27 @@ def test_corpus_mixture_quotas_broadcast(spark):
     to the ranked corpus by broadcast, never a shuffled join."""
     plan = _plan(spark, "x_corpus_mixture")
     assert "BroadcastHashJoin" in plan
+
+
+def test_merge_evolve_single_full_outer_join(spark):
+    """MERGE with schema evolution is ONE full-outer key join plus a
+    column-wise projection — never per-column joins, never a cartesian."""
+    plan = _plan(spark, "x_merge_evolve")
+    assert "CartesianProduct" not in plan
+    assert plan.count("FullOuter") == 1
+
+
+def test_warc_ingest_is_arrow_batched(spark):
+    """WARC record decode must run Arrow-batched (mapInPandas), never
+    row-at-a-time Python."""
+    plan = _plan(spark, "x_warc_ingest")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rerank_cross_broadcasts_query_side(spark):
+    """The corpus side must never shuffle into a join against a handful
+    of queries: query frame and query-vocab df/idf frames all broadcast."""
+    plan = _plan(spark, "x_rerank_cross")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

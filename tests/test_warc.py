@@ -100,3 +100,10 @@ def test_read_warc_spark_roundtrip(spark, tmp_path):
     # plan contract: Arrow-batched decode, never row-at-a-time Python
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_zstd_warc_guard_names_the_dependency():
+    from flnr_wins_spark.sources.warc import split_zstd_frames
+
+    with pytest.raises(NotImplementedError, match="zstandard"):
+        next(split_zstd_frames(b"\x28\xb5\x2f\xfd"))
