@@ -196,3 +196,66 @@ def k_anonymity_report(
         (F.col("class_size") < k).alias("violates_k"),
         (F.col("l_div") < l).alias("violates_l"),
     )
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon_inv: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Differentially-private group counts via the Laplace mechanism —
+    the release half of the privacy family (k_anonymity/l_diversity audit
+    risk; this adds eps-DP noisy counts for publishing aggregates from a
+    100 TB corpus without exposing individual membership).
+
+    Noise is CONTENT-ADDRESSED (md5 of group + seed), which makes the
+    release reproducible across engines, re-runs, and partitionings —
+    operationally essential (re-running a nightly job must not re-draw
+    noise, or differencing two runs leaks the true count; this is the
+    "sticky noise" practice). Exactness discipline:
+
+      * u = (2h+1)/2^37 with h the first 36 md5 bits — an exact dyadic
+        rational, so ``t = 2u-1 = (4h+2-2^37)/2^37`` and ``1-|t|`` are
+        both EXACT doubles (integer numerators over a power of two);
+      * Laplace inverse-CDF: ``noise = -b * sign(t) * ln(1-|t|)`` with
+        scale ``b = epsilon_inv = 1/eps`` (integer — the sensitivity-1
+        count mechanism at eps = 1/epsilon_inv); the one libm call
+        (ln) rounds through DECIMAL(27,9) per the plans/common.py rule,
+        after which every remaining factor is an exact integer;
+      * graded columns are exact 1e-9 BIGINT units (noise_e9,
+        noisy_count_e9 = n*1e9 + noise_e9) — driver-representable.
+
+    One count shuffle on the group key; the noise expression is pure
+    per-row JVM arithmetic on the group name. True counts ride along for
+    the differential harness; a real release would drop ``n``.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp:"), F.col("g").cast("string"),
+                           F.lit(f":{seed}"))), 1, 9
+        ),
+        16,
+        10,
+    ).cast("long")
+    counts = (
+        df.select(F.col(group_col).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    num = 4 * h + 2 - F.lit(1 << 37).cast("long")  # 2^37 * (2u - 1), exact
+    absd = F.abs(num).cast("double") / F.lit(float(1 << 37))  # exact dyadic
+    sign = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    # decimal(20,9), NOT (27,9): the 1e9 scale-shift multiply must keep
+    # precision 20+10+1 = 31 <= 38, or Spark's precision-overflow rule
+    # silently truncates the 9-decimal tail to 6 digits
+    ln_dec = F.log(F.lit(1.0) - absd).cast("decimal(20,9)")
+    noise_e9 = ((F.lit(-epsilon_inv) * sign) * (ln_dec * F.lit(1_000_000_000))).cast(
+        "bigint"
+    )
+    return counts.select(
+        "g",
+        "n",
+        noise_e9.alias("noise_e9"),
+        (F.col("n") * F.lit(1_000_000_000) + noise_e9).alias("noisy_count_e9"),
+    )

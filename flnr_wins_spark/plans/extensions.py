@@ -4818,6 +4818,53 @@ def x_binaryfile_ingest(spark, sf_dir):
 
 
 @query(
+    "x_dp_counts",
+    sql="""
+    WITH c AS (
+      SELECT c_nationkey AS g, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1
+    ),
+    x AS (
+      SELECT g, n,
+             CAST('0x' || substr(md5('dp:' || CAST(g AS VARCHAR) || ':42'), 1, 9)
+                  AS BIGINT) AS h
+      FROM c
+    ),
+    y AS (SELECT g, n, 4 * h + 2 - 137438953472 AS num FROM x),
+    z AS (
+      SELECT g, n,
+             CASE WHEN num < 0 THEN -1 ELSE 1 END AS sgn,
+             CAST(abs(num) AS DOUBLE) / 137438953472.0 AS absd
+      FROM y
+    ),
+    w AS (
+      SELECT g, n,
+             CAST((-2 * sgn)
+                  * (CAST(ln(1.0 - absd) AS DECIMAL(20,9)) * 1000000000)
+                  AS BIGINT) AS noise_e9
+      FROM z
+    )
+    SELECT g, n, noise_e9, n * 1000000000 + noise_e9 AS noisy_count_e9
+    FROM w
+    """,
+    note="differentially-private group counts (Laplace mechanism, eps=0.5) "
+    "with CONTENT-ADDRESSED sticky noise: u is an exact dyadic rational "
+    "from md5(group), so 2u-1 and 1-|2u-1| are exact doubles, the single "
+    "libm ln rounds through DECIMAL(20,9) (precision chosen so the 1e9 "
+    "scale shift never hits Spark's precision-overflow scale truncation), "
+    "and the graded columns are exact 1e-9 BIGINT units. Reproducible "
+    "noise is the operational requirement — re-drawing on re-run would "
+    "let run-differencing cancel the noise; completes the privacy family "
+    "(k-anonymity/l-diversity audit + DP release)",
+)
+def x_dp_counts(spark, sf_dir):
+    from flnr_wins_spark.operators.dataquality import dp_group_counts
+
+    cust = t(spark, sf_dir, "customer")
+    return dp_group_counts(cust, "c_nationkey", epsilon_inv=2, seed=42)
+
+
+@query(
     "x_tokenize_unigram",
     sql="""
     WITH RECURSIVE occ AS (

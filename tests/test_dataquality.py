@@ -130,3 +130,44 @@ def test_empty_input_fails_closed(spark):
     assert out.metric is None and not out.passed
     prof = {r.col_name: r for r in profile_columns(df, ["k", "s"]).collect()}
     assert prof["k"].n == 0 and prof["k"].avg_len is None
+
+
+class TestDpCounts:
+    def test_noise_is_sticky_and_partition_invariant(self, spark):
+        """Content-addressed noise: identical across re-runs and
+        partitionings (re-drawing would let run-differencing cancel the
+        noise and leak the true count)."""
+        from flnr_wins_spark.operators.dataquality import dp_group_counts
+
+        df = spark.createDataFrame(
+            [(i, f"g{i % 7}") for i in range(500)], "id long, grp string"
+        )
+        a = sorted(map(tuple, dp_group_counts(df, "grp").collect()))
+        b = sorted(map(tuple, dp_group_counts(df.repartition(13), "grp").collect()))
+        assert a == b
+
+    def test_noise_scale_tracks_epsilon(self, spark):
+        """Laplace(b): mean |noise| = b = epsilon_inv. Across many groups
+        the empirical mean must sit near b, and doubling epsilon_inv
+        exactly doubles every (content-addressed) draw."""
+        from flnr_wins_spark.operators.dataquality import dp_group_counts
+
+        df = spark.createDataFrame(
+            [(i, f"g{i}") for i in range(400)], "id long, grp string"
+        )
+        n2 = {r.g: r.noise_e9 for r in dp_group_counts(df, "grp", epsilon_inv=2).collect()}
+        n4 = {r.g: r.noise_e9 for r in dp_group_counts(df, "grp", epsilon_inv=4).collect()}
+        assert all(n4[g] == 2 * n2[g] for g in n2)
+        mean_abs = sum(abs(v) for v in n2.values()) / len(n2) / 1e9
+        assert 1.5 < mean_abs < 2.6  # b = 2, 400 draws
+        # roughly symmetric
+        pos = sum(1 for v in n2.values() if v > 0)
+        assert 140 < pos < 260
+
+    def test_noisy_count_composition(self, spark):
+        from flnr_wins_spark.operators.dataquality import dp_group_counts
+
+        df = spark.createDataFrame([(i, "only") for i in range(10)], "id long, grp string")
+        r = dp_group_counts(df, "grp").collect()[0]
+        assert r.n == 10
+        assert r.noisy_count_e9 == 10 * 1_000_000_000 + r.noise_e9

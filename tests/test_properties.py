@@ -495,3 +495,51 @@ def test_jpeg_dc_only_matches_integer_oracle_formula(spark, g):
     x = 8 * (g - 128)
     dc = (abs(x) + QUANT_LUMA[0] // 2) // QUANT_LUMA[0] * (1 if x >= 0 else -1)
     assert set(px) == {max(0, min(255, 2 * dc + 128))}
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["a", "b", "c"]),
+                  st.integers(-5, 5)),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    ),
+    change=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["a", "b", "c"]),
+                  st.integers(-5, 5)),
+        min_size=1, max_size=10, unique_by=lambda t: t[0],
+    ),
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_partition_pruned_merge_equals_whole_table_merge(
+    spark, tmp_path_factory, base, change
+):
+    """Cross-implementation differential: merge_ptable (reads ONLY the
+    changeset's partitions, carries the rest by reference) must land on
+    exactly the rows merge_upsert_evolve produces against the full table
+    — partition pruning is a physical optimization, never a semantics
+    change. Changesets keep each key's partition (the documented
+    contract; moves need explicit deletes)."""
+    from flnr_wins_spark.operators.merge import merge_upsert_evolve
+    from flnr_wins_spark.sources.ptable import merge_ptable, read_ptable, write_ptable
+
+    schema = "id long, part string, v long"
+    base_df = spark.createDataFrame(base, schema)
+    # pin each changeset key to its base partition (no partition moves)
+    part_of = {i: p for i, p, _ in base}
+    change = [(i, part_of.get(i, p), v) for i, p, v in change]
+    change_df = spark.createDataFrame(change, schema)
+
+    path = str(tmp_path_factory.mktemp("pt") / "tbl")
+    write_ptable(base_df, path, "part")
+    merge_ptable(spark, path, change_df, ["id"])
+    got = {tuple(r) for r in read_ptable(spark, path).select("id", "part", "v").collect()}
+    want = {
+        tuple(r)
+        for r in merge_upsert_evolve(base_df, change_df, ["id"])
+        .select("id", "part", "v")
+        .collect()
+    }
+    assert got == want
