@@ -259,3 +259,79 @@ def dp_group_counts(
         noise_e9.alias("noise_e9"),
         (F.col("n") * F.lit(1_000_000_000) + noise_e9).alias("noisy_count_e9"),
     )
+
+
+def drift_psi(
+    cur: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index drift detection — the standard ML-ops
+    monitor for "has the serving distribution moved away from the
+    training distribution": equal-width bins over a FIXED [lo, hi) range
+    (fixed, not data-derived — a quantile grid would itself drift),
+    per-bin ``term = (p - q) * ln(p / q)`` with additive (+1) smoothing so
+    empty bins never divide by zero; PSI = sum of terms (rule of thumb:
+    < 0.1 stable, > 0.25 action).
+
+    Exactness: bin ids clamp through floor on exact-arithmetic doubles;
+    p and q are single correctly-rounded divisions of exact integers; the
+    one libm ln rounds through DECIMAL(20,9); the per-bin term is a fixed
+    parenthesization — engine-identical per bin, and the caller's sum over
+    ``bins`` rows is tiny. Rows with NULL values are excluded from both
+    sides. Returns one row per bin: (bin, n_cur, n_ref, psi_term).
+
+    Scale shape: two count shuffles (map-side combine) down to
+    ``bins``-sized frames, everything after is broadcast arithmetic.
+    """
+    if bins < 2 or not hi > lo:
+        raise ValueError("need bins >= 2 and hi > lo")
+    width = (hi - lo) / bins
+    spark = cur.sparkSession
+
+    def binned(df, out):
+        b = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.lit(float(lo)))
+                    / F.lit(float(width))
+                ).cast("int"),
+            ),
+        )
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        grid.join(binned(cur, "n_cur"), "bin", "left")
+        .join(binned(ref, "n_ref"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+        )
+    )
+    tot = counts.groupBy().agg(
+        F.sum("n_cur").cast("bigint").alias("nt_cur"),
+        F.sum("n_ref").cast("bigint").alias("nt_ref"),
+    )
+    p = (F.col("n_cur") + F.lit(1)).cast("double") / (
+        F.col("nt_cur") + F.lit(bins)
+    ).cast("double")
+    q = (F.col("n_ref") + F.lit(1)).cast("double") / (
+        F.col("nt_ref") + F.lit(bins)
+    ).cast("double")
+    ln_dec = F.log(p / q).cast("decimal(20,9)")
+    term = (p - q) * ln_dec.cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_cur", "n_ref", term.alias("psi_term")
+    )

@@ -60,3 +60,82 @@ def train_test_split(
     return df.withColumn(
         split_col, F.when(prefix < threshold, "test").otherwise("train")
     )
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    k: int = 5,
+    prior_weight: int = 20,
+    target_scale: int = 2,
+) -> DataFrame:
+    """Leakage-free OUT-OF-FOLD target encoding — the standard way to feed
+    a high-cardinality categorical to a model without target leakage: each
+    row's encoding is the smoothed target mean computed over the OTHER
+    folds only (its own fold's rows never contribute to it), with the
+    fold assignment content-addressed (``kfold_split``) so the encoding is
+    reproducible across runs, engines, and partitionings.
+
+        enc(row in fold f, cat c)
+            = (S_c - S_cf + m * G_f) / (n_c - n_cf + m)
+        G_f = (S_tot - S_f) / (n_tot - n_f)     (out-of-fold GLOBAL prior
+                                                 — the prior itself must
+                                                 not see the row's fold)
+
+    Exactness discipline (plans/common.py): every sum routes through
+    DECIMAL(27, ``target_scale``) so S values are exact and
+    order-insensitive; the final arithmetic is a fixed parenthesization of
+    casts/divisions on those exact values — engine-identical.
+
+    Scale shape: two tiny aggregates ((cat, fold) and cat margins — both
+    category-bounded, broadcast) joined back onto the narrow row
+    projection; the corpus shuffles once for each aggregate with map-side
+    combine and never self-joins. Returns (id, cat, fold, enc).
+    """
+    if prior_weight <= 0:
+        raise ValueError("prior_weight must be > 0 (it is the n_oof=0 fallback)")
+    dec = f"decimal(27,{target_scale})"
+    rows = kfold_split(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(cat_col).alias("cat"),
+            F.col(target_col).cast(dec).alias("y"),
+        ),
+        "id",
+        k=k,
+    )
+    cf = rows.groupBy("cat", "fold").agg(
+        F.sum("y").alias("s_cf"), F.count(F.lit(1)).cast("bigint").alias("n_cf")
+    )
+    c = cf.groupBy("cat").agg(
+        F.sum("s_cf").alias("s_c"), F.sum("n_cf").cast("bigint").alias("n_c")
+    )
+    fm = cf.groupBy("fold").agg(
+        F.sum("s_cf").alias("s_f"), F.sum("n_cf").cast("bigint").alias("n_f")
+    )
+    tot = cf.groupBy().agg(
+        F.sum("s_cf").alias("s_tot"), F.sum("n_cf").cast("bigint").alias("n_tot")
+    )
+    g = (
+        fm.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            (
+                (F.col("s_tot") - F.col("s_f")).cast("double")
+                / (F.col("n_tot") - F.col("n_f")).cast("double")
+            ).alias("g_f"),
+        )
+    )
+    m = float(prior_weight)
+    enc = (
+        ((F.col("s_c") - F.col("s_cf")).cast("double") + (F.lit(m) * F.col("g_f")))
+        / ((F.col("n_c") - F.col("n_cf")).cast("double") + F.lit(m))
+    )
+    return (
+        rows.join(F.broadcast(cf), ["cat", "fold"])
+        .join(F.broadcast(c), "cat")
+        .join(F.broadcast(g), "fold")
+        .select("id", "cat", F.col("fold").cast("int").alias("fold"), enc.alias("enc"))
+    )

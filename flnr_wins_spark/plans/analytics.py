@@ -1560,3 +1560,107 @@ def x_join_size_estimate(spark, sf_dir):
     od = t(spark, sf_dir, "orders").select("o_custkey")
     cu = t(spark, sf_dir, "customer").select("c_custkey")
     return cms_join_size(od, cu, "o_custkey", "c_custkey", depth=4, hex_chars=2)
+
+
+@query(
+    "x_kaplan_meier",
+    sql="""
+    WITH obs AS (
+      SELECT event_type AS g,
+             CAST(CAST(floor(value) AS BIGINT) % 50 AS INTEGER) AS t,
+             CASE WHEN event_id % 4 > 0 THEN 1 ELSE 0 END AS ev
+      FROM events WHERE value IS NOT NULL
+    ),
+    per_t AS (
+      SELECT g, t,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM obs GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT g, t, d, c,
+             CAST(SUM(d + c) OVER (PARTITION BY g ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+      FROM per_t
+    ),
+    terms AS (
+      SELECT g, t, d, c, n_risk,
+             CASE WHEN d < n_risk THEN
+               CAST(ln(1.0 - (CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+                    AS DECIMAL(20,9))
+             END AS lnterm,
+             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS absorbed
+      FROM risk
+    ),
+    cum AS (
+      SELECT g, t, d, c, n_risk,
+             CAST(SUM(lnterm) OVER w AS DECIMAL(38,9)) AS ln_s,
+             CAST(SUM(absorbed) OVER w AS BIGINT) AS zeroed
+      FROM terms
+      WINDOW w AS (PARTITION BY g ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT g AS event_type, t, n_risk, d, c,
+           CASE WHEN zeroed = 0 THEN CAST(ln_s * 1000000000 AS BIGINT) END
+             AS ln_s_e9
+    FROM cum
+    """,
+    note="Kaplan-Meier product-limit survival curves per group: at-risk "
+    "counts via one reverse cumulative window, per-time hazard terms "
+    "ln(1 - d/n) decimal-rounded (exact rational d/n, single libm ln), "
+    "survival reported as the EXACT cumulative decimal ln-sum in 1e-9 "
+    "BIGINT units (a product of doubles would be order-fragile; the "
+    "ln-domain sum is order-free) — NULL once the curve absorbs at zero "
+    "(d = n_risk, where ln is undefined). Shuffles once on the group "
+    "key; event-time grid is value-bounded, not row-bounded",
+)
+def x_kaplan_meier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    obs = ev.select(
+        F.col("event_type").alias("g"),
+        (F.floor(F.col("value")).cast("bigint") % 50).cast("int").alias("t"),
+        F.when(F.col("event_id") % 4 > 0, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    per_t = obs.groupBy("g", "t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c"),
+    )
+    w_rev = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_t.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(w_rev).cast("bigint")
+    )
+    lnterm = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0) - (F.col("d").cast("double") / F.col("n_risk").cast("double"))
+        ).cast("decimal(20,9)"),
+    )
+    absorbed = F.when(F.col("d") >= F.col("n_risk"), F.lit(1)).otherwise(F.lit(0))
+    w_fwd = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = risk.select(
+        "g", "t", "d", "c", "n_risk",
+        F.sum(lnterm).over(w_fwd).cast("decimal(38,9)").alias("ln_s"),
+        F.sum(absorbed).over(w_fwd).cast("bigint").alias("zeroed"),
+    )
+    return cum.select(
+        F.col("g").alias("event_type"),
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.when(
+            F.col("zeroed") == 0,
+            (F.col("ln_s") * F.lit(1_000_000_000)).cast("bigint"),
+        ).alias("ln_s_e9"),
+    )

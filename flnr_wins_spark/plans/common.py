@@ -67,7 +67,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     # (b) new surface (MERGE-evolve, WARC ingest, cross rerank), the
     # new PCA oracle, and entries whose code/projection changed in r6
     "x_merge_evolve", "x_warc_ingest", "x_rerank_cross", "x_tokenize_unigram",
-    "x_dp_counts",
+    "x_dp_counts", "x_target_encode", "x_drift_psi", "x_kaplan_meier",
     "x_embedding_pca",
     "x_weighted_sample", "x_quantile_bottomk", "x_geo_grid_join",
     "x_llm_corpus_e2e", "x_text_nfc", "x_dedup_tfidf",

@@ -4818,6 +4818,120 @@ def x_binaryfile_ingest(spark, sf_dir):
 
 
 @query(
+    "x_drift_psi",
+    sql="""
+    WITH curv AS (
+      SELECT value + 25.0 AS v FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    refv AS (
+      SELECT value AS v FROM events
+      WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    cb AS (
+      SELECT least(9, greatest(0, CAST(floor((v - 0.0) / 50.0) AS INTEGER)))
+               AS bin, CAST(COUNT(*) AS BIGINT) AS n_cur
+      FROM curv GROUP BY 1
+    ),
+    rb AS (
+      SELECT least(9, greatest(0, CAST(floor((v - 0.0) / 50.0) AS INTEGER)))
+               AS bin, CAST(COUNT(*) AS BIGINT) AS n_ref
+      FROM refv GROUP BY 1
+    ),
+    grid AS (SELECT CAST(i AS INTEGER) AS bin FROM range(10) r(i)),
+    counts AS (
+      SELECT g.bin,
+             CAST(COALESCE(cb.n_cur, 0) AS BIGINT) AS n_cur,
+             CAST(COALESCE(rb.n_ref, 0) AS BIGINT) AS n_ref
+      FROM grid g LEFT JOIN cb ON g.bin = cb.bin LEFT JOIN rb ON g.bin = rb.bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_cur) AS BIGINT) AS nt_cur,
+             CAST(SUM(n_ref) AS BIGINT) AS nt_ref
+      FROM counts
+    )
+    SELECT bin, n_cur, n_ref,
+           ((CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 10 AS DOUBLE))
+            - (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 10 AS DOUBLE)))
+           * CAST(CAST(ln(
+               (CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 10 AS DOUBLE))
+               / (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 10 AS DOUBLE)))
+             AS DECIMAL(20,9)) AS DOUBLE) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+    note="Population Stability Index drift monitor: fixed-range "
+    "equal-width bins (a data-derived grid would itself drift), additive "
+    "(+1) smoothing so empty bins never divide by zero, per-bin "
+    "(p-q)*ln(p/q) terms with the one libm ln decimal-rounded; the "
+    "fixture shifts the serving distribution by half a bin so the graded "
+    "terms measure REAL drift. Two map-side-combine count shuffles down "
+    "to bins-sized frames; completes the ML-ops monitoring family next "
+    "to profile_columns / dq expectations",
+)
+def x_drift_psi(spark, sf_dir):
+    from flnr_wins_spark.operators.dataquality import drift_psi
+
+    ev = t(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") + F.lit(25.0)).alias("value")
+    )
+    ref = ev.filter(F.col("event_id") % 2 == 0).select("value")
+    return drift_psi(cur, ref, "value", lo=0.0, hi=500.0, bins=10)
+
+
+@query(
+    "x_target_encode",
+    sql="""
+    WITH r AS (
+      SELECT o_orderkey AS id, o_orderpriority AS cat,
+             CAST(o_totalprice AS DECIMAL(27,2)) AS y,
+             CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+                       AS INTEGER) % 5 AS INTEGER) AS fold
+      FROM orders
+    ),
+    cf AS (
+      SELECT cat, fold, SUM(y) AS s_cf, CAST(COUNT(*) AS BIGINT) AS n_cf
+      FROM r GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT cat, SUM(s_cf) AS s_c, CAST(SUM(n_cf) AS BIGINT) AS n_c
+      FROM cf GROUP BY 1
+    ),
+    f AS (
+      SELECT fold, SUM(s_cf) AS s_f, CAST(SUM(n_cf) AS BIGINT) AS n_f
+      FROM cf GROUP BY 1
+    ),
+    t AS (SELECT SUM(s_cf) AS s_tot, CAST(SUM(n_cf) AS BIGINT) AS n_tot FROM cf),
+    g AS (
+      SELECT fold,
+             CAST(s_tot - s_f AS DOUBLE) / CAST(n_tot - n_f AS DOUBLE) AS g_f
+      FROM f CROSS JOIN t
+    )
+    SELECT r.id, r.cat, r.fold,
+           (CAST(c.s_c - cf.s_cf AS DOUBLE) + (20.0 * g.g_f))
+             / (CAST(c.n_c - cf.n_cf AS DOUBLE) + 20.0) AS enc
+    FROM r JOIN cf USING (cat, fold) JOIN c USING (cat) JOIN g USING (fold)
+    """,
+    note="leakage-free OUT-OF-FOLD target encoding: each row's encoding "
+    "is the smoothed target mean over the OTHER folds only, and the "
+    "smoothing prior is itself out-of-fold (the global mean excluding the "
+    "row's fold) — content-addressed folds make the encoding reproducible "
+    "across runs/engines/partitionings. Sums route through "
+    "DECIMAL(27,2) (exact, order-free), final arithmetic is one fixed "
+    "parenthesization; category/fold margins broadcast back onto the "
+    "narrow row projection (two map-side-combine shuffles, no self-join)",
+)
+def x_target_encode(spark, sf_dir):
+    from flnr_wins_spark.operators.split import target_encode_oof
+
+    orders = t(spark, sf_dir, "orders")
+    return target_encode_oof(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey",
+        k=5, prior_weight=20,
+    )
+
+
+@query(
     "x_dp_counts",
     sql="""
     WITH c AS (

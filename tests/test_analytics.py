@@ -947,3 +947,37 @@ class TestBottomkDuplicateKeys:
             for p in (1, 7, 13)
         ]
         assert outs[0] == outs[1] == outs[2]
+
+
+class TestKaplanMeier:
+    def test_survival_monotone_and_absorbs_at_zero(self, spark):
+        from flnr_wins_spark.plans.common import all_queries
+
+        out = all_queries()["x_kaplan_meier"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r.event_type, []).append(r)
+        assert len(by_g) >= 3
+        for g, rows in by_g.items():
+            rows.sort(key=lambda r: r.t)
+            # at-risk counts strictly decrease along the time grid
+            risks = [r.n_risk for r in rows]
+            assert risks == sorted(risks, reverse=True)
+            # ln S is non-increasing while defined; once NULL (absorbed),
+            # it stays NULL
+            seen_null = False
+            prev = 0
+            for r in rows:
+                if r.ln_s_e9 is None:
+                    seen_null = True
+                else:
+                    assert not seen_null, g
+                    assert r.ln_s_e9 <= prev
+                    prev = r.ln_s_e9
+            # the final time bucket absorbs (everyone at risk dies or the
+            # curve ends) only if d == n_risk there; sanity: n_risk at the
+            # last time equals that row's d + c
+            last = rows[-1]
+            assert last.n_risk == last.d + last.c
