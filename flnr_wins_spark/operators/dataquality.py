@@ -289,37 +289,49 @@ def drift_psi(
     """
     if bins < 2 or not hi > lo:
         raise ValueError("need bins >= 2 and hi > lo")
-    width = (hi - lo) / bins
     spark = cur.sparkSession
-
-    def binned(df, out):
-        b = F.least(
-            F.lit(bins - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col(value_col).cast("double") - F.lit(float(lo)))
-                    / F.lit(float(width))
-                ).cast("int"),
-            ),
-        )
-        return (
-            df.filter(F.col(value_col).isNotNull())
-            .select(b.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
-        )
-
     grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
     counts = (
-        grid.join(binned(cur, "n_cur"), "bin", "left")
-        .join(binned(ref, "n_ref"), "bin", "left")
+        grid.join(psi_bin_counts(cur, value_col, lo, hi, bins, "n_cur"), "bin", "left")
+        .join(psi_bin_counts(ref, value_col, lo, hi, bins, "n_ref"), "bin", "left")
         .select(
             "bin",
             F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
             F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
         )
     )
+    return psi_terms(counts, bins)
+
+
+def psi_bin_counts(
+    df: DataFrame, value_col: str, lo: float, hi: float, bins: int, out: str
+) -> DataFrame:
+    """Bin counts on the fixed PSI grid — the ONE binning definition
+    shared by the batch operator and the streaming drift sink (their
+    equivalence depends on both binning identically)."""
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(value_col).cast("double") - F.lit(float(lo)))
+                / F.lit(float(width))
+            ).cast("int"),
+        ),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+    )
+
+
+def psi_terms(counts: DataFrame, bins: int) -> DataFrame:
+    """Per-bin PSI terms from a (bin, n_cur, n_ref) counts frame — the ONE
+    term arithmetic shared by the batch operator and the streaming
+    reader, so streaming and batch scores can never silently diverge."""
     tot = counts.groupBy().agg(
         F.sum("n_cur").cast("bigint").alias("nt_cur"),
         F.sum("n_ref").cast("bigint").alias("nt_ref"),

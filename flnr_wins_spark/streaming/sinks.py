@@ -590,3 +590,80 @@ def ptable_merge_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drift_psi_sink(
+    stream: DataFrame,
+    state_path: str,
+    value_col: str,
+    checkpoint_dir: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming DRIFT MONITOR: continuously maintain the serving
+    distribution's bin histogram (same fixed [lo, hi) equal-width grid as
+    the batch ``operators.dataquality.drift_psi``) so PSI against a
+    training-time reference is always one tiny read away — the ML-ops
+    "is production input drifting away from what the model saw" alarm,
+    evaluated per micro-batch instead of per nightly job.
+
+    State versioning/idempotency follows :func:`incremental_agg_sink`
+    (batch N folds the previous v<id<N> state, writes v<N>; replays
+    rebuild from the predecessor). The state is ``bins`` rows of exact
+    BIGINT counts, so merging is order-free and the maintained histogram
+    is IDENTICAL to one batch pass over the full history — the batch-twin
+    contract; :func:`read_drift_psi` then scores it against the reference
+    with the SAME per-bin term arithmetic as the batch operator."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from flnr_wins_spark.operators.dataquality import psi_bin_counts
+
+        delta = psi_bin_counts(batch_df, value_col, lo, hi, bins, "n_cur")
+        prior = [v for v in _state_versions(spark, state_path) if v < batch_id]
+        if prior:
+            prev = spark.read.parquet(f"{state_path}/v{prior[-1]}")
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("bin")
+                .agg(F.sum("n_cur").cast("bigint").alias("n_cur"))
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+        _prune_state_versions(spark, state_path, batch_id)
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_drift_psi(
+    spark, state_path: str, ref: DataFrame, value_col: str,
+    lo: float, hi: float, bins: int = 10,
+) -> DataFrame:
+    """PSI of the maintained streaming histogram against a static
+    reference — the reference bins through the SAME ``psi_bin_counts``
+    and the terms through the SAME ``psi_terms`` the batch operator uses
+    (one binning definition, one term arithmetic), so streaming and
+    batch scores can never silently diverge. Cost: the state is ``bins``
+    rows; only the reference side scans data."""
+    from flnr_wins_spark.operators.dataquality import psi_bin_counts, psi_terms
+
+    state = read_agg_state(spark, state_path)  # (bin, n_cur)
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        grid.join(state, "bin", "left")
+        .join(psi_bin_counts(ref, value_col, lo, hi, bins, "n_ref"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+        )
+    )
+    return psi_terms(counts, bins)

@@ -750,3 +750,48 @@ class TestPtableMergeSink:
         got = {r.id: (r.score, r.origin) for r in read_ptable(spark, path).collect()}
         assert got[2] == (20.0, "web")  # score preserved, origin evolved
         assert got[3] == (30.0, None)   # untouched partition null-fills
+
+
+class TestDriftPsiSink:
+    def test_streaming_histogram_equals_batch_psi(self, spark, tmp_path):
+        """The maintained histogram is a sum of exact integers, so PSI
+        from the streaming state must equal the batch operator on the
+        full history — including the fixed-grid binning and the per-bin
+        term arithmetic (shared implementations)."""
+        from pyspark.sql import functions as F
+
+        from flnr_wins_spark.operators.dataquality import drift_psi
+        from flnr_wins_spark.streaming.sinks import drift_psi_sink, read_drift_psi
+
+        src = str(tmp_path / "src")
+        rows = [(i, float((i * 37) % 90) + 10.0) for i in range(300)]
+        cur = spark.createDataFrame(rows, "id long, v double")
+        cur = cur.withColumn("_b", (F.col("id") % 3).cast("int"))
+        for b in range(3):
+            cur.filter(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        ref = spark.createDataFrame(
+            [(i, float((i * 13) % 100)) for i in range(400)], "id long, v double"
+        )
+        stream = (
+            spark.readStream.schema("id long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = drift_psi_sink(
+            stream, str(tmp_path / "state"), "v", str(tmp_path / "ckpt"),
+            lo=0.0, hi=100.0, bins=10,
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            map(tuple, read_drift_psi(
+                spark, str(tmp_path / "state"), ref, "v", lo=0.0, hi=100.0, bins=10
+            ).collect())
+        )
+        want = sorted(
+            map(tuple, drift_psi(
+                cur.drop("_b"), ref, "v", lo=0.0, hi=100.0, bins=10
+            ).collect())
+        )
+        assert got == want and len(got) == 10
