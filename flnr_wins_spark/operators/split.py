@@ -133,9 +133,25 @@ def target_encode_oof(
         ((F.col("s_c") - F.col("s_cf")).cast("double") + (F.lit(m) * F.col("g_f")))
         / ((F.col("n_c") - F.col("n_cf")).cast("double") + F.lit(m))
     )
+    # null-safe category joins: NULL is its own category (standard target
+    # encoding treats missing as a level) — a plain equi-join would
+    # silently DROP every NULL-category row from the output
+    r_ = rows.alias("_r")
+    cf_ = cf.alias("_cf")
+    c_ = c.alias("_c")
+    g_ = g.alias("_g")
     return (
-        rows.join(F.broadcast(cf), ["cat", "fold"])
-        .join(F.broadcast(c), "cat")
-        .join(F.broadcast(g), "fold")
-        .select("id", "cat", F.col("fold").cast("int").alias("fold"), enc.alias("enc"))
+        r_.join(
+            F.broadcast(cf_),
+            F.col("_r.cat").eqNullSafe(F.col("_cf.cat"))
+            & (F.col("_r.fold") == F.col("_cf.fold")),
+        )
+        .join(F.broadcast(c_), F.col("_r.cat").eqNullSafe(F.col("_c.cat")))
+        .join(F.broadcast(g_), F.col("_r.fold") == F.col("_g.fold"))
+        .select(
+            F.col("_r.id").alias("id"),
+            F.col("_r.cat").alias("cat"),
+            F.col("_r.fold").cast("int").alias("fold"),
+            enc.alias("enc"),
+        )
     )

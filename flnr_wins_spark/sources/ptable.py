@@ -100,13 +100,27 @@ def _write_manifest(spark: SparkSession, table_path: str, k: int, m: dict) -> No
         raise IOError(f"manifest commit failed: rename {tmp} -> {final}")
 
 
+_HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
 def _stage_partitions(spark: SparkSession, stage_path: str, part_col: str) -> list[str]:
     fs, jpath = _fs(spark, stage_path)
     vals = []
     for status in fs.listStatus(jpath):
         name = status.getPath().getName()
         if name.startswith(f"{part_col}="):
-            vals.append(unquote(name[len(part_col) + 1 :]))
+            raw = unquote(name[len(part_col) + 1 :])
+            if raw == _HIVE_NULL_DIR:
+                # a NULL partition value would round-trip as the literal
+                # sentinel STRING on read — delete the uncommitted stage
+                # and fail loudly before any manifest references it
+                fs.delete(jpath, True)
+                raise ValueError(
+                    f"partition column '{part_col}' contains NULL values — "
+                    "partition keys must be non-null (derive a sentinel "
+                    "value upstream if NULL is a real level)"
+                )
+            vals.append(raw)
     return sorted(vals)
 
 

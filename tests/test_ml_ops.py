@@ -405,3 +405,22 @@ def test_cross_rerank_query_side_broadcasts(spark):
     plan = cross_rerank(queries, docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_target_encode_oof_keeps_null_category(spark):
+    """Review finding (r6): the category joins were plain equi-joins, so
+    NULL-category rows silently vanished from the output. NULL is its own
+    category level — rows must survive with a well-defined encoding."""
+    from flnr_wins_spark.operators.split import target_encode_oof
+
+    rows = [(i, None if i % 3 == 0 else f"c{i % 2}", float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    out = target_encode_oof(df, "cat", "y", "id", k=3, prior_weight=5)
+    got = out.collect()
+    assert len(got) == 60  # nothing dropped
+    nulls = [r for r in got if r.cat is None]
+    assert len(nulls) == 20
+    assert all(r.enc is not None for r in got)
+    # determinism across partitionings
+    b = target_encode_oof(df.repartition(7), "cat", "y", "id", k=3, prior_weight=5)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, b.collect()))

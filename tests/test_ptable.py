@@ -140,3 +140,20 @@ def test_merge_requires_bootstrap_and_partition_column(spark, tmp_path):
     write_ptable(_base(spark), path, "lang")
     with pytest.raises(ValueError, match="partition column"):
         merge_ptable(spark, path, src.drop("lang"), ["id"])
+
+
+def test_null_partition_values_rejected_loudly(spark, tmp_path):
+    """Review finding (r6): a NULL partition key writes the hive sentinel
+    directory and would resurrect as the literal sentinel STRING on read.
+    The stage scan must fail loudly (and clean the uncommitted stage)
+    before any manifest references it."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "en", 1.0), (2, None, 2.0)], "id long, lang string, score double"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        write_ptable(df, path, "lang")
+    # no manifest committed; a clean retry with valid data works
+    assert ptable_history(spark, path) == []
+    write_ptable(df.filter("lang IS NOT NULL"), path, "lang")
+    assert read_ptable(spark, path).count() == 1
