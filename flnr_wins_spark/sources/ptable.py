@@ -34,6 +34,14 @@ Single-writer-per-table, like snapshots.py (manifest allocation is
 max+1); multi-writer needs a coordination layer this engine deliberately
 does not fake.
 
+When to use which (measured, SURVEY §8): at small scale the
+manifest/FS fixed overheads make whole-table ``merge_snapshot`` FASTER
+(0.80 s vs 1.49 s on a 100k-row 30-partition fixture) — this layout's
+advantage is the IO asymptotics (a one-partition changeset reads and
+rewrites 1/30 of the data; at 100 TB that is ~3 TB of IO instead of
+~100 TB). Prefer merge_snapshot for small tables, merge_ptable once
+partition data dwarfs the per-commit constant.
+
 The reference's publish step is whole-table drop-and-replace
 (``/root/reference/src/wins_transform_staging.py:280-286``); this module is
 the incremental-at-scale posture, extension surface per SURVEY §2c.
