@@ -1583,8 +1583,65 @@ def x_doc_chunking(spark, sf_dir):
 
 @query(
     "x_text_langid",
-    sql=None,  # heuristic profile vote implemented as a pandas UDF
-    note="language-ID heuristic (Arrow-batched pandas UDF) + rolling Rabin-Karp fingerprint",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, lang AS lang_given, COALESCE(text, '') AS text
+      FROM documents
+    ),
+    tk AS (
+      SELECT doc_id, lang_given, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+             list_distinct(list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '')) AS dtoks
+      FROM d
+    ),
+    th AS (
+      SELECT doc_id, lang_given, text, dtoks,
+             list_transform(toks, tok ->
+               list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                   list_transform(string_split(tok, ''),
+                                  c -> CAST(unicode(c) AS HUGEINT))),
+                 (acc, x) -> (acc * 131 + x) % 2305843009213693951)) AS tokh
+      FROM tk
+    ),
+    fp AS (
+      SELECT doc_id, lang_given, text, dtoks,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT), tokh),
+               (acc, x) -> (acc * 1000003 + x) % 2305843009213693951)
+               AS BIGINT) AS rolling_fp
+      FROM th
+    ),
+    sc AS (
+      SELECT doc_id, lang_given, rolling_fp,
+             CASE WHEN text = '' THEN 'und'
+                  WHEN regexp_matches(substr(text, 1, 400), '[一-鿿]') THEN 'zh'
+                  ELSE NULL END AS pre,
+             len(list_intersect(dtoks, ['the','of','and','to','in','is','a'])) AS s_en,
+             len(list_intersect(dtoks, ['der','die','das','und','ist','ein'])) AS s_de,
+             len(list_intersect(dtoks, ['le','la','les','et','est','un'])) AS s_fr,
+             len(list_intersect(dtoks, ['el','la','los','y','es','un'])) AS s_es
+      FROM fp
+    )
+    SELECT doc_id, lang_given,
+           COALESCE(pre,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'en'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  ELSE 'es' END) AS lang_pred,
+           rolling_fp
+    FROM sc
+    """,
+    note="language-ID heuristic (Arrow-batched pandas UDF: CJK script "
+    "check then stopword-profile vote, first-language tie priority) + "
+    "rolling Rabin-Karp fingerprint (base 1000003 over per-token "
+    "char-hashes, mod 2^61-1). ORACLE-GRADED since r6: the twin "
+    "reimplements both in pure SQL — the vote as list_intersect argmax, "
+    "the fingerprint as nested HUGEINT list_reduce folds — a true "
+    "cross-engine differential of the Python UDF (the x_text_nfc "
+    "pattern), retiring this entry from the rows-only set",
 )
 def x_text_langid(spark, sf_dir):
     from flnr_wins_spark.functions.text import lang_id, rolling_fingerprint

@@ -1,6 +1,6 @@
 """Fast-path == portable-twin equivalence pins.
 
-Six registry entries run xxhash64/HLL/UDF fast paths the DuckDB oracle
+Five registry entries run xxhash64/HLL fast paths the DuckDB oracle
 cannot grade directly (their portable md5 twins carry the hash-checked
 evidence). These tests make each ungraded fast path inherit that evidence:
 every fast path is asserted equal to an independent construction — the
@@ -13,7 +13,9 @@ Entry -> test map:
   x_dedup_simhash          -> TestSimhashFastPath
   x_similarity_ann_lsh     -> TestAnnLshFastPath
   x_similarity_ivf         -> TestIvfFastPath
-  x_text_langid            -> TestLangidFastPath
+  x_text_langid            -> oracle-graded since r6 (pure-SQL twin of the
+                              UDF); TestLangidFastPath stays as the
+                              pure-Python third implementation
   q_events_approx_distinct -> TestApproxDistinct
 """
 
