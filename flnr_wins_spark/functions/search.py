@@ -309,10 +309,14 @@ def cross_rerank(
             .alias("_fidf")
         )
     )
+    # guarded: Spark's sequence(1, 0) is DESCENDING [1, 0] (the
+    # quality_rules trap) — a one-word query must yield an empty bigram
+    # list, not an element_at(arr, 0) error
     bigrams = F.expr(
-        "transform(sequence(1, size(split(_qtext, ' ')) - 1),"
+        "IF(size(split(_qtext, ' ')) < 2, CAST(array() AS array<string>),"
+        " transform(sequence(1, size(split(_qtext, ' ')) - 1),"
         " i -> concat(element_at(split(_qtext, ' '), CAST(i AS INT)), ' ',"
-        " element_at(split(_qtext, ' '), CAST(i + 1 AS INT))))"
+        " element_at(split(_qtext, ' '), CAST(i + 1 AS INT)))))"
     )
     fphrase = F.size(
         F.filter(bigrams, lambda bg: F.instr(F.col("_dtext"), bg) > 0)

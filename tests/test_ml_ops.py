@@ -424,3 +424,19 @@ def test_target_encode_oof_keeps_null_category(spark):
     # determinism across partitionings
     b = target_encode_oof(df.repartition(7), "cat", "y", "id", k=3, prior_weight=5)
     assert sorted(map(tuple, got)) == sorted(map(tuple, b.collect()))
+
+
+def test_cross_rerank_one_word_query_has_no_bigrams(spark):
+    """Review finding (r6): sequence(1, 0) is DESCENDING in Spark, so a
+    one-word query built bigrams over [1, 0] and crashed on
+    element_at(arr, 0). Guarded: zero phrase hits, overlap/idf still
+    score."""
+    from flnr_wins_spark.functions.search import cross_rerank
+
+    queries = spark.createDataFrame([(0, "alpha")], "query_id long, q_text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    out = cross_rerank(queries, docs, k=5).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].score > 0
