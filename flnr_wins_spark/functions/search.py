@@ -338,3 +338,99 @@ def cross_rerank(
         .withColumn("rank", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Offline evaluation of a retrieval ranking — the metrics every
+    search/RAG stack is tuned against, computed exactly:
+
+      * ``recall_k``  — relevant found in the top k / total relevant
+        (exact rational);
+      * ``mrr``       — 1 / rank of the first relevant hit (exact
+        rational; 0.0 when no hit);
+      * ``ndcg``      — DCG@k / ideal-DCG@k with binary gains
+        ``1/log2(rank+1)``; each per-rank gain rounds through
+        DECIMAL(20,9) (log2 is libm — the plans/common.py rule), the two
+        sums are exact decimals, and the final division is one
+        correctly-rounded double op — engine-identical.
+
+    ``results`` carries (query, candidate, rank 1..n) from any retriever;
+    ``labels`` carries (query, candidate) pairs judged RELEVANT (binary
+    qrels). Queries present in ``results`` but with zero relevant labels
+    are dropped (their metrics are undefined — the TREC convention).
+
+    Returns one row per query: (query_id, n_rel, hits_k, recall_k, mrr,
+    dcg_e9, ideal_e9, ndcg). DCG sums surface as exact 1e-9 BIGINT units
+    (driver-representable), ndcg as the double ratio.
+
+    Scale shape: one broadcast-sized join of the k-bounded results
+    against the qrels, two per-query aggregates — result-sized, never
+    corpus-sized.
+    """
+    res = results.select(
+        F.col(query_col).alias("q"),
+        F.col(cand_col).alias("c"),
+        F.col(rank_col).cast("bigint").alias("r"),
+    ).filter(F.col("r") <= k)
+    lab = labels.select(
+        F.col(query_col).alias("q"), F.col(cand_col).alias("c")
+    ).distinct()
+    n_rel = lab.groupBy("q").agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    gain = F.lit(1.0) / F.log2(F.col("r").cast("double") + F.lit(1.0))
+    hits = (
+        res.join(lab, ["q", "c"])
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits_k"),
+            F.min("r").alias("first_r"),
+            F.sum(gain.cast("decimal(20,9)")).alias("dcg"),
+        )
+    )
+    # ideal DCG@k: the best achievable ordering packs relevant docs into
+    # ranks 1..min(k, n_rel) — a pure function of n_rel, computed by
+    # exploding that tiny per-query range (never the corpus)
+    ideal = (
+        n_rel.select(
+            "q", "n_rel",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(k).cast("bigint"), F.col("n_rel")))
+            ).alias("r"),
+        )
+        .select(
+            "q", "n_rel",
+            (F.lit(1.0) / F.log2(F.col("r").cast("double") + F.lit(1.0)))
+            .cast("decimal(20,9)")
+            .alias("g"),
+        )
+        .groupBy("q", "n_rel")
+        .agg(F.sum("g").alias("idcg"))
+    )
+    return (
+        ideal.join(hits, "q", "left")
+        .select(
+            F.col("q").alias(query_col),
+            "n_rel",
+            F.coalesce("hits_k", F.lit(0)).cast("bigint").alias("hits_k"),
+            (
+                F.coalesce("hits_k", F.lit(0)).cast("double")
+                / F.col("n_rel").cast("double")
+            ).alias("recall_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_r").cast("double"), F.lit(0.0)
+            ).alias("mrr"),
+            F.coalesce((F.col("dcg") * F.lit(1_000_000_000)).cast("bigint"), F.lit(0))
+            .alias("dcg_e9"),
+            (F.col("idcg") * F.lit(1_000_000_000)).cast("bigint").alias("ideal_e9"),
+            (
+                F.coalesce(F.col("dcg"), F.lit(0).cast("decimal(20,9)")).cast("double")
+                / F.col("idcg").cast("double")
+            ).alias("ndcg"),
+        )
+    )

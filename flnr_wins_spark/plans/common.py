@@ -68,6 +68,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     # new PCA oracle, and entries whose code/projection changed in r6
     "x_merge_evolve", "x_warc_ingest", "x_rerank_cross", "x_tokenize_unigram",
     "x_dp_counts", "x_target_encode", "x_drift_psi", "x_kaplan_meier",
+    "x_rank_metrics", "x_text_langid",
     "x_embedding_pca",
     "x_weighted_sample", "x_quantile_bottomk", "x_geo_grid_join",
     "x_llm_corpus_e2e", "x_text_nfc", "x_dedup_tfidf",
@@ -101,7 +102,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_pagerank", "x_text_tokenize_bpe", "x_url_filter",
     # (f) rows-only fast paths: refresh rows-evidence every round
     "x_dedup_minhash_lsh", "q_events_approx_distinct", "x_dedup_simhash",
-    "x_similarity_ann_lsh", "x_similarity_ivf", "x_text_langid",
+    "x_similarity_ann_lsh", "x_similarity_ivf",
     # (g) latest grade r03
     "q10_returned_items", "q11_important_value", "q12_shipping_delay",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",

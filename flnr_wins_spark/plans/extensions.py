@@ -4875,6 +4875,78 @@ def x_binaryfile_ingest(spark, sf_dir):
 
 
 @query(
+    "x_rank_metrics",
+    sql="""
+    WITH qs AS (SELECT CAST(i AS BIGINT) AS q FROM range(10) t(i)),
+    res AS (
+      SELECT q, CAST(r AS BIGINT) AS r, (q * 7 + CAST(r AS BIGINT) * 13) % 40 AS c
+      FROM qs, LATERAL (SELECT unnest(range(1, 11)) AS r) rr
+    ),
+    lab AS (
+      SELECT q, CAST(c AS BIGINT) AS c
+      FROM qs, LATERAL (SELECT unnest(range(40)) AS c) cc
+      WHERE CAST(c AS BIGINT) % 4 = q % 4
+    ),
+    nrel AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_rel FROM lab GROUP BY q),
+    hits AS (
+      SELECT res.q, CAST(COUNT(*) AS BIGINT) AS hits_k,
+             CAST(MIN(r) AS BIGINT) AS first_r,
+             SUM(CAST(CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + 1.0)
+                      AS DECIMAL(20,9))) AS dcg
+      FROM res JOIN lab ON res.q = lab.q AND res.c = lab.c
+      GROUP BY res.q
+    ),
+    ideal AS (
+      SELECT q, n_rel,
+             SUM(CAST(CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + 1.0)
+                      AS DECIMAL(20,9))) AS idcg
+      FROM (SELECT q, n_rel,
+                   CAST(unnest(range(1, CAST(least(10, n_rel) AS INTEGER) + 1))
+                        AS BIGINT) AS r
+            FROM nrel) x
+      GROUP BY q, n_rel
+    )
+    SELECT i.q AS query_id, i.n_rel,
+           CAST(COALESCE(h.hits_k, 0) AS BIGINT) AS hits_k,
+           CAST(COALESCE(h.hits_k, 0) AS DOUBLE) / CAST(i.n_rel AS DOUBLE)
+             AS recall_k,
+           COALESCE(CAST(1.0 AS DOUBLE) / CAST(h.first_r AS DOUBLE),
+                    CAST(0.0 AS DOUBLE)) AS mrr,
+           CAST(COALESCE(CAST(h.dcg * 1000000000 AS BIGINT), 0) AS BIGINT)
+             AS dcg_e9,
+           CAST(i.idcg * 1000000000 AS BIGINT) AS ideal_e9,
+           CAST(COALESCE(h.dcg, CAST(0 AS DECIMAL(20,9))) AS DOUBLE)
+             / CAST(i.idcg AS DOUBLE) AS ndcg
+    FROM ideal i LEFT JOIN hits h ON i.q = h.q
+    """,
+    note="offline retrieval evaluation (recall@k, MRR, nDCG@k) — the "
+    "metric suite the search/RAG stack is tuned against: exact-rational "
+    "recall/MRR, per-rank 1/log2(rank+1) gains decimal-rounded (libm "
+    "rule), DCG/ideal-DCG as exact decimal sums in 1e-9 BIGINT units, "
+    "ndcg one correctly-rounded division. Deterministic synthetic "
+    "ranking/qrels fixture; the operator itself joins k-bounded results "
+    "against qrels — result-sized, never corpus-sized",
+)
+def x_rank_metrics(spark, sf_dir):
+    from flnr_wins_spark.functions.search import ranking_metrics
+
+    qs = spark.range(10).select(F.col("id").alias("q"))
+    ranks = spark.range(1, 11).select(F.col("id").alias("r"))
+    results = qs.crossJoin(ranks).select(
+        F.col("q").alias("query_id"),
+        ((F.col("q") * 7 + F.col("r") * 13) % 40).alias("cand_id"),
+        F.col("r").alias("rank"),
+    )
+    cands = spark.range(40).select(F.col("id").alias("c"))
+    labels = (
+        qs.crossJoin(cands)
+        .filter(F.col("c") % 4 == F.col("q") % 4)
+        .select(F.col("q").alias("query_id"), F.col("c").alias("cand_id"))
+    )
+    return ranking_metrics(results, labels, k=10)
+
+
+@query(
     "x_drift_psi",
     sql="""
     WITH curv AS (

@@ -440,3 +440,24 @@ def test_cross_rerank_one_word_query_has_no_bigrams(spark):
     out = cross_rerank(queries, docs, k=5).collect()
     assert [r.doc_id for r in out] == [1]
     assert out[0].score > 0
+
+
+def test_ranking_metrics_perfect_and_empty_rankings(spark):
+    from flnr_wins_spark.functions.search import ranking_metrics
+
+    # q0: perfect ranking (both relevant docs at ranks 1-2);
+    # q1: zero hits in the top k
+    results = spark.createDataFrame(
+        [(0, 100, 1), (0, 101, 2), (0, 102, 3),
+         (1, 200, 1), (1, 201, 2)],
+        "query_id long, cand_id long, rank long",
+    )
+    labels = spark.createDataFrame(
+        [(0, 100), (0, 101), (1, 999)], "query_id long, cand_id long"
+    )
+    got = {r.query_id: r for r in ranking_metrics(results, labels, k=10).collect()}
+    assert got[0].recall_k == 1.0 and got[0].mrr == 1.0
+    assert got[0].ndcg == 1.0  # perfect packing: dcg == ideal exactly
+    assert got[0].dcg_e9 == got[0].ideal_e9
+    assert got[1].hits_k == 0 and got[1].recall_k == 0.0
+    assert got[1].mrr == 0.0 and got[1].ndcg == 0.0
