@@ -493,3 +493,28 @@ def test_rerank_cross_broadcasts_query_side(spark):
     plan = _plan(spark, "x_rerank_cross")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_windows_are_group_sharded(spark):
+    """Both KM windows (reverse at-risk cumsum, forward ln-sum) partition
+    by the group key — a SinglePartition window would serialize the whole
+    event-time grid through one task at scale."""
+    plan = _plan(spark, "x_kaplan_meier")
+    assert "SinglePartition" not in plan
+
+
+def test_target_encode_margins_broadcast(spark):
+    """Category/fold margin frames are category-bounded — they must
+    broadcast back onto the row projection, never shuffle the fact side
+    into a sort-merge join."""
+    plan = _plan(spark, "x_target_encode")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_psi_is_counts_sized_after_shuffle(spark):
+    """PSI's only real work is the two bin-count aggregates; everything
+    after operates on bins-sized frames (broadcast total attach)."""
+    plan = _plan(spark, "x_drift_psi")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -107,3 +107,33 @@ def test_zstd_warc_guard_names_the_dependency():
 
     with pytest.raises(NotImplementedError, match="zstandard"):
         next(split_zstd_frames(b"\x28\xb5\x2f\xfd"))
+
+
+def test_warc_roundtrip_property():
+    """Property: any (headers, payload) set round-trips bit-exactly
+    through encode -> member-split -> parse, including empty payloads,
+    high-bit bytes, and CRLF-rich content."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payloads = st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=6
+    )
+
+    @given(ps=payloads)
+    @settings(max_examples=25, deadline=None)
+    def check(ps):
+        recs = [
+            {"headers": {"WARC-Type": "resource", "WARC-Record-ID": f"<r:{i}>"},
+             "payload": p}
+            for i, p in enumerate(ps)
+        ]
+        blob = encode_warc_gz(recs)
+        members = list(split_gzip_members(blob))
+        assert len(members) == len(ps)
+        for i, m in enumerate(members):
+            headers, payload = parse_warc_record(m)
+            assert payload == ps[i]
+            assert headers["WARC-Record-ID"] == f"<r:{i}>"
+
+    check()
