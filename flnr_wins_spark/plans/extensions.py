@@ -4875,6 +4875,157 @@ def x_binaryfile_ingest(spark, sf_dir):
 
 
 @query(
+    "x_search_e2e",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN ('spark', 'merge', 'window')
+      GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    bscore AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(
+               ln((CAST(stats.n_docs - dfq.df AS DOUBLE) + 0.5)
+                  / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * ((1.0 - 0.75)
+                              + (0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))))
+             AS DECIMAL(27,9))) AS DOUBLE) AS score
+      FROM tf JOIN dfq USING (term) JOIN doclen dl USING (doc_id)
+      CROSS JOIN stats GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM bscore) WHERE rn <= 10
+    ),
+    vcount AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE term = 'value' GROUP BY doc_id
+    ),
+    second AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cnt DESC, doc_id) AS rn
+        FROM vcount) WHERE rn <= 10
+    ),
+    contrib AS (
+      SELECT doc_id,
+             CAST(CAST(1.0 AS DOUBLE) / CAST(60 + rank AS DOUBLE)
+                  AS DECIMAL(27,12)) AS c
+      FROM lex
+      UNION ALL
+      SELECT doc_id,
+             CAST(CAST(1.0 AS DOUBLE) / CAST(60 + rank AS DOUBLE)
+                  AS DECIMAL(27,12)) AS c
+      FROM second
+    ),
+    fused AS (
+      SELECT doc_id, rrf, n_systems, CAST(rn AS BIGINT) AS rank FROM (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS rrf,
+               CAST(COUNT(*) AS BIGINT) AS n_systems,
+               ROW_NUMBER() OVER (ORDER BY CAST(SUM(c) AS DOUBLE) DESC, doc_id)
+                 AS rn
+        FROM contrib GROUP BY doc_id) WHERE rn <= 10
+    ),
+    qrels AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+    nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM qrels),
+    mhits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS hits_k,
+             CAST(MIN(rank) AS BIGINT) AS first_r,
+             SUM(CAST(CAST(1.0 AS DOUBLE) / log2(CAST(rank AS DOUBLE) + 1.0)
+                      AS DECIMAL(20,9))) AS dcg
+      FROM fused JOIN qrels USING (doc_id)
+    ),
+    ideal AS (
+      SELECT SUM(CAST(CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + 1.0)
+                      AS DECIMAL(20,9))) AS idcg
+      FROM (SELECT CAST(unnest(range(1,
+                   CAST(least(10, (SELECT n_rel FROM nrel)) AS INTEGER) + 1))
+                   AS BIGINT) AS r) rr
+    )
+    SELECT f.doc_id, f.rrf, f.n_systems, f.rank,
+           n.n_rel,
+           CAST(COALESCE(m.hits_k, 0) AS BIGINT) AS hits_k,
+           CAST(COALESCE(m.hits_k, 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+             AS recall_k,
+           COALESCE(CAST(1.0 AS DOUBLE) / CAST(m.first_r AS DOUBLE),
+                    CAST(0.0 AS DOUBLE)) AS mrr,
+           CAST(COALESCE(CAST(m.dcg * 1000000000 AS BIGINT), 0) AS BIGINT)
+             AS dcg_e9,
+           CAST(i.idcg * 1000000000 AS BIGINT) AS ideal_e9,
+           CAST(COALESCE(m.dcg, CAST(0 AS DECIMAL(20,9))) AS DOUBLE)
+             / CAST(i.idcg AS DOUBLE) AS ndcg
+    FROM fused f CROSS JOIN nrel n CROSS JOIN mhits m CROSS JOIN ideal i
+    """,
+    note="END-TO-END retrieval pipeline, hash-checked as ONE composition "
+    "(the search-stack sibling of x_llm_corpus_e2e): BM25 keyword "
+    "retrieval + an independent occurrence-count ranking -> "
+    "reciprocal-rank fusion (decimal-routed contributions) -> offline "
+    "evaluation against deterministic qrels (recall@10, MRR, nDCG via "
+    "ranking_metrics). Every stage is an already-graded operator; this "
+    "entry grades their composition — fused top-10 rows annotated with "
+    "the query-level metric row (broadcast)",
+)
+def x_search_e2e(spark, sf_dir):
+    from flnr_wins_spark.functions.search import (
+        bm25_topk,
+        ranking_metrics,
+        rrf_fuse,
+        tokens,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, ["spark", "merge", "window"], k=10)
+    vcnt = (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(tokens(F.col("text")), lambda tk: tk == "value"))
+            .cast("bigint")
+            .alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("doc_id"))
+    second = (
+        vcnt.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "rank")
+    )
+    fused = rrf_fuse([lex.select("doc_id", "rank"), second], k=10)
+    res = fused.select(
+        F.lit(0).cast("bigint").alias("query_id"),
+        F.col("doc_id").alias("cand_id"),
+        "rank",
+    )
+    labels = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(F.lit(0).cast("bigint").alias("query_id"),
+                F.col("doc_id").alias("cand_id"))
+    )
+    m = ranking_metrics(res, labels, k=10).drop("query_id")
+    return fused.crossJoin(F.broadcast(m)).select(
+        "doc_id", "rrf", "n_systems", "rank",
+        "n_rel", "hits_k", "recall_k", "mrr", "dcg_e9", "ideal_e9", "ndcg",
+    )
+
+
+@query(
     "x_rank_metrics",
     sql="""
     WITH qs AS (SELECT CAST(i AS BIGINT) AS q FROM range(10) t(i)),

@@ -543,3 +543,32 @@ def test_partition_pruned_merge_equals_whole_table_merge(
         .collect()
     }
     assert got == want
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-9, 9)),
+        min_size=0, max_size=15, unique_by=lambda t: t[0],
+    ),
+    change=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-9, 9)),
+        min_size=1, max_size=8, unique_by=lambda t: t[0],
+    ),
+)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_merge_evolve_is_idempotent(spark, base, change):
+    """MERGE semantics: applying the same keyed changeset twice lands on
+    the same table as applying it once (UPDATE SET * with identical
+    values is a no-op; INSERT matches on the second pass and updates to
+    itself). The property exactly-once replay protection relies on."""
+    from flnr_wins_spark.operators.merge import merge_upsert_evolve
+
+    schema = "id long, v long"
+    t0 = spark.createDataFrame(base, schema) if base else spark.createDataFrame([], schema)
+    s = spark.createDataFrame(change, schema)
+    once = merge_upsert_evolve(t0, s, ["id"])
+    twice = merge_upsert_evolve(once, s, ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
