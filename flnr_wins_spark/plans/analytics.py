@@ -1664,3 +1664,83 @@ def x_kaplan_meier(spark, sf_dir):
             (F.col("ln_s") * F.lit(1_000_000_000)).cast("bigint"),
         ).alias("ln_s_e9"),
     )
+
+
+@query(
+    "x_seasonal_decompose",
+    sql="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             SUM(CAST(value AS DECIMAL(27,6))) AS ydec
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT h, CAST(ydec AS DOUBLE) AS y,
+             CASE WHEN COUNT(*) OVER w = 25
+                  THEN CAST(SUM(ydec) OVER w AS DOUBLE) / 25.0 END AS trend
+      FROM hourly
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (SELECT h, y, trend, y - trend AS d FROM tr),
+    seas AS (
+      SELECT CAST(hour(h) AS INTEGER) AS hod,
+             CAST(SUM(CAST(d AS DECIMAL(27,9))) AS DOUBLE)
+               / CAST(COUNT(d) AS DOUBLE) AS seasonal
+      FROM det WHERE d IS NOT NULL GROUP BY 1
+    )
+    SELECT det.h AS h, CAST(hour(det.h) AS INTEGER) AS hod, y, trend,
+           s.seasonal AS seasonal, det.d - s.seasonal AS remainder
+    FROM det JOIN seas s ON CAST(hour(det.h) AS INTEGER) = s.hod
+    """,
+    note="classical additive seasonal decomposition of the hourly series "
+    "(period 24): centered 25-hour moving-average trend (NULL on the 12 "
+    "edge hours), per-hour-of-day seasonal means of the detrended series, "
+    "remainder = detrended - seasonal. Exactness: hourly sums and all "
+    "means route through decimals (window sums exact, one double "
+    "division each). Scale shape: the corpus-sized pass is the hourly "
+    "groupBy; the global-order window then runs on the CALENDAR-bounded "
+    "series (720 rows/month regardless of corpus size), so the "
+    "single-partition window is series-sized, never corpus-sized. The MA "
+    "frame is ROW-based over OBSERVED hours (sparse series: empty hours "
+    "are absent, not zero-filled — left as the caller's resampling "
+    "decision)",
+)
+def x_seasonal_decompose(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"), "value"
+        )
+        .groupBy("h")
+        .agg(F.sum(F.col("value").cast("decimal(27,6)")).alias("ydec"))
+    )
+    w = Window.orderBy("h").rowsBetween(-12, 12)
+    tr = hourly.select(
+        "h",
+        F.col("ydec").cast("double").alias("y"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 25,
+            F.sum("ydec").over(w).cast("double") / F.lit(25.0),
+        ).alias("trend"),
+    )
+    det = tr.withColumn("d", F.col("y") - F.col("trend"))
+    seas = (
+        det.filter(F.col("d").isNotNull())
+        .groupBy(F.hour("h").cast("int").alias("hod"))
+        .agg(
+            (
+                F.sum(F.col("d").cast("decimal(27,9)")).cast("double")
+                / F.count("d").cast("double")
+            ).alias("seasonal")
+        )
+    )
+    return (
+        det.withColumn("hod", F.hour("h").cast("int"))
+        .join(F.broadcast(seas), "hod")
+        .select(
+            "h", "hod", "y", "trend", "seasonal",
+            (F.col("d") - F.col("seasonal")).alias("remainder"),
+        )
+    )
