@@ -65,3 +65,31 @@ def assert_schema(df: DataFrame, expected: T.StructType, name: str = "dataset") 
                 f"{name}: column {f.name} is {got[f.name.lower()]}, expected {f.dataType}"
             )
     return df
+
+
+def register_tables(
+    spark,
+    sf_dir: str,
+    names: tuple[str, ...] = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ),
+    prefix: str = "",
+) -> list[str]:
+    """Register the dataset's tables as temp views so users can drive the
+    ENGINE THROUGH SQL directly (``spark.sql("SELECT ... FROM orders")``)
+    — the query-language front door the reference lacks entirely
+    (SURVEY §2c: its only 'SQL' is where-clause fragments,
+    ``wts.py:168-268``); here Spark's own parser/Catalyst IS the engine,
+    so exposing it costs one view registration per table. Views go
+    through ``read_table`` (NANOS-timestamp handling included), so SQL
+    users inherit the same read semantics as the DataFrame API. Returns
+    the registered view names.
+    """
+    from flnr_wins_spark.sources import read_table
+
+    out = []
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(f"{prefix}{n}")
+        out.append(f"{prefix}{n}")
+    return out

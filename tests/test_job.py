@@ -217,3 +217,24 @@ def test_runlog_logger_evicted_on_close():
     assert name in logging.Logger.manager.loggerDict
     rl.close()
     assert name not in logging.Logger.manager.loggerDict
+
+
+def test_register_tables_sql_front_door(spark):
+    """SQL users drive the same engine: register views, run plain SQL,
+    get the same result as the DataFrame path (incl. the NANOS-timestamp
+    events table, which raw spark.read cannot even open)."""
+    from flnr_wins_spark.sources import read_table
+    from flnr_wins_spark.sources.catalog import register_tables
+
+    sf = "/root/testdata/sf0.001"
+    views = register_tables(spark, sf, prefix="sqlfd_")
+    assert "sqlfd_events" in views and len(views) == 10
+    got = spark.sql(
+        "SELECT event_type, COUNT(*) AS n FROM sqlfd_events GROUP BY 1"
+    ).collect()
+    want = (
+        read_table(spark, sf, "events").groupBy("event_type").count().collect()
+    )
+    assert {(r.event_type, r.n) for r in got} == {
+        (r.event_type, r["count"]) for r in want
+    }
