@@ -322,3 +322,57 @@ def vacuum_ptable(spark: SparkSession, table_path: str, keep_last: int = 2) -> l
             fs_m.delete(jm, False)
             deleted.append(f"{table_path}/manifests/m{k}.json")
     return deleted
+
+
+def ptable_diff(
+    spark: SparkSession,
+    table_path: str,
+    from_manifest: int,
+    to_manifest: int,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level CDC between two committed manifests — what changed
+    between version ``from_manifest`` and ``to_manifest`` — PRUNED by the
+    manifest metadata: partitions whose stage directory is IDENTICAL in
+    both manifests are provably unchanged (stages are immutable) and are
+    never read. Cost is O(partitions that actually changed), the same
+    delta-proportionality as :func:`merge_ptable` — a naive diff of two
+    table reads would scan both versions in full.
+
+    Delegates the row comparison to the ONE diff implementation
+    (``operators.merge.snapshot_diff``: full-outer key join over content
+    digests), so snapshot-level and manifest-level CDC can never
+    disagree. Returns ``key_cols + [change_type]`` with change_type in
+    ('insert', 'update', 'delete'). Partitions present in only one
+    manifest contribute pure inserts/deletes through the same join (the
+    missing side is simply empty).
+    """
+    from flnr_wins_spark.operators.merge import snapshot_diff
+
+    ids = _manifest_ids(spark, table_path)
+    for k in (from_manifest, to_manifest):
+        if k not in ids:
+            raise FileNotFoundError(f"manifest m{k} of {table_path} does not exist")
+    a = _read_manifest(spark, table_path, from_manifest)
+    b = _read_manifest(spark, table_path, to_manifest)
+    pa, pb = a["partitions"], b["partitions"]
+    changed = sorted(
+        v for v in (set(pa) | set(pb)) if pa.get(v) != pb.get(v)
+    )
+    if not changed:
+        # nothing moved: an empty, correctly-typed diff without reading data
+        empty = read_ptable(spark, table_path, manifest=to_manifest).limit(0)
+        return snapshot_diff(empty, empty, key_cols, compare_cols=compare_cols)
+    old_vals = [v for v in changed if v in pa]
+    new_vals = [v for v in changed if v in pb]
+    base = read_ptable(spark, table_path, manifest=to_manifest).limit(0)
+    old = (
+        read_ptable(spark, table_path, manifest=from_manifest, partitions=old_vals)
+        if old_vals else base
+    )
+    new = (
+        read_ptable(spark, table_path, manifest=to_manifest, partitions=new_vals)
+        if new_vals else base
+    )
+    return snapshot_diff(old, new, key_cols, compare_cols=compare_cols)

@@ -157,3 +157,39 @@ def test_null_partition_values_rejected_loudly(spark, tmp_path):
     assert ptable_history(spark, path) == []
     write_ptable(df.filter("lang IS NOT NULL"), path, "lang")
     assert read_ptable(spark, path).count() == 1
+
+
+def test_ptable_diff_prunes_unchanged_partitions_and_matches_full_diff(
+    spark, tmp_path
+):
+    """Manifest-level CDC: partitions with identical stage dirs in both
+    manifests are provably unchanged and never read; the pruned diff must
+    equal the full-table snapshot_diff row for row."""
+    from flnr_wins_spark.operators.merge import snapshot_diff
+    from flnr_wins_spark.sources.ptable import ptable_diff
+
+    path = str(tmp_path / "tbl")
+    write_ptable(_base(spark), path, "lang")
+    change = spark.createDataFrame(
+        [(2, "en", 21.0), (6, "en", 60.0)], "id long, lang string, score double"
+    )
+    dels = spark.createDataFrame([(5, "de")], "id long, lang string")
+    merge_ptable(spark, path, change, ["id"], delete_keys=dels)
+
+    got = {tuple(r) for r in ptable_diff(spark, path, 1, 2, ["id"]).collect()}
+    full = {
+        tuple(r)
+        for r in snapshot_diff(
+            read_ptable(spark, path, manifest=1),
+            read_ptable(spark, path, manifest=2),
+            ["id"],
+        ).collect()
+    }
+    assert got == full
+    assert got == {(2, "update"), (6, "insert"), (5, "delete")}
+    # identical manifests diff to empty without reading any data
+    assert ptable_diff(spark, path, 2, 2, ["id"]).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        ptable_diff(spark, path, 1, 9, ["id"])
