@@ -152,3 +152,50 @@ def winsorize(
         )
         .drop("_wz_rn", "_wz_lo", "_wz_hi")
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Robust standardization ``(x - median) / IQR`` — the outlier-immune
+    alternative to z-scoring for feature prep (mean/std are dragged by the
+    tails a web-scale corpus always has; median/IQR are not).
+
+    Median and quartiles are exact rank-based order statistics (value at
+    rank ``ceil(p*N/100)``, ORDER BY value + tiebreak — the winsorize
+    convention, identical in any engine; interpolating definitions
+    differ). The scale expression is two correctly-rounded IEEE ops on
+    identical operands, so the output is engine-exact. Degenerate case:
+    IQR = 0 (constant-heavy column) yields NULL rather than a division
+    blow-up — callers treat NULL as "column carries no spread signal".
+
+    Dataflow mirrors :func:`winsorize`: sharded global rank, three bound
+    rows reduced to a one-row broadcast frame, one narrow projection —
+    the corpus never re-shuffles for the scaling itself.
+    """
+    ranked = global_row_number(df, [value_col, tiebreak_col], out_col="_rs_rn")
+    total = ranked.agg(F.count("*").alias(_TOT))
+    with_n = ranked.crossJoin(F.broadcast(total))
+    q1_rank = F.greatest(F.lit(1), F.expr(f"(25 * {_TOT} + 99) div 100"))
+    q2_rank = F.greatest(F.lit(1), F.expr(f"(50 * {_TOT} + 99) div 100"))
+    q3_rank = F.greatest(F.lit(1), F.expr(f"(75 * {_TOT} + 99) div 100"))
+    bounds = with_n.groupBy().agg(
+        F.min(F.when(F.col("_rs_rn") == q1_rank, F.col(value_col))).alias("_rs_q1"),
+        F.min(F.when(F.col("_rs_rn") == q2_rank, F.col(value_col))).alias("_rs_q2"),
+        F.min(F.when(F.col("_rs_rn") == q3_rank, F.col(value_col))).alias("_rs_q3"),
+    )
+    iqr = F.col("_rs_q3") - F.col("_rs_q1")
+    return (
+        ranked.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.when(
+                iqr != 0,
+                (F.col(value_col) - F.col("_rs_q2")) / iqr,
+            ),
+        )
+        .drop("_rs_rn", "_rs_q1", "_rs_q2", "_rs_q3")
+    )

@@ -1744,3 +1744,105 @@ def x_seasonal_decompose(spark, sf_dir):
             (F.col("d") - F.col("seasonal")).alias("remainder"),
         )
     )
+
+
+@query(
+    "x_robust_scale",
+    sql="""
+    WITH r AS (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ), b AS (
+      SELECT MIN(CASE WHEN rn = greatest(1, (25 * n + 99) // 100)
+                      THEN o_totalprice END) AS q1,
+             MIN(CASE WHEN rn = greatest(1, (50 * n + 99) // 100)
+                      THEN o_totalprice END) AS q2,
+             MIN(CASE WHEN rn = greatest(1, (75 * n + 99) // 100)
+                      THEN o_totalprice END) AS q3
+      FROM r
+    )
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN q3 - q1 <> 0
+                THEN (o_totalprice - q2) / (q3 - q1) END AS scaled
+    FROM r, b
+    """,
+    note="robust standardization (x - median)/IQR with exact rank-based "
+    "quartiles (value at rank ceil(p*N/100), the winsorize convention — "
+    "identical bound rows in every engine, no interpolation ambiguity); "
+    "IQR=0 yields NULL, never a division blow-up; sharded global rank, "
+    "bounds broadcast — the corpus never re-shuffles for the scaling",
+)
+def x_robust_scale(spark, sf_dir):
+    from flnr_wins_spark.operators.ranking import robust_scale
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return robust_scale(orders, "o_totalprice", "o_orderkey").select(
+        "o_orderkey", "o_totalprice", "scaled"
+    )
+
+
+@query(
+    "x_benford_audit",
+    sql="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    grid AS (SELECT CAST(i AS INTEGER) AS digit FROM range(1, 10) t(i)),
+    f AS (
+      SELECT g.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM grid g LEFT JOIN c ON g.digit = c.digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM f)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS observed,
+           CAST(CAST(ln(1.0 + (CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
+                     / ln(10.0) AS DECIMAL(20,9)) AS DOUBLE) AS expected,
+           (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+             - CAST(CAST(ln(1.0 + (CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
+                         / ln(10.0) AS DECIMAL(20,9)) AS DOUBLE) AS deviation
+    FROM f CROSS JOIN tot
+    """,
+    note="Benford first-digit audit — the classic fabricated-numbers "
+    "screen for financial/count columns: observed first-digit shares vs "
+    "the Benford expectation log10(1 + 1/d), per-digit deviation. "
+    "Expected probs route through DECIMAL(20,9) (two libm lns); observed "
+    "shares are single divisions of exact counts. One digit-extraction "
+    "scan + a 9-row aggregate",
+)
+def x_benford_audit(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spark_grid = orders.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    f = spark_grid.join(c, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    tot = f.groupBy().agg(F.sum("n").cast("bigint").alias("nt"))
+    observed = F.col("n").cast("double") / F.col("nt").cast("double")
+    expected = (
+        (
+            F.log(F.lit(1.0) + (F.lit(1.0) / F.col("digit").cast("double")))
+            / F.log(F.lit(10.0))
+        )
+        .cast("decimal(20,9)")
+        .cast("double")
+    )
+    return f.crossJoin(F.broadcast(tot)).select(
+        "digit", "n",
+        observed.alias("observed"),
+        expected.alias("expected"),
+        (observed - expected).alias("deviation"),
+    )

@@ -1013,3 +1013,24 @@ class TestSeasonalDecompose:
             by_hod[r.hod] = r.seasonal
         assert len(by_hod) == 24
         assert abs(sum(by_hod.values())) < max(abs(v) for v in by_hod.values()) * 24
+
+
+class TestRobustScale:
+    def test_median_maps_to_zero_and_iqr_normalizes(self, spark):
+        from flnr_wins_spark.operators.ranking import robust_scale
+
+        # values 1..100: q1=25, q2=50, q3=75, IQR=50
+        df = spark.range(1, 101).select(
+            F.col("id"), F.col("id").cast("double").alias("v")
+        )
+        got = {r["id"]: r["scaled"] for r in robust_scale(df, "v", "id").collect()}
+        assert got[50] == 0.0
+        assert got[75] == 0.5 and got[25] == -0.5
+        assert got[100] == 1.0
+
+    def test_zero_iqr_yields_null(self, spark):
+        from flnr_wins_spark.operators.ranking import robust_scale
+
+        df = spark.range(20).select(F.col("id"), F.lit(7.0).alias("v"))
+        rows = robust_scale(df, "v", "id").collect()
+        assert all(r["scaled"] is None for r in rows)
