@@ -72,7 +72,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_robust_scale", "x_benford_audit", "x_text_langid",
     "x_embedding_pca",
     "x_weighted_sample", "x_quantile_bottomk", "x_geo_grid_join",
-    "x_llm_corpus_e2e", "x_text_nfc", "x_dedup_tfidf",
+    "x_llm_corpus_e2e",
     # (c) latest grade r01 (four rounds stale) — all 29 rotate in
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_revenue_forecast", "q_events_dedup", "q_events_late_data",
@@ -86,6 +86,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_text_stats", "x_train_test_split",
     # (d) r02-latest whose modules were touched since (merge/dedup/
     # text/sample) — completes the ~50-entry budget
+    "x_text_nfc", "x_dedup_tfidf",
     "x_cdc_diff", "x_merge_upsert", "x_scd2_history", "x_dedup_spans",
     "x_quality_rules", "x_corpus_resample", "x_repetition_stats",
     "x_doc_chunking", "x_kfold_split", "x_vocab_topk",
