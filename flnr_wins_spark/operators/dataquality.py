@@ -347,3 +347,56 @@ def psi_terms(counts: DataFrame, bins: int) -> DataFrame:
     return counts.crossJoin(F.broadcast(tot)).select(
         "bin", "n_cur", "n_ref", term.alias("psi_term")
     )
+
+
+def fd_check(
+    df: DataFrame, candidates: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency audit (the data-profiling classic): for each
+    candidate ``lhs -> rhs``, does every ``lhs`` value determine exactly
+    one ``rhs`` value? Reports per candidate the number of determinant
+    groups, how many VIOLATE (carry >1 distinct rhs, NULL counted as a
+    value via the null-safe distinct), and the verdict — the evidence
+    schema-inference, key discovery, and denormalization checks build on
+    (Metanome/HyFD territory, restricted to declared candidates: full FD
+    *search* is exponential in columns and belongs offline).
+
+    One aggregation pass PER CANDIDATE over a (lhs, rhs) projection —
+    each is a two-column groupBy with map-side combine; candidates are
+    checked independently so Spark runs them as separate narrow jobs.
+    Returns (lhs, rhs, n_groups, n_violating, holds).
+    """
+    spark = df.sparkSession
+    outs = []
+    for lhs, rhs in candidates:
+        g = (
+            df.select(F.col(lhs).alias("_l"), F.col(rhs).alias("_r"))
+            .groupBy("_l")
+            .agg(
+                # null-safe distinct-rhs count: count_distinct DROPS NULLs
+                # (a struct-wrapped collect_set would KEEP a null-field
+                # struct and double-count), so add the null "value" back
+                # when the group contains one — matching the SQL twin's
+                # COUNT(DISTINCT rhs) + MAX(rhs IS NULL)
+                F.count_distinct(F.col("_r")).alias("_nd"),
+                F.max(F.col("_r").isNull().cast("int")).alias("_has_null"),
+            )
+            .select((F.col("_nd") + F.col("_has_null")).alias("_ndr"))
+        )
+        row = g.groupBy().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum((F.col("_ndr") > 1).cast("bigint")).alias("n_violating"),
+        )
+        outs.append(
+            row.select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_groups",
+                F.coalesce("n_violating", F.lit(0)).cast("bigint").alias("n_violating"),
+                (F.coalesce("n_violating", F.lit(0)) == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

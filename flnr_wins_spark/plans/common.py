@@ -69,7 +69,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_merge_evolve", "x_warc_ingest", "x_rerank_cross", "x_tokenize_unigram",
     "x_dp_counts", "x_target_encode", "x_drift_psi", "x_kaplan_meier",
     "x_rank_metrics", "x_search_e2e", "x_seasonal_decompose",
-    "x_robust_scale", "x_benford_audit", "x_text_langid",
+    "x_robust_scale", "x_benford_audit", "x_fd_check", "x_text_langid",
     "x_embedding_pca",
     "x_weighted_sample", "x_quantile_bottomk", "x_geo_grid_join",
     "x_llm_corpus_e2e",

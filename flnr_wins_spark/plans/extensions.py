@@ -5211,6 +5211,47 @@ def x_target_encode(spark, sf_dir):
     )
 
 
+_FD_CAND_SQL = """
+      SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+      FROM (SELECT {lhs},
+                   COUNT(DISTINCT {rhs})
+                     + MAX(CASE WHEN {rhs} IS NULL THEN 1 ELSE 0 END) AS nd
+            FROM orders GROUP BY {lhs}) g
+"""
+
+_FD_CANDS = [
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+
+@query(
+    "x_fd_check",
+    sql="SELECT lhs, rhs, n_groups, n_violating, n_violating = 0 AS holds FROM ("
+    + " UNION ALL ".join(
+        "(" + _FD_CAND_SQL.format(lhs=a, rhs=b) + ")" for a, b in _FD_CANDS
+    )
+    + ") u",
+    note="functional-dependency audit over declared candidates (the "
+    "Metanome/HyFD profiling primitive, search restricted to candidates "
+    "— full FD discovery is exponential and belongs offline): per "
+    "lhs->rhs, determinant-group count and how many groups carry >1 "
+    "distinct rhs (null-safe: NULL counts as a value). One "
+    "two-column groupBy per candidate, map-side combinable; the fixture "
+    "exercises a holding key FD, a failing many-to-many, and a failing "
+    "categorical pair",
+)
+def x_fd_check(spark, sf_dir):
+    from flnr_wins_spark.operators.dataquality import fd_check
+
+    orders = t(spark, sf_dir, "orders")
+    return fd_check(orders, _FD_CANDS)
+
+
 @query(
     "x_dp_counts",
     sql="""

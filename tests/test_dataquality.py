@@ -171,3 +171,25 @@ class TestDpCounts:
         r = dp_group_counts(df, "grp").collect()[0]
         assert r.n == 10
         assert r.noisy_count_e9 == 10 * 1_000_000_000 + r.noise_e9
+
+
+class TestFdCheck:
+    def test_holds_violations_and_null_as_value(self, spark):
+        from flnr_wins_spark.operators.dataquality import fd_check
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", "x"), (2, "a", "x"),      # a -> x consistent
+                (3, "b", "y"), (4, "b", "z"),      # b violates rhs
+                (5, "c", None), (6, "c", None),    # c -> NULL consistent
+                (7, "d", "w"), (8, "d", None),     # d: NULL is a SECOND value
+            ],
+            "id long, l string, r string",
+        )
+        out = {(r.lhs, r.rhs): r for r in fd_check(
+            df, [("id", "l"), ("l", "r")]
+        ).collect()}
+        assert out[("id", "l")].holds  # unique key determines anything
+        lr = out[("l", "r")]
+        assert not lr.holds
+        assert lr.n_groups == 4 and lr.n_violating == 2  # b and d violate
