@@ -5001,10 +5001,14 @@ def x_search_e2e(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # Global top-10 via TakeOrderedAndProject (per-partition heaps) BEFORE
+    # the rank window, so the single-partition sort only ever sees 10 rows —
+    # the bm25_topk pattern (functions/search.py); window-then-filter would
+    # funnel every matching doc through one task at corpus scale.
+    top10 = vcnt.orderBy(F.col("cnt").desc(), F.col("doc_id")).limit(10)
     w = Window.orderBy(F.col("cnt").desc(), F.col("doc_id"))
     second = (
-        vcnt.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
+        top10.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "rank")
     )
     fused = rrf_fuse([lex.select("doc_id", "rank"), second], k=10)
@@ -5726,11 +5730,19 @@ _MINHASH_ESTIMATE_SQL = (
 def x_dedup_minhash_estimate(spark, sf_dir):
     from flnr_wins_spark.operators.dedup import minhash_bands, minhash_signature_table
 
+    from pyspark import StorageLevel
+
     docs = _docs_with_dups(spark, sf_dir)
+    # The signature table feeds three consumers (banding + both agree
+    # sides). persist(MEMORY_AND_DISK), NOT localCheckpoint: the table is
+    # O(corpus-rows) (16 ints + id per doc), so it must stay spillable /
+    # evictable with lineage intact — the same doctrine as
+    # operators/dedup.py's verify path; only the duplicate-count-sized
+    # result below may pin.
     agg = minhash_signature_table(
         docs, "text", "doc_id", num_hash_tables=16, hash_fn="md5",
         min_parallelism=docs.sparkSession.sparkContext.defaultParallelism,
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = minhash_bands(agg, 16)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -5748,9 +5760,14 @@ def x_dedup_minhash_estimate(spark, sf_dir):
     agree = F.expr(
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))"
     )
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", (agree / F.lit(16.0)).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
+        # duplicate-count-sized (<< corpus): pin eagerly, then release the
+        # corpus-sized signature cache
+        .localCheckpoint(eager=True)
     )
+    agg.unpersist()
+    return out

@@ -495,6 +495,48 @@ def test_rerank_cross_broadcasts_query_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_search_e2e_limits_before_rank(spark):
+    """Every global ranking in the search pipeline must be a
+    TakeOrderedAndProject (per-partition heaps) feeding a k-row rank
+    window — never a corpus-wide Sort into an unpartitioned window. A
+    bare Sort node here is the plan that funnels every matching doc
+    through one task at 100 TB."""
+    import re
+
+    plan = _plan(spark, "x_search_e2e")
+    assert "TakeOrderedAndProject" in plan
+    # no standalone Sort exec node anywhere (the only "Sort" text allowed
+    # is inside TakeOrderedAndProject's orderBy= spec)
+    assert not re.search(r"\bSort \[", plan), plan
+    # every rank window is fed by a limit: equal node counts
+    assert plan.count("Window ") <= plan.count("TakeOrderedAndProject")
+
+
+def test_minhash_estimate_pins_only_pairs(spark):
+    """The signature table is O(corpus-rows) and must stay a spillable
+    persist (lineage intact); only the duplicate-count-sized verified
+    pair set may localCheckpoint — same doctrine as x_llm_corpus_e2e."""
+    from flnr_wins_spark.plans.common import all_queries
+
+    cls = type(spark.range(1))
+    calls = []
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(self._jdf.queryExecution().analyzed().toString())
+        return orig(self, eager)
+
+    cls.localCheckpoint = spy
+    try:
+        all_queries()["x_dedup_minhash_estimate"].fn(spark, SF_DIR)
+    finally:
+        cls.localCheckpoint = orig
+    assert len(calls) == 1  # the pair set only
+    # the pinned plan is the post-join filtered pair set, never the bare
+    # signature aggregate
+    assert "Join" in calls[0]
+
+
 def test_kaplan_meier_windows_are_group_sharded(spark):
     """Both KM windows (reverse at-risk cumsum, forward ln-sum) partition
     by the group key — a SinglePartition window would serialize the whole
