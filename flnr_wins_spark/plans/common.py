@@ -47,73 +47,54 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
-# driver-graded correctness row go first. Round-6 ordering: (a) the one
-# CORRECTNESS_r05 red (x_embedding_covariance, DECIMAL representability),
-# now projected as strings on both sides; (b) the three new r6 surfaces
-# (MERGE with schema evolution, WARC ingestion, cross-encoder rerank), the
-# new PCA power-iteration oracle, and every entry whose code or graded
-# projection changed this round; (c) the 29 entries whose latest grade is
-# r01 — four rounds stale, all rotate into the budget; (d) r02-latest
-# entries whose modules (merge/dedup/text/sample/sketches) were touched
-# since their grade; then (e) remaining r02, (f) the rows-only fast paths
-# (rows-evidence refresh each round), (g)-(i) r03/r04/r05 greens, freshest
-# last. Goal: after r6, no never-graded entries and no latest grade older
-# than r02 (the 29 r01s clear; remaining r02s rotate in r7).
+# driver-graded correctness row go first. Round-7 ordering: the driver
+# graded EXACTLY the first 50 in r6, so the first 50 here are exactly the
+# entries that need a fresh row: (a) the two never-graded r7 surfaces
+# (lakehouse CDC e2e, persisted-IVF feature store); (b) the two entries
+# whose code changed this round (search-e2e limit-then-rank rewrite,
+# minhash-estimate persist doctrine); (c) all 42 entries whose latest
+# grade is r02 — four rounds stale, the whole cohort rotates in; (d) four
+# r03-graded reference-parity criticals to top up the budget. Positions
+# 51+ follow staleness order (rows-only fast paths for rows-evidence,
+# then r03/r04/r05/r06 greens, freshest last). Goal after r7: no entry's
+# latest grade older than r03, no never-graded entries.
 # Names absent from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
-    # (a) the r05 red (DECIMAL representability), now stringified on
-    # both sides — must convert red -> green this round
-    "x_embedding_covariance",
-    # (b) new surface (MERGE-evolve, WARC ingest, cross rerank), the
-    # new PCA oracle, and entries whose code/projection changed in r6
-    "x_merge_evolve", "x_warc_ingest", "x_rerank_cross", "x_tokenize_unigram",
-    "x_dp_counts", "x_target_encode", "x_drift_psi", "x_kaplan_meier",
-    "x_rank_metrics", "x_search_e2e", "x_seasonal_decompose",
-    "x_robust_scale", "x_benford_audit", "x_fd_check", "x_text_langid",
-    "x_embedding_pca",
-    "x_weighted_sample", "x_quantile_bottomk", "x_geo_grid_join",
-    "x_llm_corpus_e2e",
-    # (c) latest grade r01 (four rounds stale) — all 29 rotate in
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_revenue_forecast", "q_events_dedup", "q_events_late_data",
-    "q_events_sessionize", "q_events_sliding", "q_rollup_acctbal",
-    "q_string_functions", "q_topk_per_group", "q_window_range_frame",
-    "q_window_rank_family", "q_window_running", "x_decontam",
-    "x_dedup_clusters", "x_dedup_exact", "x_dedup_ngram_jaccard",
-    "x_embedding_neardup", "x_multimodal_bytes", "x_multimodal_frames",
-    "x_pii_redact", "x_sample_stratified", "x_seq_packing",
-    "x_similarity_topk", "x_text_fingerprint", "x_text_quality",
-    "x_text_stats", "x_train_test_split",
-    # (d) r02-latest whose modules were touched since (merge/dedup/
-    # text/sample) — completes the ~50-entry budget
-    "x_text_nfc", "x_dedup_tfidf",
-    "x_cdc_diff", "x_merge_upsert", "x_scd2_history", "x_dedup_spans",
-    "x_quality_rules", "x_corpus_resample", "x_repetition_stats",
-    "x_doc_chunking", "x_kfold_split", "x_vocab_topk",
-    # (e) remaining r02-latest — next in line as budget allows
+    # (a) new r7 surfaces — never graded
+    "x_ptable_cdc_e2e", "x_similarity_ivf_persisted",
+    # (b) code changed in r7 (plan-shape fixes; values unchanged)
+    "x_search_e2e", "x_dedup_minhash_estimate",
+    # (c) all 42 r02-latest entries — four rounds stale, all rotate in
+    "x_text_tokenize_bpe", "x_multimodal_features",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
     "q18_large_volume_customer", "q19_discounted_revenue",
     "q20_potential_promotion", "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity", "q_asof_join", "q_cube_orders",
-    "q_date_functions", "q_distinct_agg", "q_exists_subquery",
-    "q_explode_tokens", "q_grouping_sets", "q_having", "q_lateral_topn",
-    "q_percentile", "q_pivot_status", "q_recursive_calendar",
-    "q_scalar_functions", "q_set_ops", "q_stats_derived", "q_union_distinct",
-    "q_unpivot_metrics", "x_corpus_stats", "x_multimodal_features",
-    "x_pagerank", "x_text_tokenize_bpe", "x_url_filter",
-    # (f) rows-only fast paths: refresh rows-evidence every round
+    "q22_global_sales_opportunity", "q_cube_orders", "q_grouping_sets",
+    "q_set_ops", "q_distinct_agg", "q_scalar_functions", "q_date_functions",
+    "q_asof_join", "q_pivot_status", "q_explode_tokens",
+    "q_exists_subquery", "q_having", "q_stats_derived", "q_union_distinct",
+    "q_percentile", "x_quality_rules", "x_corpus_stats", "x_doc_chunking",
+    "x_dedup_spans", "x_url_filter", "x_corpus_resample", "x_cdc_diff",
+    "x_merge_upsert", "x_scd2_history", "q_recursive_calendar",
+    "q_unpivot_metrics", "q_lateral_topn", "x_repetition_stats",
+    "x_pagerank", "x_kfold_split", "x_vocab_topk",
+    # (d) r03-graded reference-parity criticals — top up to exactly 50
+    "r1_append_no_test", "r4_enrich_left_join", "r7_reject_duplicates",
+    "q_source_roundtrip",
+    # ---- position 51+ (graded only if the budget stretches) ----
+    # rows-only fast paths: refresh rows-evidence when budget allows
     "x_dedup_minhash_lsh", "q_events_approx_distinct", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf",
-    # (g) latest grade r03
+    # latest grade r03 (remainder)
     "q10_returned_items", "q11_important_value", "q12_shipping_delay",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
     "q8_national_market_share", "q9_product_type_profit",
     "q_array_functions", "q_asof_tolerance", "q_listagg", "q_null_safe_join",
-    "q_skew_salted_join", "q_source_roundtrip", "q_window_fill_forward",
-    "q_window_time_range", "r1_append_no_test", "r2_conditional_update",
-    "r3_blank_to_null", "r4_enrich_left_join", "r6_frequency",
-    "r7_reject_duplicates", "r8_reject_unmatched", "x_bloom_prefilter",
+    "q_skew_salted_join", "q_window_fill_forward",
+    "q_window_time_range", "r2_conditional_update",
+    "r3_blank_to_null", "r6_frequency",
+    "r8_reject_unmatched", "x_bloom_prefilter",
     "x_countmin", "x_dedup_clusters_star", "x_dedup_containment",
     "x_dedup_url", "x_embedding_stats", "x_equidepth_bins",
     "x_funnel_counts", "x_global_rank", "x_group_topk_sample",
@@ -121,12 +102,12 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_packed_sequences", "x_retention_cohorts", "x_search_bm25",
     "x_similarity_int8", "x_token_bigrams", "x_unigram_quality",
     "x_url_canonicalize", "x_winsorize", "x_zorder_layout",
-    # (h) latest grade r04
+    # latest grade r04
     "q_events_histogram", "q_events_interpolate", "q_map_functions",
     "wins_e2e_kept", "wins_e2e_rejects", "x_attribution_last_touch",
     "x_bigram_lm_quality", "x_bpe_train", "x_classify_nb_langid",
     "x_classify_perceptron", "x_compaction_plan", "x_correlation_matrix",
-    "x_dedup_minhash_estimate", "x_dedup_minhash_portable",
+    "x_dedup_minhash_portable",
     "x_dedup_simhash_portable", "x_dq_expectations", "x_event_paths",
     "x_fuzzy_join", "x_group_regression", "x_hard_negatives",
     "x_k_anonymity", "x_kcore", "x_keywords_tfidf", "x_knn_classify",
@@ -137,7 +118,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_search_hybrid_rrf", "x_search_phrase", "x_similarity_ann_portable",
     "x_similarity_pq", "x_sorted_neighborhood", "x_tokenize_maxmatch",
     "x_triangle_count", "x_user_streaks",
-    # (i) latest grade r05 — freshest evidence, graded last
+    # latest grade r05 — freshest evidence, graded last
     "q_events_interval_join", "q_events_json", "q_events_multires_rollup",
     "q_events_tumbling", "x_ab_test", "x_attribution_linear",
     "x_binaryfile_ingest", "x_churn_training_set", "x_cooccur_pmi",

@@ -5771,3 +5771,127 @@ def x_dedup_minhash_estimate(spark, sf_dir):
     )
     agg.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse CDC loop, graded end-to-end (round 7)
+# ---------------------------------------------------------------------------
+
+_PTABLE_CDC_SQL = """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS part, o_custkey AS cust
+      FROM orders
+    ),
+    u1 AS (SELECT k, part, cust + 1000000 AS cust FROM base
+           WHERE k % 13 = 0 AND k % 19 <> 0),
+    i1 AS (SELECT k + 1000000 AS k, 'O' AS part, cust FROM base
+           WHERE k % 17 = 0),
+    b1 AS (SELECT * FROM u1 UNION ALL SELECT * FROM i1),
+    after1 AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE b.k NOT IN (SELECT k FROM b1)
+        AND b.k % 19 <> 0
+    ),
+    b2 AS (SELECT k, part, cust * 2 AS cust, 'cdc2' AS src FROM base
+           WHERE k % 7 = 0),
+    final AS (
+      SELECT k, part, cust, src FROM b2
+      UNION ALL
+      SELECT a.k, a.part, a.cust, CAST(NULL AS VARCHAR) AS src FROM after1 a
+      WHERE a.k NOT IN (SELECT k FROM b2)
+        AND a.k NOT IN (SELECT k FROM base WHERE k % 29 = 0 AND k % 7 <> 0)
+    )
+    SELECT k, part, cust, src FROM final
+    """
+
+
+@query(
+    "x_ptable_cdc_e2e",
+    sql=_PTABLE_CDC_SQL,
+    note="END-TO-END lakehouse CDC loop, hash-checked as ONE composition: "
+    "bootstrap a partition-level MVCC table (write_ptable), apply CDC "
+    "batch 1 (updates + inserts + deletes, delta-proportional "
+    "merge_ptable), run OPTIMIZE (compact_ptable — physical rewrite, "
+    "logically invisible), apply CDC batch 2 WITH schema evolution (new "
+    "'src' column), then read the final manifest. The oracle replays the "
+    "same two batches relationally — proving N sequential manifest merges "
+    "== the relational fold of the changesets, the batch twin of the "
+    "streaming ptable_merge_sink. All writes go to a per-call scratch "
+    "dir; only touched partitions are ever read or rewritten",
+)
+def x_ptable_cdc_e2e(spark, sf_dir):
+    import tempfile
+
+    from flnr_wins_spark.sources.ptable import (
+        compact_ptable,
+        merge_ptable,
+        read_ptable,
+        write_ptable,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("part"),
+        F.col("o_custkey").alias("cust"),
+    )
+    path = tempfile.mkdtemp(prefix="ptable_cdc_") + "/tbl"
+    write_ptable(base, path, "part")
+    # CDC batch 1: value updates (never on deleted keys), out-of-range
+    # inserts, deletes carrying their (key, partition)
+    u1 = base.filter((F.col("k") % 13 == 0) & (F.col("k") % 19 != 0)).select(
+        "k", "part", (F.col("cust") + F.lit(1000000)).alias("cust")
+    )
+    i1 = base.filter(F.col("k") % 17 == 0).select(
+        (F.col("k") + F.lit(1000000)).alias("k"),
+        F.lit("O").alias("part"),
+        "cust",
+    )
+    d1 = base.filter(F.col("k") % 19 == 0).select("k", "part")
+    merge_ptable(spark, path, u1.unionByName(i1), ["k"], delete_keys=d1)
+    # OPTIMIZE between batches: collapses the merge's small files; must be
+    # logically invisible to the final read
+    compact_ptable(spark, path)
+    # CDC batch 2: schema evolution (adds 'src'); re-inserts any batch-1
+    # deleted key it names; deletes stay disjoint from its upserts
+    b2 = base.filter(F.col("k") % 7 == 0).select(
+        "k", "part",
+        (F.col("cust") * F.lit(2)).alias("cust"),
+        F.lit("cdc2").alias("src"),
+    )
+    d2 = base.filter((F.col("k") % 29 == 0) & (F.col("k") % 7 != 0)).select(
+        "k", "part"
+    )
+    merge_ptable(spark, path, b2, ["k"], delete_keys=d2)
+    return read_ptable(spark, path).select("k", "part", "cust", "src")
+
+
+@query(
+    "x_similarity_ivf_persisted",
+    sql=_IVF_KMEANS_SQL,
+    note="FEATURE-STORE posture for ANN: the trained IVF model (k-means "
+    "centroids) persists through the versioned snapshot layer and the "
+    "probe runs against the LOADED index — a stale v1 model and the "
+    "current v2 model are both committed, the read resolves the newest "
+    "version, and the result hash-matches the fresh-fit twin "
+    "(x_similarity_ivf_kmeans's oracle verbatim): "
+    "probe-over-loaded-index == probe-over-fresh-fit. Proves the model "
+    "round-trips bit-exactly (parquet doubles) so ANN queries reuse a "
+    "versioned index instead of refitting per query; index refresh is "
+    "just the next write_snapshot, rollback is time travel",
+)
+def x_similarity_ivf_persisted(spark, sf_dir):
+    import tempfile
+
+    from flnr_wins_spark.functions.vectors import ivf_topk, kmeans_fit
+    from flnr_wins_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    write_snapshot(kmeans_fit(emb, k=8, iters=1), path)  # stale v1 model
+    write_snapshot(kmeans_fit(emb, k=8, iters=3), path)  # current v2 model
+    cents = read_snapshot(spark, path)  # newest complete version
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, nlist=8, nprobe=3, k=5, centroids=cents)

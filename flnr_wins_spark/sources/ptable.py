@@ -324,6 +324,141 @@ def vacuum_ptable(spark: SparkSession, table_path: str, keep_last: int = 2) -> l
     return deleted
 
 
+def list_partition_files(
+    spark: SparkSession, table_path: str, manifest: int | None = None
+) -> dict[str, int]:
+    """Data-file count per partition value at a manifest — the signal the
+    compaction planner reads. Counts only parquet data files (crc/_SUCCESS
+    markers excluded); cost is one FS listing per partition directory,
+    never a data read."""
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    k = manifest if manifest is not None else ids[-1]
+    m = _read_manifest(spark, table_path, k)
+    out: dict[str, int] = {}
+    for val, rel in sorted(m["partitions"].items()):
+        fs, jpath = _fs(spark, f"{table_path}/{rel}")
+        n = 0
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                n += 1
+        out[val] = n
+    return out
+
+
+def compact_ptable(
+    spark: SparkSession,
+    table_path: str,
+    partitions: list | None = None,
+    min_files: int = 2,
+) -> int | None:
+    """OPTIMIZE: rewrite the named partitions (default: every partition
+    holding >= ``min_files`` data files) into one file each inside a fresh
+    stage dir, and commit a manifest that points the compacted partitions
+    at the new stage while carrying every other partition by reference —
+    the small-file compaction half of the mini-Iceberg, same atomic-rename
+    commit as :func:`merge_ptable`.
+
+    Data is bit-identical before/after (compaction is a physical rewrite,
+    not a logical change); older manifests still reference the old stage
+    dirs, so time travel to pre-compaction versions keeps working until
+    :func:`vacuum_ptable` reclaims them.
+
+    Scale posture: ``repartition(part_col)`` routes each partition's rows
+    to exactly one task (one output file per hive dir), and the tasks run
+    in parallel across partitions — compaction cost is O(touched
+    partitions' data), never O(table). Returns the new manifest id, or
+    ``None`` when nothing needed compacting (no empty commits).
+    """
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    prev = _read_manifest(spark, table_path, ids[-1])
+    part_col = prev["part_col"]
+    if partitions is not None:
+        want = {str(p) for p in partitions}
+        missing = want - set(prev["partitions"])
+        if missing:
+            raise FileNotFoundError(
+                f"partitions not in manifest m{ids[-1]}: {sorted(missing)}"
+            )
+        todo = sorted(want)
+    else:
+        counts = list_partition_files(spark, table_path, ids[-1])
+        todo = sorted(v for v, n in counts.items() if n >= min_files)
+    if not todo:
+        return None
+    k = ids[-1] + 1
+    stage = f"{table_path}/stage/m{k}"
+    _clear_crashed_stage(spark, table_path, k)
+    (
+        read_ptable(spark, table_path, partitions=todo)
+        .repartition(F.col(part_col))
+        .write.mode("error")
+        .partitionBy(part_col)
+        .parquet(stage)
+    )
+    written = set(_stage_partitions(spark, stage, part_col))
+    mapping = dict(prev["partitions"])
+    for v in written:
+        mapping[v] = f"stage/m{k}/{part_col}={_enc(v)}"
+    _write_manifest(
+        spark, table_path, k,
+        {
+            "part_col": part_col,
+            "part_type": prev["part_type"],
+            "partitions": mapping,
+            "meta": {"compacted": sorted(written)},
+        },
+    )
+    return k
+
+
+def repartition_ptable(
+    spark: SparkSession, table_path: str, new_part_col: str
+) -> int:
+    """Partition evolution: one full rewrite under a NEW partition column,
+    committed as the next manifest. Each manifest carries its own
+    ``part_col``/``part_type``, so time travel to pre-evolution manifests
+    keeps reading under the OLD spec, while :func:`merge_ptable` (which
+    takes the partition column from the newest manifest) immediately
+    operates under the new one. The old partition column survives as a
+    regular data column.
+
+    This is the one deliberately O(table) operation in the layer — spec
+    changes rewrite data once, exactly like Iceberg's
+    ``REPLACE PARTITION FIELD`` followed by a rewrite; every subsequent
+    merge is delta-proportional under the new spec."""
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    prev = _read_manifest(spark, table_path, ids[-1])
+    df = read_ptable(spark, table_path)
+    if new_part_col not in df.columns:
+        raise ValueError(f"new partition column '{new_part_col}' not in table")
+    k = ids[-1] + 1
+    stage = f"{table_path}/stage/m{k}"
+    _clear_crashed_stage(spark, table_path, k)
+    df.write.mode("error").partitionBy(new_part_col).parquet(stage)
+    part_type = dict(df.dtypes)[new_part_col]
+    mapping = {
+        v: f"stage/m{k}/{new_part_col}={_enc(v)}"
+        for v in _stage_partitions(spark, stage, new_part_col)
+    }
+    _write_manifest(
+        spark, table_path, k,
+        {
+            "part_col": new_part_col,
+            "part_type": part_type,
+            "partitions": mapping,
+            "meta": {"evolved_from": prev["part_col"]},
+        },
+    )
+    return k
+
+
 def ptable_diff(
     spark: SparkSession,
     table_path: str,

@@ -193,3 +193,123 @@ def test_ptable_diff_prunes_unchanged_partitions_and_matches_full_diff(
 
     with _pytest.raises(FileNotFoundError):
         ptable_diff(spark, path, 1, 9, ["id"])
+
+def test_compact_ptable_merges_small_files_bit_identically(spark, tmp_path):
+    """OPTIMIZE: the compacted partition collapses to one data file, reads
+    are row-identical before/after, untouched partitions carry by
+    reference, and time travel to the pre-compaction manifest is intact."""
+    import glob
+
+    from flnr_wins_spark.sources.ptable import compact_ptable, list_partition_files
+
+    path = str(tmp_path / "tbl")
+    # force many small files: 60 rows round-robined over 8 tasks before the
+    # bootstrap write -> each lang dir gets ~8 files
+    langs = ["en", "fr", "de"]
+    big = spark.createDataFrame(
+        [(i, langs[i % 3], float(i)) for i in range(60)],
+        "id long, lang string, score double",
+    ).repartition(8)
+    write_ptable(big, path, "lang")
+    counts = list_partition_files(spark, path)
+    assert counts["en"] >= 2  # the fixture actually has the small-file problem
+    before = {tuple(r) for r in read_ptable(spark, path).collect()}
+
+    k = compact_ptable(spark, path, min_files=2)
+    assert k == 2
+    after = {tuple(r) for r in read_ptable(spark, path).collect()}
+    assert after == before  # physical rewrite, zero logical change
+    # every compacted partition is now exactly one file
+    new_counts = list_partition_files(spark, path)
+    assert all(n == 1 for n in new_counts.values()), new_counts
+    # time travel: the pre-compaction manifest still reads the old stage
+    old = {tuple(r) for r in read_ptable(spark, path, manifest=1).collect()}
+    assert old == before
+    assert glob.glob(f"{path}/stage/m1/lang=en/*.parquet")  # old files intact
+    # idempotent: nothing left to compact -> no empty commit
+    assert compact_ptable(spark, path, min_files=2) is None
+    assert ptable_history(spark, path) == [1, 2]
+
+
+def test_compact_ptable_named_partitions_only(spark, tmp_path):
+    from flnr_wins_spark.sources.ptable import compact_ptable, list_partition_files
+
+    path = str(tmp_path / "tbl")
+    write_ptable(_base(spark).repartition(8), path, "lang")
+    compact_ptable(spark, path, partitions=["en"])
+    counts = list_partition_files(spark, path)
+    assert counts["en"] == 1
+    # fr was NOT rewritten: still referenced at its m1 stage
+    from flnr_wins_spark.sources.ptable import _read_manifest
+
+    m = _read_manifest(spark, path, 2)
+    assert m["partitions"]["fr"].startswith("stage/m1/")
+    with pytest.raises(FileNotFoundError, match="not in manifest"):
+        compact_ptable(spark, path, partitions=["zz"])
+
+
+def test_compact_survives_vacuum_and_merge_continues(spark, tmp_path):
+    """After compaction + vacuum, the table keeps merging normally and the
+    vacuumed pre-compaction stage is gone."""
+    import os
+
+    from flnr_wins_spark.sources.ptable import compact_ptable
+
+    path = str(tmp_path / "tbl")
+    write_ptable(_base(spark).repartition(8), path, "lang")
+    # explicit partition list forces a full rewrite regardless of file counts
+    compact_ptable(spark, path, partitions=["en", "fr", "de"])
+    vacuum_ptable(spark, path, keep_last=1)
+    assert not os.path.isdir(f"{path}/stage/m1")
+    merge_ptable(
+        spark,
+        path,
+        spark.createDataFrame([(9, "fr", 9.0)], "id long, lang string, score double"),
+        ["id"],
+    )
+    got = {r.id: r.score for r in read_ptable(spark, path).collect()}
+    assert got[9] == 9.0 and got[1] == 10.0
+
+
+def test_repartition_ptable_partition_evolution(spark, tmp_path):
+    """Partition evolution: new spec for all FUTURE operations, old
+    manifests still read under the old spec, merge works against the new
+    spec, and the old partition column survives as a data column."""
+    from flnr_wins_spark.sources.ptable import _read_manifest, repartition_ptable
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [
+            (1, "en", "news", 10.0), (2, "en", "web", 20.0),
+            (3, "fr", "news", 30.0), (4, "de", "web", 40.0),
+        ],
+        "id long, lang string, origin string, score double",
+    )
+    write_ptable(df, path, "lang")
+    k = repartition_ptable(spark, path, "origin")
+    assert k == 2
+    m = _read_manifest(spark, path, 2)
+    assert m["part_col"] == "origin"
+    assert m["meta"] == {"evolved_from": "lang"}
+    assert set(m["partitions"]) == {"news", "web"}
+    # reads under the new spec: all columns intact
+    cur = {tuple(r) for r in
+           read_ptable(spark, path).select("id", "lang", "origin", "score").collect()}
+    assert cur == {(1, "en", "news", 10.0), (2, "en", "web", 20.0),
+                   (3, "fr", "news", 30.0), (4, "de", "web", 40.0)}
+    # time travel: pre-evolution manifest still reads (old spec)
+    old = read_ptable(spark, path, manifest=1)
+    assert {r.id for r in old.collect()} == {1, 2, 3, 4}
+    assert {r.lang for r in read_ptable(spark, path, manifest=1,
+                                        partitions=["en"]).collect()} == {"en"}
+    # merge now operates under the NEW spec: only the named origin partition
+    change = spark.createDataFrame(
+        [(2, "en", "web", 21.0)], "id long, lang string, origin string, score double"
+    )
+    merge_ptable(spark, path, change, ["id"])
+    m3 = _read_manifest(spark, path, 3)
+    assert m3["partitions"]["news"].startswith("stage/m2/")  # untouched, by ref
+    got = {r.id: r.score for r in read_ptable(spark, path).collect()}
+    assert got == {1: 10.0, 2: 21.0, 3: 30.0, 4: 40.0}
+    with pytest.raises(ValueError, match="not in table"):
+        repartition_ptable(spark, path, "nope")
