@@ -70,8 +70,8 @@ def main() -> None:
                 # keep notes SHORT (<300 chars): the driver captures only the
                 # last 2,000 chars of stdout — a long note truncated 9 of 27
                 # r5 timings out of BENCH_r05.json. Prose lives in SURVEY §8.
-                "notes": "min-of-2 per query, steady-state plan; 30 "
-                "headliners (r6 adds merge-evolve, warc, cross-rerank); "
+                "notes": "min-of-2 per query, steady-state plan; 31 "
+                "headliners (r7 adds the lakehouse CDC e2e); "
                 "see SURVEY.md §8 for per-round analysis.",
             }
         )

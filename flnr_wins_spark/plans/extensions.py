@@ -5820,6 +5820,7 @@ _PTABLE_CDC_SQL = """
     "== the relational fold of the changesets, the batch twin of the "
     "streaming ptable_merge_sink. All writes go to a per-call scratch "
     "dir; only touched partitions are ever read or rewritten",
+    bench=True,
 )
 def x_ptable_cdc_e2e(spark, sf_dir):
     import tempfile
@@ -5895,3 +5896,62 @@ def x_similarity_ivf_persisted(spark, sf_dir):
     cents = read_snapshot(spark, path)  # newest complete version
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(queries, emb, nlist=8, nprobe=3, k=5, centroids=cents)
+
+
+@query(
+    "x_ptable_zonemap_prune",
+    sql="""
+    WITH hit AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey BETWEEN 200 AND 899
+    ),
+    pr AS (
+      SELECT CAST(COUNT(DISTINCT CAST(FLOOR(CAST(o_orderkey AS DOUBLE) / 500)
+                                      AS BIGINT)) AS BIGINT) AS n
+      FROM orders WHERE o_orderkey BETWEEN 200 AND 899
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+             AS sum_price,
+           (SELECT n FROM pr) AS n_parts_read
+    FROM hit GROUP BY o_orderstatus
+    """,
+    note="ZONE-MAP pruning graded end-to-end: orders committed as a "
+    "partition-level MVCC table (bucketed partition key, stats_cols zone "
+    "maps in the manifest), then a range probe asks prune_partitions for "
+    "the candidate partitions from METADATA ALONE and reads only those — "
+    "the manifest-granularity analog of parquet row-group skipping. "
+    "n_parts_read pins that pruning was TIGHT (= the number of buckets "
+    "the range truly intersects, which the oracle derives relationally); "
+    "the aggregate over the pruned read must equal the plain WHERE over "
+    "the full table",
+)
+def x_ptable_zonemap_prune(spark, sf_dir):
+    import tempfile
+
+    from flnr_wins_spark.sources.ptable import (
+        prune_partitions,
+        read_ptable,
+        write_ptable,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.floor(F.col("o_orderkey") / F.lit(500)).cast("string").alias("kb"),
+    )
+    path = tempfile.mkdtemp(prefix="ptable_zm_") + "/tbl"
+    write_ptable(base, path, "kb", stats_cols=["o_orderkey"])
+    pruned = prune_partitions(spark, path, "o_orderkey", 200, 899)
+    hit = (
+        read_ptable(spark, path, partitions=pruned)
+        .filter(F.col("o_orderkey").between(200, 899))
+    )
+    return hit.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.lit(len(pruned)).cast("bigint").alias("n_parts_read"),
+    )

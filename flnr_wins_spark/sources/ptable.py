@@ -143,10 +143,68 @@ def _clear_crashed_stage(spark: SparkSession, table_path: str, k: int) -> None:
         fs.delete(jpath, True)
 
 
-def write_ptable(df: DataFrame, table_path: str, part_col: str) -> int:
+def _json_scalar(v):
+    """Manifest-storable form of a min/max value. Numbers/strings/bools
+    pass through; dates/datetimes/Decimals stringify (ISO order-preserving
+    for dates, so pruning comparisons stay valid on the string form)."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    raise TypeError(
+        f"zone-map stats cannot store a {type(v).__name__} min/max — "
+        "restrict stats_cols to numeric/string/date/timestamp columns"
+    )
+
+
+def _compute_stats(
+    spark: SparkSession, stage_path: str, part_col: str, stats_cols: list[str]
+) -> dict:
+    """Per-partition [min, max] zone maps for ``stats_cols``, computed in
+    ONE column-pruned scan of the just-written stage (the scan reads only
+    the stats columns of data already in page cache; the collect is
+    partition-count-sized). Missing columns (pre-evolution partitions)
+    simply contribute no entry — readers treat absence as 'cannot prune'."""
+    df = spark.read.parquet(stage_path)
+    cols = [c for c in stats_cols if c in df.columns]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"_mn_{c}"))
+        aggs.append(F.max(c).alias(f"_mx_{c}"))
+    out: dict[str, dict] = {}
+    for r in df.groupBy(part_col).agg(*aggs).collect():
+        d = r.asDict()
+        out[str(d[part_col])] = {
+            c: [_json_scalar(d[f"_mn_{c}"]), _json_scalar(d[f"_mx_{c}"])]
+            for c in cols
+            if d[f"_mn_{c}"] is not None
+        }
+    return out
+
+
+def write_ptable(
+    df: DataFrame,
+    table_path: str,
+    part_col: str,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Write ``df`` as a new FULL commit of the partitioned table (every
     partition staged fresh); returns the manifest id. The partition column
-    stays a real column on read (recovered from the directory name)."""
+    stays a real column on read (recovered from the directory name).
+
+    ``stats_cols`` opts the table into partition-level ZONE MAPS: per
+    partition, [min, max] of each named column rides the manifest, and
+    :func:`prune_partitions` answers range predicates from metadata alone
+    — the file-skipping layer the table formats give, at manifest
+    granularity. Later merges re-derive stats for the partitions they
+    rewrite and carry the rest by reference."""
     spark = df.sparkSession
     ids = _manifest_ids(spark, table_path)
     k = (ids[-1] + 1) if ids else 1
@@ -158,10 +216,11 @@ def write_ptable(df: DataFrame, table_path: str, part_col: str) -> int:
         v: f"stage/m{k}/{part_col}={_enc(v)}"
         for v in _stage_partitions(spark, stage, part_col)
     }
-    _write_manifest(
-        spark, table_path, k,
-        {"part_col": part_col, "part_type": part_type, "partitions": mapping},
-    )
+    manifest = {"part_col": part_col, "part_type": part_type, "partitions": mapping}
+    if stats_cols:
+        manifest["stats_cols"] = list(stats_cols)
+        manifest["stats"] = _compute_stats(spark, stage, part_col, list(stats_cols))
+    _write_manifest(spark, table_path, k, manifest)
     return k
 
 
@@ -273,6 +332,21 @@ def merge_ptable(
         "part_type": prev["part_type"],
         "partitions": mapping,
     }
+    if prev.get("stats_cols"):
+        # zone maps: untouched partitions keep their stats by reference;
+        # rewritten partitions re-derive from the fresh stage (one pruned
+        # scan of just-written data)
+        stats = {
+            v: s for v, s in prev.get("stats", {}).items() if v in mapping
+        }
+        for v in written:
+            stats.pop(v, None)
+        if written:  # a delete-only merge leaves an empty stage: no scan
+            stats.update(
+                _compute_stats(spark, stage, part_col, prev["stats_cols"])
+            )
+        manifest["stats_cols"] = prev["stats_cols"]
+        manifest["stats"] = stats
     if meta:
         # caller-owned metadata rides the atomic commit (e.g. the streaming
         # sink's applied-batch-id for exactly-once replay skipping); the
@@ -322,6 +396,49 @@ def vacuum_ptable(spark: SparkSession, table_path: str, keep_last: int = 2) -> l
             fs_m.delete(jm, False)
             deleted.append(f"{table_path}/manifests/m{k}.json")
     return deleted
+
+
+def prune_partitions(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    manifest: int | None = None,
+) -> list[str]:
+    """Zone-map pruning: the partition values that COULD hold rows with
+    ``lo <= col <= hi``, answered from manifest metadata alone — zero data
+    files touched. A partition is pruned only when its recorded [min, max]
+    provably excludes the range; partitions without stats for ``col``
+    (table not opted in, column evolved in later, or all-NULL) are KEPT —
+    pruning is conservative, never lossy. Compose with
+    ``read_ptable(..., partitions=...)`` for the manifest-level analog of
+    parquet row-group skipping: at 100 TB a keyed range probe reads the
+    handful of partitions whose zone intersects, not the table.
+
+    ``lo``/``hi`` (either may be None for a half-open range) must be in
+    the column's stored domain — numbers for numeric columns, ISO strings
+    for date/timestamp columns (stats store those as ISO strings, which
+    order identically)."""
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    k = manifest if manifest is not None else ids[-1]
+    m = _read_manifest(spark, table_path, k)
+    stats = m.get("stats", {})
+    keep = []
+    for v in sorted(m["partitions"]):
+        rng = stats.get(v, {}).get(col)
+        if rng is None:
+            keep.append(v)  # no evidence -> cannot prune
+            continue
+        mn, mx = rng
+        if lo is not None and mx < lo:
+            continue
+        if hi is not None and mn > hi:
+            continue
+        keep.append(v)
+    return keep
 
 
 def list_partition_files(
@@ -404,15 +521,17 @@ def compact_ptable(
     mapping = dict(prev["partitions"])
     for v in written:
         mapping[v] = f"stage/m{k}/{part_col}={_enc(v)}"
-    _write_manifest(
-        spark, table_path, k,
-        {
-            "part_col": part_col,
-            "part_type": prev["part_type"],
-            "partitions": mapping,
-            "meta": {"compacted": sorted(written)},
-        },
-    )
+    manifest = {
+        "part_col": part_col,
+        "part_type": prev["part_type"],
+        "partitions": mapping,
+        "meta": {"compacted": sorted(written)},
+    }
+    if prev.get("stats_cols"):
+        # compaction is logically invisible: zone maps carry verbatim
+        manifest["stats_cols"] = prev["stats_cols"]
+        manifest["stats"] = prev.get("stats", {})
+    _write_manifest(spark, table_path, k, manifest)
     return k
 
 
@@ -447,15 +566,20 @@ def repartition_ptable(
         v: f"stage/m{k}/{new_part_col}={_enc(v)}"
         for v in _stage_partitions(spark, stage, new_part_col)
     }
-    _write_manifest(
-        spark, table_path, k,
-        {
-            "part_col": new_part_col,
-            "part_type": part_type,
-            "partitions": mapping,
-            "meta": {"evolved_from": prev["part_col"]},
-        },
-    )
+    manifest = {
+        "part_col": new_part_col,
+        "part_type": part_type,
+        "partitions": mapping,
+        "meta": {"evolved_from": prev["part_col"]},
+    }
+    if prev.get("stats_cols"):
+        # zone maps re-derive under the new spec (old per-partition ranges
+        # are meaningless once rows regroup)
+        manifest["stats_cols"] = prev["stats_cols"]
+        manifest["stats"] = _compute_stats(
+            spark, stage, new_part_col, prev["stats_cols"]
+        )
+    _write_manifest(spark, table_path, k, manifest)
     return k
 
 

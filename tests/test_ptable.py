@@ -313,3 +313,73 @@ def test_repartition_ptable_partition_evolution(spark, tmp_path):
     assert got == {1: 10.0, 2: 21.0, 3: 30.0, 4: 40.0}
     with pytest.raises(ValueError, match="not in table"):
         repartition_ptable(spark, path, "nope")
+
+def test_zone_map_stats_and_pruning(spark, tmp_path):
+    """Partition-level zone maps: min/max per partition ride the manifest,
+    prune_partitions answers range predicates from metadata alone, merges
+    re-derive stats only for rewritten partitions, and pruning without
+    stats is conservative (keeps everything)."""
+    from flnr_wins_spark.sources.ptable import (
+        _read_manifest, compact_ptable, prune_partitions)
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, str(i // 10), float(i)) for i in range(40)],
+        "id long, kb string, score double",
+    )
+    write_ptable(df, path, "kb", stats_cols=["id", "score"])
+    m = _read_manifest(spark, path, 1)
+    assert m["stats_cols"] == ["id", "score"]
+    assert m["stats"]["0"]["id"] == [0, 9]
+    assert m["stats"]["3"]["score"] == [30.0, 39.0]
+    # metadata-only pruning: range [12, 25] intersects kb=1 and kb=2 only
+    assert prune_partitions(spark, path, "id", 12, 25) == ["1", "2"]
+    assert prune_partitions(spark, path, "id", hi=5) == ["0"]
+    assert prune_partitions(spark, path, "id", lo=35) == ["3"]
+    # the pruned read returns exactly the predicate's rows
+    got = read_ptable(
+        spark, path, partitions=prune_partitions(spark, path, "id", 12, 25)
+    ).filter("id BETWEEN 12 AND 25")
+    assert got.count() == 14
+
+    # merge rewrites kb=1 only; its stats re-derive, others carry verbatim
+    change = spark.createDataFrame(
+        [(12, "1", 999.0)], "id long, kb string, score double"
+    )
+    merge_ptable(spark, path, change, ["id"])
+    m2 = _read_manifest(spark, path, 2)
+    assert m2["stats"]["1"]["score"] == [10.0, 999.0]
+    assert m2["stats"]["0"] == m["stats"]["0"]
+    # compaction carries zone maps verbatim (logically invisible)
+    compact_ptable(spark, path, partitions=["1"])
+    m3 = _read_manifest(spark, path, 3)
+    assert m3["stats"] == m2["stats"]
+
+    # a table without stats: pruning keeps every partition (conservative)
+    path2 = str(tmp_path / "tbl2")
+    write_ptable(df, path2, "kb")
+    assert prune_partitions(spark, path2, "id", 12, 25) == ["0", "1", "2", "3"]
+
+
+def test_zone_map_survives_partition_evolution_and_deletes(spark, tmp_path):
+    from flnr_wins_spark.sources.ptable import _read_manifest, repartition_ptable
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, str(i // 10), "ab"[i % 2], float(i)) for i in range(40)],
+        "id long, kb string, grp string, score double",
+    )
+    write_ptable(df, path, "kb", stats_cols=["id"])
+    # all-deleted partition leaves stats too
+    dels = spark.createDataFrame(
+        [(i, str(i // 10)) for i in range(10)], "id long, kb string"
+    )
+    empty = spark.createDataFrame([], "id long, kb string, score double")
+    merge_ptable(spark, path, empty, ["id"], delete_keys=dels)
+    m2 = _read_manifest(spark, path, 2)
+    assert "0" not in m2["stats"] and "0" not in m2["partitions"]
+    # evolution regroups rows -> stats re-derive under the new spec
+    repartition_ptable(spark, path, "grp")
+    m3 = _read_manifest(spark, path, 3)
+    assert m3["stats"]["a"]["id"] == [10, 38]
+    assert m3["stats"]["b"]["id"] == [11, 39]
