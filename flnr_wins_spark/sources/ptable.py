@@ -521,11 +521,15 @@ def compact_ptable(
     mapping = dict(prev["partitions"])
     for v in written:
         mapping[v] = f"stage/m{k}/{part_col}={_enc(v)}"
+    # carry the previous meta FORWARD (merged with our marker): table
+    # maintenance must be invisible to consumers of caller-owned meta —
+    # clobbering it would break the streaming sink's exactly-once replay
+    # skipping (its applied-batch-id rides the newest manifest's meta)
     manifest = {
         "part_col": part_col,
         "part_type": prev["part_type"],
         "partitions": mapping,
-        "meta": {"compacted": sorted(written)},
+        "meta": {**prev.get("meta", {}), "compacted": sorted(written)},
     }
     if prev.get("stats_cols"):
         # compaction is logically invisible: zone maps carry verbatim
@@ -566,11 +570,13 @@ def repartition_ptable(
         v: f"stage/m{k}/{new_part_col}={_enc(v)}"
         for v in _stage_partitions(spark, stage, new_part_col)
     }
+    # same meta-carry rule as compact_ptable: partition evolution must not
+    # clobber caller-owned meta (streaming exactly-once batch id)
     manifest = {
         "part_col": new_part_col,
         "part_type": part_type,
         "partitions": mapping,
-        "meta": {"evolved_from": prev["part_col"]},
+        "meta": {**prev.get("meta", {}), "evolved_from": prev["part_col"]},
     }
     if prev.get("stats_cols"):
         # zone maps re-derive under the new spec (old per-partition ranges

@@ -736,6 +736,53 @@ class TestPtableMergeSink:
         assert ptable_history(spark, path) == history  # no extra commits
         assert {tuple(r) for r in read_ptable(spark, path).collect()} == content
 
+    def test_exactly_once_survives_compaction(self, spark, tmp_path):
+        """OPTIMIZE between micro-batches must be invisible to the
+        sink's replay gate: compact_ptable carries the applied-batch-id
+        meta forward in its manifest, so a full redelivery after a
+        compaction is still skipped (no double-merge) and the compacted
+        table keeps accepting new batches."""
+        from flnr_wins_spark.sources.ptable import (
+            compact_ptable,
+            ptable_history,
+            read_manifest_meta,
+            read_ptable,
+        )
+        from flnr_wins_spark.streaming.sinks import ptable_merge_sink
+
+        path = self._bootstrap(spark, tmp_path)
+        src, schema = self._feed(spark, tmp_path)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = ptable_merge_sink(
+            stream, path, ["id"], str(tmp_path / "ckpt1"),
+            delete_flag_col="is_delete",
+        )
+        q.awaitTermination(120)
+        applied = read_manifest_meta(spark, path).get("batch_id")
+        assert applied is not None
+        compact_ptable(spark, path, partitions=["en", "fr", "de"])
+        # the batch id rode the compaction manifest forward
+        assert read_manifest_meta(spark, path).get("batch_id") == applied
+        content = {tuple(r) for r in read_ptable(spark, path).collect()}
+        history = ptable_history(spark, path)
+        # fresh checkpoint = full redelivery; every batch must be gated out
+        stream2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q2 = ptable_merge_sink(
+            stream2, path, ["id"], str(tmp_path / "ckpt2"),
+            delete_flag_col="is_delete",
+        )
+        q2.awaitTermination(120)
+        assert ptable_history(spark, path) == history  # no extra commits
+        assert {tuple(r) for r in read_ptable(spark, path).collect()} == content
+
     def test_stream_schema_evolution_reaches_table(self, spark, tmp_path):
         from flnr_wins_spark.sources.ptable import read_ptable
         from flnr_wins_spark.streaming.sinks import ptable_merge_sink
