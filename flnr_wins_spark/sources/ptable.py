@@ -470,6 +470,7 @@ def compact_ptable(
     table_path: str,
     partitions: list | None = None,
     min_files: int = 2,
+    sort_cols: list[str] | None = None,
 ) -> int | None:
     """OPTIMIZE: rewrite the named partitions (default: every partition
     holding >= ``min_files`` data files) into one file each inside a fresh
@@ -488,6 +489,14 @@ def compact_ptable(
     in parallel across partitions — compaction cost is O(touched
     partitions' data), never O(table). Returns the new manifest id, or
     ``None`` when nothing needed compacting (no empty commits).
+
+    ``sort_cols`` is the ``OPTIMIZE ... ZORDER BY`` half: rows sort
+    WITHIN each partition's task before writing (a per-task sort, no
+    extra exchange), so every rewritten file's parquet row-group min/max
+    stats become tight on those columns and range scans skip row groups.
+    Pass a single derived column (e.g. ``operators.layout.zorder_key``'s
+    bit interleave, materialized upstream) for true multi-dimensional
+    clustering. Logical content is unchanged either way.
     """
     ids = _manifest_ids(spark, table_path)
     if not ids:
@@ -510,13 +519,15 @@ def compact_ptable(
     k = ids[-1] + 1
     stage = f"{table_path}/stage/m{k}"
     _clear_crashed_stage(spark, table_path, k)
-    (
-        read_ptable(spark, table_path, partitions=todo)
-        .repartition(F.col(part_col))
-        .write.mode("error")
-        .partitionBy(part_col)
-        .parquet(stage)
+    df = read_ptable(spark, table_path, partitions=todo).repartition(
+        F.col(part_col)
     )
+    if sort_cols:
+        # lead with the partition column: the dynamic-partition writer
+        # requires task rows ordered by partition cols and would insert
+        # its own (unstable) sort otherwise, destroying the clustering
+        df = df.sortWithinPartitions(part_col, *sort_cols)
+    df.write.mode("error").partitionBy(part_col).parquet(stage)
     written = set(_stage_partitions(spark, stage, part_col))
     mapping = dict(prev["partitions"])
     for v in written:

@@ -260,6 +260,7 @@ def exact_dedup_sink(
     text_col: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    retention_batches: int | None = None,
 ) -> StreamingQuery:
     """Ingestion-time exact-dedup gate: each micro-batch drops rows whose
     content digest (md5 of the text) was already seen — in the persisted
@@ -284,10 +285,21 @@ def exact_dedup_sink(
     the batch operator. Without the split, the within-batch window would
     group NULL digests as "duplicates" while the cross-batch equi
     anti-join never matches NULL==NULL — two different wrong answers.
+
+    ``retention_batches`` bounds the seen-set STATE (the TTL posture an
+    unbounded stream needs: without it, state grows with every distinct
+    document ever seen): the gate consults only the newest N delta
+    versions and DELETES deltas that age out of the horizon, so state
+    size follows the horizon's traffic, not stream lifetime. The trade
+    is explicit and standard (Structured Streaming's own dedup-with-
+    watermark makes the same one): a duplicate recurring AFTER the
+    horizon is re-admitted. Default None = exact forever.
     """
     from pyspark.sql import Window
 
     kept_base = f"{state_path.rstrip('/')}_kept"
+    if retention_batches is not None and retention_batches < 1:
+        raise ValueError("retention_batches must be >= 1")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -305,6 +317,15 @@ def exact_dedup_sink(
             F.col("_rn") == 1
         ).drop("_rn")
         prior = [v for v in _state_versions(spark, state_path) if v < batch_id]
+        if retention_batches is not None:
+            horizon = batch_id - retention_batches
+            expired = [v for v in prior if v < horizon]
+            prior = [v for v in prior if v >= horizon]
+            # age out deltas past the horizon: state stays bounded by the
+            # horizon's traffic (delete AFTER deciding what to consult —
+            # an expired delta is never read again on any timeline)
+            for v in expired:
+                _state_delete(spark, f"{state_path}/v{v}")
         if prior:
             seen = spark.read.parquet(*[f"{state_path}/v{v}" for v in prior])
             deduped = in_batch_first.join(seen, "_digest", "left_anti")

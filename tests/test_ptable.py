@@ -383,3 +383,31 @@ def test_zone_map_survives_partition_evolution_and_deletes(spark, tmp_path):
     m3 = _read_manifest(spark, path, 3)
     assert m3["stats"]["a"]["id"] == [10, 38]
     assert m3["stats"]["b"]["id"] == [11, 39]
+
+def test_compact_with_sort_cols_clusters_rows(spark, tmp_path):
+    """OPTIMIZE ... ZORDER-style layout: sort_cols sorts rows within each
+    partition's single output task, so the rewritten file is physically
+    clustered (tight parquet row-group stats) while the logical content
+    is unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flnr_wins_spark.sources.ptable import compact_ptable
+
+    path = str(tmp_path / "tbl")
+    # shuffled ids, many small files
+    df = spark.createDataFrame(
+        [((i * 37) % 60, "ab"[i % 2], float(i)) for i in range(60)],
+        "id long, grp string, score double",
+    ).repartition(8)
+    write_ptable(df, path, "grp")
+    before = {tuple(r) for r in read_ptable(spark, path).collect()}
+    compact_ptable(spark, path, partitions=["a", "b"], sort_cols=["id"])
+    after = {tuple(r) for r in read_ptable(spark, path).collect()}
+    assert after == before
+    for part in ("a", "b"):
+        files = glob.glob(f"{path}/stage/m2/grp={part}/*.parquet")
+        assert len(files) == 1
+        ids = pq.read_table(files[0], columns=["id"])["id"].to_pylist()
+        assert ids == sorted(ids)  # physically clustered

@@ -437,6 +437,59 @@ def test_exact_dedup_sink_equals_batch_dedup(spark, tmp_path):
     assert not any(d >= 1_000_000 for d in got)
 
 
+def test_exact_dedup_sink_retention_bounds_state(spark, tmp_path):
+    """TTL posture for unbounded streams: with retention_batches=1 the
+    gate consults only the newest delta, deletes aged-out state from
+    disk, still drops duplicates INSIDE the horizon, and (the explicit
+    trade) re-admits a duplicate recurring beyond it."""
+    import os
+
+    from flnr_wins_spark.streaming.sinks import exact_dedup_sink, read_dedup_kept
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "alpha"), (2, "beta")],
+        [(3, "beta"), (4, "gamma")],   # dup of batch 0, inside horizon
+        [(5, "alpha"), (6, "gamma")],  # alpha beyond horizon; gamma inside
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state = str(tmp_path / "state")
+    q = exact_dedup_sink(
+        stream, state, "doc_id", "text", str(tmp_path / "ckpt"),
+        retention_batches=1,
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in read_dedup_kept(spark, state).collect())
+    # 3 (beta, horizon hit) dropped; 5 (alpha, aged out) re-admitted;
+    # 6 (gamma, horizon hit) dropped
+    assert got == [1, 2, 4, 5]
+    # aged-out delta physically gone; state bounded by the horizon
+    assert not os.path.isdir(f"{state}/v0")
+    assert os.path.isdir(f"{state}/v2")
+
+    # same feed, unbounded: every recurrence gated
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = exact_dedup_sink(
+        stream2, str(tmp_path / "state_u"), "doc_id", "text",
+        str(tmp_path / "ckpt_u"),
+    )
+    q2.awaitTermination(120)
+    got_u = sorted(
+        r.doc_id
+        for r in read_dedup_kept(spark, str(tmp_path / "state_u")).collect()
+    )
+    assert got_u == [1, 2, 4]
+
+
 def test_minhash_dedup_sink_equals_batch_pairs(spark, tmp_path):
     """Streaming near-dup gate: rejected ids across ordered micro-batches ==
     {later id of every verified batch minhash_lsh_pairs pair} — exact twin
