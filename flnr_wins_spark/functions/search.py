@@ -94,6 +94,23 @@ def bm25_topk(
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
+    out = _bm25_score_topk(tf, doclen, stats, k, k1, b)
+    if unpersist:
+        out = out.localCheckpoint(eager=True)
+        doclen.unpersist()
+    return out
+
+
+def _bm25_score_topk(
+    tf: DataFrame, doclen: DataFrame, stats: DataFrame, k: int, k1: float, b: float
+) -> DataFrame:
+    """Shared BM25 scorer: ``tf`` is already filtered to the query terms
+    (one (doc_id, term, tf) row per hit), ``doclen``/``stats`` are the
+    corpus-side index tables. df is derived from ``tf`` (count of docs per
+    surviving term — identical to the full-index df for those terms).
+    Identical math whether the index is freshly tokenized or loaded from a
+    persisted snapshot, which is what lets the persisted-index entry share
+    the fresh-build oracle verbatim."""
     dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     joined = (
         tf.join(F.broadcast(dfreq), "term")
@@ -118,11 +135,54 @@ def bm25_topk(
     # single-partition sort barrier); the rank window then sees only k rows.
     top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    out = top.withColumn("rank", F.row_number().over(w).cast("bigint"))
-    if unpersist:
-        out = out.localCheckpoint(eager=True)
-        doclen.unpersist()
-    return out
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def build_bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three tables a persisted BM25 index needs: postings
+    (term, doc_id, tf), doclen (doc_id, dl), stats (n_docs, avgdl — one
+    row). Build once per corpus version, snapshot each through
+    ``sources.snapshots.write_snapshot``, and serve every later query from
+    the loaded tables with :func:`bm25_topk_from_index` — tokenization
+    cost is paid once per corpus, not once per query. One tokenize scan
+    feeds all three aggregates."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    postings = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    return postings, doclen, stats
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    doclen: DataFrame,
+    stats: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k served from a prebuilt (usually snapshot-loaded) index —
+    same scoring as :func:`bm25_topk` (shared ``_bm25_score_topk``), so
+    probe-over-loaded-index == probe-over-fresh-build exactly. The postings
+    filter to the query terms reaches the parquet scan as a pushed IN
+    predicate: a query touches the handful of matching postings row
+    groups, never the whole index."""
+    tf = postings.filter(F.col("term").isin(list(query_terms))).select(
+        "doc_id", "term", "tf"
+    )
+    return _bm25_score_topk(tf, doclen, stats, k, k1, b)
 
 
 def positional_postings(

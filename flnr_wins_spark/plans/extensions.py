@@ -1186,9 +1186,7 @@ def x_similarity_pq(spark, sf_dir):
     return pq_topk(queries, enc, books, dim=64, m=4, k=5)
 
 
-@query(
-    "x_search_bm25",
-    sql="""
+_BM25_SQL = """
     WITH toks AS (
       SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -1227,7 +1225,12 @@ def x_similarity_pq(spark, sf_dir):
       SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
       FROM scored)
     WHERE rn <= 10
-    """,
+    """
+
+
+@query(
+    "x_search_bm25",
+    sql=_BM25_SQL,
     note="BM25 keyword retrieval: postings filtered to query terms before any "
     "shuffle, df/corpus stats broadcast, TakeOrdered top-k; per-term scores "
     "decimal-routed so ln() ulp differences can't break the oracle hash",
@@ -5954,4 +5957,43 @@ def x_ptable_zonemap_prune(spark, sf_dir):
         .cast("double")
         .alias("sum_price"),
         F.lit(len(pruned)).cast("bigint").alias("n_parts_read"),
+    )
+
+
+@query(
+    "x_search_bm25_persisted",
+    sql=_BM25_SQL,
+    note="FEATURE-STORE posture for keyword search: the inverted index "
+    "(postings/doclen/stats) is built ONCE, persisted through the "
+    "versioned snapshot layer, and the query serves from the LOADED "
+    "tables (bm25_topk_from_index, shared scorer) — hash-matching the "
+    "fresh-build oracle verbatim, so probe-over-loaded-index == "
+    "probe-over-fresh-build. Tokenization cost is paid per corpus "
+    "version, not per query; the query-term IN predicate pushes to the "
+    "postings parquet scan so a probe touches matching row groups, "
+    "never the whole index; index refresh = next write_snapshot, "
+    "rollback = time travel",
+)
+def x_search_bm25_persisted(spark, sf_dir):
+    import tempfile
+
+    from flnr_wins_spark.functions.search import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from flnr_wins_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    docs = t(spark, sf_dir, "documents")
+    postings, doclen, stats = build_bm25_index(docs)
+    base = tempfile.mkdtemp(prefix="bm25_index_")
+    for name, frame in (
+        ("postings", postings), ("doclen", doclen), ("stats", stats)
+    ):
+        write_snapshot(frame, f"{base}/{name}")
+    return bm25_topk_from_index(
+        read_snapshot(spark, f"{base}/postings"),
+        read_snapshot(spark, f"{base}/doclen"),
+        read_snapshot(spark, f"{base}/stats"),
+        ["spark", "merge", "window"],
+        k=10,
     )

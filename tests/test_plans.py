@@ -537,6 +537,16 @@ def test_minhash_estimate_pins_only_pairs(spark):
     assert "Join" in calls[0]
 
 
+def test_bm25_persisted_probe_pushes_term_filter_to_index_scan(spark):
+    """Serving from the persisted inverted index must push the query-term
+    IN predicate into the postings parquet scan (row-group skipping over
+    the index), and keep the TakeOrdered top-k — a probe that scans the
+    whole index defeats the point of persisting it."""
+    plan = _plan(spark, "x_search_bm25_persisted")
+    assert "PushedFilters: [In(term" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_kaplan_meier_windows_are_group_sharded(spark):
     """Both KM windows (reverse at-risk cumsum, forward ln-sum) partition
     by the group key — a SinglePartition window would serialize the whole
