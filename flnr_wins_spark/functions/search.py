@@ -142,8 +142,10 @@ def build_bm25_index(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three tables a persisted BM25 index needs: postings
-    (term, doc_id, tf), doclen (doc_id, dl), stats (n_docs, avgdl — one
-    row). Build once per corpus version, snapshot each through
+    (term, doc_id, tf), doclen (doc_id, dl), stats (n_docs, sum_dl,
+    avgdl — one row; sum_dl is the exact bigint token total so
+    :func:`merge_bm25_index` can merge stats without re-aggregating
+    doclen). Build once per corpus version, snapshot each through
     ``sources.snapshots.write_snapshot``, and serve every later query from
     the loaded tables with :func:`bm25_topk_from_index` — tokenization
     cost is paid once per corpus, not once per query. One tokenize scan
@@ -155,6 +157,7 @@ def build_bm25_index(
     doclen = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
     stats = doclen.agg(
         F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
         (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
     )
     postings = (
@@ -162,6 +165,43 @@ def build_bm25_index(
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
     return postings, doclen, stats
+
+
+def merge_bm25_index(
+    postings: DataFrame,
+    doclen: DataFrame,
+    stats: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """INCREMENTAL index maintenance: tokenize only ``new_docs`` (doc ids
+    must be new — re-indexing an existing id is a delete+add the caller
+    performs upstream) and merge into the existing index. Postings and
+    doclen append (disjoint ids, no join); stats merge from the two
+    one-row stats frames via exact bigint sums, so n_docs/sum_dl/avgdl
+    are BIT-IDENTICAL to a from-scratch build over the union — indexing
+    cost per refresh is O(new docs), never O(corpus). Snapshot the merged
+    tables to version the index."""
+    np_, nd, ns = build_bm25_index(new_docs, text_col, id_col)
+    both = stats.select("n_docs", "sum_dl").unionByName(
+        ns.select("n_docs", "sum_dl")
+    )
+    merged_stats = both.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    ).select(
+        "n_docs",
+        "sum_dl",
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    return (
+        postings.unionByName(np_),
+        doclen.unionByName(nd),
+        merged_stats,
+    )
 
 
 def bm25_topk_from_index(

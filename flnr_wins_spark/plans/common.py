@@ -63,6 +63,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     # (a) new r7 surfaces — never graded
     "x_ptable_cdc_e2e", "x_similarity_ivf_persisted",
     "x_ptable_zonemap_prune", "x_search_bm25_persisted",
+    "x_search_bm25_incremental",
     # (b) code changed in r7 (plan-shape fixes; values unchanged)
     "x_search_e2e", "x_dedup_minhash_estimate",
     # (c) all 42 r02-latest entries — four rounds stale, all rotate in
@@ -80,10 +81,10 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_merge_upsert", "x_scd2_history", "q_recursive_calendar",
     "q_unpivot_metrics", "q_lateral_topn", "x_repetition_stats",
     "x_pagerank", "x_kfold_split", "x_vocab_topk",
-    # (d) r03-graded reference-parity criticals — top up to exactly 50
-    "r1_append_no_test", "r4_enrich_left_join",
+    # (d) r03-graded reference-parity critical — top up to exactly 50
+    "r1_append_no_test",
     # ---- position 51+ (graded only if the budget stretches) ----
-    "r7_reject_duplicates", "q_source_roundtrip",
+    "r4_enrich_left_join", "r7_reject_duplicates", "q_source_roundtrip",
     # rows-only fast paths: refresh rows-evidence when budget allows
     "x_dedup_minhash_lsh", "q_events_approx_distinct", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf",

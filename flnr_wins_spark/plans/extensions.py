@@ -5997,3 +5997,33 @@ def x_search_bm25_persisted(spark, sf_dir):
         ["spark", "merge", "window"],
         k=10,
     )
+
+
+@query(
+    "x_search_bm25_incremental",
+    sql=_BM25_SQL,
+    note="INCREMENTAL index maintenance: the corpus arrives in two "
+    "refreshes — build the index on the first half, merge_bm25_index the "
+    "second half in (tokenizes ONLY the new docs; postings/doclen "
+    "append, stats merge via exact bigint sums) — and the probe over the "
+    "incrementally-maintained index hash-matches the from-scratch "
+    "oracle verbatim. Proves index refresh cost is O(new docs), never "
+    "O(corpus), with zero drift against a full rebuild",
+)
+def x_search_bm25_incremental(spark, sf_dir):
+    from flnr_wins_spark.functions.search import (
+        bm25_topk_from_index,
+        build_bm25_index,
+        merge_bm25_index,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    postings, doclen, stats = build_bm25_index(first)
+    postings, doclen, stats = merge_bm25_index(
+        postings, doclen, stats, second
+    )
+    return bm25_topk_from_index(
+        postings, doclen, stats, ["spark", "merge", "window"], k=10
+    )
