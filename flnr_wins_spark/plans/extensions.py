@@ -6027,3 +6027,105 @@ def x_search_bm25_incremental(spark, sf_dir):
     return bm25_topk_from_index(
         postings, doclen, stats, ["spark", "merge", "window"], k=10
     )
+
+
+@query(
+    "x_ptable_metadata_counts",
+    sql="""
+    WITH ins AS (
+      SELECT o_orderpriority FROM orders
+      WHERE o_orderkey % 11 = 0 AND o_orderpriority = '1-URGENT'
+    ),
+    survivors AS (
+      SELECT o_orderpriority FROM orders
+      WHERE NOT (o_orderkey % 7 = 0 AND o_orderpriority = '5-LOW')
+    ),
+    fin AS (
+      SELECT o_orderpriority FROM survivors
+      UNION ALL SELECT o_orderpriority FROM ins
+    )
+    SELECT o_orderpriority AS part, CAST(COUNT(*) AS BIGINT) AS nrows
+    FROM fin GROUP BY o_orderpriority
+    """,
+    note="METADATA-ONLY aggregation: orders committed as a partition-level "
+    "MVCC table with stats_cols (exact per-partition row counts ride the "
+    "zone-map scan), then a CDC merge (inserts into one partition, "
+    "deletes from another) re-derives counts for the partitions it "
+    "rewrites and carries the other three BY REFERENCE — and the final "
+    "COUNT(*) GROUP BY partition is answered by partition_rows from the "
+    "manifest alone, ZERO data files read. The oracle replays the "
+    "changeset relationally, proving metadata counts == data counts "
+    "through a merge. At 100 TB this is the lakehouse metadata-table "
+    "posture: a table-wide count is a manifest read, not a scan",
+)
+def x_ptable_metadata_counts(spark, sf_dir):
+    import tempfile
+
+    from flnr_wins_spark.sources.ptable import (
+        merge_ptable,
+        partition_rows,
+        write_ptable,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderpriority", "o_custkey")
+    path = tempfile.mkdtemp(prefix="ptable_meta_") + "/tbl"
+    write_ptable(base, path, "o_orderpriority", stats_cols=["o_orderkey"])
+    ins = base.filter(
+        (F.col("o_orderkey") % 11 == 0)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_orderpriority",
+        "o_custkey",
+    )
+    dels = base.filter(
+        (F.col("o_orderkey") % 7 == 0)
+        & (F.col("o_orderpriority") == "5-LOW")
+    ).select("o_orderkey", "o_orderpriority")
+    merge_ptable(spark, path, ins, ["o_orderkey"], delete_keys=dels)
+    counts = partition_rows(spark, path)  # manifest read — no data files
+    return spark.createDataFrame(
+        sorted(counts.items()), "part string, nrows bigint"
+    )
+
+
+@query(
+    "x_ptable_bloom_point",
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    WHERE c_name = (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1)
+    """,
+    note="BLOOM-FILTER point-lookup pruning: customer committed as a "
+    "partitioned table with a per-partition bloom sidecar on c_name "
+    "(2048 bits, 5 md5-double-hash probes, built JVM-side), then a "
+    "point probe asks prune_partitions_eq for candidate partitions from "
+    "MANIFEST METADATA alone and reads only those — the "
+    "high-cardinality-equality complement to zone maps (which cannot "
+    "prune an unclustered key). Bloom negatives are definitive so "
+    "pruning is lossless; positives may be false so the pruned read "
+    "still applies the real filter — the result must equal the plain "
+    "WHERE over the full table, which is exactly what the oracle runs",
+)
+def x_ptable_bloom_point(spark, sf_dir):
+    import tempfile
+
+    from flnr_wins_spark.sources.ptable import (
+        prune_partitions_eq,
+        read_ptable,
+        write_ptable,
+    )
+
+    cust = t(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    path = tempfile.mkdtemp(prefix="ptable_bloom_") + "/tbl"
+    write_ptable(base, path, "c_mktsegment", bloom_cols=["c_name"])
+    probe = (
+        base.orderBy("c_custkey").select("c_name").limit(1).collect()[0][0]
+    )
+    cands = prune_partitions_eq(spark, path, "c_name", probe)
+    return (
+        read_ptable(spark, path, partitions=cands)
+        .filter(F.col("c_name") == probe)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )

@@ -164,29 +164,121 @@ def _json_scalar(v):
 
 def _compute_stats(
     spark: SparkSession, stage_path: str, part_col: str, stats_cols: list[str]
-) -> dict:
-    """Per-partition [min, max] zone maps for ``stats_cols``, computed in
-    ONE column-pruned scan of the just-written stage (the scan reads only
-    the stats columns of data already in page cache; the collect is
-    partition-count-sized). Missing columns (pre-evolution partitions)
-    simply contribute no entry — readers treat absence as 'cannot prune'."""
+) -> tuple[dict, dict]:
+    """Per-partition [min, max] zone maps for ``stats_cols`` PLUS exact
+    per-partition row counts, computed in ONE column-pruned scan of the
+    just-written stage (the scan reads only the stats columns of data
+    already in page cache; the collect is partition-count-sized). Missing
+    columns (pre-evolution partitions) simply contribute no entry —
+    readers treat absence as 'cannot prune'. Returns ``(stats, rows)``;
+    row counts ride the same scan for free and let
+    :func:`partition_rows` answer ``COUNT(*) GROUP BY part`` from
+    metadata alone."""
     df = spark.read.parquet(stage_path)
     cols = [c for c in stats_cols if c in df.columns]
-    if not cols:
-        return {}
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("_nrows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"_mn_{c}"))
         aggs.append(F.max(c).alias(f"_mx_{c}"))
     out: dict[str, dict] = {}
+    rows: dict[str, int] = {}
     for r in df.groupBy(part_col).agg(*aggs).collect():
         d = r.asDict()
-        out[str(d[part_col])] = {
+        v = str(d[part_col])
+        rows[v] = int(d["_nrows"])
+        out[v] = {
             c: [_json_scalar(d[f"_mn_{c}"]), _json_scalar(d[f"_mx_{c}"])]
             for c in cols
             if d[f"_mn_{c}"] is not None
         }
+    return out, rows
+
+
+# Bloom sidecars: types whose Spark CAST(col AS STRING) form is reproduced
+# exactly by _bloom_canon below — the portability contract that lets the
+# Python-side prober hash the SAME bytes the JVM-side builder hashed.
+# Float/double/decimal/binary render differently across the boundary and
+# are rejected at write time.
+_BLOOM_OK_TYPES = {"string", "tinyint", "smallint", "int", "bigint", "date",
+                   "boolean"}
+
+
+def _bloom_canon(value) -> str:
+    """Canonical string for a bloom probe value — must match Spark's
+    ``CAST(col AS STRING)`` for every type in ``_BLOOM_OK_TYPES``."""
+    import datetime
+
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return value.isoformat()
+    return str(value)
+
+
+def _bloom_bits_py(value, m_bits: int, k_hashes: int) -> list[int]:
+    """The k bit positions of ``value`` — double hashing over md5, the
+    exact mirror of the JVM expression in :func:`_compute_blooms`:
+    h1 = hex[0:15], h2 = hex[16:31], bit_i = (h1 + i*h2) mod m."""
+    import hashlib
+
+    h = hashlib.md5(_bloom_canon(value).encode("utf-8")).hexdigest()
+    h1 = int(h[0:15], 16)
+    h2 = int(h[16:31], 16)
+    return [(h1 + i * h2) % m_bits for i in range(k_hashes)]
+
+
+def _compute_blooms(
+    spark: SparkSession,
+    stage_path: str,
+    part_col: str,
+    bloom_cols: list[str],
+    m_bits: int,
+    k_hashes: int,
+) -> dict:
+    """Per-partition bloom filters for ``bloom_cols``: one m-bit filter
+    per (partition, column), built JVM-side (md5 + double hashing, whole
+    stage codegen — no Python in the scan) and collected as a
+    partition-count-sized set of <= m distinct bit positions per filter.
+    NULLs are not indexed. The manifest stores each filter as a hex
+    bitmap (m/8 bytes), so a 2048-bit filter costs 512 chars per
+    partition per column — metadata-sized at any table scale."""
+    df = spark.read.parquet(stage_path)
+    out: dict[str, dict] = {}
+    for c in bloom_cols:
+        if c not in df.columns:
+            continue
+        md = F.md5(F.col(c).cast("string"))
+        # 15 hex chars = 60 bits, so h1 + 4*h2 < 2^63: no long overflow
+        h1 = F.conv(F.substring(md, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(md, 17, 15), 16, 10).cast("long")
+        bits = F.array(
+            *[(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k_hashes)]
+        )
+        rows = (
+            df.filter(F.col(c).isNotNull())
+            .select(F.col(part_col), F.explode(bits).alias("_bit"))
+            .groupBy(part_col)
+            .agg(F.collect_set("_bit").alias("_bits"))
+            .collect()
+        )
+        for r in rows:
+            bm = bytearray(m_bits // 8)
+            for b in r["_bits"]:
+                bm[b // 8] |= 1 << (b % 8)
+            out.setdefault(str(r[part_col]), {})[c] = bm.hex()
     return out
+
+
+def _check_bloom_types(df: DataFrame, bloom_cols: list[str]) -> None:
+    dtypes = dict(df.dtypes)
+    for c in bloom_cols:
+        t = dtypes.get(c)
+        if t is not None and t not in _BLOOM_OK_TYPES:
+            raise TypeError(
+                f"bloom_cols column '{c}' has type {t}; bloom sidecars "
+                f"support only {sorted(_BLOOM_OK_TYPES)} (types whose "
+                "string form is identical JVM-side and Python-side)"
+            )
 
 
 def write_ptable(
@@ -194,22 +286,35 @@ def write_ptable(
     table_path: str,
     part_col: str,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 2048,
+    bloom_hashes: int = 5,
 ) -> int:
     """Write ``df`` as a new FULL commit of the partitioned table (every
     partition staged fresh); returns the manifest id. The partition column
     stays a real column on read (recovered from the directory name).
 
     ``stats_cols`` opts the table into partition-level ZONE MAPS: per
-    partition, [min, max] of each named column rides the manifest, and
-    :func:`prune_partitions` answers range predicates from metadata alone
-    — the file-skipping layer the table formats give, at manifest
-    granularity. Later merges re-derive stats for the partitions they
-    rewrite and carry the rest by reference."""
+    partition, [min, max] of each named column rides the manifest (plus
+    exact per-partition row counts on the same scan — see
+    :func:`partition_rows`), and :func:`prune_partitions` answers range
+    predicates from metadata alone — the file-skipping layer the table
+    formats give, at manifest granularity.
+
+    ``bloom_cols`` opts into per-partition BLOOM FILTERS (``bloom_bits``
+    bits, ``bloom_hashes`` probes, md5 double-hashing) — the
+    high-cardinality EQUALITY complement to zone maps:
+    :func:`prune_partitions_eq` answers point lookups from the manifest,
+    pruning every partition whose filter provably excludes the value.
+    Later merges re-derive both sidecars for the partitions they rewrite
+    and carry the rest by reference."""
     spark = df.sparkSession
     ids = _manifest_ids(spark, table_path)
     k = (ids[-1] + 1) if ids else 1
     stage = f"{table_path}/stage/m{k}"
     _clear_crashed_stage(spark, table_path, k)
+    if bloom_cols:
+        _check_bloom_types(df, list(bloom_cols))
     df.write.mode("error").partitionBy(part_col).parquet(stage)
     part_type = dict(df.dtypes)[part_col]
     mapping = {
@@ -218,8 +323,17 @@ def write_ptable(
     }
     manifest = {"part_col": part_col, "part_type": part_type, "partitions": mapping}
     if stats_cols:
+        stats, rows = _compute_stats(spark, stage, part_col, list(stats_cols))
         manifest["stats_cols"] = list(stats_cols)
-        manifest["stats"] = _compute_stats(spark, stage, part_col, list(stats_cols))
+        manifest["stats"] = stats
+        manifest["rows"] = rows
+    if bloom_cols:
+        manifest["bloom_cols"] = list(bloom_cols)
+        manifest["bloom_m"] = int(bloom_bits)
+        manifest["bloom_k"] = int(bloom_hashes)
+        manifest["blooms"] = _compute_blooms(
+            spark, stage, part_col, list(bloom_cols), bloom_bits, bloom_hashes
+        )
     _write_manifest(spark, table_path, k, manifest)
     return k
 
@@ -333,20 +447,45 @@ def merge_ptable(
         "partitions": mapping,
     }
     if prev.get("stats_cols"):
-        # zone maps: untouched partitions keep their stats by reference;
-        # rewritten partitions re-derive from the fresh stage (one pruned
-        # scan of just-written data)
+        # zone maps + row counts: untouched partitions keep their entries
+        # by reference; rewritten partitions re-derive from the fresh
+        # stage (one pruned scan of just-written data)
         stats = {
             v: s for v, s in prev.get("stats", {}).items() if v in mapping
         }
+        rows = {
+            v: n for v, n in prev.get("rows", {}).items() if v in mapping
+        }
         for v in written:
             stats.pop(v, None)
+            rows.pop(v, None)
         if written:  # a delete-only merge leaves an empty stage: no scan
-            stats.update(
-                _compute_stats(spark, stage, part_col, prev["stats_cols"])
+            new_stats, new_rows = _compute_stats(
+                spark, stage, part_col, prev["stats_cols"]
             )
+            stats.update(new_stats)
+            rows.update(new_rows)
         manifest["stats_cols"] = prev["stats_cols"]
         manifest["stats"] = stats
+        manifest["rows"] = rows
+    if prev.get("bloom_cols"):
+        # bloom sidecars follow the same carry-by-reference rule
+        blooms = {
+            v: b for v, b in prev.get("blooms", {}).items() if v in mapping
+        }
+        for v in written:
+            blooms.pop(v, None)
+        if written:
+            blooms.update(
+                _compute_blooms(
+                    spark, stage, part_col, prev["bloom_cols"],
+                    prev["bloom_m"], prev["bloom_k"],
+                )
+            )
+        manifest["bloom_cols"] = prev["bloom_cols"]
+        manifest["bloom_m"] = prev["bloom_m"]
+        manifest["bloom_k"] = prev["bloom_k"]
+        manifest["blooms"] = blooms
     if meta:
         # caller-owned metadata rides the atomic commit (e.g. the streaming
         # sink's applied-batch-id for exactly-once replay skipping); the
@@ -439,6 +578,88 @@ def prune_partitions(
             continue
         keep.append(v)
     return keep
+
+
+def prune_partitions_eq(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    value,
+    manifest: int | None = None,
+) -> list[str]:
+    """POINT-LOOKUP pruning: the partition values that COULD hold rows
+    with ``col = value``, answered from manifest metadata alone. Uses the
+    per-partition bloom filter when the table was written with
+    ``bloom_cols`` (prunes when any of the k probe bits is clear — a
+    definitive negative; bloom positives may be false, so the data read
+    still applies the real filter) AND the zone map when present (prunes
+    when value falls outside [min, max]). Partitions with neither sidecar
+    for ``col`` are KEPT — pruning is conservative, never lossy.
+
+    This is the high-cardinality-equality complement to
+    :func:`prune_partitions`: zone maps prune range probes on clustered
+    columns, blooms prune ``key = x`` probes on columns with no
+    partition-local ordering at all. At 100 TB a point lookup touches the
+    handful of partitions whose filter fires, not the table."""
+    if value is None:
+        raise ValueError(
+            "bloom sidecars index non-NULL values only — prune IS NULL "
+            "probes with an explicit filter instead"
+        )
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    k = manifest if manifest is not None else ids[-1]
+    m = _read_manifest(spark, table_path, k)
+    blooms = m.get("blooms", {})
+    stats = m.get("stats", {})
+    m_bits, k_hashes = m.get("bloom_m"), m.get("bloom_k")
+    probe_bits = (
+        _bloom_bits_py(value, m_bits, k_hashes) if m_bits else None
+    )
+    keep = []
+    for v in sorted(m["partitions"]):
+        bm_hex = blooms.get(v, {}).get(col)
+        if bm_hex is not None and probe_bits is not None:
+            raw = bytes.fromhex(bm_hex)
+            if not all((raw[b // 8] >> (b % 8)) & 1 for b in probe_bits):
+                continue  # definitive: value cannot be in this partition
+        rng = stats.get(v, {}).get(col)
+        if rng is not None:
+            mn, mx = rng
+            try:
+                probe = _json_scalar(value)
+                if probe < mn or probe > mx:
+                    continue
+            except TypeError:
+                pass  # incomparable domain -> no zone evidence -> keep
+        keep.append(v)
+    return keep
+
+
+def partition_rows(
+    spark: SparkSession, table_path: str, manifest: int | None = None
+) -> dict[str, int]:
+    """Exact per-partition row counts at a manifest, answered from
+    METADATA ALONE — zero data files touched. Recorded whenever the table
+    opts into ``stats_cols`` (counts ride the zone-map scan for free) and
+    maintained through merge (carry untouched / re-derive rewritten),
+    compaction (carry verbatim — physical rewrite, logically invisible)
+    and partition evolution (re-derive). ``COUNT(*) GROUP BY part_col``
+    over a 100 TB table becomes a manifest read — the metadata-table
+    posture of the lakehouse formats."""
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    k = manifest if manifest is not None else ids[-1]
+    m = _read_manifest(spark, table_path, k)
+    rows = m.get("rows")
+    if rows is None:
+        raise FileNotFoundError(
+            f"manifest m{k} of {table_path} records no row counts — "
+            "write the table with stats_cols to opt in"
+        )
+    return {v: int(n) for v, n in sorted(rows.items())}
 
 
 def list_partition_files(
@@ -543,9 +764,16 @@ def compact_ptable(
         "meta": {**prev.get("meta", {}), "compacted": sorted(written)},
     }
     if prev.get("stats_cols"):
-        # compaction is logically invisible: zone maps carry verbatim
+        # compaction is logically invisible: zone maps, row counts and
+        # bloom sidecars all carry verbatim
         manifest["stats_cols"] = prev["stats_cols"]
         manifest["stats"] = prev.get("stats", {})
+        manifest["rows"] = prev.get("rows", {})
+    if prev.get("bloom_cols"):
+        manifest["bloom_cols"] = prev["bloom_cols"]
+        manifest["bloom_m"] = prev["bloom_m"]
+        manifest["bloom_k"] = prev["bloom_k"]
+        manifest["blooms"] = prev.get("blooms", {})
     _write_manifest(spark, table_path, k, manifest)
     return k
 
@@ -590,11 +818,21 @@ def repartition_ptable(
         "meta": {**prev.get("meta", {}), "evolved_from": prev["part_col"]},
     }
     if prev.get("stats_cols"):
-        # zone maps re-derive under the new spec (old per-partition ranges
-        # are meaningless once rows regroup)
-        manifest["stats_cols"] = prev["stats_cols"]
-        manifest["stats"] = _compute_stats(
+        # zone maps / row counts re-derive under the new spec (old
+        # per-partition entries are meaningless once rows regroup)
+        stats, rows = _compute_stats(
             spark, stage, new_part_col, prev["stats_cols"]
+        )
+        manifest["stats_cols"] = prev["stats_cols"]
+        manifest["stats"] = stats
+        manifest["rows"] = rows
+    if prev.get("bloom_cols"):
+        manifest["bloom_cols"] = prev["bloom_cols"]
+        manifest["bloom_m"] = prev["bloom_m"]
+        manifest["bloom_k"] = prev["bloom_k"]
+        manifest["blooms"] = _compute_blooms(
+            spark, stage, new_part_col, prev["bloom_cols"],
+            prev["bloom_m"], prev["bloom_k"],
         )
     _write_manifest(spark, table_path, k, manifest)
     return k

@@ -411,3 +411,133 @@ def test_compact_with_sort_cols_clusters_rows(spark, tmp_path):
         assert len(files) == 1
         ids = pq.read_table(files[0], columns=["id"])["id"].to_pylist()
         assert ids == sorted(ids)  # physically clustered
+
+
+def test_partition_rows_metadata_counts(spark, tmp_path):
+    """Exact per-partition row counts ride the manifest: carried by
+    reference through merge for untouched partitions, re-derived for
+    rewritten ones, verbatim through compaction, re-derived under
+    partition evolution — and always equal to the data's actual counts."""
+    from flnr_wins_spark.sources.ptable import (
+        compact_ptable, partition_rows, repartition_ptable)
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, str(i % 3), float(i)) for i in range(30)],
+        "id long, kb string, score double",
+    )
+    write_ptable(df, path, "kb", stats_cols=["id"])
+    assert partition_rows(spark, path) == {"0": 10, "1": 10, "2": 10}
+
+    # merge: 2 inserts into kb=0, 3 deletes from kb=1; kb=2 untouched
+    ins = spark.createDataFrame(
+        [(100, "0", 1.0), (101, "0", 2.0)], "id long, kb string, score double"
+    )
+    dels = spark.createDataFrame([(1, "1"), (4, "1"), (7, "1")], "id long, kb string")
+    merge_ptable(spark, path, ins, ["id"], delete_keys=dels)
+    assert partition_rows(spark, path) == {"0": 12, "1": 7, "2": 10}
+    # time travel reads the OLD manifest's counts
+    assert partition_rows(spark, path, manifest=1) == {"0": 10, "1": 10, "2": 10}
+
+    # compaction is logically invisible: counts carry verbatim
+    compact_ptable(spark, path, min_files=1)
+    assert partition_rows(spark, path) == {"0": 12, "1": 7, "2": 10}
+
+    # partition evolution re-derives counts under the new spec
+    repartition_ptable(spark, path, "id")
+    rows = partition_rows(spark, path)
+    assert sum(rows.values()) == 29 and all(n == 1 for n in rows.values())
+
+    # metadata counts always equal the data's own answer
+    data_counts = {
+        str(r["id"]): r["n"]
+        for r in read_ptable(spark, path).groupBy("id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert rows == data_counts
+
+    # a table without stats_cols records no counts: loud, not silent
+    path2 = str(tmp_path / "tbl2")
+    write_ptable(df, path2, "kb")
+    with pytest.raises(FileNotFoundError, match="no row counts"):
+        partition_rows(spark, path2)
+
+
+def test_bloom_point_pruning(spark, tmp_path):
+    """Per-partition bloom sidecars prune equality probes from metadata:
+    negatives are definitive (the true partition is ALWAYS kept —
+    lossless), positives may be false (the read re-filters), merges
+    re-derive filters for rewritten partitions, and pruning without a
+    bloom is conservative."""
+    from flnr_wins_spark.sources.ptable import prune_partitions_eq
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, str(i % 4), f"user_{i}") for i in range(40)],
+        "id long, kb string, name string",
+    )
+    write_ptable(df, path, "kb", bloom_cols=["name"])
+
+    # every present value's true partition survives pruning (lossless)
+    for i in (0, 7, 13, 38):
+        assert str(i % 4) in prune_partitions_eq(spark, path, "name", f"user_{i}")
+    # pruned read + real filter == plain filter over the full table
+    cands = prune_partitions_eq(spark, path, "name", "user_13")
+    got = read_ptable(spark, path, partitions=cands).filter("name = 'user_13'")
+    assert [(r.id, r.kb) for r in got.collect()] == [(13, "1")]
+    # an absent value prunes everything (40 values in 2048 bits: no FPs
+    # for this fixed fixture — deterministic, pinned at authoring time)
+    assert prune_partitions_eq(spark, path, "name", "user_999") == []
+
+    # merge rewrites kb=2 only; its bloom re-derives and finds the new value
+    ins = spark.createDataFrame([(200, "2", "brand_new")], "id long, kb string, name string")
+    merge_ptable(spark, path, ins, ["id"])
+    assert prune_partitions_eq(spark, path, "name", "brand_new") == ["2"]
+    # untouched partitions' filters carried by reference and still work
+    assert prune_partitions_eq(spark, path, "name", "user_13") == ["1"]
+
+    # no bloom sidecar -> conservative: every partition kept
+    path2 = str(tmp_path / "tbl2")
+    write_ptable(df, path2, "kb")
+    assert prune_partitions_eq(spark, path2, "name", "user_13") == ["0", "1", "2", "3"]
+
+    # NULL probes are rejected loudly (blooms index non-NULL only)
+    with pytest.raises(ValueError, match="non-NULL"):
+        prune_partitions_eq(spark, path, "name", None)
+
+    # unsupported bloom column types fail at write time, not probe time
+    bad = spark.createDataFrame([(1, "a", 1.5)], "id long, kb string, x double")
+    with pytest.raises(TypeError, match="bloom_cols"):
+        write_ptable(bad, str(tmp_path / "tbl3"), "kb", bloom_cols=["x"])
+
+
+def test_bloom_jvm_python_hash_parity(spark, tmp_path):
+    """The portability contract: the JVM-side builder (md5 over CAST AS
+    STRING, double hashing) and the Python-side prober set/check the SAME
+    bits for every supported type — string, integers, date, boolean."""
+    import datetime
+
+    from flnr_wins_spark.sources.ptable import (
+        _bloom_bits_py, _read_manifest)
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [
+            ("p", "héllo wörld", 42, datetime.date(2024, 2, 29), True),
+            ("p", "", -7, datetime.date(1999, 12, 31), False),
+        ],
+        "kb string, s string, i int, d date, b boolean",
+    )
+    write_ptable(df, path, "kb", bloom_cols=["s", "i", "d", "b"])
+    blooms = _read_manifest(spark, path, 1)["blooms"]["p"]
+    values = {
+        "s": ["héllo wörld", ""],
+        "i": [42, -7],
+        "d": [datetime.date(2024, 2, 29), datetime.date(1999, 12, 31)],
+        "b": [True, False],
+    }
+    for col, vals in values.items():
+        raw = bytes.fromhex(blooms[col])
+        for v in vals:
+            for b in _bloom_bits_py(v, 2048, 5):
+                assert (raw[b // 8] >> (b % 8)) & 1, (col, v, b)
