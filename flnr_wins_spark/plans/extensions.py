@@ -6129,3 +6129,87 @@ def x_ptable_bloom_point(spark, sf_dir):
         .filter(F.col("c_name") == probe)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
     )
+
+
+@query(
+    "x_ptable_incremental_mv",
+    sql="""
+    WITH fin AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 7 <> 0 AND o_orderpriority = '2-HIGH'
+                       AND o_orderkey % 11 = 0 AND o_orderkey % 13 <> 0
+                  THEN CAST(o_totalprice AS DECIMAL(27,2)) + 100
+                  ELSE CAST(o_totalprice AS DECIMAL(27,2)) END AS price
+      FROM orders
+      WHERE (o_orderkey % 7 = 0 AND o_orderpriority = '1-URGENT')
+         OR (o_orderkey % 7 <> 0
+             AND NOT (o_orderpriority = '2-HIGH' AND o_orderkey % 13 = 0))
+    )
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS DOUBLE) AS sum_price
+    FROM fin GROUP BY o_custkey
+    """,
+    note="MATERIALIZED-VIEW maintenance from lakehouse CDC, end-to-end: "
+    "orders committed as a partitioned MVCC table, an aggregate MV built "
+    "once, then a merge (inserts into one partition, updates+deletes in "
+    "another) — and the MV refreshes via ptable_delta (signed rows from "
+    "the CHANGED partitions of the two manifests only, NO key join: "
+    "unchanged rows cancel exactly under linear aggregates) folded in "
+    "with incremental_agg (exact decimal sums, zero-count groups drop). "
+    "The oracle recomputes the final aggregate from scratch, proving "
+    "delta-refresh == rebuild. At 100 TB the refresh reads the "
+    "partitions the merge touched, never the fact table — 3 of 5 "
+    "partitions are untouched here and never read",
+)
+def x_ptable_incremental_mv(spark, sf_dir):
+    import tempfile
+
+    from flnr_wins_spark.operators.merge import incremental_agg
+    from flnr_wins_spark.sources.ptable import (
+        merge_ptable,
+        ptable_delta,
+        write_ptable,
+    )
+
+    od = t(spark, sf_dir, "orders")
+    full = od.select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(27,2)").alias("price"),
+    )
+    base = full.filter(F.col("o_orderkey") % 7 != 0)
+    path = tempfile.mkdtemp(prefix="ptable_mv_") + "/tbl"
+    write_ptable(base, path, "o_orderpriority")
+    # the MV, built once over the bootstrap state
+    mv1 = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("price").alias("sum_price"),
+    )
+    # CDC batch confined to two of the five partitions
+    ins = full.filter(
+        (F.col("o_orderkey") % 7 == 0)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    upd = base.filter(
+        (F.col("o_orderpriority") == "2-HIGH")
+        & (F.col("o_orderkey") % 11 == 0)
+        & (F.col("o_orderkey") % 13 != 0)
+    ).withColumn(
+        "price",
+        (F.col("price") + F.lit(100).cast("decimal(27,2)"))
+        .cast("decimal(27,2)"),
+    )
+    dels = base.filter(
+        (F.col("o_orderpriority") == "2-HIGH")
+        & (F.col("o_orderkey") % 13 == 0)
+    ).select("o_orderkey", "o_orderpriority")
+    m2 = merge_ptable(
+        spark, path, ins.unionByName(upd), ["o_orderkey"], delete_keys=dels
+    )
+    # refresh: signed delta from the CHANGED partitions only, no key join
+    delta = ptable_delta(spark, path, m2 - 1, m2).select(
+        "o_custkey", "sign", F.col("price").alias("sum_price")
+    )
+    mv2 = incremental_agg(mv1, delta, ["o_custkey"], ["sum_price"])
+    return mv2.select(
+        "o_custkey", "n", F.col("sum_price").cast("double").alias("sum_price")
+    )

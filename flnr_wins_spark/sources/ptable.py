@@ -838,6 +838,63 @@ def repartition_ptable(
     return k
 
 
+def ptable_delta(
+    spark: SparkSession,
+    table_path: str,
+    from_manifest: int,
+    to_manifest: int,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """SIGNED changeset between two committed manifests, for linear
+    aggregate maintenance (``operators.merge.incremental_agg``): every
+    row of a changed partition at ``to_manifest`` with ``sign_col`` = +1,
+    every row of that partition at ``from_manifest`` with -1. Partitions
+    whose stage directory is identical in both manifests are provably
+    unchanged (stages are immutable) and are NEVER READ — cost is
+    O(changed partitions), the same manifest pruning as
+    :func:`ptable_diff`.
+
+    Deliberately NO key join: under any linear aggregate (COUNT, SUM over
+    exact types) an unchanged row in a rewritten partition contributes +x
+    and -x and cancels exactly, so the delta rule needs only the union —
+    one narrow scan per side, one shuffle at the consumer's groupBy. This
+    is how a 100 TB fact table's materialized aggregate refreshes at the
+    cost of the partitions a merge touched, never a full recompute.
+    Schema evolution between the manifests null-fills the missing side
+    (SUM ignores NULL — an evolved column simply contributes nothing
+    from rows written before it existed)."""
+    ids = _manifest_ids(spark, table_path)
+    for k in (from_manifest, to_manifest):
+        if k not in ids:
+            raise FileNotFoundError(f"manifest m{k} of {table_path} does not exist")
+    a = _read_manifest(spark, table_path, from_manifest)
+    b = _read_manifest(spark, table_path, to_manifest)
+    pa, pb = a["partitions"], b["partitions"]
+    old_vals = sorted(v for v in pa if pa[v] != pb.get(v))
+    new_vals = sorted(v for v in pb if pb[v] != pa.get(v))
+    frames = []
+    if new_vals:
+        frames.append(
+            read_ptable(spark, table_path, manifest=to_manifest, partitions=new_vals)
+            .withColumn(sign_col, F.lit(1))
+        )
+    if old_vals:
+        frames.append(
+            read_ptable(spark, table_path, manifest=from_manifest, partitions=old_vals)
+            .withColumn(sign_col, F.lit(-1))
+        )
+    if not frames:
+        return (
+            read_ptable(spark, table_path, manifest=to_manifest)
+            .limit(0)
+            .withColumn(sign_col, F.lit(1))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
 def ptable_diff(
     spark: SparkSession,
     table_path: str,

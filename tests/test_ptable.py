@@ -541,3 +541,47 @@ def test_bloom_jvm_python_hash_parity(spark, tmp_path):
         for v in vals:
             for b in _bloom_bits_py(v, 2048, 5):
                 assert (raw[b // 8] >> (b % 8)) & 1, (col, v, b)
+
+
+def test_ptable_delta_signed_changeset_prunes_unchanged(spark, tmp_path):
+    """ptable_delta emits +1 rows from the new side and -1 rows from the
+    old side of CHANGED partitions only (manifest-pruned, no key join);
+    unchanged rows cancel exactly under linear aggregates, and a no-op
+    pair of manifests yields an empty, correctly-typed delta."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.sources.ptable import ptable_delta
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, str(i % 3), float(i)) for i in range(30)],
+        "id long, kb string, score double",
+    )
+    write_ptable(df, path, "kb")
+    # merge touches kb=0 only: one insert, one delete, one update
+    ins = spark.createDataFrame(
+        [(100, "0", 1000.0), (6, "0", 66.0)], "id long, kb string, score double"
+    )
+    dels = spark.createDataFrame([(3, "0")], "id long, kb string")
+    merge_ptable(spark, path, ins, ["id"], delete_keys=dels)
+
+    delta = ptable_delta(spark, path, 1, 2)
+    # only partition kb=0's rows appear, both signs
+    assert {r.kb for r in delta.select("kb").distinct().collect()} == {"0"}
+    # signed fold: count delta = +1 insert -1 delete; sum delta =
+    # 1000 (insert) - 0 (deleted id 3... score 3.0) + (66 - 6) update
+    agg = delta.agg(
+        F.sum("sign").alias("dn"),
+        F.sum(F.col("sign") * F.col("score")).alias("ds"),
+    ).collect()[0]
+    assert agg.dn == 0  # +1 insert, -1 delete, updates net zero
+    assert agg.ds == 1000.0 - 3.0 + (66.0 - 6.0)
+    # the delta applied to the old aggregate equals the new aggregate
+    old_sum = sum(r.score for r in read_ptable(spark, path, manifest=1).collect())
+    new_sum = sum(r.score for r in read_ptable(spark, path, manifest=2).collect())
+    assert old_sum + agg.ds == new_sum
+
+    # identical manifests -> empty delta, schema intact
+    empty = ptable_delta(spark, path, 2, 2)
+    assert empty.count() == 0
+    assert "sign" in empty.columns
