@@ -62,6 +62,70 @@ def train_test_split(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic training-shard assignment + within-shard ordering.
+
+    Exporting a corpus for training needs a layout that is (a) stable
+    across runs/engines/partitionings — resharding must not reshuffle
+    examples between shards, or resumed training re-sees data — and
+    (b) order-defined within each shard, so shard files are byte-stable.
+    Content addressing gives both: ``shard`` = md5-bucket of the key mod
+    ``n_shards`` (pure function of the key, like ``kfold_split``), and
+    ``pos`` = rank within the shard by (md5 hex, key) — a total order
+    that is itself content-derived, i.e. a deterministic per-shard
+    shuffle (hash order ~ uniform), exactly what LM training wants
+    instead of source order.
+
+    Scale: one hash projection (no UDF), one shuffle on ``shard``; the
+    rank window partitions by shard, so state per task is one shard's
+    rows — size the shard count so corpus/n_shards fits a task (the
+    standard export knob). No global sort, no driver collect."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    hx = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
+    out = df.withColumn("_hx", hx).withColumn(
+        shard_col,
+        (F.conv(F.substring(F.col("_hx"), 1, 4), 16, 10).cast("long")
+         % n_shards).cast("int"),
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("_hx"), F.col(id_col))
+    return (
+        out.withColumn(pos_col, F.row_number().over(w).cast("bigint"))
+        .drop("_hx")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+) -> None:
+    """Materialize the corpus as ``n_shards`` deterministic parquet
+    shards: one file per shard (``shard=<k>/`` hive dirs), rows inside
+    each file in the content-derived ``pos`` order. repartition on the
+    shard column routes each shard to one task; the per-task
+    sortWithinPartitions leads with the partition column (the dynamic
+    writer requires it) then pos, so re-exports of identical data are
+    row-for-row identical."""
+    staged = shard_assign(df, id_col, n_shards)
+    (
+        staged.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def target_encode_oof(
     df: DataFrame,
     cat_col: str,

@@ -6213,3 +6213,34 @@ def x_ptable_incremental_mv(spark, sf_dir):
     return mv2.select(
         "o_custkey", "n", F.col("sum_price").cast("double").alias("sum_price")
     )
+
+
+@query(
+    "x_corpus_shard",
+    sql="""
+    SELECT doc_id,
+           CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                     AS INTEGER) % 8 AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 4) AS INTEGER) % 8
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+    note="deterministic training-shard export layout: shard = md5-bucket "
+    "of the key mod n (content-addressed — resharding identical data "
+    "never moves an example between shards), pos = rank within the "
+    "shard by (md5 hex, key) — a content-derived total order, i.e. a "
+    "deterministic per-shard shuffle (hash order ~ uniform), which is "
+    "what LM training wants instead of source order. One hash "
+    "projection, one shuffle on shard; the rank window holds one "
+    "shard's rows per task (shard count is the export sizing knob). "
+    "write_training_shards materializes this as one byte-stable "
+    "parquet file per shard (pytest-pinned)",
+)
+def x_corpus_shard(spark, sf_dir):
+    from flnr_wins_spark.operators.split import shard_assign
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return shard_assign(docs, "doc_id", n_shards=8)

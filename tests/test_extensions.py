@@ -1013,6 +1013,53 @@ class TestTrainTestSplit:
         with pytest.raises(ValueError):
             kfold_split(df, "doc_id", k=1)
 
+    def test_shard_assign_stable_and_order_defined(self, spark):
+        from flnr_wins_spark.operators.split import shard_assign
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {(r.doc_id): (r.shard, r.pos) for r in shard_assign(df, "doc_id", 8).collect()}
+        b = {(r.doc_id): (r.shard, r.pos) for r in shard_assign(
+            df.repartition(13), "doc_id", 8).collect()}
+        assert a == b  # partitioning-independent, total order included
+        # shards cover [0, 8), even-ish; pos is 1..|shard| dense per shard
+        shards = sorted({s for s, _ in a.values()})
+        assert shards == list(range(8))
+        for s in shards:
+            poss = sorted(p for sh, p in a.values() if sh == s)
+            assert poss == list(range(1, len(poss) + 1))
+        sizes = [sum(1 for sh, _ in a.values() if sh == s) for s in shards]
+        assert min(sizes) > 0.6 * max(sizes)
+        # membership is content-addressed: growth never moves old rows
+        big = {r.doc_id: r.shard for r in shard_assign(
+            spark.range(0, 4000).withColumnRenamed("id", "doc_id"), "doc_id", 8
+        ).collect()}
+        assert all(big[k] == s for k, (s, _) in a.items())
+
+    def test_write_training_shards_byte_stable_layout(self, spark, tmp_path):
+        import glob
+
+        from flnr_wins_spark.operators.split import write_training_shards
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id").withColumn(
+            "text", F.concat(F.lit("doc "), F.col("doc_id"))
+        )
+        p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+        write_training_shards(df, p1, "doc_id", 4)
+        write_training_shards(df.repartition(7), p2, "doc_id", 4)
+        # one data file per shard dir
+        for base in (p1, p2):
+            for s in range(4):
+                files = [
+                    f for f in glob.glob(f"{base}/shard={s}/*.parquet")
+                    if not f.startswith((".", "_"))
+                ]
+                assert len(files) == 1, (base, s, files)
+        # re-export of identical data is row-for-row identical per shard
+        for s in range(4):
+            r1 = spark.read.parquet(f"{p1}/shard={s}").collect()
+            r2 = spark.read.parquet(f"{p2}/shard={s}").collect()
+            assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
 
 class TestStratifiedSample:
     def test_membership_is_key_deterministic(self, spark):
