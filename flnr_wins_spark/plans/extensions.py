@@ -6160,6 +6160,7 @@ def x_ptable_bloom_point(spark, sf_dir):
     "delta-refresh == rebuild. At 100 TB the refresh reads the "
     "partitions the merge touched, never the fact table — 3 of 5 "
     "partitions are untouched here and never read",
+    bench=True,
 )
 def x_ptable_incremental_mv(spark, sf_dir):
     import tempfile
@@ -6238,6 +6239,7 @@ def x_ptable_incremental_mv(spark, sf_dir):
     "shard's rows per task (shard count is the export sizing knob). "
     "write_training_shards materializes this as one byte-stable "
     "parquet file per shard (pytest-pinned)",
+    bench=True,
 )
 def x_corpus_shard(spark, sf_dir):
     from flnr_wins_spark.operators.split import shard_assign

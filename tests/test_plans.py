@@ -570,3 +570,38 @@ def test_drift_psi_is_counts_sized_after_shuffle(spark):
     plan = _plan(spark, "x_drift_psi")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_corpus_shard_is_one_exchange_no_python(spark):
+    """Shard export layout: the hash projection is pure JVM (md5/conv —
+    no Python anywhere), and the only shuffle is the single hash
+    Exchange feeding the per-shard rank window. A second Exchange or a
+    BatchEvalPython here would double the cost of every corpus export."""
+    plan = _plan(spark, "x_corpus_shard")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_ptable_incremental_mv_join_is_aggregate_sized(spark):
+    """The MV refresh's only join is prev-aggregate vs delta-aggregate on
+    the MV key (full outer) — never a join against the fact table; the
+    delta side is a pure union of changed-partition scans (no key join,
+    unchanged rows cancel)."""
+    plan = _plan(spark, "x_ptable_incremental_mv")
+    assert plan.count("FullOuter") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_point_read_scans_pruned_partitions_only(spark):
+    """The graded bloom entry's returned plan must scan the manifest-
+    pruned partition set, not the whole table: with a unique probe key
+    the scan covers exactly ONE stage partition directory (plus the
+    re-filter on the real column)."""
+    import re
+
+    plan = _plan(spark, "x_ptable_bloom_point")
+    dirs = set(re.findall(r"c_mktsegment=[A-Z]+", plan))
+    assert len(dirs) == 1, dirs
+    assert "BatchEvalPython" not in plan
