@@ -895,3 +895,58 @@ class TestDriftPsiSink:
             ).collect())
         )
         assert got == want and len(got) == 10
+
+
+class TestPtableSinkSidecars:
+    """The streaming lakehouse loop maintains the manifest sidecars for
+    free: ptable_merge_sink routes every micro-batch through
+    merge_ptable, which re-derives zone maps / row counts / bloom
+    filters for rewritten partitions and carries the rest by reference —
+    so metadata-only queries stay correct under continuous ingestion."""
+
+    def test_stream_maintains_rowcounts_and_blooms(self, spark, tmp_path):
+        from flnr_wins_spark.sources.ptable import (
+            partition_rows,
+            prune_partitions_eq,
+            read_ptable,
+            write_ptable,
+        )
+        from flnr_wins_spark.streaming.sinks import ptable_merge_sink
+
+        base = spark.createDataFrame(
+            [(1, "en", "alpha"), (2, "en", "beta"), (3, "fr", "gamma")],
+            "id long, lang string, name string",
+        )
+        path = str(tmp_path / "tbl")
+        write_ptable(base, path, "lang", stats_cols=["id"], bloom_cols=["name"])
+        src = str(tmp_path / "src")
+        schema = "id long, lang string, name string, is_delete boolean"
+        for rows in (
+            [(4, "de", "delta", False)],                     # new partition
+            [(2, "en", "beta2", False), (1, "en", "", True)],  # update+delete
+        ):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = ptable_merge_sink(
+            stream, path, ["id"], str(tmp_path / "ckpt"),
+            delete_flag_col="is_delete",
+        )
+        q.awaitTermination(120)
+        # metadata counts match the data after two streamed merges
+        rows = partition_rows(spark, path)
+        actual = {
+            str(r.lang): r.n
+            for r in read_ptable(spark, path).groupBy("lang").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert rows == actual == {"en": 1, "fr": 1, "de": 1}
+        # blooms: streamed-in values are findable, stale value pruned away
+        assert prune_partitions_eq(spark, path, "name", "delta") == ["de"]
+        assert prune_partitions_eq(spark, path, "name", "beta2") == ["en"]
+        assert "en" not in prune_partitions_eq(spark, path, "name", "beta")
