@@ -1846,3 +1846,151 @@ def x_benford_audit(spark, sf_dir):
         expected.alias("expected"),
         (observed - expected).alias("deviation"),
     )
+
+
+@query(
+    "x_cusum_changepoint",
+    sql="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             SUM(CAST(value AS DECIMAL(27,6))) AS ydec
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(CAST(SUM(ydec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  AS DECIMAL(20,9)) AS mu
+      FROM hourly
+    ),
+    c AS (
+      SELECT h, CAST(ydec AS DOUBLE) AS y,
+             SUM(CAST(ydec AS DECIMAL(18,6)) - (SELECT mu FROM stats))
+               OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cus
+      FROM hourly
+    )
+    SELECT h, y, CAST(cus AS DOUBLE) AS cusum,
+           ABS(cus) = MAX(ABS(cus)) OVER () AS changepoint
+    FROM c
+    """,
+    note="CUSUM mean-shift changepoint detection on the hourly event "
+    "series: cumulative sum of deviations from the series mean, exact in "
+    "decimals (hourly sums DECIMAL(27,6); the ONE double division for "
+    "the mean is IEEE-correctly-rounded in both engines and re-routed "
+    "through DECIMAL(20,9), the proven libm pattern; the running sum is "
+    "an exact decimal fold) — the argmax |CUSUM| row is the maximum-"
+    "likelihood single changepoint, flagged by exact-decimal equality so "
+    "no tiebreak hazard exists. Scale shape: the corpus-sized pass is "
+    "the hourly groupBy; both windows then run on the CALENDAR-bounded "
+    "series (720 rows/month regardless of corpus size) — series-sized, "
+    "never corpus-sized, same doctrine as x_seasonal_decompose",
+)
+def x_cusum_changepoint(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"), "value"
+        )
+        .groupBy("h")
+        .agg(F.sum(F.col("value").cast("decimal(27,6)")).alias("ydec"))
+    )
+    stats = hourly.agg(
+        (
+            F.sum("ydec").cast("double") / F.count(F.lit(1)).cast("double")
+        ).cast("decimal(20,9)").alias("mu")
+    )
+    run = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # (18,6)-(20,9) -> DECIMAL(22,9); its windowed sum is DECIMAL(32,9),
+    # under the 38 cap — a wider operand would trip Spark's overflow rule
+    # and silently truncate the running sum's scale to 6
+    cus = F.sum(F.col("ydec").cast("decimal(18,6)") - F.col("mu")).over(run)
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .select(
+            "h",
+            F.col("ydec").cast("double").alias("y"),
+            cus.alias("_cus"),
+        )
+        .select(
+            "h", "y",
+            F.col("_cus").cast("double").alias("cusum"),
+            (F.abs(F.col("_cus")) == F.max(F.abs(F.col("_cus"))).over(whole))
+            .alias("changepoint"),
+        )
+    )
+
+
+@query(
+    "x_holt_forecast",
+    sql="""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT d, y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+      FROM daily
+    ),
+    holt AS (
+      SELECT rn, d, y, y AS level, CAST(0 AS DOUBLE) AS trend,
+             CAST(NULL AS DOUBLE) AS onestep
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.rn, s.d, s.y,
+             CAST(0.5 AS DOUBLE) * s.y
+               + CAST(0.5 AS DOUBLE) * (h.level + h.trend),
+             CAST(0.25 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * s.y
+                   + CAST(0.5 AS DOUBLE) * (h.level + h.trend)) - h.level)
+               + CAST(0.75 AS DOUBLE) * h.trend,
+             h.level + h.trend
+      FROM holt h JOIN seq s ON s.rn = h.rn + 1
+    )
+    SELECT rn, d, y, level, trend, onestep FROM holt
+    """,
+    note="Holt linear-trend exponential smoothing over the daily revenue "
+    "series (alpha=1/2, beta=1/4 — dyadic, so every smoothing product is "
+    "an exact IEEE operation): level/trend recurrences and the one-step-"
+    "ahead forecast, fitted sequentially. The oracle is a true recursive-"
+    "CTE twin with the IDENTICAL operation order, so doubles land on the "
+    "same bits (the memory-proven pure-fold discipline — no pairwise "
+    "summation anywhere). Scale shape: the corpus-sized pass is the "
+    "daily groupBy; the recurrence then runs driver-side on the "
+    "CALENDAR-BOUNDED series (~2.4k rows regardless of corpus size — "
+    "the same model-sized-collect doctrine as the unigram-LM fit and "
+    "the seasonal/CUSUM series windows). An inherently sequential "
+    "recurrence is not a distributable op; what must scale is the "
+    "aggregation that feeds it",
+)
+def x_holt_forecast(spark, sf_dir):
+    od = t(spark, sf_dir, "orders")
+    daily = (
+        od.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("y")
+        )
+        .orderBy("d")
+    )
+    rows = daily.collect()  # calendar-bounded: ~2.4k days at any SF
+    out = []
+    level = trend = None
+    for i, r in enumerate(rows, start=1):
+        y = float(r.y)
+        if i == 1:
+            level, trend, onestep = y, 0.0, None
+        else:
+            onestep = level + trend
+            new_level = 0.5 * y + 0.5 * (level + trend)
+            trend = 0.25 * (new_level - level) + 0.75 * trend
+            level = new_level
+        out.append((i, r.d, y, level, trend, onestep))
+    return spark.createDataFrame(
+        out, "rn bigint, d timestamp, y double, level double, trend double, "
+        "onestep double"
+    )
