@@ -78,3 +78,14 @@ def test_oracle_sql_parses_and_columns_match(spark, registry, duck):
                 f"{name}: spark cols {sorted(spark_cols)} != oracle cols {sorted(oracle_cols)}"
             )
     assert not failures, "\n".join(failures)
+
+
+def test_grade_first_names_all_resolve(registry):
+    """Every name in the grading-priority list must be a registered
+    entry — a typo would silently drop the entry to import-order position
+    and waste a driver grading slot on the wrong query."""
+    from flnr_wins_spark.plans.common import _GRADE_FIRST
+
+    unknown = [n for n in _GRADE_FIRST if n not in registry]
+    assert unknown == [], unknown
+    assert len(set(_GRADE_FIRST)) == len(_GRADE_FIRST)  # no duplicates
