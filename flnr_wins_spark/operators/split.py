@@ -19,12 +19,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def key_hex(key: Column) -> Column:
+    """The ONE key-canonicalization + hash expression every
+    content-addressed split shares (train/test, k-fold, shard): md5 over
+    the UTF-8 bytes of the stringified key. A divergent copy would let
+    shard membership silently stop matching fold/split membership for
+    the same key."""
+    return F.md5(F.encode(key.cast("string"), "UTF-8"))
+
+
 def split_bucket(key: Column, buckets: int = 256) -> Column:
     """Stable bucket id in [0, buckets) from the md5 of the (stringified)
     key. JVM-side: md5 + substring + conv, no UDF."""
     width = max(2, (buckets - 1).bit_length() + 3 >> 2)
     return F.conv(
-        F.substring(F.md5(F.encode(key.cast("string"), "UTF-8")), 1, width), 16, 10
+        F.substring(key_hex(key), 1, width), 16, 10
     ).cast("long") % buckets
 
 
@@ -56,7 +65,7 @@ def train_test_split(
     from flnr_wins_spark.operators.sample import _threshold_hex
 
     threshold = _threshold_hex(test_fraction)
-    prefix = F.substring(F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 2)
+    prefix = F.substring(key_hex(F.col(id_col)), 1, 2)
     return df.withColumn(
         split_col, F.when(prefix < threshold, "test").otherwise("train")
     )
@@ -90,8 +99,7 @@ def shard_assign(
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    hx = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
-    out = df.withColumn("_hx", hx).withColumn(
+    out = df.withColumn("_hx", key_hex(F.col(id_col))).withColumn(
         shard_col,
         (F.conv(F.substring(F.col("_hx"), 1, 4), 16, 10).cast("long")
          % n_shards).cast("int"),

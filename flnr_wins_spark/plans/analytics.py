@@ -1863,7 +1863,7 @@ def x_benford_audit(spark, sf_dir):
     ),
     c AS (
       SELECT h, CAST(ydec AS DOUBLE) AS y,
-             SUM(CAST(ydec AS DECIMAL(18,6)) - (SELECT mu FROM stats))
+             SUM(CAST(ydec AS DECIMAL(24,6)) - (SELECT mu FROM stats))
                OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cus
       FROM hourly
     )
@@ -1903,10 +1903,14 @@ def x_cusum_changepoint(spark, sf_dir):
     whole = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # (18,6)-(20,9) -> DECIMAL(22,9); its windowed sum is DECIMAL(32,9),
-    # under the 38 cap — a wider operand would trip Spark's overflow rule
-    # and silently truncate the running sum's scale to 6
-    cus = F.sum(F.col("ydec").cast("decimal(18,6)") - F.col("mu")).over(run)
+    # (24,6)-(20,9) -> DECIMAL(28,9); its windowed sum is DECIMAL(38,9),
+    # exactly at the cap — a wider operand would trip Spark's overflow
+    # rule and silently truncate the running sum's scale to 6, while the
+    # (24,6) downcast keeps headroom to |hourly sum| < 1e18 (Spark's
+    # non-ANSI decimal downcast NULLs on overflow where DuckDB raises;
+    # 1e18 is already past double-exactness, so the bound is not the
+    # binding constraint)
+    cus = F.sum(F.col("ydec").cast("decimal(24,6)") - F.col("mu")).over(run)
     return (
         hourly.crossJoin(F.broadcast(stats))
         .select(

@@ -6075,7 +6075,10 @@ def x_ptable_metadata_counts(spark, sf_dir):
         (F.col("o_orderkey") % 11 == 0)
         & (F.col("o_orderpriority") == "1-URGENT")
     ).select(
-        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        # negated keys: o_orderkey >= 1 at every SF, so inserts can never
+        # collide with (and silently upsert over) an existing key — the
+        # oracle's plain UNION ALL stays exact at any scale factor
+        (-F.col("o_orderkey")).alias("o_orderkey"),
         "o_orderpriority",
         "o_custkey",
     )

@@ -237,43 +237,83 @@ def _compute_blooms(
 ) -> dict:
     """Per-partition bloom filters for ``bloom_cols``: one m-bit filter
     per (partition, column), built JVM-side (md5 + double hashing, whole
-    stage codegen — no Python in the scan) and collected as a
-    partition-count-sized set of <= m distinct bit positions per filter.
-    NULLs are not indexed. The manifest stores each filter as a hex
-    bitmap (m/8 bytes), so a 2048-bit filter costs 512 chars per
-    partition per column — metadata-sized at any table scale."""
+    stage codegen — no Python in the scan) in ONE pass over the stage —
+    all columns' probe bits ride a single exploded array, one scan + one
+    shuffle regardless of column count, the same one-scan discipline as
+    ``_compute_stats``. The collect is (partitions x columns)-sized with
+    <= m distinct bit positions per filter. NULLs are not indexed. The
+    manifest stores each filter as a hex bitmap (m/8 bytes), so a
+    2048-bit filter costs 512 chars per partition per column —
+    metadata-sized at any table scale. Columns missing from the stage
+    (schema evolution: the column arrived after these partitions were
+    written) contribute no filter — readers keep those partitions."""
     df = spark.read.parquet(stage_path)
-    out: dict[str, dict] = {}
-    for c in bloom_cols:
-        if c not in df.columns:
-            continue
+    cols = [c for c in bloom_cols if c in df.columns]
+    if not cols:
+        return {}
+    probes = []
+    for c in cols:
         md = F.md5(F.col(c).cast("string"))
-        # 15 hex chars = 60 bits, so h1 + 4*h2 < 2^63: no long overflow
+        # 15 hex chars = 60 bits; k_hashes <= 8 is enforced at write time,
+        # so h1 + 7*h2 < 2^63: no long overflow, '%' stays non-negative
         h1 = F.conv(F.substring(md, 1, 15), 16, 10).cast("long")
         h2 = F.conv(F.substring(md, 17, 15), 16, 10).cast("long")
-        bits = F.array(
-            *[(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k_hashes)]
-        )
-        rows = (
-            df.filter(F.col(c).isNotNull())
-            .select(F.col(part_col), F.explode(bits).alias("_bit"))
-            .groupBy(part_col)
-            .agg(F.collect_set("_bit").alias("_bits"))
-            .collect()
-        )
-        for r in rows:
-            bm = bytearray(m_bits // 8)
-            for b in r["_bits"]:
-                bm[b // 8] |= 1 << (b % 8)
-            out.setdefault(str(r[part_col]), {})[c] = bm.hex()
+        for i in range(k_hashes):
+            probes.append(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        ((h1 + F.lit(i) * h2) % F.lit(m_bits)).alias("b"),
+                    ),
+                )
+            )
+    rows = (
+        df.select(F.col(part_col), F.explode(F.array(*probes)).alias("_p"))
+        .filter(F.col("_p").isNotNull())
+        .groupBy(part_col, F.col("_p.c").alias("_c"))
+        .agg(F.collect_set("_p.b").alias("_bits"))
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        bm = bytearray(m_bits // 8)
+        for b in r["_bits"]:
+            bm[b // 8] |= 1 << (b % 8)
+        out.setdefault(str(r[part_col]), {})[r["_c"]] = bm.hex()
     return out
 
 
-def _check_bloom_types(df: DataFrame, bloom_cols: list[str]) -> None:
+def _check_bloom_spec(
+    df: DataFrame, part_col: str, bloom_cols: list[str],
+    m_bits: int, k_hashes: int,
+) -> None:
+    """Loud validation of the bloom opt-in, write-time not probe-time.
+
+    k is capped at 8 because the JVM builder computes h1 + i*h2 with
+    h1, h2 < 2^60 in long arithmetic: i <= 7 keeps the sum under 2^63;
+    a larger i would wrap negative, set aliased bits, and make pruning
+    silently LOSSY (the Python prober computes exact positions, finds a
+    clear bit for a present value, and drops the true partition)."""
+    if m_bits < 8 or m_bits % 8 != 0:
+        raise ValueError(f"bloom_bits must be a positive multiple of 8, got {m_bits}")
+    if not 1 <= k_hashes <= 8:
+        raise ValueError(f"bloom_hashes must be in [1, 8], got {k_hashes}")
     dtypes = dict(df.dtypes)
     for c in bloom_cols:
+        if c == part_col:
+            raise ValueError(
+                f"bloom_cols may not name the partition column '{c}' — "
+                "partition values are pruned directly by the manifest map"
+            )
         t = dtypes.get(c)
-        if t is not None and t not in _BLOOM_OK_TYPES:
+        if t is None:
+            raise ValueError(
+                f"bloom_cols column '{c}' is not in the DataFrame — a "
+                "misspelled column would commit a table whose point-lookup "
+                "pruning silently never engages"
+            )
+        if t not in _BLOOM_OK_TYPES:
             raise TypeError(
                 f"bloom_cols column '{c}' has type {t}; bloom sidecars "
                 f"support only {sorted(_BLOOM_OK_TYPES)} (types whose "
@@ -314,7 +354,9 @@ def write_ptable(
     stage = f"{table_path}/stage/m{k}"
     _clear_crashed_stage(spark, table_path, k)
     if bloom_cols:
-        _check_bloom_types(df, list(bloom_cols))
+        _check_bloom_spec(
+            df, part_col, list(bloom_cols), bloom_bits, bloom_hashes
+        )
     df.write.mode("error").partitionBy(part_col).parquet(stage)
     part_type = dict(df.dtypes)[part_col]
     mapping = {
@@ -467,7 +509,11 @@ def merge_ptable(
             rows.update(new_rows)
         manifest["stats_cols"] = prev["stats_cols"]
         manifest["stats"] = stats
-        manifest["rows"] = rows
+        if "rows" in prev:
+            # a pre-row-count manifest (older writer) has no baseline for
+            # untouched partitions — omitting 'rows' keeps partition_rows
+            # failing LOUDLY instead of returning a partial count map
+            manifest["rows"] = rows
     if prev.get("bloom_cols"):
         # bloom sidecars follow the same carry-by-reference rule
         blooms = {
@@ -765,10 +811,12 @@ def compact_ptable(
     }
     if prev.get("stats_cols"):
         # compaction is logically invisible: zone maps, row counts and
-        # bloom sidecars all carry verbatim
+        # bloom sidecars all carry verbatim (rows only if the previous
+        # writer recorded them — never fabricate a partial map)
         manifest["stats_cols"] = prev["stats_cols"]
         manifest["stats"] = prev.get("stats", {})
-        manifest["rows"] = prev.get("rows", {})
+        if "rows" in prev:
+            manifest["rows"] = prev["rows"]
     if prev.get("bloom_cols"):
         manifest["bloom_cols"] = prev["bloom_cols"]
         manifest["bloom_m"] = prev["bloom_m"]

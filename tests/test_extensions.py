@@ -1046,12 +1046,15 @@ class TestTrainTestSplit:
         p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
         write_training_shards(df, p1, "doc_id", 4)
         write_training_shards(df.repartition(7), p2, "doc_id", 4)
-        # one data file per shard dir
+        # one data file per shard dir (filter on the BASENAME — the full
+        # glob path never starts with '.'/'_')
+        import os
+
         for base in (p1, p2):
             for s in range(4):
                 files = [
                     f for f in glob.glob(f"{base}/shard={s}/*.parquet")
-                    if not f.startswith((".", "_"))
+                    if not os.path.basename(f).startswith((".", "_"))
                 ]
                 assert len(files) == 1, (base, s, files)
         # re-export of identical data is row-for-row identical per shard

@@ -585,3 +585,59 @@ def test_ptable_delta_signed_changeset_prunes_unchanged(spark, tmp_path):
     empty = ptable_delta(spark, path, 2, 2)
     assert empty.count() == 0
     assert "sign" in empty.columns
+
+
+def test_bloom_spec_validated_loudly_at_write(spark, tmp_path):
+    """Review findings (r7): a misspelled bloom column, the partition
+    column itself, k > 8 (JVM long overflow -> silently lossy pruning),
+    or a non-byte-aligned m must all fail AT WRITE TIME, never commit a
+    table whose point-lookup pruning silently misbehaves."""
+    df = spark.createDataFrame(
+        [(1, "en", "alpha")], "id long, kb string, name string"
+    )
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="not in the DataFrame"):
+        write_ptable(df, path, "kb", bloom_cols=["nmae"])
+    with pytest.raises(ValueError, match="partition column"):
+        write_ptable(df, path, "kb", bloom_cols=["kb"])
+    with pytest.raises(ValueError, match="bloom_hashes"):
+        write_ptable(df, path, "kb", bloom_cols=["name"], bloom_hashes=9)
+    with pytest.raises(ValueError, match="bloom_bits"):
+        write_ptable(df, path, "kb", bloom_cols=["name"], bloom_bits=2047)
+    assert ptable_history(spark, path) == []  # nothing committed
+
+
+def test_rowcounts_never_fabricated_for_pre_sidecar_manifests(spark, tmp_path):
+    """Review finding (r7): merging/compacting a table whose manifest
+    predates the rows sidecar must NOT emit a partial 'rows' map —
+    partition_rows keeps failing loudly instead of returning counts that
+    silently miss the untouched partitions."""
+    import json as _json
+
+    from flnr_wins_spark.sources.ptable import compact_ptable, partition_rows
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, str(i % 3), float(i)) for i in range(12)],
+        "id long, kb string, score double",
+    )
+    write_ptable(df, path, "kb", stats_cols=["id"])
+    # simulate an older writer: strip 'rows' from the committed manifest
+    mpath = f"{path}/manifests/m1.json"
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    del m["rows"]
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    import os
+
+    crc = f"{path}/manifests/.m1.json.crc"  # hadoop local-FS checksum
+    if os.path.exists(crc):
+        os.remove(crc)
+    ins = spark.createDataFrame([(100, "0", 1.0)], "id long, kb string, score double")
+    merge_ptable(spark, path, ins, ["id"])
+    with pytest.raises(FileNotFoundError, match="no row counts"):
+        partition_rows(spark, path)
+    compact_ptable(spark, path, min_files=1)
+    with pytest.raises(FileNotFoundError, match="no row counts"):
+        partition_rows(spark, path)
