@@ -6249,3 +6249,46 @@ def x_corpus_shard(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return shard_assign(docs, "doc_id", n_shards=8)
+
+
+@query(
+    "x_bucketed_join",
+    sql="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    note="CO-LOCATED (shuffle-free) join via bucketing — the 100 TB "
+    "analog of the reference's attribute indexes (wts.py:156-161): both "
+    "fact sides persist hash-bucketed on the join key once, and every "
+    "subsequent join on that key is a sort-merge over co-located "
+    "buckets with NO exchange on either side (the only shuffle left in "
+    "the plan is the 5-row priority aggregate's). The shuffle is paid "
+    "at write time and amortized across every downstream join; plan "
+    "contract pins exactly one Exchange. Result must equal the plain "
+    "join, which is what the oracle runs",
+)
+def x_bucketed_join(spark, sf_dir):
+    from flnr_wins_spark.sources.bucketing import bucketed, write_bucketed
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "x_bj_lineitem", ["l_orderkey"], n_buckets=8)
+    write_bucketed(od, "x_bj_orders", ["o_orderkey"], n_buckets=8)
+    j = bucketed(spark, "x_bj_lineitem").hint("merge").join(
+        bucketed(spark, "x_bj_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(27,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).cast("double").alias("revenue"),
+    )

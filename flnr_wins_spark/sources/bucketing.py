@@ -30,6 +30,19 @@ def write_bucketed(
     target cluster (e.g. 4-8x executor count at 100 TB), not the data volume;
     AQE cannot re-split a bucketed scan.
     """
+    spark = df.sparkSession
+    # idempotent across SESSIONS, not just reruns: a fresh in-memory
+    # catalog doesn't know the table, so mode("overwrite") alone cannot
+    # reclaim a previous session's orphaned managed-table location and
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS — drop the catalog
+    # entry AND the leftover warehouse dir first
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table}")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -605,3 +605,13 @@ def test_bloom_point_read_scans_pruned_partitions_only(spark):
     dirs = set(re.findall(r"c_mktsegment=[A-Z]+", plan))
     assert len(dirs) == 1, dirs
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_single_exchange(spark):
+    """The co-located join must read both bucketed scans with NO
+    exchange — the only shuffle in the whole plan is the 5-row priority
+    aggregate's. A second hash Exchange means the bucket spec was not
+    picked up and the join shuffled both fact sides anyway."""
+    plan = _plan(spark, "x_bucketed_join")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" in plan
