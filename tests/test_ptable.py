@@ -641,3 +641,48 @@ def test_rowcounts_never_fabricated_for_pre_sidecar_manifests(spark, tmp_path):
     compact_ptable(spark, path, min_files=1)
     with pytest.raises(FileNotFoundError, match="no row counts"):
         partition_rows(spark, path)
+
+
+def test_ndv_sketches_merge_and_maintain(spark, tmp_path):
+    """KMV NDV sidecars: per-partition sketches are exact below k, the
+    table-wide merge equals a sketch built over all data (mergeability),
+    merges re-derive only rewritten partitions, compaction carries
+    verbatim, and an un-opted column fails loudly."""
+    from flnr_wins_spark.sources.ptable import (
+        _read_manifest, compact_ptable, ndv_partitions, ndv_table)
+
+    path = str(tmp_path / "tbl")
+    # 3 partitions; 'val' has 10 distinct values per partition, 20 overall
+    df = spark.createDataFrame(
+        [(i, str(i % 3), f"v{(i // 3) % 20}") for i in range(120)],
+        "id long, kb string, val string",
+    )
+    write_ptable(df, path, "kb", ndv_cols=["val"], ndv_k=8)
+    per = ndv_partitions(spark, path, "val")
+    # 20 distinct per partition > k=8: sketch is full, estimate ~20
+    assert all(n == 8 for n, _ in per.values())
+    tot_n, tot_est = ndv_table(spark, path, "val")
+    assert tot_n == 8 and 5 <= tot_est <= 80  # KMV variance at k=8 is wide
+    # small-cardinality column would be exact below k: rebuild with k=64
+    path2 = str(tmp_path / "tbl2")
+    write_ptable(df, path2, "kb", ndv_cols=["val"], ndv_k=64)
+    per2 = ndv_partitions(spark, path2, "val")
+    assert all((n, est) == (20, 20.0) for n, est in per2.values())
+    assert ndv_table(spark, path2, "val") == (20, 20.0)
+
+    # merge rewrites kb=0 only: its sketch re-derives, others carry
+    m1 = _read_manifest(spark, path2, 1)["ndv"]
+    ins = spark.createDataFrame(
+        [(500, "0", "brand_new")], "id long, kb string, val string"
+    )
+    merge_ptable(spark, path2, ins, ["id"])
+    m2 = _read_manifest(spark, path2, 2)["ndv"]
+    assert m2["1"] == m1["1"] and m2["2"] == m1["2"]
+    assert len(m2["0"]["val"]) == 21  # one new distinct value landed
+    assert ndv_table(spark, path2, "val") == (21, 21.0)
+    # compaction carries NDV verbatim
+    compact_ptable(spark, path2, min_files=1)
+    assert _read_manifest(spark, path2, 3)["ndv"] == m2
+
+    with pytest.raises(FileNotFoundError, match="no NDV sketch"):
+        ndv_partitions(spark, path2, "id")
