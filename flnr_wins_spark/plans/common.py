@@ -48,8 +48,8 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
 # driver-graded correctness row go first. Round-7 ordering: the driver
-# graded EXACTLY the first 50 in r6 (43-50 in earlier rounds), so the
-# head of this list is exactly the entries that need a fresh row:
+# graded EXACTLY 50 entries in every round so far, so the head of this
+# list is exactly the entries that need a fresh row:
 # (a) the thirteen never-graded r7 surfaces (lakehouse CDC e2e,
 # persisted-IVF + persisted/incremental BM25 feature stores, zone-map
 # pruning, metadata-only counts, bloom point pruning, CDC-driven MV
@@ -58,9 +58,11 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 # entry whose plan shape
 # changed this round (search-e2e limit-then-rank rewrite); (c) all 42
 # entries whose latest grade is r02 — four rounds stale, the whole
-# cohort rotates in. That is 56 for a budget that has been 43-50: new
+# cohort rotates in. That is 56 against a budget of exactly 50: new
 # surfaces and the contract re-grade outrank the tail of the stale
-# cohort, so any overflow lands on its last entries. Positions 52+ follow staleness order (rows-only
+# cohort, so the LAST 6 r02 entries wait one more round (every one is a
+# green-r02 entry whose module is untouched since; r8's rotation leads
+# with them). Positions 52+ follow staleness order (rows-only
 # fast paths for rows-evidence, then r03/r04/r05/r06 greens, freshest
 # last). Goal after r7: no never-graded entries, no entry's latest grade
 # older than r03 (modulo the driver's actual budget).
