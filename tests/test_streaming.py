@@ -918,7 +918,10 @@ class TestPtableSinkSidecars:
             "id long, lang string, name string",
         )
         path = str(tmp_path / "tbl")
-        write_ptable(base, path, "lang", stats_cols=["id"], bloom_cols=["name"])
+        write_ptable(
+            base, path, "lang",
+            stats_cols=["id"], bloom_cols=["name"], ndv_cols=["name"],
+        )
         src = str(tmp_path / "src")
         schema = "id long, lang string, name string, is_delete boolean"
         for rows in (
@@ -950,3 +953,7 @@ class TestPtableSinkSidecars:
         assert prune_partitions_eq(spark, path, "name", "delta") == ["de"]
         assert prune_partitions_eq(spark, path, "name", "beta2") == ["en"]
         assert "en" not in prune_partitions_eq(spark, path, "name", "beta")
+        # NDV sketches streamed along too: 3 live names, all below k -> exact
+        from flnr_wins_spark.sources.ptable import ndv_table
+
+        assert ndv_table(spark, path, "name") == (3, 3.0)
