@@ -572,3 +572,91 @@ def test_merge_evolve_is_idempotent(spark, base, change):
     once = merge_upsert_evolve(t0, s, ["id"])
     twice = merge_upsert_evolve(once, s, ["id"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# ---- manifest sidecars: the invariants that make metadata-only answers
+# trustworthy for ANY data shape ----
+
+SIDE_ROWS = st.lists(
+    st.tuples(st.integers(0, 50), st.sampled_from(["p0", "p1", "p2"]),
+              st.sampled_from(["u", "v", "w", "x", "y", ""])),
+    min_size=1, max_size=14,
+)
+
+SIDE = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=SIDE_ROWS)
+@SIDE
+def test_sidecars_never_lie_for_any_data(spark, tmp_path_factory, rows):
+    """For arbitrary data: metadata row counts equal the data's counts,
+    bloom pruning never loses a present value (no false negatives), and
+    the KMV table estimate is EXACT whenever total NDV < k."""
+    from collections import Counter
+
+    from flnr_wins_spark.sources.ptable import (
+        ndv_table, partition_rows, prune_partitions_eq, write_ptable)
+
+    # unique ids so merge-free semantics are unambiguous
+    data = [(i, kb, val) for i, (_, kb, val) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, kb string, val string")
+    path = str(tmp_path_factory.mktemp("side")) + "/tbl"
+    write_ptable(
+        df, path, "kb",
+        stats_cols=["id"], bloom_cols=["val"], ndv_cols=["val"], ndv_k=64,
+    )
+    want = Counter(kb for _, kb, _ in data)
+    assert partition_rows(spark, path) == dict(want)
+    for _, kb, val in data:
+        assert kb in prune_partitions_eq(spark, path, "val", val)
+    n, est = ndv_table(spark, path, "val")
+    true_ndv = len({v for _, _, v in data})
+    assert (n, est) == (true_ndv, float(true_ndv))  # < k=64: exact
+
+
+@given(rows=SIDE_ROWS)
+@SIDE
+def test_ptable_delta_reconciles_any_merge(spark, tmp_path_factory, rows):
+    """For arbitrary data + an arbitrary-ish changeset: old aggregate +
+    signed delta == new aggregate, per partition AND globally — the
+    linear-aggregate cancellation ptable_delta is built on."""
+    from collections import Counter
+
+    from flnr_wins_spark.sources.ptable import ptable_delta, write_ptable
+
+    data = [(i, kb, val) for i, (_, kb, val) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, kb string, val string")
+    path = str(tmp_path_factory.mktemp("delta")) + "/tbl"
+    write_ptable(df, path, "kb")
+    # changeset derived from the data itself: update even ids, delete
+    # ids % 3 == 0 (disjoint from updates), insert one new row
+    upd = [(i, kb, val + "!") for i, kb, val in data if i % 2 == 0 and i % 3 != 0]
+    ins = [(len(data) + 7, "p1", "new")]
+    dels = [(i, kb) for i, kb, _ in data if i % 3 == 0]
+    src = spark.createDataFrame(upd + ins, "id long, kb string, val string")
+    dk = spark.createDataFrame(dels, "id long, kb string") if dels else None
+    merge_args = {"delete_keys": dk} if dels else {}
+    from flnr_wins_spark.sources.ptable import merge_ptable as _merge
+
+    _merge(spark, path, src, ["id"], **merge_args)
+
+    delta = ptable_delta(spark, path, 1, 2).collect()
+    old = Counter(kb for _, kb, _ in data)
+    d = Counter()
+    for r in delta:
+        d[r.kb] += r.sign
+    new = Counter(
+        r.kb for r in read_ptable_all(spark, path)
+    )
+    for kb in set(old) | set(new) | set(d):
+        assert old.get(kb, 0) + d.get(kb, 0) == new.get(kb, 0), kb
+
+
+def read_ptable_all(spark, path):
+    from flnr_wins_spark.sources.ptable import read_ptable
+
+    return read_ptable(spark, path).collect()
