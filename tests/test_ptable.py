@@ -686,3 +686,32 @@ def test_ndv_sketches_merge_and_maintain(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no NDV sketch"):
         ndv_partitions(spark, path2, "id")
+
+
+def test_read_ptable_prunes_columns_and_pushes_filters(spark, tmp_path):
+    """The manifest read stays DECLARATIVE: a projection over
+    read_ptable reaches every per-partition parquet scan as a pruned
+    ReadSchema, and a row predicate lands in PushedFilters — the union
+    construction must not block Catalyst's pruning/pushdown, or a
+    2-column projection over a 100 TB table would read every column."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("kb"),
+        F.concat(F.lit("t"), F.col("id")).alias("a"),
+        F.concat(F.lit("u"), F.col("id")).alias("b"),
+    )
+    write_ptable(df, path, "kb")
+    plan = (
+        read_ptable(spark, path)
+        .filter(F.col("id") > 42)
+        .select("id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    schemas = set(re.findall(r"ReadSchema: \S+", plan))
+    assert schemas == {"ReadSchema: struct<id:bigint>"}, schemas
+    assert "GreaterThan(id,42)" in plan
