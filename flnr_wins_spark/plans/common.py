@@ -62,7 +62,7 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 # surfaces and the contract re-grade outrank the tail of the stale
 # cohort, so the LAST 6 r02 entries wait one more round (every one is a
 # green-r02 entry whose module is untouched since; r8's rotation leads
-# with them). Positions 52+ follow staleness order (rows-only
+# with them). Positions 57+ follow staleness order (rows-only
 # fast paths for rows-evidence, then r03/r04/r05/r06 greens, freshest
 # last). Goal after r7: no never-graded entries, no entry's latest grade
 # older than r03 (modulo the driver's actual budget).

@@ -33,16 +33,19 @@ def write_bucketed(
     spark = df.sparkSession
     # idempotent across SESSIONS, not just reruns: a fresh in-memory
     # catalog doesn't know the table, so mode("overwrite") alone cannot
-    # reclaim a previous session's orphaned managed-table location and
-    # saveAsTable fails with LOCATION_ALREADY_EXISTS — drop the catalog
-    # entry AND the leftover warehouse dir first
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table}")
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(jpath):
-        fs.delete(jpath, True)
+    # reclaim a previous session's ORPHANED managed-table location and
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS. Reclaim ONLY that
+    # case — a directory with no catalog entry. A table the catalog
+    # knows goes through Spark's own overwrite path, which keeps its
+    # safety properties (a self-referential overwrite raises with data
+    # intact; a failed write does not destroy the previous table).
+    if not spark.catalog.tableExists(table):
+        from flnr_wins_spark.fsutil import hadoop_fs
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = hadoop_fs(spark, f"{warehouse}/{table}")
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

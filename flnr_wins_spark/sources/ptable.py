@@ -162,6 +162,25 @@ def _json_scalar(v):
     )
 
 
+def _read_stage_raw(spark: SparkSession, stage_path: str) -> DataFrame:
+    """Read a stage dir with partition-value TYPE INFERENCE disabled, so
+    the partition column carries the raw directory string. The sidecar
+    builders key their manifest entries by str(partition value); with
+    inference on, a numeric-looking STRING partition value ('07',
+    '1e2', '0.50') re-types to a number and str() lands on a DIFFERENT
+    key ('7') than the manifest's ('07') — the sketch/stats would be
+    stored under a key no reader ever looks up, silently disabling the
+    sidecar for that partition. Conf toggle is try/finally-scoped; the
+    layer is single-writer by contract so no concurrent reader races it."""
+    conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        return spark.read.parquet(stage_path)
+    finally:
+        spark.conf.set(conf, prev)
+
+
 def _compute_stats(
     spark: SparkSession, stage_path: str, part_col: str, stats_cols: list[str]
 ) -> tuple[dict, dict]:
@@ -174,7 +193,7 @@ def _compute_stats(
     row counts ride the same scan for free and let
     :func:`partition_rows` answer ``COUNT(*) GROUP BY part`` from
     metadata alone."""
-    df = spark.read.parquet(stage_path)
+    df = _read_stage_raw(spark, stage_path)
     cols = [c for c in stats_cols if c in df.columns]
     aggs = [F.count(F.lit(1)).alias("_nrows")]
     for c in cols:
@@ -247,7 +266,7 @@ def _compute_blooms(
     metadata-sized at any table scale. Columns missing from the stage
     (schema evolution: the column arrived after these partitions were
     written) contribute no filter — readers keep those partitions."""
-    df = spark.read.parquet(stage_path)
+    df = _read_stage_raw(spark, stage_path)
     cols = [c for c in bloom_cols if c in df.columns]
     if not cols:
         return {}
@@ -301,7 +320,7 @@ def _compute_ndv(
     hashed."""
     from pyspark.sql import Window
 
-    df = spark.read.parquet(stage_path)
+    df = _read_stage_raw(spark, stage_path)
     cols = [c for c in ndv_cols if c in df.columns]
     if not cols:
         return {}
@@ -392,6 +411,31 @@ def ndv_table(
         merged.update(m.get("ndv", {}).get(v, {}).get(col, []))
     hs = sorted(merged)[:k]
     return (len(hs), _kmv_estimate(hs, k))
+
+
+def _check_ndv_spec(
+    df: DataFrame, part_col: str, ndv_cols: list[str], k: int
+) -> None:
+    """Loud validation of the NDV opt-in, write-time not read-time.
+    Unlike blooms (where an absent filter is fail-SAFE: the partition is
+    kept), an absent NDV sketch is fail-WRONG — ndv_partitions would
+    report an exact-looking (0, 0.0) for a column that was merely
+    misspelled, and a cost-based planner would act on it."""
+    if k < 2:
+        raise ValueError(f"ndv_k must be >= 2, got {k}")
+    cols = set(df.columns)
+    for c in ndv_cols:
+        if c == part_col:
+            raise ValueError(
+                f"ndv_cols may not name the partition column '{c}' — its "
+                "distinct values are the manifest's partition map itself"
+            )
+        if c not in cols:
+            raise ValueError(
+                f"ndv_cols column '{c}' is not in the DataFrame — a "
+                "misspelled column would commit a manifest whose NDV "
+                "reads return a fabricated exact zero"
+            )
 
 
 def _check_bloom_spec(
@@ -495,8 +539,7 @@ def write_ptable(
             spark, stage, part_col, list(bloom_cols), bloom_bits, bloom_hashes
         )
     if ndv_cols:
-        if ndv_k < 2:
-            raise ValueError(f"ndv_k must be >= 2, got {ndv_k}")
+        _check_ndv_spec(df, part_col, list(ndv_cols), ndv_k)
         manifest["ndv_cols"] = list(ndv_cols)
         manifest["ndv_k"] = int(ndv_k)
         manifest["ndv"] = _compute_ndv(

@@ -43,3 +43,26 @@ def test_groupby_on_bucket_key_has_no_shuffle(spark, bucketed_tables):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert agg.count() == 1000
+
+
+def test_write_bucketed_keeps_table_on_self_referential_overwrite(spark):
+    """Review finding (r7): reclaiming an orphaned warehouse location
+    must not destroy a table the catalog KNOWS — a self-referential
+    overwrite goes through Spark's own guard (raises, data intact),
+    never a pre-emptive drop."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.sources.bucketing import bucketed, write_bucketed
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_bucketed(df, "t_self_ref", ["k"], n_buckets=4)
+    with pytest.raises(Exception, match="overwrite the target"):
+        write_bucketed(
+            bucketed(spark, "t_self_ref").filter("v > 10"),
+            "t_self_ref", ["k"], n_buckets=4,
+        )
+    assert bucketed(spark, "t_self_ref").count() == 100  # data intact
+    spark.sql("DROP TABLE IF EXISTS t_self_ref")

@@ -578,7 +578,7 @@ def test_merge_evolve_is_idempotent(spark, base, change):
 # trustworthy for ANY data shape ----
 
 SIDE_ROWS = st.lists(
-    st.tuples(st.integers(0, 50), st.sampled_from(["p0", "p1", "p2"]),
+    st.tuples(st.sampled_from(["p0", "p1", "p2"]),
               st.sampled_from(["u", "v", "w", "x", "y", ""])),
     min_size=1, max_size=14,
 )
@@ -602,7 +602,7 @@ def test_sidecars_never_lie_for_any_data(spark, tmp_path_factory, rows):
         ndv_table, partition_rows, prune_partitions_eq, write_ptable)
 
     # unique ids so merge-free semantics are unambiguous
-    data = [(i, kb, val) for i, (_, kb, val) in enumerate(rows)]
+    data = [(i, kb, val) for i, (kb, val) in enumerate(rows)]
     df = spark.createDataFrame(data, "id long, kb string, val string")
     path = str(tmp_path_factory.mktemp("side")) + "/tbl"
     write_ptable(
@@ -628,7 +628,7 @@ def test_ptable_delta_reconciles_any_merge(spark, tmp_path_factory, rows):
 
     from flnr_wins_spark.sources.ptable import ptable_delta, write_ptable
 
-    data = [(i, kb, val) for i, (_, kb, val) in enumerate(rows)]
+    data = [(i, kb, val) for i, (kb, val) in enumerate(rows)]
     df = spark.createDataFrame(data, "id long, kb string, val string")
     path = str(tmp_path_factory.mktemp("delta")) + "/tbl"
     write_ptable(df, path, "kb")

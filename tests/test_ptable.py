@@ -715,3 +715,40 @@ def test_read_ptable_prunes_columns_and_pushes_filters(spark, tmp_path):
     schemas = set(re.findall(r"ReadSchema: \S+", plan))
     assert schemas == {"ReadSchema: struct<id:bigint>"}, schemas
     assert "GreaterThan(id,42)" in plan
+
+
+def test_sidecars_key_numeric_looking_string_partitions_correctly(
+    spark, tmp_path
+):
+    """Review finding (r7): partition-value TYPE INFERENCE on the stage
+    read re-typed numeric-looking STRING partition values ('07' -> 7),
+    keying sidecars under '7' while the manifest says '07' — silently
+    disabling stats/blooms/NDV for those partitions. The raw stage read
+    must key every sidecar under the manifest's own value."""
+    from flnr_wins_spark.sources.ptable import (
+        ndv_table, partition_rows, prune_partitions_eq)
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "07", "a"), (2, "07", "b"), (3, "1e2", "c"), (4, "0.50", "c")],
+        "id long, kb string, val string",
+    )
+    write_ptable(
+        df, path, "kb", stats_cols=["id"], bloom_cols=["val"], ndv_cols=["val"]
+    )
+    assert partition_rows(spark, path) == {"07": 2, "0.50": 1, "1e2": 1}
+    assert prune_partitions_eq(spark, path, "val", "a") == ["07"]
+    assert ndv_table(spark, path, "val") == (3, 3.0)
+
+
+def test_ndv_spec_validated_loudly_at_write(spark, tmp_path):
+    """Unlike blooms (absent filter = fail-safe keep), an absent NDV
+    sketch is fail-WRONG — a misspelled ndv_cols would report an
+    exact-looking zero. Validation happens at write time."""
+    df = spark.createDataFrame([(1, "en", "a")], "id long, kb string, val string")
+    with pytest.raises(ValueError, match="not in the DataFrame"):
+        write_ptable(df, str(tmp_path / "a"), "kb", ndv_cols=["vall"])
+    with pytest.raises(ValueError, match="partition column"):
+        write_ptable(df, str(tmp_path / "b"), "kb", ndv_cols=["kb"])
+    with pytest.raises(ValueError, match="ndv_k"):
+        write_ptable(df, str(tmp_path / "c"), "kb", ndv_cols=["val"], ndv_k=1)
