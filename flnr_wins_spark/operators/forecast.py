@@ -43,8 +43,9 @@ def holt_smooth_grouped(
 
     a, b = float(alpha), float(beta)
     a2, b2 = 1.0 - a, 1.0 - b
+    order_type = dict(df.dtypes)[order_col]  # date/timestamp/numeric all fine
     out_schema = (
-        f"{group_col} string, rn bigint, {order_col} timestamp, "
+        f"{group_col} string, rn bigint, {order_col} {order_type}, "
         "y double, level double, trend double, onestep double"
     )
 
