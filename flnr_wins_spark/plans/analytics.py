@@ -1981,6 +1981,8 @@ def x_holt_forecast(spark, sf_dir):
         )
         .orderBy("d")
     )
+    from flnr_wins_spark.operators.forecast import holt_step
+
     rows = daily.collect()  # calendar-bounded: ~2.4k days at any SF
     out = []
     level = trend = None
@@ -1989,10 +1991,7 @@ def x_holt_forecast(spark, sf_dir):
         if i == 1:
             level, trend, onestep = y, 0.0, None
         else:
-            onestep = level + trend
-            new_level = 0.5 * y + 0.5 * (level + trend)
-            trend = 0.25 * (new_level - level) + 0.75 * trend
-            level = new_level
+            level, trend, onestep = holt_step(0.5, 0.25, level, trend, y)
         out.append((i, r.d, y, level, trend, onestep))
     return spark.createDataFrame(
         out, "rn bigint, d timestamp, y double, level double, trend double, "

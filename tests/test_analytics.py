@@ -1034,3 +1034,51 @@ class TestRobustScale:
         df = spark.range(20).select(F.col("id"), F.lit(7.0).alias("v"))
         rows = robust_scale(df, "v", "id").collect()
         assert all(r["scaled"] is None for r in rows)
+
+
+class TestHoltGrouped:
+    def test_contract_violations_raise_loudly(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from flnr_wins_spark.operators.forecast import holt_smooth_grouped
+
+        df = spark.createDataFrame(
+            [("g", 1, 1.0), ("g", 1, 2.0)], "grp string, t int, v double"
+        )
+        with pytest.raises(ValueError, match="distinct"):
+            holt_smooth_grouped(df, "grp", "t", "t")
+        with pytest.raises(ValueError, match="rn"):
+            holt_smooth_grouped(df.withColumnRenamed("t", "rn"), "grp", "rn", "v")
+        # order ties within a group: undefined recurrence, raises in-batch
+        with pytest.raises(Exception, match="ties"):
+            holt_smooth_grouped(df, "grp", "t", "v").collect()
+        # NULL values: fail fast instead of silently poisoning the series
+        nulls = spark.createDataFrame(
+            [("g", 1, 1.0), ("g", 2, None)], "grp string, t int, v double"
+        )
+        with pytest.raises(Exception, match="NaN"):
+            holt_smooth_grouped(nulls, "grp", "t", "v").collect()
+
+    def test_groups_are_independent_and_match_single_series(self, spark):
+        """Each group's output must equal running the recurrence on that
+        group alone — the distribution is across series, never within."""
+        from flnr_wins_spark.operators.forecast import holt_smooth_grouped
+
+        df = spark.createDataFrame(
+            [("a", i, float(i * i % 7)) for i in range(1, 9)]
+            + [("b", i, float(10 - i)) for i in range(1, 6)],
+            "grp string, t int, v double",
+        )
+        both = {
+            (r.grp, r.rn): (r.level, r.trend, r.onestep)
+            for r in holt_smooth_grouped(df, "grp", "t", "v").collect()
+        }
+        for g in ("a", "b"):
+            alone = {
+                (r.grp, r.rn): (r.level, r.trend, r.onestep)
+                for r in holt_smooth_grouped(
+                    df.filter(df.grp == g), "grp", "t", "v"
+                ).collect()
+            }
+            assert alone == {k: v for k, v in both.items() if k[0] == g}
