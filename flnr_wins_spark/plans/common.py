@@ -166,6 +166,41 @@ def all_queries() -> dict[str, QueryDef]:
 
 
 # ---------------------------------------------------------------------------
+# Scratch space for entries that materialize a table/index per invocation
+# ---------------------------------------------------------------------------
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(name: str) -> str:
+    """ONE stable scratch directory per entry name, wiped on re-entry.
+
+    Graded entries that write a ptable / snapshot / index used to
+    ``mkdtemp`` per invocation; bench runs min-of-2 and the grader
+    re-runs entries every round, so each round leaked multiple full
+    copies of orders/customer under /tmp. Reusing a per-name dir caps
+    the footprint at one copy per entry, and the whole root is removed
+    at interpreter exit (``atexit``) — safe because every caller either
+    collects or ``localCheckpoint``s the result within the process
+    lifetime, and runs of one entry are sequential (driver, bench and
+    pytest all single-flight a query before re-invoking it)."""
+    global _SCRATCH_ROOT
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="flnr_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, name)
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    return d
+
+
+# ---------------------------------------------------------------------------
 # Determinism helpers
 # ---------------------------------------------------------------------------
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from flnr_wins_spark.plans.common import query, t
+from flnr_wins_spark.plans.common import query, scratch_dir, t
 
 _DUP_SQL_DOCS = """
       SELECT doc_id, text FROM documents
@@ -4843,14 +4843,12 @@ def x_golden_record(spark, sf_dir):
     "decode; oracle recomputes expected pixel sums from the construction",
 )
 def x_binaryfile_ingest(spark, sf_dir):
-    import tempfile
-
     from flnr_wins_spark.functions.multimodal import extract_features, wrap_qoi
     from flnr_wins_spark.sources.formats import write_binary_files
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     media = _qoi_test_media(docs)
-    base = tempfile.mkdtemp(prefix="binfiles_")
+    base = scratch_dir("binfiles")
     encoded = wrap_qoi(media, 8, 8).select(
         F.concat(F.col("media_id").cast("string"), F.lit(".qoi")).alias("name"),
         "content",
@@ -5505,8 +5503,6 @@ def x_rerank_cross(spark, sf_dir):
     bench=True,
 )
 def x_warc_ingest(spark, sf_dir):
-    import tempfile
-
     from flnr_wins_spark.functions.text import html_strip
     from flnr_wins_spark.sources.formats import write_binary_files
     from flnr_wins_spark.sources.warc import encode_warc_gz, read_warc, warc_text
@@ -5543,7 +5539,7 @@ def x_warc_ingest(spark, sf_dir):
         )
 
     files = docs.groupBy("_f").applyInPandas(build, "name string, content binary")
-    base = tempfile.mkdtemp(prefix="warc_")
+    base = scratch_dir("warc")
     write_binary_files(files, base)
     recs = warc_text(read_warc(spark, base))
     clean = html_strip(F.col("text"))
@@ -5787,7 +5783,7 @@ _PTABLE_CDC_SQL = """
     ),
     u1 AS (SELECT k, part, cust + 1000000 AS cust FROM base
            WHERE k % 13 = 0 AND k % 19 <> 0),
-    i1 AS (SELECT k + 1000000 AS k, 'O' AS part, cust FROM base
+    i1 AS (SELECT -k AS k, 'O' AS part, cust FROM base
            WHERE k % 17 = 0),
     b1 AS (SELECT * FROM u1 UNION ALL SELECT * FROM i1),
     after1 AS (
@@ -5826,8 +5822,6 @@ _PTABLE_CDC_SQL = """
     bench=True,
 )
 def x_ptable_cdc_e2e(spark, sf_dir):
-    import tempfile
-
     from flnr_wins_spark.sources.ptable import (
         compact_ptable,
         merge_ptable,
@@ -5841,15 +5835,18 @@ def x_ptable_cdc_e2e(spark, sf_dir):
         F.col("o_orderstatus").alias("part"),
         F.col("o_custkey").alias("cust"),
     )
-    path = tempfile.mkdtemp(prefix="ptable_cdc_") + "/tbl"
+    path = scratch_dir("ptable_cdc") + "/tbl"
     write_ptable(base, path, "part")
     # CDC batch 1: value updates (never on deleted keys), out-of-range
     # inserts, deletes carrying their (key, partition)
     u1 = base.filter((F.col("k") % 13 == 0) & (F.col("k") % 19 != 0)).select(
         "k", "part", (F.col("cust") + F.lit(1000000)).alias("cust")
     )
+    # negated keys: orderkeys are strictly positive at EVERY scale factor,
+    # so -k can never collide with a live key (k + 1000000 would from
+    # roughly SF 0.17, where max orderkey passes 1e6 — a silent scale trap)
     i1 = base.filter(F.col("k") % 17 == 0).select(
-        (F.col("k") + F.lit(1000000)).alias("k"),
+        (-F.col("k")).alias("k"),
         F.lit("O").alias("part"),
         "cust",
     )
@@ -5887,13 +5884,11 @@ def x_ptable_cdc_e2e(spark, sf_dir):
     "just the next write_snapshot, rollback is time travel",
 )
 def x_similarity_ivf_persisted(spark, sf_dir):
-    import tempfile
-
     from flnr_wins_spark.functions.vectors import ivf_topk, kmeans_fit
     from flnr_wins_spark.sources.snapshots import read_snapshot, write_snapshot
 
     emb = t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    path = scratch_dir("ivf_index") + "/index"
     write_snapshot(kmeans_fit(emb, k=8, iters=1), path)  # stale v1 model
     write_snapshot(kmeans_fit(emb, k=8, iters=3), path)  # current v2 model
     cents = read_snapshot(spark, path)  # newest complete version
@@ -5931,8 +5926,6 @@ def x_similarity_ivf_persisted(spark, sf_dir):
     "the full table",
 )
 def x_ptable_zonemap_prune(spark, sf_dir):
-    import tempfile
-
     from flnr_wins_spark.sources.ptable import (
         prune_partitions,
         read_ptable,
@@ -5944,7 +5937,7 @@ def x_ptable_zonemap_prune(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_totalprice",
         F.floor(F.col("o_orderkey") / F.lit(500)).cast("string").alias("kb"),
     )
-    path = tempfile.mkdtemp(prefix="ptable_zm_") + "/tbl"
+    path = scratch_dir("ptable_zm") + "/tbl"
     write_ptable(base, path, "kb", stats_cols=["o_orderkey"])
     pruned = prune_partitions(spark, path, "o_orderkey", 200, 899)
     hit = (
@@ -5975,8 +5968,6 @@ def x_ptable_zonemap_prune(spark, sf_dir):
     "rollback = time travel",
 )
 def x_search_bm25_persisted(spark, sf_dir):
-    import tempfile
-
     from flnr_wins_spark.functions.search import (
         bm25_topk_from_index,
         build_bm25_index,
@@ -5985,7 +5976,7 @@ def x_search_bm25_persisted(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     postings, doclen, stats = build_bm25_index(docs)
-    base = tempfile.mkdtemp(prefix="bm25_index_")
+    base = scratch_dir("bm25_index")
     for name, frame in (
         ("postings", postings), ("doclen", doclen), ("stats", stats)
     ):
@@ -6059,8 +6050,6 @@ def x_search_bm25_incremental(spark, sf_dir):
     "posture: a table-wide count is a manifest read, not a scan",
 )
 def x_ptable_metadata_counts(spark, sf_dir):
-    import tempfile
-
     from flnr_wins_spark.sources.ptable import (
         merge_ptable,
         partition_rows,
@@ -6069,7 +6058,7 @@ def x_ptable_metadata_counts(spark, sf_dir):
 
     orders = t(spark, sf_dir, "orders")
     base = orders.select("o_orderkey", "o_orderpriority", "o_custkey")
-    path = tempfile.mkdtemp(prefix="ptable_meta_") + "/tbl"
+    path = scratch_dir("ptable_meta") + "/tbl"
     write_ptable(base, path, "o_orderpriority", stats_cols=["o_orderkey"])
     ins = base.filter(
         (F.col("o_orderkey") % 11 == 0)
@@ -6111,8 +6100,6 @@ def x_ptable_metadata_counts(spark, sf_dir):
     "WHERE over the full table, which is exactly what the oracle runs",
 )
 def x_ptable_bloom_point(spark, sf_dir):
-    import tempfile
-
     from flnr_wins_spark.sources.ptable import (
         prune_partitions_eq,
         read_ptable,
@@ -6121,7 +6108,7 @@ def x_ptable_bloom_point(spark, sf_dir):
 
     cust = t(spark, sf_dir, "customer")
     base = cust.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-    path = tempfile.mkdtemp(prefix="ptable_bloom_") + "/tbl"
+    path = scratch_dir("ptable_bloom") + "/tbl"
     write_ptable(base, path, "c_mktsegment", bloom_cols=["c_name"])
     probe = (
         base.orderBy("c_custkey").select("c_name").limit(1).collect()[0][0]
@@ -6166,8 +6153,6 @@ def x_ptable_bloom_point(spark, sf_dir):
     bench=True,
 )
 def x_ptable_incremental_mv(spark, sf_dir):
-    import tempfile
-
     from flnr_wins_spark.operators.merge import incremental_agg
     from flnr_wins_spark.sources.ptable import (
         merge_ptable,
@@ -6181,7 +6166,7 @@ def x_ptable_incremental_mv(spark, sf_dir):
         F.col("o_totalprice").cast("decimal(27,2)").alias("price"),
     )
     base = full.filter(F.col("o_orderkey") % 7 != 0)
-    path = tempfile.mkdtemp(prefix="ptable_mv_") + "/tbl"
+    path = scratch_dir("ptable_mv") + "/tbl"
     write_ptable(base, path, "o_orderpriority")
     # the MV, built once over the bootstrap state
     mv1 = base.groupBy("o_custkey").agg(
@@ -6343,8 +6328,6 @@ def x_bucketed_join(spark, sf_dir):
     "pytest-pinned alongside the other sidecars",
 )
 def x_ptable_ndv(spark, sf_dir):
-    import tempfile
-
     from flnr_wins_spark.sources.ptable import (
         ndv_partitions,
         ndv_table,
@@ -6353,7 +6336,7 @@ def x_ptable_ndv(spark, sf_dir):
 
     orders = t(spark, sf_dir, "orders")
     base = orders.select("o_orderkey", "o_orderpriority", "o_custkey")
-    path = tempfile.mkdtemp(prefix="ptable_ndv_") + "/tbl"
+    path = scratch_dir("ptable_ndv") + "/tbl"
     write_ptable(base, path, "o_orderpriority", ndv_cols=["o_custkey"], ndv_k=64)
     per = ndv_partitions(spark, path, "o_custkey")   # manifest read only
     tot = ndv_table(spark, path, "o_custkey")        # sketch merge, no IO

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from flnr_wins_spark.plans.common import dsum, query, sql_dsum, t
+from flnr_wins_spark.plans.common import dsum, query, scratch_dir, sql_dsum, t
 
 _REV = "l_extendedprice * (1 - l_discount)"
 
@@ -928,12 +928,10 @@ def q_skew_salted_join(spark, sf_dir):
     "proves the full write->read->compute path per format",
 )
 def q_source_roundtrip(spark, sf_dir):
-    import tempfile
-
     from flnr_wins_spark.sources.formats import read_any, write_any
 
     sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    base = scratch_dir("fmt_roundtrip")
     parts = []
     for fmt in ("csv", "json", "orc", "xml"):
         path = f"{base}/{fmt}"

@@ -39,12 +39,42 @@ def write_bucketed(
     # knows goes through Spark's own overwrite path, which keeps its
     # safety properties (a self-referential overwrite raises with data
     # intact; a failed write does not destroy the previous table).
+    if "." in table:
+        # the reclaim path below derives the location from the DEFAULT
+        # database's warehouse layout; a qualified name would compute a
+        # wrong path and either fail to reclaim or delete an unrelated
+        # directory — refuse up front rather than guess
+        raise ValueError(
+            f"write_bucketed supports unqualified default-database table "
+            f"names only, got {table!r}"
+        )
     if not spark.catalog.tableExists(table):
         from flnr_wins_spark.fsutil import hadoop_fs
 
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        fs, jpath = hadoop_fs(spark, f"{warehouse}/{table}")
+        # the catalog lowercases identifiers when it creates the directory,
+        # so a mixed-case name must reclaim the LOWERCASED path (the
+        # verbatim path would either miss the orphan — the original
+        # LOCATION_ALREADY_EXISTS error returns — or hit an unrelated dir)
+        fs, jpath = hadoop_fs(spark, f"{warehouse}/{table.lower()}")
         if fs.exists(jpath):
+            # delete ONLY something that looks like Spark table output
+            # (parquet part files / _SUCCESS / spark metadata, plus their
+            # crc sidecars) — never an arbitrary same-named directory a
+            # user parked under the warehouse
+            for status in fs.listStatus(jpath):
+                name = status.getPath().getName()
+                ok = (
+                    name.startswith(("part-", "_SUCCESS", "_committed", "."))
+                    or name.endswith(".parquet")
+                )
+                if not ok:
+                    raise ValueError(
+                        f"refusing to reclaim {warehouse}/{table.lower()}: "
+                        f"entry {name!r} does not look like Spark table "
+                        "output — remove the directory yourself if it is "
+                        "truly an orphaned table location"
+                    )
             fs.delete(jpath, True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

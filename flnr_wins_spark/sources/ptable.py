@@ -441,8 +441,10 @@ def _check_ndv_spec(
 def _check_bloom_spec(
     df: DataFrame, part_col: str, bloom_cols: list[str],
     m_bits: int, k_hashes: int,
-) -> None:
+) -> dict[str, str]:
     """Loud validation of the bloom opt-in, write-time not probe-time.
+    Returns ``{col: spark_dtype}`` for the manifest's ``bloom_dtypes``
+    record, which lets :func:`prune_partitions_eq` type-check probes.
 
     k is capped at 8 because the JVM builder computes h1 + i*h2 with
     h1, h2 < 2^60 in long arithmetic: i <= 7 keeps the sum under 2^63;
@@ -473,6 +475,63 @@ def _check_bloom_spec(
                 f"support only {sorted(_BLOOM_OK_TYPES)} (types whose "
                 "string form is identical JVM-side and Python-side)"
             )
+    return {c: dtypes[c] for c in bloom_cols}
+
+
+def _coerce_bloom_probe(value, dtype: str):
+    """Validate/coerce a point-lookup probe against the bloom column's
+    RECORDED Spark dtype before hashing. A probe whose Python ``str()``
+    differs from Spark's ``CAST(col AS STRING)`` of the stored values
+    (``5.0`` against a bigint column, ``True`` against an int, a
+    ``datetime`` whose isoformat carries 'T' against a date column) would
+    otherwise produce a definitive-looking bloom NEGATIVE and silently
+    prune the true partition — lossy. Equal-under-SQL probes coerce
+    (``5.0`` -> ``5``, midnight datetime -> date, ISO string -> date);
+    anything else raises loudly."""
+    import datetime
+
+    def _bad(why: str):
+        return TypeError(
+            f"bloom probe {value!r} is incompatible with the indexed "
+            f"column's type {dtype}: {why} — coerce the probe yourself "
+            "or filter without metadata pruning"
+        )
+
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        if isinstance(value, bool):
+            raise _bad("bool hashes as 'true'/'false', never equal to an int")
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float):
+            if value.is_integer():
+                return int(value)
+            raise _bad("a non-integral float can never equal an integer")
+        raise _bad("expected an int")
+    if dtype == "boolean":
+        if isinstance(value, bool):
+            return value
+        raise _bad("expected a bool")
+    if dtype == "string":
+        if isinstance(value, str):
+            return value
+        raise _bad("expected a str")
+    if dtype == "date":
+        if isinstance(value, datetime.datetime):
+            if value.time() == datetime.time(0) and value.tzinfo is None:
+                return value.date()
+            raise _bad(
+                "a datetime with a nonzero time/tz can never equal a DATE, "
+                "and its isoformat ('T' separator) mis-hashes"
+            )
+        if isinstance(value, datetime.date):
+            return value
+        if isinstance(value, str):
+            try:
+                return datetime.date.fromisoformat(value)
+            except ValueError:
+                raise _bad("expected a date or an ISO 'YYYY-MM-DD' string") from None
+        raise _bad("expected a date")
+    raise _bad("unrecognized recorded dtype")
 
 
 def write_ptable(
@@ -515,8 +574,9 @@ def write_ptable(
     k = (ids[-1] + 1) if ids else 1
     stage = f"{table_path}/stage/m{k}"
     _clear_crashed_stage(spark, table_path, k)
+    bloom_dtypes: dict[str, str] = {}
     if bloom_cols:
-        _check_bloom_spec(
+        bloom_dtypes = _check_bloom_spec(
             df, part_col, list(bloom_cols), bloom_bits, bloom_hashes
         )
     df.write.mode("error").partitionBy(part_col).parquet(stage)
@@ -535,6 +595,7 @@ def write_ptable(
         manifest["bloom_cols"] = list(bloom_cols)
         manifest["bloom_m"] = int(bloom_bits)
         manifest["bloom_k"] = int(bloom_hashes)
+        manifest["bloom_dtypes"] = bloom_dtypes
         manifest["blooms"] = _compute_blooms(
             spark, stage, part_col, list(bloom_cols), bloom_bits, bloom_hashes
         )
@@ -700,6 +761,8 @@ def merge_ptable(
         manifest["bloom_cols"] = prev["bloom_cols"]
         manifest["bloom_m"] = prev["bloom_m"]
         manifest["bloom_k"] = prev["bloom_k"]
+        if "bloom_dtypes" in prev:  # absent in pre-r8 manifests
+            manifest["bloom_dtypes"] = prev["bloom_dtypes"]
         manifest["blooms"] = blooms
     if prev.get("ndv_cols"):
         # NDV sketches follow the same carry-by-reference rule
@@ -843,6 +906,12 @@ def prune_partitions_eq(
     blooms = m.get("blooms", {})
     stats = m.get("stats", {})
     m_bits, k_hashes = m.get("bloom_m"), m.get("bloom_k")
+    # probe-type guard: hash ONLY a probe proven compatible with the
+    # column's recorded dtype (pre-r8 manifests lack the record — those
+    # fall back to trusting the caller, as before)
+    dtype = m.get("bloom_dtypes", {}).get(col)
+    if dtype is not None:
+        value = _coerce_bloom_probe(value, dtype)
     probe_bits = (
         _bloom_bits_py(value, m_bits, k_hashes) if m_bits else None
     )
@@ -1004,6 +1073,8 @@ def compact_ptable(
         manifest["bloom_cols"] = prev["bloom_cols"]
         manifest["bloom_m"] = prev["bloom_m"]
         manifest["bloom_k"] = prev["bloom_k"]
+        if "bloom_dtypes" in prev:  # absent in pre-r8 manifests
+            manifest["bloom_dtypes"] = prev["bloom_dtypes"]
         manifest["blooms"] = prev.get("blooms", {})
     if prev.get("ndv_cols"):
         manifest["ndv_cols"] = prev["ndv_cols"]
@@ -1065,6 +1136,8 @@ def repartition_ptable(
         manifest["bloom_cols"] = prev["bloom_cols"]
         manifest["bloom_m"] = prev["bloom_m"]
         manifest["bloom_k"] = prev["bloom_k"]
+        if "bloom_dtypes" in prev:  # absent in pre-r8 manifests
+            manifest["bloom_dtypes"] = prev["bloom_dtypes"]
         manifest["blooms"] = _compute_blooms(
             spark, stage, new_part_col, prev["bloom_cols"],
             prev["bloom_m"], prev["bloom_k"],

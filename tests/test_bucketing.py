@@ -66,3 +66,45 @@ def test_write_bucketed_keeps_table_on_self_referential_overwrite(spark):
         )
     assert bucketed(spark, "t_self_ref").count() == 100  # data intact
     spark.sql("DROP TABLE IF EXISTS t_self_ref")
+
+
+def test_write_bucketed_reclaim_guards(spark, tmp_path):
+    """ADVICE r7: the orphan-reclaim path must (a) refuse qualified
+    names (it can only derive default-database locations), (b) reclaim
+    the catalog's LOWERCASED directory for a mixed-case name, and (c)
+    never delete a same-named warehouse directory that is not Spark
+    table output."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.sources.bucketing import bucketed, write_bucketed
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="unqualified"):
+        write_bucketed(df, "somedb.tbl", ["k"])
+
+    # mixed-case name: catalog stores lowercase; a second write after the
+    # catalog forgot the table (simulated drop of metadata only) must
+    # reclaim the lowercase dir rather than erroring or missing it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    write_bucketed(df, "T_MixedCase", ["k"], n_buckets=2)
+    assert os.path.isdir(f"{warehouse}/t_mixedcase")
+    spark.sql("DROP TABLE t_mixedcase")  # drops metadata; dir may linger
+    os.makedirs(f"{warehouse}/t_mixedcase", exist_ok=True)
+    open(f"{warehouse}/t_mixedcase/part-orphan.parquet", "w").close()
+    write_bucketed(df, "T_MixedCase", ["k"], n_buckets=2)
+    assert bucketed(spark, "t_mixedcase").count() == 10
+    spark.sql("DROP TABLE IF EXISTS t_mixedcase")
+
+    # a non-table directory parked at the derived path is NEVER deleted
+    os.makedirs(f"{warehouse}/t_guarded", exist_ok=True)
+    with open(f"{warehouse}/t_guarded/notes.txt", "w") as fh:
+        fh.write("user data")
+    with pytest.raises(ValueError, match="refusing to reclaim"):
+        write_bucketed(df, "t_guarded", ["k"])
+    assert os.path.exists(f"{warehouse}/t_guarded/notes.txt")
+    import shutil
+
+    shutil.rmtree(f"{warehouse}/t_guarded")

@@ -752,3 +752,57 @@ def test_ndv_spec_validated_loudly_at_write(spark, tmp_path):
         write_ptable(df, str(tmp_path / "b"), "kb", ndv_cols=["kb"])
     with pytest.raises(ValueError, match="ndv_k"):
         write_ptable(df, str(tmp_path / "c"), "kb", ndv_cols=["val"], ndv_k=1)
+
+
+def test_bloom_probe_type_guard(spark, tmp_path):
+    """ADVICE r7: a probe whose Python str() differs from Spark's
+    CAST(col AS STRING) of the stored values must never hash — it would
+    produce a definitive-looking bloom NEGATIVE and silently prune the
+    true partition. Equal-under-SQL probes coerce; incompatible ones
+    raise loudly. The dtype record survives merge and compaction."""
+    import datetime
+
+    from flnr_wins_spark.sources.ptable import (
+        _read_manifest,
+        compact_ptable,
+        prune_partitions_eq,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, str(i % 2), i * 10, datetime.date(2024, 1, 1 + i)) for i in range(8)],
+        "id long, kb string, num bigint, d date",
+    )
+    write_ptable(df, path, "kb", bloom_cols=["num", "d"])
+
+    # float probe of a bigint column: 5.0 == 5 in SQL — coerces, lossless
+    assert prune_partitions_eq(spark, path, "num", 30.0) == ["1"]
+    assert prune_partitions_eq(spark, path, "num", 30) == ["1"]
+    # midnight datetime coerces to date; ISO string parses
+    assert prune_partitions_eq(
+        spark, path, "d", datetime.datetime(2024, 1, 4)
+    ) == ["1"]
+    assert prune_partitions_eq(spark, path, "d", "2024-01-04") == ["1"]
+
+    # incompatible probes raise instead of lossily pruning
+    for col, probe in [
+        ("num", 30.5), ("num", True), ("num", "30"),
+        ("d", datetime.datetime(2024, 1, 4, 12, 30)), ("d", "Jan 4 2024"),
+        ("d", 20240104),
+    ]:
+        with pytest.raises(TypeError, match="incompatible"):
+            prune_partitions_eq(spark, path, col, probe)
+
+    # the dtype record rides merge AND compaction manifests
+    ins = spark.createDataFrame(
+        [(100, "0", 990, datetime.date(2024, 2, 1))],
+        "id long, kb string, num bigint, d date",
+    )
+    merge_ptable(spark, path, ins, ["id"])
+    compact_ptable(spark, path, min_files=1)
+    ids = ptable_history(spark, path)
+    m = _read_manifest(spark, path, ids[-1])
+    assert m["bloom_dtypes"] == {"num": "bigint", "d": "date"}
+    with pytest.raises(TypeError, match="incompatible"):
+        prune_partitions_eq(spark, path, "num", 990.5)
+    assert prune_partitions_eq(spark, path, "num", 990.0) == ["0"]
