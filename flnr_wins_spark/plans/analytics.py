@@ -1966,37 +1966,26 @@ def x_cusum_changepoint(spark, sf_dir):
     "daily groupBy; the recurrence then runs driver-side on the "
     "CALENDAR-BOUNDED series (~2.4k rows regardless of corpus size — "
     "the same model-sized-collect doctrine as the unigram-LM fit and "
-    "the seasonal/CUSUM series windows). An inherently sequential "
-    "recurrence is not a distributable op; what must scale is the "
-    "aggregation that feeds it",
+    "the seasonal/CUSUM series windows). Routed through the DISTRIBUTED "
+    "per-group operator (operators/forecast.py holt_smooth_grouped) as a "
+    "single-group call: the recurrence runs inside ONE Arrow batch on an "
+    "executor — no driver collect anywhere in the plan, and the op order "
+    "is the shared holt_step, so the bits are unchanged from the "
+    "driver-side original",
 )
 def x_holt_forecast(spark, sf_dir):
-    od = t(spark, sf_dir, "orders")
-    daily = (
-        od.groupBy(F.col("o_orderdate").alias("d"))
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
-            .cast("double")
-            .alias("y")
-        )
-        .orderBy("d")
-    )
-    from flnr_wins_spark.operators.forecast import holt_step
+    from flnr_wins_spark.operators.forecast import holt_smooth_grouped
 
-    rows = daily.collect()  # calendar-bounded: ~2.4k days at any SF
-    out = []
-    level = trend = None
-    for i, r in enumerate(rows, start=1):
-        y = float(r.y)
-        if i == 1:
-            level, trend, onestep = y, 0.0, None
-        else:
-            level, trend, onestep = holt_step(0.5, 0.25, level, trend, y)
-        out.append((i, r.d, y, level, trend, onestep))
-    return spark.createDataFrame(
-        out, "rn bigint, d timestamp, y double, level double, trend double, "
-        "onestep double"
+    od = t(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("rev")
     )
+    smoothed = holt_smooth_grouped(
+        daily.withColumn("grp", F.lit("all")), "grp", "d", "rev"
+    )
+    return smoothed.select("rn", "d", "y", "level", "trend", "onestep")
 
 
 @query(

@@ -624,3 +624,17 @@ def test_holt_grouped_is_arrow_batched_per_series(spark):
     plan = _plan(spark, "x_holt_forecast_grouped")
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_holt_single_series_has_no_driver_collect(spark):
+    """VERDICT r7 item 4: the single-series Holt entry must route
+    through the distributed operator — the plan shows the Arrow-batched
+    recurrence (FlatMapGroupsInPandas) reading straight from the
+    parquet aggregate, with NO driver round-trip (a collect +
+    createDataFrame would surface as a LocalTableScan / ExistingRDD
+    scan instead of the parquet scan feeding the recurrence)."""
+    plan = _plan(spark, "x_holt_forecast")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "LocalTableScan" not in plan
+    assert "ExistingRDD" not in plan
+    assert "BatchEvalPython" not in plan
