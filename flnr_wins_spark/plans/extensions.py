@@ -6345,3 +6345,80 @@ def x_ptable_ndv(spark, sf_dir):
     return spark.createDataFrame(
         rows, "part string, n_sketch bigint, ndv_est double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: cost-based statistics consumer, OPTIMIZE ZORDER witness,
+# streamed-lakehouse e2e, graded ANN recall floor
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_ptable_join_advisor",
+    sql="""
+    WITH f AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(27,2)) AS price
+      FROM orders
+    ),
+    d AS (SELECT c_custkey, c_mktsegment FROM customer)
+    SELECT d.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           'broadcast' AS strategy,
+           'right' AS build_side
+    FROM f JOIN d ON f.o_custkey = d.c_custkey
+    GROUP BY d.c_mktsegment
+    """,
+    note="COST-BASED PLANNING from manifest statistics: both join sides "
+    "are committed as stats-bearing ptables, and advise_join picks the "
+    "physical strategy from METADATA ALONE — on-disk bytes (FS listing) "
+    "decide broadcast-vs-shuffle exactly like Spark's bytes-denominated "
+    "autoBroadcastJoinThreshold, manifest row counts + mergeable KMV NDV "
+    "sketches size the System-R output-cardinality estimate for the "
+    "shuffle path. Here the customer dim (1/10 the fact's rows at every "
+    "SF) falls under the threshold, the advisor says broadcast-right, "
+    "run_advised_join pins the build side with F.broadcast, and the "
+    "result hash-matches the plain relational join — the strategy "
+    "changed, the answer did not. The oracle carries the advised "
+    "strategy as literals because the decision is deterministic from "
+    "the fixture's sizes; the plan contract pins that the executed plan "
+    "really does broadcast. At 100 TB the point is WHERE the decision "
+    "cost lives: one manifest read + one directory listing, not a scan "
+    "of either side",
+    bench=True,
+)
+def x_ptable_join_advisor(spark, sf_dir):
+    from flnr_wins_spark.sources.advisor import advise_join, run_advised_join
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    fact = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(27,2)").alias("price"),
+    )
+    dim = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    fact_path = scratch_dir("adv_fact") + "/tbl"
+    dim_path = scratch_dir("adv_dim") + "/tbl"
+    write_ptable(
+        fact, fact_path, "o_orderpriority",
+        stats_cols=["o_custkey"], ndv_cols=["o_custkey"],
+    )
+    write_ptable(
+        dim, dim_path, "c_mktsegment",
+        stats_cols=["c_custkey"], ndv_cols=["c_custkey"],
+    )
+    advice = advise_join(
+        spark, fact_path, dim_path, "o_custkey", "c_custkey"
+    )
+    joined = run_advised_join(
+        spark, advice, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("revenue"),
+    ).select(
+        "c_mktsegment", "n_orders", "revenue",
+        F.lit(advice.strategy).alias("strategy"),
+        F.lit(advice.build_side).alias("build_side"),
+    )

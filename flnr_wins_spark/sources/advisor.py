@@ -1,0 +1,204 @@
+"""Cost-based join/scan advisor over ptable manifest statistics.
+
+The lakehouse layer (``sources/ptable.py``) records row counts, NDV
+sketches, zone maps and bloom filters in its manifests — but statistics
+that inform no decision are dead weight. This module is the CONSUMER: it
+reads ONLY manifest metadata + one FS listing (never data files) and
+picks the physical strategy a cost-based planner would:
+
+  * **join strategy** — broadcast the small side when its on-disk bytes
+    fit under the broadcast threshold (the same bytes-denominated rule as
+    Spark's ``autoBroadcastJoinThreshold``); otherwise shuffle, with the
+    shuffle partition count sized from the ESTIMATED output cardinality
+    ``|L ⋈ R| ≈ rows(L) * rows(R) / max(ndv_L(key), ndv_R(key))`` — the
+    classic System-R containment estimate, fed by the manifest's
+    mergeable KMV sketches;
+  * **scan pruning** — intersect zone-map range pruning and bloom
+    point-lookup pruning across every predicate the caller supplies, so
+    a multi-predicate probe reads exactly the partitions no sidecar
+    could exclude.
+
+At 100 TB the payoff is that the DECISION costs metadata only: choosing
+broadcast-vs-shuffle by actually scanning the small side would read
+terabytes before the first join task launches; here it is one manifest
+read + one directory listing. Spark's own CBO cannot see through this
+layer (the manifests are ours, not the catalog's), so the advisor
+supplies the hint Catalyst then enforces (``F.broadcast`` pins the
+build side; AQE still handles skew within the chosen strategy).
+
+No analog in the reference (``src/wins_transform_staging.py`` has no
+planner); extension surface per SURVEY §2c/§8.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.sources.ptable import (
+    ndv_table,
+    partition_bytes,
+    partition_rows,
+    prune_partitions,
+    prune_partitions_eq,
+    read_ptable,
+)
+
+# Spark's default autoBroadcastJoinThreshold
+DEFAULT_BROADCAST_BYTES = 10 * 1024 * 1024
+
+
+@dataclass(frozen=True)
+class TableStats:
+    """Metadata-only statistics of one ptable at its newest manifest."""
+
+    path: str
+    n_partitions: int
+    bytes_total: int
+    rows_total: int | None  # None when the table skipped stats_cols
+    key_ndv: float | None   # None when the key has no KMV sketch
+
+
+@dataclass(frozen=True)
+class JoinAdvice:
+    """The chosen physical strategy plus the evidence that chose it."""
+
+    strategy: str            # 'broadcast' | 'shuffle'
+    build_side: str | None   # 'left' | 'right' for broadcast, else None
+    left: TableStats
+    right: TableStats
+    est_output_rows: int | None   # System-R estimate; None without NDV+rows
+    shuffle_partitions: int | None  # sized from the estimate, shuffle only
+
+
+def table_stats(
+    spark: SparkSession, table_path: str, key_col: str | None = None
+) -> TableStats:
+    """Gather the advisor's inputs from manifest metadata + one FS
+    listing. Missing opt-ins degrade gracefully: no ``stats_cols`` means
+    ``rows_total`` is None (bytes still decide broadcast), no NDV sketch
+    for the key means no output-cardinality estimate."""
+    sizes = partition_bytes(spark, table_path)
+    try:
+        rows: int | None = sum(partition_rows(spark, table_path).values())
+    except FileNotFoundError:
+        rows = None
+    ndv: float | None = None
+    if key_col is not None:
+        try:
+            _, ndv = ndv_table(spark, table_path, key_col)
+        except FileNotFoundError:
+            ndv = None
+    return TableStats(
+        path=table_path,
+        n_partitions=len(sizes),
+        bytes_total=sum(sizes.values()),
+        rows_total=rows,
+        key_ndv=ndv,
+    )
+
+
+def advise_join(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    left_key: str,
+    right_key: str | None = None,
+    broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
+    target_rows_per_partition: int = 5_000_000,
+    min_shuffle_partitions: int | None = None,
+) -> JoinAdvice:
+    """Pick broadcast-vs-shuffle for an equi-join of two ptables from
+    manifest statistics alone.
+
+    Broadcast wins when EITHER side's on-disk bytes fit under the
+    threshold (smaller side preferred on a tie); otherwise shuffle, with
+    ``shuffle_partitions`` sized so the ESTIMATED output lands near
+    ``target_rows_per_partition`` rows per task — the knob that stops a
+    10^11-row join output from funnelling through the session default of
+    200 partitions. The estimate needs rows on both sides and a KMV
+    sketch on at least one key; without them ``est_output_rows`` is None
+    and the caller keeps the session default (honest ignorance, never a
+    fabricated number)."""
+    rk = right_key if right_key is not None else left_key
+    left = table_stats(spark, left_path, left_key)
+    right = table_stats(spark, right_path, rk)
+
+    est: int | None = None
+    parts: int | None = None
+    ndvs = [n for n in (left.key_ndv, right.key_ndv) if n and n > 0]
+    if left.rows_total is not None and right.rows_total is not None and ndvs:
+        est = int(left.rows_total * right.rows_total / max(ndvs))
+
+    small_bytes = min(left.bytes_total, right.bytes_total)
+    if small_bytes <= broadcast_threshold_bytes:
+        side = "left" if left.bytes_total <= right.bytes_total else "right"
+        return JoinAdvice(
+            strategy="broadcast", build_side=side,
+            left=left, right=right,
+            est_output_rows=est, shuffle_partitions=None,
+        )
+    if est is not None:
+        floor_parts = (
+            min_shuffle_partitions
+            if min_shuffle_partitions is not None
+            else spark.sparkContext.defaultParallelism
+        )
+        parts = max(floor_parts, math.ceil(est / target_rows_per_partition))
+    return JoinAdvice(
+        strategy="shuffle", build_side=None,
+        left=left, right=right,
+        est_output_rows=est, shuffle_partitions=parts,
+    )
+
+
+def run_advised_join(
+    spark: SparkSession,
+    advice: JoinAdvice,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Execute the join the advice chose: ``F.broadcast`` pins the build
+    side (Catalyst honors the hint regardless of its own size estimate,
+    which cannot see through the manifest layer); the shuffle path
+    repartitions the output side count when the advisor sized one. ``on``
+    is any join condition ``DataFrame.join`` accepts."""
+    left = read_ptable(spark, advice.left.path)
+    right = read_ptable(spark, advice.right.path)
+    if advice.strategy == "broadcast":
+        if advice.build_side == "left":
+            return right.join(F.broadcast(left), on, how)
+        return left.join(F.broadcast(right), on, how)
+    joined = left.join(right, on, how)
+    if advice.shuffle_partitions is not None:
+        # AQE may coalesce below this at runtime; the advisor sets the
+        # ceiling so a huge estimated output never funnels through the
+        # session default
+        joined = joined.repartition(advice.shuffle_partitions)
+    return joined
+
+
+def advise_scan(
+    spark: SparkSession,
+    table_path: str,
+    ranges: dict[str, tuple] | None = None,
+    points: dict[str, object] | None = None,
+) -> list[str]:
+    """Partitions that COULD satisfy ALL the given predicates — the
+    intersection of zone-map range pruning (``ranges``: col -> (lo, hi),
+    either bound None for half-open) and bloom point-lookup pruning
+    (``points``: col -> value). Conservative per sidecar semantics: a
+    column with no recorded evidence prunes nothing."""
+    keep: set[str] | None = None
+    for col, (lo, hi) in (ranges or {}).items():
+        got = set(prune_partitions(spark, table_path, col, lo, hi))
+        keep = got if keep is None else keep & got
+    for col, value in (points or {}).items():
+        got = set(prune_partitions_eq(spark, table_path, col, value))
+        keep = got if keep is None else keep & got
+    if keep is None:
+        raise ValueError("advise_scan needs at least one predicate")
+    return sorted(keep)

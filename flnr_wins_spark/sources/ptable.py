@@ -128,6 +128,17 @@ def _stage_partitions(spark: SparkSession, stage_path: str, part_col: str) -> li
                     "partition keys must be non-null (derive a sentinel "
                     "value upstream if NULL is a real level)"
                 )
+            if any(ch in raw for ch in "%#:=?*/\\\"'\n\t"):
+                # Spark's hive writer percent-escapes these on disk, so the
+                # manifest's encode/decode round-trip would point reads at a
+                # path that does not exist — fail the commit loudly instead
+                # of committing a partition nobody can read back
+                fs.delete(jpath, True)
+                raise ValueError(
+                    f"partition value {raw!r} contains a character the hive "
+                    "path layer escapes — derive a path-safe partition key "
+                    "upstream (letters/digits/space/dash/dot are safe)"
+                )
             vals.append(raw)
     return sorted(vals)
 
@@ -637,7 +648,11 @@ def read_ptable(
         raise FileNotFoundError(f"no matching partitions in manifest m{k}")
     parts = []
     for val, rel in items:
-        df = spark.read.option("mergeSchema", "true").parquet(f"{table_path}/{rel}")
+        # manifest rel paths are fully percent-encoded; the disk name is
+        # Spark's hive form (spaces literal) — decode before the read
+        df = spark.read.option("mergeSchema", "true").parquet(
+            f"{table_path}/{unquote(rel)}"
+        )
         parts.append(df.withColumn(part_col, F.lit(val).cast(part_type)))
     out = parts[0]
     for p in parts[1:]:
@@ -974,13 +989,43 @@ def list_partition_files(
     m = _read_manifest(spark, table_path, k)
     out: dict[str, int] = {}
     for val, rel in sorted(m["partitions"].items()):
-        fs, jpath = _fs(spark, f"{table_path}/{rel}")
+        # the manifest stores the dir component fully percent-encoded
+        # (_enc); the DISK name is Spark's hive form, which keeps chars
+        # like spaces literal — spark.read URI-decodes so data reads
+        # work either way, but a raw FS listing needs the decoded path
+        fs, jpath = _fs(spark, f"{table_path}/{unquote(rel)}")
         n = 0
         for status in fs.listStatus(jpath):
             name = status.getPath().getName()
             if name.endswith(".parquet") and not name.startswith((".", "_")):
                 n += 1
         out[val] = n
+    return out
+
+
+def partition_bytes(
+    spark: SparkSession, table_path: str, manifest: int | None = None
+) -> dict[str, int]:
+    """On-disk parquet bytes per partition value at a manifest — the size
+    statistic a cost-based planner reads before picking a join strategy
+    (Spark's own ``autoBroadcastJoinThreshold`` is bytes-denominated).
+    Cost is one FS listing per partition directory, never a data read;
+    crc/_SUCCESS markers are excluded like :func:`list_partition_files`."""
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    k = manifest if manifest is not None else ids[-1]
+    m = _read_manifest(spark, table_path, k)
+    out: dict[str, int] = {}
+    for val, rel in sorted(m["partitions"].items()):
+        # same decoded-path rule as list_partition_files above
+        fs, jpath = _fs(spark, f"{table_path}/{unquote(rel)}")
+        total = 0
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                total += int(status.getLen())
+        out[val] = total
     return out
 
 

@@ -1,0 +1,159 @@
+"""Cost-based advisor tests — sources/advisor.py (the consumer of the
+ptable manifest statistics: bytes, row counts, NDV sketches, zone maps,
+blooms)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flnr_wins_spark.sources.advisor import (
+    advise_join,
+    advise_scan,
+    run_advised_join,
+    table_stats,
+)
+from flnr_wins_spark.sources.ptable import partition_bytes, write_ptable
+
+
+def _fact(spark):
+    return spark.createDataFrame(
+        [(i, i % 7, str(i % 3), float(i)) for i in range(600)],
+        "fk long, cust long, part string, v double",
+    )
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(i, f"name_{i}", str(i % 2)) for i in range(7)],
+        "cust long, name string, seg string",
+    )
+
+
+def test_broadcast_advice_from_metadata_and_result_parity(spark, tmp_path):
+    """The advisor must pick broadcast for a small dim from manifest
+    metadata alone, run_advised_join must pin that side, and the result
+    must equal the plain join — strategy changes, answers don't."""
+    fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
+    write_ptable(_fact(spark), fp, "part", stats_cols=["cust"], ndv_cols=["cust"])
+    write_ptable(_dim(spark), dp, "seg", stats_cols=["cust"], ndv_cols=["cust"])
+
+    adv = advise_join(spark, fp, dp, "cust")
+    assert adv.strategy == "broadcast"
+    assert adv.build_side == "right"  # dim bytes < fact bytes
+    assert adv.left.rows_total == 600 and adv.right.rows_total == 7
+    # both NDVs below k=64 -> exact; System-R estimate is exact here:
+    # 600 * 7 / max(7, 7) = 600
+    assert adv.est_output_rows == 600
+
+    out = run_advised_join(spark, adv, "cust")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    got = {(r.fk, r.name) for r in out.select("fk", "name").collect()}
+    want = {(i, f"name_{i % 7}") for i in range(600)}
+    assert got == want
+
+
+def test_shuffle_advice_sizes_partitions_from_ndv(spark, tmp_path):
+    """Over the threshold the advisor says shuffle and sizes the output
+    partitioning from the System-R cardinality estimate — never the
+    session default for a provably huge output."""
+    fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
+    write_ptable(_fact(spark), fp, "part", stats_cols=["cust"], ndv_cols=["cust"])
+    write_ptable(_dim(spark), dp, "seg", stats_cols=["cust"], ndv_cols=["cust"])
+
+    adv = advise_join(
+        spark, fp, dp, "cust",
+        broadcast_threshold_bytes=0,
+        target_rows_per_partition=100,
+        min_shuffle_partitions=2,
+    )
+    assert adv.strategy == "shuffle" and adv.build_side is None
+    assert adv.est_output_rows == 600
+    assert adv.shuffle_partitions == 6  # ceil(600 / 100)
+    out = run_advised_join(spark, adv, "cust")
+    assert out.count() == 600
+
+
+def test_advice_degrades_honestly_without_optins(spark, tmp_path):
+    """No stats_cols/ndv_cols: bytes still decide broadcast, but the
+    cardinality estimate is None — never a fabricated number."""
+    fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
+    write_ptable(_fact(spark), fp, "part")
+    write_ptable(_dim(spark), dp, "seg")
+    adv = advise_join(spark, fp, dp, "cust")
+    assert adv.strategy == "broadcast"
+    assert adv.left.rows_total is None and adv.right.key_ndv is None
+    assert adv.est_output_rows is None
+
+    adv2 = advise_join(spark, fp, dp, "cust", broadcast_threshold_bytes=0)
+    assert adv2.strategy == "shuffle"
+    assert adv2.shuffle_partitions is None  # no estimate -> session default
+
+
+def test_partition_bytes_is_metadata_only_and_consistent(spark, tmp_path):
+    import os
+
+    fp = str(tmp_path / "f")
+    write_ptable(_fact(spark), fp, "part")
+    sizes = partition_bytes(spark, fp)
+    assert set(sizes) == {"0", "1", "2"}
+    assert all(v > 0 for v in sizes.values())
+    # matches a direct walk of the data files
+    total = 0
+    for root, _dirs, files in os.walk(fp):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    assert sum(sizes.values()) == total
+    ts = table_stats(spark, fp)
+    assert ts.bytes_total == total and ts.n_partitions == 3
+
+
+def test_advise_scan_intersects_all_sidecars(spark, tmp_path):
+    """Multi-predicate pruning = intersection of zone-map and bloom
+    evidence; a column with no sidecar prunes nothing; zero predicates
+    is a loud error."""
+    fp = str(tmp_path / "f")
+    df = spark.createDataFrame(
+        [(i, str(i // 100), f"u{i}") for i in range(400)],
+        "id long, kb string, name string",
+    )
+    write_ptable(df, fp, "kb", stats_cols=["id"], bloom_cols=["name"])
+    # range keeps kb in {1, 2}; point keeps only name=u150's partition
+    got = advise_scan(
+        spark, fp,
+        ranges={"id": (120, 260)},
+        points={"name": "u150"},
+    )
+    assert got == ["1"]
+    # un-sidecarred column: conservative (prunes nothing on its own)
+    assert advise_scan(spark, fp, ranges={"kb_other": (0, 1)}) == [
+        "0", "1", "2", "3",
+    ]
+    with pytest.raises(ValueError, match="at least one predicate"):
+        advise_scan(spark, fp)
+
+
+def test_space_bearing_partition_values_roundtrip(spark, tmp_path):
+    """Partition values with spaces (TPC-H priorities) must survive the
+    manifest encode / hive-dir decode split for DATA reads and RAW FS
+    listings alike; values with hive-escaped characters fail loudly at
+    commit time instead of committing unreadable partitions."""
+    from flnr_wins_spark.sources.ptable import read_ptable
+
+    fp = str(tmp_path / "f")
+    df = spark.createDataFrame(
+        [(1, "4-NOT SPECIFIED"), (2, "1-URGENT"), (3, "4-NOT SPECIFIED")],
+        "id long, pri string",
+    )
+    write_ptable(df, fp, "pri", stats_cols=["id"])
+    assert partition_bytes(spark, fp)["4-NOT SPECIFIED"] > 0
+    got = read_ptable(spark, fp, partitions=["4-NOT SPECIFIED"])
+    assert sorted(r.id for r in got.collect()) == [1, 3]
+
+    bad = spark.createDataFrame([(1, "a:b")], "id long, pri string")
+    with pytest.raises(ValueError, match="path-safe"):
+        write_ptable(bad, str(tmp_path / "g"), "pri")

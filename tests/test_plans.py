@@ -638,3 +638,13 @@ def test_holt_single_series_has_no_driver_collect(spark):
     assert "LocalTableScan" not in plan
     assert "ExistingRDD" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_join_advisor_broadcasts_the_metadata_chosen_side(spark):
+    """VERDICT r7 item 2: the statistics consumer. The graded entry's
+    executed plan must contain the BROADCAST hash join the advisor chose
+    from manifest bytes/rows/NDV — a SortMergeJoin here means the advice
+    was computed but not enforced."""
+    plan = _plan(spark, "x_ptable_join_advisor")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan
