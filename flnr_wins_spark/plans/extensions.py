@@ -6422,3 +6422,342 @@ def x_ptable_join_advisor(spark, sf_dir):
         F.lit(advice.strategy).alias("strategy"),
         F.lit(advice.build_side).alias("build_side"),
     )
+
+
+_ZORDER_OPT_SQL = """
+    WITH base AS (
+      SELECT o_orderkey % 16 AS a, o_custkey % 16 AS b,
+             CAST(o_totalprice AS DECIMAL(27,2)) AS price
+      FROM orders
+    ),
+    zc AS (
+      SELECT a, b, price,
+             CAST(FLOOR(a / 4) AS BIGINT) AS p1,
+             (((((CAST(a AS BIGINT) & 15) >> 0) & 1) << 0)
+            | ((((CAST(b AS BIGINT) & 15) >> 0) & 1) << 1)
+            | ((((CAST(a AS BIGINT) & 15) >> 1) & 1) << 2)
+            | ((((CAST(b AS BIGINT) & 15) >> 1) & 1) << 3)
+            | ((((CAST(a AS BIGINT) & 15) >> 2) & 1) << 4)
+            | ((((CAST(b AS BIGINT) & 15) >> 2) & 1) << 5)
+            | ((((CAST(a AS BIGINT) & 15) >> 3) & 1) << 6)
+            | ((((CAST(b AS BIGINT) & 15) >> 3) & 1) << 7)) >> 4 AS pz
+      FROM base
+    ),
+    zones1 AS (
+      SELECT p1, MIN(a) AS mn_a, MAX(a) AS mx_a,
+             MIN(b) AS mn_b, MAX(b) AS mx_b, COUNT(*) AS nrows
+      FROM zc GROUP BY p1
+    ),
+    zonesz AS (
+      SELECT pz, MIN(a) AS mn_a, MAX(a) AS mx_a,
+             MIN(b) AS mn_b, MAX(b) AS mx_b, COUNT(*) AS nrows
+      FROM zc GROUP BY pz
+    ),
+    kept1 AS (
+      SELECT * FROM zones1
+      WHERE NOT (mx_a < 2 OR mn_a > 5 OR mx_b < 2 OR mn_b > 5)
+    ),
+    keptz AS (
+      SELECT * FROM zonesz
+      WHERE NOT (mx_a < 2 OR mn_a > 5 OR mx_b < 2 OR mn_b > 5)
+    ),
+    hit AS (
+      SELECT COUNT(*) AS n_rows, CAST(SUM(price) AS DOUBLE) AS revenue
+      FROM zc WHERE a BETWEEN 2 AND 5 AND b BETWEEN 2 AND 5
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM zones1) AS parts_total_1d,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM kept1) AS parts_kept_1d,
+      (SELECT CAST(COALESCE(SUM(nrows), 0) AS BIGINT) FROM kept1)
+        AS rows_scanned_1d,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM zonesz) AS parts_total_z,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM keptz) AS parts_kept_z,
+      (SELECT CAST(COALESCE(SUM(nrows), 0) AS BIGINT) FROM keptz)
+        AS rows_scanned_z,
+      (SELECT CAST(n_rows AS BIGINT) FROM hit) AS n_rows,
+      (SELECT revenue FROM hit) AS revenue
+    """
+
+
+@query(
+    "x_ptable_zorder_optimize",
+    sql=_ZORDER_OPT_SQL,
+    note="OPTIMIZE ZORDER witness at the partition level: the same rows "
+    "committed twice — once range-partitioned on ONE dimension (a//4), "
+    "once partitioned by the top bits of the Morton interleave of BOTH "
+    "dimensions (operators/layout.py zorder_key, the bit-exact SQL twin "
+    "rides the oracle) — and the SAME two-column range probe is pruned "
+    "through advise_scan (zone-map intersection) against each layout. "
+    "The graded row carries the witness in its hashed values: the 1-D "
+    "layout's zone maps are tight on a and useless on b (every "
+    "partition spans b's full domain), the Z layout is tight on BOTH, "
+    "so rows_scanned_z < rows_scanned_1d while the query answer "
+    "(n_rows, revenue) is identical. rows_scanned_* comes from manifest "
+    "row counts over the kept partitions — metadata only, like the "
+    "prune itself. At 100 TB this is why the lakehouse clusters by "
+    "Morton key before writing (compact_ptable's sort_cols is the "
+    "within-file half of the same move): a multi-predicate scan reads "
+    "the tiles the zones cannot exclude, not half the table",
+    bench=True,
+)
+def x_ptable_zorder_optimize(spark, sf_dir):
+    from flnr_wins_spark.operators.layout import zorder_key
+    from flnr_wins_spark.sources.advisor import advise_scan
+    from flnr_wins_spark.sources.ptable import (
+        partition_rows,
+        read_ptable,
+        write_ptable,
+    )
+
+    base = t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 16).alias("a"),
+        (F.col("o_custkey") % 16).alias("b"),
+        F.col("o_totalprice").cast("decimal(27,2)").alias("price"),
+    )
+    t1 = base.withColumn(
+        "part", F.floor(F.col("a") / 4).cast("string")
+    )
+    tz = base.withColumn(
+        "part",
+        F.shiftright(zorder_key([F.col("a"), F.col("b")], bits=4), 4)
+        .cast("string"),
+    )
+    path1 = scratch_dir("zopt_1d") + "/tbl"
+    pathz = scratch_dir("zopt_z") + "/tbl"
+    write_ptable(t1, path1, "part", stats_cols=["a", "b"])
+    write_ptable(tz, pathz, "part", stats_cols=["a", "b"])
+
+    probe = {"a": (2, 5), "b": (2, 5)}
+    kept1 = advise_scan(spark, path1, ranges=probe)
+    keptz = advise_scan(spark, pathz, ranges=probe)
+    rows1 = partition_rows(spark, path1)
+    rowsz = partition_rows(spark, pathz)
+
+    hit = (
+        read_ptable(spark, pathz, partitions=keptz)
+        .filter(F.col("a").between(2, 5) & F.col("b").between(2, 5))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )
+    return hit.select(
+        F.lit(len(rows1)).cast("bigint").alias("parts_total_1d"),
+        F.lit(len(kept1)).cast("bigint").alias("parts_kept_1d"),
+        F.lit(sum(rows1[p] for p in kept1)).cast("bigint")
+        .alias("rows_scanned_1d"),
+        F.lit(len(rowsz)).cast("bigint").alias("parts_total_z"),
+        F.lit(len(keptz)).cast("bigint").alias("parts_kept_z"),
+        F.lit(sum(rowsz[p] for p in keptz)).cast("bigint")
+        .alias("rows_scanned_z"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "revenue",
+    )
+
+
+_STREAM_LAKEHOUSE_SQL = """
+    WITH w AS (
+      SELECT CAST(CEIL((MAX(o_orderkey) + 1) / 16.0) AS BIGINT) AS w
+      FROM orders
+    ),
+    base AS (SELECT o_orderkey AS k, o_custkey AS cust FROM orders),
+    fin AS (
+      SELECT k, cust + 1000000 AS cust FROM base
+      WHERE k % 13 = 0 AND k % 19 <> 0
+      UNION ALL
+      SELECT -k AS k, cust FROM base WHERE k % 17 = 0
+      UNION ALL
+      SELECT k, cust FROM base WHERE k % 19 <> 0 AND k % 13 <> 0
+    )
+    SELECT f.k, f.cust
+    FROM fin f, w
+    WHERE f.k >= 2 * w.w AND f.k <= 4 * w.w - 1
+    """
+
+
+@query(
+    "x_stream_lakehouse_prune",
+    sql=_STREAM_LAKEHOUSE_SQL,
+    note="STREAMING ingestion keeps the metadata layer honest, graded "
+    "end-to-end: bootstrap a zone-mapped ptable (16 scale-adaptive key "
+    "buckets), stream TWO CDC micro-batches through ptable_merge_sink "
+    "(batch 1: value updates + negated-key inserts; batch 2: deletes — "
+    "key sets disjoint, so the final state is batch-order independent), "
+    "then answer a key-range probe by ZONE-MAP PRUNING over the "
+    "post-stream manifest + the residual filter. The oracle replays the "
+    "changeset relationally over the raw table — proving the sidecars "
+    "the streamed merges re-derived (zone maps, row counts) still prune "
+    "LOSSLESSLY: a stale or wrong zone map after streaming would drop "
+    "rows and break the hash. The sink's exactly-once batch-id commit "
+    "and the delta-proportional merge are the same code paths the batch "
+    "CDC entry grades; THIS entry pins that continuous ingestion and "
+    "metadata pruning compose. At 100 TB: streams land all day, range "
+    "probes still read only the partitions the zones cannot exclude",
+)
+def x_stream_lakehouse_prune(spark, sf_dir):
+    from flnr_wins_spark.sources.ptable import (
+        prune_partitions,
+        read_ptable,
+        write_ptable,
+    )
+    from flnr_wins_spark.streaming.sinks import ptable_merge_sink
+
+    orders = t(spark, sf_dir, "orders")
+    max_k = orders.agg(F.max("o_orderkey")).collect()[0][0]  # scalar
+    w = -(-(int(max_k) + 1) // 16)  # ceil division, scale-adaptive buckets
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_orderkey") / F.lit(w)).cast("string").alias("kb"),
+        F.col("o_custkey").alias("cust"),
+    )
+    root = scratch_dir("stream_lakehouse")
+    path = root + "/tbl"
+    write_ptable(base, path, "kb", stats_cols=["k"])
+
+    # two CDC micro-batch files with DISJOINT key sets (final state is
+    # independent of delivery order): updates+inserts, then deletes
+    schema = "k bigint, kb string, cust bigint, is_delete boolean"
+    upd = base.filter((F.col("k") % 13 == 0) & (F.col("k") % 19 != 0)).select(
+        "k", "kb", (F.col("cust") + F.lit(1000000)).alias("cust"),
+        F.lit(False).alias("is_delete"),
+    )
+    ins = base.filter(F.col("k") % 17 == 0).select(
+        (-F.col("k")).alias("k"),
+        F.floor(-F.col("k") / F.lit(w)).cast("string").alias("kb"),
+        "cust", F.lit(False).alias("is_delete"),
+    )
+    dels = base.filter(F.col("k") % 19 == 0).select(
+        "k", "kb", "cust", F.lit(True).alias("is_delete"),
+    )
+    src = root + "/src"
+    upd.unionByName(ins).coalesce(1).write.mode("append").parquet(src)
+    dels.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ptable_merge_sink(
+        stream, path, ["k"], root + "/ckpt", delete_flag_col="is_delete"
+    )
+    q.awaitTermination(300)
+
+    lo, hi = 2 * w, 4 * w - 1
+    kept = prune_partitions(spark, path, "k", lo, hi)  # manifest only
+    return (
+        read_ptable(spark, path, partitions=kept)
+        .filter(F.col("k").between(lo, hi))
+        .select("k", "cust")
+    )
+
+
+# x_ann_recall oracle: the exact top-5 CTE is x_similarity_topk's oracle and
+# the ANN CTE is _ANN_PORTABLE_SQL's md5-parity pipeline — both already
+# hash-verified entries — composed into per-query recall@5. Intersection is
+# over (query, candidate) IDENTITY, so no float compare is involved; the
+# only division is one IEEE bigint/double op, identical on both engines.
+_ANN_RECALL_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 c.vec_id) AS rn
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rn <= 5
+    ),
+    hp AS (
+      SELECT j, list_transform(range(0, 64),
+               d -> CASE WHEN substr(md5(CAST(j * 64 + d AS VARCHAR) || ':42'), 32, 1)
+                          IN ('1','3','5','7','9','b','d','f')
+                    THEN 1.0 ELSE -1.0 END) AS h
+      FROM UNNEST(range(0, 16)) AS t(j)
+    ),
+    sig AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, hp.h) >= 0
+                           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS s
+      FROM e CROSS JOIN hp GROUP BY e.vec_id
+    ),
+    banded AS (
+      SELECT vec_id,
+             CAST(b AS VARCHAR) || ':' || CAST((s >> CAST(b * 4 AS INT)) & 15 AS VARCHAR)
+               AS bucket
+      FROM sig, UNNEST(range(0, 4)) AS u(b)
+    ),
+    qb AS (SELECT vec_id AS query_id, bucket FROM banded WHERE vec_id < 10),
+    cp AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS cand_id
+      FROM qb q JOIN banded c USING (bucket) WHERE q.query_id <> c.vec_id
+    ),
+    ann AS (
+      SELECT query_id, cand_id FROM (
+        SELECT cp.query_id, cp.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY cp.query_id ORDER BY
+                 list_dot_product(qv.v, cv.v)
+                   / (sqrt(list_dot_product(qv.v, qv.v))
+                      * sqrt(list_dot_product(cv.v, cv.v))) DESC,
+                 cp.cand_id) AS rn
+        FROM cp
+        JOIN e qv ON qv.vec_id = cp.query_id
+        JOIN e cv ON cv.vec_id = cp.cand_id)
+      WHERE rn <= 5
+    )
+    SELECT ex.query_id,
+           CAST(COUNT(ann.cand_id) AS BIGINT) AS hits,
+           CAST(COUNT(ann.cand_id) AS DOUBLE) / CAST(5 AS DOUBLE)
+             AS recall_at_5
+    FROM ex LEFT JOIN ann
+      ON ex.query_id = ann.query_id AND ex.cand_id = ann.cand_id
+    GROUP BY ex.query_id
+    """
+
+
+@query(
+    "x_ann_recall",
+    sql=_ANN_RECALL_SQL,
+    note="ANN QUALITY AS A GRADED METRIC: recall@5 of the hyperplane-LSH "
+    "index (md5-parity twin of x_similarity_ann_portable) against the "
+    "exact brute-force top-5 (x_similarity_topk) — per query, the "
+    "fraction of true neighbors the index surfaced. Both constituent "
+    "result sets are independently hash-verified entries; this "
+    "composition converts the ANN stack's quality from a pytest-only "
+    "recall floor into driver-graded evidence. Intersection is over "
+    "(query, candidate) identity so no float comparison is involved; "
+    "a query whose LSH buckets surfaced nothing still reports (hits=0) "
+    "via the left join rather than vanishing. The recall an index "
+    "ships with is a NUMBER, not a vibe — at 100 TB you re-run this "
+    "probe set against the persisted index after every refresh",
+)
+def x_ann_recall(spark, sf_dir):
+    from flnr_wins_spark.functions.vectors import ann_lsh_topk, brute_force_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).select("query_id", "cand_id")
+    ann = ann_lsh_topk(queries, emb, dim=64, k=5, hash_fn="md5").select(
+        "query_id", "cand_id"
+    )
+    # left join on both identity columns; COUNT of the ann side = hits
+    a = ann.select(
+        F.col("query_id").alias("aq"), F.col("cand_id").alias("ac")
+    )
+    return (
+        exact.join(
+            a,
+            (exact.query_id == a.aq) & (exact.cand_id == a.ac),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("ac").alias("hits"))
+        .select(
+            "query_id",
+            F.col("hits").cast("bigint").alias("hits"),
+            (F.col("hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
