@@ -47,76 +47,55 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
-# driver-graded correctness row go first. Round-7 ordering: the driver
-# graded EXACTLY 50 entries in every round so far, so the head of this
-# list is exactly the entries that need a fresh row:
-# (a) the fourteen never-graded r7 surfaces (lakehouse CDC e2e,
-# persisted-IVF + persisted/incremental BM25 feature stores, zone-map
-# pruning, metadata-only counts, bloom point pruning, CDC-driven MV
-# refresh, deterministic shard export, CUSUM changepoint, Holt
-# forecast single-series AND distributed per-group, co-located
-# bucketed join, manifest NDV sketches); (b) the
-# entry whose plan shape
-# changed this round (search-e2e limit-then-rank rewrite); (c) all 42
-# entries whose latest grade is r02 — four rounds stale, the whole
-# cohort rotates in. That is 57 against a budget of exactly 50: new
-# surfaces and the contract re-grade outrank the tail of the stale
-# cohort, so the LAST 7 r02 entries wait one more round (every one is a
-# green-r02 entry whose module is untouched since; r8's rotation leads
-# with them). Positions 58+ follow staleness order (rows-only
-# fast paths for rows-evidence, then r03/r04/r05/r06 greens, freshest
-# last). Goal after r7: no never-graded entries, no entry's latest grade
-# older than r03 (modulo the driver's actual budget).
+# driver-graded correctness row go first. Round-8 ordering (the driver
+# graded EXACTLY the first 50 in rounds 1-7): (a) the four never-graded
+# r8 surfaces (cost-based join advisor, Z-order pruning witness,
+# streamed-lakehouse prune, ANN recall floor); (b) the two entries whose
+# code changed in r8 — x_ptable_cdc_e2e (insert keys now negated: VALUES
+# changed) and x_holt_forecast (plan rerouted through the distributed
+# operator; values unchanged by the shared-recurrence design); (c) the 7
+# r02-stale entries r7's budget deferred; (d) the five r03 entries whose
+# modules r8 touched (scratch_dir / estimate refactors); (e) the five
+# rows-only fast paths for fresh rows-evidence; (f) the r03 cohort in
+# staleness order — 27 of 41 fit the 50-budget, the last 14 lead r9.
+# Positions 51+ keep staleness order (r03 remainder, then r04, r05,
+# then the 48 entries freshly graded green in r07, freshest last).
+# Goal after r8: no never-graded entries, nothing older than r03, and
+# the r03 cohort two-thirds drained.
 # Names absent from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
-    # (a) new r7 surfaces — never graded
-    "x_ptable_cdc_e2e", "x_similarity_ivf_persisted",
-    "x_ptable_zonemap_prune", "x_search_bm25_persisted",
-    "x_search_bm25_incremental", "x_ptable_metadata_counts",
-    "x_ptable_bloom_point", "x_ptable_incremental_mv", "x_corpus_shard",
-    "x_cusum_changepoint", "x_holt_forecast", "x_bucketed_join",
-    "x_ptable_ndv", "x_holt_forecast_grouped",
-    # (b) code changed in r7 (plan-shape fix; values unchanged)
-    "x_search_e2e",
-    # (c) all 42 r02-latest entries — four rounds stale, all rotate in
-    "x_text_tokenize_bpe", "x_multimodal_features",
-    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customer", "q19_discounted_revenue",
-    "q20_potential_promotion", "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity", "q_cube_orders", "q_grouping_sets",
-    "q_set_ops", "q_distinct_agg", "q_scalar_functions", "q_date_functions",
-    "q_asof_join", "q_pivot_status", "q_explode_tokens",
-    "q_exists_subquery", "q_having", "q_stats_derived", "q_union_distinct",
-    "q_percentile", "x_quality_rules", "x_corpus_stats", "x_doc_chunking",
-    "x_dedup_spans", "x_url_filter", "x_corpus_resample", "x_cdc_diff",
-    "x_merge_upsert", "x_scd2_history", "q_recursive_calendar",
-    "q_unpivot_metrics", "q_lateral_topn", "x_repetition_stats",
-    "x_pagerank", "x_kfold_split", "x_vocab_topk",
-    # ---- position 51+ (graded only if the budget stretches) ----
-    # x_dedup_minhash_estimate: r7 persist-doctrine refactor verified by
-    # the local 230-entry sweep (green r06; values unchanged by design)
+    # (a) new r8 surfaces — never graded
+    "x_ptable_join_advisor", "x_ptable_zorder_optimize",
+    "x_stream_lakehouse_prune", "x_ann_recall",
+    # (b) code changed in r8
+    "x_ptable_cdc_e2e", "x_holt_forecast",
+    # (c) the 7 r02-stale entries deferred by r7's budget
+    "q_recursive_calendar", "q_unpivot_metrics", "q_lateral_topn",
+    "x_repetition_stats", "x_pagerank", "x_kfold_split", "x_vocab_topk",
+    # (d) r8-touched modules, latest grade r03/r06
     "x_dedup_minhash_estimate", "r1_append_no_test",
     "r4_enrich_left_join", "r7_reject_duplicates", "q_source_roundtrip",
-    # rows-only fast paths: refresh rows-evidence when budget allows
+    # (e) rows-only fast paths: refresh rows-evidence
     "x_dedup_minhash_lsh", "q_events_approx_distinct", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf",
-    # latest grade r03 (remainder)
+    # (f) latest grade r03, staleness order — first 27 fill the budget
     "q10_returned_items", "q11_important_value", "q12_shipping_delay",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
     "q8_national_market_share", "q9_product_type_profit",
-    "q_array_functions", "q_asof_tolerance", "q_listagg", "q_null_safe_join",
-    "q_skew_salted_join", "q_window_fill_forward",
-    "q_window_time_range", "r2_conditional_update",
-    "r3_blank_to_null", "r6_frequency",
-    "r8_reject_unmatched", "x_bloom_prefilter",
+    "q_array_functions", "q_asof_tolerance", "q_listagg",
+    "q_null_safe_join", "q_skew_salted_join", "q_window_fill_forward",
+    "q_window_time_range", "r2_conditional_update", "r3_blank_to_null",
+    "r6_frequency", "r8_reject_unmatched", "x_bloom_prefilter",
     "x_countmin", "x_dedup_clusters_star", "x_dedup_containment",
     "x_dedup_url", "x_embedding_stats", "x_equidepth_bins",
-    "x_funnel_counts", "x_global_rank", "x_group_topk_sample",
-    "x_incremental_agg", "x_multimodal_audio_chunks", "x_outlier_events",
-    "x_packed_sequences", "x_retention_cohorts", "x_search_bm25",
-    "x_similarity_int8", "x_token_bigrams", "x_unigram_quality",
-    "x_url_canonicalize", "x_winsorize", "x_zorder_layout",
+    "x_funnel_counts",
+    # ---- position 51+ (graded only if the budget stretches) ----
+    # r03 remainder (leads the r9 rotation)
+    "x_global_rank", "x_group_topk_sample", "x_incremental_agg",
+    "x_multimodal_audio_chunks", "x_outlier_events", "x_packed_sequences",
+    "x_retention_cohorts", "x_search_bm25", "x_similarity_int8",
+    "x_token_bigrams", "x_unigram_quality", "x_url_canonicalize",
+    "x_winsorize", "x_zorder_layout",
     # latest grade r04
     "q_events_histogram", "q_events_interpolate", "q_map_functions",
     "wins_e2e_kept", "wins_e2e_rejects", "x_attribution_last_touch",
@@ -133,7 +112,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_search_hybrid_rrf", "x_search_phrase", "x_similarity_ann_portable",
     "x_similarity_pq", "x_sorted_neighborhood", "x_tokenize_maxmatch",
     "x_triangle_count", "x_user_streaks",
-    # latest grade r05 — freshest evidence, graded last
+    # latest grade r05
     "q_events_interval_join", "q_events_json", "q_events_multires_rollup",
     "q_events_tumbling", "x_ab_test", "x_attribution_linear",
     "x_binaryfile_ingest", "x_churn_training_set", "x_cooccur_pmi",
@@ -147,8 +126,25 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_random_projection", "x_recommend_itemknn", "x_semdedup",
     "x_similarity_ivf_kmeans", "x_skew_report", "x_time_to_convert",
     "x_tokenize_optimal", "x_trajectory_similarity",
+    # freshly graded green in r07 — freshest evidence, graded last
+    "x_similarity_ivf_persisted", "x_ptable_zonemap_prune",
+    "x_search_bm25_persisted", "x_search_bm25_incremental",
+    "x_ptable_metadata_counts", "x_ptable_bloom_point",
+    "x_ptable_incremental_mv", "x_corpus_shard", "x_cusum_changepoint",
+    "x_bucketed_join", "x_ptable_ndv", "x_holt_forecast_grouped",
+    "x_search_e2e", "x_text_tokenize_bpe", "x_multimodal_features",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_discounted_revenue",
+    "q20_potential_promotion", "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity", "q_cube_orders", "q_grouping_sets",
+    "q_set_ops", "q_distinct_agg", "q_scalar_functions", "q_date_functions",
+    "q_asof_join", "q_pivot_status", "q_explode_tokens",
+    "q_exists_subquery", "q_having", "q_stats_derived", "q_union_distinct",
+    "q_percentile", "x_quality_rules", "x_corpus_stats", "x_doc_chunking",
+    "x_dedup_spans", "x_url_filter", "x_corpus_resample", "x_cdc_diff",
+    "x_merge_upsert", "x_scd2_history",
 )
-
 
 def all_queries() -> dict[str, QueryDef]:
     """Import all plan modules and return the registry in grading-priority
