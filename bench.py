@@ -70,9 +70,9 @@ def main() -> None:
                 # keep notes SHORT (<300 chars): the driver captures only the
                 # last 2,000 chars of stdout — a long note truncated 9 of 27
                 # r5 timings out of BENCH_r05.json. Prose lives in SURVEY §8.
-                "notes": "min-of-2 per query, steady-state plan; 33 "
-                "headliners (r7 adds lakehouse CDC e2e, CDC-driven MV "
-                "refresh, shard export); see SURVEY.md §8.",
+                "notes": "min-of-2 per query, steady-state plan; 35 "
+                "headliners (r8 adds cost-based join advisor, zorder "
+                "pruning witness); see SURVEY.md §8.",
             }
         )
     )

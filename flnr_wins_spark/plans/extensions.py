@@ -6761,3 +6761,164 @@ def x_ann_recall(spark, sf_dir):
             (F.col("hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
         )
     )
+
+
+# x_advisor_estimate oracle: the KMV table-wide NDV (x_ptable_ndv's gtot
+# pattern, 60-bit md5 hashes), the System-R containment estimate, and the
+# partition sizing are all one-int->double-conversion + one-IEEE-op chains —
+# engine-portable per the registry's portable-hashing doctrine.
+_ADVISOR_EST_SQL = """
+    WITH hl AS (
+      SELECT DISTINCT CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    rl AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hl),
+    nl AS (
+      SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                       / CAST(MAX(h) AS DOUBLE) END AS ndv
+      FROM rl WHERE rn <= 64
+    ),
+    hr AS (
+      SELECT DISTINCT CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS h
+      FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    rr_ AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hr),
+    nr AS (
+      SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0
+                       / CAST(MAX(h) AS DOUBLE) END AS ndv
+      FROM rr_ WHERE rn <= 64
+    ),
+    est AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS rows_left,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS rows_right,
+             CAST(FLOOR(
+               CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+               * CAST((SELECT COUNT(*) FROM customer) AS DOUBLE)
+               / GREATEST((SELECT ndv FROM nl), (SELECT ndv FROM nr))
+             ) AS BIGINT) AS est_rows
+    )
+    SELECT rows_left, rows_right, est_rows,
+           GREATEST(CAST(8 AS BIGINT),
+                    CAST(CEIL(CAST(est_rows AS DOUBLE) / CAST(1000 AS DOUBLE))
+                         AS BIGINT)) AS shuffle_parts,
+           'shuffle' AS strategy,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+             AS n_actual
+    FROM est
+    """
+
+
+@query(
+    "x_advisor_estimate",
+    sql=_ADVISOR_EST_SQL,
+    note="The advisor's SHUFFLE path, graded end-to-end: with the "
+    "broadcast threshold forced to zero, advise_join reads manifest row "
+    "counts + mergeable KMV NDV sketches, computes the System-R output "
+    "estimate rows_l * rows_r / max(ndv_l, ndv_r), and sizes the shuffle "
+    "partition count from it (min floor pinned at 8 so the value is "
+    "environment-independent). The graded row carries the DECISION "
+    "(est_rows, shuffle_parts, strategy) next to REALITY (n_actual from "
+    "executing the advised join) — the oracle recomputes the identical "
+    "KMV estimate relationally, so a drifting sketch, estimator, or "
+    "sizing rule breaks the hash. Every input is metadata: the estimate "
+    "costs two manifest reads, not a scan. The companion broadcast-path "
+    "entry is x_ptable_join_advisor",
+)
+def x_advisor_estimate(spark, sf_dir):
+    from flnr_wins_spark.sources.advisor import advise_join, run_advised_join
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    fact = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fact_path = scratch_dir("adv_est_fact") + "/tbl"
+    dim_path = scratch_dir("adv_est_dim") + "/tbl"
+    write_ptable(
+        fact, fact_path, "o_orderpriority",
+        stats_cols=["o_custkey"], ndv_cols=["o_custkey"],
+    )
+    write_ptable(
+        dim, dim_path, "c_mktsegment",
+        stats_cols=["c_custkey"], ndv_cols=["c_custkey"],
+    )
+    advice = advise_join(
+        spark, fact_path, dim_path, "o_custkey", "c_custkey",
+        broadcast_threshold_bytes=0,       # force the shuffle path
+        target_rows_per_partition=1000,
+        min_shuffle_partitions=8,          # environment-independent floor
+    )
+    joined = run_advised_join(
+        spark, advice, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.lit(advice.left.rows_total).cast("bigint").alias("rows_left"),
+        F.lit(advice.right.rows_total).cast("bigint").alias("rows_right"),
+        F.lit(advice.est_output_rows).cast("bigint").alias("est_rows"),
+        F.lit(advice.shuffle_partitions).cast("bigint").alias("shuffle_parts"),
+        F.lit(advice.strategy).alias("strategy"),
+        F.col("_n").cast("bigint").alias("n_actual"),
+    )
+
+
+@query(
+    "x_ptable_dpp_join",
+    sql="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IN (1, 2, 3)
+    """,
+    note="MANIFEST-LEVEL DYNAMIC PARTITION PRUNING: a selective dim "
+    "filter's join keys probe the fact table's per-partition BLOOM "
+    "sidecars (prune_partitions_eq per key, union of survivors) before "
+    "any fact data is read — the lakehouse analog of Spark's DPP, except "
+    "the pruning decision costs one manifest read instead of a runtime "
+    "subquery broadcast. The fact is partitioned on an orderkey bucket "
+    "(UNCORRELATED with the join key — exactly the case zone maps cannot "
+    "prune and blooms exist for); a customer's handful of orders touch "
+    "few buckets, so most partitions prune. Bloom negatives are "
+    "definitive, so the pruned join hash-matches the oracle's plain "
+    "join; positives are re-filtered by the real predicate. Pruning "
+    "tightness is pytest-pinned (kept < total); at 100 TB this turns a "
+    "key-list probe join into a read of the few partitions that can "
+    "contain the keys",
+)
+def x_ptable_dpp_join(spark, sf_dir):
+    from flnr_wins_spark.sources.ptable import (
+        prune_partitions_eq,
+        read_ptable,
+        write_ptable,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    max_k = int(orders.agg(F.max("o_orderkey")).collect()[0][0])  # scalar
+    w = -(-(max_k + 1) // 32)  # 32 scale-adaptive orderkey buckets
+    fact = orders.select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_orderkey") / F.lit(w)).cast("string").alias("kb"),
+    )
+    path = scratch_dir("ptable_dpp") + "/tbl"
+    write_ptable(fact, path, "kb", bloom_cols=["o_custkey"])
+
+    keys = [1, 2, 3]  # the dim filter's join keys (bounded by selectivity)
+    kept = sorted(
+        set().union(
+            *(prune_partitions_eq(spark, path, "o_custkey", k) for k in keys)
+        )
+    )
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isin(keys))
+        .select("c_custkey", "c_name")
+    )
+    return (
+        read_ptable(spark, path, partitions=kept)
+        .filter(F.col("o_custkey").isin(keys))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name")
+    )

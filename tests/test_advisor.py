@@ -157,3 +157,40 @@ def test_space_bearing_partition_values_roundtrip(spark, tmp_path):
     bad = spark.createDataFrame([(1, "a:b")], "id long, pri string")
     with pytest.raises(ValueError, match="path-safe"):
         write_ptable(bad, str(tmp_path / "g"), "pri")
+
+
+def test_dpp_join_prunes_most_fact_partitions(spark):
+    """The graded DPP entry's bloom pruning must actually bite: for the
+    3-key probe over 32 orderkey buckets, the kept set is well under the
+    partition count, and the pruned read equals the unpruned one."""
+    from flnr_wins_spark.plans.common import all_queries
+    from flnr_wins_spark.sources.ptable import (
+        prune_partitions_eq,
+        read_ptable,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = all_queries()["x_ptable_dpp_join"].fn(spark, sf_dir)
+    got = sorted((r.o_orderkey, r.o_custkey) for r in out.collect())
+
+    # reconstruct the pruning stats over the scratch table the entry wrote
+    # (THIS process's scratch root — never another process's leftovers)
+    from flnr_wins_spark.plans import common
+
+    path = f"{common._SCRATCH_ROOT}/ptable_dpp/tbl"
+    kept = set()
+    for k in (1, 2, 3):
+        kept |= set(prune_partitions_eq(spark, path, "o_custkey", k))
+    total = read_ptable(spark, path).select("kb").distinct().count()
+    # ~10 orders/customer x 3 keys land in at most ~30 of 32 buckets in
+    # the worst case; observed 16/32 at sf0.001 — pin that the pruning
+    # bites (strictly fewer partitions than the table has)
+    assert len(kept) <= total * 0.7, (len(kept), total)
+    # losslessness: pruned result == unpruned filter+join result
+    full = sorted(
+        (r.o_orderkey, r.o_custkey)
+        for r in read_ptable(spark, path)
+        .filter(F.col("o_custkey").isin([1, 2, 3]))
+        .collect()
+    )
+    assert got == full
