@@ -6922,3 +6922,95 @@ def x_ptable_dpp_join(spark, sf_dir):
         .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_custkey", "c_name")
     )
+
+
+# x_partition_bounds_advisor oracle: the content-addressed value sample
+# (distinct values, 60-bit md5 order, k smallest) and the bound-picking rule
+# sample_sorted[(i*m)//n] are pure integer/hash constructions — the oracle
+# recomputes them relationally, so bounds AND bucket row counts hash-match.
+_BOUNDS_ADV_SQL = """
+    WITH vals AS (
+      SELECT DISTINCT o_custkey AS v FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    hs AS (
+      SELECT v, CAST('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h
+      FROM vals
+    ),
+    samp AS (
+      SELECT v FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY h, v) AS rn FROM hs)
+      WHERE rn <= 256
+    ),
+    sv AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS vr FROM samp),
+    mm AS (SELECT COUNT(*) AS m FROM samp),
+    bounds AS (
+      SELECT CAST(t.i AS BIGINT) AS i,
+             (SELECT v FROM sv
+              WHERE vr = (t.i * (SELECT m FROM mm)) // 8 + 1) AS bv
+      FROM UNNEST(range(1, 8)) AS t(i)
+    ),
+    bucketed AS (
+      SELECT CAST((SELECT COUNT(*) FROM bounds b WHERE o.o_custkey > b.bv)
+                  AS BIGINT) AS bucket
+      FROM orders o
+    )
+    SELECT g.bucket,
+           (SELECT bv FROM bounds WHERE i = g.bucket + 1) AS upper_bound,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM bucketed g GROUP BY g.bucket
+    """
+
+
+@query(
+    "x_partition_bounds_advisor",
+    sql=_BOUNDS_ADV_SQL,
+    note="RANGE-PARTITION PLANNING from metadata: the table commits a "
+    "content-addressed VALUE SAMPLE sidecar (k distinct values with the "
+    "smallest 60-bit md5 hashes — mergeable across partitions by the "
+    "same k-smallest argument as the KMV sketch, but carrying VALUES), "
+    "and propose_range_bounds reads the MERGED sample from the manifest "
+    "to pick 7 split values for an 8-way range layout — zero data files "
+    "touched for the decision. The graded rows carry the proposal "
+    "(upper_bound per bucket) next to the witness (actual per-bucket row "
+    "counts over the real data — near-balanced because the key is "
+    "near-uniform). The oracle recomputes the identical sample, bounds, "
+    "and counts relationally. At 100 TB this is how repartition_ptable / "
+    "repartitionByRange bounds get chosen without a sort or a scan: the "
+    "sample rides every commit, the planner reads JSON",
+)
+def x_partition_bounds_advisor(spark, sf_dir):
+    from flnr_wins_spark.sources.advisor import (
+        propose_range_bounds,
+        range_bucket,
+    )
+    from flnr_wins_spark.sources.ptable import read_ptable, write_ptable
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    path = scratch_dir("bounds_adv") + "/tbl"
+    write_ptable(
+        orders, path, "o_orderpriority", sample_cols=["o_custkey"]
+    )
+    bounds = propose_range_bounds(spark, path, "o_custkey", 8)
+
+    counts = (
+        read_ptable(spark, path)
+        .select(
+            range_bucket(F.col("o_custkey"), bounds)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    ub = None
+    for i, b in enumerate(bounds):
+        cond = F.col("bucket") == i
+        ub = F.when(cond, F.lit(b)) if ub is None else ub.when(cond, F.lit(b))
+    ub = ub.otherwise(F.lit(None)).cast("bigint")
+    return counts.select(
+        "bucket", ub.alias("upper_bound"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )

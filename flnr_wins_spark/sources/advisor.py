@@ -45,6 +45,7 @@ from flnr_wins_spark.sources.ptable import (
     prune_partitions,
     prune_partitions_eq,
     read_ptable,
+    sample_values,
 )
 
 # Spark's default autoBroadcastJoinThreshold
@@ -179,6 +180,45 @@ def run_advised_join(
         # session default
         joined = joined.repartition(advice.shuffle_partitions)
     return joined
+
+
+def propose_range_bounds(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    n_buckets: int,
+) -> list:
+    """RANGE-PARTITION PLANNING from metadata: the n_buckets-1 split
+    values that divide ``col``'s value domain into near-equal buckets,
+    read from the table's content-addressed sample sidecar (merged
+    across partitions — no data files touched). The sample is uniform
+    over DISTINCT values, so the buckets balance the key DOMAIN; row
+    balance follows when the column is near-unique, which is the
+    partitioning-key case this exists for (feed the bounds to
+    ``repartition_ptable``-style layout changes or
+    ``repartitionByRange``). Deterministic by construction (md5
+    content addressing), so any engine reproduces the same bounds from
+    the same data. Bound i is sample_sorted[(i * m) // n_buckets]
+    (0-indexed, m = sample size); a bucket's rows satisfy
+    bounds[i-1] < v <= bounds[i]."""
+    vals = sorted(sample_values(spark, table_path, col))
+    m = len(vals)
+    if m < n_buckets:
+        raise ValueError(
+            f"sample of '{col}' holds only {m} values — cannot propose "
+            f"{n_buckets} buckets (raise sample_k or lower n_buckets)"
+        )
+    return [vals[(i * m) // n_buckets] for i in range(1, n_buckets)]
+
+
+def range_bucket(col, bounds: list):
+    """The bucket id (0-based) of ``col`` under ``bounds`` — the count
+    of bounds strictly below the value, as a codegen-friendly sum of
+    comparisons (no UDF). Pair with :func:`propose_range_bounds`."""
+    expr = F.lit(0)
+    for b in bounds:
+        expr = expr + F.when(col > F.lit(b), 1).otherwise(0)
+    return expr
 
 
 def advise_scan(

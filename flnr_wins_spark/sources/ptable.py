@@ -374,6 +374,113 @@ def _kmv_estimate(hashes: list[int], k: int) -> float:
     return (k - 1) * 2.0**60 / float(hashes[k - 1])
 
 
+def _compute_sample(
+    spark: SparkSession,
+    stage_path: str,
+    part_col: str,
+    sample_cols: list[str],
+    k: int,
+) -> dict:
+    """Per-partition CONTENT-ADDRESSED VALUE SAMPLES: for each column,
+    the k distinct values with the smallest 60-bit md5 hashes, stored as
+    sorted ``[hash, value]`` pairs. Like the KMV sketch this is exactly
+    MERGEABLE (the k hash-smallest of a union of per-partition
+    hash-smallest sets are the k hash-smallest overall), but it carries
+    the VALUES — a deterministic uniform sample of the column's value
+    domain that any engine reproduces bit-for-bit from the same data.
+    This is the statistic a range-partition planner reads to propose
+    balanced split bounds (see ``sources/advisor.py
+    propose_range_bounds``). One window pass per column over the
+    just-staged data; each sketch is ≤ k JSON pairs; NULLs not sampled."""
+    from pyspark.sql import Window
+
+    df = _read_stage_raw(spark, stage_path)
+    out: dict[str, dict] = {}
+    for c in [c for c in sample_cols if c in df.columns]:
+        h = F.conv(
+            F.substring(F.md5(F.col("_v").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        w = Window.partitionBy(part_col).orderBy("_h", "_v")
+        rows = (
+            df.filter(F.col(c).isNotNull())
+            .select(F.col(part_col), F.col(c).alias("_v"))
+            .distinct()
+            .withColumn("_h", h)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .groupBy(part_col)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("_h", "_v"))
+                ).alias("_ps")
+            )
+            .collect()
+        )
+        for r in rows:
+            out.setdefault(str(r[part_col]), {})[c] = [
+                [int(p["_h"]), _json_scalar(p["_v"])] for p in r["_ps"]
+            ]
+    return out
+
+
+def _check_sample_spec(
+    df: DataFrame, part_col: str, sample_cols: list[str], k: int
+) -> None:
+    """Sample sidecars share the bloom portability contract: the hash is
+    md5 over Spark's CAST(col AS STRING), so only types whose string
+    form is reproduced exactly on the Python/DuckDB side are allowed —
+    a float column's engine-varying rendering would make the 'same'
+    sample differ across engines."""
+    if k < 2:
+        raise ValueError(f"sample_k must be >= 2, got {k}")
+    dtypes = dict(df.dtypes)
+    for c in sample_cols:
+        if c == part_col:
+            raise ValueError(
+                f"sample_cols may not name the partition column '{c}' — "
+                "its values are the manifest's partition map itself"
+            )
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(
+                f"sample_cols column '{c}' is not in the DataFrame — a "
+                "misspelled column would commit a table whose layout "
+                "planner silently has no sample to read"
+            )
+        if t not in _BLOOM_OK_TYPES:
+            raise TypeError(
+                f"sample_cols column '{c}' has type {t}; value samples "
+                f"support only {sorted(_BLOOM_OK_TYPES)} (engine-portable "
+                "string forms)"
+            )
+
+
+def sample_values(
+    spark: SparkSession, table_path: str, col: str, manifest: int | None = None
+) -> list:
+    """The MERGED table-wide content-addressed sample of ``col`` from
+    manifest metadata alone: union the per-partition ``[hash, value]``
+    sketches, dedupe, and keep the k hash-smallest — exactly the sample
+    a single pass over the whole table would produce. Returned as the
+    list of values sorted by (hash, value); zero data files touched."""
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    km = manifest if manifest is not None else ids[-1]
+    m = _read_manifest(spark, table_path, km)
+    if col not in m.get("sample_cols", []):
+        raise FileNotFoundError(
+            f"manifest m{km} of {table_path} has no value sample for "
+            f"'{col}' — write the table with sample_cols to opt in"
+        )
+    k = m["sample_k"]
+    merged: set[tuple] = set()
+    for v in m["partitions"]:
+        for h, val in m.get("sample", {}).get(v, {}).get(col, []):
+            merged.add((int(h), val))
+    return [val for _h, val in sorted(merged)[:k]]
+
+
 def ndv_partitions(
     spark: SparkSession, table_path: str, col: str, manifest: int | None = None
 ) -> dict[str, tuple[int, float]]:
@@ -555,6 +662,8 @@ def write_ptable(
     bloom_hashes: int = 5,
     ndv_cols: list[str] | None = None,
     ndv_k: int = 64,
+    sample_cols: list[str] | None = None,
+    sample_k: int = 256,
 ) -> int:
     """Write ``df`` as a new FULL commit of the partitioned table (every
     partition staged fresh); returns the manifest id. The partition column
@@ -616,6 +725,13 @@ def write_ptable(
         manifest["ndv_k"] = int(ndv_k)
         manifest["ndv"] = _compute_ndv(
             spark, stage, part_col, list(ndv_cols), ndv_k
+        )
+    if sample_cols:
+        _check_sample_spec(df, part_col, list(sample_cols), sample_k)
+        manifest["sample_cols"] = list(sample_cols)
+        manifest["sample_k"] = int(sample_k)
+        manifest["sample"] = _compute_sample(
+            spark, stage, part_col, list(sample_cols), sample_k
         )
     _write_manifest(spark, table_path, k, manifest)
     return k
@@ -793,6 +909,23 @@ def merge_ptable(
         manifest["ndv_cols"] = prev["ndv_cols"]
         manifest["ndv_k"] = prev["ndv_k"]
         manifest["ndv"] = ndv
+    if prev.get("sample_cols"):
+        # value samples follow the same carry-by-reference rule
+        samp = {
+            v: p for v, p in prev.get("sample", {}).items() if v in mapping
+        }
+        for v in written:
+            samp.pop(v, None)
+        if written:
+            samp.update(
+                _compute_sample(
+                    spark, stage, part_col, prev["sample_cols"],
+                    prev["sample_k"],
+                )
+            )
+        manifest["sample_cols"] = prev["sample_cols"]
+        manifest["sample_k"] = prev["sample_k"]
+        manifest["sample"] = samp
     if meta:
         # caller-owned metadata rides the atomic commit (e.g. the streaming
         # sink's applied-batch-id for exactly-once replay skipping); the
@@ -1125,6 +1258,10 @@ def compact_ptable(
         manifest["ndv_cols"] = prev["ndv_cols"]
         manifest["ndv_k"] = prev["ndv_k"]
         manifest["ndv"] = prev.get("ndv", {})
+    if prev.get("sample_cols"):
+        manifest["sample_cols"] = prev["sample_cols"]
+        manifest["sample_k"] = prev["sample_k"]
+        manifest["sample"] = prev.get("sample", {})
     _write_manifest(spark, table_path, k, manifest)
     return k
 
@@ -1192,6 +1329,13 @@ def repartition_ptable(
         manifest["ndv_k"] = prev["ndv_k"]
         manifest["ndv"] = _compute_ndv(
             spark, stage, new_part_col, prev["ndv_cols"], prev["ndv_k"]
+        )
+    if prev.get("sample_cols"):
+        manifest["sample_cols"] = prev["sample_cols"]
+        manifest["sample_k"] = prev["sample_k"]
+        manifest["sample"] = _compute_sample(
+            spark, stage, new_part_col, prev["sample_cols"],
+            prev["sample_k"],
         )
     _write_manifest(spark, table_path, k, manifest)
     return k

@@ -648,3 +648,36 @@ def test_join_advisor_broadcasts_the_metadata_chosen_side(spark):
     plan = _plan(spark, "x_ptable_join_advisor")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dpp_join_scan_covers_only_bloom_survivors(spark):
+    """The DPP entry's fact scan must enumerate ONLY the partitions the
+    bloom probes kept — every kb= directory in the plan is a survivor,
+    and at least some partitions are absent (the pruning bit)."""
+    import re
+
+    from flnr_wins_spark.plans import common
+    from flnr_wins_spark.sources.ptable import prune_partitions_eq
+
+    plan = _plan(spark, "x_ptable_dpp_join")
+    scanned = {m for m in re.findall(r"kb=(-?\d+)", plan)}
+    path = f"{common._SCRATCH_ROOT}/ptable_dpp/tbl"
+    kept = set()
+    for k in (1, 2, 3):
+        kept |= set(prune_partitions_eq(spark, path, "o_custkey", k))
+    assert scanned and scanned <= kept, (scanned, kept)
+    assert len(scanned) < 32
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_stream_lakehouse_scan_covers_only_zone_survivors(spark):
+    """After two streamed merges, the graded range probe's scan must
+    enumerate only zone-map survivor partitions (negative-key insert
+    partitions and out-of-range buckets are absent from the plan)."""
+    import re
+
+    plan = _plan(spark, "x_stream_lakehouse_prune")
+    scanned = {int(m) for m in re.findall(r"kb=(-?\d+)", plan)}
+    assert scanned, plan[:2000]
+    assert all(v >= 0 for v in scanned), scanned  # inserts pruned away
+    assert len(scanned) <= 4  # a 2-bucket-wide probe (+ boundary slack)

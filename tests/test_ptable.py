@@ -806,3 +806,88 @@ def test_bloom_probe_type_guard(spark, tmp_path):
     with pytest.raises(TypeError, match="incompatible"):
         prune_partitions_eq(spark, path, "num", 990.5)
     assert prune_partitions_eq(spark, path, "num", 990.0) == ["0"]
+
+
+def test_sample_sidecar_merges_and_maintains(spark, tmp_path):
+    """Content-addressed value samples: the merged table-wide sample
+    equals a direct full-table construction (mergeability), merges
+    re-derive rewritten partitions and carry the rest, compaction
+    carries verbatim, and the spec is validated loudly at write time."""
+    import hashlib
+
+    from flnr_wins_spark.sources.ptable import (
+        _read_manifest,
+        compact_ptable,
+        sample_values,
+    )
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, str(i % 3), i * 7 % 101) for i in range(60)],
+        "id long, kb string, val long",
+    )
+    write_ptable(df, path, "kb", sample_cols=["val"], sample_k=16)
+    got = sample_values(spark, path, "val")
+    want = [v for _h, v in sorted(
+        {(h60(v), v) for v in {i * 7 % 101 for i in range(60)}}
+    )[:16]]
+    assert got == want
+
+    # merge: rewrites kb=1 only (new value enters its sample); others carry
+    ins = spark.createDataFrame([(100, "1", 9999)], "id long, kb string, val long")
+    merge_ptable(spark, path, ins, ["id"])
+    m2 = _read_manifest(spark, path, 2)
+    m1 = _read_manifest(spark, path, 1)
+    assert m2["sample"]["0"] == m1["sample"]["0"]  # carried by reference
+    vals_k1 = {v for h, v in m2["sample"]["1"]["val"]}
+    full_k1 = {i * 7 % 101 for i in range(60) if str(i % 3) == "1"} | {9999}
+    expect_k1 = {v for _h, v in sorted((h60(v), v) for v in full_k1)[:16]}
+    assert vals_k1 == expect_k1
+
+    # compaction: physical rewrite, sample carried verbatim
+    compact_ptable(spark, path, min_files=1)
+    m3 = _read_manifest(spark, path, 3)
+    assert m3["sample"] == m2["sample"]
+    assert m3["sample_k"] == 16
+
+    # loud validation
+    with pytest.raises(ValueError, match="sample_k"):
+        write_ptable(df, str(tmp_path / "a"), "kb", sample_cols=["val"], sample_k=1)
+    with pytest.raises(ValueError, match="partition column"):
+        write_ptable(df, str(tmp_path / "b"), "kb", sample_cols=["kb"])
+    bad = spark.createDataFrame([(1, "a", 1.5)], "id long, kb string, x double")
+    with pytest.raises(TypeError, match="sample_cols"):
+        write_ptable(bad, str(tmp_path / "c"), "kb", sample_cols=["x"])
+
+
+def test_propose_range_bounds_balances_near_unique_key(spark, tmp_path):
+    """The planner's bounds split a near-unique key into buckets whose
+    row counts are within 2x of each other; too small a sample raises."""
+    from flnr_wins_spark.sources.advisor import (
+        propose_range_bounds,
+        range_bucket,
+    )
+    from flnr_wins_spark.sources.ptable import read_ptable
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, str(i % 4)) for i in range(2000)], "id long, kb string"
+    )
+    write_ptable(df, path, "kb", sample_cols=["id"], sample_k=256)
+    from pyspark.sql import functions as F
+
+    bounds = propose_range_bounds(spark, path, "id", 8)
+    assert bounds == sorted(bounds) and len(bounds) == 7
+    counts = [
+        r.n for r in read_ptable(spark, path)
+        .groupBy(range_bucket(F.col("id"), bounds).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(counts) == 8
+    assert max(counts) <= 2 * min(counts), counts
+    with pytest.raises(ValueError, match="cannot propose"):
+        propose_range_bounds(spark, path, "id", 500)
