@@ -6375,8 +6375,10 @@ def x_ptable_ndv(spark, sf_dir):
     "decide broadcast-vs-shuffle exactly like Spark's bytes-denominated "
     "autoBroadcastJoinThreshold, manifest row counts + mergeable KMV NDV "
     "sketches size the System-R output-cardinality estimate for the "
-    "shuffle path. Here the customer dim (1/10 the fact's rows at every "
-    "SF) falls under the threshold, the advisor says broadcast-right, "
+    "shuffle path. Here the threshold is pinned above any fixture size "
+    "(SF-independent decision; both directions of the real 10 MiB rule "
+    "are pytest-pinned), the build SIDE comes from measured bytes — the "
+    "customer dim is 1/10 the fact at every SF, so broadcast-right — "
     "run_advised_join pins the build side with F.broadcast, and the "
     "result hash-matches the plain relational join — the strategy "
     "changed, the answer did not. The oracle carries the advised "
@@ -6408,8 +6410,16 @@ def x_ptable_join_advisor(spark, sf_dir):
         dim, dim_path, "c_mktsegment",
         stats_cols=["c_custkey"], ndv_cols=["c_custkey"],
     )
+    # threshold pinned ABOVE any fixture size so the graded decision is
+    # deterministic at EVERY scale factor (the oracle carries it as a
+    # literal; with the 10 MiB default, customer would cross the line
+    # around SF 1 and the entry would diverge for a scale reason — the
+    # same trap class as the CDC insert keys). The build SIDE still comes
+    # from the measured bytes (smaller side), and both directions of the
+    # real thresholded decision are pytest-pinned in test_advisor.py.
     advice = advise_join(
-        spark, fact_path, dim_path, "o_custkey", "c_custkey"
+        spark, fact_path, dim_path, "o_custkey", "c_custkey",
+        broadcast_threshold_bytes=1 << 40,
     )
     joined = run_advised_join(
         spark, advice, F.col("o_custkey") == F.col("c_custkey")

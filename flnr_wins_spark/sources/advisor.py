@@ -39,9 +39,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flnr_wins_spark.sources.ptable import (
-    ndv_table,
-    partition_bytes,
-    partition_rows,
     prune_partitions,
     prune_partitions_eq,
     read_ptable,
@@ -78,25 +75,47 @@ class JoinAdvice:
 def table_stats(
     spark: SparkSession, table_path: str, key_col: str | None = None
 ) -> TableStats:
-    """Gather the advisor's inputs from manifest metadata + one FS
-    listing. Missing opt-ins degrade gracefully: no ``stats_cols`` means
-    ``rows_total`` is None (bytes still decide broadcast), no NDV sketch
-    for the key means no output-cardinality estimate."""
-    sizes = partition_bytes(spark, table_path)
-    try:
-        rows: int | None = sum(partition_rows(spark, table_path).values())
-    except FileNotFoundError:
-        rows = None
+    """Gather the advisor's inputs from ONE manifest read + one FS
+    listing per partition directory (rows, NDV, and sizes all come off
+    the same parsed manifest — not three independent reads). Missing
+    opt-ins degrade gracefully: no ``stats_cols`` means ``rows_total``
+    is None (bytes still decide broadcast), no NDV sketch for the key
+    means no output-cardinality estimate."""
+    from urllib.parse import unquote
+
+    from flnr_wins_spark.sources.ptable import (
+        _fs,
+        _kmv_estimate,
+        _manifest_ids,
+        _read_manifest,
+    )
+
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    m = _read_manifest(spark, table_path, ids[-1])
+
+    bytes_total = 0
+    for rel in m["partitions"].values():
+        fs, jpath = _fs(spark, f"{table_path}/{unquote(rel)}")
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                bytes_total += int(status.getLen())
+    rows: int | None = (
+        sum(int(n) for n in m["rows"].values()) if "rows" in m else None
+    )
     ndv: float | None = None
-    if key_col is not None:
-        try:
-            _, ndv = ndv_table(spark, table_path, key_col)
-        except FileNotFoundError:
-            ndv = None
+    if key_col is not None and key_col in m.get("ndv_cols", []):
+        k = m["ndv_k"]
+        merged: set[int] = set()
+        for v in m["partitions"]:
+            merged.update(m.get("ndv", {}).get(v, {}).get(key_col, []))
+        ndv = _kmv_estimate(sorted(merged)[:k], k)
     return TableStats(
         path=table_path,
-        n_partitions=len(sizes),
-        bytes_total=sum(sizes.values()),
+        n_partitions=len(m["partitions"]),
+        bytes_total=bytes_total,
         rows_total=rows,
         key_ndv=ndv,
     )
@@ -170,8 +189,12 @@ def run_advised_join(
     left = read_ptable(spark, advice.left.path)
     right = read_ptable(spark, advice.right.path)
     if advice.strategy == "broadcast":
+        # hint the build side WITHOUT swapping join sides: left stays the
+        # left input, so outer/semi/anti semantics and column order are
+        # exactly the caller's (a swapped right.join(left, ..., 'left')
+        # would preserve the wrong table's unmatched rows)
         if advice.build_side == "left":
-            return right.join(F.broadcast(left), on, how)
+            return F.broadcast(left).join(right, on, how)
         return left.join(F.broadcast(right), on, how)
     joined = left.join(right, on, how)
     if advice.shuffle_partitions is not None:

@@ -128,12 +128,14 @@ def _stage_partitions(spark: SparkSession, stage_path: str, part_col: str) -> li
                     "partition keys must be non-null (derive a sentinel "
                     "value upstream if NULL is a real level)"
                 )
-            if any(ch in raw for ch in "%#:=?*/\\\"'\n\t"):
+            if any(ord(ch) < 0x20 or ch in "\"#%'*/:=?\\\x7f{[]^" for ch in raw):
                 # Spark's hive writer percent-escapes these on disk, so the
                 # manifest's encode/decode round-trip would point reads at a
                 # path that does not exist — fail the commit loudly instead
                 # of committing a partition nobody can read back
                 fs.delete(jpath, True)
+                # char set = Spark ExternalCatalogUtils.needsEscaping:
+                # control chars, DEL, and " # % ' * / : = ? \\ { [ ] ^
                 raise ValueError(
                     f"partition value {raw!r} contains a character the hive "
                     "path layer escapes — derive a path-safe partition key "
@@ -390,34 +392,56 @@ def _compute_sample(
     domain that any engine reproduces bit-for-bit from the same data.
     This is the statistic a range-partition planner reads to propose
     balanced split bounds (see ``sources/advisor.py
-    propose_range_bounds``). One window pass per column over the
-    just-staged data; each sketch is ≤ k JSON pairs; NULLs not sampled."""
+    propose_range_bounds``). The one-scan sidecar discipline of
+    ``_compute_ndv``/``_compute_blooms`` applies per VALUE TYPE: columns
+    sharing a dtype ride one exploded (col, hash, value) pass (a struct
+    field must hold one type, so mixed-type opt-ins cost one pass per
+    distinct dtype — usually one). Each sketch is ≤ k JSON pairs; NULLs
+    not sampled."""
     from pyspark.sql import Window
 
     df = _read_stage_raw(spark, stage_path)
+    dtypes = dict(df.dtypes)
+    by_type: dict[str, list[str]] = {}
+    for c in sample_cols:
+        if c in df.columns:
+            by_type.setdefault(dtypes[c], []).append(c)
     out: dict[str, dict] = {}
-    for c in [c for c in sample_cols if c in df.columns]:
-        h = F.conv(
-            F.substring(F.md5(F.col("_v").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        w = Window.partitionBy(part_col).orderBy("_h", "_v")
+    w = Window.partitionBy(part_col, "_c").orderBy("_h", "_v")
+    for cols in by_type.values():
+        pairs = []
+        for c in cols:
+            h = F.conv(
+                F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            pairs.append(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.lit(c).alias("c"), h.alias("h"), F.col(c).alias("v")
+                    ),
+                )
+            )
         rows = (
-            df.filter(F.col(c).isNotNull())
-            .select(F.col(part_col), F.col(c).alias("_v"))
+            df.select(F.col(part_col), F.explode(F.array(*pairs)).alias("_p"))
+            .filter(F.col("_p").isNotNull())
+            .select(
+                F.col(part_col),
+                F.col("_p.c").alias("_c"),
+                F.col("_p.h").alias("_h"),
+                F.col("_p.v").alias("_v"),
+            )
             .distinct()
-            .withColumn("_h", h)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
-            .groupBy(part_col)
+            .groupBy(part_col, "_c")
             .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("_h", "_v"))
-                ).alias("_ps")
+                F.sort_array(F.collect_list(F.struct("_h", "_v"))).alias("_ps")
             )
             .collect()
         )
         for r in rows:
-            out.setdefault(str(r[part_col]), {})[c] = [
+            out.setdefault(str(r[part_col]), {})[r["_c"]] = [
                 [int(p["_h"]), _json_scalar(p["_v"])] for p in r["_ps"]
             ]
     return out

@@ -194,3 +194,46 @@ def test_dpp_join_prunes_most_fact_partitions(spark):
         .collect()
     )
     assert got == full
+
+
+def test_run_advised_join_preserves_left_semantics_on_left_build(spark, tmp_path):
+    """Review finding (r8): broadcasting the LEFT side must hint the
+    build side WITHOUT swapping join inputs — a left-outer join still
+    preserves the LEFT table's unmatched rows and the caller's column
+    order."""
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left = spark.createDataFrame(
+        [(1, "a", "0"), (2, "b", "0"), (99, "zz", "1")],
+        "k long, lv string, part string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", "0", 0.0), (2, "y", "0", 0.0), (2, "y2", "1", 0.0),
+         (3, "w", "1", 0.0), (4, "u", "0", 0.0), (5, "t", "1", 0.0)]
+        + [(10 + i, f"r{i}", str(i % 2), float(i)) for i in range(50)],
+        "k long, rv string, part string, pad double",
+    )
+    write_ptable(left, lp, "part")
+    write_ptable(right, rp, "part")
+    adv = advise_join(spark, lp, rp, "k")
+    assert adv.strategy == "broadcast" and adv.build_side == "left"
+
+    out = run_advised_join(spark, adv, "k", how="left")
+    rows = {(r.k, r.lv, r.rv) for r in out.select("k", "lv", "rv").collect()}
+    # LEFT table's unmatched row (99) survives; right-only keys don't
+    assert (99, "zz", None) in rows
+    assert not any(k in (3, 4, 5) for k, _, _ in rows)
+    # column order starts with the left table's columns
+    assert out.columns[:3] == ["k", "lv", "part"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_hive_escape_guard_covers_sparks_full_escape_set(spark, tmp_path):
+    """Review finding (r8): Spark's hive writer escapes control chars,
+    DEL, and " # % ' * / : = ? \\ { [ ] ^ — every one must be rejected
+    at commit time (the unquote-based readers cannot find the escaped
+    dir), never committed unreadably."""
+    for i, ch in enumerate(['[', ']', '{', '^', '\r', '\x7f', '%', '*']):
+        bad = spark.createDataFrame([(1, f"a{ch}b")], "id long, pri string")
+        with pytest.raises(ValueError, match="path-safe"):
+            write_ptable(bad, str(tmp_path / f"t{i}"), "pri")
