@@ -7024,3 +7024,60 @@ def x_partition_bounds_advisor(spark, sf_dir):
         "bucket", ub.alias("upper_bound"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
     )
+
+
+@query(
+    "x_ptable_time_travel",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS cust FROM orders
+    ),
+    v2 AS (
+      SELECT k, cust + 5000000 AS cust FROM base
+      WHERE k % 11 = 0 AND k % 23 <> 0
+      UNION ALL
+      SELECT k, cust FROM base WHERE k % 11 <> 0 AND k % 23 <> 0
+    )
+    SELECT CAST(1 AS BIGINT) AS ver, k, cust FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS ver, k, cust FROM v2
+    """,
+    note="TIME TRAVEL graded end-to-end: bootstrap the MVCC table "
+    "(manifest m1), merge a changeset of updates + deletes (manifest "
+    "m2), then read BOTH versions in one result — the m1 read must "
+    "reproduce the pre-merge table exactly (stage dirs are immutable; "
+    "the merge rewrote only touched partitions and the old manifest "
+    "still references the old stages), while the m2 read reflects the "
+    "changeset. The oracle replays both states relationally. This is "
+    "the reproducibility contract a training pipeline leans on at "
+    "100 TB: yesterday's snapshot stays byte-stable under today's "
+    "ingestion, rollback is a manifest id, and an audit diff is two "
+    "reads of the same table",
+)
+def x_ptable_time_travel(spark, sf_dir):
+    from flnr_wins_spark.sources.ptable import (
+        merge_ptable,
+        read_ptable,
+        write_ptable,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("part"),
+        F.col("o_custkey").alias("cust"),
+    )
+    path = scratch_dir("ptable_tt") + "/tbl"
+    write_ptable(base, path, "part")  # manifest m1
+    upd = base.filter(
+        (F.col("k") % 11 == 0) & (F.col("k") % 23 != 0)
+    ).select("k", "part", (F.col("cust") + F.lit(5000000)).alias("cust"))
+    dels = base.filter(F.col("k") % 23 == 0).select("k", "part")
+    merge_ptable(spark, path, upd, ["k"], delete_keys=dels)  # manifest m2
+    v1 = read_ptable(spark, path, manifest=1).select(
+        F.lit(1).cast("bigint").alias("ver"), "k", "cust"
+    )
+    v2 = read_ptable(spark, path, manifest=2).select(
+        F.lit(2).cast("bigint").alias("ver"), "k", "cust"
+    )
+    return v1.unionByName(v2)
