@@ -196,11 +196,22 @@ def run_advised_join(
         if advice.build_side == "left":
             return F.broadcast(left).join(right, on, how)
         return left.join(F.broadcast(right), on, how)
+    if advice.shuffle_partitions is not None and isinstance(on, (str, list)):
+        # named-key equi-join: pre-partition BOTH sides on the join key
+        # at the advised count — the join's required ClusteredDistribution
+        # is then already satisfied (co-partitioned at the same N), so the
+        # sized shuffle IS the join's shuffle, not an extra exchange after
+        # it. AQE may still coalesce/split within the chosen strategy.
+        cols = [on] if isinstance(on, str) else list(on)
+        n = advice.shuffle_partitions
+        return left.repartition(n, *cols).join(
+            right.repartition(n, *cols), on, how
+        )
     joined = left.join(right, on, how)
     if advice.shuffle_partitions is not None:
-        # AQE may coalesce below this at runtime; the advisor sets the
-        # ceiling so a huge estimated output never funnels through the
-        # session default
+        # arbitrary join expression: the key set isn't recoverable from
+        # the condition, so size the OUTPUT side instead (one extra
+        # exchange, still bounds downstream parallelism by the estimate)
         joined = joined.repartition(advice.shuffle_partitions)
     return joined
 

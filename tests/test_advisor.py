@@ -237,3 +237,25 @@ def test_hive_escape_guard_covers_sparks_full_escape_set(spark, tmp_path):
         bad = spark.createDataFrame([(1, f"a{ch}b")], "id long, pri string")
         with pytest.raises(ValueError, match="path-safe"):
             write_ptable(bad, str(tmp_path / f"t{i}"), "pri")
+
+
+def test_shuffle_advice_presizes_the_join_shuffle_itself(spark, tmp_path):
+    """For a named-key equi-join the advised partition count pre-sizes
+    the JOIN's own shuffle (co-partitioned inputs at N), never an extra
+    exchange after it: exactly two hash Exchanges at N=6 appear in the
+    plan and none follow the join."""
+    fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
+    write_ptable(_fact(spark), fp, "part", stats_cols=["cust"], ndv_cols=["cust"])
+    write_ptable(_dim(spark), dp, "seg", stats_cols=["cust"], ndv_cols=["cust"])
+    adv = advise_join(
+        spark, fp, dp, "cust",
+        broadcast_threshold_bytes=0,
+        target_rows_per_partition=100,
+        min_shuffle_partitions=2,
+    )
+    assert adv.shuffle_partitions == 6
+    out = run_advised_join(spark, adv, "cust")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "REPARTITION_BY_NUM" in plan or ", 6)" in plan, plan
+    assert out.count() == 600

@@ -660,3 +660,31 @@ def read_ptable_all(spark, path):
     from flnr_wins_spark.sources.ptable import read_ptable
 
     return read_ptable(spark, path).collect()
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=200),
+    n_parts=st.integers(min_value=1, max_value=6),
+    k=st.integers(min_value=2, max_value=32),
+)
+@settings(max_examples=200, deadline=None)
+def test_content_addressed_sample_mergeability(vals, n_parts, k):
+    """The value-sample sidecar's core invariant, pure-Python model: for
+    ANY partitioning of the values, the k hash-smallest of the union of
+    per-partition k-hash-smallest (h, v) pairs equal the k hash-smallest
+    over the whole table's distinct values — so the manifest-merged
+    sample is EXACTLY the sample one global pass would produce."""
+    import hashlib
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    parts = [set() for _ in range(n_parts)]
+    for i, v in enumerate(vals):
+        parts[i % n_parts].add(v)
+    per = [
+        sorted(((h60(v), v) for v in p))[:k] for p in parts if p
+    ]
+    merged = sorted({pair for sk in per for pair in sk})[:k]
+    direct = sorted(((h60(v), v) for v in set(vals)))[:k]
+    assert merged == direct
