@@ -7081,3 +7081,55 @@ def x_ptable_time_travel(spark, sf_dir):
         F.lit(2).cast("bigint").alias("ver"), "k", "cust"
     )
     return v1.unionByName(v2)
+
+
+@query(
+    "x_advisor_colocated",
+    sql="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+             AS gross,
+           'colocated' AS strategy
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    note="The advisor's THIRD strategy, graded: both join sides are "
+    "bucketed catalog tables, advise_catalog_join reads the METASTORE "
+    "bucket specs (DESCRIBE FORMATTED — no data touched) and picks "
+    "'colocated' because both sides bucket on exactly their join key "
+    "with equal bucket counts — the write-time shuffle is already paid, "
+    "so run_advised_catalog_join executes a sort-merge join with NO "
+    "exchange on either side (plan contract pins exactly one Exchange: "
+    "the 5-row aggregate's). The decision is structural (bucket spec "
+    "equality), so it is deterministic at every SF, and the result "
+    "hash-matches the plain relational join. Together with "
+    "x_ptable_join_advisor (broadcast) and x_advisor_estimate (shuffle, "
+    "sized from KMV estimates) this completes the broadcast / shuffle / "
+    "bucketed strategy triple a cost-based planner chooses among",
+)
+def x_advisor_colocated(spark, sf_dir):
+    from flnr_wins_spark.sources.advisor import (
+        advise_catalog_join,
+        run_advised_catalog_join,
+    )
+    from flnr_wins_spark.sources.bucketing import write_bucketed
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    od = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "x_adv_li", ["l_orderkey"], n_buckets=8)
+    write_bucketed(od, "x_adv_od", ["o_orderkey"], n_buckets=8)
+    advice = advise_catalog_join(
+        spark, "x_adv_li", "x_adv_od", ["l_orderkey"], ["o_orderkey"]
+    )
+    j = run_advised_catalog_join(
+        spark, advice, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+        .cast("double").alias("gross"),
+    ).select(
+        "o_orderpriority", "n_items", "gross",
+        F.lit(advice.strategy).alias("strategy"),
+    )

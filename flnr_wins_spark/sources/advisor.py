@@ -276,3 +276,122 @@ def advise_scan(
     if keep is None:
         raise ValueError("advise_scan needs at least one predicate")
     return sorted(keep)
+
+
+# ---------------------------------------------------------------------------
+# Catalog-table joins: the bucketed (co-located) third strategy
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CatalogJoinAdvice:
+    """Strategy for a catalog-table equi-join: 'colocated' when both
+    sides are bucketed on their join keys with equal bucket counts (the
+    join runs with NO exchange on either side), else the bytes rule."""
+
+    strategy: str            # 'colocated' | 'broadcast' | 'shuffle'
+    build_side: str | None   # broadcast only
+    left_table: str
+    right_table: str
+    left_bytes: int
+    right_bytes: int
+    n_buckets: int | None    # colocated only
+
+
+def bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int] | None:
+    """(bucket_columns, num_buckets) of a catalog table, or None when the
+    table is unbucketed — read from DESCRIBE FORMATTED (metastore only,
+    no data touched)."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    info = {
+        (r.col_name or "").strip(): (r.data_type or "").strip() for r in rows
+    }
+    if "Num Buckets" not in info:
+        return None
+    cols = [
+        c.strip(" `")
+        for c in info.get("Bucket Columns", "").strip("[]").split(",")
+        if c.strip()
+    ]
+    return cols, int(info["Num Buckets"])
+
+
+def _table_location_bytes(spark: SparkSession, table: str) -> int:
+    """On-disk bytes of a catalog table via its metastore Location — one
+    recursive FS content summary, no data read."""
+    from flnr_wins_spark.fsutil import hadoop_fs
+
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    loc = next(
+        (r.data_type or "").strip()
+        for r in rows
+        if (r.col_name or "").strip() == "Location"
+    )
+    fs, jpath = hadoop_fs(spark, loc)
+    return int(fs.getContentSummary(jpath).getLength())
+
+
+def advise_catalog_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+    broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
+) -> CatalogJoinAdvice:
+    """The three-way strategy pick for catalog tables, from METASTORE
+    metadata + one FS summary per side: CO-LOCATED when both sides are
+    bucketed on exactly their join keys with equal bucket counts (the
+    write-time shuffle is already paid — a sort-merge join reads
+    co-located buckets with zero exchanges); otherwise broadcast the
+    side whose bytes fit the threshold; otherwise shuffle. Completes
+    the broadcast/shuffle pair in :func:`advise_join` with the third
+    physical strategy the lakehouse offers."""
+    rk = right_keys if right_keys is not None else left_keys
+    ls = bucket_spec(spark, left_table)
+    rs = bucket_spec(spark, right_table)
+    lb = _table_location_bytes(spark, left_table)
+    rb = _table_location_bytes(spark, right_table)
+    if (
+        ls is not None
+        and rs is not None
+        and ls[0] == list(left_keys)
+        and rs[0] == list(rk)
+        and ls[1] == rs[1]
+    ):
+        return CatalogJoinAdvice(
+            strategy="colocated", build_side=None,
+            left_table=left_table, right_table=right_table,
+            left_bytes=lb, right_bytes=rb, n_buckets=ls[1],
+        )
+    if min(lb, rb) <= broadcast_threshold_bytes:
+        side = "left" if lb <= rb else "right"
+        return CatalogJoinAdvice(
+            strategy="broadcast", build_side=side,
+            left_table=left_table, right_table=right_table,
+            left_bytes=lb, right_bytes=rb, n_buckets=None,
+        )
+    return CatalogJoinAdvice(
+        strategy="shuffle", build_side=None,
+        left_table=left_table, right_table=right_table,
+        left_bytes=lb, right_bytes=rb, n_buckets=None,
+    )
+
+
+def run_advised_catalog_join(
+    spark: SparkSession,
+    advice: CatalogJoinAdvice,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Execute the catalog-join advice: colocated pins a sort-merge join
+    (the bucket spec makes it exchange-free), broadcast hints the build
+    side without swapping inputs, shuffle runs plain."""
+    left = spark.table(advice.left_table)
+    right = spark.table(advice.right_table)
+    if advice.strategy == "colocated":
+        return left.hint("merge").join(right, on, how)
+    if advice.strategy == "broadcast":
+        if advice.build_side == "left":
+            return F.broadcast(left).join(right, on, how)
+        return left.join(F.broadcast(right), on, how)
+    return left.join(right, on, how)

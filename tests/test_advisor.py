@@ -259,3 +259,41 @@ def test_shuffle_advice_presizes_the_join_shuffle_itself(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "REPARTITION_BY_NUM" in plan or ", 6)" in plan, plan
     assert out.count() == 600
+
+
+def test_catalog_join_advice_three_way(spark, tmp_path):
+    """advise_catalog_join picks colocated ONLY when both bucket specs
+    match the join keys with equal counts; a count mismatch falls back
+    to the bytes rule; the colocated execution is exchange-free."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.sources.advisor import (
+        advise_catalog_join,
+        bucket_spec,
+        run_advised_catalog_join,
+    )
+    from flnr_wins_spark.sources.bucketing import write_bucketed
+
+    a = spark.range(500).select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+    b = spark.range(300).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    write_bucketed(a, "t_adv_a", ["k"], n_buckets=4)
+    write_bucketed(b, "t_adv_b", ["k"], n_buckets=4)
+    write_bucketed(b, "t_adv_c", ["k"], n_buckets=8)  # mismatched count
+
+    assert bucket_spec(spark, "t_adv_a") == (["k"], 4)
+    adv = advise_catalog_join(spark, "t_adv_a", "t_adv_b", ["k"])
+    assert adv.strategy == "colocated" and adv.n_buckets == 4
+    out = run_advised_catalog_join(spark, adv, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" in plan
+    assert out.count() == 300
+
+    adv2 = advise_catalog_join(spark, "t_adv_a", "t_adv_c", ["k"])
+    assert adv2.strategy == "broadcast"  # tiny tables under threshold
+    adv3 = advise_catalog_join(
+        spark, "t_adv_a", "t_adv_c", ["k"], broadcast_threshold_bytes=0
+    )
+    assert adv3.strategy == "shuffle"
+    for tname in ("t_adv_a", "t_adv_b", "t_adv_c"):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")

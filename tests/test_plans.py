@@ -685,3 +685,12 @@ def test_stream_lakehouse_scan_covers_only_zone_survivors(spark):
     assert scanned, plan[:2000]
     assert all(v >= 0 for v in scanned), scanned  # inserts pruned away
     assert len(scanned) <= 4  # a 2-bucket-wide probe (+ boundary slack)
+
+
+def test_advisor_colocated_join_is_exchange_free(spark):
+    """The graded colocated entry's plan must contain exactly ONE
+    Exchange (the 5-row aggregate's) — the metastore-chosen bucketed
+    strategy leaves the join itself shuffle-free."""
+    plan = _plan(spark, "x_advisor_colocated")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" in plan
