@@ -81,13 +81,11 @@ def table_stats(
     opt-ins degrade gracefully: no ``stats_cols`` means ``rows_total``
     is None (bytes still decide broadcast), no NDV sketch for the key
     means no output-cardinality estimate."""
-    from urllib.parse import unquote
-
     from flnr_wins_spark.sources.ptable import (
-        _fs,
         _kmv_estimate,
         _manifest_ids,
         _read_manifest,
+        partition_file_stats,
     )
 
     ids = _manifest_ids(spark, table_path)
@@ -95,13 +93,9 @@ def table_stats(
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     m = _read_manifest(spark, table_path, ids[-1])
 
-    bytes_total = 0
-    for rel in m["partitions"].values():
-        fs, jpath = _fs(spark, f"{table_path}/{unquote(rel)}")
-        for status in fs.listStatus(jpath):
-            name = status.getPath().getName()
-            if name.endswith(".parquet") and not name.startswith((".", "_")):
-                bytes_total += int(status.getLen())
+    bytes_total = sum(
+        b for _n, b in partition_file_stats(spark, table_path, m).values()
+    )
     rows: int | None = (
         sum(int(n) for n in m["rows"].values()) if "rows" in m else None
     )
@@ -182,26 +176,51 @@ def run_advised_join(
     how: str = "inner",
 ) -> DataFrame:
     """Execute the join the advice chose: ``F.broadcast`` pins the build
-    side (Catalyst honors the hint regardless of its own size estimate,
-    which cannot see through the manifest layer); the shuffle path
-    repartitions the output side count when the advisor sized one. ``on``
-    is any join condition ``DataFrame.join`` accepts."""
+    side; the shuffle path pre-sizes the join's shuffle when the key is
+    named, else the output. ``on`` is any join condition
+    ``DataFrame.join`` accepts.
+
+    Build-side feasibility: Spark CANNOT build the preserved side of an
+    outer join (a broadcast hint on the left of a LEFT OUTER is silently
+    dropped with a log warning, and the join runs as sort-merge anyway).
+    When the advised side is infeasible for ``how``, this runs the plain
+    join explicitly rather than pretending the hint applied."""
+    # join types whose PRESERVED side cannot be the broadcast build side
+    _left_infeasible = {
+        "left", "leftouter", "left_outer", "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti", "full", "outer", "fullouter",
+        "full_outer",
+    }
+    _right_infeasible = {
+        "right", "rightouter", "right_outer", "full", "outer", "fullouter",
+        "full_outer",
+    }
     left = read_ptable(spark, advice.left.path)
     right = read_ptable(spark, advice.right.path)
+    hkey = how.lower().replace(" ", "")
     if advice.strategy == "broadcast":
         # hint the build side WITHOUT swapping join sides: left stays the
         # left input, so outer/semi/anti semantics and column order are
         # exactly the caller's (a swapped right.join(left, ..., 'left')
         # would preserve the wrong table's unmatched rows)
         if advice.build_side == "left":
+            if hkey in _left_infeasible:
+                return left.join(right, on, how)
             return F.broadcast(left).join(right, on, how)
+        if hkey in _right_infeasible:
+            return left.join(right, on, how)
         return left.join(F.broadcast(right), on, how)
-    if advice.shuffle_partitions is not None and isinstance(on, (str, list)):
+    named_keys = isinstance(on, str) or (
+        isinstance(on, list) and all(isinstance(c, str) for c in on)
+    )
+    if advice.shuffle_partitions is not None and named_keys:
         # named-key equi-join: pre-partition BOTH sides on the join key
         # at the advised count — the join's required ClusteredDistribution
         # is then already satisfied (co-partitioned at the same N), so the
         # sized shuffle IS the join's shuffle, not an extra exchange after
         # it. AQE may still coalesce/split within the chosen strategy.
+        # (a list of Column CONDITIONS is not a key list — it falls through
+        # to the output-sizing path below)
         cols = [on] if isinstance(on, str) else list(on)
         n = advice.shuffle_partitions
         return left.repartition(n, *cols).join(
@@ -292,41 +311,51 @@ class CatalogJoinAdvice:
     build_side: str | None   # broadcast only
     left_table: str
     right_table: str
-    left_bytes: int
-    right_bytes: int
+    left_bytes: int | None   # None for colocated (bytes never consulted)
+    right_bytes: int | None
     n_buckets: int | None    # colocated only
+
+
+def _describe_table(
+    spark: SparkSession, table: str
+) -> tuple[tuple[list[str], int] | None, str]:
+    """ONE DESCRIBE FORMATTED parse per table: (bucket spec or None,
+    storage Location). Raises a descriptive error for views/temp views,
+    which have no storage location to size."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    info = {
+        (r.col_name or "").strip(): (r.data_type or "").strip() for r in rows
+    }
+    spec = None
+    if "Num Buckets" in info:
+        cols = [
+            c.strip(" `")
+            for c in info.get("Bucket Columns", "").strip("[]").split(",")
+            if c.strip()
+        ]
+        spec = (cols, int(info["Num Buckets"]))
+    loc = info.get("Location")
+    if not loc:
+        raise ValueError(
+            f"'{table}' has no storage Location (a view or temp view?) — "
+            "advise_catalog_join needs stored tables it can size"
+        )
+    return spec, loc
 
 
 def bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int] | None:
     """(bucket_columns, num_buckets) of a catalog table, or None when the
     table is unbucketed — read from DESCRIBE FORMATTED (metastore only,
     no data touched)."""
-    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-    info = {
-        (r.col_name or "").strip(): (r.data_type or "").strip() for r in rows
-    }
-    if "Num Buckets" not in info:
-        return None
-    cols = [
-        c.strip(" `")
-        for c in info.get("Bucket Columns", "").strip("[]").split(",")
-        if c.strip()
-    ]
-    return cols, int(info["Num Buckets"])
+    return _describe_table(spark, table)[0]
 
 
-def _table_location_bytes(spark: SparkSession, table: str) -> int:
-    """On-disk bytes of a catalog table via its metastore Location — one
-    recursive FS content summary, no data read."""
+def _location_bytes(spark: SparkSession, location: str) -> int:
+    """On-disk bytes under a storage location — one recursive FS content
+    summary, no data read."""
     from flnr_wins_spark.fsutil import hadoop_fs
 
-    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-    loc = next(
-        (r.data_type or "").strip()
-        for r in rows
-        if (r.col_name or "").strip() == "Location"
-    )
-    fs, jpath = hadoop_fs(spark, loc)
+    fs, jpath = hadoop_fs(spark, location)
     return int(fs.getContentSummary(jpath).getLength())
 
 
@@ -347,22 +376,31 @@ def advise_catalog_join(
     the broadcast/shuffle pair in :func:`advise_join` with the third
     physical strategy the lakehouse offers."""
     rk = right_keys if right_keys is not None else left_keys
-    ls = bucket_spec(spark, left_table)
-    rs = bucket_spec(spark, right_table)
-    lb = _table_location_bytes(spark, left_table)
-    rb = _table_location_bytes(spark, right_table)
+    ls, lloc = _describe_table(spark, left_table)
+    rs, rloc = _describe_table(spark, right_table)
+
+    def _norm(cols):
+        # Spark resolves identifiers case-insensitively and a hash
+        # partitioning on {a, b} serves a join on {b, a} — compare specs
+        # the way the engine would, not as raw string lists
+        return sorted(c.lower() for c in cols)
+
     if (
         ls is not None
         and rs is not None
-        and ls[0] == list(left_keys)
-        and rs[0] == list(rk)
+        and _norm(ls[0]) == _norm(left_keys)
+        and _norm(rs[0]) == _norm(rk)
         and ls[1] == rs[1]
     ):
+        # structural decision: bytes are never consulted, so don't pay
+        # two recursive FS walks for unused evidence
         return CatalogJoinAdvice(
             strategy="colocated", build_side=None,
             left_table=left_table, right_table=right_table,
-            left_bytes=lb, right_bytes=rb, n_buckets=ls[1],
+            left_bytes=None, right_bytes=None, n_buckets=ls[1],
         )
+    lb = _location_bytes(spark, lloc)
+    rb = _location_bytes(spark, rloc)
     if min(lb, rb) <= broadcast_threshold_bytes:
         side = "left" if lb <= rb else "right"
         return CatalogJoinAdvice(

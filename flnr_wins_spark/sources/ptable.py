@@ -1132,32 +1132,41 @@ def partition_rows(
     return {v: int(n) for v, n in sorted(rows.items())}
 
 
+def partition_file_stats(
+    spark: SparkSession, table_path: str, m: dict
+) -> dict[str, tuple[int, int]]:
+    """(data-file count, bytes) per partition of a PARSED manifest — the
+    ONE copy of the data-file-name convention (parquet files only,
+    crc/_SUCCESS markers excluded) and of the decoded-rel path rule (the
+    manifest stores the dir component fully percent-encoded via ``_enc``;
+    the DISK name is Spark's hive form, which keeps chars like spaces
+    literal — spark.read URI-decodes so data reads work either way, but
+    a raw FS listing needs the decoded path). One FS listing per
+    partition directory, never a data read."""
+    out: dict[str, tuple[int, int]] = {}
+    for val, rel in sorted(m["partitions"].items()):
+        fs, jpath = _fs(spark, f"{table_path}/{unquote(rel)}")
+        n = total = 0
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                n += 1
+                total += int(status.getLen())
+        out[val] = (n, total)
+    return out
+
+
 def list_partition_files(
     spark: SparkSession, table_path: str, manifest: int | None = None
 ) -> dict[str, int]:
     """Data-file count per partition value at a manifest — the signal the
-    compaction planner reads. Counts only parquet data files (crc/_SUCCESS
-    markers excluded); cost is one FS listing per partition directory,
-    never a data read."""
+    compaction planner reads. See :func:`partition_file_stats`."""
     ids = _manifest_ids(spark, table_path)
     if not ids:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     k = manifest if manifest is not None else ids[-1]
     m = _read_manifest(spark, table_path, k)
-    out: dict[str, int] = {}
-    for val, rel in sorted(m["partitions"].items()):
-        # the manifest stores the dir component fully percent-encoded
-        # (_enc); the DISK name is Spark's hive form, which keeps chars
-        # like spaces literal — spark.read URI-decodes so data reads
-        # work either way, but a raw FS listing needs the decoded path
-        fs, jpath = _fs(spark, f"{table_path}/{unquote(rel)}")
-        n = 0
-        for status in fs.listStatus(jpath):
-            name = status.getPath().getName()
-            if name.endswith(".parquet") and not name.startswith((".", "_")):
-                n += 1
-        out[val] = n
-    return out
+    return {v: n for v, (n, _b) in partition_file_stats(spark, table_path, m).items()}
 
 
 def partition_bytes(
@@ -1166,24 +1175,13 @@ def partition_bytes(
     """On-disk parquet bytes per partition value at a manifest — the size
     statistic a cost-based planner reads before picking a join strategy
     (Spark's own ``autoBroadcastJoinThreshold`` is bytes-denominated).
-    Cost is one FS listing per partition directory, never a data read;
-    crc/_SUCCESS markers are excluded like :func:`list_partition_files`."""
+    See :func:`partition_file_stats`."""
     ids = _manifest_ids(spark, table_path)
     if not ids:
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     k = manifest if manifest is not None else ids[-1]
     m = _read_manifest(spark, table_path, k)
-    out: dict[str, int] = {}
-    for val, rel in sorted(m["partitions"].items()):
-        # same decoded-path rule as list_partition_files above
-        fs, jpath = _fs(spark, f"{table_path}/{unquote(rel)}")
-        total = 0
-        for status in fs.listStatus(jpath):
-            name = status.getPath().getName()
-            if name.endswith(".parquet") and not name.startswith((".", "_")):
-                total += int(status.getLen())
-        out[val] = total
-    return out
+    return {v: b for v, (_n, b) in partition_file_stats(spark, table_path, m).items()}
 
 
 def compact_ptable(

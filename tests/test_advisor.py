@@ -197,10 +197,12 @@ def test_dpp_join_prunes_most_fact_partitions(spark):
 
 
 def test_run_advised_join_preserves_left_semantics_on_left_build(spark, tmp_path):
-    """Review finding (r8): broadcasting the LEFT side must hint the
-    build side WITHOUT swapping join inputs — a left-outer join still
-    preserves the LEFT table's unmatched rows and the caller's column
-    order."""
+    """Review findings (r8): broadcasting the LEFT side must hint the
+    build side WITHOUT swapping join inputs, and a build side that is
+    INFEASIBLE for the join type (Spark cannot build the preserved side
+    of an outer join — the hint would be silently dropped) must run the
+    plain join explicitly. Auto-broadcast is disabled so nothing passes
+    by accident."""
     lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
     left = spark.createDataFrame(
         [(1, "a", "0"), (2, "b", "0"), (99, "zz", "1")],
@@ -217,15 +219,25 @@ def test_run_advised_join_preserves_left_semantics_on_left_build(spark, tmp_path
     adv = advise_join(spark, lp, rp, "k")
     assert adv.strategy == "broadcast" and adv.build_side == "left"
 
-    out = run_advised_join(spark, adv, "k", how="left")
-    rows = {(r.k, r.lv, r.rv) for r in out.select("k", "lv", "rv").collect()}
-    # LEFT table's unmatched row (99) survives; right-only keys don't
-    assert (99, "zz", None) in rows
-    assert not any(k in (3, 4, 5) for k, _, _ in rows)
-    # column order starts with the left table's columns
-    assert out.columns[:3] == ["k", "lv", "part"]
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Broadcast" in plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # build-left is FEASIBLE for inner: the hint must apply
+        inner = run_advised_join(spark, adv, "k", how="inner")
+        plan = inner._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "BuildLeft" in plan, plan
+
+        # build-left is INFEASIBLE for left-outer: plain join, correct
+        # semantics, NO pretend-broadcast
+        out = run_advised_join(spark, adv, "k", how="left")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        rows = {(r.k, r.lv, r.rv) for r in out.select("k", "lv", "rv").collect()}
+        assert (99, "zz", None) in rows  # LEFT unmatched row survives
+        assert not any(k in (3, 4, 5) for k, _, _ in rows)
+        assert out.columns[:3] == ["k", "lv", "part"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_hive_escape_guard_covers_sparks_full_escape_set(spark, tmp_path):
@@ -296,4 +308,53 @@ def test_catalog_join_advice_three_way(spark, tmp_path):
     )
     assert adv3.strategy == "shuffle"
     for tname in ("t_adv_a", "t_adv_b", "t_adv_c"):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_run_advised_join_column_condition_list_on_shuffle_path(spark, tmp_path):
+    """Review finding (r8): a list of Column CONDITIONS is not a key
+    list — the shuffle path must fall through to output sizing instead
+    of crashing on repartition(n, Column(a==b))."""
+    fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
+    write_ptable(_fact(spark), fp, "part", stats_cols=["cust"], ndv_cols=["cust"])
+    write_ptable(_dim(spark), dp, "seg", stats_cols=["cust"], ndv_cols=["cust"])
+    adv = advise_join(
+        spark, fp, dp, "cust",
+        broadcast_threshold_bytes=0,
+        target_rows_per_partition=100,
+        min_shuffle_partitions=2,
+    )
+    out = run_advised_join(
+        spark, adv,
+        # a CONDITION list (side-unique columns), not a key-name list
+        [F.concat(F.lit("name_"), (F.col("fk") % 7).cast("string"))
+         == F.col("name")],
+    )
+    assert out.count() == 600
+
+
+def test_catalog_join_keys_resolve_like_spark(spark, tmp_path):
+    """Review finding (r8): key comparison must be case- and
+    order-insensitive (Spark resolves identifiers case-insensitively and
+    a hash partitioning on {a,b} serves a join on {b,a}); views fail
+    loudly, not with StopIteration."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.sources.advisor import advise_catalog_join
+    from flnr_wins_spark.sources.bucketing import write_bucketed
+
+    df = spark.range(100).select(
+        F.col("id").alias("ka"), (F.col("id") % 5).alias("kb")
+    )
+    write_bucketed(df, "t_ci_a", ["ka", "kb"], n_buckets=4)
+    write_bucketed(df, "t_ci_b", ["ka", "kb"], n_buckets=4)
+    adv = advise_catalog_join(
+        spark, "t_ci_a", "t_ci_b", ["KB", "KA"]  # case+order scrambled
+    )
+    assert adv.strategy == "colocated"
+
+    spark.range(5).createOrReplaceTempView("t_ci_view")
+    with pytest.raises(Exception, match="Location|view|TABLE_OR_VIEW"):
+        advise_catalog_join(spark, "t_ci_a", "t_ci_view", ["ka"])
+    for tname in ("t_ci_a", "t_ci_b"):
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
