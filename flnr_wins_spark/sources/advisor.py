@@ -433,3 +433,49 @@ def run_advised_catalog_join(
             return F.broadcast(left).join(right, on, how)
         return left.join(F.broadcast(right), on, how)
     return left.join(right, on, how)
+
+
+@dataclass(frozen=True)
+class SkewReport:
+    """Partition-level skew evidence from manifest row counts."""
+
+    total_rows: int
+    n_partitions: int
+    mean_rows: float
+    max_partition: str
+    max_rows: int
+    ratio: float              # max / mean
+    skewed: list[str]         # partitions above threshold * mean
+    advice: str               # 'ok' | 'salt-or-split'
+
+
+def detect_partition_skew(
+    spark: SparkSession,
+    table_path: str,
+    threshold: float = 4.0,
+) -> SkewReport:
+    """Partition-skew detection from MANIFEST ROW COUNTS alone — the
+    check that decides whether a join/aggregation keyed like the
+    partitioning needs salting (``operators.skew.salted_join``) or a
+    finer partition spec (``repartition_ptable``) before it hits the
+    cluster. A partition holding ``threshold``x the mean is the classic
+    straggler: one task runs for hours while the rest idle. Cost is one
+    manifest read; tables without ``stats_cols`` raise loudly (absent
+    counts must never read as 'no skew')."""
+    from flnr_wins_spark.sources.ptable import partition_rows
+
+    rows = partition_rows(spark, table_path)
+    total = sum(rows.values())
+    mean = total / len(rows)
+    hot = sorted(v for v, n in rows.items() if n > threshold * mean)
+    mx_part, mx_rows = max(rows.items(), key=lambda kv: (kv[1], kv[0]))
+    return SkewReport(
+        total_rows=total,
+        n_partitions=len(rows),
+        mean_rows=mean,
+        max_partition=mx_part,
+        max_rows=mx_rows,
+        ratio=mx_rows / mean,
+        skewed=hot,
+        advice="salt-or-split" if hot else "ok",
+    )

@@ -358,3 +358,36 @@ def test_catalog_join_keys_resolve_like_spark(spark, tmp_path):
         advise_catalog_join(spark, "t_ci_a", "t_ci_view", ["ka"])
     for tname in ("t_ci_a", "t_ci_b"):
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_detect_partition_skew_reads_metadata_only(spark, tmp_path):
+    """Skew detection runs off manifest row counts: a hot partition is
+    named with its ratio, a balanced table reports ok, and a table
+    without counts raises loudly instead of reporting 'no skew'."""
+    from flnr_wins_spark.sources.advisor import detect_partition_skew
+
+    fp = str(tmp_path / "f")
+    rows = [(i, "hot") for i in range(900)] + [
+        (1000 + i, str(i % 3)) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "id long, kb string")
+    write_ptable(df, fp, "kb", stats_cols=["id"])
+    rep = detect_partition_skew(spark, fp, threshold=3.0)
+    assert rep.max_partition == "hot" and rep.max_rows == 900
+    assert rep.skewed == ["hot"] and rep.advice == "salt-or-split"
+    assert rep.total_rows == 990 and rep.n_partitions == 4
+
+    bp = str(tmp_path / "b")
+    write_ptable(
+        spark.createDataFrame([(i, str(i % 4)) for i in range(400)],
+                              "id long, kb string"),
+        bp, "kb", stats_cols=["id"],
+    )
+    assert detect_partition_skew(spark, bp).advice == "ok"
+
+    np_ = str(tmp_path / "n")
+    write_ptable(
+        spark.createDataFrame([(1, "a")], "id long, kb string"), np_, "kb"
+    )
+    with pytest.raises(FileNotFoundError, match="row counts"):
+        detect_partition_skew(spark, np_)
