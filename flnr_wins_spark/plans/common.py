@@ -59,7 +59,9 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 # r02-stale entries r7's budget deferred; (d) the five r03 entries whose
 # modules r8 touched (scratch_dir / estimate refactors); (e) the five
 # rows-only fast paths for fresh rows-evidence; (f) the r03 cohort in
-# staleness order — 27 of 41 fit the 50-budget, the last 14 lead r9.
+# staleness order — 22 of 41 fit the 50-budget (through
+# x_dedup_clusters_star), the last 19 (from x_dedup_containment)
+# lead r9.
 # Positions 51+ keep staleness order (r03 remainder, then r04, r05,
 # then the 48 entries freshly graded green in r07, freshest last).
 # Goal after r8: no never-graded entries, nothing older than r03, and
