@@ -84,7 +84,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     # (e) rows-only fast paths: refresh rows-evidence
     "x_dedup_minhash_lsh", "q_events_approx_distinct", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf",
-    # (f) latest grade r03, staleness order — first 27 fill the budget
+    # (f) latest grade r03, staleness order — first 22 fill the budget
     "q10_returned_items", "q11_important_value", "q12_shipping_delay",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
     "q8_national_market_share", "q9_product_type_profit",
@@ -92,11 +92,11 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q_null_safe_join", "q_skew_salted_join", "q_window_fill_forward",
     "q_window_time_range", "r2_conditional_update", "r3_blank_to_null",
     "r6_frequency", "r8_reject_unmatched", "x_bloom_prefilter",
-    "x_countmin", "x_dedup_clusters_star", "x_dedup_containment",
-    "x_dedup_url", "x_embedding_stats", "x_equidepth_bins",
-    "x_funnel_counts",
+    "x_countmin", "x_dedup_clusters_star",
     # ---- position 51+ (graded only if the budget stretches) ----
     # r03 remainder (leads the r9 rotation)
+    "x_dedup_containment", "x_dedup_url", "x_embedding_stats",
+    "x_equidepth_bins", "x_funnel_counts",
     "x_global_rank", "x_group_topk_sample", "x_incremental_agg",
     "x_multimodal_audio_chunks", "x_outlier_events", "x_packed_sequences",
     "x_retention_cohorts", "x_search_bm25", "x_similarity_int8",

@@ -6651,7 +6651,13 @@ def x_stream_lakehouse_prune(spark, sf_dir):
     q = ptable_merge_sink(
         stream, path, ["k"], root + "/ckpt", delete_flag_col="is_delete"
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # grading a half-merged table would read as a pruning-layer
+        # correctness red; a slow host must fail LOUDLY as a timeout
+        q.stop()
+        raise TimeoutError(
+            "availableNow CDC stream did not finish within 300 s"
+        )
 
     lo, hi = 2 * w, 4 * w - 1
     kept = prune_partitions(spark, path, "k", lo, hi)  # manifest only
@@ -6899,11 +6905,8 @@ def x_advisor_estimate(spark, sf_dir):
     "contain the keys",
 )
 def x_ptable_dpp_join(spark, sf_dir):
-    from flnr_wins_spark.sources.ptable import (
-        prune_partitions_eq,
-        read_ptable,
-        write_ptable,
-    )
+    from flnr_wins_spark.sources.advisor import prune_points_any
+    from flnr_wins_spark.sources.ptable import read_ptable, write_ptable
 
     orders = t(spark, sf_dir, "orders")
     max_k = int(orders.agg(F.max("o_orderkey")).collect()[0][0])  # scalar
@@ -6916,11 +6919,15 @@ def x_ptable_dpp_join(spark, sf_dir):
     write_ptable(fact, path, "kb", bloom_cols=["o_custkey"])
 
     keys = [1, 2, 3]  # the dim filter's join keys (bounded by selectivity)
-    kept = sorted(
-        set().union(
-            *(prune_partitions_eq(spark, path, "o_custkey", k) for k in keys)
+    # ONE manifest read serves all three probes (union of survivors)
+    kept = prune_points_any(spark, path, "o_custkey", keys)
+    if not kept:
+        # definitive bloom negatives can legitimately exclude EVERY
+        # partition (no probe key present, no false positive) — that is
+        # the empty answer, not an error
+        return spark.createDataFrame(
+            [], "o_orderkey bigint, o_custkey bigint, c_name string"
         )
-    )
     dim = (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey").isin(keys))

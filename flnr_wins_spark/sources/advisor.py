@@ -38,12 +38,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flnr_wins_spark.sources.ptable import (
-    prune_partitions,
-    prune_partitions_eq,
-    read_ptable,
-    sample_values,
-)
+from flnr_wins_spark.sources.ptable import read_ptable, sample_values
 
 # Spark's default autoBroadcastJoinThreshold
 DEFAULT_BROADCAST_BYTES = 10 * 1024 * 1024
@@ -82,9 +77,9 @@ def table_stats(
     is None (bytes still decide broadcast), no NDV sketch for the key
     means no output-cardinality estimate."""
     from flnr_wins_spark.sources.ptable import (
-        _kmv_estimate,
         _manifest_ids,
         _read_manifest,
+        merged_ndv_m,
         partition_file_stats,
     )
 
@@ -101,11 +96,7 @@ def table_stats(
     )
     ndv: float | None = None
     if key_col is not None and key_col in m.get("ndv_cols", []):
-        k = m["ndv_k"]
-        merged: set[int] = set()
-        for v in m["partitions"]:
-            merged.update(m.get("ndv", {}).get(v, {}).get(key_col, []))
-        ndv = _kmv_estimate(sorted(merged)[:k], k)
+        _n, ndv = merged_ndv_m(m, key_col)
     return TableStats(
         path=table_path,
         n_partitions=len(m["partitions"]),
@@ -169,6 +160,31 @@ def advise_join(
     )
 
 
+# join types whose PRESERVED side cannot be the broadcast build side —
+# Spark DROPS such a hint with only a log warning and runs sort-merge, so
+# both executors below run the plain join explicitly instead of pretending
+_LEFT_BUILD_INFEASIBLE = {
+    "left", "leftouter", "left_outer", "semi", "leftsemi", "left_semi",
+    "anti", "leftanti", "left_anti", "full", "outer", "fullouter",
+    "full_outer",
+}
+_RIGHT_BUILD_INFEASIBLE = {
+    "right", "rightouter", "right_outer", "full", "outer", "fullouter",
+    "full_outer",
+}
+
+
+def _broadcast_or_plain(left, right, build_side: str, on, how: str):
+    hkey = how.lower().replace(" ", "")
+    if build_side == "left":
+        if hkey in _LEFT_BUILD_INFEASIBLE:
+            return left.join(right, on, how)
+        return F.broadcast(left).join(right, on, how)
+    if hkey in _RIGHT_BUILD_INFEASIBLE:
+        return left.join(right, on, how)
+    return left.join(F.broadcast(right), on, how)
+
+
 def run_advised_join(
     spark: SparkSession,
     advice: JoinAdvice,
@@ -185,31 +201,14 @@ def run_advised_join(
     dropped with a log warning, and the join runs as sort-merge anyway).
     When the advised side is infeasible for ``how``, this runs the plain
     join explicitly rather than pretending the hint applied."""
-    # join types whose PRESERVED side cannot be the broadcast build side
-    _left_infeasible = {
-        "left", "leftouter", "left_outer", "semi", "leftsemi", "left_semi",
-        "anti", "leftanti", "left_anti", "full", "outer", "fullouter",
-        "full_outer",
-    }
-    _right_infeasible = {
-        "right", "rightouter", "right_outer", "full", "outer", "fullouter",
-        "full_outer",
-    }
     left = read_ptable(spark, advice.left.path)
     right = read_ptable(spark, advice.right.path)
-    hkey = how.lower().replace(" ", "")
     if advice.strategy == "broadcast":
         # hint the build side WITHOUT swapping join sides: left stays the
         # left input, so outer/semi/anti semantics and column order are
         # exactly the caller's (a swapped right.join(left, ..., 'left')
         # would preserve the wrong table's unmatched rows)
-        if advice.build_side == "left":
-            if hkey in _left_infeasible:
-                return left.join(right, on, how)
-            return F.broadcast(left).join(right, on, how)
-        if hkey in _right_infeasible:
-            return left.join(right, on, how)
-        return left.join(F.broadcast(right), on, how)
+        return _broadcast_or_plain(left, right, advice.build_side, on, how)
     named_keys = isinstance(on, str) or (
         isinstance(on, list) and all(isinstance(c, str) for c in on)
     )
@@ -285,15 +284,54 @@ def advise_scan(
     either bound None for half-open) and bloom point-lookup pruning
     (``points``: col -> value). Conservative per sidecar semantics: a
     column with no recorded evidence prunes nothing."""
+    from flnr_wins_spark.sources.ptable import (
+        _manifest_ids,
+        _read_manifest,
+        prune_eq_m,
+        prune_range_m,
+    )
+
+    if not (ranges or points):
+        raise ValueError("advise_scan needs at least one predicate")
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    # ONE manifest read: every predicate prunes against the same parsed
+    # (and therefore same-version) manifest — N reads would both pay N
+    # listings and race a concurrent commit across probes
+    m = _read_manifest(spark, table_path, ids[-1])
     keep: set[str] | None = None
     for col, (lo, hi) in (ranges or {}).items():
-        got = set(prune_partitions(spark, table_path, col, lo, hi))
+        got = set(prune_range_m(m, col, lo, hi))
         keep = got if keep is None else keep & got
     for col, value in (points or {}).items():
-        got = set(prune_partitions_eq(spark, table_path, col, value))
+        got = set(prune_eq_m(m, col, value))
         keep = got if keep is None else keep & got
-    if keep is None:
-        raise ValueError("advise_scan needs at least one predicate")
+    assert keep is not None
+    return sorted(keep)
+
+
+def prune_points_any(
+    spark: SparkSession, table_path: str, col: str, values: list
+) -> list[str]:
+    """Partitions that COULD hold ``col = v`` for ANY of ``values`` — the
+    DPP shape (a selective dim filter's join-key list probes the fact's
+    bloom sidecars). One manifest read serves every key."""
+    from flnr_wins_spark.sources.ptable import (
+        _manifest_ids,
+        _read_manifest,
+        prune_eq_m,
+    )
+
+    if not values:
+        raise ValueError("prune_points_any needs at least one probe value")
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    m = _read_manifest(spark, table_path, ids[-1])
+    keep: set[str] = set()
+    for v in values:
+        keep |= set(prune_eq_m(m, col, v))
     return sorted(keep)
 
 
@@ -351,12 +389,22 @@ def bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int] | None
 
 
 def _location_bytes(spark: SparkSession, location: str) -> int:
-    """On-disk bytes under a storage location — one recursive FS content
-    summary, no data read."""
+    """On-disk PARQUET DATA bytes under a storage location — one
+    recursive FS listing, no data read. Counts the same quantity the
+    ptable advisor counts (data files only; _SUCCESS / crc sidecars /
+    leftovers excluded), so the shared broadcast threshold is denominated
+    identically on both advisor paths."""
     from flnr_wins_spark.fsutil import hadoop_fs
 
     fs, jpath = hadoop_fs(spark, location)
-    return int(fs.getContentSummary(jpath).getLength())
+    total = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            total += int(f.getLen())
+    return total
 
 
 def advise_catalog_join(
@@ -429,9 +477,9 @@ def run_advised_catalog_join(
     if advice.strategy == "colocated":
         return left.hint("merge").join(right, on, how)
     if advice.strategy == "broadcast":
-        if advice.build_side == "left":
-            return F.broadcast(left).join(right, on, how)
-        return left.join(F.broadcast(right), on, how)
+        # same build-side feasibility rule as run_advised_join: never
+        # pretend a hint Spark would silently drop
+        return _broadcast_or_plain(left, right, advice.build_side, on, how)
     return left.join(right, on, how)
 
 
@@ -465,6 +513,11 @@ def detect_partition_skew(
     from flnr_wins_spark.sources.ptable import partition_rows
 
     rows = partition_rows(spark, table_path)
+    if not rows:
+        raise ValueError(
+            f"{table_path} has no live partitions at its newest manifest — "
+            "skew is undefined on an empty table (deletes emptied it?)"
+        )
     total = sum(rows.values())
     mean = total / len(rows)
     hot = sorted(v for v, n in rows.items() if n > threshold * mean)

@@ -547,6 +547,13 @@ def ndv_table(
             f"manifest m{km} of {table_path} has no NDV sketch for '{col}' — "
             "write the table with ndv_cols to opt in"
         )
+    return merged_ndv_m(m, col)
+
+
+def merged_ndv_m(m: dict, col: str) -> tuple[int, float]:
+    """Table-wide (merged sketch size, NDV estimate) from an already-
+    PARSED manifest — the ONE copy of the KMV merge rule, shared by
+    :func:`ndv_table` and the advisor's ``table_stats``."""
     k = m["ndv_k"]
     merged: set[int] = set()
     for v in m["partitions"]:
@@ -1028,6 +1035,14 @@ def prune_partitions(
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     k = manifest if manifest is not None else ids[-1]
     m = _read_manifest(spark, table_path, k)
+    return prune_range_m(m, col, lo, hi)
+
+
+def prune_range_m(m: dict, col: str, lo=None, hi=None) -> list[str]:
+    """Zone-map range pruning against an already-PARSED manifest — the
+    core of :func:`prune_partitions`, exposed so multi-predicate callers
+    (``sources/advisor.py``) evaluate every probe against ONE manifest
+    read (and therefore one consistent version)."""
     stats = m.get("stats", {})
     keep = []
     for v in sorted(m["partitions"]):
@@ -1075,6 +1090,20 @@ def prune_partitions_eq(
         raise FileNotFoundError(f"no committed manifest under {table_path}")
     k = manifest if manifest is not None else ids[-1]
     m = _read_manifest(spark, table_path, k)
+    return prune_eq_m(m, col, value)
+
+
+def prune_eq_m(m: dict, col: str, value) -> list[str]:
+    """Bloom + zone point-lookup pruning against an already-PARSED
+    manifest — the core of :func:`prune_partitions_eq`, exposed so
+    multi-key callers (DPP key lists, ``sources/advisor.py``) probe ONE
+    manifest read (one consistent version) instead of re-reading per
+    key."""
+    if value is None:
+        raise ValueError(
+            "bloom sidecars index non-NULL values only — prune IS NULL "
+            "probes with an explicit filter instead"
+        )
     blooms = m.get("blooms", {})
     stats = m.get("stats", {})
     m_bits, k_hashes = m.get("bloom_m"), m.get("bloom_k")
