@@ -48,20 +48,20 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
 # driver-graded correctness row go first. Round-8 ordering (the driver
-# graded EXACTLY the first 50 in rounds 1-7): (a) the nine never-graded
+# graded EXACTLY the first 50 in rounds 1-7): (a) the ten never-graded
 # r8 surfaces (cost-based join advisor broadcast + shuffle/estimate
 # paths, co-located/bucketed third strategy, manifest-level DPP join,
-# range-bounds planner, graded time travel, Z-order pruning witness,
-# streamed-lakehouse prune, ANN recall floor); (b) the two entries whose
+# range-bounds planner, graded time travel, persisted-dedup-index
+# incremental probe, Z-order pruning witness, streamed-lakehouse prune,
+# ANN recall floor); (b) the two entries whose
 # code changed in r8 — x_ptable_cdc_e2e (insert keys now negated: VALUES
 # changed) and x_holt_forecast (plan rerouted through the distributed
 # operator; values unchanged by the shared-recurrence design); (c) the 7
 # r02-stale entries r7's budget deferred; (d) the five r03 entries whose
 # modules r8 touched (scratch_dir / estimate refactors); (e) the five
 # rows-only fast paths for fresh rows-evidence; (f) the r03 cohort in
-# staleness order — 22 of 41 fit the 50-budget (through
-# x_dedup_clusters_star), the last 19 (from x_dedup_containment)
-# lead r9.
+# staleness order — 21 of 41 fit the 50-budget (through
+# x_countmin), the last 20 (from x_dedup_clusters_star) lead r9.
 # Positions 51+ keep staleness order (r03 remainder, then r04, r05,
 # then the 48 entries freshly graded green in r07, freshest last).
 # Goal after r8: no never-graded entries, nothing older than r03, and
@@ -71,7 +71,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     # (a) new r8 surfaces — never graded
     "x_ptable_join_advisor", "x_advisor_estimate", "x_ptable_dpp_join",
     "x_partition_bounds_advisor", "x_ptable_time_travel",
-    "x_advisor_colocated",
+    "x_advisor_colocated", "x_dedup_index_incremental",
     "x_ptable_zorder_optimize", "x_stream_lakehouse_prune", "x_ann_recall",
     # (b) code changed in r8
     "x_ptable_cdc_e2e", "x_holt_forecast",
@@ -84,7 +84,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     # (e) rows-only fast paths: refresh rows-evidence
     "x_dedup_minhash_lsh", "q_events_approx_distinct", "x_dedup_simhash",
     "x_similarity_ann_lsh", "x_similarity_ivf",
-    # (f) latest grade r03, staleness order — first 22 fill the budget
+    # (f) latest grade r03, staleness order — first 21 fill the budget
     "q10_returned_items", "q11_important_value", "q12_shipping_delay",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
     "q8_national_market_share", "q9_product_type_profit",
@@ -92,9 +92,10 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q_null_safe_join", "q_skew_salted_join", "q_window_fill_forward",
     "q_window_time_range", "r2_conditional_update", "r3_blank_to_null",
     "r6_frequency", "r8_reject_unmatched", "x_bloom_prefilter",
-    "x_countmin", "x_dedup_clusters_star",
+    "x_countmin",
     # ---- position 51+ (graded only if the budget stretches) ----
     # r03 remainder (leads the r9 rotation)
+    "x_dedup_clusters_star",
     "x_dedup_containment", "x_dedup_url", "x_embedding_stats",
     "x_equidepth_bins", "x_funnel_counts",
     "x_global_rank", "x_group_topk_sample", "x_incremental_agg",

@@ -7140,3 +7140,106 @@ def x_advisor_colocated(spark, sf_dir):
         "o_orderpriority", "n_items", "gross",
         F.lit(advice.strategy).alias("strategy"),
     )
+
+
+# x_dedup_index_incremental oracle: the md5-portable MinHash construction of
+# _MINHASH_PORTABLE_SQL, with the pair space restricted to (new = odd ids,
+# indexed base = even ids) — probing a persisted index against a new batch
+# is relationally just that asymmetric candidate join.
+_DEDUP_INDEX_SQL = (
+    f"""
+    WITH docs AS ({_DUP_SQL_DOCS}),
+    tk AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS tks FROM docs
+    ),
+    sh AS (
+      SELECT id, list_distinct(list_transform(range(1, len(tks) - 1),
+             i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2])) AS shset
+      FROM tk WHERE len(tks) >= 3
+    ),
+    sig AS (
+      SELECT id, shset,
+    """
+    + ",\n".join(
+        f"         list_min(list_transform(shset, s -> md5(s || ':{42 + i}'))) AS mh_{i}"
+        for i in range(8)
+    )
+    + """
+      FROM sh
+    ),
+    cand AS (
+      SELECT n.id AS id_new, b.id AS id_base,
+             n.shset AS sh_n, b.shset AS sh_b
+      FROM sig n JOIN sig b ON n.id % 2 = 1 AND b.id % 2 = 0
+       AND ("""
+    + " OR ".join(f"n.mh_{i} = b.mh_{i}" for i in range(8))
+    + """)
+    ),
+    j AS (
+      SELECT id_new, id_base,
+             CAST(len(list_intersect(sh_n, sh_b)) AS DOUBLE)
+               / (len(sh_n) + len(sh_b) - len(list_intersect(sh_n, sh_b)))
+               AS jaccard
+      FROM cand
+    )
+    SELECT id_new, id_base, jaccard FROM j WHERE jaccard >= 0.8
+    """
+)
+
+
+@query(
+    "x_dedup_index_incremental",
+    sql=_DEDUP_INDEX_SQL,
+    note="DEDUP-AT-INGESTION with a PERSISTED index: the base corpus's "
+    "MinHash signature + shingle table (md5-portable, 8 tables) commits "
+    "through the versioned snapshot layer once; a NEW batch computes "
+    "signatures for ITSELF ONLY (O(new), narrow map) and probes the "
+    "LOADED index via the banded (table, minhash) join — candidates "
+    "verify by exact Jaccard against the index's stored shingle sets. "
+    "The oracle rebuilds both sides relationally and restricts the pair "
+    "space to new-vs-base, so probe-over-loaded-index == "
+    "probe-over-fresh-build, bit for bit. This is the batch twin of the "
+    "streaming near-dup ingestion gate (streaming/sinks.py), with "
+    "driver-graded evidence: at 100 TB you never re-sign the corpus to "
+    "admit a batch — index refresh is appending the batch's own "
+    "signature rows (the next write_snapshot), and the probe cost is "
+    "O(new x bucket width)",
+)
+def x_dedup_index_incremental(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import (
+        exact_jaccard,
+        minhash_bands,
+        minhash_signature_table,
+    )
+    from flnr_wins_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    docs = _docs_with_dups(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx_path = scratch_dir("dedup_index") + "/index"
+    write_snapshot(
+        minhash_signature_table(
+            base, "text", "doc_id", num_hash_tables=8, hash_fn="md5",
+            min_parallelism=spark.sparkContext.defaultParallelism,
+        ),
+        idx_path,
+    )
+    idx = read_snapshot(spark, idx_path)  # loaded index, not a refit
+    probe = minhash_signature_table(
+        new, "text", "doc_id", num_hash_tables=8, hash_fn="md5",
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    pb = minhash_bands(probe, 8).withColumnRenamed("id", "id_new")
+    ib = minhash_bands(idx, 8).withColumnRenamed("id", "id_base")
+    cand = pb.join(ib, ["band", "mhv"]).select("id_new", "id_base").distinct()
+    a = probe.select(F.col("id").alias("id_new"), F.col("shset").alias("sh_n"))
+    b = idx.select(F.col("id").alias("id_base"), F.col("shset").alias("sh_b"))
+    return (
+        cand.join(a, "id_new")
+        .join(b, "id_base")
+        .select(
+            "id_new", "id_base",
+            exact_jaccard(F.col("sh_n"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
