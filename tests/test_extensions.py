@@ -1596,3 +1596,57 @@ class TestAdpcm:
 
         with pytest.raises(ValueError, match="step index"):
             decode_wav(bytes(data))
+
+
+def test_minhash_index_refresh_equals_fresh_build(spark):
+    """The persisted-dedup-index entry's refresh claim, pinned: appending
+    a new batch's signature rows to the index (the next write_snapshot —
+    O(new) signing work) yields EXACTLY the index a full rebuild over the
+    combined corpus would, so a later probe returns identical pairs
+    either way."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.operators.dedup import (
+        exact_jaccard,
+        minhash_bands,
+        minhash_signature_table,
+    )
+    from flnr_wins_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    texts = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i % 4} end") for i in range(12)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    probe_docs = docs.filter(F.col("doc_id") % 3 == 2)
+
+    def sig(d):
+        return minhash_signature_table(d, "text", "doc_id", num_hash_tables=8, hash_fn="md5")
+
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="idx_refresh_")
+    write_snapshot(sig(b0), f"{base}/idx")                      # v1: batch 0
+    write_snapshot(sig(b0).unionByName(sig(b1)), f"{base}/idx")  # v2: refresh
+
+    def probe(index_df):
+        pb = minhash_bands(sig(probe_docs), 8).withColumnRenamed("id", "id_new")
+        ib = minhash_bands(index_df, 8).withColumnRenamed("id", "id_base")
+        cand = pb.join(ib, ["band", "mhv"]).select("id_new", "id_base").distinct()
+        a = sig(probe_docs).select(F.col("id").alias("id_new"), F.col("shset").alias("sh_n"))
+        b = index_df.select(F.col("id").alias("id_base"), F.col("shset").alias("sh_b"))
+        out = (
+            cand.join(a, "id_new").join(b, "id_base")
+            .select("id_new", "id_base", exact_jaccard(F.col("sh_n"), F.col("sh_b")).alias("j"))
+            .filter(F.col("j") >= 0.5)
+        )
+        return sorted((r.id_new, r.id_base, r.j) for r in out.collect())
+
+    refreshed = probe(read_snapshot(spark, f"{base}/idx"))       # loaded v2
+    fresh = probe(sig(b0.unionByName(b1)))                        # full rebuild
+    assert refreshed == fresh and len(refreshed) > 0
+
+    import shutil
+
+    shutil.rmtree(base)
