@@ -356,10 +356,9 @@ class CatalogJoinAdvice:
 
 def _describe_table(
     spark: SparkSession, table: str
-) -> tuple[tuple[list[str], int] | None, str]:
+) -> tuple[tuple[list[str], int] | None, str | None]:
     """ONE DESCRIBE FORMATTED parse per table: (bucket spec or None,
-    storage Location). Raises a descriptive error for views/temp views,
-    which have no storage location to size."""
+    storage Location or None for views/temp views)."""
     rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     info = {
         (r.col_name or "").strip(): (r.data_type or "").strip() for r in rows
@@ -372,13 +371,10 @@ def _describe_table(
             if c.strip()
         ]
         spec = (cols, int(info["Num Buckets"]))
-    loc = info.get("Location")
-    if not loc:
-        raise ValueError(
-            f"'{table}' has no storage Location (a view or temp view?) — "
-            "advise_catalog_join needs stored tables it can size"
-        )
-    return spec, loc
+    # Location may be absent (views/temp views) — only the BYTES step
+    # needs it, so the loud error lives there, not here (bucket_spec's
+    # "None when unbucketed" contract must hold for any relation)
+    return spec, info.get("Location") or None
 
 
 def bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int] | None:
@@ -389,11 +385,13 @@ def bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int] | None
 
 
 def _location_bytes(spark: SparkSession, location: str) -> int:
-    """On-disk PARQUET DATA bytes under a storage location — one
-    recursive FS listing, no data read. Counts the same quantity the
-    ptable advisor counts (data files only; _SUCCESS / crc sidecars /
-    leftovers excluded), so the shared broadcast threshold is denominated
-    identically on both advisor paths."""
+    """On-disk DATA bytes under a storage location — one recursive FS
+    listing, no data read. Counts every non-hidden file (any format —
+    a catalog table may be ORC/CSV/Avro, and sizing those to zero would
+    advise broadcasting a 100 GB table) while excluding the marker /
+    sidecar files (_SUCCESS, .crc) the ptable-side threshold also
+    excludes, so the shared broadcast threshold stays comparably
+    denominated."""
     from flnr_wins_spark.fsutil import hadoop_fs
 
     fs, jpath = hadoop_fs(spark, location)
@@ -402,7 +400,7 @@ def _location_bytes(spark: SparkSession, location: str) -> int:
     while it.hasNext():
         f = it.next()
         name = f.getPath().getName()
-        if name.endswith(".parquet") and not name.startswith((".", "_")):
+        if not name.startswith((".", "_")):
             total += int(f.getLen())
     return total
 
@@ -427,19 +425,26 @@ def advise_catalog_join(
     ls, lloc = _describe_table(spark, left_table)
     rs, rloc = _describe_table(spark, right_table)
 
-    def _norm(cols):
-        # Spark resolves identifiers case-insensitively and a hash
-        # partitioning on {a, b} serves a join on {b, a} — compare specs
-        # the way the engine would, not as raw string lists
-        return sorted(c.lower() for c in cols)
+    def _colocated() -> bool:
+        # Cross-side co-partitioning is POSITIONAL: both scans must hash
+        # the i-th PAIRED key into the same bucket. Case-insensitive
+        # (Spark's resolution) and tolerant of scrambled KEY-ARGUMENT
+        # order, but the left bucket-column order mapped through the
+        # join pairing must reproduce the right bucket-column order —
+        # left [a,b] vs right [d,c] under pairing (a=c, b=d) is NOT
+        # co-partitioned and Spark would shuffle a side anyway.
+        if ls is None or rs is None or ls[1] != rs[1]:
+            return False
+        lkeys = [c.lower() for c in left_keys]
+        rkeys = [c.lower() for c in rk]
+        lcols = [c.lower() for c in ls[0]]
+        rcols = [c.lower() for c in rs[0]]
+        if sorted(lcols) != sorted(lkeys) or sorted(rcols) != sorted(rkeys):
+            return False
+        pairing = dict(zip(lkeys, rkeys))
+        return [pairing[c] for c in lcols] == rcols
 
-    if (
-        ls is not None
-        and rs is not None
-        and _norm(ls[0]) == _norm(left_keys)
-        and _norm(rs[0]) == _norm(rk)
-        and ls[1] == rs[1]
-    ):
+    if _colocated():
         # structural decision: bytes are never consulted, so don't pay
         # two recursive FS walks for unused evidence
         return CatalogJoinAdvice(
@@ -447,6 +452,13 @@ def advise_catalog_join(
             left_table=left_table, right_table=right_table,
             left_bytes=None, right_bytes=None, n_buckets=ls[1],
         )
+    for tname, loc in ((left_table, lloc), (right_table, rloc)):
+        if loc is None:
+            raise ValueError(
+                f"'{tname}' has no storage Location (a view or temp "
+                "view?) — the bytes-denominated broadcast/shuffle "
+                "decision needs stored tables it can size"
+            )
     lb = _location_bytes(spark, lloc)
     rb = _location_bytes(spark, rloc)
     if min(lb, rb) <= broadcast_threshold_bytes:

@@ -391,3 +391,37 @@ def test_detect_partition_skew_reads_metadata_only(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="row counts"):
         detect_partition_skew(spark, np_)
+
+
+def test_colocated_requires_positional_cross_side_alignment(spark, tmp_path):
+    """Review finding (r8): cross-side co-partitioning is POSITIONAL —
+    left bucketed [a,b] vs right bucketed [d,c] under the pairing
+    (a=c, b=d) is NOT exchange-free, and the advisor must not claim it;
+    a consistent cross-side order IS colocated even with scrambled
+    key-argument order."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.sources.advisor import advise_catalog_join
+    from flnr_wins_spark.sources.bucketing import write_bucketed
+
+    l = spark.range(200).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    r = spark.range(200).select(
+        F.col("id").alias("c"), (F.col("id") % 7).alias("d")
+    )
+    write_bucketed(l, "t_pos_l", ["a", "b"], n_buckets=4)
+    write_bucketed(r, "t_pos_r", ["d", "c"], n_buckets=4)  # REVERSED order
+    # pairing a=c, b=d: left hashes (a,b) positionally, right hashes (d,c)
+    # = (b-pair, a-pair) — misaligned, Spark would shuffle a side
+    adv = advise_catalog_join(
+        spark, "t_pos_l", "t_pos_r", ["a", "b"], ["c", "d"]
+    )
+    assert adv.strategy != "colocated"
+    # same tables, pairing given as a=d, b=c: alignment holds -> colocated
+    adv2 = advise_catalog_join(
+        spark, "t_pos_l", "t_pos_r", ["a", "b"], ["d", "c"]
+    )
+    assert adv2.strategy == "colocated"
+    for tname in ("t_pos_l", "t_pos_r"):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")

@@ -1598,7 +1598,7 @@ class TestAdpcm:
             decode_wav(bytes(data))
 
 
-def test_minhash_index_refresh_equals_fresh_build(spark):
+def test_minhash_index_refresh_equals_fresh_build(spark, tmp_path):
     """The persisted-dedup-index entry's refresh claim, pinned: appending
     a new batch's signature rows to the index (the next write_snapshot —
     O(new) signing work) yields EXACTLY the index a full rebuild over the
@@ -1624,9 +1624,7 @@ def test_minhash_index_refresh_equals_fresh_build(spark):
     def sig(d):
         return minhash_signature_table(d, "text", "doc_id", num_hash_tables=8, hash_fn="md5")
 
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="idx_refresh_")
+    base = str(tmp_path)
     write_snapshot(sig(b0), f"{base}/idx")                      # v1: batch 0
     write_snapshot(sig(b0).unionByName(sig(b1)), f"{base}/idx")  # v2: refresh
 
@@ -1646,7 +1644,3 @@ def test_minhash_index_refresh_equals_fresh_build(spark):
     refreshed = probe(read_snapshot(spark, f"{base}/idx"))       # loaded v2
     fresh = probe(sig(b0.unionByName(b1)))                        # full rebuild
     assert refreshed == fresh and len(refreshed) > 0
-
-    import shutil
-
-    shutil.rmtree(base)
