@@ -425,3 +425,48 @@ def test_colocated_requires_positional_cross_side_alignment(spark, tmp_path):
     assert adv2.strategy == "colocated"
     for tname in ("t_pos_l", "t_pos_r"):
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_prune_points_any_union_and_errors(spark, tmp_path):
+    """prune_points_any unions per-key survivors from ONE manifest read;
+    empty probe lists and missing tables fail loudly."""
+    from flnr_wins_spark.sources.advisor import prune_points_any
+
+    fp = str(tmp_path / "f")
+    df = spark.createDataFrame(
+        [(i, str(i // 10), f"u{i}") for i in range(40)],
+        "id long, kb string, name string",
+    )
+    write_ptable(df, fp, "kb", bloom_cols=["name"])
+    got = prune_points_any(spark, fp, "name", ["u5", "u25"])
+    assert got == ["0", "2"]
+    # absent values prune everything (union of two empty survivor sets)
+    assert prune_points_any(spark, fp, "name", ["zz", "yy"]) == []
+    with pytest.raises(ValueError, match="at least one probe"):
+        prune_points_any(spark, fp, "name", [])
+    with pytest.raises(FileNotFoundError, match="no committed manifest"):
+        prune_points_any(spark, str(tmp_path / "nope"), "name", ["x"])
+
+
+def test_catalog_join_mixed_bucketed_unbucketed_falls_back(spark, tmp_path):
+    """One bucketed + one plain table is never colocated — the bytes
+    rule decides, and the tiny plain side broadcasts."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.sources.advisor import (
+        advise_catalog_join,
+        run_advised_catalog_join,
+    )
+    from flnr_wins_spark.sources.bucketing import write_bucketed
+
+    big = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    tiny = spark.range(20).select(F.col("id").alias("k"), F.lit("x").alias("w"))
+    write_bucketed(big, "t_mix_b", ["k"], n_buckets=4)
+    tiny.write.mode("overwrite").saveAsTable("t_mix_p")
+    adv = advise_catalog_join(spark, "t_mix_b", "t_mix_p", ["k"])
+    assert adv.strategy == "broadcast" and adv.build_side == "right"
+    assert adv.left_bytes and adv.right_bytes and adv.right_bytes < adv.left_bytes
+    out = run_advised_catalog_join(spark, adv, "k")
+    assert out.count() == 20
+    for tname in ("t_mix_b", "t_mix_p"):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
