@@ -694,3 +694,20 @@ def test_advisor_colocated_join_is_exchange_free(spark):
     plan = _plan(spark, "x_advisor_colocated")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" in plan
+
+
+def test_dedup_index_probe_reads_stored_index(spark):
+    """The incremental-dedup entry's returned plan must read the
+    PERSISTED index (a parquet scan whose ReadSchema carries the stored
+    shset/sig columns) rather than re-signing the base corpus — the
+    whole point is O(new) signing work at probe time."""
+    plan = _plan(spark, "x_dedup_index_incremental")
+    import re
+
+    schemas = re.findall(r"ReadSchema: [^\n]*", plan)
+    # the stored index is even COLUMN-PRUNED per consumer: the banding
+    # side reads (id, sig) only, the verify side (id, shset) only —
+    # neither re-reads text, i.e. no re-signing of the base corpus
+    assert any("sig" in s and "text" not in s for s in schemas), schemas
+    assert any("shset" in s and "text" not in s for s in schemas), schemas
+    assert "BatchEvalPython" not in plan
