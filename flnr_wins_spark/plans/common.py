@@ -173,20 +173,27 @@ def all_queries() -> dict[str, QueryDef]:
 # ---------------------------------------------------------------------------
 
 _SCRATCH_ROOT: str | None = None
+_SCRATCH_RUNS: dict[str, int] = {}
 
 
 def scratch_dir(name: str) -> str:
-    """ONE stable scratch directory per entry name, wiped on re-entry.
+    """A fresh VERSIONED scratch directory per entry invocation
+    (``<root>/<name>/run-N``), with a one-run grace window.
 
     Graded entries that write a ptable / snapshot / index used to
     ``mkdtemp`` per invocation; bench runs min-of-2 and the grader
     re-runs entries every round, so each round leaked multiple full
-    copies of orders/customer under /tmp. Reusing a per-name dir caps
-    the footprint at one copy per entry, and the whole root is removed
-    at interpreter exit (``atexit``) — safe because every caller either
-    collects or ``localCheckpoint``s the result within the process
-    lifetime, and runs of one entry are sequential (driver, bench and
-    pytest all single-flight a query before re-invoking it)."""
+    copies of orders/customer under /tmp. Versioned subdirs cap the
+    footprint at TWO copies per entry (run N-1 survives until run N+1
+    starts) while fixing the wipe-on-re-entry hazard: entries return
+    LAZY DataFrames that still read from scratch, so wiping the dir the
+    previous invocation's result points at would silently serve
+    wiped/rewritten data to any deferred evaluation. With the grace
+    window, the single-flight pattern every harness uses (consume run
+    N's result before invoking run N+1) is safe by construction, and a
+    two-generations-stale DataFrame fails LOUDLY (file-not-found)
+    instead of returning wrong rows. The whole root is removed at
+    interpreter exit (``atexit``)."""
     global _SCRATCH_ROOT
     import atexit
     import os
@@ -196,9 +203,12 @@ def scratch_dir(name: str) -> str:
     if _SCRATCH_ROOT is None:
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="flnr_scratch_")
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
-    d = os.path.join(_SCRATCH_ROOT, name)
-    if os.path.exists(d):
-        shutil.rmtree(d)
+    n = _SCRATCH_RUNS.get(name, 0) + 1
+    _SCRATCH_RUNS[name] = n
+    shutil.rmtree(
+        os.path.join(_SCRATCH_ROOT, name, f"run-{n - 2}"), ignore_errors=True
+    )
+    d = os.path.join(_SCRATCH_ROOT, name, f"run-{n}")
     os.makedirs(d)
     return d
 

@@ -65,6 +65,13 @@ class JoinAdvice:
     right: TableStats
     est_output_rows: int | None   # System-R estimate; None without NDV+rows
     shuffle_partitions: int | None  # sized from the estimate, shuffle only
+    # Sized exactly like shuffle_partitions but carried on BROADCAST advice
+    # too: when the advised build side is infeasible for the join type
+    # (preserved side of an outer join), run_advised_join falls back to a
+    # shuffle join — and a huge outer-join output must not funnel through
+    # the session-default partition count just because the ADVICE said
+    # broadcast. None when the estimate is unavailable.
+    fallback_shuffle_partitions: int | None = None
 
 
 def table_stats(
@@ -137,6 +144,13 @@ def advise_join(
     ndvs = [n for n in (left.key_ndv, right.key_ndv) if n and n > 0]
     if left.rows_total is not None and right.rows_total is not None and ndvs:
         est = int(left.rows_total * right.rows_total / max(ndvs))
+    if est is not None:
+        floor_parts = (
+            min_shuffle_partitions
+            if min_shuffle_partitions is not None
+            else spark.sparkContext.defaultParallelism
+        )
+        parts = max(floor_parts, math.ceil(est / target_rows_per_partition))
 
     small_bytes = min(left.bytes_total, right.bytes_total)
     if small_bytes <= broadcast_threshold_bytes:
@@ -145,14 +159,8 @@ def advise_join(
             strategy="broadcast", build_side=side,
             left=left, right=right,
             est_output_rows=est, shuffle_partitions=None,
+            fallback_shuffle_partitions=parts,
         )
-    if est is not None:
-        floor_parts = (
-            min_shuffle_partitions
-            if min_shuffle_partitions is not None
-            else spark.sparkContext.defaultParallelism
-        )
-        parts = max(floor_parts, math.ceil(est / target_rows_per_partition))
     return JoinAdvice(
         strategy="shuffle", build_side=None,
         left=left, right=right,
@@ -174,15 +182,44 @@ _RIGHT_BUILD_INFEASIBLE = {
 }
 
 
-def _broadcast_or_plain(left, right, build_side: str, on, how: str):
+def _build_feasible(build_side: str, how: str) -> bool:
     hkey = how.lower().replace(" ", "")
     if build_side == "left":
-        if hkey in _LEFT_BUILD_INFEASIBLE:
-            return left.join(right, on, how)
-        return F.broadcast(left).join(right, on, how)
-    if hkey in _RIGHT_BUILD_INFEASIBLE:
+        return hkey not in _LEFT_BUILD_INFEASIBLE
+    return hkey not in _RIGHT_BUILD_INFEASIBLE
+
+
+def _broadcast_or_plain(left, right, build_side: str, on, how: str):
+    if not _build_feasible(build_side, how):
         return left.join(right, on, how)
+    if build_side == "left":
+        return F.broadcast(left).join(right, on, how)
     return left.join(F.broadcast(right), on, how)
+
+
+def _sized_join(left, right, on, how: str, n: int | None) -> DataFrame:
+    """Shuffle join sized to ``n`` partitions (None => session default).
+
+    Named-key equi-join: pre-partition BOTH sides on the join key at the
+    advised count — the join's required ClusteredDistribution is then
+    already satisfied (co-partitioned at the same N), so the sized shuffle
+    IS the join's shuffle, not an extra exchange after it. AQE may still
+    coalesce/split within the chosen strategy. A list of Column CONDITIONS
+    is not a key list — the key set isn't recoverable from an arbitrary
+    expression, so the OUTPUT side is sized instead (one extra exchange,
+    still bounds downstream parallelism by the estimate)."""
+    named_keys = isinstance(on, str) or (
+        isinstance(on, list) and all(isinstance(c, str) for c in on)
+    )
+    if n is not None and named_keys:
+        cols = [on] if isinstance(on, str) else list(on)
+        return left.repartition(n, *cols).join(
+            right.repartition(n, *cols), on, how
+        )
+    joined = left.join(right, on, how)
+    if n is not None:
+        joined = joined.repartition(n)
+    return joined
 
 
 def run_advised_join(
@@ -199,39 +236,28 @@ def run_advised_join(
     Build-side feasibility: Spark CANNOT build the preserved side of an
     outer join (a broadcast hint on the left of a LEFT OUTER is silently
     dropped with a log warning, and the join runs as sort-merge anyway).
-    When the advised side is infeasible for ``how``, this runs the plain
-    join explicitly rather than pretending the hint applied."""
+    When the advised side is infeasible for ``how``, this runs a SHUFFLE
+    join sized from the advice's own cardinality estimate
+    (``fallback_shuffle_partitions``) rather than pretending the hint
+    applied — a huge outer-join output must not funnel through the
+    session-default partition count just because the bytes rule said
+    broadcast."""
     left = read_ptable(spark, advice.left.path)
     right = read_ptable(spark, advice.right.path)
     if advice.strategy == "broadcast":
-        # hint the build side WITHOUT swapping join sides: left stays the
-        # left input, so outer/semi/anti semantics and column order are
-        # exactly the caller's (a swapped right.join(left, ..., 'left')
-        # would preserve the wrong table's unmatched rows)
-        return _broadcast_or_plain(left, right, advice.build_side, on, how)
-    named_keys = isinstance(on, str) or (
-        isinstance(on, list) and all(isinstance(c, str) for c in on)
-    )
-    if advice.shuffle_partitions is not None and named_keys:
-        # named-key equi-join: pre-partition BOTH sides on the join key
-        # at the advised count — the join's required ClusteredDistribution
-        # is then already satisfied (co-partitioned at the same N), so the
-        # sized shuffle IS the join's shuffle, not an extra exchange after
-        # it. AQE may still coalesce/split within the chosen strategy.
-        # (a list of Column CONDITIONS is not a key list — it falls through
-        # to the output-sizing path below)
-        cols = [on] if isinstance(on, str) else list(on)
-        n = advice.shuffle_partitions
-        return left.repartition(n, *cols).join(
-            right.repartition(n, *cols), on, how
+        if _build_feasible(advice.build_side, how):
+            # hint the build side WITHOUT swapping join sides: left stays
+            # the left input, so outer/semi/anti semantics and column
+            # order are exactly the caller's (a swapped
+            # right.join(left, ..., 'left') would preserve the wrong
+            # table's unmatched rows)
+            if advice.build_side == "left":
+                return F.broadcast(left).join(right, on, how)
+            return left.join(F.broadcast(right), on, how)
+        return _sized_join(
+            left, right, on, how, advice.fallback_shuffle_partitions
         )
-    joined = left.join(right, on, how)
-    if advice.shuffle_partitions is not None:
-        # arbitrary join expression: the key set isn't recoverable from
-        # the condition, so size the OUTPUT side instead (one extra
-        # exchange, still bounds downstream parallelism by the estimate)
-        joined = joined.repartition(advice.shuffle_partitions)
-    return joined
+    return _sized_join(left, right, on, how, advice.shuffle_partitions)
 
 
 def propose_range_bounds(
@@ -266,11 +292,15 @@ def propose_range_bounds(
 def range_bucket(col, bounds: list):
     """The bucket id (0-based) of ``col`` under ``bounds`` — the count
     of bounds strictly below the value, as a codegen-friendly sum of
-    comparisons (no UDF). Pair with :func:`propose_range_bounds`."""
+    comparisons (no UDF). NULL input yields NULL (a NULL key is NOT
+    'below all bounds' — silently mapping it to bucket 0 would make it
+    indistinguishable from real low values in layout planning; this
+    matches the sample sidecar's NULLs-not-sampled contract). Pair with
+    :func:`propose_range_bounds`."""
     expr = F.lit(0)
     for b in bounds:
         expr = expr + F.when(col > F.lit(b), 1).otherwise(0)
-    return expr
+    return F.when(col.isNull(), F.lit(None).cast("int")).otherwise(expr)
 
 
 def advise_scan(
@@ -358,11 +388,23 @@ def _describe_table(
     spark: SparkSession, table: str
 ) -> tuple[tuple[list[str], int] | None, str | None]:
     """ONE DESCRIBE FORMATTED parse per table: (bucket spec or None,
-    storage Location or None for views/temp views)."""
+    storage Location or None for views/temp views).
+
+    Only rows AT/AFTER the '# Detailed Table Information' section header
+    are parsed: the rows before it are the table's COLUMN LIST, so a user
+    table with a data column literally named 'Location' or 'Num Buckets'
+    would otherwise shadow the metadata and corrupt the bucket-spec or
+    location parse."""
     rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-    info = {
-        (r.col_name or "").strip(): (r.data_type or "").strip() for r in rows
-    }
+    info: dict[str, str] = {}
+    in_detail = False
+    for r in rows:
+        name = (r.col_name or "").strip()
+        if name == "# Detailed Table Information":
+            in_detail = True
+            continue
+        if in_detail and name:
+            info[name] = (r.data_type or "").strip()
     spec = None
     if "Num Buckets" in info:
         cols = [
@@ -483,15 +525,30 @@ def run_advised_catalog_join(
 ) -> DataFrame:
     """Execute the catalog-join advice: colocated pins a sort-merge join
     (the bucket spec makes it exchange-free), broadcast hints the build
-    side without swapping inputs, shuffle runs plain."""
+    side without swapping inputs, shuffle runs plain.
+
+    Same build-side feasibility rule as :func:`run_advised_join` — but a
+    CatalogJoinAdvice carries no row-count estimate, so the infeasible
+    fallback sizes the shuffle from the measured on-disk BYTES of both
+    sides (128 MB of combined input per partition, floored at the session
+    parallelism): a coarse proxy, but strictly better than the session
+    default the advisor exists to prevent."""
     left = spark.table(advice.left_table)
     right = spark.table(advice.right_table)
     if advice.strategy == "colocated":
         return left.hint("merge").join(right, on, how)
     if advice.strategy == "broadcast":
-        # same build-side feasibility rule as run_advised_join: never
-        # pretend a hint Spark would silently drop
-        return _broadcast_or_plain(left, right, advice.build_side, on, how)
+        if _build_feasible(advice.build_side, how):
+            return _broadcast_or_plain(left, right, advice.build_side, on, how)
+        n = None
+        if advice.left_bytes is not None and advice.right_bytes is not None:
+            n = max(
+                spark.sparkContext.defaultParallelism,
+                math.ceil(
+                    (advice.left_bytes + advice.right_bytes) / (128 << 20)
+                ),
+            )
+        return _sized_join(left, right, on, how, n)
     return left.join(right, on, how)
 
 

@@ -177,7 +177,8 @@ def test_dpp_join_prunes_most_fact_partitions(spark):
     # (THIS process's scratch root — never another process's leftovers)
     from flnr_wins_spark.plans import common
 
-    path = f"{common._SCRATCH_ROOT}/ptable_dpp/tbl"
+    run = common._SCRATCH_RUNS["ptable_dpp"]
+    path = f"{common._SCRATCH_ROOT}/ptable_dpp/run-{run}/tbl"
     kept = set()
     for k in (1, 2, 3):
         kept |= set(prune_partitions_eq(spark, path, "o_custkey", k))
@@ -470,3 +471,71 @@ def test_catalog_join_mixed_bucketed_unbucketed_falls_back(spark, tmp_path):
     assert out.count() == 20
     for tname in ("t_mix_b", "t_mix_p"):
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_infeasible_broadcast_fallback_is_sized_from_the_estimate(spark, tmp_path):
+    """ADVICE r8: when the advised build side is infeasible for the join
+    type, the fallback must NOT funnel through the session-default
+    partition count — broadcast advice carries
+    ``fallback_shuffle_partitions`` sized from the same System-R
+    estimate the shuffle path uses, and the fallback join pre-partitions
+    both sides at that count."""
+    fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
+    write_ptable(_fact(spark), fp, "part", stats_cols=["cust"], ndv_cols=["cust"])
+    write_ptable(_dim(spark), dp, "seg", stats_cols=["cust"], ndv_cols=["cust"])
+    adv = advise_join(
+        spark, fp, dp, "cust",
+        target_rows_per_partition=100,
+        min_shuffle_partitions=2,
+    )
+    assert adv.strategy == "broadcast" and adv.build_side == "right"
+    assert adv.shuffle_partitions is None           # broadcast: no shuffle
+    assert adv.fallback_shuffle_partitions == 6     # ceil(600 / 100)
+
+    # right-build is INFEASIBLE for right-outer: the fallback shuffle
+    # join must be co-partitioned at the advised count, visible as
+    # hashpartitioning(..., 6) exchanges in the plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = run_advised_join(spark, adv, "cust", how="right")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert plan.count("hashpartitioning(cust#") >= 2 and ", 6)" in plan, plan
+        assert out.count() == 600
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_describe_table_ignores_data_columns_shadowing_metadata(spark):
+    """ADVICE r8: a data column literally named 'Location' or
+    'Num Buckets' must not contaminate the DESCRIBE FORMATTED parse —
+    only the detailed-info section (after its header) is metadata."""
+    from flnr_wins_spark.sources.advisor import _describe_table, bucket_spec
+
+    spark.sql("DROP TABLE IF EXISTS t_shadow")
+    spark.createDataFrame(
+        [(1, "fake_loc", 99)], "k long, `Location` string, `Num Buckets` long"
+    ).write.saveAsTable("t_shadow")
+    try:
+        spec, loc = _describe_table(spark, "t_shadow")
+        assert spec is None  # the table is NOT bucketed, col name lies
+        assert loc is not None and "t_shadow" in loc and loc != "fake_loc"
+        assert bucket_spec(spark, "t_shadow") is None
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_shadow")
+
+
+def test_range_bucket_null_key_yields_null_not_bucket_zero(spark):
+    """ADVICE r8: NULL keys must map to NULL bucket ids, never silently
+    to bucket 0 (indistinguishable from below-all-bounds values)."""
+    from flnr_wins_spark.sources.advisor import range_bucket
+
+    df = spark.createDataFrame([(1,), (15,), (None,)], "v int")
+    got = {
+        r.v: r.b
+        for r in df.select(
+            "v", range_bucket(F.col("v"), [10, 20]).alias("b")
+        ).collect()
+    }
+    assert got == {1: 0, 15: 1, None: None}
