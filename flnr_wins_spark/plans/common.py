@@ -213,6 +213,38 @@ def scratch_dir(name: str) -> str:
     return d
 
 
+_FIXTURES: dict[tuple[str, str], str] = {}
+
+
+def cached_fixture(name: str, sf_dir: str, builder) -> str:
+    """Build-once-per-process fixture directory keyed by (name, sf_dir);
+    ``builder(dir)`` materializes it on first use and re-invocations
+    REUSE the built artifact.
+
+    For entries whose fixture is a PURE function of the input tables
+    (same sf_dir => bit-identical fixture: ptable commits with sidecars,
+    snapshot layouts), rebuilding it per invocation conflates fixture
+    setup with the operator under test — r8's bench charged two full
+    ptable commits to a join-advisor probe whose own cost is
+    milliseconds. With the cache, bench's min-of-2 measures the probe on
+    the second run and the driver's re-grades stop paying N commits per
+    probe. Entries whose COMMITS are the behavior under test (CDC
+    sequences, incremental refreshes) must keep using
+    :func:`scratch_dir` — their fixture mutation is the point.
+
+    The directory lives under the scratch root (atexit-cleaned); the
+    sf_dir key rides the scratch NAME so different scale factors never
+    alias and the versioned-run GC never reclaims a cached build."""
+    import os
+
+    key = (name, sf_dir)
+    if key not in _FIXTURES:
+        d = scratch_dir(f"{name}@{os.path.basename(os.path.normpath(sf_dir))}")
+        builder(d)
+        _FIXTURES[key] = d
+    return _FIXTURES[key]
+
+
 # ---------------------------------------------------------------------------
 # Determinism helpers
 # ---------------------------------------------------------------------------

@@ -38,7 +38,14 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flnr_wins_spark.sources.ptable import read_ptable, sample_values
+from flnr_wins_spark.sources.ptable import (
+    merged_ndv_m,
+    partition_file_stats,
+    prune_eq_m,
+    prune_range_m,
+    read_ptable,
+    sample_values,
+)
 
 # Spark's default autoBroadcastJoinThreshold
 DEFAULT_BROADCAST_BYTES = 10 * 1024 * 1024
@@ -138,7 +145,25 @@ def advise_join(
     rk = right_key if right_key is not None else left_key
     left = table_stats(spark, left_path, left_key)
     right = table_stats(spark, right_path, rk)
+    return _decide_join(
+        spark, left, right,
+        broadcast_threshold_bytes=broadcast_threshold_bytes,
+        target_rows_per_partition=target_rows_per_partition,
+        min_shuffle_partitions=min_shuffle_partitions,
+    )
 
+
+def _decide_join(
+    spark: SparkSession,
+    left: TableStats,
+    right: TableStats,
+    broadcast_threshold_bytes: int,
+    target_rows_per_partition: int,
+    min_shuffle_partitions: int | None,
+) -> JoinAdvice:
+    """The ONE copy of the broadcast/shuffle decision rule, shared by
+    :func:`advise_join` (whole-table stats) and :func:`advise_auto_join`
+    (stats restricted to the PRUNED partition sets)."""
     est: int | None = None
     parts: int | None = None
     ndvs = [n for n in (left.key_ndv, right.key_ndv) if n and n > 0]
@@ -244,6 +269,16 @@ def run_advised_join(
     broadcast."""
     left = read_ptable(spark, advice.left.path)
     right = read_ptable(spark, advice.right.path)
+    return _run_join_advice(advice, left, right, on, how)
+
+
+def _run_join_advice(
+    advice: JoinAdvice, left: DataFrame, right: DataFrame, on, how: str
+) -> DataFrame:
+    """Execute a JoinAdvice over already-built inputs — the ONE copy of
+    the hint/size/fallback execution rule, shared by
+    :func:`run_advised_join` (full-table reads) and :func:`run_auto_join`
+    (pruned + re-filtered reads)."""
     if advice.strategy == "broadcast":
         if _build_feasible(advice.build_side, how):
             # hint the build side WITHOUT swapping join sides: left stays
@@ -363,6 +398,224 @@ def prune_points_any(
     for v in values:
         keep |= set(prune_eq_m(m, col, v))
     return sorted(keep)
+
+
+# ---------------------------------------------------------------------------
+# Auto-advised read path: declare predicates once, get pruned scans +
+# the advised join in ONE call
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ScanAdvice:
+    """One side's pruned scan: the partitions no sidecar could exclude,
+    plus the predicates to RE-APPLY after the read (pruning is
+    partition-granular, never row-exact)."""
+
+    path: str
+    part_col: str
+    kept: tuple[str, ...]              # pruned partition values, sorted
+    n_total: int                       # partitions in the manifest
+    ranges: tuple[tuple, ...]          # ((col, lo, hi), ...) inclusive
+    points: tuple[tuple, ...]          # ((col, value), ...)
+
+
+@dataclass(frozen=True)
+class AutoJoinPlan:
+    """The whole advised read: both pruned scans and the join strategy
+    decided from statistics of the PRUNED partition sets only."""
+
+    left_scan: ScanAdvice
+    right_scan: ScanAdvice
+    left_key: str
+    right_key: str
+    join: JoinAdvice
+
+
+_INT_PART_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+
+
+def _scan_advice_m(
+    m: dict,
+    path: str,
+    ranges: dict[str, tuple] | None,
+    points: dict[str, object] | None,
+) -> ScanAdvice:
+    """Prune one side against its already-parsed manifest: partition-
+    column predicates prune the partition map directly (hive-style
+    partition pruning — points by string identity, ranges by typed
+    compare for integer partition columns and ISO-lexical compare for
+    string/date ones), every other column goes through the zone-map /
+    bloom sidecars. No predicates => full scan (kept == all)."""
+    part_col = m["part_col"]
+    keep = set(m["partitions"])
+    for col, (lo, hi) in (ranges or {}).items():
+        if col == part_col:
+            pt = m["part_type"]
+            if pt in _INT_PART_TYPES:
+                def _key(s):
+                    return int(s)
+                lo_k = int(lo) if lo is not None else None
+                hi_k = int(hi) if hi is not None else None
+            elif pt in ("string", "date", "boolean"):
+                # ISO date strings compare lexically == chronologically
+                def _key(s):
+                    return s
+                lo_k = str(lo) if lo is not None else None
+                hi_k = str(hi) if hi is not None else None
+            else:
+                raise TypeError(
+                    f"range pruning on partition column '{col}' of type "
+                    f"{pt} is not supported (string forms do not order "
+                    "like values) — use a point predicate or a zone-map "
+                    "sidecar on a data column"
+                )
+            keep &= {
+                v for v in m["partitions"]
+                if (lo_k is None or _key(v) >= lo_k)
+                and (hi_k is None or _key(v) <= hi_k)
+            }
+        else:
+            keep &= set(prune_range_m(m, col, lo, hi))
+    for col, value in (points or {}).items():
+        if col == part_col:
+            # same identity rule as read_ptable's `partitions` argument
+            keep &= {v for v in m["partitions"] if v == str(value)}
+        else:
+            keep &= set(prune_eq_m(m, col, value))
+    return ScanAdvice(
+        path=path,
+        part_col=part_col,
+        kept=tuple(sorted(keep)),
+        n_total=len(m["partitions"]),
+        ranges=tuple((c, lo, hi) for c, (lo, hi) in (ranges or {}).items()),
+        points=tuple((c, v) for c, v in (points or {}).items()),
+    )
+
+
+def _pruned_table_stats(
+    spark: SparkSession, path: str, m: dict, scan: ScanAdvice, key_col: str
+) -> TableStats:
+    """TableStats restricted to the pruned partition set: bytes are
+    listed for KEPT partitions only (pruned-out directories are never
+    touched), rows sum the kept manifest counts, and the key NDV merges
+    only the kept partitions' KMV sketches — the estimate the join
+    decision should see is the post-pruning one."""
+    mk = {**m, "partitions": {v: m["partitions"][v] for v in scan.kept}}
+    bytes_total = sum(
+        b for _n, b in partition_file_stats(spark, path, mk).values()
+    )
+    rows: int | None = (
+        sum(int(m["rows"][v]) for v in scan.kept) if "rows" in m else None
+    )
+    ndv: float | None = None
+    if key_col in m.get("ndv_cols", []):
+        _n, ndv = merged_ndv_m(mk, key_col)
+    return TableStats(
+        path=path,
+        n_partitions=len(scan.kept),
+        bytes_total=bytes_total,
+        rows_total=rows,
+        key_ndv=ndv,
+    )
+
+
+def advise_auto_join(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    left_key: str,
+    right_key: str | None = None,
+    left_ranges: dict[str, tuple] | None = None,
+    left_points: dict[str, object] | None = None,
+    right_ranges: dict[str, tuple] | None = None,
+    right_points: dict[str, object] | None = None,
+    broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
+    target_rows_per_partition: int = 5_000_000,
+    min_shuffle_partitions: int | None = None,
+) -> AutoJoinPlan:
+    """The AUTO-COMPOSED read path: ONE call that (1) prunes each side's
+    scan through every manifest sidecar the predicates can use
+    (zone-map ranges, bloom points, hive partition pruning), then
+    (2) picks the join strategy from statistics of the PRUNED sets —
+    broadcast when the pruned small side fits the byte threshold,
+    else a shuffle sized from the System-R estimate over pruned
+    rows/NDV. Decision cost: one manifest read + one FS listing of the
+    KEPT partitions per side — never a data file.
+
+    This is what completes the sidecars into an optimizer path: a date
+    range that prunes a year-partitioned fact to one partition changes
+    the broadcast feasibility and the shuffle size, and the decision
+    sees it, exactly like partition-pruning-aware CBO. Execute with
+    :func:`run_auto_join`, which re-applies every predicate row-exactly
+    after the pruned reads (same answers as the plain filtered join —
+    the strategy changes, the result must not)."""
+    from flnr_wins_spark.sources.ptable import _manifest_ids, _read_manifest
+
+    rk = right_key if right_key is not None else left_key
+    plans = []
+    for path, rng, pts, key in (
+        (left_path, left_ranges, left_points, left_key),
+        (right_path, right_ranges, right_points, rk),
+    ):
+        ids = _manifest_ids(spark, path)
+        if not ids:
+            raise FileNotFoundError(f"no committed manifest under {path}")
+        # ONE manifest read per side: pruning AND stats see one version
+        m = _read_manifest(spark, path, ids[-1])
+        scan = _scan_advice_m(m, path, rng, pts)
+        plans.append((scan, _pruned_table_stats(spark, path, m, scan, key)))
+    (lscan, lstats), (rscan, rstats) = plans
+    join = _decide_join(
+        spark, lstats, rstats,
+        broadcast_threshold_bytes=broadcast_threshold_bytes,
+        target_rows_per_partition=target_rows_per_partition,
+        min_shuffle_partitions=min_shuffle_partitions,
+    )
+    return AutoJoinPlan(
+        left_scan=lscan, right_scan=rscan,
+        left_key=left_key, right_key=rk, join=join,
+    )
+
+
+def read_advised_scan(spark: SparkSession, scan: ScanAdvice) -> DataFrame:
+    """Execute one side's ScanAdvice: read ONLY the kept partitions and
+    re-apply every predicate row-exactly (zone/bloom pruning is
+    partition-granular; the residual filter restores row semantics).
+    An all-pruned side is a provably empty scan — Catalyst folds the
+    ``filter(false)`` to an empty LocalRelation, so zero files are
+    read (read_ptable refuses an empty partition list, and 'no
+    partitions can match' must mean empty result, not error)."""
+    if not scan.kept:
+        df = read_ptable(spark, scan.path).filter(F.lit(False))
+    else:
+        df = read_ptable(spark, scan.path, partitions=list(scan.kept))
+    for col, lo, hi in scan.ranges:
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    for col, v in scan.points:
+        df = df.filter(F.col(col) == F.lit(v))
+    return df
+
+
+def run_auto_join(
+    spark: SparkSession, plan: AutoJoinPlan, how: str = "inner"
+) -> DataFrame:
+    """Execute an AutoJoinPlan end-to-end: pruned + re-filtered reads on
+    both sides, then the advised join (broadcast hint / sized shuffle /
+    feasibility fallback — the same execution rule as
+    :func:`run_advised_join`). Same-named keys join with a key list (one
+    output key column); differently-named keys join on equality (both
+    columns survive)."""
+    left = read_advised_scan(spark, plan.left_scan)
+    right = read_advised_scan(spark, plan.right_scan)
+    on = (
+        plan.left_key
+        if plan.left_key == plan.right_key
+        else left[plan.left_key] == right[plan.right_key]
+    )
+    return _run_join_advice(plan.join, left, right, on, how)
 
 
 # ---------------------------------------------------------------------------
