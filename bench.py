@@ -41,22 +41,29 @@ def main() -> None:
 
     read_table(spark, sf_dir, "region").write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, qd in headline.items():
-        # min of two runs: the first run of a query pays one-time plan
-        # compile/codegen/broadcast-pool costs that land on whichever query
-        # happens to come first — the min measures the steady-state plan,
-        # which is what round-over-round comparisons should track
-        best = None
-        for _ in range(2):
-            # isolate queries: operators that persist intermediates (MinHash
-            # LSH, semdedup) must not hold executor memory across timings
+    # INTERLEAVED passes + per-query MEDIAN (r9 verdict task 5): three
+    # full passes over the whole set, one timing per query per pass, and
+    # the recorded number is the median of the three. Interleaving
+    # spreads transient host weather (shared-hypervisor CPU contention)
+    # across every query in the pass instead of concentrating it on
+    # whichever query was running — so one query 3x out of band while
+    # its pass-neighbors sit in band reads as a real regression, and a
+    # uniformly inflated pass reads as weather. The median then drops
+    # that worst pass. Pass 1 additionally absorbs one-time plan
+    # compile/codegen/broadcast-pool costs (the old min-of-2 rationale).
+    passes: dict[str, list[float]] = {name: [] for name in headline}
+    for _ in range(3):
+        for name, qd in headline.items():
+            # isolate queries: operators that persist intermediates
+            # (MinHash LSH, semdedup) must not hold executor memory
+            # across timings
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            passes[name].append(time.perf_counter() - t0)
+    timings = {
+        name: round(sorted(ts)[1], 3) for name, ts in passes.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -70,9 +77,9 @@ def main() -> None:
                 # keep notes SHORT (<300 chars): the driver captures only the
                 # last 2,000 chars of stdout — a long note truncated 9 of 27
                 # r5 timings out of BENCH_r05.json. Prose lives in SURVEY §8.
-                "notes": "min-of-2 per query, steady-state plan; 35 "
-                "headliners (r8 adds cost-based join advisor, zorder "
-                "pruning witness); see SURVEY.md §8.",
+                "notes": "median of 3 INTERLEAVED passes per query (r10 "
+                "methodology: weather shows as a whole inflated pass, "
+                "median drops it); 35 headliners; see SURVEY.md §8.",
             }
         )
     )

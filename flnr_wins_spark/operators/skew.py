@@ -33,6 +33,7 @@ def salted_join(
     salt_col: str,
     how: str = "inner",
     buckets: int = 16,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """Equi-join ``big`` with ``small`` on ``on``, salting the shuffle key.
 
@@ -40,11 +41,29 @@ def salted_join(
     spreads rows of one join key uniformly over ``buckets``. Deterministic:
     xxhash64, no rand(). Result equals ``big.join(small, on, how)`` exactly.
 
+    ``hot_keys`` (e.g. from ``sources.advisor.detect_key_skew``, which
+    reads them from manifest metadata alone) salts ONLY the named keys:
+    the hot slice joins salted, the long tail joins plain, and the union
+    is the exact join — the small side's replication cost then scales
+    with the hot keys' dimension rows, not the whole dimension. NULL
+    join keys follow the tail branch, preserving plain-join semantics
+    (never matching; null-filled under ``how='left'``).
+
     Supported ``how``: inner/left — the salted small side is a pure
     replication, so multiplicities and null-fill match the unsalted join.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how}")
+    if hot_keys is not None:
+        if not hot_keys:
+            return big.join(small, on, how)
+        is_hot = F.col(on).isin(list(hot_keys))
+        hot_part = salted_join(
+            big.filter(is_hot), small.filter(is_hot), on, salt_col,
+            how=how, buckets=buckets,
+        )
+        tail = big.filter(~is_hot | F.col(on).isNull()).join(small, on, how)
+        return hot_part.unionByName(tail)
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)).cast("int")
     )

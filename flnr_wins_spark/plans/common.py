@@ -47,68 +47,50 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
-# driver-graded correctness row go first. Round-8 ordering (the driver
-# graded EXACTLY the first 50 in rounds 1-7): (a) the ten never-graded
-# r8 surfaces (cost-based join advisor broadcast + shuffle/estimate
-# paths, co-located/bucketed third strategy, manifest-level DPP join,
-# range-bounds planner, graded time travel, persisted-dedup-index
-# incremental probe, Z-order pruning witness, streamed-lakehouse prune,
-# ANN recall floor); (b) the two entries whose
-# code changed in r8 — x_ptable_cdc_e2e (insert keys now negated: VALUES
-# changed) and x_holt_forecast (plan rerouted through the distributed
-# operator; values unchanged by the shared-recurrence design); (c) the 7
-# r02-stale entries r7's budget deferred; (d) the five r03 entries whose
-# modules r8 touched (scratch_dir / estimate refactors); (e) the five
-# rows-only fast paths for fresh rows-evidence; (f) the r03 cohort in
-# staleness order — 21 of 41 fit the 50-budget (through
-# x_countmin), the last 20 (from x_dedup_clusters_star) lead r9.
-# Positions 51+ keep staleness order (r03 remainder, then r04, r05,
-# then the 48 entries freshly graded green in r07, freshest last).
-# Goal after r8: no never-graded entries, nothing older than r03, and
-# the r03 cohort two-thirds drained.
+# driver-graded correctness row go first. ROUND-10 ordering (executed this
+# time — r9 failed to rotate and re-proved r8's head; see SURVEY §8):
+# (a) the 20 r03-stale entries (the staleness tail, from
+#     x_dedup_clusters_star) — drains the r03 cohort completely;
+# (b) the reference-parity flagship wins_e2e_kept/wins_e2e_rejects,
+#     unhashed since r04;
+# (c) the four NEW r10 surfaces (value-level skew sidecar join,
+#     auto-advised read path, streaming watermark, JDBC snapshot);
+# (d) the 13 entries rewired through cached_fixture in r10 (fixture
+#     plumbing changed => regrade in the same round, the r8 rule);
+# (e) 11 of the r04 cohort in staleness order — fills the 50 budget.
+# Goal after r10: zero r03-stale entries, zero never-graded entries,
+# flagship fresh; the 29 remaining r04 entries lead the r11 rotation.
+# Positions 51+ keep staleness order (r04 remainder, r05, the r07-graded
+# block, then everything graded r09 — freshest evidence last).
 # Names absent from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
-    # (a) new r8 surfaces — never graded
-    "x_ptable_join_advisor", "x_advisor_estimate", "x_ptable_dpp_join",
-    "x_partition_bounds_advisor", "x_ptable_time_travel",
-    "x_advisor_colocated", "x_dedup_index_incremental",
-    "x_ptable_zorder_optimize", "x_stream_lakehouse_prune", "x_ann_recall",
-    # (b) code changed in r8
-    "x_ptable_cdc_e2e", "x_holt_forecast",
-    # (c) the 7 r02-stale entries deferred by r7's budget
-    "q_recursive_calendar", "q_unpivot_metrics", "q_lateral_topn",
-    "x_repetition_stats", "x_pagerank", "x_kfold_split", "x_vocab_topk",
-    # (d) r8-touched modules, latest grade r03/r06
-    "x_dedup_minhash_estimate", "r1_append_no_test",
-    "r4_enrich_left_join", "r7_reject_duplicates", "q_source_roundtrip",
-    # (e) rows-only fast paths: refresh rows-evidence
-    "x_dedup_minhash_lsh", "q_events_approx_distinct", "x_dedup_simhash",
-    "x_similarity_ann_lsh", "x_similarity_ivf",
-    # (f) latest grade r03, staleness order — first 21 fill the budget
-    "q10_returned_items", "q11_important_value", "q12_shipping_delay",
-    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_national_market_share", "q9_product_type_profit",
-    "q_array_functions", "q_asof_tolerance", "q_listagg",
-    "q_null_safe_join", "q_skew_salted_join", "q_window_fill_forward",
-    "q_window_time_range", "r2_conditional_update", "r3_blank_to_null",
-    "r6_frequency", "r8_reject_unmatched", "x_bloom_prefilter",
-    "x_countmin",
-    # ---- position 51+ (graded only if the budget stretches) ----
-    # r03 remainder (leads the r9 rotation)
-    "x_dedup_clusters_star",
-    "x_dedup_containment", "x_dedup_url", "x_embedding_stats",
-    "x_equidepth_bins", "x_funnel_counts",
+    # (a) r03-stale — drain the cohort
+    "x_dedup_clusters_star", "x_dedup_containment", "x_dedup_url",
+    "x_embedding_stats", "x_equidepth_bins", "x_funnel_counts",
     "x_global_rank", "x_group_topk_sample", "x_incremental_agg",
     "x_multimodal_audio_chunks", "x_outlier_events", "x_packed_sequences",
     "x_retention_cohorts", "x_search_bm25", "x_similarity_int8",
     "x_token_bigrams", "x_unigram_quality", "x_url_canonicalize",
     "x_winsorize", "x_zorder_layout",
-    # latest grade r04
+    # (b) reference-parity flagship, unhashed since r04
+    "wins_e2e_kept", "wins_e2e_rejects",
+    # (c) new r10 surfaces — never graded
+    "x_skew_sidecar_join", "x_advisor_auto_read", "q_stream_watermark",
+    "x_jdbc_snapshot",
+    # (d) rewired through cached_fixture in r10 — code changed, regrade
+    "x_ptable_join_advisor", "x_advisor_estimate", "x_ptable_dpp_join",
+    "x_partition_bounds_advisor", "x_ptable_time_travel",
+    "x_ptable_zorder_optimize", "x_ptable_zonemap_prune",
+    "x_ptable_metadata_counts", "x_ptable_bloom_point", "x_ptable_ndv",
+    "x_similarity_ivf_persisted", "x_search_bm25_persisted",
+    "x_dedup_index_incremental",
+    # (e) r04 cohort, staleness order — first 11 fill the budget
     "q_events_histogram", "q_events_interpolate", "q_map_functions",
-    "wins_e2e_kept", "wins_e2e_rejects", "x_attribution_last_touch",
-    "x_bigram_lm_quality", "x_bpe_train", "x_classify_nb_langid",
-    "x_classify_perceptron", "x_compaction_plan", "x_correlation_matrix",
-    "x_dedup_minhash_portable",
+    "x_attribution_last_touch", "x_bigram_lm_quality", "x_bpe_train",
+    "x_classify_nb_langid", "x_classify_perceptron", "x_compaction_plan",
+    "x_correlation_matrix", "x_dedup_minhash_portable",
+    # ---- position 51+ (graded only if the budget stretches) ----
+    # r04 remainder (leads the r11 rotation)
     "x_dedup_simhash_portable", "x_dq_expectations", "x_event_paths",
     "x_fuzzy_join", "x_group_regression", "x_hard_negatives",
     "x_k_anonymity", "x_kcore", "x_keywords_tfidf", "x_knn_classify",
@@ -133,12 +115,9 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_random_projection", "x_recommend_itemknn", "x_semdedup",
     "x_similarity_ivf_kmeans", "x_skew_report", "x_time_to_convert",
     "x_tokenize_optimal", "x_trajectory_similarity",
-    # freshly graded green in r07 — freshest evidence, graded last
-    "x_similarity_ivf_persisted", "x_ptable_zonemap_prune",
-    "x_search_bm25_persisted", "x_search_bm25_incremental",
-    "x_ptable_metadata_counts", "x_ptable_bloom_point",
-    "x_ptable_incremental_mv", "x_corpus_shard", "x_cusum_changepoint",
-    "x_bucketed_join", "x_ptable_ndv", "x_holt_forecast_grouped",
+    # graded green in r07
+    "x_corpus_shard", "x_cusum_changepoint",
+    "x_bucketed_join", "x_holt_forecast_grouped",
     "x_search_e2e", "x_text_tokenize_bpe", "x_multimodal_features",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
@@ -151,6 +130,24 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q_percentile", "x_quality_rules", "x_corpus_stats", "x_doc_chunking",
     "x_dedup_spans", "x_url_filter", "x_corpus_resample", "x_cdc_diff",
     "x_merge_upsert", "x_scd2_history",
+    # graded green in r09 — freshest evidence, graded last
+    "x_ptable_incremental_mv", "x_search_bm25_incremental",
+    "x_advisor_colocated", "x_stream_lakehouse_prune", "x_ann_recall",
+    "x_ptable_cdc_e2e", "x_holt_forecast",
+    "q_recursive_calendar", "q_unpivot_metrics", "q_lateral_topn",
+    "x_repetition_stats", "x_pagerank", "x_kfold_split", "x_vocab_topk",
+    "x_dedup_minhash_estimate", "r1_append_no_test",
+    "r4_enrich_left_join", "r7_reject_duplicates", "q_source_roundtrip",
+    "x_dedup_minhash_lsh", "q_events_approx_distinct", "x_dedup_simhash",
+    "x_similarity_ann_lsh", "x_similarity_ivf",
+    "q10_returned_items", "q11_important_value", "q12_shipping_delay",
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_national_market_share", "q9_product_type_profit",
+    "q_array_functions", "q_asof_tolerance", "q_listagg",
+    "q_null_safe_join", "q_skew_salted_join", "q_window_fill_forward",
+    "q_window_time_range", "r2_conditional_update", "r3_blank_to_null",
+    "r6_frequency", "r8_reject_unmatched", "x_bloom_prefilter",
+    "x_countmin",
 )
 
 def all_queries() -> dict[str, QueryDef]:
@@ -232,17 +229,32 @@ def cached_fixture(name: str, sf_dir: str, builder) -> str:
     sequences, incremental refreshes) must keep using
     :func:`scratch_dir` — their fixture mutation is the point.
 
-    The directory lives under the scratch root (atexit-cleaned); the
-    sf_dir key rides the scratch NAME so different scale factors never
-    alias and the versioned-run GC never reclaims a cached build."""
+    The directory lives under the scratch root (atexit-cleaned); a hash
+    of the FULL sf_dir path rides the scratch NAME so two distinct
+    sf_dirs can never alias one name — each (name, sf_dir) pair owns its
+    own run counter, it only ever reaches run-1, and the versioned-run
+    GC (which deletes run N-2 of the SAME name) can never reclaim a
+    cached build."""
+    import hashlib
     import os
 
     key = (name, sf_dir)
     if key not in _FIXTURES:
-        d = scratch_dir(f"{name}@{os.path.basename(os.path.normpath(sf_dir))}")
+        tag = hashlib.md5(
+            os.path.abspath(sf_dir).encode()
+        ).hexdigest()[:10]
+        d = scratch_dir(f"{name}@{tag}")
         builder(d)
         _FIXTURES[key] = d
     return _FIXTURES[key]
+
+
+def fixture_path(name: str, sf_dir: str) -> str:
+    """The directory :func:`cached_fixture` built for ``(name, sf_dir)``
+    in THIS process — for tests that must inspect the fixture an entry
+    just read (plan contracts reconstruct pruning stats from it).
+    Raises KeyError if the entry has not run yet."""
+    return _FIXTURES[(name, sf_dir)]
 
 
 # ---------------------------------------------------------------------------

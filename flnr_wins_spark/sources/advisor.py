@@ -456,7 +456,15 @@ def _scan_advice_m(
                     return int(s)
                 lo_k = int(lo) if lo is not None else None
                 hi_k = int(hi) if hi is not None else None
-            elif pt in ("string", "date", "boolean"):
+            elif pt == "boolean":
+                # hive dirs encode booleans LOWERCASE ('true'/'false');
+                # str(True) is 'True', so normalize probes to the hive
+                # form — 'false' < 'true' then orders correctly
+                def _key(s):
+                    return s
+                lo_k = str(lo).lower() if lo is not None else None
+                hi_k = str(hi).lower() if hi is not None else None
+            elif pt in ("string", "date"):
                 # ISO date strings compare lexically == chronologically
                 def _key(s):
                     return s
@@ -478,8 +486,26 @@ def _scan_advice_m(
             keep &= set(prune_range_m(m, col, lo, hi))
     for col, value in (points or {}).items():
         if col == part_col:
-            # same identity rule as read_ptable's `partitions` argument
-            keep &= {v for v in m["partitions"] if v == str(value)}
+            # same identity rule as read_ptable's `partitions` argument,
+            # with booleans normalized to their hive (lowercase) form
+            probe = (
+                str(value).lower()
+                if m["part_type"] == "boolean"
+                else str(value)
+            )
+            hit = {v for v in m["partitions"] if v == probe}
+            if not hit and m["partitions"]:
+                # a point probe matching ZERO hive values of a non-empty
+                # table is far more likely a mis-encoded probe (wrong
+                # case, wrong type rendering) than a true empty match —
+                # fail loudly like read_ptable does, never return a
+                # silently-empty advised scan
+                raise KeyError(
+                    f"point predicate {col}={value!r} matches no partition "
+                    f"value of {path} (values are hive-encoded strings, "
+                    f"e.g. booleans lowercase)"
+                )
+            keep &= hit
         else:
             keep &= set(prune_eq_m(m, col, value))
     return ScanAdvice(
@@ -582,11 +608,19 @@ def read_advised_scan(spark: SparkSession, scan: ScanAdvice) -> DataFrame:
     re-apply every predicate row-exactly (zone/bloom pruning is
     partition-granular; the residual filter restores row semantics).
     An all-pruned side is a provably empty scan — Catalyst folds the
-    ``filter(false)`` to an empty LocalRelation, so zero files are
-    read (read_ptable refuses an empty partition list, and 'no
-    partitions can match' must mean empty result, not error)."""
+    ``filter(false)`` to an empty LocalRelation, so zero files are read
+    at execution AND planning stays O(1): the schema comes from ONE
+    arbitrary manifest partition, never a full-table read (read_ptable
+    refuses an empty partition list, and 'no partitions can match' must
+    mean empty result, not error)."""
     if not scan.kept:
-        df = read_ptable(spark, scan.path).filter(F.lit(False))
+        from flnr_wins_spark.sources.ptable import _manifest_ids, _read_manifest
+
+        m = _read_manifest(spark, scan.path, _manifest_ids(spark, scan.path)[-1])
+        probe = sorted(m["partitions"])[0]
+        df = read_ptable(spark, scan.path, partitions=[probe]).filter(
+            F.lit(False)
+        )
     else:
         df = read_ptable(spark, scan.path, partitions=list(scan.kept))
     for col, lo, hi in scan.ranges:
@@ -853,4 +887,80 @@ def detect_partition_skew(
         ratio=mx_rows / mean,
         skewed=hot,
         advice="salt-or-split" if hot else "ok",
+    )
+
+
+@dataclass(frozen=True)
+class KeySkewReport:
+    """VALUE-level skew evidence from the heavy-hitter sidecars: the hot
+    JOIN KEYS a shuffle would pile onto single tasks, invisible to
+    partition-granular row counts when the hot key spreads across
+    otherwise-balanced partitions."""
+
+    col: str
+    total_rows: int
+    n_partitions: int
+    floor: int                       # rows above which a key counts as hot
+    hot_keys: list                   # values (manifest-decoded), hottest first
+    hot_counts: dict                 # value -> [count_lower_bound, err_bound]
+    advice: str                      # 'ok' | 'salt'
+
+
+def detect_key_skew(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    hot_ratio: float = 0.05,
+    min_count: int = 0,
+) -> KeySkewReport:
+    """KEY-skew detection from MANIFEST METADATA alone — the value-level
+    complement of :func:`detect_partition_skew`, and the statistic that
+    selects ``operators.skew.salted_join`` for a hot key BEFORE the
+    shuffle runs. Requires the table committed with both ``heavy_cols``
+    (per-partition exact hot-value counts, exactly mergeable by
+    addition — see ``sources.ptable._compute_heavy``) and ``stats_cols``
+    (exact row counts for the denominator). Cost is one manifest read;
+    absence of either sidecar raises loudly (missing counts must never
+    read as 'no skew').
+
+    A key is HOT when its merged count LOWER BOUND reaches
+    ``max(min_count, hot_ratio * total_rows)`` — the lower bound, not
+    lb + error, so the decision is conservative about claiming skew:
+    a flagged key provably holds that many rows, and a truly hot key
+    (many times the per-partition commit threshold) has a near-exact
+    bound. Keys are returned hottest-first with their error bounds so
+    the caller can size salt buckets from the evidence."""
+    import math as _math
+
+    from flnr_wins_spark.sources.ptable import (
+        _manifest_ids,
+        _read_manifest,
+        merged_heavy_m,
+    )
+
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    m = _read_manifest(spark, table_path, ids[-1])
+    if "rows" not in m:
+        raise FileNotFoundError(
+            f"manifest of {table_path} has no per-partition row counts — "
+            "write the table with stats_cols so the hot-row floor has an "
+            "exact denominator"
+        )
+    _kmin, hot = merged_heavy_m(m, col)  # raises if col has no sidecar
+    total = sum(int(n) for n in m["rows"].values())
+    floor = max(int(min_count), int(_math.ceil(hot_ratio * total)))
+    flagged = sorted(
+        ((v, lb, err) for v, (lb, err) in hot.items() if lb >= floor),
+        key=lambda t: (-t[1], str(t[0])),
+    )
+    return KeySkewReport(
+        col=col,
+        total_rows=total,
+        n_partitions=len(m["partitions"]),
+        floor=floor,
+        hot_keys=[v for v, _lb, _e in flagged],
+        hot_counts={v: [lb, err] for v, lb, err in flagged},
+        advice="salt" if flagged else "ok",
     )

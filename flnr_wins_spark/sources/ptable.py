@@ -505,6 +505,227 @@ def sample_values(
     return [val for _h, val in sorted(merged)[:k]]
 
 
+def _compute_heavy(
+    spark: SparkSession,
+    stage_path: str,
+    part_col: str,
+    heavy_cols: list[str],
+    k: int,
+    threshold: int,
+) -> dict:
+    """Per-partition VALUE-LEVEL HEAVY-HITTER sidecars: exact counts for
+    (a) the k distinct values with the smallest 60-bit md5 hashes
+    ("kmin" — a content-addressed uniform sample of the value domain
+    WITH its exact frequency) and (b) every value whose count in the
+    partition reaches ``threshold`` ("hot"). Both are EXACTLY mergeable
+    by addition, never sketched:
+
+      * a value whose hash ranks <= k GLOBALLY ranks <= k inside every
+        partition that contains it (fewer than k smaller hashes exist
+        anywhere), so summing its per-partition kmin counts is the exact
+        table-wide count — unlike Misra-Gries there is no decrement
+        error;
+      * a "hot" sum is an exact LOWER BOUND whose error is < threshold
+        per non-reporting partition (a partition not listing the value
+        holds < threshold copies of it by construction) — the bound the
+        skew detector reports alongside the count.
+
+    This is the statistic partition-granular row counts cannot give: a
+    single join KEY hot inside otherwise-balanced partitions (the
+    classic shuffle straggler) is invisible to ``detect_partition_skew``
+    but sits in every partition's hot list here, so the skew decision
+    (``sources.advisor.detect_key_skew`` ->
+    ``operators.skew.salted_join``) reads the manifest alone. One scan per distinct value
+    dtype (struct fields are monotyped, same discipline as
+    ``_compute_sample``); the aggregation is a map-side-combining
+    groupBy, never a collect of raw rows. Metadata size per (partition,
+    column) is <= k + rows/threshold entries; a partition whose hot list
+    exceeds 10_000 entries fails LOUDLY at commit (the threshold is too
+    low for the data — silent metadata blow-up at 100 TB is the worse
+    failure). NULLs are neither counted nor sampled."""
+    from pyspark.sql import Window
+
+    df = _read_stage_raw(spark, stage_path)
+    dtypes = dict(df.dtypes)
+    by_type: dict[str, list[str]] = {}
+    for c in heavy_cols:
+        if c in df.columns:
+            by_type.setdefault(dtypes[c], []).append(c)
+    out: dict[str, dict] = {}
+    w = Window.partitionBy(part_col, "_c").orderBy("_h", "_v")
+    for cols in by_type.values():
+        pairs = []
+        for c in cols:
+            pairs.append(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.lit(c).alias("c"), F.col(c).alias("v")),
+                )
+            )
+        rows = (
+            df.select(F.col(part_col), F.explode(F.array(*pairs)).alias("_p"))
+            .filter(F.col("_p").isNotNull())
+            .groupBy(
+                F.col(part_col),
+                F.col("_p.c").alias("_c"),
+                F.col("_p.v").alias("_v"),
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn(
+                "_h",
+                F.conv(
+                    F.substring(F.md5(F.col("_v").cast("string")), 1, 15),
+                    16, 10,
+                ).cast("long"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") <= k) | (F.col("_n") >= threshold))
+            .groupBy(part_col, "_c")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("_h", "_v", "_n", "_rn"))
+                ).alias("_ps")
+            )
+            .collect()
+        )
+        for r in rows:
+            d = out.setdefault(str(r[part_col]), {}).setdefault(
+                r["_c"], {"kmin": [], "hot": []}
+            )
+            for p in r["_ps"]:
+                if p["_rn"] <= k:
+                    d["kmin"].append(
+                        [int(p["_h"]), _json_scalar(p["_v"]), int(p["_n"])]
+                    )
+                if p["_n"] >= threshold:
+                    d["hot"].append([_json_scalar(p["_v"]), int(p["_n"])])
+            if len(d["hot"]) > 10_000:
+                raise ValueError(
+                    f"heavy sidecar for column '{r['_c']}' in partition "
+                    f"'{r[part_col]}' lists {len(d['hot'])} values at or "
+                    f"above heavy_threshold={threshold} — raise the "
+                    "threshold; a manifest is metadata, not a histogram "
+                    "of the whole column"
+                )
+            d["hot"].sort(key=lambda e: (-e[1], str(e[0])))
+    return out
+
+
+def _check_heavy_spec(
+    df: DataFrame, part_col: str, heavy_cols: list[str], k: int, threshold: int
+) -> None:
+    """Heavy sidecars share the bloom/sample portability contract (md5
+    over Spark's CAST(col AS STRING)) plus a floor on the hot threshold:
+    ``threshold=1`` would record every distinct value's count — that is
+    the table, not metadata."""
+    if k < 2:
+        raise ValueError(f"heavy_k must be >= 2, got {k}")
+    if threshold < 2:
+        raise ValueError(
+            f"heavy_threshold must be >= 2, got {threshold} — a threshold "
+            "of 1 stores every distinct value's count in the manifest"
+        )
+    dtypes = dict(df.dtypes)
+    for c in heavy_cols:
+        if c == part_col:
+            raise ValueError(
+                f"heavy_cols may not name the partition column '{c}' — "
+                "per-partition row counts (stats_cols) already give its "
+                "value frequencies exactly"
+            )
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(
+                f"heavy_cols column '{c}' is not in the DataFrame — a "
+                "misspelled column would commit a table whose skew "
+                "detector silently has no counts to read"
+            )
+        if t not in _BLOOM_OK_TYPES:
+            raise TypeError(
+                f"heavy_cols column '{c}' has type {t}; heavy-hitter "
+                f"sidecars support only {sorted(_BLOOM_OK_TYPES)} "
+                "(engine-portable string forms)"
+            )
+
+
+def merged_heavy_m(m: dict, col: str) -> tuple[list, dict]:
+    """Merge the per-partition heavy sidecars of an already-parsed
+    manifest into table-wide statistics for ``col``. Returns
+    ``(kmin, hot)``:
+
+      * ``kmin`` — ``[[value, exact_count], ...]`` for the k distinct
+        values with the globally smallest hashes, counts EXACT by the
+        mergeability argument in :func:`_compute_heavy` (sorted by
+        hash — i.e. a uniform sample order, not by count);
+      * ``hot`` — ``{value_json: [count_lower_bound, error_bound]}`` for
+        every value any partition reported hot, where the true count is
+        in ``[lb, lb + err)``: per partition the count is exact when
+        reported (hot or kmin list), else provably < threshold, and
+        ``err = threshold * n_partitions_not_reporting``.
+
+    Zero data files touched — this is the merge rule
+    ``sources.advisor.detect_key_skew`` builds on."""
+    if col not in m.get("heavy_cols", []):
+        raise FileNotFoundError(
+            f"manifest has no heavy-hitter sidecar for '{col}' — write "
+            "the table with heavy_cols to opt in"
+        )
+    k = m["heavy_k"]
+    threshold = m["heavy_threshold"]
+    parts = sorted(m["partitions"])
+    # per-partition exact count map (kmin ∪ hot agree on shared values)
+    per_part: list[dict] = []
+    all_kmin: set[tuple] = set()
+    for v in parts:
+        side = m.get("heavy", {}).get(v, {}).get(col, {})
+        exact: dict = {}
+        for h, val, n in side.get("kmin", []):
+            key = _json_key(val)
+            exact[key] = int(n)
+            all_kmin.add((int(h), key, val if not isinstance(val, list) else tuple(val)))
+        for val, n in side.get("hot", []):
+            exact[_json_key(val)] = int(n)
+        per_part.append(exact)
+    # global kmin: k hash-smallest distinct values; counts sum exactly
+    kmin_sorted = sorted({(h, key) for h, key, _v in all_kmin})[:k]
+    key_to_val = {key: val for _h, key, val in all_kmin}
+    kmin = [
+        [key_to_val[key], sum(p.get(key, 0) for p in per_part)]
+        for _h, key in kmin_sorted
+    ]
+    # hot: lower-bound sums with explicit error bounds
+    hot_keys: set = set()
+    for v in parts:
+        side = m.get("heavy", {}).get(v, {}).get(col, {})
+        hot_keys.update(_json_key(val) for val, _n in side.get("hot", []))
+    hot: dict = {}
+    for key in hot_keys:
+        lb = sum(p.get(key, 0) for p in per_part)
+        missing = sum(1 for p in per_part if key not in p)
+        hot[key] = [lb, missing * (threshold - 1)]
+    return kmin, hot
+
+
+def _json_key(val):
+    """Hashable identity for a JSON-decoded sidecar value (lists from
+    JSON arrays become tuples)."""
+    return tuple(val) if isinstance(val, list) else val
+
+
+def heavy_hitters(
+    spark: SparkSession, table_path: str, col: str, manifest: int | None = None
+) -> tuple[list, dict]:
+    """Table-wide merged heavy-hitter statistics for ``col`` from
+    MANIFEST METADATA alone — see :func:`merged_heavy_m` for the return
+    shape. Raises loudly if the table was not written with
+    ``heavy_cols`` including ``col``."""
+    ids = _manifest_ids(spark, table_path)
+    if not ids:
+        raise FileNotFoundError(f"no committed manifest under {table_path}")
+    km = manifest if manifest is not None else ids[-1]
+    return merged_heavy_m(_read_manifest(spark, table_path, km), col)
+
+
 def ndv_partitions(
     spark: SparkSession, table_path: str, col: str, manifest: int | None = None
 ) -> dict[str, tuple[int, float]]:
@@ -695,6 +916,9 @@ def write_ptable(
     ndv_k: int = 64,
     sample_cols: list[str] | None = None,
     sample_k: int = 256,
+    heavy_cols: list[str] | None = None,
+    heavy_k: int = 64,
+    heavy_threshold: int = 1000,
 ) -> int:
     """Write ``df`` as a new FULL commit of the partitioned table (every
     partition staged fresh); returns the manifest id. The partition column
@@ -763,6 +987,17 @@ def write_ptable(
         manifest["sample_k"] = int(sample_k)
         manifest["sample"] = _compute_sample(
             spark, stage, part_col, list(sample_cols), sample_k
+        )
+    if heavy_cols:
+        _check_heavy_spec(
+            df, part_col, list(heavy_cols), heavy_k, heavy_threshold
+        )
+        manifest["heavy_cols"] = list(heavy_cols)
+        manifest["heavy_k"] = int(heavy_k)
+        manifest["heavy_threshold"] = int(heavy_threshold)
+        manifest["heavy"] = _compute_heavy(
+            spark, stage, part_col, list(heavy_cols), heavy_k,
+            heavy_threshold,
         )
     _write_manifest(spark, table_path, k, manifest)
     return k
@@ -957,6 +1192,24 @@ def merge_ptable(
         manifest["sample_cols"] = prev["sample_cols"]
         manifest["sample_k"] = prev["sample_k"]
         manifest["sample"] = samp
+    if prev.get("heavy_cols"):
+        # heavy-hitter sidecars follow the same carry-by-reference rule
+        heavy = {
+            v: h for v, h in prev.get("heavy", {}).items() if v in mapping
+        }
+        for v in written:
+            heavy.pop(v, None)
+        if written:
+            heavy.update(
+                _compute_heavy(
+                    spark, stage, part_col, prev["heavy_cols"],
+                    prev["heavy_k"], prev["heavy_threshold"],
+                )
+            )
+        manifest["heavy_cols"] = prev["heavy_cols"]
+        manifest["heavy_k"] = prev["heavy_k"]
+        manifest["heavy_threshold"] = prev["heavy_threshold"]
+        manifest["heavy"] = heavy
     if meta:
         # caller-owned metadata rides the atomic commit (e.g. the streaming
         # sink's applied-batch-id for exactly-once replay skipping); the
@@ -1313,6 +1566,11 @@ def compact_ptable(
         manifest["sample_cols"] = prev["sample_cols"]
         manifest["sample_k"] = prev["sample_k"]
         manifest["sample"] = prev.get("sample", {})
+    if prev.get("heavy_cols"):
+        manifest["heavy_cols"] = prev["heavy_cols"]
+        manifest["heavy_k"] = prev["heavy_k"]
+        manifest["heavy_threshold"] = prev["heavy_threshold"]
+        manifest["heavy"] = prev.get("heavy", {})
     _write_manifest(spark, table_path, k, manifest)
     return k
 
@@ -1387,6 +1645,14 @@ def repartition_ptable(
         manifest["sample"] = _compute_sample(
             spark, stage, new_part_col, prev["sample_cols"],
             prev["sample_k"],
+        )
+    if prev.get("heavy_cols"):
+        manifest["heavy_cols"] = prev["heavy_cols"]
+        manifest["heavy_k"] = prev["heavy_k"]
+        manifest["heavy_threshold"] = prev["heavy_threshold"]
+        manifest["heavy"] = _compute_heavy(
+            spark, stage, new_part_col, prev["heavy_cols"],
+            prev["heavy_k"], prev["heavy_threshold"],
         )
     _write_manifest(spark, table_path, k, manifest)
     return k

@@ -173,12 +173,11 @@ def test_dpp_join_prunes_most_fact_partitions(spark):
     out = all_queries()["x_ptable_dpp_join"].fn(spark, sf_dir)
     got = sorted((r.o_orderkey, r.o_custkey) for r in out.collect())
 
-    # reconstruct the pruning stats over the scratch table the entry wrote
-    # (THIS process's scratch root — never another process's leftovers)
+    # reconstruct the pruning stats over the cached fixture the entry
+    # built (THIS process's cache — never another process's leftovers)
     from flnr_wins_spark.plans import common
 
-    run = common._SCRATCH_RUNS["ptable_dpp"]
-    path = f"{common._SCRATCH_ROOT}/ptable_dpp/run-{run}/tbl"
+    path = common.fixture_path("ptable_dpp", sf_dir) + "/tbl"
     kept = set()
     for k in (1, 2, 3):
         kept |= set(prune_partitions_eq(spark, path, "o_custkey", k))
@@ -539,3 +538,232 @@ def test_range_bucket_null_key_yields_null_not_bucket_zero(spark):
         ).collect()
     }
     assert got == {1: 0, 15: 1, None: None}
+
+
+# ---------------------------------------------------------------------------
+# Auto-advised read path contract tests (advise_auto_join / run_auto_join /
+# read_advised_scan) — round 10
+# ---------------------------------------------------------------------------
+
+def _dated_fact(spark):
+    # 3 year-partitions x 100 rows; o_d is a DATE inside the year
+    import datetime
+
+    rows = []
+    for y in (1995, 1996, 1997):
+        for i in range(100):
+            rows.append(
+                (y * 1000 + i, i % 11, datetime.date(y, 1 + i % 12, 1), str(y))
+            )
+    return spark.createDataFrame(rows, "fk long, cust long, o_d date, yy string")
+
+
+def _seg_dim(spark):
+    return spark.createDataFrame(
+        [(i, f"nm{i}", ["A", "B"][i % 2]) for i in range(11)],
+        "cust long, name string, seg string",
+    )
+
+
+def _auto_paths(spark, tmp_path):
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
+    write_ptable(_dated_fact(spark), fp, "yy",
+                 stats_cols=["o_d", "cust"], ndv_cols=["cust"])
+    write_ptable(_seg_dim(spark), dp, "seg",
+                 stats_cols=["cust"], ndv_cols=["cust"])
+    return fp, dp
+
+
+def test_auto_join_prunes_each_sidecar_tightly(spark, tmp_path):
+    """Zone-map range on the fact keeps exactly the overlapping year
+    partitions; hive point on the dim keeps exactly the named segment —
+    pruning tightness per sidecar type, from ONE advise call."""
+    from flnr_wins_spark.sources.advisor import advise_auto_join
+
+    fp, dp = _auto_paths(spark, tmp_path)
+    plan = advise_auto_join(
+        spark, fp, dp, "cust",
+        left_ranges={"o_d": ("1995-06-01", "1996-06-30")},
+        right_points={"seg": "A"},
+    )
+    assert plan.left_scan.kept == ("1995", "1996")
+    assert plan.left_scan.n_total == 3
+    assert plan.right_scan.kept == ("A",)
+    assert plan.right_scan.n_total == 2
+
+
+def test_auto_join_decision_sees_pruned_stats(spark, tmp_path):
+    """The SAME tables flip broadcast<->shuffle purely because pruning
+    changed the small side's byte count — the decision consumes the
+    PRUNED partition set's stats, not the whole table's."""
+    from flnr_wins_spark.sources.advisor import advise_auto_join
+    from flnr_wins_spark.sources.ptable import partition_bytes
+
+    fp, dp = _auto_paths(spark, tmp_path)
+    pb = partition_bytes(spark, dp)
+    # threshold strictly between one partition's bytes and the table's
+    thresh = pb["A"] + 1
+    assert thresh <= sum(pb.values())
+    pruned = advise_auto_join(
+        spark, fp, dp, "cust",
+        right_points={"seg": "A"},
+        broadcast_threshold_bytes=thresh,
+    )
+    assert pruned.join.strategy == "broadcast"
+    assert pruned.join.build_side == "right"
+    unpruned = advise_auto_join(
+        spark, fp, dp, "cust", broadcast_threshold_bytes=thresh
+    )
+    assert unpruned.join.strategy == "shuffle"
+
+
+def test_read_advised_scan_all_pruned_is_empty_with_schema(spark, tmp_path):
+    """A range no zone intersects yields an EMPTY result (not an error)
+    with the table's schema, and run_auto_join over it yields empty."""
+    from flnr_wins_spark.sources.advisor import (
+        advise_auto_join,
+        read_advised_scan,
+        run_auto_join,
+    )
+
+    fp, dp = _auto_paths(spark, tmp_path)
+    plan = advise_auto_join(
+        spark, fp, dp, "cust",
+        left_ranges={"o_d": ("2050-01-01", "2051-01-01")},
+    )
+    assert plan.left_scan.kept == ()
+    left = read_advised_scan(spark, plan.left_scan)
+    assert left.count() == 0
+    assert set(left.columns) == {"fk", "cust", "o_d", "yy"}
+    assert run_auto_join(spark, plan).count() == 0
+
+
+def test_run_auto_join_residual_refilter_row_exact(spark, tmp_path):
+    """Pruning is partition-granular; the residual re-filter must restore
+    row semantics EXACTLY — the auto path equals the plain filtered join
+    on the raw frames, row for row."""
+    from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
+
+    fp, dp = _auto_paths(spark, tmp_path)
+    lo, hi = "1995-06-01", "1996-06-30"
+    plan = advise_auto_join(
+        spark, fp, dp, "cust",
+        left_ranges={"o_d": (lo, hi)},
+        right_points={"seg": "A"},
+    )
+    got = run_auto_join(spark, plan)
+    want = (
+        _dated_fact(spark)
+        .filter(F.col("o_d").between(lo, hi))
+        .join(_seg_dim(spark).filter(F.col("seg") == "A"), "cust")
+    )
+    assert got.count() == want.count() > 0
+    assert got.select(*sorted(got.columns)).exceptAll(
+        want.select(*sorted(got.columns))
+    ).count() == 0
+
+
+def test_scan_advice_boolean_partition_normalizes_hive_form(spark, tmp_path):
+    """Hive dirs encode booleans lowercase; str(True) is 'True'. A point
+    probe {part: True} must keep the true partition (ADVICE r9: the old
+    identity compare silently pruned EVERYTHING), and a boolean range
+    must order 'false' < 'true'."""
+    from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(40)], "k long, flag boolean"
+    )
+    fp = str(tmp_path / "b")
+    write_ptable(df, fp, "flag", stats_cols=["k"])
+    dim = spark.createDataFrame([(i, str(i)) for i in range(40)], "k long, s string")
+    dp = str(tmp_path / "bd")
+    write_ptable(dim, dp, "s", stats_cols=["k"])
+
+    plan = advise_auto_join(
+        spark, fp, dp, "k", left_points={"flag": True}
+    )
+    assert plan.left_scan.kept == ("true",)
+    out = run_auto_join(spark, plan)
+    assert out.count() == 20
+    assert all(r["flag"] is True for r in out.select("flag").distinct().collect())
+
+    rng = advise_auto_join(
+        spark, fp, dp, "k", left_ranges={"flag": (False, True)}
+    )
+    assert rng.left_scan.kept == ("false", "true")
+
+
+def test_scan_advice_point_miss_on_partition_col_raises(spark, tmp_path):
+    """A partition-column point probe matching ZERO hive values of a
+    non-empty table is a mis-encoded probe, not an empty result — it
+    must fail loudly (the silent-empty was ADVICE r9's failure mode)."""
+    from flnr_wins_spark.sources.advisor import advise_auto_join
+
+    fp, dp = _auto_paths(spark, tmp_path)
+    with pytest.raises(KeyError, match="matches no partition value"):
+        advise_auto_join(spark, fp, dp, "cust", right_points={"seg": "nope"})
+
+
+def test_detect_key_skew_reads_manifest_only_and_salted_parity(spark, tmp_path):
+    """Value-level skew: balanced partitions, one hot KEY — invisible to
+    detect_partition_skew, flagged by detect_key_skew from the manifest
+    alone (data dirs renamed away to PROVE no data read), and
+    salted_join with the detected hot_keys equals the plain join."""
+    import os
+
+    from flnr_wins_spark.operators.skew import salted_join
+    from flnr_wins_spark.sources.advisor import (
+        detect_key_skew,
+        detect_partition_skew,
+    )
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    rows = []
+    rid = 0
+    for i in range(400):
+        rows.append((0, str(rid % 4), rid)); rid += 1
+    for k in range(1, 41):
+        for _ in range(10):
+            rows.append((k, str(rid % 4), rid)); rid += 1
+    big = spark.createDataFrame(rows, "k long, pb string, rid long")
+    p = str(tmp_path / "t")
+    write_ptable(big, p, "pb", stats_cols=["k"], heavy_cols=["k"],
+                 heavy_k=8, heavy_threshold=20)
+
+    # partition-level counts are balanced -> no partition skew
+    assert detect_partition_skew(spark, p).advice == "ok"
+    # key-level detection works with the data DIRS renamed away
+    os.rename(f"{p}/stage", f"{p}/stage_hidden")
+    try:
+        rep = detect_key_skew(spark, p, "k", hot_ratio=0.05)
+    finally:
+        os.rename(f"{p}/stage_hidden", f"{p}/stage")
+    assert rep.advice == "salt" and rep.hot_keys == [0]
+    assert rep.hot_counts[0] == [400, 0]
+    assert rep.floor == 40
+
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 41)], "k long, nm string"
+    )
+    a = salted_join(big, dim, "k", "rid", buckets=8, hot_keys=rep.hot_keys)
+    b = big.join(dim, "k")
+    assert a.count() == b.count() == 800
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_salted_join_hot_keys_left_null_semantics(spark):
+    """hot_keys mode must preserve plain-left-join semantics for NULL
+    keys and unmatched keys (null-filled once, never dropped)."""
+    from flnr_wins_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, 1), (1, 2), (None, 3), (9, 4)], "k int, rid int"
+    )
+    dim = spark.createDataFrame([(1, "one")], "k int, nm string")
+    out = salted_join(big, dim, "k", "rid", how="left", hot_keys=[1])
+    want = big.join(dim, "k", "left")
+    assert out.count() == 4
+    assert out.exceptAll(want).count() == 0 and want.exceptAll(out).count() == 0

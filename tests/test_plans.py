@@ -663,9 +663,13 @@ def test_dpp_join_scan_covers_only_bloom_survivors(spark):
     from flnr_wins_spark.plans import common
     from flnr_wins_spark.sources.ptable import prune_partitions_eq
 
-    plan = _plan(spark, "x_ptable_dpp_join")
-    scanned = {m for m in re.findall(r"kb=(-?\d+)", plan)}
-    path = f"{common._SCRATCH_ROOT}/ptable_dpp/tbl"
+    df = all_queries()["x_ptable_dpp_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the Location strings in toString truncate at ~100 chars (and the
+    # cached-fixture dir name lengthened the path), so enumerate the
+    # scanned partitions from inputFiles() — full paths, never elided
+    scanned = {m for f in df.inputFiles() for m in re.findall(r"kb=(-?\d+)", f)}
+    path = common.fixture_path("ptable_dpp", SF_DIR) + "/tbl"
     kept = set()
     for k in (1, 2, 3):
         kept |= set(prune_partitions_eq(spark, path, "o_custkey", k))
@@ -710,4 +714,81 @@ def test_dedup_index_probe_reads_stored_index(spark):
     # neither re-reads text, i.e. no re-signing of the base corpus
     assert any("sig" in s and "text" not in s for s in schemas), schemas
     assert any("shset" in s and "text" not in s for s in schemas), schemas
+    assert "BatchEvalPython" not in plan
+
+
+def test_cached_fixture_builds_once_and_survives_name_collisions(tmp_path):
+    """VERDICT r9 task 4 + ADVICE r9: cached_fixture must build once per
+    (name, sf_dir), and a THIRD distinct sf_dir sharing a basename must
+    never let the versioned-run GC reclaim the first cached build (the
+    old basename-keyed scratch name aliased all three onto one run
+    counter, so run-3 deleted run-1)."""
+    import os
+
+    from flnr_wins_spark.plans import common
+
+    calls = []
+
+    def builder(d):
+        calls.append(d)
+        with open(d + "/x", "w") as f:
+            f.write("1")
+
+    p1, p2, p3 = (str(tmp_path / p / "sfX") for p in ("p1", "p2", "p3"))
+    a1 = common.cached_fixture("cfx_test", p1, builder)
+    a2 = common.cached_fixture("cfx_test", p1, builder)
+    assert a1 == a2 and len(calls) == 1  # build-once reuse
+    b = common.cached_fixture("cfx_test", p2, builder)
+    c = common.cached_fixture("cfx_test", p3, builder)
+    assert len(calls) == 3 and len({a1, b, c}) == 3
+    # the first build is still on disk after two same-basename siblings
+    assert os.path.exists(a1 + "/x") and os.path.exists(b + "/x")
+    assert common.fixture_path("cfx_test", p1) == a1
+
+
+def test_graded_fixture_entries_reuse_cached_builds(spark):
+    """The fixture-pure graded entries must pay their ptable commits ONCE
+    per process: a second invocation reuses the cached build (run counter
+    stays at 1), so bench's min-of-2 and driver regrades measure the
+    probe, not the fixture."""
+    from flnr_wins_spark.plans import common
+
+    qs = all_queries()
+    for name, fixture in (
+        ("x_ptable_join_advisor", "adv_tables"),
+        ("x_ptable_dpp_join", "ptable_dpp"),
+    ):
+        qs[name].fn(spark, SF_DIR).count()
+        qs[name].fn(spark, SF_DIR).count()
+        runs = [
+            v for k, v in common._SCRATCH_RUNS.items()
+            if k.startswith(fixture + "@")
+        ]
+        assert runs == [1], (name, runs)
+
+
+def test_auto_read_entry_scans_only_pruned_partitions_and_broadcasts(spark):
+    """x_advisor_auto_read's executed read must touch ONLY the partitions
+    the sidecars kept — two year dirs on the fact (zone-map range), one
+    segment dir on the dim (hive point) — and the advised strategy must
+    really execute as a broadcast join."""
+    import re
+
+    df = all_queries()["x_advisor_auto_read"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    files = df.inputFiles()
+    fact_years = {m for f in files for m in re.findall(r"oy=(\d+)", f)}
+    assert fact_years == {"1995", "1996"}, fact_years
+    segs = {m for f in files for m in re.findall(r"c_mktsegment=(\w+)", f)}
+    assert segs == {"BUILDING"}, segs
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_skew_sidecar_entry_salts_only_the_hot_key(spark):
+    """x_skew_sidecar_join must execute as the hot/tail split: a salted
+    join (xxhash64 salt) unioned with a plain tail join — and never a
+    row-at-a-time Python fallback."""
+    plan = _plan(spark, "x_skew_sidecar_join")
+    assert "xxhash64" in plan, plan[:2000]
+    assert "Union" in plan
     assert "BatchEvalPython" not in plan

@@ -4,6 +4,7 @@ partitioned snapshots with delta-proportional merge)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from flnr_wins_spark.sources.ptable import (
     merge_ptable,
@@ -891,3 +892,123 @@ def test_propose_range_bounds_balances_near_unique_key(spark, tmp_path):
     assert max(counts) <= 2 * min(counts), counts
     with pytest.raises(ValueError, match="cannot propose"):
         propose_range_bounds(spark, path, "id", 500)
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter sidecars (value-level skew statistics) — round 10
+# ---------------------------------------------------------------------------
+
+def _skewed(spark):
+    # key 0 hot (200 rows), keys 1..40 cold (5 rows each); partitions
+    # balanced (100 rows each) so partition-level counts see NO skew
+    rows = []
+    rid = 0
+    for i in range(200):
+        rows.append((0, str(rid % 4), rid)); rid += 1
+    for k in range(1, 41):
+        for _ in range(5):
+            rows.append((k, str(rid % 4), rid)); rid += 1
+    return spark.createDataFrame(rows, "k long, pb string, rid long")
+
+
+def test_heavy_kmin_counts_are_exact_after_merge_rule(spark, tmp_path):
+    """Global kmin counts from merged per-partition sidecars must equal a
+    real groupBy count — the md5-smallest mergeability argument, checked
+    end to end through heavy_hitters()."""
+    from flnr_wins_spark.sources.ptable import heavy_hitters, write_ptable
+
+    df = _skewed(spark)
+    p = str(tmp_path / "t")
+    write_ptable(df, p, "pb", stats_cols=["k"], heavy_cols=["k"],
+                 heavy_k=8, heavy_threshold=10)
+    kmin, hot = heavy_hitters(spark, p, "k")
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert len(kmin) == 8
+    for v, c in kmin:
+        assert exact[v] == c, (v, c, exact[v])
+    # the hot key is reported with a TIGHT bound: >= 10 in all 4
+    # partitions -> every partition reports it -> err == 0, lb exact
+    assert hot[0] == [200, 0]
+    # cold keys (5 per key, under the threshold everywhere) never hot
+    assert set(hot) == {0}
+
+
+def test_heavy_hot_bound_brackets_truth_when_partially_reported(spark, tmp_path):
+    """A key above threshold in SOME partitions only: the merged lower
+    bound plus the error bound must bracket the true count."""
+    from flnr_wins_spark.sources.ptable import heavy_hitters, write_ptable
+
+    # key 7: 30 copies in partition a, 3 in partition b (threshold 10)
+    rows = [(7, "a", i) for i in range(30)] + [(7, "b", 100 + i) for i in range(3)]
+    rows += [(i, "a", 200 + i) for i in range(10, 18)]
+    rows += [(i, "b", 300 + i) for i in range(10, 18)]
+    df = spark.createDataFrame(rows, "k long, pb string, rid long")
+    p = str(tmp_path / "t")
+    write_ptable(df, p, "pb", stats_cols=["k"], heavy_cols=["k"],
+                 heavy_k=4, heavy_threshold=10)
+    _kmin, hot = heavy_hitters(spark, p, "k")
+    lb, err = hot[7]
+    true = 33
+    assert lb <= true <= lb + err, (lb, err)
+    # partition b holds < threshold copies; if its kmin (k=4 smallest
+    # hashes of 9 distinct values) happens to include key 7 the bound is
+    # exact, else the error is one partition's worth
+    assert err in (0, 9)
+
+
+def test_heavy_spec_validation(spark, tmp_path):
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    df = _skewed(spark).withColumn("f", F.col("rid").cast("double"))
+    p = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="partition column"):
+        write_ptable(df, p, "pb", heavy_cols=["pb"])
+    with pytest.raises(ValueError, match="heavy_threshold"):
+        write_ptable(df, p, "pb", heavy_cols=["k"], heavy_threshold=1)
+    with pytest.raises(ValueError, match="not in the DataFrame"):
+        write_ptable(df, p, "pb", heavy_cols=["nope"])
+    with pytest.raises(TypeError, match="heavy_cols"):
+        write_ptable(df, p, "pb", heavy_cols=["f"])
+
+
+def test_merge_carries_heavy_by_reference_and_rederives(spark, tmp_path):
+    """A merge touching ONE partition must re-derive that partition's
+    heavy entry and carry every other partition's byte-for-byte — then
+    the merged kmin counts are exact on the post-merge table."""
+    from flnr_wins_spark.sources.ptable import (
+        _manifest_ids, _read_manifest, heavy_hitters, merge_ptable,
+        read_ptable, write_ptable,
+    )
+
+    df = _skewed(spark)
+    p = str(tmp_path / "t")
+    write_ptable(df, p, "pb", stats_cols=["k"], heavy_cols=["k"],
+                 heavy_k=8, heavy_threshold=10)
+    m1 = _read_manifest(spark, p, _manifest_ids(spark, p)[-1])
+    # upsert 5 more key-0 rows into partition '1' only (fresh rids)
+    delta = spark.createDataFrame(
+        [(0, "1", 10_000 + i) for i in range(5)], "k long, pb string, rid long"
+    )
+    merge_ptable(spark, p, delta, ["rid"])
+    m2 = _read_manifest(spark, p, _manifest_ids(spark, p)[-1])
+    for part in ("0", "2", "3"):
+        assert m2["heavy"][part] == m1["heavy"][part]  # carried by reference
+    assert m2["heavy"]["1"] != m1["heavy"]["1"]        # re-derived
+    kmin, hot = heavy_hitters(spark, p, "k")
+    post = read_ptable(spark, p)
+    exact = {r["k"]: r["n"] for r in post.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for v, c in kmin:
+        assert exact[v] == c
+    assert hot[0] == [205, 0]
+
+
+def test_heavy_requires_sidecar_and_bounded_hot_list(spark, tmp_path):
+    from flnr_wins_spark.sources.ptable import heavy_hitters, write_ptable
+
+    df = _skewed(spark)
+    p = str(tmp_path / "t")
+    write_ptable(df, p, "pb")
+    with pytest.raises(FileNotFoundError, match="heavy"):
+        heavy_hitters(spark, p, "k")
