@@ -30,7 +30,7 @@ def salted_join(
     big: DataFrame,
     small: DataFrame,
     on: str,
-    salt_col: str,
+    salt_col: str | None = None,
     how: str = "inner",
     buckets: int = 16,
     hot_keys: list | None = None,
@@ -40,6 +40,10 @@ def salted_join(
     ``salt_col`` must be a (near-)unique column on the big side — its hash
     spreads rows of one join key uniformly over ``buckets``. Deterministic:
     xxhash64, no rand(). Result equals ``big.join(small, on, how)`` exactly.
+    ``salt_col=None`` salts on ``xxhash64(*all columns)`` — near-unique
+    without naming a key, the default the metadata-driven auto path uses
+    (identical rows share a salt bucket, which only narrows the spread,
+    never changes the join result).
 
     ``hot_keys`` (e.g. from ``sources.advisor.detect_key_skew``, which
     reads them from manifest metadata alone) salts ONLY the named keys:
@@ -64,8 +68,13 @@ def salted_join(
         )
         tail = big.filter(~is_hot | F.col(on).isNull()).join(small, on, how)
         return hot_part.unionByName(tail)
+    salt_src = (
+        F.xxhash64(F.col(salt_col))
+        if salt_col is not None
+        else F.xxhash64(*[F.col(c) for c in big.columns])
+    )
     big_s = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)).cast("int")
+        "_salt", F.pmod(salt_src, F.lit(buckets)).cast("int")
     )
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -7539,3 +7539,87 @@ def x_jdbc_snapshot(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+_AUTO_SKEW_SQL = """
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                  ELSE l_orderkey % 1000 END AS skew_key,
+             l_quantity
+      FROM lineitem
+    ),
+    d AS (SELECT DISTINCT skew_key FROM f),
+    d2 AS (SELECT skew_key, skew_key % 7 AS grp FROM d)
+    SELECT d2.grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(f.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+           'shuffle' AS strategy,
+           CAST(1 AS INT) AS n_hot
+    FROM f JOIN d2 ON f.skew_key = d2.skew_key
+    GROUP BY d2.grp
+"""
+
+
+@query(
+    "x_auto_skew_join",
+    sql=_AUTO_SKEW_SQL,
+    note="The auto-advised path's SKEW arm, graded: with the broadcast "
+    "threshold forced to zero the decision is shuffle, and "
+    "advise_auto_join reads the left heavy-hitter sidecar to flag the "
+    "one hot join key (half the fact's rows) from the MANIFEST alone — "
+    "run_auto_join then executes the hot/tail salted split "
+    "(xxhash64-of-all-columns salt, plain long tail) and the result "
+    "hash-matches the plain relational join. Same fixture shape as "
+    "x_skew_sidecar_join but the salting decision is AUTOMATIC — no "
+    "caller names a hot key or a salt column. At 100 TB this closes "
+    "the loop: commit-time exact counts -> manifest read -> the one "
+    "key that would straggle a 1000-executor shuffle is spread across "
+    "16 tasks before the shuffle runs",
+)
+def x_auto_skew_join(spark, sf_dir):
+    from flnr_wins_spark.plans.common import cached_fixture
+    from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    def _build(d):
+        li = t(spark, sf_dir, "lineitem")
+        fact = li.select(
+            F.when(F.col("l_orderkey") % 10 < 5, F.lit(0).cast("bigint"))
+            .otherwise(F.col("l_orderkey") % 1000)
+            .alias("skew_key"),
+            F.pmod(F.col("l_partkey"), F.lit(8)).cast("string").alias("pb"),
+            F.col("l_quantity").alias("qty"),
+        )
+        n = fact.count()  # scalar: sizes the scale-adaptive threshold
+        write_ptable(
+            fact, d + "/fact", "pb",
+            stats_cols=["skew_key"],
+            heavy_cols=["skew_key"], heavy_k=32,
+            heavy_threshold=max(2, n // 512),
+        )
+        dim = (
+            fact.select("skew_key").distinct()
+            .withColumn("grp", F.col("skew_key") % 7)
+            .withColumn("db", F.lit("all"))
+        )
+        write_ptable(dim, d + "/dim", "db", stats_cols=["skew_key"])
+
+    base = cached_fixture("auto_skew", sf_dir, _build)
+    plan = advise_auto_join(
+        spark, base + "/fact", base + "/dim", "skew_key",
+        broadcast_threshold_bytes=0,  # force the shuffle strategy
+        min_shuffle_partitions=8,     # environment-independent floor
+    )
+    joined = run_auto_join(spark, plan)
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("qty").cast("decimal(27,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            "grp", "n_rows", "sum_qty",
+            F.lit(plan.join.strategy).alias("strategy"),
+            F.lit(len(plan.hot_keys)).cast("int").alias("n_hot"),
+        )
+    )

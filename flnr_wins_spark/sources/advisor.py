@@ -422,13 +422,19 @@ class ScanAdvice:
 @dataclass(frozen=True)
 class AutoJoinPlan:
     """The whole advised read: both pruned scans and the join strategy
-    decided from statistics of the PRUNED partition sets only."""
+    decided from statistics of the PRUNED partition sets only.
+    ``hot_keys`` (non-empty only on the shuffle strategy, when the left
+    manifest carries a heavy-hitter sidecar for the join key) lists the
+    left-side join-key values whose merged count lower bound over the
+    PRUNED partitions crosses the skew floor — :func:`run_auto_join`
+    then salts exactly those keys."""
 
     left_scan: ScanAdvice
     right_scan: ScanAdvice
     left_key: str
     right_key: str
     join: JoinAdvice
+    hot_keys: tuple = ()
 
 
 _INT_PART_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
@@ -558,6 +564,7 @@ def advise_auto_join(
     broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
     target_rows_per_partition: int = 5_000_000,
     min_shuffle_partitions: int | None = None,
+    skew_hot_ratio: float = 0.05,
 ) -> AutoJoinPlan:
     """The AUTO-COMPOSED read path: ONE call that (1) prunes each side's
     scan through every manifest sidecar the predicates can use
@@ -565,7 +572,15 @@ def advise_auto_join(
     (2) picks the join strategy from statistics of the PRUNED sets —
     broadcast when the pruned small side fits the byte threshold,
     else a shuffle sized from the System-R estimate over pruned
-    rows/NDV. Decision cost: one manifest read + one FS listing of the
+    rows/NDV, and (3) on the SHUFFLE strategy, reads the left side's
+    heavy-hitter sidecar (when committed with ``heavy_cols`` on the
+    join key, plus row counts) to flag join-key values whose exact
+    merged count over the PRUNED partitions reaches
+    ``skew_hot_ratio`` x pruned rows — run_auto_join salts exactly
+    those keys, so the one straggler-making key never lands on one
+    shuffle task. Broadcast joins skip detection (the big side is
+    never hash-partitioned by the key, so key skew cannot straggle
+    them). Decision cost: one manifest read + one FS listing of the
     KEPT partitions per side — never a data file.
 
     This is what completes the sidecars into an optimizer path: a date
@@ -590,6 +605,8 @@ def advise_auto_join(
         m = _read_manifest(spark, path, ids[-1])
         scan = _scan_advice_m(m, path, rng, pts)
         plans.append((scan, _pruned_table_stats(spark, path, m, scan, key)))
+        if path == left_path:
+            lm = m  # reused by the skew read — still the SAME version
     (lscan, lstats), (rscan, rstats) = plans
     join = _decide_join(
         spark, lstats, rstats,
@@ -597,9 +614,37 @@ def advise_auto_join(
         target_rows_per_partition=target_rows_per_partition,
         min_shuffle_partitions=min_shuffle_partitions,
     )
+    hot: tuple = ()
+    if join.strategy == "shuffle":
+        hot = _pruned_hot_keys(lm, lscan, left_key, skew_hot_ratio)
     return AutoJoinPlan(
         left_scan=lscan, right_scan=rscan,
-        left_key=left_key, right_key=rk, join=join,
+        left_key=left_key, right_key=rk, join=join, hot_keys=hot,
+    )
+
+
+def _pruned_hot_keys(
+    m: dict, scan: ScanAdvice, key: str, hot_ratio: float
+) -> tuple:
+    """Hot join-key values over the PRUNED partition set, from the heavy
+    sidecar alone. Silent empty when the sidecar or row counts are
+    absent — skew salting is an automatic optimization here, not a
+    requested statistic (detect_key_skew is the loud, explicit API)."""
+    import math as _math
+
+    from flnr_wins_spark.sources.ptable import merged_heavy_m
+
+    if key not in m.get("heavy_cols", []) or "rows" not in m:
+        return ()
+    mk = {**m, "partitions": {v: m["partitions"][v] for v in scan.kept}}
+    _kmin, hot = merged_heavy_m(mk, key)
+    rows = sum(int(m["rows"][v]) for v in scan.kept)
+    floor = max(1, int(_math.ceil(hot_ratio * rows)))
+    return tuple(
+        v for v, (lb, _err) in sorted(
+            hot.items(), key=lambda kv: (-kv[1][0], str(kv[0]))
+        )
+        if lb >= floor
     )
 
 
@@ -642,8 +687,25 @@ def run_auto_join(
     :func:`run_advised_join`). Same-named keys join with a key list (one
     output key column); differently-named keys join on equality (both
     columns survive)."""
+    from flnr_wins_spark.operators.skew import salted_join
+
     left = read_advised_scan(spark, plan.left_scan)
     right = read_advised_scan(spark, plan.right_scan)
+    if (
+        plan.hot_keys
+        and plan.left_key == plan.right_key
+        and how in ("inner", "left")
+    ):
+        # metadata-flagged key skew on the shuffle path: salt ONLY the
+        # hot keys (salt = hash of all left columns — no key naming
+        # needed), join the long tail plain. Different key names or an
+        # outer-preserving right side fall through to the plain advice
+        # (salting replicates the small side, which is only exact for
+        # inner/left).
+        return salted_join(
+            left, right, plan.left_key, salt_col=None, how=how,
+            hot_keys=list(plan.hot_keys),
+        )
     on = (
         plan.left_key
         if plan.left_key == plan.right_key

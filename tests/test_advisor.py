@@ -767,3 +767,85 @@ def test_salted_join_hot_keys_left_null_semantics(spark):
     want = big.join(dim, "k", "left")
     assert out.count() == 4
     assert out.exceptAll(want).count() == 0 and want.exceptAll(out).count() == 0
+
+
+def test_auto_join_salts_metadata_flagged_hot_keys(spark, tmp_path):
+    """On the SHUFFLE strategy, advise_auto_join must read the left
+    heavy sidecar, flag the hot join key over the PRUNED partitions,
+    and run_auto_join must execute the hot/tail salted split — result
+    identical to the plain join, xxhash64 salt visible in the plan.
+    Broadcast advice must NOT flag keys (no shuffle to straggle)."""
+    from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    rows = []
+    rid = 0
+    for i in range(400):
+        rows.append((0, str(rid % 4), rid)); rid += 1
+    for k in range(1, 41):
+        for _ in range(10):
+            rows.append((k, str(rid % 4), rid)); rid += 1
+    big = spark.createDataFrame(rows, "k long, pb string, rid long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 41)], "k long, nm string"
+    )
+    fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
+    write_ptable(big, fp, "pb", stats_cols=["k"],
+                 heavy_cols=["k"], heavy_k=8, heavy_threshold=20)
+    write_ptable(dim, dp, "nm", stats_cols=["k"])
+
+    plan = advise_auto_join(
+        spark, fp, dp, "k", broadcast_threshold_bytes=0  # force shuffle
+    )
+    assert plan.join.strategy == "shuffle"
+    assert plan.hot_keys == (0,)
+    out = run_auto_join(spark, plan)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in phys
+    want = big.join(dim, "k")
+    cols = sorted(out.columns)  # read_ptable appends the partition col last
+    out_s, want_s = out.select(*cols), want.select(*cols)
+    assert out.count() == want.count() == 800
+    assert out_s.exceptAll(want_s).count() == 0
+    assert want_s.exceptAll(out_s).count() == 0
+
+    bcast = advise_auto_join(spark, fp, dp, "k")  # dim fits the default
+    assert bcast.join.strategy == "broadcast" and bcast.hot_keys == ()
+
+
+def test_auto_join_skew_respects_pruning_and_missing_sidecar(spark, tmp_path):
+    """(1) hot detection runs over the PRUNED partition set: pruning away
+    the partitions holding the hot key's mass drops it below the floor;
+    (2) a left table without the heavy sidecar yields hot_keys == ()
+    silently — automatic optimization, not a loud statistic."""
+    from flnr_wins_spark.sources.advisor import advise_auto_join
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    # hot key 0 lives ONLY in partitions 0/1; partitions 2/3 are uniform
+    rows = []
+    rid = 0
+    for i in range(200):
+        rows.append((0, str(rid % 2), rid)); rid += 1       # pb in {0,1}
+    for k in range(1, 21):
+        for _ in range(10):
+            rows.append((k, str(2 + rid % 2), rid)); rid += 1  # pb in {2,3}
+    big = spark.createDataFrame(rows, "k long, pb string, rid long")
+    dim = spark.createDataFrame([(k, k % 3) for k in range(0, 21)], "k long, g long")
+    fp, dp = str(tmp_path / "f"), str(tmp_path / "d")
+    write_ptable(big, fp, "pb", stats_cols=["k", "rid"],
+                 heavy_cols=["k"], heavy_k=8, heavy_threshold=20)
+    write_ptable(dim, dp, "g", stats_cols=["k"])
+
+    full = advise_auto_join(spark, fp, dp, "k", broadcast_threshold_bytes=0)
+    assert full.hot_keys == (0,)
+    pruned = advise_auto_join(
+        spark, fp, dp, "k", broadcast_threshold_bytes=0,
+        left_points={"pb": "2"},
+    )
+    assert pruned.hot_keys == ()  # the hot mass was pruned away
+
+    # no heavy sidecar on the left: silent no-salt
+    fp2 = str(tmp_path / "f2")
+    write_ptable(big, fp2, "pb", stats_cols=["k"])
+    plain = advise_auto_join(spark, fp2, dp, "k", broadcast_threshold_bytes=0)
+    assert plain.hot_keys == ()
