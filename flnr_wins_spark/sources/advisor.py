@@ -662,6 +662,11 @@ def read_advised_scan(spark: SparkSession, scan: ScanAdvice) -> DataFrame:
         from flnr_wins_spark.sources.ptable import _manifest_ids, _read_manifest
 
         m = _read_manifest(spark, scan.path, _manifest_ids(spark, scan.path)[-1])
+        if not m["partitions"]:
+            raise FileNotFoundError(
+                f"{scan.path} has no live partitions at its newest "
+                "manifest — there is no schema to shape the empty scan"
+            )
         probe = sorted(m["partitions"])[0]
         df = read_ptable(spark, scan.path, partitions=[probe]).filter(
             F.lit(False)
@@ -686,7 +691,12 @@ def run_auto_join(
     feasibility fallback — the same execution rule as
     :func:`run_advised_join`). Same-named keys join with a key list (one
     output key column); differently-named keys join on equality (both
-    columns survive)."""
+    columns survive). When the plan carries ``hot_keys`` (shuffle
+    strategy + heavy sidecar evidence) and the join is inner/left on a
+    same-named key, the hot slice runs salted and the tail plain —
+    exact result, straggler-free; the salted path sizes its shuffle via
+    the session/AQE (the advice's partition count applies to the plain
+    fallback only)."""
     from flnr_wins_spark.operators.skew import salted_join
 
     left = read_advised_scan(spark, plan.left_scan)

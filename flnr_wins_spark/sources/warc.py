@@ -27,7 +27,9 @@ so a 100 TB crawl is ~100k independent tasks. Splitting INSIDE a file at
 gzip-member boundaries would need a custom InputFormat; per-file
 parallelism is the standard engine posture for WARC.
 
-Everything here is stdlib (zlib, gzip framing) — no external WARC libs.
+Everything here is stdlib (zlib, gzip framing) plus pyarrow's bundled
+zstd codec for ``.warc.zst`` (frame boundaries from a pure-Python RFC
+8878 walk) — no external WARC libs.
 The reference has no crawl ingestion (its sources are a remote catalog and
 an SDE database, ``wts.py:118-135``); this is extension surface for the
 LLM-data-pipeline mandate.
@@ -84,28 +86,107 @@ def split_gzip_members(blob: bytes) -> Iterator[bytes]:
             break
 
 
+def _zstd_frame_end(buf: bytes, i: int) -> tuple[int, bool]:
+    """End offset of the zstd frame starting at ``i`` plus a skippable
+    flag — a pure RFC 8878 header/block walk (no decompression):
+    skippable frames carry their size; normal frames parse the frame
+    header descriptor then hop block to block (3-byte block headers:
+    last/type/size; RLE blocks store ONE byte regardless of their
+    regenerated size) to the last-block bit, plus the optional 4-byte
+    content checksum. Frames declaring a dictionary ID raise
+    NotImplementedError — the shared-dictionary crawl layout needs the
+    dictionary to DECODE, not just to split, and pyarrow's codec
+    exposes no dictionary parameter (the honest-guard convention)."""
+    if len(buf) < i + 5:
+        raise ValueError("truncated zstd frame (no room for a header)")
+    magic = int.from_bytes(buf[i : i + 4], "little")
+    if 0x184D2A50 <= magic <= 0x184D2A5F:
+        size = int.from_bytes(buf[i + 4 : i + 8], "little")
+        return i + 8 + size, True
+    if magic != 0xFD2FB528:
+        raise ValueError(f"not a zstd frame at offset {i} (magic {magic:#x})")
+    j = i + 4
+    fhd = buf[j]
+    j += 1
+    dict_id_flag = fhd & 0b11
+    has_checksum = (fhd >> 2) & 1
+    single_segment = (fhd >> 5) & 1
+    fcs_flag = fhd >> 6
+    if dict_id_flag:
+        raise NotImplementedError(
+            "dictionary-compressed zstd WARC frame: splitting works but "
+            "decoding needs the shared dictionary, which pyarrow's zstd "
+            "codec cannot take — re-pack the crawl without a dictionary "
+            "or install the 'zstandard' package"
+        )
+    if not single_segment:
+        j += 1  # window descriptor
+    j += (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+    while True:
+        if len(buf) < j + 3:
+            raise ValueError("truncated zstd frame (mid block headers)")
+        bh = int.from_bytes(buf[j : j + 3], "little")
+        j += 3
+        last = bh & 1
+        btype = (bh >> 1) & 0b11
+        bsize = bh >> 3
+        if btype == 1:      # RLE: one stored byte
+            j += 1
+        elif btype == 3:
+            raise ValueError(f"reserved zstd block type at offset {j - 3}")
+        else:               # raw (0) / compressed (2): bsize stored bytes
+            j += bsize
+        if last:
+            break
+    if has_checksum:
+        j += 4
+    if j > len(buf):
+        raise ValueError("truncated zstd frame")
+    return j, False
+
+
 def split_zstd_frames(blob: bytes) -> Iterator[bytes]:
     """Split a concatenated-frame ``.warc.zst`` blob (the newer Common
-    Crawl layout: one zstd frame per record, optional shared-dictionary
-    frames skipped). Gated behind the zstd bindings (``zstandard`` pip
-    package, or the ``compression.zstd`` stdlib module from Python 3.14):
-    neither ships in this container, so this raises NotImplementedError
-    with the exact dependency to install — the honest-guard convention of
-    functions/multimodal.py (adjacent working gzip path above)."""
-    try:
-        import zstandard  # noqa: F401
-    except ImportError:
-        try:
-            from compression import zstd  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                "zstd WARC support needs the 'zstandard' package (or Python "
-                ">= 3.14's compression.zstd); the gzip member path "
-                "(split_gzip_members) is fully implemented"
-            ) from None
-    raise NotImplementedError(
-        "zstd bindings present but frame-split not wired in this build"
-    )  # pragma: no cover — unreachable in this container
+    Crawl layout: one zstd frame per record, skippable frames — e.g. a
+    dictionary carrier — skipped) and yield one DECOMPRESSED bytes
+    object per content frame, mirroring :func:`split_gzip_members`.
+    Frame boundaries come from the pure-Python RFC 8878 walk in
+    :func:`_zstd_frame_end`; each frame decompresses independently
+    through pyarrow's bundled zstd codec (streaming — no
+    decompressed-size preknowledge needed). Dictionary-compressed
+    frames raise NotImplementedError (see the walker)."""
+    import pyarrow as pa
+
+    blob = bytes(blob)
+    i = 0
+    while i < len(blob):
+        end, skippable = _zstd_frame_end(blob, i)
+        if not skippable:
+            yield pa.input_stream(
+                pa.BufferReader(blob[i:end]), compression="zstd"
+            ).read()
+        i = end
+
+
+def encode_warc_zst(records: Iterable[dict], level: int = 3) -> bytes:
+    """Encode records as a concatenated-frame ``.warc.zst`` blob — one
+    zstd frame per record (pyarrow's codec, fixed level: deterministic
+    for a given zstd build), the layout :func:`split_zstd_frames`
+    splits. Same record shape as :func:`encode_warc_gz`."""
+    import pyarrow as pa
+
+    codec = pa.Codec("zstd", compression_level=level)
+    out = []
+    for rec in records:
+        headers = dict(rec["headers"])
+        payload = bytes(rec["payload"])
+        lines = [b"WARC/1.0"]
+        for k, v in headers.items():
+            lines.append(f"{k}: {v}".encode())
+        lines.append(f"Content-Length: {len(payload)}".encode())
+        raw = _CRLF.join(lines) + _CRLF + _CRLF + payload + _CRLF + _CRLF
+        out.append(codec.compress(raw, asbytes=True))
+    return b"".join(out)
 
 
 def parse_warc_record(raw: bytes) -> tuple[dict, bytes]:
@@ -148,10 +229,28 @@ _WARC_SCHEMA = T.StructType(
 )
 
 
+def _split_members(content: bytes) -> Iterator[bytes]:
+    """Dispatch on the container's magic: multi-member gzip or
+    concatenated zstd frames (incl. a leading skippable frame). Unknown
+    magic fails loudly — a silently empty file would read as an empty
+    crawl."""
+    content = bytes(content)
+    if content[:2] == b"\x1f\x8b":
+        return split_gzip_members(content)
+    magic = int.from_bytes(content[:4], "little") if len(content) >= 4 else 0
+    if magic == 0xFD2FB528 or 0x184D2A50 <= magic <= 0x184D2A5F:
+        return split_zstd_frames(content)
+    raise ValueError(
+        f"unrecognized WARC container magic {content[:4]!r} — expected "
+        "gzip members (.warc.gz) or zstd frames (.warc.zst)"
+    )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Read ``.warc.gz`` files under ``path`` into one row per WARC record:
-    (path, rec_idx, warc_type, record_id, target_uri, content_type,
-    content_length, payload binary). One file = one task (see module
+    """Read ``.warc.gz`` / ``.warc.zst`` files under ``path`` into one row
+    per WARC record: (path, rec_idx, warc_type, record_id, target_uri,
+    content_type, content_length, payload binary). The container format
+    is detected per file from its magic. One file = one task (see module
     docstring); the member split + header parse runs Arrow-batched."""
     import pandas as pd
 
@@ -159,7 +258,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                for idx, member in enumerate(split_gzip_members(r["content"])):
+                for idx, member in enumerate(_split_members(r["content"])):
                     headers, payload = parse_warc_record(member)
                     rows.append(
                         {

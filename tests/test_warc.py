@@ -102,10 +102,13 @@ def test_read_warc_spark_roundtrip(spark, tmp_path):
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
 
 
-def test_zstd_warc_guard_names_the_dependency():
+def test_zstd_bare_magic_is_a_truncated_frame():
+    # r10: zstd is a real path now (pyarrow codec + RFC 8878 walk); a
+    # bare magic with no header is a LOUD truncation, never a hang or
+    # an empty iterator
     from flnr_wins_spark.sources.warc import split_zstd_frames
 
-    with pytest.raises(NotImplementedError, match="zstandard"):
+    with pytest.raises(ValueError, match="truncated"):
         next(split_zstd_frames(b"\x28\xb5\x2f\xfd"))
 
 
@@ -137,3 +140,101 @@ def test_warc_roundtrip_property():
             assert headers["WARC-Record-ID"] == f"<r:{i}>"
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# zstd (.warc.zst) container — round 10: the honest guard became a real path
+# (pyarrow's bundled zstd codec + a pure RFC 8878 frame walk)
+# ---------------------------------------------------------------------------
+
+def _zrecs():
+    return [
+        {
+            "headers": {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:uuid:{i}>",
+                "WARC-Target-URI": f"http://example.com/{i}",
+                "Content-Type": "text/html",
+            },
+            "payload": (f"<html>doc {i}</html>" * (i + 1)).encode(),
+        }
+        for i in range(4)
+    ]
+
+
+def test_zstd_roundtrip_and_skippable_frames():
+    from flnr_wins_spark.sources.warc import (
+        encode_warc_zst,
+        parse_warc_record,
+        split_zstd_frames,
+    )
+
+    blob = encode_warc_zst(_zrecs())
+    got = [parse_warc_record(m) for m in split_zstd_frames(blob)]
+    assert [h["WARC-Target-URI"] for h, _p in got] == [
+        f"http://example.com/{i}" for i in range(4)
+    ]
+    assert got[2][1] == b"<html>doc 2</html>" * 3
+    # a leading skippable frame (the dictionary-carrier slot in the
+    # crawl layout) is skipped, not decoded
+    skip = (0x184D2A50).to_bytes(4, "little") + (5).to_bytes(4, "little") + b"DICT!"
+    assert len(list(split_zstd_frames(skip + blob))) == 4
+
+
+def test_zstd_loud_failures():
+    import pytest
+
+    from flnr_wins_spark.sources.warc import encode_warc_zst, split_zstd_frames
+
+    with pytest.raises(ValueError, match="not a zstd frame"):
+        list(split_zstd_frames(b"garbage bytes here"))
+    # truncated final frame
+    blob = encode_warc_zst(_zrecs())
+    with pytest.raises(ValueError):
+        list(split_zstd_frames(blob[: len(blob) - 3]))
+    # a frame declaring a dictionary ID: honest NotImplementedError.
+    # Craft one by flipping the frame-header descriptor's DID flag on a
+    # real frame (magic[4] is the descriptor byte).
+    frame = bytearray(encode_warc_zst(_zrecs()[:1]))
+    frame[4] |= 0b01
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        list(split_zstd_frames(bytes(frame)))
+
+
+def test_read_warc_zst_through_spark(spark, tmp_path):
+    """The Spark read path detects the zstd container per file and yields
+    the same row shape as the gzip path."""
+    from flnr_wins_spark.sources.warc import encode_warc_zst, read_warc, warc_text
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "part-0.warc.zst").write_bytes(encode_warc_zst(_zrecs()))
+    df = read_warc(spark, str(d))
+    rows = {r["target_uri"]: r for r in df.collect()}
+    assert len(rows) == 4
+    assert rows["http://example.com/1"]["content_length"] == len(
+        b"<html>doc 1</html>" * 2
+    )
+    texts = {r["target_uri"]: r["text"] for r in warc_text(df).collect()}
+    assert texts["http://example.com/3"] == "<html>doc 3</html>" * 4
+
+
+def test_read_warc_mixed_containers_and_unknown_magic(spark, tmp_path):
+    from flnr_wins_spark.sources.warc import (
+        encode_warc_gz,
+        encode_warc_zst,
+        read_warc,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(encode_warc_gz(_zrecs()[:2]))
+    (d / "b.warc.zst").write_bytes(encode_warc_zst(_zrecs()[2:]))
+    assert read_warc(spark, str(d)).count() == 4
+
+    (d / "c.warc.gz").write_bytes(b"not a container")
+    import pytest
+
+    # the executor-side ValueError surfaces loudly (PySpark wraps it)
+    with pytest.raises(Exception, match="unrecognized WARC container"):
+        read_warc(spark, str(d)).count()
