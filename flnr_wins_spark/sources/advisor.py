@@ -637,13 +637,14 @@ def _pruned_hot_keys(
     if key not in m.get("heavy_cols", []) or "rows" not in m:
         return ()
     mk = {**m, "partitions": {v: m["partitions"][v] for v in scan.kept}}
-    _kmin, hot = merged_heavy_m(mk, key)
+    kmin, hot = merged_heavy_m(mk, key)
     rows = sum(int(m["rows"][v]) for v in scan.kept)
     floor = max(1, int(_math.ceil(hot_ratio * rows)))
+    cand: dict = {v: int(lb) for v, (lb, _err) in hot.items()}
+    for v, c in kmin:  # hash-sampled counts are exact — see detect_key_skew
+        cand[v] = max(cand.get(v, 0), int(c))
     return tuple(
-        v for v, (lb, _err) in sorted(
-            hot.items(), key=lambda kv: (-kv[1][0], str(kv[0]))
-        )
+        v for v, lb in sorted(cand.items(), key=lambda kv: (-kv[1], str(kv[0])))
         if lb >= floor
     )
 
@@ -1020,11 +1021,20 @@ def detect_key_skew(
             "write the table with stats_cols so the hot-row floor has an "
             "exact denominator"
         )
-    _kmin, hot = merged_heavy_m(m, col)  # raises if col has no sidecar
+    kmin, hot = merged_heavy_m(m, col)  # raises if col has no sidecar
     total = sum(int(n) for n in m["rows"].values())
     floor = max(int(min_count), int(_math.ceil(hot_ratio * total)))
+    # candidates from BOTH statistics: threshold-reported values (lower
+    # bound + error) and the k hash-smallest values (counts EXACT, err 0)
+    # — a hot key the per-partition threshold missed can still surface
+    # through the uniform hash sample
+    cand: dict = {v: (int(lb), int(err)) for v, (lb, err) in hot.items()}
+    for v, c in kmin:
+        prev = cand.get(v)
+        if prev is None or c >= prev[0]:
+            cand[v] = (int(c), 0)
     flagged = sorted(
-        ((v, lb, err) for v, (lb, err) in hot.items() if lb >= floor),
+        ((v, lb, err) for v, (lb, err) in cand.items() if lb >= floor),
         key=lambda t: (-t[1], str(t[0])),
     )
     return KeySkewReport(

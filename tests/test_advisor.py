@@ -841,11 +841,43 @@ def test_auto_join_skew_respects_pruning_and_missing_sidecar(spark, tmp_path):
     pruned = advise_auto_join(
         spark, fp, dp, "k", broadcast_threshold_bytes=0,
         left_points={"pb": "2"},
+        skew_hot_ratio=0.2,
     )
-    assert pruned.hot_keys == ()  # the hot mass was pruned away
+    # the hot mass was pruned away: key 0 holds ZERO of the kept rows
+    # (uniform keys each hold 5% — below the 20% floor)
+    assert pruned.hot_keys == ()
 
     # no heavy sidecar on the left: silent no-salt
     fp2 = str(tmp_path / "f2")
     write_ptable(big, fp2, "pb", stats_cols=["k"])
     plain = advise_auto_join(spark, fp2, dp, "k", broadcast_threshold_bytes=0)
     assert plain.hot_keys == ()
+
+
+def test_detect_key_skew_surfaces_hot_key_via_kmin_sample(spark, tmp_path):
+    """A hot key the per-partition threshold misses (threshold set above
+    its per-partition count) must still be flagged when the uniform
+    hash sample catches it — kmin counts are globally EXACT, so the
+    evidence class is as strong as the threshold's."""
+    from flnr_wins_spark.sources.advisor import detect_key_skew
+    from flnr_wins_spark.sources.ptable import heavy_hitters, write_ptable
+
+    # key 0: 25 rows per partition x 8 partitions = 200 of 360 rows;
+    # threshold 50 > 25 so NO partition reports it hot. heavy_k == the
+    # distinct-value count, so the kmin sample provably contains key 0.
+    rows = []
+    rid = 0
+    for i in range(200):
+        rows.append((0, str(rid % 8), rid)); rid += 1
+    for k in range(1, 21):
+        for _ in range(8):
+            rows.append((k, str(rid % 8), rid)); rid += 1
+    df = spark.createDataFrame(rows, "k long, pb string, rid long")
+    p = str(tmp_path / "t")
+    write_ptable(df, p, "pb", stats_cols=["k"], heavy_cols=["k"],
+                 heavy_k=21, heavy_threshold=50)
+    _kmin, hot = heavy_hitters(spark, p, "k")
+    assert hot == {}  # the threshold statistic really did miss it
+    rep = detect_key_skew(spark, p, "k", hot_ratio=0.5)
+    assert rep.hot_keys == [0]
+    assert rep.hot_counts[0] == [200, 0]  # exact, zero error

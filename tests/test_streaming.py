@@ -1026,3 +1026,61 @@ class TestPtableSinkSidecars:
             (r.id, r.name, r.v) for r in read_ptable(spark, df).collect()
         )
         assert key(sp) == key(bp)
+
+
+def test_streamed_merges_keep_heavy_sidecar_exact(spark, tmp_path):
+    """Continuous ingestion must keep the VALUE-level skew statistics
+    honest: after streamed CDC merges through ptable_merge_sink, the
+    heavy sidecar's merged kmin counts equal a real groupBy over the
+    post-stream table, and the hot key's bound stays exact — the same
+    lossless-maintenance contract the zone-map entry grades."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.sources.ptable import (
+        heavy_hitters,
+        read_ptable,
+        write_ptable,
+    )
+    from flnr_wins_spark.streaming.sinks import ptable_merge_sink
+
+    rows = [(i, 7 if i % 2 == 0 else i % 5, str(i % 3)) for i in range(120)]
+    base = spark.createDataFrame(rows, "id long, k long, pb string")
+    path = str(tmp_path / "tbl")
+    write_ptable(base, path, "pb", stats_cols=["k"],
+                 heavy_cols=["k"], heavy_k=6, heavy_threshold=10)
+
+    src = str(tmp_path / "src")
+    schema = "id long, k long, pb string, is_delete boolean"
+    batches = [
+        # move 10 ids onto the hot key (updates)
+        [(i, 7, str(i % 3), False) for i in range(1, 40, 4)],
+        # delete 5 hot rows
+        [(i, 7, str(i % 3), True) for i in range(0, 20, 4)],
+    ]
+    for rows_b in batches:
+        spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ptable_merge_sink(
+        stream, path, ["id"], str(tmp_path / "ckpt"),
+        delete_flag_col="is_delete",
+    )
+    assert q.awaitTermination(120)
+
+    kmin, hot = heavy_hitters(spark, path, "k")
+    exact = {
+        r["k"]: r["n"]
+        for r in read_ptable(spark, path)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for v, c in kmin:
+        assert exact[v] == c, (v, c, exact[v])
+    lb, err = hot[7]
+    assert lb <= exact[7] <= lb + err
