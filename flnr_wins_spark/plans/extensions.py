@@ -7623,3 +7623,149 @@ def x_auto_skew_join(spark, sf_dir):
             F.lit(len(plan.hot_keys)).cast("int").alias("n_hot"),
         )
     )
+
+
+# x_multimodal_dhash_dedup oracle: the image construction (9x8 PGM whose 72
+# raster bytes are md5-of-seed digits, docs with doc_id%10<=1 sharing a seed
+# and the %10==1 twin perturbed in pixel 0) is replayed relationally, the
+# dHash bits are adjacent-pixel comparisons, the 64-bit hash rides as two
+# 32-bit BIGINT halves + a 16-char hex (sign-trap-free), and the banded
+# Hamming join + exact verify mirror the DataFrame plan operation for
+# operation — candidates are BAND-equality pairs on BOTH sides, so the
+# LSH recall semantics (not just the final filter) are value-checked.
+_DHASH_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 10 <= 1 THEN doc_id - (doc_id % 10)
+                       ELSE doc_id END AS VARCHAR) AS seed
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, t.p,
+             (CAST('0x' || substr(md5(d.seed || ':dh' || CAST(t.p // 16 AS VARCHAR)),
+                                  2 * (t.p % 16) + 1, 2) AS INT)
+              + CASE WHEN d.doc_id % 10 = 1 AND t.p = 0 THEN 1 ELSE 0 END) % 256
+               AS b
+      FROM d, range(72) t(p)
+    ),
+    bits AS (
+      SELECT a.doc_id, (a.p // 9) * 8 + (a.p % 9) AS i,
+             CASE WHEN a.b > r.b THEN 1 ELSE 0 END AS v
+      FROM px a JOIN px r ON r.doc_id = a.doc_id AND r.p = a.p + 1
+      WHERE a.p % 9 < 8
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i >= 32
+                           THEN v * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN i < 32
+                           THEN v * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id
+    ),
+    hx AS (
+      SELECT doc_id, hi, lo, printf('%08x', hi) || printf('%08x', lo) AS hex16
+      FROM h
+    ),
+    bands AS (
+      SELECT doc_id, hi, lo, t.i AS band,
+             substr(hex16, CAST(4 * t.i + 1 AS INT), 4) AS bv
+      FROM hx, range(4) t(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 10
+"""
+
+
+@query(
+    "x_multimodal_dhash_dedup",
+    sql=_DHASH_SQL,
+    note="IMAGE near-dup dedup over REAL pixels: each doc becomes a "
+    "genuine binary P5 PGM (9x8 raster from md5 bytes; doc pairs with "
+    "doc_id%10<=1 share a seed, the second perturbed by one pixel — a "
+    "true near-duplicate), image_dhash decodes with the stdlib decoder "
+    "and emits the perceptual difference hash (integer luma, "
+    "nearest-neighbor grid, horizontal gradient bits), and duplicates "
+    "surface through a banded Hamming self-join (4 x 16-bit bands -> "
+    "candidates -> exact bit_count verify <= 10) — SimHash's plan shape "
+    "applied to pixels. The oracle replays construction, decode "
+    "arithmetic, banding, and verify relationally, so the decoder, the "
+    "hash, and the LSH recall semantics are all value-checked. At "
+    "100 TB: O(n x band width) candidates, never all-pairs; the decode "
+    "is executor-side Arrow-batched — the image-dedup stage of a "
+    "multimodal curation pipeline",
+)
+def x_multimodal_dhash_dedup(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import image_dhash
+
+    docs = t(spark, sf_dir, "documents")
+    seed = (
+        F.when(
+            F.col("doc_id") % 10 <= 1,
+            F.col("doc_id") - F.col("doc_id") % 10,
+        )
+        .otherwise(F.col("doc_id"))
+        .cast("string")
+    )
+    digs = [
+        F.md5(F.encode(F.concat(seed, F.lit(f":dh{j}")), "UTF-8"))
+        for j in range(5)
+    ]
+    raw = F.concat(*[F.unhex(d) for d in digs])  # 80 bytes; raster = 72
+    b0 = F.conv(F.substring(digs[0], 1, 2), 16, 10).cast("int")
+    b0 = F.when(F.col("doc_id") % 10 == 1, (b0 + 1) % 256).otherwise(b0)
+    content = F.concat(
+        F.encode(F.lit("P5\n9 8\n255\n"), "UTF-8"),
+        F.unhex(F.lpad(F.lower(F.hex(b0)), 2, "0")),
+        F.substring(raw, 2, 71),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+    hashed = image_dhash(media, hash_size=8).select(
+        "media_id",
+        "dhash",
+        F.conv(F.substring("dhash", 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring("dhash", 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    bands = hashed.select(
+        "media_id", "hi", "lo",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("dhash", 4 * i + 1, 4).alias("bv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("media_id", "hi", "lo", "bb.band", "bb.bv")
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"), "band", "bv",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"), "band", "bv",
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 10
+    )

