@@ -745,6 +745,64 @@ def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(batches, schema=schema)
 
 
+def audio_fingerprint_bits(content: bytes, n_bits: int = 64) -> int:
+    """Perceptual ENERGY-GRADIENT fingerprint of one audio clip, from a
+    REAL decode (:func:`decode_wav`): channel 0 samples split into
+    ``n_bits + 1`` near-equal frames (frame f spans sample indexes
+    [(f*n)//(n_bits+1), ((f+1)*n)//(n_bits+1))), per-frame energy is the
+    exact integer sum of squared samples, and bit f is set iff
+    energy(f) > energy(f+1) — the temporal twin of
+    :func:`dhash_bits`'s horizontal gradient. Integer-exact end to end,
+    so a SQL oracle that knows the clip construction reproduces the
+    fingerprint bit-for-bit."""
+    channels, _rate, samples = decode_wav(content)
+    mono = samples[::channels]
+    n = len(mono)
+    nf = n_bits + 1
+    if n < nf:
+        raise ValueError(
+            f"clip has {n} samples; the {n_bits}-bit fingerprint needs "
+            f"at least {nf} (one per frame)"
+        )
+    e = []
+    for f in range(nf):
+        lo, hi = (f * n) // nf, ((f + 1) * n) // nf
+        e.append(sum(s * s for s in mono[lo:hi]))
+    v = 0
+    for f in range(n_bits):
+        if e[f] > e[f + 1]:
+            v |= 1 << f
+    return v
+
+
+def audio_fingerprint(media: DataFrame, n_bits: int = 64) -> DataFrame:
+    """Per-clip audio fingerprint over a (media_id, content) frame —
+    executor-side mapInPandas, hex-string output, same contract as
+    :func:`image_dhash` (near-dup detection composes with a banded
+    Hamming join; see the graded entry x_multimodal_audio_dedup)."""
+    width = n_bits // 4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": [
+                        format(audio_fingerprint_bits(bytes(c), n_bits), f"0{width}x")
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("afp", T.StringType()),
+        ]
+    )
+    return media.select("media_id", "content").mapInPandas(batches, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # Audio: typed metadata + chunk manifests (no codec required)
 # ---------------------------------------------------------------------------

@@ -7769,3 +7769,164 @@ def x_multimodal_dhash_dedup(spark, sf_dir):
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= 10
     )
+
+
+# 44-byte RIFF/WAVE header for PCM16 mono 8 kHz with a 272-byte data chunk
+# (136 samples = 17 md5 digests) — the audio-fingerprint fixture's format.
+_WAV_FP_HDR_HEX = (
+    "524946463401000057415645666d7420100000000100"
+    "0100401f0000803e0000020010006461746110010000"
+)
+
+# x_multimodal_audio_dedup oracle: replay the clip construction (136 signed
+# little-endian PCM16 samples from 17 md5 digests of a shared seed, the
+# %10==1 twin's first sample low byte perturbed), the 65-frame energy walk,
+# the 64 gradient bits, and the banded Hamming join — the audio twin of
+# _DHASH_SQL, decoder arithmetic and LSH semantics value-checked.
+_AUDIO_FP_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 10 <= 1 THEN doc_id - (doc_id % 10)
+                       ELSE doc_id END AS VARCHAR) AS seed
+      FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, t.i,
+             (CAST('0x' || substr(md5(d.seed || ':af' || CAST(t.i // 8 AS VARCHAR)),
+                                  2 * ((2 * t.i) % 16) + 1, 2) AS INT)
+              + CASE WHEN d.doc_id % 10 = 1 AND t.i = 0 THEN 1 ELSE 0 END) % 256
+             + 256 * CAST('0x' || substr(md5(d.seed || ':af' || CAST(t.i // 8 AS VARCHAR)),
+                                         2 * ((2 * t.i + 1) % 16) + 1, 2) AS INT)
+               AS uv
+      FROM d, range(136) t(i)
+    ),
+    sv AS (
+      SELECT doc_id, i,
+             CAST(CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS BIGINT) AS v
+      FROM s
+    ),
+    fr AS (
+      SELECT sv.doc_id, f.f, SUM(v * v) AS e
+      FROM sv, range(65) f(f)
+      WHERE sv.i >= (f.f * 136) // 65 AND sv.i < ((f.f + 1) * 136) // 65
+      GROUP BY sv.doc_id, f.f
+    ),
+    bits AS (
+      SELECT a.doc_id, a.f AS i,
+             CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS v
+      FROM fr a JOIN fr b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      WHERE a.f < 64
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i >= 32
+                           THEN v * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN i < 32
+                           THEN v * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id
+    ),
+    hx AS (
+      SELECT doc_id, hi, lo, printf('%08x', hi) || printf('%08x', lo) AS hex16
+      FROM h
+    ),
+    bands AS (
+      SELECT doc_id, hi, lo, t.i AS band,
+             substr(hex16, CAST(4 * t.i + 1 AS INT), 4) AS bv
+      FROM hx, range(4) t(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 10
+"""
+
+
+@query(
+    "x_multimodal_audio_dedup",
+    sql=_AUDIO_FP_SQL,
+    note="AUDIO near-dup dedup over REAL samples: each doc becomes a "
+    "genuine RIFF/WAVE PCM16 clip (136 md5-derived samples; doc pairs "
+    "with doc_id%10<=1 share a seed, the second's first sample "
+    "perturbed — a true near-duplicate), audio_fingerprint decodes with "
+    "the stdlib chunk walker and emits the 64-bit energy-gradient "
+    "fingerprint (65 integer frame energies, temporal gradient bits — "
+    "the audio twin of the image dHash), and duplicates surface through "
+    "the same banded Hamming self-join + exact bit_count verify. The "
+    "oracle replays construction, sign handling, frame boundaries, "
+    "banding, and verify relationally. At 100 TB: O(n x band width) "
+    "candidates over executor-side Arrow-batched decodes — the "
+    "audio-dedup stage of a multimodal curation pipeline",
+)
+def x_multimodal_audio_dedup(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import audio_fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    seed = (
+        F.when(
+            F.col("doc_id") % 10 <= 1,
+            F.col("doc_id") - F.col("doc_id") % 10,
+        )
+        .otherwise(F.col("doc_id"))
+        .cast("string")
+    )
+    digs = [
+        F.md5(F.encode(F.concat(seed, F.lit(f":af{j}")), "UTF-8"))
+        for j in range(17)
+    ]
+    payload = F.concat(*[F.unhex(d) for d in digs])  # 272 bytes
+    b0 = F.conv(F.substring(digs[0], 1, 2), 16, 10).cast("int")
+    b0 = F.when(F.col("doc_id") % 10 == 1, (b0 + 1) % 256).otherwise(b0)
+    content = F.concat(
+        F.unhex(F.lit(_WAV_FP_HDR_HEX)),
+        F.unhex(F.lpad(F.lower(F.hex(b0)), 2, "0")),
+        F.substring(payload, 2, 271),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+    hashed = audio_fingerprint(media, n_bits=64).select(
+        "media_id",
+        "afp",
+        F.conv(F.substring("afp", 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring("afp", 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    bands = hashed.select(
+        "media_id", "hi", "lo",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("afp", 4 * i + 1, 4).alias("bv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("media_id", "hi", "lo", "bb.band", "bb.bv")
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"), "band", "bv",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"), "band", "bv",
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 10
+    )

@@ -1676,3 +1676,41 @@ def test_dhash_bits_gradient_luma_and_downsample():
         rgb += [v, v, v]  # (299v+587v+114v)//1000 == v
     p6 = f"P6\n9 8\n255\n".encode() + bytes(rgb)
     assert dhash_bits(p6) == dhash_bits(pgm(9, 8, base))
+
+
+def test_audio_fingerprint_channels_and_guards():
+    """Fingerprint exactness on the paths the graded entry does NOT
+    touch: stereo clips fingerprint on channel 0 only, and a clip too
+    short for the frame count fails loudly."""
+    import pytest
+
+    from flnr_wins_spark.functions.multimodal import audio_fingerprint_bits
+
+    def wav(channels, samples):
+        import struct
+
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, 8000,
+                          8000 * 2 * channels, 2 * channels, 16)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        return hdr + data
+
+    # mono ramp-up energies -> no gradient bit set; ramp-down -> all set
+    up = [i * 10 for i in range(130)]
+    assert audio_fingerprint_bits(wav(1, up)) == 0
+    down = [(130 - i) * 10 for i in range(130)]
+    assert audio_fingerprint_bits(wav(1, down)) == (1 << 64) - 1
+    # stereo: channel 1 is LOUD noise; fingerprint must follow channel 0
+    import itertools
+
+    stereo = list(
+        itertools.chain.from_iterable(
+            (s, 30000 if i % 2 == 0 else -30000) for i, s in enumerate(up)
+        )
+    )
+    assert audio_fingerprint_bits(wav(2, stereo)) == 0
+    with pytest.raises(ValueError, match="needs at least"):
+        audio_fingerprint_bits(wav(1, [5] * 10))
