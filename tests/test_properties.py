@@ -688,3 +688,77 @@ def test_content_addressed_sample_mergeability(vals, n_parts, k):
     merged = sorted({pair for sk in per for pair in sk})[:k]
     direct = sorted(((h60(v), v) for v in set(vals)))[:k]
     assert merged == direct
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 3)),  # (value, partition)
+        min_size=1, max_size=60,
+    ),
+    k=st.sampled_from([2, 3, 5]),
+    threshold=st.sampled_from([2, 3, 6]),
+)
+@settings(max_examples=60, deadline=None)
+def test_heavy_sidecar_merge_rule_exact(data, k, threshold):
+    """merged_heavy_m's two exactness claims, property-checked without
+    Spark against definition-conformant per-partition sidecars built
+    with the same md5 content addressing:
+
+      * every merged kmin count equals the brute-force global count
+        (the hash-rank mergeability argument);
+      * every hot value's [lb, lb+err] brackets its true count, with
+        err == 0 whenever all containing partitions reported it.
+    """
+    import hashlib
+    from collections import Counter
+
+    from flnr_wins_spark.sources.ptable import merged_heavy_m
+
+    def h60(v) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    parts: dict[str, Counter] = {}
+    for v, p in data:
+        parts.setdefault(str(p), Counter())[v] += 1
+    heavy: dict = {}
+    for pv, counts in parts.items():
+        kmin = sorted(((h60(v), v, n) for v, n in counts.items()))[:k]
+        hot = sorted(
+            ((v, n) for v, n in counts.items() if n >= threshold),
+            key=lambda e: (-e[1], str(e[0])),
+        )
+        heavy[pv] = {"k": {
+            "kmin": [[h, v, n] for h, v, n in kmin],
+            "hot": [[v, n] for v, n in hot],
+        }}
+    m = {
+        "partitions": {pv: f"stage/m1/pb={pv}" for pv in parts},
+        "heavy_cols": ["k"],
+        "heavy_k": k,
+        "heavy_threshold": threshold,
+        "heavy": heavy,
+    }
+    kmin_merged, hot_merged = merged_heavy_m(m, "k")
+
+    truth = Counter(v for v, _p in data)
+    global_kmin = {v for _h, v in sorted((h60(v), v) for v in truth)[:k]}
+    assert {v for v, _n in kmin_merged} == global_kmin
+    for v, n in kmin_merged:
+        assert n == truth[v], (v, n, truth[v])
+    for v, (lb, err) in hot_merged.items():
+        assert lb <= truth[v] <= lb + err, (v, lb, err, truth[v])
+        # err == 0 exactly when EVERY partition reported v (hot or kmin);
+        # a partition that merely lacks v still contributes error — the
+        # merge cannot distinguish 'absent' from 'present below threshold'
+        reported_everywhere = all(
+            v in c
+            and (
+                c[v] >= threshold
+                or v in {
+                    vv for _h, vv, _n in
+                    sorted(((h60(x), x, nn) for x, nn in c.items()))[:k]
+                }
+            )
+            for c in parts.values()
+        )
+        assert (err == 0) == reported_everywhere, (v, err)
