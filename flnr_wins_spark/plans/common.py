@@ -53,14 +53,14 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 #     x_dedup_clusters_star) — drains the r03 cohort completely;
 # (b) the reference-parity flagship wins_e2e_kept/wins_e2e_rejects,
 #     unhashed since r04;
-# (c) the seven NEW r10 surfaces (value-level skew sidecar join,
+# (c) the eight NEW r10 surfaces (value-level skew sidecar join,
 #     auto-advised read path incl. its automatic skew arm, streaming
-#     watermark, JDBC snapshot, perceptual image + audio dedup);
+#     watermark, JDBC snapshot, perceptual image/audio/video dedup);
 # (d) the 13 entries rewired through cached_fixture in r10 (fixture
 #     plumbing changed => regrade in the same round, the r8 rule);
-# (e) 8 of the r04 cohort in staleness order — fills the 50 budget.
+# (e) 7 of the r04 cohort in staleness order — fills the 50 budget.
 # Goal after r10: zero r03-stale entries, zero never-graded entries,
-# flagship fresh; the 32 remaining r04 entries lead the r11 rotation.
+# flagship fresh; the 33 remaining r04 entries lead the r11 rotation.
 # Positions 51+ keep staleness order (r04 remainder, r05, the r07-graded
 # block, then everything graded r09 — freshest evidence last).
 # Names absent from this list follow in import order.
@@ -78,7 +78,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     # (c) new r10 surfaces — never graded
     "x_skew_sidecar_join", "x_advisor_auto_read", "q_stream_watermark",
     "x_jdbc_snapshot", "x_auto_skew_join", "x_multimodal_dhash_dedup",
-    "x_multimodal_audio_dedup",
+    "x_multimodal_audio_dedup", "x_multimodal_video_dedup",
     # (d) rewired through cached_fixture in r10 — code changed, regrade
     "x_ptable_join_advisor", "x_advisor_estimate", "x_ptable_dpp_join",
     "x_partition_bounds_advisor", "x_ptable_time_travel",
@@ -89,10 +89,10 @@ _GRADE_FIRST: tuple[str, ...] = (
     # (e) r04 cohort, staleness order — first 10 fill the budget
     "q_events_histogram", "q_events_interpolate", "q_map_functions",
     "x_attribution_last_touch", "x_bigram_lm_quality", "x_bpe_train",
-    "x_classify_nb_langid", "x_classify_perceptron",
+    "x_classify_nb_langid",
     # ---- position 51+ (graded only if the budget stretches) ----
     # r04 remainder (leads the r11 rotation)
-    "x_compaction_plan", "x_correlation_matrix",
+    "x_classify_perceptron", "x_compaction_plan", "x_correlation_matrix",
     "x_dedup_minhash_portable", "x_dedup_simhash_portable", "x_dq_expectations", "x_event_paths",
     "x_fuzzy_join", "x_group_regression", "x_hard_negatives",
     "x_k_anonymity", "x_kcore", "x_keywords_tfidf", "x_knn_classify",

@@ -7930,3 +7930,176 @@ def x_multimodal_audio_dedup(spark, sf_dir):
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= 10
     )
+
+
+# x_multimodal_video_dedup oracle: four 9x8 PGM frames per doc (frame j's 72
+# raster bytes from md5 digests ':v<5j>'..':v<5j+4>' of a shared seed; the
+# %10==1 twin perturbs frame 0 pixel 0), per-frame dHash replayed exactly as
+# in _DHASH_SQL, candidates = pairs sharing ANY exact frame hash, verified
+# by counting ALIGNED frames within Hamming 2 — near-dup at >= 3 of 4.
+_VIDEO_DHASH_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 10 <= 1 THEN doc_id - (doc_id % 10)
+                       ELSE doc_id END AS VARCHAR) AS seed
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, f.j, t.p,
+             (CAST('0x' || substr(md5(d.seed || ':v' ||
+                                      CAST(f.j * 5 + t.p // 16 AS VARCHAR)),
+                                  2 * (t.p % 16) + 1, 2) AS INT)
+              + CASE WHEN d.doc_id % 10 = 1 AND f.j = 0 AND t.p = 0
+                     THEN 1 ELSE 0 END) % 256 AS b
+      FROM d, range(4) f(j), range(72) t(p)
+    ),
+    bits AS (
+      SELECT a.doc_id, a.j, (a.p // 9) * 8 + (a.p % 9) AS i,
+             CASE WHEN a.b > r.b THEN 1 ELSE 0 END AS v
+      FROM px a
+      JOIN px r ON r.doc_id = a.doc_id AND r.j = a.j AND r.p = a.p + 1
+      WHERE a.p % 9 < 8
+    ),
+    h AS (
+      SELECT doc_id, j,
+             CAST(SUM(CASE WHEN i >= 32
+                           THEN v * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN i < 32
+                           THEN v * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id, j
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM h a JOIN h b
+        ON a.hi = b.hi AND a.lo = b.lo AND a.doc_id < b.doc_id
+    ),
+    aligned AS (
+      SELECT c.id_a, c.id_b, fa.j,
+             bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo))
+               AS ham
+      FROM cand c
+      JOIN h fa ON fa.doc_id = c.id_a
+      JOIN h fb ON fb.doc_id = c.id_b AND fb.j = fa.j
+    )
+    SELECT id_a, id_b,
+           CAST(SUM(CASE WHEN ham <= 2 THEN 1 ELSE 0 END) AS INT)
+             AS n_close_frames
+    FROM aligned
+    GROUP BY id_a, id_b
+    HAVING SUM(CASE WHEN ham <= 2 THEN 1 ELSE 0 END) >= 3
+"""
+
+
+@query(
+    "x_multimodal_video_dedup",
+    sql=_VIDEO_DHASH_SQL,
+    note="VIDEO near-dup dedup over REAL frames: each doc becomes a "
+    "4-frame clip (concatenated binary PGMs — the container-less frame "
+    "layout x_multimodal_frames samples), frames slice out by exact "
+    "byte offsets (the frame-sampler contract), each frame dHashes "
+    "through the stdlib decoder, candidates surface where ANY frame "
+    "hash matches exactly (the hash itself is the LSH band — one equal "
+    "frame is enough to probe), and pairs verify by counting ALIGNED "
+    "frames within Hamming 2: near-dup at >= 3 of 4 (the %10<=1 seed "
+    "twins differ in exactly one perturbed frame). Completes the "
+    "image/audio/video perceptual-dedup triptych on one plan shape; "
+    "the oracle replays construction, per-frame decode arithmetic, "
+    "candidate generation, and the aligned-frame verify relationally. "
+    "At 100 TB: frame hashes are tiny rows, the exact-hash join is a "
+    "hash shuffle on 16-byte keys, never a pixel comparison across "
+    "clips",
+)
+def x_multimodal_video_dedup(spark, sf_dir):
+    from flnr_wins_spark.functions.multimodal import image_dhash
+
+    docs = t(spark, sf_dir, "documents")
+    seed = (
+        F.when(
+            F.col("doc_id") % 10 <= 1,
+            F.col("doc_id") - F.col("doc_id") % 10,
+        )
+        .otherwise(F.col("doc_id"))
+        .cast("string")
+    )
+
+    def frame(j):
+        digs = [
+            F.md5(F.encode(F.concat(seed, F.lit(f":v{j * 5 + c}")), "UTF-8"))
+            for c in range(5)
+        ]
+        raw = F.concat(*[F.unhex(dg) for dg in digs])
+        b0 = F.conv(F.substring(digs[0], 1, 2), 16, 10).cast("int")
+        if j == 0:
+            b0 = F.when(
+                F.col("doc_id") % 10 == 1, (b0 + 1) % 256
+            ).otherwise(b0)
+        return F.concat(
+            F.encode(F.lit("P5\n9 8\n255\n"), "UTF-8"),
+            F.unhex(F.lpad(F.lower(F.hex(b0)), 2, "0")),
+            F.substring(raw, 2, 71),
+        )
+
+    video = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(*[frame(j) for j in range(4)]).alias("content"),
+    )
+    # the frame sampler: exact byte-offset slices of the clip (83 bytes
+    # per frame: 11-byte header + 72-byte raster)
+    frames = video.select(
+        "media_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.substring("content", j * 83 + 1, 83).alias("fbytes"),
+                )
+                for j in range(4)
+            ])
+        ).alias("fr"),
+    ).select(
+        (F.col("media_id") * 4 + F.col("fr.j")).alias("media_id"),
+        F.col("fr.fbytes").alias("content"),
+    )
+    fh = image_dhash(frames, hash_size=8).select(
+        (F.col("media_id") / 4).cast("bigint").alias("vid"),
+        F.pmod(F.col("media_id"), F.lit(4)).cast("int").alias("j"),
+        "dhash",
+        F.conv(F.substring("dhash", 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring("dhash", 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    a = fh.select(
+        F.col("vid").alias("id_a"), F.col("dhash").alias("dh")
+    )
+    b = fh.select(
+        F.col("vid").alias("id_b"), F.col("dhash").alias("dh")
+    )
+    cand = (
+        a.join(b, "dh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fh.select(
+        F.col("vid").alias("id_a"), "j",
+        F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
+    )
+    fb = fh.select(
+        F.col("vid").alias("id_b"), "j",
+        F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, ["id_b", "j"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(ham <= 2, 1).otherwise(0)).cast("int")
+            .alias("n_close_frames")
+        )
+        .filter(F.col("n_close_frames") >= 3)
+    )
