@@ -67,7 +67,12 @@ def salted_join(
             how=how, buckets=buckets,
         )
         tail = big.filter(~is_hot | F.col(on).isNull()).join(small, on, how)
-        return hot_part.unionByName(tail)
+        # positional union: both branches produce [on, big-rest,
+        # small-rest] by construction (key-list joins put the key first,
+        # the salted branch drops _salt), and a NAME-based union breaks
+        # when big and small legitimately share a non-key column name —
+        # the same frames a plain join accepts
+        return hot_part.union(tail)
     salt_src = (
         F.xxhash64(F.col(salt_col))
         if salt_col is not None

@@ -434,7 +434,8 @@ class AutoJoinPlan:
     left_key: str
     right_key: str
     join: JoinAdvice
-    hot_keys: tuple = ()
+    hot_keys: tuple = ()        # hot on the LEFT side (salt left, replicate right)
+    hot_keys_right: tuple = ()  # hot on the RIGHT side (inner: swap roles)
 
 
 _INT_PART_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
@@ -572,13 +573,15 @@ def advise_auto_join(
     (2) picks the join strategy from statistics of the PRUNED sets —
     broadcast when the pruned small side fits the byte threshold,
     else a shuffle sized from the System-R estimate over pruned
-    rows/NDV, and (3) on the SHUFFLE strategy, reads the left side's
-    heavy-hitter sidecar (when committed with ``heavy_cols`` on the
+    rows/NDV, and (3) on the SHUFFLE strategy, reads BOTH sides'
+    heavy-hitter sidecars (when committed with ``heavy_cols`` on the
     join key, plus row counts) to flag join-key values whose exact
     merged count over the PRUNED partitions reaches
-    ``skew_hot_ratio`` x pruned rows — run_auto_join salts exactly
-    those keys, so the one straggler-making key never lands on one
-    shuffle task. Broadcast joins skip detection (the big side is
+    ``skew_hot_ratio`` x that side's pruned rows — run_auto_join salts
+    exactly those keys (left-hot: salt left / replicate right's hot
+    rows; right-hot inner joins: roles swapped; both-hot: plain advice,
+    the quadratic case no per-side salt can fix), so the one
+    straggler-making key never lands on one shuffle task. Broadcast joins skip detection (the big side is
     never hash-partitioned by the key, so key skew cannot straggle
     them). Decision cost: one manifest read + one FS listing of the
     KEPT partitions per side — never a data file.
@@ -605,8 +608,11 @@ def advise_auto_join(
         m = _read_manifest(spark, path, ids[-1])
         scan = _scan_advice_m(m, path, rng, pts)
         plans.append((scan, _pruned_table_stats(spark, path, m, scan, key)))
+        # keep both parsed manifests for the skew read — SAME versions
         if path == left_path:
-            lm = m  # reused by the skew read — still the SAME version
+            lm = m
+        if path == right_path:
+            rm = m
     (lscan, lstats), (rscan, rstats) = plans
     join = _decide_join(
         spark, lstats, rstats,
@@ -615,11 +621,14 @@ def advise_auto_join(
         min_shuffle_partitions=min_shuffle_partitions,
     )
     hot: tuple = ()
+    hot_r: tuple = ()
     if join.strategy == "shuffle":
         hot = _pruned_hot_keys(lm, lscan, left_key, skew_hot_ratio)
+        hot_r = _pruned_hot_keys(rm, rscan, rk, skew_hot_ratio)
     return AutoJoinPlan(
         left_scan=lscan, right_scan=rscan,
-        left_key=left_key, right_key=rk, join=join, hot_keys=hot,
+        left_key=left_key, right_key=rk, join=join,
+        hot_keys=hot, hot_keys_right=hot_r,
     )
 
 
@@ -702,24 +711,59 @@ def run_auto_join(
 
     left = read_advised_scan(spark, plan.left_scan)
     right = read_advised_scan(spark, plan.right_scan)
+    same_key = plan.left_key == plan.right_key
+    both_hot = bool(plan.hot_keys) and bool(plan.hot_keys_right)
     if (
         plan.hot_keys
-        and plan.left_key == plan.right_key
+        and not both_hot
+        and same_key
         and how in ("inner", "left")
     ):
-        # metadata-flagged key skew on the shuffle path: salt ONLY the
-        # hot keys (salt = hash of all left columns — no key naming
-        # needed), join the long tail plain. Different key names or an
-        # outer-preserving right side fall through to the plain advice
-        # (salting replicates the small side, which is only exact for
-        # inner/left).
+        # metadata-flagged LEFT-side key skew on the shuffle path: salt
+        # ONLY the hot keys (salt = hash of all left columns — no key
+        # naming needed), join the long tail plain. Different key names
+        # or an outer-preserving right side fall through to the plain
+        # advice (salting replicates the small side, which is only
+        # exact for inner/left).
         return salted_join(
             left, right, plan.left_key, salt_col=None, how=how,
             hot_keys=list(plan.hot_keys),
         )
+    if plan.hot_keys_right and not both_hot and same_key and how == "inner":
+        # RIGHT-side key skew: inner equi-joins are symmetric, so run
+        # the salted split with the roles SWAPPED (salt the heavy right,
+        # replicate only the hot keys' left rows) and restore the
+        # caller's column order. Left joins cannot swap (the preserved
+        # side must stay the big side) and fall through.
+        out = salted_join(
+            right, left, plan.right_key, salt_col=None, how="inner",
+            hot_keys=list(plan.hot_keys_right),
+        )
+        # restore the caller's layout ([key, left-rest, right-rest]) from
+        # the swapped [key, right-rest, left-rest] POSITIONALLY — both
+        # inputs may legitimately share non-key column names (e.g. both
+        # partitioned on 'pb'), so name-based selection is ambiguous
+        tmp = [f"_c{i}" for i in range(len(out.columns))]
+        n_right_rest = len(right.columns) - 1
+        order = (
+            [0]
+            + list(range(1 + n_right_rest, len(tmp)))
+            + list(range(1, 1 + n_right_rest))
+        )
+        final = (
+            [plan.left_key]
+            + [c for c in left.columns if c != plan.left_key]
+            + [c for c in right.columns if c != plan.right_key]
+        )
+        return out.toDF(*tmp).select(*[tmp[i] for i in order]).toDF(*final)
+    # keys named differently, outer-preserved hot side, or BOTH sides
+    # hot (the output for a both-hot key is |L_k| x |R_k| — genuinely
+    # quadratic; per-side salting cannot fix it and grid-salting is out
+    # of scope): run the plain advice, AQE's skew split still applies
+    # within the chosen strategy.
     on = (
         plan.left_key
-        if plan.left_key == plan.right_key
+        if same_key
         else left[plan.left_key] == right[plan.right_key]
     )
     return _run_join_advice(plan.join, left, right, on, how)

@@ -881,3 +881,59 @@ def test_detect_key_skew_surfaces_hot_key_via_kmin_sample(spark, tmp_path):
     rep = detect_key_skew(spark, p, "k", hot_ratio=0.5)
     assert rep.hot_keys == [0]
     assert rep.hot_counts[0] == [200, 0]  # exact, zero error
+
+
+def test_auto_join_right_side_skew_swaps_roles(spark, tmp_path):
+    """RIGHT-side key skew on an inner join: the roles swap (salt the
+    heavy right, replicate only the hot keys' left rows), the column
+    order stays the caller's, and the result equals the plain join.
+    Left joins cannot swap and fall through to the plain advice; a
+    key hot on BOTH sides falls through too (the quadratic case)."""
+    from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    # left: uniform; right: key 0 hot (400 of 600 rows)
+    lrows = [(k, str(k % 4), k * 7) for k in range(0, 41) for _ in (0,)]
+    left = spark.createDataFrame(lrows, "k long, pb string, lv long")
+    rrows = []
+    rid = 0
+    for i in range(400):
+        rrows.append((0, str(rid % 4), rid)); rid += 1
+    for k in range(1, 41):
+        for _ in range(5):
+            rrows.append((k, str(rid % 4), rid)); rid += 1
+    right = spark.createDataFrame(rrows, "k long, pb string, rv long")
+    fp, dp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_ptable(left, fp, "pb", stats_cols=["k"],
+                 heavy_cols=["k"], heavy_k=8, heavy_threshold=30)
+    write_ptable(right, dp, "pb", stats_cols=["k"],
+                 heavy_cols=["k"], heavy_k=8, heavy_threshold=30)
+
+    plan = advise_auto_join(spark, fp, dp, "k", broadcast_threshold_bytes=0)
+    assert plan.join.strategy == "shuffle"
+    assert plan.hot_keys == () and plan.hot_keys_right == (0,)
+
+    out = run_auto_join(spark, plan)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in phys
+    # layout is the caller's: [key, left-rest, right-rest], where each
+    # side's read_ptable layout puts its partition col last — the shared
+    # 'pb' name appears twice, exactly like the plain join of the reads
+    assert out.columns == ["k", "lv", "pb", "rv", "pb"]
+    from flnr_wins_spark.sources.advisor import read_advised_scan
+
+    want = read_advised_scan(spark, plan.left_scan).join(
+        read_advised_scan(spark, plan.right_scan), "k"
+    )
+    assert want.columns == out.columns
+    got = out.toDF("k", "lv", "pb_l", "rv", "pb_r")
+    wnt = want.toDF("k", "lv", "pb_l", "rv", "pb_r")
+    assert got.count() == wnt.count() > 0
+    assert got.exceptAll(wnt).count() == 0 and wnt.exceptAll(got).count() == 0
+
+    # left join with right-hot keys: falls through (no salt), exact
+    lplan = advise_auto_join(spark, fp, dp, "k", broadcast_threshold_bytes=0)
+    lout = run_auto_join(spark, lplan, how="left")
+    lphys = lout._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in lphys
+    assert lout.count() == left.join(right.select("k", "rv"), "k", "left").count()
