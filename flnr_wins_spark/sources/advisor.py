@@ -446,13 +446,23 @@ def _scan_advice_m(
     path: str,
     ranges: dict[str, tuple] | None,
     points: dict[str, object] | None,
+    strict_points: bool = False,
 ) -> ScanAdvice:
     """Prune one side against its already-parsed manifest: partition-
     column predicates prune the partition map directly (hive-style
     partition pruning — points by string identity, ranges by typed
     compare for integer partition columns and ISO-lexical compare for
     string/date ones), every other column goes through the zone-map /
-    bloom sidecars. No predicates => full scan (kept == all)."""
+    bloom sidecars. No predicates => full scan (kept == all).
+
+    'No partitions can match' means EMPTY RESULT, not error — a point
+    probe for a legitimately absent value (a date with no data yet, a
+    segment not loaded) is a valid empty query, the same contract the
+    range / bloom / non-partition-equality paths already keep (ADVICE
+    r10: the loud default made the module internally inconsistent).
+    ``strict_points=True`` opts back into the loud KeyError for callers
+    who want mis-encoded probes (wrong case, wrong type rendering)
+    caught at planning time instead of surfacing as zero rows."""
     part_col = m["part_col"]
     keep = set(m["partitions"])
     for col, (lo, hi) in (ranges or {}).items():
@@ -501,12 +511,10 @@ def _scan_advice_m(
                 else str(value)
             )
             hit = {v for v in m["partitions"] if v == probe}
-            if not hit and m["partitions"]:
-                # a point probe matching ZERO hive values of a non-empty
-                # table is far more likely a mis-encoded probe (wrong
-                # case, wrong type rendering) than a true empty match —
-                # fail loudly like read_ptable does, never return a
-                # silently-empty advised scan
+            if strict_points and not hit and m["partitions"]:
+                # opt-in strictness: treat a zero-match probe on a
+                # non-empty table as a mis-encoded probe (wrong case,
+                # wrong type rendering) and fail at planning time
                 raise KeyError(
                     f"point predicate {col}={value!r} matches no partition "
                     f"value of {path} (values are hive-encoded strings, "
@@ -566,6 +574,7 @@ def advise_auto_join(
     target_rows_per_partition: int = 5_000_000,
     min_shuffle_partitions: int | None = None,
     skew_hot_ratio: float = 0.05,
+    strict_points: bool = False,
 ) -> AutoJoinPlan:
     """The AUTO-COMPOSED read path: ONE call that (1) prunes each side's
     scan through every manifest sidecar the predicates can use
@@ -584,7 +593,12 @@ def advise_auto_join(
     straggler-making key never lands on one shuffle task. Broadcast joins skip detection (the big side is
     never hash-partitioned by the key, so key skew cannot straggle
     them). Decision cost: one manifest read + one FS listing of the
-    KEPT partitions per side — never a data file.
+    KEPT partitions per side — never a data file. A predicate no
+    partition can satisfy yields an EMPTY kept set (a valid empty
+    query — read_advised_scan shapes a zero-file empty scan);
+    ``strict_points=True`` instead raises on a partition-column point
+    probe that matches nothing, for callers who want mis-encoded
+    probes caught at planning time.
 
     This is what completes the sidecars into an optimizer path: a date
     range that prunes a year-partitioned fact to one partition changes
@@ -606,7 +620,7 @@ def advise_auto_join(
             raise FileNotFoundError(f"no committed manifest under {path}")
         # ONE manifest read per side: pruning AND stats see one version
         m = _read_manifest(spark, path, ids[-1])
-        scan = _scan_advice_m(m, path, rng, pts)
+        scan = _scan_advice_m(m, path, rng, pts, strict_points=strict_points)
         plans.append((scan, _pruned_table_stats(spark, path, m, scan, key)))
         # keep both parsed manifests for the skew read — SAME versions
         if path == left_path:
@@ -641,7 +655,7 @@ def _pruned_hot_keys(
     requested statistic (detect_key_skew is the loud, explicit API)."""
     import math as _math
 
-    from flnr_wins_spark.sources.ptable import merged_heavy_m
+    from flnr_wins_spark.sources.ptable import _json_key, merged_heavy_m
 
     if key not in m.get("heavy_cols", []) or "rows" not in m:
         return ()
@@ -649,9 +663,14 @@ def _pruned_hot_keys(
     kmin, hot = merged_heavy_m(mk, key)
     rows = sum(int(m["rows"][v]) for v in scan.kept)
     floor = max(1, int(_math.ceil(hot_ratio * rows)))
-    cand: dict = {v: int(lb) for v, (lb, _err) in hot.items()}
+    # key BOTH statistics through _json_key (hot already is; kmin values
+    # are tuple-converted, for which _json_key is the identity) so the
+    # candidate merge stays type-uniform if heavy values ever widen
+    # beyond _BLOOM_OK_TYPES scalars (ADVICE r10)
+    cand: dict = {_json_key(v): int(lb) for v, (lb, _err) in hot.items()}
     for v, c in kmin:  # hash-sampled counts are exact — see detect_key_skew
-        cand[v] = max(cand.get(v, 0), int(c))
+        k = _json_key(v)
+        cand[k] = max(cand.get(k, 0), int(c))
     return tuple(
         v for v, lb in sorted(cand.items(), key=lambda kv: (-kv[1], str(kv[0])))
         if lb >= floor

@@ -101,7 +101,17 @@ def _zstd_frame_end(buf: bytes, i: int) -> tuple[int, bool]:
         raise ValueError("truncated zstd frame (no room for a header)")
     magic = int.from_bytes(buf[i : i + 4], "little")
     if 0x184D2A50 <= magic <= 0x184D2A5F:
+        # the skippable header is 8 bytes (magic + 4-byte size); a short
+        # slice would silently decode a WRONG size, and a declared size
+        # running past the buffer must raise like content frames do —
+        # the module's loud-truncation contract (ADVICE r10)
+        if len(buf) < i + 8:
+            raise ValueError(
+                "truncated zstd skippable frame (no room for its size)"
+            )
         size = int.from_bytes(buf[i + 4 : i + 8], "little")
+        if i + 8 + size > len(buf):
+            raise ValueError("truncated zstd skippable frame")
         return i + 8 + size, True
     if magic != 0xFD2FB528:
         raise ValueError(f"not a zstd frame at offset {i} (magic {magic:#x})")

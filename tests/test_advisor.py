@@ -696,15 +696,30 @@ def test_scan_advice_boolean_partition_normalizes_hive_form(spark, tmp_path):
     assert rng.left_scan.kept == ("false", "true")
 
 
-def test_scan_advice_point_miss_on_partition_col_raises(spark, tmp_path):
-    """A partition-column point probe matching ZERO hive values of a
-    non-empty table is a mis-encoded probe, not an empty result — it
-    must fail loudly (the silent-empty was ADVICE r9's failure mode)."""
-    from flnr_wins_spark.sources.advisor import advise_auto_join
+def test_scan_advice_point_miss_empty_by_default_strict_raises(spark, tmp_path):
+    """A partition-column point probe matching ZERO hive values is a
+    VALID EMPTY QUERY by default — 'no partitions can match' means empty
+    result, the same contract the range / bloom / non-partition-equality
+    paths keep (ADVICE r10: the loud default was internally
+    inconsistent). strict_points=True opts back into the planning-time
+    KeyError for callers who want mis-encoded probes caught loudly."""
+    from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
 
     fp, dp = _auto_paths(spark, tmp_path)
+    plan = advise_auto_join(
+        spark, fp, dp, "cust", right_points={"seg": "nope"}
+    )
+    assert plan.right_scan.kept == ()
+    out = run_auto_join(spark, plan)
+    assert out.count() == 0
+    # the empty scan still carries the full schema (O(1) probe path)
+    assert "seg" in out.columns and "cust" in out.columns
+
     with pytest.raises(KeyError, match="matches no partition value"):
-        advise_auto_join(spark, fp, dp, "cust", right_points={"seg": "nope"})
+        advise_auto_join(
+            spark, fp, dp, "cust", right_points={"seg": "nope"},
+            strict_points=True,
+        )
 
 
 def test_detect_key_skew_reads_manifest_only_and_salted_parity(spark, tmp_path):

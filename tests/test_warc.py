@@ -201,6 +201,32 @@ def test_zstd_loud_failures():
         list(split_zstd_frames(bytes(frame)))
 
 
+def test_zstd_truncated_skippable_frames_raise():
+    """Skippable frames keep the loud-truncation contract (ADVICE r10):
+    a header too short for its 4-byte size field, and a declared size
+    running past the buffer, both raise — neither silently stops the
+    split (which would drop every following content frame)."""
+    import pytest
+
+    from flnr_wins_spark.sources.warc import encode_warc_zst, split_zstd_frames
+
+    blob = encode_warc_zst(_zrecs())
+    magic = (0x184D2A50).to_bytes(4, "little")
+    # header cut mid-size-field: int.from_bytes on the short slice would
+    # silently yield a wrong size
+    for cut in (magic + (99).to_bytes(4, "little")[:2],
+                blob + magic + (5).to_bytes(4, "little")[:3]):
+        with pytest.raises(ValueError, match="truncated zstd skippable"):
+            list(split_zstd_frames(cut))
+    # declared size past the buffer end
+    short = blob + magic + (100).to_bytes(4, "little") + b"only-ten-b"
+    with pytest.raises(ValueError, match="truncated zstd skippable"):
+        list(split_zstd_frames(short))
+    # intact skippable between content frames still splits cleanly
+    ok = blob + magic + (3).to_bytes(4, "little") + b"pad" + blob
+    assert len(list(split_zstd_frames(ok))) == 8
+
+
 def test_read_warc_zst_through_spark(spark, tmp_path):
     """The Spark read path detects the zstd container per file and yields
     the same row shape as the gzip path."""
