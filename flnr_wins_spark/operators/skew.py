@@ -86,3 +86,84 @@ def salted_join(
     )
     out = big_s.join(small_s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def grid_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    grid: tuple[int, int] = (8, 8),
+    hot_keys: list | None = None,
+    left_salt_col: str | None = None,
+    right_salt_col: str | None = None,
+) -> DataFrame:
+    """2-D grid (fragment-replicate) equi-join for keys hot on BOTH
+    sides — the case per-side salting provably cannot fix: a key with
+    |L_k| and |R_k| both huge has a genuinely quadratic |L_k| x |R_k|
+    output, and salting one side still lands every pair through the
+    other side's single partition of that key.
+
+    The grid spreads the quadratic work over ``bl x br`` cells instead:
+
+      left row:  cell column = hash(row) % bl, REPLICATED over all br
+                 cell rows  -> (key, cl, 0..br-1);
+      right row: cell row    = hash(row) % br, REPLICATED over all bl
+                 cell columns -> (key, 0..bl-1, cr).
+
+    A pair (l, r) meets in EXACTLY ONE cell — (cl(l), cr(r)) — so the
+    join on (key, cl, cr) equals the plain join with no duplicates, and
+    each cell carries ~|L_k|/bl x |R_k|/br of the output. Replication
+    cost: the left slice shuffles br times, the right slice bl times —
+    which is why ``hot_keys`` should scope the grid to the flagged keys
+    only (the long tail joins plain; NULL keys follow the tail, where
+    inner semantics drop them). Deterministic: xxhash64 cell assignment
+    (``*_salt_col`` names a near-unique column, else the hash of all
+    that side's columns), no rand().
+
+    Inner joins only: BOTH sides are replicated, so outer-preserved
+    rows would null-fill once per phantom cell. At 100 TB this is the
+    self-join/heavy-overlap straggler killer: two fact tables sharing a
+    mega-customer key join in bl x br parallel tasks instead of one."""
+    if how != "inner":
+        raise ValueError(
+            "grid_salted_join supports inner only (both sides are "
+            f"replicated — outer semantics cannot survive), got {how!r}"
+        )
+    bl, br = grid
+    if bl < 1 or br < 1:
+        raise ValueError(f"grid dims must be >= 1, got {grid}")
+    clash = {"_gsl", "_gsr"} & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"grid salt column name collision: {sorted(clash)}")
+    if hot_keys is not None:
+        if not hot_keys:
+            return left.join(right, on, how)
+        is_hot = F.col(on).isin(list(hot_keys))
+        hot_part = grid_salted_join(
+            left.filter(is_hot), right.filter(is_hot), on, how=how,
+            grid=grid, left_salt_col=left_salt_col,
+            right_salt_col=right_salt_col,
+        )
+        tail = left.filter(~is_hot | F.col(on).isNull()).join(right, on, how)
+        # positional union: both branches produce [on, left-rest,
+        # right-rest] by construction (see salted_join — name-based
+        # union breaks on legitimately shared non-key column names)
+        return hot_part.union(tail)
+    lsrc = (
+        F.xxhash64(F.col(left_salt_col))
+        if left_salt_col is not None
+        else F.xxhash64(*[F.col(c) for c in left.columns])
+    )
+    rsrc = (
+        F.xxhash64(F.col(right_salt_col))
+        if right_salt_col is not None
+        else F.xxhash64(*[F.col(c) for c in right.columns])
+    )
+    lg = left.withColumn(
+        "_gsl", F.pmod(lsrc, F.lit(bl)).cast("int")
+    ).withColumn("_gsr", F.explode(F.sequence(F.lit(0), F.lit(br - 1))))
+    rg = right.withColumn(
+        "_gsr", F.pmod(rsrc, F.lit(br)).cast("int")
+    ).withColumn("_gsl", F.explode(F.sequence(F.lit(0), F.lit(bl - 1))))
+    return lg.join(rg, [on, "_gsl", "_gsr"], "inner").drop("_gsl", "_gsr")

@@ -7632,6 +7632,114 @@ def x_auto_skew_join(spark, sf_dir):
     )
 
 
+_GRID_SKEW_SQL = """
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                  ELSE l_orderkey % 1000 END AS skew_key,
+             l_quantity
+      FROM lineitem
+    ),
+    d AS (SELECT DISTINCT skew_key FROM f),
+    r AS (
+      SELECT skew_key FROM d
+      UNION ALL
+      SELECT CAST(0 AS BIGINT) FROM range(40)
+    )
+    SELECT CAST(f.skew_key % 7 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(f.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+           'shuffle' AS strategy,
+           CAST(1 AS INT) AS n_hot_left,
+           CAST(1 AS INT) AS n_hot_right
+    FROM f JOIN r ON f.skew_key = r.skew_key
+    GROUP BY 1
+"""
+
+
+@query(
+    "x_grid_skew_join",
+    sql=_GRID_SKEW_SQL,
+    note="The 2-D GRID-salted join, auto-selected: key 0 is hot on BOTH "
+    "sides (half the fact's rows; 41 of ~540 dim rows — above the 5% "
+    "ratio), the genuinely quadratic |L_0| x |R_0| case one-sided "
+    "salting cannot fix (whichever side salts, every pair still routes "
+    "through the other side's single partition of that key). Both "
+    "manifests' heavy sidecars flag it, advise_auto_join carries hot "
+    "keys for both sides, and run_auto_join routes the hot slice "
+    "through grid_salted_join — each left row to ONE of 8 cell columns "
+    "replicated over 8 cell rows, each right row to ONE cell row "
+    "replicated over 8 columns, so a pair meets in EXACTLY ONE of 64 "
+    "cells (no duplicates, exact result) and the quadratic output is "
+    "built by 64 tasks instead of one. The long tail joins plain; the "
+    "result hash-matches the plain relational join with the per-side "
+    "hot-key counts carried as graded literals. At 100 TB this is the "
+    "mega-key self-join/fact-fact straggler killer: replication cost is "
+    "hot-slice x 8 per side, never |table| x grid",
+)
+def x_grid_skew_join(spark, sf_dir):
+    from flnr_wins_spark.plans.common import cached_fixture
+    from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    def _build(d):
+        li = t(spark, sf_dir, "lineitem")
+        fact = li.select(
+            F.when(F.col("l_orderkey") % 10 < 5, F.lit(0).cast("bigint"))
+            .otherwise(F.col("l_orderkey") % 1000)
+            .alias("skew_key"),
+            F.pmod(F.col("l_partkey"), F.lit(8)).cast("string").alias("pb"),
+            F.col("l_quantity").alias("qty"),
+        )
+        n = fact.count()  # scalar: sizes the scale-adaptive threshold
+        write_ptable(
+            fact, d + "/fact", "pb",
+            stats_cols=["skew_key"],
+            heavy_cols=["skew_key"], heavy_k=32,
+            heavy_threshold=max(2, n // 512),
+        )
+        # dim: one row per key PLUS 40 extra key-0 rows (distinct rep
+        # ids so the grid's all-columns hash actually spreads them) —
+        # key 0 is hot on THIS side too at every SF (41 rows vs the 5%
+        # floor over ~340-540 total), and only key 0 crosses the
+        # SF-independent commit threshold of 8
+        reps = spark.range(40).select(
+            F.lit(0).cast("bigint").alias("skew_key"),
+            F.col("id").cast("bigint").alias("rep"),
+        )
+        dim = (
+            fact.select("skew_key").distinct()
+            .withColumn("rep", F.lit(-1).cast("bigint"))
+            .unionByName(reps)
+            .withColumn("db", F.lit("all"))
+        )
+        write_ptable(
+            dim, d + "/dim", "db",
+            stats_cols=["skew_key"],
+            heavy_cols=["skew_key"], heavy_k=8, heavy_threshold=8,
+        )
+
+    base = cached_fixture("grid_skew", sf_dir, _build)
+    plan = advise_auto_join(
+        spark, base + "/fact", base + "/dim", "skew_key",
+        broadcast_threshold_bytes=0,  # force the shuffle strategy
+        min_shuffle_partitions=8,     # environment-independent floor
+    )
+    joined = run_auto_join(spark, plan)
+    return (
+        joined.groupBy((F.col("skew_key") % 7).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("qty").cast("decimal(27,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            "grp", "n_rows", "sum_qty",
+            F.lit(plan.join.strategy).alias("strategy"),
+            F.lit(len(plan.hot_keys)).cast("int").alias("n_hot_left"),
+            F.lit(len(plan.hot_keys_right)).cast("int").alias("n_hot_right"),
+        )
+    )
+
+
 # x_multimodal_dhash_dedup oracle: the image construction (9x8 PGM whose 72
 # raster bytes are md5-of-seed digits, docs with doc_id%10<=1 sharing a seed
 # and the %10==1 twin perturbed in pixel 0) is replayed relationally, the

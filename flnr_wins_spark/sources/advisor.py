@@ -588,8 +588,10 @@ def advise_auto_join(
     merged count over the PRUNED partitions reaches
     ``skew_hot_ratio`` x that side's pruned rows — run_auto_join salts
     exactly those keys (left-hot: salt left / replicate right's hot
-    rows; right-hot inner joins: roles swapped; both-hot: plain advice,
-    the quadratic case no per-side salt can fix), so the one
+    rows; right-hot inner joins: roles swapped; both-hot inner joins:
+    the 2-D grid-salted join, spreading the genuinely quadratic
+    |L_k| x |R_k| output over salt_l x salt_r cells with each side
+    replicated only by the other's grid dim), so the one
     straggler-making key never lands on one shuffle task. Broadcast joins skip detection (the big side is
     never hash-partitioned by the key, so key skew cannot straggle
     them). Decision cost: one manifest read + one FS listing of the
@@ -723,15 +725,33 @@ def run_auto_join(
     columns survive). When the plan carries ``hot_keys`` (shuffle
     strategy + heavy sidecar evidence) and the join is inner/left on a
     same-named key, the hot slice runs salted and the tail plain —
-    exact result, straggler-free; the salted path sizes its shuffle via
-    the session/AQE (the advice's partition count applies to the plain
-    fallback only)."""
-    from flnr_wins_spark.operators.skew import salted_join
+    exact result, straggler-free; keys hot on BOTH sides of an inner
+    join route through :func:`operators.skew.grid_salted_join` (2-D
+    fragment-replicate — the quadratic case one-sided salting cannot
+    fix). The salted paths size their shuffles via the session/AQE
+    (the advice's partition count applies to the plain fallback
+    only)."""
+    from flnr_wins_spark.operators.skew import grid_salted_join, salted_join
 
     left = read_advised_scan(spark, plan.left_scan)
     right = read_advised_scan(spark, plan.right_scan)
     same_key = plan.left_key == plan.right_key
     both_hot = bool(plan.hot_keys) and bool(plan.hot_keys_right)
+    if both_hot and same_key and how == "inner":
+        # BOTH sides flag hot keys: the quadratic case per-side salting
+        # cannot fix (|L_k| x |R_k| pairs all route through one task
+        # whichever single side is salted). The 2-D grid spreads every
+        # flagged key — the UNION of both sides' hot sets, so a
+        # one-side-hot key simply gets a slightly wider spread than it
+        # needed — over 8x8 cells (each side's hot slice replicated by
+        # the OTHER side's grid dim only); the long tail joins plain.
+        flagged = sorted(
+            set(plan.hot_keys) | set(plan.hot_keys_right), key=str
+        )
+        return grid_salted_join(
+            left, right, plan.left_key, how="inner",
+            hot_keys=flagged,
+        )
     if (
         plan.hot_keys
         and not both_hot
@@ -775,11 +795,10 @@ def run_auto_join(
             + [c for c in right.columns if c != plan.right_key]
         )
         return out.toDF(*tmp).select(*[tmp[i] for i in order]).toDF(*final)
-    # keys named differently, outer-preserved hot side, or BOTH sides
-    # hot (the output for a both-hot key is |L_k| x |R_k| — genuinely
-    # quadratic; per-side salting cannot fix it and grid-salting is out
-    # of scope): run the plain advice, AQE's skew split still applies
-    # within the chosen strategy.
+    # keys named differently, or an outer-preserved hot side (left
+    # joins cannot swap a hot right, and the grid replicates BOTH sides
+    # so it is inner-only): run the plain advice, AQE's skew split
+    # still applies within the chosen strategy.
     on = (
         plan.left_key
         if same_key

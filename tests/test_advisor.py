@@ -902,8 +902,8 @@ def test_auto_join_right_side_skew_swaps_roles(spark, tmp_path):
     """RIGHT-side key skew on an inner join: the roles swap (salt the
     heavy right, replicate only the hot keys' left rows), the column
     order stays the caller's, and the result equals the plain join.
-    Left joins cannot swap and fall through to the plain advice; a
-    key hot on BOTH sides falls through too (the quadratic case)."""
+    Left joins cannot swap and fall through to the plain advice; keys
+    hot on BOTH sides route through the 2-D grid (its own test)."""
     from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
     from flnr_wins_spark.sources.ptable import write_ptable
 
@@ -952,3 +952,62 @@ def test_auto_join_right_side_skew_swaps_roles(spark, tmp_path):
     lphys = lout._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" not in lphys
     assert lout.count() == left.join(right.select("k", "rv"), "k", "left").count()
+
+
+def test_auto_join_both_sides_hot_routes_grid(spark, tmp_path):
+    """Keys hot on BOTH sides of an inner join — the genuinely quadratic
+    |L_k| x |R_k| case one-sided salting cannot fix — route through the
+    2-D grid-salted join: the plan carries TWO explode fan-outs (one per
+    side; the 1-D salted path has exactly one), the result equals the
+    plain join, and a LEFT join still falls through to the plain advice
+    (the grid replicates both sides, so it is inner-only)."""
+    from flnr_wins_spark.sources.advisor import (
+        advise_auto_join,
+        read_advised_scan,
+        run_auto_join,
+    )
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    lrows, rid = [], 0
+    for i in range(200):                      # key 0 hot on the LEFT
+        lrows.append((0, str(rid % 4), rid)); rid += 1
+    for k in range(1, 21):
+        for _ in range(5):
+            lrows.append((k, str(rid % 4), rid)); rid += 1
+    rrows = []
+    for i in range(100):                      # key 0 hot on the RIGHT too
+        rrows.append((0, str(rid % 4), rid)); rid += 1
+    for k in range(1, 21):
+        for _ in range(4):
+            rrows.append((k, str(rid % 4), rid)); rid += 1
+    left = spark.createDataFrame(lrows, "k long, pb string, lv long")
+    right = spark.createDataFrame(rrows, "k long, pb string, rv long")
+    fp, dp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_ptable(left, fp, "pb", stats_cols=["k"],
+                 heavy_cols=["k"], heavy_k=8, heavy_threshold=30)
+    write_ptable(right, dp, "pb", stats_cols=["k"],
+                 heavy_cols=["k"], heavy_k=8, heavy_threshold=20)
+
+    plan = advise_auto_join(spark, fp, dp, "k", broadcast_threshold_bytes=0)
+    assert plan.join.strategy == "shuffle"
+    assert plan.hot_keys == (0,) and plan.hot_keys_right == (0,)
+
+    out = run_auto_join(spark, plan)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in phys
+    assert phys.count("Generate") == 2  # grid fan-out on BOTH sides
+    want = read_advised_scan(spark, plan.left_scan).join(
+        read_advised_scan(spark, plan.right_scan), "k"
+    )
+    assert out.columns == want.columns
+    tmp = [f"_c{i}" for i in range(len(out.columns))]
+    got_s, want_s = out.toDF(*tmp), want.toDF(*tmp)
+    assert out.count() == want.count() == 200 * 100 + 20 * 5 * 4
+    assert got_s.exceptAll(want_s).count() == 0
+    assert want_s.exceptAll(got_s).count() == 0
+
+    # LEFT join with both-hot keys: plain fall-through, still exact
+    lout = run_auto_join(spark, plan, how="left")
+    lphys = lout._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in lphys
+    assert lout.count() == left.join(right, "k", "left").count()

@@ -262,6 +262,95 @@ class TestSaltedJoin:
             salted_join(big, small, on="key", salt_col="row_id", how="full")
 
 
+class TestGridSaltedJoin:
+    def _data(self, spark):
+        # k0 hot on BOTH sides (30 x 20 = 600 pairs — the quadratic
+        # case), a tail key on each side, a key absent from the right,
+        # NULL keys on both sides, and a legitimately SHARED non-key
+        # column name ('v') — the layout a plain join accepts
+        left = spark.createDataFrame(
+            [(i, "k0", f"l{i}") for i in range(30)]
+            + [(100, "t1", "lt"), (101, "only-left", "lo"), (102, None, "ln")],
+            "lid long, key string, v string",
+        )
+        right = spark.createDataFrame(
+            [(i, "k0", f"r{i}") for i in range(20)]
+            + [(200, "t1", "rt"), (201, None, "rn")],
+            "rid long, key string, v string",
+        )
+        return left, right
+
+    def test_equals_plain_join_hot_keys_scoped(self, spark):
+        from flnr_wins_spark.operators.skew import grid_salted_join
+
+        left, right = self._data(spark)
+        got = grid_salted_join(
+            left, right, on="key", grid=(4, 3), hot_keys=["k0"]
+        )
+        want = left.join(right, "key")
+        assert got.columns == want.columns
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert got.count() == 601  # 600 grid pairs + 1 tail pair
+
+    def test_equals_plain_join_unscoped(self, spark):
+        from flnr_wins_spark.operators.skew import grid_salted_join
+
+        left, right = self._data(spark)
+        got = grid_salted_join(left, right, on="key", grid=(2, 5))
+        want = left.join(right, "key")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_salt_col_and_degenerate_grids(self, spark):
+        from flnr_wins_spark.operators.skew import grid_salted_join
+
+        left, right = self._data(spark)
+        want = sorted(map(tuple, left.join(right, "key").collect()))
+        for grid in ((1, 1), (1, 4), (4, 1)):
+            got = grid_salted_join(
+                left, right, on="key", grid=grid,
+                left_salt_col="lid", right_salt_col="rid",
+            )
+            assert sorted(map(tuple, got.collect())) == want
+
+    def test_pairs_meet_in_exactly_one_cell(self, spark):
+        # the exactness argument: no duplicate (lid, rid) pairs
+        from flnr_wins_spark.operators.skew import grid_salted_join
+
+        left, right = self._data(spark)
+        got = grid_salted_join(left, right, on="key", grid=(8, 8))
+        pairs = [(r.lid, r.rid) for r in got.select("lid", "rid").collect()]
+        assert len(pairs) == len(set(pairs))
+
+    def test_rejects_outer_and_bad_grid_and_collision(self, spark):
+        import pytest as _pytest
+
+        from flnr_wins_spark.operators.skew import grid_salted_join
+
+        left, right = self._data(spark)
+        with _pytest.raises(ValueError, match="inner only"):
+            grid_salted_join(left, right, on="key", how="left")
+        with _pytest.raises(ValueError, match="grid dims"):
+            grid_salted_join(left, right, on="key", grid=(0, 4))
+        with _pytest.raises(ValueError, match="collision"):
+            grid_salted_join(
+                left.withColumn("_gsl", left.lid), right, on="key"
+            )
+
+    def test_empty_hot_keys_is_plain_join(self, spark):
+        from flnr_wins_spark.operators.skew import grid_salted_join
+
+        left, right = self._data(spark)
+        got = grid_salted_join(left, right, on="key", hot_keys=[])
+        want = left.join(right, "key")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
 class TestIntervalJoin:
     def test_window_boundaries(self, spark):
         from datetime import datetime

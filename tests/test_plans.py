@@ -792,3 +792,17 @@ def test_skew_sidecar_entry_salts_only_the_hot_key(spark):
     assert "xxhash64" in plan, plan[:2000]
     assert "Union" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_grid_skew_entry_fans_out_both_sides(spark):
+    """x_grid_skew_join must execute the 2-D grid: BOTH sides of the hot
+    slice carry an explode fan-out (two Generate nodes — the 1-D salted
+    path has exactly one), joined with the plain tail via Union, with
+    deterministic xxhash64 cell assignment and no Python fallback. The
+    advice itself must flag the key hot on BOTH sides (the graded
+    literals pin n_hot_left = n_hot_right = 1)."""
+    plan = _plan(spark, "x_grid_skew_join")
+    assert plan.count("Generate") == 2, plan[:2000]
+    assert "xxhash64" in plan
+    assert "Union" in plan
+    assert "BatchEvalPython" not in plan
