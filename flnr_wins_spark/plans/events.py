@@ -450,3 +450,114 @@ def q_stream_watermark(spark, sf_dir):
     return spark.read.parquet(root + "/out").select(
         "win_start", "n_events", "sum_ids"
     )
+
+
+@query(
+    "q_stream_outer_join",
+    sql="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events),
+    r AS (
+      SELECT event_id AS eid_r, user_id AS uid_r, ts AS ts_r
+      FROM events WHERE user_id % 3 = 0
+    )
+    SELECT l.event_id, l.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(r.eid_r) AS BIGINT) AS n_matches,
+           CAST(SUM(r.eid_r) AS BIGINT) AS sum_match_ids
+    FROM l LEFT JOIN r
+      ON l.user_id = r.uid_r
+     AND r.ts_r >= l.ts - INTERVAL 5 MINUTE
+     AND r.ts_r <= l.ts + INTERVAL 5 MINUTE
+    GROUP BY 1, 2
+    """,
+    note="Stream-stream LEFT OUTER join with watermark-gated null "
+    "emission, oracle-graded: two file-source streams (all events; the "
+    "user_id%3==0 slice) join on user_id within +/-5 minutes. Outer "
+    "results are DELAYED BY DESIGN — a left row null-pads only when "
+    "the watermark proves no matching right row can still arrive — so "
+    "determinism comes from a far-future sentinel appended to EACH "
+    "side as its second mtime-ordered file: the final no-data "
+    "micro-batch's watermark (min over both sides of max ts - 12h = "
+    "sentinel - 12h) passes every real left row's eviction point "
+    "(ts + 5min), forcing every unmatched row to emit null-padded, "
+    "while each sentinel self-excludes (its own eviction point stays "
+    "ahead of the watermark; the right sentinel additionally never "
+    "null-pads — leftOuter). The appended result then equals the "
+    "relational LEFT time-range join exactly — matched pairs once "
+    "each, unmatched rows null once — which the oracle replays. At "
+    "100 TB the time-range condition is what BOUNDS the join state "
+    "(buffered rows evict as the opposing watermark passes); this "
+    "grades that the eviction emits precisely the right rows",
+)
+def q_stream_outer_join(spark, sf_dir):
+    import glob
+    import os
+
+    from flnr_wins_spark.plans.common import scratch_dir
+    from flnr_wins_spark.streaming.events import join_streams_outer
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    root = scratch_dir("stream_ssoj")
+    mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # scalar
+
+    def _sentinel(uid):
+        return spark.createDataFrame(
+            [(-1, mx, uid)], "event_id bigint, ts timestamp, user_id bigint"
+        ).select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            "user_id",
+        )
+
+    lsrc, rsrc = root + "/left", root + "/right"
+    t0 = 1_700_000_000  # fixed epoch; only the relative order matters
+    for src, batches in (
+        (lsrc, (ev, _sentinel(-1))),
+        (rsrc, (ev.filter(F.col("user_id") % 3 == 0), _sentinel(-2))),
+    ):
+        stamped: set[str] = set()
+        for i, batch in enumerate(batches):
+            batch.coalesce(1).write.mode("append").parquet(src)
+            for f in glob.glob(src + "/*.parquet"):
+                if f not in stamped:
+                    os.utime(f, (t0 + 100 * i, t0 + 100 * i))
+                    stamped.add(f)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    ls = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(lsrc)
+    )
+    rs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(rsrc)
+    )
+    joined = join_streams_outer(
+        ls, rs, key="user_id", within="5 minutes", watermark="12 hours"
+    ).select("event_id", "user_id", "event_id_r")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", root + "/out")
+        .option("checkpointLocation", root + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        # a half-drained stream would grade as missing null rows; a slow
+        # host must fail LOUDLY as a timeout, never as wrong rows
+        q.stop()
+        raise TimeoutError("availableNow outer-join stream did not finish in 300 s")
+    if q.exception() is not None:
+        raise q.exception()
+    return (
+        spark.read.parquet(root + "/out")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("event_id_r").cast("bigint").alias("n_matches"),
+            F.sum("event_id_r").cast("bigint").alias("sum_match_ids"),
+        )
+    )
