@@ -78,8 +78,10 @@ def main() -> None:
                 # last 2,000 chars of stdout — a long note truncated 9 of 27
                 # r5 timings out of BENCH_r05.json. Prose lives in SURVEY §8.
                 "notes": "median of 3 INTERLEAVED passes per query (r10 "
-                "methodology: weather shows as a whole inflated pass, "
-                "median drops it); 35 headliners; see SURVEY.md §8.",
+                "methodology); 38 headliners — r11 promotes "
+                "x_advisor_auto_read, x_auto_skew_join, "
+                "x_multimodal_dhash_dedup (documented set change); "
+                "see SURVEY.md §8.",
             }
         )
     )

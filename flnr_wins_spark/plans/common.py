@@ -47,109 +47,121 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
-# driver-graded correctness row go first. ROUND-10 ordering (executed this
-# time — r9 failed to rotate and re-proved r8's head; see SURVEY §8):
-# (a) the 20 r03-stale entries (the staleness tail, from
-#     x_dedup_clusters_star) — drains the r03 cohort completely;
-# (b) the reference-parity flagship wins_e2e_kept/wins_e2e_rejects,
-#     unhashed since r04;
-# (c) the eight NEW r10 surfaces (value-level skew sidecar join,
-#     auto-advised read path incl. its automatic skew arm, streaming
-#     watermark, JDBC snapshot, perceptual image/audio/video dedup);
-# (d) the 13 entries rewired through cached_fixture in r10 (fixture
-#     plumbing changed => regrade in the same round, the r8 rule);
-# (e) 7 of the r04 cohort in staleness order — fills the 50 budget.
-# Goal after r10: zero r03-stale entries, zero never-graded entries,
-# flagship fresh; the 33 remaining r04 entries lead the r11 rotation.
-# Positions 51+ keep staleness order (r04 remainder, r05, the r07-graded
-# block, then everything graded r09 — freshest evidence last).
+# driver-graded correctness row go first. ROUND-11 ordering (the r10 handoff,
+# executed):
+# (a) the two NEW r11 surfaces (2-D grid-salted both-hot join; stream-stream
+#     LEFT OUTER join with watermark-gated null emission);
+# (b) the three entries whose CODE changed in r11 (run_auto_join gained the
+#     grid both-hot arm ahead of their paths; x_jdbc_snapshot rewired through
+#     cached_fixture) — code-changed entries regrade in the same round;
+# (c) the 33 r04-stale entries — drains the r04 cohort completely;
+# (d) 12 of the 38-entry r05 cohort — fills the 50 budget.
+# Goal after r11: nothing older than r05 at latest grade; the 26 remaining
+# r05 entries lead the r12 rotation (r12 finishes the cohort).
+# Positions 51+ keep staleness order (r05 remainder, then the r06/r07/r09
+# cohorts, then everything graded r10 — freshest evidence last).
 # Names absent from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
-    # (a) r03-stale — drain the cohort
-    "x_dedup_clusters_star", "x_dedup_containment", "x_dedup_url",
-    "x_embedding_stats", "x_equidepth_bins", "x_funnel_counts",
-    "x_global_rank", "x_group_topk_sample", "x_incremental_agg",
-    "x_multimodal_audio_chunks", "x_outlier_events", "x_packed_sequences",
-    "x_retention_cohorts", "x_search_bm25", "x_similarity_int8",
-    "x_token_bigrams", "x_unigram_quality", "x_url_canonicalize",
-    "x_winsorize", "x_zorder_layout",
-    # (b) reference-parity flagship, unhashed since r04
-    "wins_e2e_kept", "wins_e2e_rejects",
-    # (c) new r10 surfaces — never graded
-    "x_skew_sidecar_join", "x_advisor_auto_read", "q_stream_watermark",
-    "x_jdbc_snapshot", "x_auto_skew_join", "x_multimodal_dhash_dedup",
-    "x_multimodal_audio_dedup", "x_multimodal_video_dedup",
-    # (d) rewired through cached_fixture in r10 — code changed, regrade
-    "x_ptable_join_advisor", "x_advisor_estimate", "x_ptable_dpp_join",
-    "x_partition_bounds_advisor", "x_ptable_time_travel",
-    "x_ptable_zorder_optimize", "x_ptable_zonemap_prune",
-    "x_ptable_metadata_counts", "x_ptable_bloom_point", "x_ptable_ndv",
-    "x_similarity_ivf_persisted", "x_search_bm25_persisted",
-    "x_dedup_index_incremental",
-    # (e) r04 cohort, staleness order — first 10 fill the budget
-    "q_events_histogram", "q_events_interpolate", "q_map_functions",
-    "x_attribution_last_touch", "x_bigram_lm_quality", "x_bpe_train",
-    "x_classify_nb_langid",
-    # ---- position 51+ (graded only if the budget stretches) ----
-    # r04 remainder (leads the r11 rotation)
+    # (a) NEW r11 surfaces — never graded
+    "x_grid_skew_join", "q_stream_outer_join",
+    # (b) code-changed in r11 (grid both-hot arm in run_auto_join;
+    #     cached_fixture rewiring of the Derby snapshot) — the standing
+    #     same-round regrade rule
+    "x_jdbc_snapshot", "x_advisor_auto_read", "x_auto_skew_join",
+    # (c) the 33 r04-stale entries — drains the r04 cohort completely
     "x_classify_perceptron", "x_compaction_plan", "x_correlation_matrix",
-    "x_dedup_minhash_portable", "x_dedup_simhash_portable", "x_dq_expectations", "x_event_paths",
-    "x_fuzzy_join", "x_group_regression", "x_hard_negatives",
-    "x_k_anonymity", "x_kcore", "x_keywords_tfidf", "x_knn_classify",
-    "x_multimodal_audio_decode", "x_multimodal_gif_decode",
-    "x_multimodal_mulaw_decode", "x_multimodal_qoi_decode",
-    "x_multimodal_video_frames", "x_pandas_udaf_median", "x_pit_join",
-    "x_profile_columns", "x_rag_retrieve", "x_rolling_zscore",
-    "x_search_hybrid_rrf", "x_search_phrase", "x_similarity_ann_portable",
-    "x_similarity_pq", "x_sorted_neighborhood", "x_tokenize_maxmatch",
-    "x_triangle_count", "x_user_streaks",
-    # latest grade r05
+    "x_dedup_minhash_portable", "x_dedup_simhash_portable", "x_dedup_tfidf",
+    "x_dq_expectations", "x_event_paths", "x_fuzzy_join",
+    "x_group_regression", "x_hard_negatives", "x_k_anonymity",
+    "x_kcore", "x_keywords_tfidf", "x_knn_classify",
+    "x_multimodal_audio_decode", "x_multimodal_gif_decode", "x_multimodal_mulaw_decode",
+    "x_multimodal_qoi_decode", "x_multimodal_video_frames", "x_pandas_udaf_median",
+    "x_pit_join", "x_profile_columns", "x_rag_retrieve",
+    "x_rolling_zscore", "x_search_hybrid_rrf", "x_search_phrase",
+    "x_similarity_ann_portable", "x_similarity_pq", "x_sorted_neighborhood",
+    "x_tokenize_maxmatch", "x_triangle_count", "x_user_streaks",
+    # (d) first 12 of the r05 cohort — fills the 50 budget
     "q_events_interval_join", "q_events_json", "q_events_multires_rollup",
     "q_events_tumbling", "x_ab_test", "x_attribution_linear",
     "x_binaryfile_ingest", "x_churn_training_set", "x_cooccur_pmi",
-    "x_corpus_mixture", "x_distinct_kmv", "x_events_m4", "x_geo_geohash",
-    "x_geo_knn", "x_golden_record", "x_graph_bfs", "x_html_strip",
-    "x_impute_nulls", "x_incremental_join", "x_join_size_estimate",
-    "x_kmv_set_ops", "x_mmr_rerank", "x_multimodal_adpcm_decode",
-    "x_multimodal_decode", "x_multimodal_jpeg_decode",
-    "x_multimodal_jpeg_progressive", "x_multimodal_palette_png_decode",
-    "x_multimodal_png_decode", "x_quality_filter_pipeline",
-    "x_random_projection", "x_recommend_itemknn", "x_semdedup",
-    "x_similarity_ivf_kmeans", "x_skew_report", "x_time_to_convert",
+    "x_corpus_mixture", "x_distinct_kmv", "x_events_m4",
+    # ---- position 51+ (graded only if the budget stretches) ----
+    # r05 remainder (leads the r12 rotation)
+    "x_geo_geohash", "x_geo_knn", "x_golden_record",
+    "x_graph_bfs", "x_html_strip", "x_impute_nulls",
+    "x_incremental_join", "x_join_size_estimate", "x_kmv_set_ops",
+    "x_mmr_rerank", "x_multimodal_adpcm_decode", "x_multimodal_decode",
+    "x_multimodal_jpeg_decode", "x_multimodal_jpeg_progressive", "x_multimodal_palette_png_decode",
+    "x_multimodal_png_decode", "x_quality_filter_pipeline", "x_random_projection",
+    "x_recommend_itemknn", "x_semdedup", "x_similarity_ivf_kmeans",
+    "x_skew_report", "x_text_nfc", "x_time_to_convert",
     "x_tokenize_optimal", "x_trajectory_similarity",
-    # graded green in r07
-    "x_corpus_shard", "x_cusum_changepoint",
-    "x_bucketed_join", "x_holt_forecast_grouped",
-    "x_search_e2e", "x_text_tokenize_bpe", "x_multimodal_features",
+    # latest grade r06
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_revenue_forecast", "q_events_dedup", "q_events_late_data",
+    "q_events_sessionize", "q_events_sliding", "q_rollup_acctbal",
+    "q_string_functions", "q_topk_per_group", "q_window_range_frame",
+    "q_window_rank_family", "q_window_running", "x_benford_audit",
+    "x_decontam", "x_dedup_clusters", "x_dedup_exact",
+    "x_dedup_ngram_jaccard", "x_dp_counts", "x_drift_psi",
+    "x_embedding_covariance", "x_embedding_neardup", "x_embedding_pca",
+    "x_fd_check", "x_geo_grid_join", "x_kaplan_meier",
+    "x_llm_corpus_e2e", "x_merge_evolve", "x_multimodal_bytes",
+    "x_multimodal_frames", "x_pii_redact", "x_quantile_bottomk",
+    "x_rank_metrics", "x_rerank_cross", "x_robust_scale",
+    "x_sample_stratified", "x_seasonal_decompose", "x_seq_packing",
+    "x_similarity_topk", "x_target_encode", "x_text_fingerprint",
+    "x_text_langid", "x_text_quality", "x_text_stats",
+    "x_tokenize_unigram", "x_train_test_split", "x_warc_ingest",
+    "x_weighted_sample",
+    # latest grade r07
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customer", "q19_discounted_revenue",
-    "q20_potential_promotion", "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity", "q_cube_orders", "q_grouping_sets",
-    "q_set_ops", "q_distinct_agg", "q_scalar_functions", "q_date_functions",
-    "q_asof_join", "q_pivot_status", "q_explode_tokens",
-    "q_exists_subquery", "q_having", "q_stats_derived", "q_union_distinct",
-    "q_percentile", "x_quality_rules", "x_corpus_stats", "x_doc_chunking",
-    "x_dedup_spans", "x_url_filter", "x_corpus_resample", "x_cdc_diff",
-    "x_merge_upsert", "x_scd2_history",
-    # graded green in r09 — freshest evidence, graded last
-    "x_ptable_incremental_mv", "x_search_bm25_incremental",
-    "x_advisor_colocated", "x_stream_lakehouse_prune", "x_ann_recall",
-    "x_ptable_cdc_e2e", "x_holt_forecast",
-    "q_recursive_calendar", "q_unpivot_metrics", "q_lateral_topn",
-    "x_repetition_stats", "x_pagerank", "x_kfold_split", "x_vocab_topk",
-    "x_dedup_minhash_estimate", "r1_append_no_test",
-    "r4_enrich_left_join", "r7_reject_duplicates", "q_source_roundtrip",
-    "x_dedup_minhash_lsh", "q_events_approx_distinct", "x_dedup_simhash",
-    "x_similarity_ann_lsh", "x_similarity_ivf",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_discounted_revenue", "q20_potential_promotion", "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity", "q_asof_join", "q_cube_orders",
+    "q_date_functions", "q_distinct_agg", "q_exists_subquery",
+    "q_explode_tokens", "q_grouping_sets", "q_having",
+    "q_percentile", "q_pivot_status", "q_scalar_functions",
+    "q_set_ops", "q_stats_derived", "q_union_distinct",
+    "x_bucketed_join", "x_cdc_diff", "x_corpus_resample",
+    "x_corpus_shard", "x_corpus_stats", "x_cusum_changepoint",
+    "x_dedup_spans", "x_doc_chunking", "x_holt_forecast_grouped",
+    "x_merge_upsert", "x_multimodal_features", "x_ptable_incremental_mv",
+    "x_quality_rules", "x_scd2_history", "x_search_bm25_incremental",
+    "x_search_e2e", "x_text_tokenize_bpe", "x_url_filter",
+    # latest grade r09
     "q10_returned_items", "q11_important_value", "q12_shipping_delay",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_national_market_share", "q9_product_type_profit",
-    "q_array_functions", "q_asof_tolerance", "q_listagg",
-    "q_null_safe_join", "q_skew_salted_join", "q_window_fill_forward",
-    "q_window_time_range", "r2_conditional_update", "r3_blank_to_null",
-    "r6_frequency", "r8_reject_unmatched", "x_bloom_prefilter",
-    "x_countmin",
+    "q8_national_market_share", "q9_product_type_profit", "q_array_functions",
+    "q_asof_tolerance", "q_events_approx_distinct", "q_lateral_topn",
+    "q_listagg", "q_null_safe_join", "q_recursive_calendar",
+    "q_skew_salted_join", "q_source_roundtrip", "q_unpivot_metrics",
+    "q_window_fill_forward", "q_window_time_range", "r1_append_no_test",
+    "r2_conditional_update", "r3_blank_to_null", "r4_enrich_left_join",
+    "r6_frequency", "r7_reject_duplicates", "r8_reject_unmatched",
+    "x_advisor_colocated", "x_ann_recall", "x_bloom_prefilter",
+    "x_countmin", "x_dedup_minhash_estimate", "x_dedup_minhash_lsh",
+    "x_dedup_simhash", "x_holt_forecast", "x_kfold_split",
+    "x_pagerank", "x_ptable_cdc_e2e", "x_repetition_stats",
+    "x_similarity_ann_lsh", "x_similarity_ivf", "x_stream_lakehouse_prune",
+    "x_vocab_topk",
+    # latest grade r10 — freshest evidence, graded last
+    "q_events_histogram", "q_events_interpolate", "q_map_functions",
+    "q_stream_watermark", "wins_e2e_kept", "wins_e2e_rejects",
+    "x_advisor_estimate", "x_attribution_last_touch", "x_bigram_lm_quality",
+    "x_bpe_train", "x_classify_nb_langid", "x_dedup_clusters_star",
+    "x_dedup_containment", "x_dedup_index_incremental", "x_dedup_url",
+    "x_embedding_stats", "x_equidepth_bins", "x_funnel_counts",
+    "x_global_rank", "x_group_topk_sample", "x_incremental_agg",
+    "x_multimodal_audio_chunks", "x_multimodal_audio_dedup", "x_multimodal_dhash_dedup",
+    "x_multimodal_video_dedup", "x_outlier_events", "x_packed_sequences",
+    "x_partition_bounds_advisor", "x_ptable_bloom_point", "x_ptable_dpp_join",
+    "x_ptable_join_advisor", "x_ptable_metadata_counts", "x_ptable_ndv",
+    "x_ptable_time_travel", "x_ptable_zonemap_prune", "x_ptable_zorder_optimize",
+    "x_retention_cohorts", "x_search_bm25", "x_search_bm25_persisted",
+    "x_similarity_int8", "x_similarity_ivf_persisted", "x_skew_sidecar_join",
+    "x_token_bigrams", "x_unigram_quality", "x_url_canonicalize",
+    "x_winsorize", "x_zorder_layout",
 )
 
 def all_queries() -> dict[str, QueryDef]:

@@ -7426,6 +7426,7 @@ _AUTO_READ_SQL = """
 @query(
     "x_advisor_auto_read",
     sql=_AUTO_READ_SQL,
+    bench=True,  # r11 promotion: flagship auto-advised read path
     note="The AUTO-ADVISED read path end-to-end (advise_auto_join -> "
     "run_auto_join): predicates are declared ONCE, pruning runs through "
     "every sidecar they can use — the fact's o_orderdate range prunes "
@@ -7570,6 +7571,7 @@ _AUTO_SKEW_SQL = """
 @query(
     "x_auto_skew_join",
     sql=_AUTO_SKEW_SQL,
+    bench=True,  # r11 promotion: automatic skew arm of the auto path
     note="The auto-advised path's SKEW arm, graded: with the broadcast "
     "threshold forced to zero the decision is shuffle, and "
     "advise_auto_join reads the left heavy-hitter sidecar to flag the "
@@ -7805,6 +7807,7 @@ _DHASH_SQL = """
 @query(
     "x_multimodal_dhash_dedup",
     sql=_DHASH_SQL,
+    bench=True,  # r11 promotion: perceptual-dedup headliner
     note="IMAGE near-dup dedup over REAL pixels: each doc becomes a "
     "genuine binary P5 PGM (9x8 raster from md5 bytes; doc pairs with "
     "doc_id%10<=1 share a seed, the second perturbed by one pixel — a "

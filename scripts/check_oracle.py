@@ -123,6 +123,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    timings: dict[str, float] = {}  # Spark-side seconds (fn + collect)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -136,6 +137,7 @@ def main():
             traceback.print_exc()
             failures.append(name)
             continue
+        timings[name] = round(time.time() - t0, 2)
         if name not in oracles:
             print(f"ok?  {name}: rows-only, {len(srows)} rows  ({time.time()-t0:.1f}s)")
             if len(srows) == 0:
@@ -178,10 +180,57 @@ def main():
         else:
             failures.append(name)
     print()
+    if not only:
+        _record_timings(sf_dir, timings)
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         sys.exit(1)
     print("all green")
+
+
+def _record_timings(sf_dir: str, timings: dict[str, float]) -> None:
+    """Persist per-entry Spark wall time for FULL sweeps and report >2x
+    round-over-round drift against the previous artifact. The bench set
+    covers ~38 of the 250+ entries; the full-registry sweep executes
+    every one, so this is the only perf signal the other ~215 have —
+    a quietly-superlinear plan change shows up here before it shows up
+    anywhere else. Drift lines are informational (host weather inflates
+    whole sweeps; the |log ratio| filter plus the 0.5 s absolute floor
+    keeps the list short and shape-changes prominent)."""
+    import json
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    mode = "bare" if os.environ.get("SPARK_GRAFT_BARE") else "session"
+    tag = "_bare" if mode == "bare" else ""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"SWEEP_TIMINGS_{base}{tag}.json",
+    )
+    prev: dict[str, float] = {}
+    if os.path.exists(path):
+        try:
+            prev = json.load(open(path)).get("entries", {})
+        except Exception:
+            prev = {}
+    drift = [
+        (n, prev[n], s)
+        for n, s in timings.items()
+        if n in prev
+        and max(s, prev[n]) > 0.5
+        and (s > 2 * prev[n] or prev[n] > 2 * s)
+    ]
+    if drift:
+        print(f"TIMING DRIFT >2x vs previous sweep ({len(drift)} entries):")
+        for n, p, s in sorted(drift, key=lambda x: -max(x[1], x[2])):
+            print(f"  {n}: {p:.2f}s -> {s:.2f}s")
+        print()
+    with open(path, "w") as fh:
+        json.dump(
+            {"sf": base, "mode": mode, "entries": timings},
+            fh, indent=0, sort_keys=True,
+        )
+        fh.write("\n")
+    print(f"# per-entry timings -> {path}")
 
 
 if __name__ == "__main__":
