@@ -15,8 +15,17 @@ uses, so per-replica dup/changeset structure is EXACTLY the base one):
              pair counts scale linearly (replicating identical text would
              square the cluster sizes — a fixture artifact, not a plan one)
   embeddings vec_id + i*1M   (%10 kept; +100k clones never collide);
-             replica>0 vectors shifted +0.73*i (cosine is scale-invariant,
-             so a multiplicative perturbation would still near-dup match)
+             replica i applies the ORTHOGONAL sign flip s_i(j) = -1 iff
+             j%10 < i: cosine is invariant under the same orthogonal
+             transform on both vectors, so INTRA-replica dup structure is
+             bit-for-bit the base one, while any two replicas differ on
+             >=10% of dims' signs => cross-replica cosine drops far below
+             the 0.999 dedup threshold. (A uniform additive shift — the
+             first attempt — made high replicas near-parallel to the
+             all-ones direction, cosine -> 1, and the dup pair set went
+             QUADRATIC: a fixture artifact this harness itself caught.
+             A multiplicative perturbation would match too: cosine is
+             scale-invariant.)
   events     event_id + i*10M, user_id + i*1M, ts + 40*i days
   orders     o_orderkey + i*1.2M (multiple of lcm(3,4,10)=60 => the
              wins/cdc prefix, dup-pair, and pod-drop structures replicate)
@@ -27,6 +36,14 @@ uses, so per-replica dup/changeset structure is EXACTLY the base one):
 Each entry runs TWICE per scale: run 1 pays one-time fixture builds
 (cached_fixture), run 2 measures the operator itself — the ratio uses
 run 2. Results print as one JSON line and a markdown table for SURVEY §8.
+
+x_semdedup gets a second sf1 measurement with the DIAL SCALED: the entry
+pins k=8, and SemDeDup's within-cell all-pairs cost is O(sum |cell|^2) —
+with k fixed, 10x data means 10x-wider cells and ~100x pair work, the
+DOCUMENTED behavior whose documented dial is k ~ N/target_cell. The
+'x_semdedup@k80' row re-runs the same fixture with k=80 (constant cell
+width), whose ratio vs the sf0.1 k=8 run is the honest linear-scaling
+witness.
 
 Usage: python scripts/scale_stress.py [entry ...]
 """
@@ -81,7 +98,10 @@ def build_scaled(spark, out_dir: str) -> dict[str, int]:
         _replicate(emb, lambda df, i: df.select(
             (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
             F.transform(
-                "embedding", lambda x: x + F.lit(0.73 * i).cast("float")
+                "embedding",
+                lambda x, j: F.when(
+                    F.pmod(j, F.lit(10)) < F.lit(i), -x
+                ).otherwise(x),
             ).alias("embedding"),
             "label",
         )),
@@ -126,6 +146,25 @@ def _replicate(df, fn):
     return out
 
 
+def _semdedup_k_scaled(spark, sf_dir, k):
+    """x_semdedup's exact fixture with the cell-count dial scaled to the
+    corpus (the published recipe: k ~ N / target_cell_width)."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.functions.vectors import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2.0).alias("embedding"),
+    )
+    return semantic_dedup(
+        emb.unionByName(clones), k=k, iters=2, threshold=0.999
+    )
+
+
 def main() -> None:
     from flnr_wins_spark.plans.common import all_queries
     from flnr_wins_spark.session import get_spark
@@ -138,7 +177,7 @@ def main() -> None:
         t0 = time.perf_counter()
         rows = build_scaled(spark, out_dir)
         print(f"# scaled dataset built in {time.perf_counter() - t0:.1f}s "
-              f"at {out_dir}: { {k: v for k, v in rows.items()} }")
+              f"at {out_dir}: { {k: v for k, v in rows.items()} }", flush=True)
         qs = all_queries()
         result: dict[str, dict] = {}
         for name in only:
@@ -155,7 +194,26 @@ def main() -> None:
             r01, r1 = result[name]["sf0.1"][1], result[name]["sf1"][1]
             result[name]["ratio"] = round(r1 / r01, 2) if r01 > 0 else None
             print(f"# {name}: sf0.1 {result[name]['sf0.1']} s, "
-                  f"sf1 {result[name]['sf1']} s, ratio {result[name]['ratio']}")
+                  f"sf1 {result[name]['sf1']} s, ratio {result[name]['ratio']}",
+                  flush=True)
+        if "x_semdedup" in result:
+            # the dial-scaled twin: k grows with the corpus so cell width
+            # (and per-row pair work) stays constant — the linear witness
+            name = "x_semdedup@k80"
+            ts = []
+            for _run in (1, 2):
+                t1 = time.perf_counter()
+                _semdedup_k_scaled(spark, out_dir, k=8 * REPLICAS).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                ts.append(round(time.perf_counter() - t1, 2))
+            base_t = result["x_semdedup"]["sf0.1"][1]
+            result[name] = {
+                "sf0.1": result["x_semdedup"]["sf0.1"], "sf1": ts,
+                "ratio": round(ts[1] / base_t, 2) if base_t > 0 else None,
+            }
+            print(f"# {name}: sf1 {ts} s, ratio vs sf0.1 k=8 "
+                  f"{result[name]['ratio']}", flush=True)
         print(json.dumps({"replicas": REPLICAS, "entries": result}))
         print("\n| entry | sf0.1 run2 (s) | sf1 run2 (s) | ratio |")
         print("|---|---|---|---|")
