@@ -116,19 +116,31 @@ def grid_salted_join(
     each cell carries ~|L_k|/bl x |R_k|/br of the output. Replication
     cost: the left slice shuffles br times, the right slice bl times —
     which is why ``hot_keys`` should scope the grid to the flagged keys
-    only (the long tail joins plain; NULL keys follow the tail, where
-    inner semantics drop them). Deterministic: xxhash64 cell assignment
-    (``*_salt_col`` names a near-unique column, else the hash of all
-    that side's columns), no rand().
+    only (the long tail joins plain; NULL keys follow the tail under
+    ``hot_keys`` — dropped by inner semantics, null-padded by left).
+    Deterministic: xxhash64 cell assignment (``*_salt_col`` names a
+    near-unique column, else the hash of all that side's columns), no
+    rand().
 
-    Inner joins only: BOTH sides are replicated, so outer-preserved
-    rows would null-fill once per phantom cell. At 100 TB this is the
-    self-join/heavy-overlap straggler killer: two fact tables sharing a
-    mega-customer key join in bl x br parallel tasks instead of one."""
-    if how != "inner":
+    ``how='left'`` cannot ride the replicated grid directly (an
+    unmatched left row would null-fill once per phantom cell), so it
+    decomposes exactly: the grid INNER join supplies every matched
+    pair, and the null-padded complement comes from a left-anti probe
+    of the left side against the right side's DISTINCT keys — a
+    key-count-sized set, so the probe is skew-free and broadcastable
+    even when the right side's hot key holds millions of rows. NULL
+    left keys take the anti branch (they match nothing) and null-pad
+    once, preserving plain left-join semantics. Right-outer/full are
+    unsupported (the preserved side would need the transpose
+    decomposition — swap the inputs instead).
+
+    At 100 TB this is the self-join/heavy-overlap straggler killer:
+    two fact tables sharing a mega-customer key join in bl x br
+    parallel tasks instead of one."""
+    if how not in ("inner", "left"):
         raise ValueError(
-            "grid_salted_join supports inner only (both sides are "
-            f"replicated — outer semantics cannot survive), got {how!r}"
+            "grid_salted_join supports inner/left only (both sides are "
+            f"replicated — other outer semantics cannot survive), got {how!r}"
         )
     bl, br = grid
     if bl < 1 or br < 1:
@@ -166,4 +178,21 @@ def grid_salted_join(
     rg = right.withColumn(
         "_gsr", F.pmod(rsrc, F.lit(br)).cast("int")
     ).withColumn("_gsl", F.explode(F.sequence(F.lit(0), F.lit(bl - 1))))
-    return lg.join(rg, [on, "_gsl", "_gsr"], "inner").drop("_gsl", "_gsr")
+    inner = lg.join(rg, [on, "_gsl", "_gsr"], "inner").drop("_gsl", "_gsr")
+    if how == "inner":
+        return inner
+    # left decomposition: matched pairs from the grid + ONE null-padded
+    # row per matchless left row, found via an anti probe against the
+    # right side's DISTINCT keys (key-count-sized — skew-free however
+    # hot the right rows are). NULL keys match nothing and null-pad.
+    rkeys = right.select(on).distinct()
+    left_rest = [c for c in left.columns if c != on]
+    null_pad = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in right.schema.fields
+        if f.name != on
+    ]
+    unmatched = left.join(rkeys, on, "left_anti").select(
+        F.col(on), *[F.col(c) for c in left_rest], *null_pad
+    )
+    return inner.union(unmatched)

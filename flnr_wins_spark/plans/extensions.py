@@ -7634,6 +7634,54 @@ def x_auto_skew_join(spark, sf_dir):
     )
 
 
+def _grid_skew_fixture(spark, sf_dir):
+    """Shared both-sides-hot fixture for the grid entries: the fact's
+    key 0 holds half the rows; the dim carries one row per key PLUS 40
+    extra key-0 rows (distinct rep ids so the grid's all-columns hash
+    actually spreads them) — hot on the dim side too at every SF (41
+    rows vs the 5% floor over ~340-540 total), and only key 0 crosses
+    the SF-independent commit threshold of 8. Built once per process
+    (cached_fixture) and reused by x_grid_skew_join AND
+    x_grid_skew_left."""
+    from flnr_wins_spark.plans.common import cached_fixture
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    def _build(d):
+        li = t(spark, sf_dir, "lineitem")
+        fact = li.select(
+            F.when(F.col("l_orderkey") % 10 < 5, F.lit(0).cast("bigint"))
+            .otherwise(F.col("l_orderkey") % 1000)
+            .alias("skew_key"),
+            F.pmod(F.col("l_partkey"), F.lit(8)).cast("string").alias("pb"),
+            F.col("l_quantity").alias("qty"),
+        )
+        n = fact.count()  # scalar: sizes the scale-adaptive threshold
+        write_ptable(
+            fact, d + "/fact", "pb",
+            stats_cols=["skew_key"],
+            heavy_cols=["skew_key"], heavy_k=32,
+            heavy_threshold=max(2, n // 512),
+        )
+        reps = spark.range(40).select(
+            F.lit(0).cast("bigint").alias("skew_key"),
+            F.col("id").cast("bigint").alias("rep"),
+        )
+        dim = (
+            fact.select("skew_key").distinct()
+            .withColumn("rep", F.lit(-1).cast("bigint"))
+            .unionByName(reps)
+            .withColumn("db", F.lit("all"))
+        )
+        write_ptable(
+            dim, d + "/dim", "db",
+            stats_cols=["skew_key"],
+            heavy_cols=["skew_key"], heavy_k=8, heavy_threshold=8,
+        )
+
+    return cached_fixture("grid_skew", sf_dir, _build)
+
+
+
 _GRID_SKEW_SQL = """
     WITH f AS (
       SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
@@ -7679,48 +7727,9 @@ _GRID_SKEW_SQL = """
     "hot-slice x 8 per side, never |table| x grid",
 )
 def x_grid_skew_join(spark, sf_dir):
-    from flnr_wins_spark.plans.common import cached_fixture
     from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
-    from flnr_wins_spark.sources.ptable import write_ptable
 
-    def _build(d):
-        li = t(spark, sf_dir, "lineitem")
-        fact = li.select(
-            F.when(F.col("l_orderkey") % 10 < 5, F.lit(0).cast("bigint"))
-            .otherwise(F.col("l_orderkey") % 1000)
-            .alias("skew_key"),
-            F.pmod(F.col("l_partkey"), F.lit(8)).cast("string").alias("pb"),
-            F.col("l_quantity").alias("qty"),
-        )
-        n = fact.count()  # scalar: sizes the scale-adaptive threshold
-        write_ptable(
-            fact, d + "/fact", "pb",
-            stats_cols=["skew_key"],
-            heavy_cols=["skew_key"], heavy_k=32,
-            heavy_threshold=max(2, n // 512),
-        )
-        # dim: one row per key PLUS 40 extra key-0 rows (distinct rep
-        # ids so the grid's all-columns hash actually spreads them) —
-        # key 0 is hot on THIS side too at every SF (41 rows vs the 5%
-        # floor over ~340-540 total), and only key 0 crosses the
-        # SF-independent commit threshold of 8
-        reps = spark.range(40).select(
-            F.lit(0).cast("bigint").alias("skew_key"),
-            F.col("id").cast("bigint").alias("rep"),
-        )
-        dim = (
-            fact.select("skew_key").distinct()
-            .withColumn("rep", F.lit(-1).cast("bigint"))
-            .unionByName(reps)
-            .withColumn("db", F.lit("all"))
-        )
-        write_ptable(
-            dim, d + "/dim", "db",
-            stats_cols=["skew_key"],
-            heavy_cols=["skew_key"], heavy_k=8, heavy_threshold=8,
-        )
-
-    base = cached_fixture("grid_skew", sf_dir, _build)
+    base = _grid_skew_fixture(spark, sf_dir)
     plan = advise_auto_join(
         spark, base + "/fact", base + "/dim", "skew_key",
         broadcast_threshold_bytes=0,  # force the shuffle strategy
@@ -7735,6 +7744,78 @@ def x_grid_skew_join(spark, sf_dir):
         )
         .select(
             "grp", "n_rows", "sum_qty",
+            F.lit(plan.join.strategy).alias("strategy"),
+            F.lit(len(plan.hot_keys)).cast("int").alias("n_hot_left"),
+            F.lit(len(plan.hot_keys_right)).cast("int").alias("n_hot_right"),
+        )
+    )
+
+
+_GRID_SKEW_LEFT_SQL = """
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                  ELSE l_orderkey % 1000 END AS skew_key,
+             l_quantity
+      FROM lineitem
+    ),
+    d AS (SELECT DISTINCT skew_key FROM f),
+    r AS (
+      SELECT skew_key, CAST(-1 AS BIGINT) AS rep FROM d
+      UNION ALL
+      SELECT CAST(0 AS BIGINT), CAST(i AS BIGINT) FROM range(40) t(i)
+    ),
+    rf AS (SELECT skew_key, rep FROM r WHERE skew_key <= 500)
+    SELECT CAST(f.skew_key % 7 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(rf.rep) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(f.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+           'shuffle' AS strategy,
+           CAST(1 AS INT) AS n_hot_left,
+           CAST(1 AS INT) AS n_hot_right
+    FROM f LEFT JOIN rf ON f.skew_key = rf.skew_key
+    GROUP BY 1
+"""
+
+
+@query(
+    "x_grid_skew_left",
+    sql=_GRID_SKEW_LEFT_SQL,
+    note="The grid-salted join's LEFT arm, auto-selected on the same "
+    "both-sides-hot fixture as x_grid_skew_join (built once, shared): "
+    "a zone-map range predicate (skew_key <= 500) residual-filters the "
+    "dim, so fact keys above 500 are genuinely MATCHLESS and must "
+    "null-pad exactly once. A left join cannot ride the replicated "
+    "grid directly (an unmatched row would null-fill once per phantom "
+    "cell), so grid_salted_join decomposes it exactly: the grid INNER "
+    "join supplies every matched pair in 64 parallel cells, and the "
+    "null-padded complement comes from a left-anti probe against the "
+    "dim's DISTINCT keys — a key-count-sized set, skew-free however "
+    "hot the dim rows are. Hash-matches the plain relational LEFT "
+    "join; n_matched counts null-padded rows apart from matched ones. "
+    "At 100 TB this closes the left-join gap of the both-hot arm: "
+    "enrichment joins against a hot dimension keep outer semantics "
+    "without a single straggler task",
+)
+def x_grid_skew_left(spark, sf_dir):
+    from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
+
+    base = _grid_skew_fixture(spark, sf_dir)
+    plan = advise_auto_join(
+        spark, base + "/fact", base + "/dim", "skew_key",
+        right_ranges={"skew_key": (None, 500)},
+        broadcast_threshold_bytes=0,  # force the shuffle strategy
+        min_shuffle_partitions=8,     # environment-independent floor
+    )
+    joined = run_auto_join(spark, plan, how="left")
+    return (
+        joined.groupBy((F.col("skew_key") % 7).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("rep").cast("bigint").alias("n_matched"),
+            F.sum(F.col("qty").cast("decimal(27,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            "grp", "n_rows", "n_matched", "sum_qty",
             F.lit(plan.join.strategy).alias("strategy"),
             F.lit(len(plan.hot_keys)).cast("int").alias("n_hot_left"),
             F.lit(len(plan.hot_keys_right)).cast("int").alias("n_hot_right"),

@@ -588,7 +588,7 @@ def advise_auto_join(
     merged count over the PRUNED partitions reaches
     ``skew_hot_ratio`` x that side's pruned rows — run_auto_join salts
     exactly those keys (left-hot: salt left / replicate right's hot
-    rows; right-hot inner joins: roles swapped; both-hot inner joins:
+    rows; right-hot inner joins: roles swapped; both-hot inner/left:
     the 2-D grid-salted join, spreading the genuinely quadratic
     |L_k| x |R_k| output over salt_l x salt_r cells with each side
     replicated only by the other's grid dim), so the one
@@ -725,10 +725,11 @@ def run_auto_join(
     columns survive). When the plan carries ``hot_keys`` (shuffle
     strategy + heavy sidecar evidence) and the join is inner/left on a
     same-named key, the hot slice runs salted and the tail plain —
-    exact result, straggler-free; keys hot on BOTH sides of an inner
-    join route through :func:`operators.skew.grid_salted_join` (2-D
-    fragment-replicate — the quadratic case one-sided salting cannot
-    fix). The salted paths size their shuffles via the session/AQE
+    exact result, straggler-free; keys hot on BOTH sides of an
+    inner/left join route through
+    :func:`operators.skew.grid_salted_join` (2-D fragment-replicate —
+    the quadratic case one-sided salting cannot fix; left joins add a
+    skew-free distinct-key anti probe for the null-padded complement). The salted paths size their shuffles via the session/AQE
     (the advice's partition count applies to the plain fallback
     only)."""
     from flnr_wins_spark.operators.skew import grid_salted_join, salted_join
@@ -737,7 +738,7 @@ def run_auto_join(
     right = read_advised_scan(spark, plan.right_scan)
     same_key = plan.left_key == plan.right_key
     both_hot = bool(plan.hot_keys) and bool(plan.hot_keys_right)
-    if both_hot and same_key and how == "inner":
+    if both_hot and same_key and how in ("inner", "left"):
         # BOTH sides flag hot keys: the quadratic case per-side salting
         # cannot fix (|L_k| x |R_k| pairs all route through one task
         # whichever single side is salted). The 2-D grid spreads every
@@ -745,11 +746,13 @@ def run_auto_join(
         # one-side-hot key simply gets a slightly wider spread than it
         # needed — over 8x8 cells (each side's hot slice replicated by
         # the OTHER side's grid dim only); the long tail joins plain.
+        # LEFT joins decompose inside grid_salted_join (grid inner +
+        # skew-free distinct-key anti probe for the null-padded rows).
         flagged = sorted(
             set(plan.hot_keys) | set(plan.hot_keys_right), key=str
         )
         return grid_salted_join(
-            left, right, plan.left_key, how="inner",
+            left, right, plan.left_key, how=how,
             hot_keys=flagged,
         )
     if (
@@ -795,10 +798,10 @@ def run_auto_join(
             + [c for c in right.columns if c != plan.right_key]
         )
         return out.toDF(*tmp).select(*[tmp[i] for i in order]).toDF(*final)
-    # keys named differently, or an outer-preserved hot side (left
-    # joins cannot swap a hot right, and the grid replicates BOTH sides
-    # so it is inner-only): run the plain advice, AQE's skew split
-    # still applies within the chosen strategy.
+    # keys named differently, or a right-only-hot LEFT join (the
+    # preserved side must stay the big side, so roles cannot swap):
+    # run the plain advice, AQE's skew split still applies within the
+    # chosen strategy.
     on = (
         plan.left_key
         if same_key

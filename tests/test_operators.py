@@ -325,14 +325,37 @@ class TestGridSaltedJoin:
         pairs = [(r.lid, r.rid) for r in got.select("lid", "rid").collect()]
         assert len(pairs) == len(set(pairs))
 
+    def test_left_equals_plain_left_join(self, spark):
+        """how='left' decomposes to grid-inner + distinct-key anti probe:
+        matched pairs once each, matchless left rows (incl. the
+        'only-left' key and NULL keys) null-padded exactly once."""
+        from flnr_wins_spark.operators.skew import grid_salted_join
+
+        left, right = self._data(spark)
+
+        def _key(row):  # rows carry NULLs — None sorts before values
+            return tuple((x is None, x) for x in row)
+
+        want = sorted(
+            map(tuple, left.join(right, "key", "left").collect()), key=_key
+        )
+        for hot in (None, ["k0"]):
+            got = grid_salted_join(
+                left, right, on="key", how="left", grid=(4, 3),
+                hot_keys=hot,
+            )
+            assert sorted(map(tuple, got.collect()), key=_key) == want
+        # 600 grid pairs + 1 tail pair + 2 unmatched (only-left, NULL)
+        assert len(want) == 603
+
     def test_rejects_outer_and_bad_grid_and_collision(self, spark):
         import pytest as _pytest
 
         from flnr_wins_spark.operators.skew import grid_salted_join
 
         left, right = self._data(spark)
-        with _pytest.raises(ValueError, match="inner only"):
-            grid_salted_join(left, right, on="key", how="left")
+        with _pytest.raises(ValueError, match="inner/left only"):
+            grid_salted_join(left, right, on="key", how="full")
         with _pytest.raises(ValueError, match="grid dims"):
             grid_salted_join(left, right, on="key", grid=(0, 4))
         with _pytest.raises(ValueError, match="collision"):

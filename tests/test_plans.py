@@ -806,3 +806,16 @@ def test_grid_skew_entry_fans_out_both_sides(spark):
     assert "xxhash64" in plan
     assert "Union" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_grid_skew_left_entry_decomposes_exactly(spark):
+    """x_grid_skew_left must execute the LEFT decomposition: the grid
+    inner join (two Generate fan-outs) plus the null-padded complement
+    via a LeftAnti probe against the dim's distinct keys — never a
+    replicated outer join, never a Python fallback."""
+    plan = _plan(spark, "x_grid_skew_left")
+    assert plan.count("Generate") == 2, plan[:2000]
+    assert "LeftAnti" in plan
+    assert "xxhash64" in plan
+    assert "Union" in plan
+    assert "BatchEvalPython" not in plan
