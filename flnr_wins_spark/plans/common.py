@@ -49,15 +49,15 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 # a budget of ~50 entries/round, so entries that most need a fresh
 # driver-graded correctness row go first. ROUND-11 ordering (the r10 handoff,
 # executed):
-# (a) the three NEW r11 surfaces (2-D grid-salted both-hot join, inner and
+# (a) the four NEW r11 surfaces (2-D grid-salted both-hot join, inner and
 #     left arms; stream-stream LEFT OUTER join with watermark-gated null
-#     emission);
+#     emission; the applyInPandasWithState stateful funnel);
 # (b) the three entries whose CODE changed in r11 (run_auto_join gained the
 #     grid both-hot arm ahead of their paths; x_jdbc_snapshot rewired through
 #     cached_fixture) — code-changed entries regrade in the same round;
 # (c) the 33 r04-stale entries — drains the r04 cohort completely;
-# (d) 11 of the 38-entry r05 cohort — fills the 50 budget.
-# Goal after r11: nothing older than r05 at latest grade; the 27 remaining
+# (d) 10 of the 38-entry r05 cohort — fills the 50 budget.
+# Goal after r11: nothing older than r05 at latest grade; the 28 remaining
 # r05 entries lead the r12 rotation (r12 finishes the cohort).
 # Positions 51+ keep staleness order (r05 remainder, then the r06/r07/r09
 # cohorts, then everything graded r10 — freshest evidence last).
@@ -65,6 +65,7 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 _GRADE_FIRST: tuple[str, ...] = (
     # (a) NEW r11 surfaces — never graded
     "x_grid_skew_join", "q_stream_outer_join", "x_grid_skew_left",
+    "q_stream_stateful_funnel",
     # (b) code-changed in r11 (grid both-hot arm in run_auto_join;
     #     cached_fixture rewiring of the Derby snapshot) — the standing
     #     same-round regrade rule
@@ -81,14 +82,14 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_rolling_zscore", "x_search_hybrid_rrf", "x_search_phrase",
     "x_similarity_ann_portable", "x_similarity_pq", "x_sorted_neighborhood",
     "x_tokenize_maxmatch", "x_triangle_count", "x_user_streaks",
-    # (d) first 11 of the r05 cohort — fills the 50 budget
+    # (d) first 10 of the r05 cohort — fills the 50 budget
     "q_events_interval_join", "q_events_json", "q_events_multires_rollup",
     "q_events_tumbling", "x_ab_test", "x_attribution_linear",
     "x_binaryfile_ingest", "x_churn_training_set", "x_cooccur_pmi",
-    "x_corpus_mixture", "x_distinct_kmv",
+    "x_corpus_mixture",
     # ---- position 51+ (graded only if the budget stretches) ----
     # r05 remainder (leads the r12 rotation)
-    "x_events_m4", "x_geo_geohash", "x_geo_knn", "x_golden_record",
+    "x_distinct_kmv", "x_events_m4", "x_geo_geohash", "x_geo_knn", "x_golden_record",
     "x_graph_bfs", "x_html_strip", "x_impute_nulls",
     "x_incremental_join", "x_join_size_estimate", "x_kmv_set_ops",
     "x_mmr_rerank", "x_multimodal_adpcm_decode", "x_multimodal_decode",

@@ -561,3 +561,131 @@ def q_stream_outer_join(spark, sf_dir):
             F.sum("event_id_r").cast("bigint").alias("sum_match_ids"),
         )
     )
+
+
+@query(
+    "q_stream_stateful_funnel",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_type, ts + to_microseconds(event_id) AS ts2
+      FROM events WHERE event_id % 17 = 0
+    ),
+    s1 AS (
+      SELECT user_id, min(ts2) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts2) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts2 > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts2) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts2 > s2.t2 GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM e),
+    f AS (
+      SELECT u.user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS step
+      FROM u
+      LEFT JOIN s1 ON u.user_id = s1.user_id
+      LEFT JOIN s2 ON u.user_id = s2.user_id
+      LEFT JOIN s3 ON u.user_id = s3.user_id
+    )
+    SELECT CAST(step AS INT) AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid
+    FROM f GROUP BY 1
+    """,
+    note="applyInPandasWithState graded end-to-end: the per-user "
+    "view->click->purchase funnel runs as a CUSTOM STATEFUL streaming "
+    "operator (keyed GroupState of (step, frontier_ts), Arrow-batched "
+    "update function) over three mtime-ordered file micro-batches split "
+    "by event-time thirds — the non-decreasing-batch contract under "
+    "which the greedy earliest-completion frontier is exact across "
+    "batches. Event times are uniquified (ts + event_id microseconds, "
+    "identically on both sides) so 'strictly after the frontier' has no "
+    "tie hazard, making the greedy scan equal the order-free min-time "
+    "recursion the oracle unrolls (min ts of step-k events after the "
+    "step-(k-1) time). Update-mode emissions accumulate in the sink; "
+    "per-user state is monotone, so max(step) per user is the final "
+    "state, graded as users-per-step with a sum_uid witness. At 100 TB "
+    "state is (user -> 12 bytes) partitioned across executors — the "
+    "extension point for semantics Spark's built-in windows cannot "
+    "express, now oracle-checked, not just batch-twin-pinned",
+)
+def q_stream_stateful_funnel(spark, sf_dir):
+    import glob
+    import os
+
+    from flnr_wins_spark.plans.common import scratch_dir
+    from flnr_wins_spark.streaming.stateful import funnel_progress
+
+    # thinned to ~4 events/user (every SF has ~67 events/user, so the
+    # full stream converts EVERYONE — a vacuous distribution; %17 keeps
+    # the per-step counts spread across 0..3)
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0).select(
+        "user_id", "event_type",
+        F.expr(
+            "timestampadd(MICROSECOND, event_id, cast(ts as timestamp))"
+        ).alias("ts"),
+    )
+    root = scratch_dir("stream_funnel")
+    src = root + "/src"
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]  # scalars
+    span = hi - lo
+    cut1 = lo + span / 3
+    cut2 = lo + 2 * span / 3
+    batches = (
+        ev.filter(F.col("ts") < F.lit(cut1)),
+        ev.filter((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2))),
+        ev.filter(F.col("ts") >= F.lit(cut2)),
+    )
+    stamped: set[str] = set()
+    t0 = 1_700_000_000  # fixed epoch; only the relative order matters
+    for i, batch in enumerate(batches):
+        batch.coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(src + "/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t0 + 100 * i, t0 + 100 * i))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream
+        .schema("user_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    prog = funnel_progress(stream, ["view", "click", "purchase"])
+    # update-mode output needs a memory sink; the table name carries the
+    # scratch run suffix so re-invocations never collide with a previous
+    # (stopped) query's registered table
+    tname = "t_ssfunnel_" + os.path.basename(root).replace("-", "_")
+    q = (
+        prog.writeStream.format("memory")
+        .queryName(tname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stateful funnel did not finish in 300 s")
+    if q.exception() is not None:
+        raise q.exception()
+    # per-user state is monotone across update emissions: max(step) is
+    # the final state
+    return (
+        spark.table(tname)
+        .groupBy("user_id")
+        .agg(F.max("step").alias("step"))
+        .groupBy(F.col("step").cast("int").alias("step"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("sum_uid"),
+        )
+    )

@@ -955,12 +955,13 @@ def test_auto_join_right_side_skew_swaps_roles(spark, tmp_path):
 
 
 def test_auto_join_both_sides_hot_routes_grid(spark, tmp_path):
-    """Keys hot on BOTH sides of an inner join — the genuinely quadratic
-    |L_k| x |R_k| case one-sided salting cannot fix — route through the
-    2-D grid-salted join: the plan carries TWO explode fan-outs (one per
-    side; the 1-D salted path has exactly one), the result equals the
-    plain join, and a LEFT join still falls through to the plain advice
-    (the grid replicates both sides, so it is inner-only)."""
+    """Keys hot on BOTH sides — the genuinely quadratic |L_k| x |R_k|
+    case one-sided salting cannot fix — route through the 2-D
+    grid-salted join: the plan carries TWO explode fan-outs (one per
+    side; the 1-D salted path has exactly one) and the result equals
+    the plain join. A LEFT join routes through the grid too, via the
+    exact decomposition (grid inner + distinct-key anti probe for the
+    null-padded complement)."""
     from flnr_wins_spark.sources.advisor import (
         advise_auto_join,
         read_advised_scan,
@@ -1006,8 +1007,17 @@ def test_auto_join_both_sides_hot_routes_grid(spark, tmp_path):
     assert got_s.exceptAll(want_s).count() == 0
     assert want_s.exceptAll(got_s).count() == 0
 
-    # LEFT join with both-hot keys: plain fall-through, still exact
+    # LEFT join with both-hot keys: the grid decomposition — matched
+    # pairs from the grid inner, null-padded complement via a LeftAnti
+    # probe against the right side's distinct keys — still exact
     lout = run_auto_join(spark, plan, how="left")
     lphys = lout._jdf.queryExecution().executedPlan().toString()
-    assert "xxhash64" not in lphys
-    assert lout.count() == left.join(right, "k", "left").count()
+    assert lphys.count("Generate") == 2 and "LeftAnti" in lphys
+    lwant = read_advised_scan(spark, plan.left_scan).join(
+        read_advised_scan(spark, plan.right_scan), "k", "left"
+    )
+    ltmp = [f"_c{i}" for i in range(len(lout.columns))]
+    lgot_s, lwant_s = lout.toDF(*ltmp), lwant.toDF(*ltmp)
+    assert lout.count() == lwant.count()
+    assert lgot_s.exceptAll(lwant_s).count() == 0
+    assert lwant_s.exceptAll(lgot_s).count() == 0
