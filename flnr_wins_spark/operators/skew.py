@@ -117,7 +117,8 @@ def grid_salted_join(
     cost: the left slice shuffles br times, the right slice bl times —
     which is why ``hot_keys`` should scope the grid to the flagged keys
     only (the long tail joins plain; NULL keys follow the tail under
-    ``hot_keys`` — dropped by inner semantics, null-padded by left).
+    ``hot_keys`` — dropped by inner semantics, null-padded by
+    left/full).
     Deterministic: xxhash64 cell assignment (``*_salt_col`` names a
     near-unique column, else the hash of all that side's columns), no
     rand().
@@ -130,17 +131,20 @@ def grid_salted_join(
     key-count-sized set, so the probe is skew-free and broadcastable
     even when the right side's hot key holds millions of rows. NULL
     left keys take the anti branch (they match nothing) and null-pad
-    once, preserving plain left-join semantics. Right-outer/full are
-    unsupported (the preserved side would need the transpose
-    decomposition — swap the inputs instead).
+    once, preserving plain left-join semantics. ``how='full'`` adds
+    the transpose probe: a second anti join of the RIGHT side against
+    the left side's distinct keys supplies the left-null-padded
+    complement, so full outer = grid inner + two skew-free anti
+    probes, with NULL keys on either side preserved exactly once.
+    Right-outer is unsupported — swap the inputs and use 'left'.
 
     At 100 TB this is the self-join/heavy-overlap straggler killer:
     two fact tables sharing a mega-customer key join in bl x br
     parallel tasks instead of one."""
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "full"):
         raise ValueError(
-            "grid_salted_join supports inner/left only (both sides are "
-            f"replicated — other outer semantics cannot survive), got {how!r}"
+            "grid_salted_join supports inner/left/full only (right-outer "
+            f"is the transpose — swap the inputs and use 'left'), got {how!r}"
         )
     bl, br = grid
     if bl < 1 or br < 1:
@@ -157,7 +161,17 @@ def grid_salted_join(
             grid=grid, left_salt_col=left_salt_col,
             right_salt_col=right_salt_col,
         )
-        tail = left.filter(~is_hot | F.col(on).isNull()).join(right, on, how)
+        # hot keys are a disjoint key set, so hot rows can only match hot
+        # rows: under inner/left the tail's right side may stay unfiltered
+        # (hot right rows never match non-hot left keys), but FULL must
+        # split the right too — an unfiltered right would re-emit the hot
+        # rows as right-unmatched in the tail branch
+        tail_r = (
+            right.filter(~is_hot | F.col(on).isNull())
+            if how == "full"
+            else right
+        )
+        tail = left.filter(~is_hot | F.col(on).isNull()).join(tail_r, on, how)
         # positional union: both branches produce [on, left-rest,
         # right-rest] by construction (see salted_join — name-based
         # union breaks on legitimately shared non-key column names)
@@ -181,7 +195,7 @@ def grid_salted_join(
     inner = lg.join(rg, [on, "_gsl", "_gsr"], "inner").drop("_gsl", "_gsr")
     if how == "inner":
         return inner
-    # left decomposition: matched pairs from the grid + ONE null-padded
+    # outer decomposition: matched pairs from the grid + ONE null-padded
     # row per matchless left row, found via an anti probe against the
     # right side's DISTINCT keys (key-count-sized — skew-free however
     # hot the right rows are). NULL keys match nothing and null-pad.
@@ -195,4 +209,20 @@ def grid_salted_join(
     unmatched = left.join(rkeys, on, "left_anti").select(
         F.col(on), *[F.col(c) for c in left_rest], *null_pad
     )
-    return inner.union(unmatched)
+    if how == "left":
+        return inner.union(unmatched)
+    # full outer adds the transpose probe: matchless RIGHT rows (keys
+    # absent from the left's distinct-key set, plus NULL right keys)
+    # emit once with the left columns null-padded, in the same
+    # [on, left-rest, right-rest] layout
+    lkeys = left.select(on).distinct()
+    right_rest = [c for c in right.columns if c != on]
+    null_pad_l = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in left.schema.fields
+        if f.name != on
+    ]
+    unmatched_r = right.join(lkeys, on, "left_anti").select(
+        F.col(on), *null_pad_l, *[F.col(c) for c in right_rest]
+    )
+    return inner.union(unmatched).union(unmatched_r)

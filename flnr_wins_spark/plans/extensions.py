@@ -7823,6 +7823,195 @@ def x_grid_skew_left(spark, sf_dir):
     )
 
 
+_GRID_SKEW_FULL_SQL = """
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                  ELSE l_orderkey % 1000 END AS skew_key,
+             l_quantity
+      FROM lineitem
+    ),
+    d AS (SELECT DISTINCT skew_key FROM f),
+    r AS (
+      SELECT skew_key, CAST(-1 AS BIGINT) AS rep FROM d
+      UNION ALL
+      SELECT CAST(0 AS BIGINT), CAST(i AS BIGINT) FROM range(40) t(i)
+    ),
+    ff AS (SELECT skew_key, l_quantity FROM f WHERE skew_key <= 500)
+    SELECT CAST(COALESCE(ff.skew_key, r.skew_key) % 7 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ff.l_quantity IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dim_only,
+           CAST(SUM(CAST(ff.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+           'shuffle' AS strategy,
+           CAST(1 AS INT) AS n_hot_left,
+           CAST(1 AS INT) AS n_hot_right
+    FROM ff FULL JOIN r ON ff.skew_key = r.skew_key
+    GROUP BY 1
+"""
+
+
+@query(
+    "x_grid_skew_full",
+    sql=_GRID_SKEW_FULL_SQL,
+    note="The grid-salted join's FULL OUTER arm, auto-selected on the "
+    "same both-sides-hot fixture as x_grid_skew_join (built once, "
+    "shared): a zone-map range predicate (skew_key <= 500) residual-"
+    "filters the FACT this time, so dim keys above 500 are genuinely "
+    "matchless from the RIGHT and must emit left-null-padded exactly "
+    "once — the complement a left join never surfaces. Full outer "
+    "cannot ride the replicated grid directly on either side, so "
+    "grid_salted_join decomposes it exactly: the grid INNER join "
+    "supplies every matched pair in 64 parallel cells, and TWO "
+    "skew-free distinct-key anti probes (left against the dim's keys, "
+    "the transpose against the fact's) supply both null-padded "
+    "complements. Hash-matches the plain relational FULL join; "
+    "n_dim_only counts the left-null-padded rows. At 100 TB this "
+    "completes the outer-join matrix of the skew arsenal: "
+    "reconciliation joins (both sides must survive) over a mega-key "
+    "no longer straggle",
+)
+def x_grid_skew_full(spark, sf_dir):
+    from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
+
+    base = _grid_skew_fixture(spark, sf_dir)
+    plan = advise_auto_join(
+        spark, base + "/fact", base + "/dim", "skew_key",
+        left_ranges={"skew_key": (None, 500)},
+        broadcast_threshold_bytes=0,  # force the shuffle strategy
+        min_shuffle_partitions=8,     # environment-independent floor
+    )
+    joined = run_auto_join(spark, plan, how="full")
+    return (
+        joined.groupBy((F.col("skew_key") % 7).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("qty").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_dim_only"),
+            F.sum(F.col("qty").cast("decimal(27,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            "grp", "n_rows", "n_dim_only", "sum_qty",
+            F.lit(plan.join.strategy).alias("strategy"),
+            F.lit(len(plan.hot_keys)).cast("int").alias("n_hot_left"),
+            F.lit(len(plan.hot_keys_right)).cast("int").alias("n_hot_right"),
+        )
+    )
+
+
+def _right_skew_fixture(spark, sf_dir):
+    """Right-only-hot fixture: the PRESERVED left side is a key roster
+    (one row per live key, plus 20 matchless keys 1000..1019 that must
+    null-pad) whose heavy sidecar flags NOTHING — every key holds one
+    row, far under the 5% floor — while the right fact's key 0 holds
+    half its rows and is flagged at every SF. Built once per process
+    (cached_fixture)."""
+    from flnr_wins_spark.plans.common import cached_fixture
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    def _build(d):
+        li = t(spark, sf_dir, "lineitem")
+        fact = li.select(
+            F.when(F.col("l_orderkey") % 10 < 5, F.lit(0).cast("bigint"))
+            .otherwise(F.col("l_orderkey") % 1000)
+            .alias("skew_key"),
+            F.pmod(F.col("l_partkey"), F.lit(8)).cast("string").alias("pb"),
+            F.col("l_quantity").alias("qty"),
+        )
+        n = fact.count()  # scalar: sizes the scale-adaptive threshold
+        write_ptable(
+            fact, d + "/fact", "pb",
+            stats_cols=["skew_key"],
+            heavy_cols=["skew_key"], heavy_k=32,
+            heavy_threshold=max(2, n // 512),
+        )
+        probe = (
+            fact.select("skew_key").distinct()
+            .unionByName(
+                spark.range(20).select(
+                    (F.col("id") + 1000).cast("bigint").alias("skew_key")
+                )
+            )
+            .withColumn("db", F.lit("all"))
+        )
+        write_ptable(
+            probe, d + "/probe", "db",
+            stats_cols=["skew_key"],
+            heavy_cols=["skew_key"], heavy_k=8, heavy_threshold=8,
+        )
+
+    return cached_fixture("right_skew", sf_dir, _build)
+
+
+_RIGHT_HOT_LEFT_SQL = """
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                  ELSE l_orderkey % 1000 END AS skew_key,
+             l_quantity
+      FROM lineitem
+    ),
+    k AS (
+      SELECT DISTINCT skew_key FROM f
+      UNION ALL
+      SELECT CAST(1000 + i AS BIGINT) FROM range(20) t(i)
+    )
+    SELECT CAST(k.skew_key % 7 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(f.l_quantity) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(f.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+           'shuffle' AS strategy,
+           CAST(0 AS INT) AS n_hot_left,
+           CAST(1 AS INT) AS n_hot_right
+    FROM k LEFT JOIN f ON k.skew_key = f.skew_key
+    GROUP BY 1
+"""
+
+
+@query(
+    "x_right_hot_left_join",
+    sql=_RIGHT_HOT_LEFT_SQL,
+    note="The right-only-hot LEFT join, auto-selected — the last hot-key "
+    "fall-through closed: a key roster (PRESERVED side, one row per "
+    "key plus 20 matchless keys that must null-pad exactly once) left-"
+    "joins a fact whose key 0 holds half the rows. Only the fact's "
+    "heavy sidecar flags it (the roster is uniform — n_hot_left = 0), "
+    "the preserved side cannot swap roles, and one-sided salting of "
+    "the right alone would null-fill unmatched roster rows once per "
+    "salt replica — so run_auto_join routes through the DEGENERATE "
+    "(1 x 8) grid: each fact row hashes to one of 8 cells, only the "
+    "roster's hot-key slice (a single row — the key is cold on the "
+    "roster) replicates 8 ways, and the null-padded complement comes "
+    "from a skew-free left-anti probe against the fact's distinct "
+    "keys. Hash-matches the plain relational LEFT join; n_matched "
+    "counts null-padded rows apart. At 100 TB this is the hot-dim "
+    "enrichment pattern with outer semantics: a mega-key fact side "
+    "spreads over 8 tasks instead of straggling on one",
+)
+def x_right_hot_left_join(spark, sf_dir):
+    from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
+
+    base = _right_skew_fixture(spark, sf_dir)
+    plan = advise_auto_join(
+        spark, base + "/probe", base + "/fact", "skew_key",
+        broadcast_threshold_bytes=0,  # force the shuffle strategy
+        min_shuffle_partitions=8,     # environment-independent floor
+    )
+    joined = run_auto_join(spark, plan, how="left")
+    return (
+        joined.groupBy((F.col("skew_key") % 7).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("qty").cast("bigint").alias("n_matched"),
+            F.sum(F.col("qty").cast("decimal(27,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            "grp", "n_rows", "n_matched", "sum_qty",
+            F.lit(plan.join.strategy).alias("strategy"),
+            F.lit(len(plan.hot_keys)).cast("int").alias("n_hot_left"),
+            F.lit(len(plan.hot_keys_right)).cast("int").alias("n_hot_right"),
+        )
+    )
+
+
 # x_multimodal_dhash_dedup oracle: the image construction (9x8 PGM whose 72
 # raster bytes are md5-of-seed digits, docs with doc_id%10<=1 sharing a seed
 # and the %10==1 twin perturbed in pixel 0) is replayed relationally, the

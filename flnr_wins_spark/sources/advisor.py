@@ -588,7 +588,10 @@ def advise_auto_join(
     merged count over the PRUNED partitions reaches
     ``skew_hot_ratio`` x that side's pruned rows — run_auto_join salts
     exactly those keys (left-hot: salt left / replicate right's hot
-    rows; right-hot inner joins: roles swapped; both-hot inner/left:
+    rows; right-hot inner joins: roles swapped; right-hot LEFT joins:
+    the degenerate (1 x N) grid — one-sided salting of the heavy right
+    with the null-padded complement restored by a skew-free
+    distinct-key anti probe; both-hot inner/left:
     the 2-D grid-salted join, spreading the genuinely quadratic
     |L_k| x |R_k| output over salt_l x salt_r cells with each side
     replicated only by the other's grid dim), so the one
@@ -729,7 +732,13 @@ def run_auto_join(
     inner/left join route through
     :func:`operators.skew.grid_salted_join` (2-D fragment-replicate —
     the quadratic case one-sided salting cannot fix; left joins add a
-    skew-free distinct-key anti probe for the null-padded complement). The salted paths size their shuffles via the session/AQE
+    skew-free distinct-key anti probe for the null-padded complement);
+    keys hot on the RIGHT only under a LEFT/FULL join take the
+    degenerate (1 x N) grid — exactly one-sided salting of the heavy
+    right with the same anti-probe decomposition, since the preserved
+    side cannot swap roles — and left-only-hot FULL joins the (N x 1)
+    transpose, so every hot-key pattern is covered for
+    inner/left/full. The salted paths size their shuffles via the session/AQE
     (the advice's partition count applies to the plain fallback
     only)."""
     from flnr_wins_spark.operators.skew import grid_salted_join, salted_join
@@ -738,7 +747,7 @@ def run_auto_join(
     right = read_advised_scan(spark, plan.right_scan)
     same_key = plan.left_key == plan.right_key
     both_hot = bool(plan.hot_keys) and bool(plan.hot_keys_right)
-    if both_hot and same_key and how in ("inner", "left"):
+    if both_hot and same_key and how in ("inner", "left", "full"):
         # BOTH sides flag hot keys: the quadratic case per-side salting
         # cannot fix (|L_k| x |R_k| pairs all route through one task
         # whichever single side is salted). The 2-D grid spreads every
@@ -747,7 +756,8 @@ def run_auto_join(
         # needed — over 8x8 cells (each side's hot slice replicated by
         # the OTHER side's grid dim only); the long tail joins plain.
         # LEFT joins decompose inside grid_salted_join (grid inner +
-        # skew-free distinct-key anti probe for the null-padded rows).
+        # skew-free distinct-key anti probe for the null-padded rows);
+        # FULL adds the transpose probe for left-null-padded right rows.
         flagged = sorted(
             set(plan.hot_keys) | set(plan.hot_keys_right), key=str
         )
@@ -764,19 +774,49 @@ def run_auto_join(
         # metadata-flagged LEFT-side key skew on the shuffle path: salt
         # ONLY the hot keys (salt = hash of all left columns — no key
         # naming needed), join the long tail plain. Different key names
-        # or an outer-preserving right side fall through to the plain
-        # advice (salting replicates the small side, which is only
-        # exact for inner/left).
+        # fall through to the plain advice (salting replicates the
+        # small side, which is only exact for inner/left); FULL joins
+        # take the degenerate (N x 1) grid arm below.
         return salted_join(
             left, right, plan.left_key, salt_col=None, how=how,
             hot_keys=list(plan.hot_keys),
+        )
+    if plan.hot_keys and not both_hot and same_key and how == "full":
+        # LEFT-only key skew under a FULL join: salted_join cannot
+        # preserve the replicated right side's unmatched rows, but the
+        # degenerate (N x 1) grid — the left's hot slice hashed over N
+        # cells, the right's hot slice replicated N ways — plus the two
+        # anti probes restores both complements exactly.
+        return grid_salted_join(
+            left, right, plan.left_key, how="full",
+            grid=(8, 1), hot_keys=list(plan.hot_keys),
+        )
+    if (
+        plan.hot_keys_right
+        and not both_hot
+        and same_key
+        and how in ("left", "full")
+    ):
+        # RIGHT-only key skew under a LEFT/FULL join: the preserved
+        # side cannot swap, but the degenerate (1 x N) grid IS
+        # one-sided salting of the heavy right — each right row hashes
+        # to ONE of N cell rows, and only the LEFT's hot-key slice
+        # replicates N ways (bounded: the key is NOT hot on the left,
+        # so the slice is under the hot-ratio floor of the left's
+        # rows) — and grid_salted_join's outer decomposition (grid
+        # inner + skew-free distinct-key anti probes) restores the
+        # null-padded complements exactly. This closes the last
+        # hot-key fall-through.
+        return grid_salted_join(
+            left, right, plan.left_key, how=how,
+            grid=(1, 8), hot_keys=list(plan.hot_keys_right),
         )
     if plan.hot_keys_right and not both_hot and same_key and how == "inner":
         # RIGHT-side key skew: inner equi-joins are symmetric, so run
         # the salted split with the roles SWAPPED (salt the heavy right,
         # replicate only the hot keys' left rows) and restore the
-        # caller's column order. Left joins cannot swap (the preserved
-        # side must stay the big side) and fall through.
+        # caller's column order. Left joins take the (1 x N) grid arm
+        # above instead (the preserved side must stay the big side).
         out = salted_join(
             right, left, plan.right_key, salt_col=None, how="inner",
             hot_keys=list(plan.hot_keys_right),
@@ -798,10 +838,8 @@ def run_auto_join(
             + [c for c in right.columns if c != plan.right_key]
         )
         return out.toDF(*tmp).select(*[tmp[i] for i in order]).toDF(*final)
-    # keys named differently, or a right-only-hot LEFT join (the
-    # preserved side must stay the big side, so roles cannot swap):
-    # run the plain advice, AQE's skew split still applies within the
-    # chosen strategy.
+    # keys named differently (or an unsupported how): run the plain
+    # advice, AQE's skew split still applies within the chosen strategy.
     on = (
         plan.left_key
         if same_key

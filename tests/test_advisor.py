@@ -902,8 +902,10 @@ def test_auto_join_right_side_skew_swaps_roles(spark, tmp_path):
     """RIGHT-side key skew on an inner join: the roles swap (salt the
     heavy right, replicate only the hot keys' left rows), the column
     order stays the caller's, and the result equals the plain join.
-    Left joins cannot swap and fall through to the plain advice; keys
-    hot on BOTH sides route through the 2-D grid (its own test)."""
+    Left joins cannot swap — they take the degenerate (1 x N) grid
+    (one-sided salting of the heavy right + the distinct-key anti
+    probe for the null-padded complement); keys hot on BOTH sides
+    route through the full 2-D grid (its own test)."""
     from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
     from flnr_wins_spark.sources.ptable import write_ptable
 
@@ -946,12 +948,25 @@ def test_auto_join_right_side_skew_swaps_roles(spark, tmp_path):
     assert got.count() == wnt.count() > 0
     assert got.exceptAll(wnt).count() == 0 and wnt.exceptAll(got).count() == 0
 
-    # left join with right-hot keys: falls through (no salt), exact
+    # LEFT join with right-hot keys: the (1 x N) grid — the plan carries
+    # the two grid explodes (the left one degenerate) and the LeftAnti
+    # null-pad probe, and the result equals the plain left join exactly
     lplan = advise_auto_join(spark, fp, dp, "k", broadcast_threshold_bytes=0)
     lout = run_auto_join(spark, lplan, how="left")
     lphys = lout._jdf.queryExecution().executedPlan().toString()
-    assert "xxhash64" not in lphys
-    assert lout.count() == left.join(right.select("k", "rv"), "k", "left").count()
+    assert "xxhash64" in lphys
+    assert lphys.count("Generate") == 2 and "LeftAnti" in lphys
+    from flnr_wins_spark.sources.advisor import read_advised_scan as _ras
+
+    lwant = _ras(spark, lplan.left_scan).join(
+        _ras(spark, lplan.right_scan), "k", "left"
+    )
+    assert lout.columns == lwant.columns
+    ltmp = [f"_c{i}" for i in range(len(lout.columns))]
+    lgot_s, lwant_s = lout.toDF(*ltmp), lwant.toDF(*ltmp)
+    assert lout.count() == lwant.count() > 0
+    assert lgot_s.exceptAll(lwant_s).count() == 0
+    assert lwant_s.exceptAll(lgot_s).count() == 0
 
 
 def test_auto_join_both_sides_hot_routes_grid(spark, tmp_path):
@@ -1021,3 +1036,69 @@ def test_auto_join_both_sides_hot_routes_grid(spark, tmp_path):
     assert lout.count() == lwant.count()
     assert lgot_s.exceptAll(lwant_s).count() == 0
     assert lwant_s.exceptAll(lgot_s).count() == 0
+
+    # FULL join with both-hot keys: grid inner + BOTH anti probes (the
+    # left-null-padded complement needs the transpose probe too)
+    fout = run_auto_join(spark, plan, how="full")
+    fphys = fout._jdf.queryExecution().executedPlan().toString()
+    assert fphys.count("Generate") == 2 and fphys.count("LeftAnti") >= 2
+    fwant = read_advised_scan(spark, plan.left_scan).join(
+        read_advised_scan(spark, plan.right_scan), "k", "full"
+    )
+    ftmp = [f"_c{i}" for i in range(len(fout.columns))]
+    fgot_s, fwant_s = fout.toDF(*ftmp), fwant.toDF(*ftmp)
+    assert fout.count() == fwant.count()
+    assert fgot_s.exceptAll(fwant_s).count() == 0
+    assert fwant_s.exceptAll(fgot_s).count() == 0
+
+
+def test_auto_join_one_side_hot_full_takes_degenerate_grid(spark, tmp_path):
+    """FULL joins with one-side-hot keys route through the degenerate
+    grid — (N x 1) for left-hot, (1 x N) for right-hot — with both
+    anti probes restoring the null-padded complements; the result
+    equals the plain full join including rows matchless on either
+    side."""
+    from flnr_wins_spark.sources.advisor import (
+        advise_auto_join,
+        read_advised_scan,
+        run_auto_join,
+    )
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    # hot side: key 0 holds 400 of 600 rows, plus an exclusive key 90;
+    # cold side: uniform over keys 0..40 plus an exclusive key 91
+    hrows, rid = [], 0
+    for i in range(400):
+        hrows.append((0, str(rid % 4), rid)); rid += 1
+    for k in range(1, 41):
+        for _ in range(5):
+            hrows.append((k, str(rid % 4), rid)); rid += 1
+    hrows.append((90, "0", rid)); rid += 1
+    crows = [(k, str(k % 4), k * 7) for k in range(0, 41)] + [(91, "3", 637)]
+    hot_df = spark.createDataFrame(hrows, "k long, pb string, hv long")
+    cold_df = spark.createDataFrame(crows, "k long, pb string, cv long")
+    hp, cp = str(tmp_path / "hot"), str(tmp_path / "cold")
+    write_ptable(hot_df, hp, "pb", stats_cols=["k"],
+                 heavy_cols=["k"], heavy_k=8, heavy_threshold=30)
+    write_ptable(cold_df, cp, "pb", stats_cols=["k"],
+                 heavy_cols=["k"], heavy_k=8, heavy_threshold=30)
+
+    for lp, rp, hot_side in ((hp, cp, "left"), (cp, hp, "right")):
+        plan = advise_auto_join(spark, lp, rp, "k", broadcast_threshold_bytes=0)
+        assert plan.join.strategy == "shuffle"
+        if hot_side == "left":
+            assert plan.hot_keys == (0,) and plan.hot_keys_right == ()
+        else:
+            assert plan.hot_keys == () and plan.hot_keys_right == (0,)
+        out = run_auto_join(spark, plan, how="full")
+        phys = out._jdf.queryExecution().executedPlan().toString()
+        assert "xxhash64" in phys
+        assert phys.count("Generate") == 2 and phys.count("LeftAnti") >= 2
+        want = read_advised_scan(spark, plan.left_scan).join(
+            read_advised_scan(spark, plan.right_scan), "k", "full"
+        )
+        tmp = [f"_c{i}" for i in range(len(out.columns))]
+        got_s, want_s = out.toDF(*tmp), want.toDF(*tmp)
+        assert out.count() == want.count()
+        assert got_s.exceptAll(want_s).count() == 0
+        assert want_s.exceptAll(got_s).count() == 0

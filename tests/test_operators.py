@@ -348,14 +348,44 @@ class TestGridSaltedJoin:
         # 600 grid pairs + 1 tail pair + 2 unmatched (only-left, NULL)
         assert len(want) == 603
 
+    def test_full_equals_plain_full_join(self, spark):
+        """how='full' adds the transpose probe: matched pairs once each,
+        matchless LEFT rows (only-left, NULL left keys) null-padded
+        right, matchless RIGHT rows (NULL right keys; add an only-right
+        key) null-padded left — each exactly once."""
+        from flnr_wins_spark.operators.skew import grid_salted_join
+
+        left, right = self._data(spark)
+        right = right.union(
+            right.sparkSession.createDataFrame(
+                [(300, "only-right", "ro")], right.schema
+            )
+        )
+
+        def _key(row):  # rows carry NULLs — None sorts before values
+            return tuple((x is None, x) for x in row)
+
+        want = sorted(
+            map(tuple, left.join(right, "key", "full").collect()), key=_key
+        )
+        for hot in (None, ["k0"]):
+            got = grid_salted_join(
+                left, right, on="key", how="full", grid=(4, 3),
+                hot_keys=hot,
+            )
+            assert sorted(map(tuple, got.collect()), key=_key) == want
+        # 600 grid pairs + 1 tail pair + 2 left-unmatched (only-left,
+        # NULL) + 2 right-unmatched (only-right, NULL)
+        assert len(want) == 605
+
     def test_rejects_outer_and_bad_grid_and_collision(self, spark):
         import pytest as _pytest
 
         from flnr_wins_spark.operators.skew import grid_salted_join
 
         left, right = self._data(spark)
-        with _pytest.raises(ValueError, match="inner/left only"):
-            grid_salted_join(left, right, on="key", how="full")
+        with _pytest.raises(ValueError, match="inner/left/full only"):
+            grid_salted_join(left, right, on="key", how="right")
         with _pytest.raises(ValueError, match="grid dims"):
             grid_salted_join(left, right, on="key", grid=(0, 4))
         with _pytest.raises(ValueError, match="collision"):

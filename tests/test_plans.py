@@ -819,3 +819,31 @@ def test_grid_skew_left_entry_decomposes_exactly(spark):
     assert "xxhash64" in plan
     assert "Union" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_grid_skew_full_entry_carries_both_probes(spark):
+    """x_grid_skew_full must execute the FULL decomposition: the grid
+    inner join (two Generate fan-outs) plus BOTH null-pad complements
+    via two LeftAnti probes (left vs the dim's distinct keys, the
+    transpose vs the fact's) — never a replicated outer join, never a
+    Python fallback."""
+    plan = _plan(spark, "x_grid_skew_full")
+    assert plan.count("Generate") == 2, plan[:2000]
+    assert plan.count("LeftAnti") >= 2
+    assert "xxhash64" in plan
+    assert "Union" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_right_hot_left_entry_takes_degenerate_grid(spark):
+    """x_right_hot_left_join must execute the (1 x N) grid: one-sided
+    salting of the heavy right (xxhash64 cell assignment, the two grid
+    explodes — the left one degenerate), the null-padded complement via
+    a LeftAnti probe against the fact's distinct keys, the plain tail
+    via Union, and no Python fallback."""
+    plan = _plan(spark, "x_right_hot_left_join")
+    assert plan.count("Generate") == 2, plan[:2000]
+    assert "LeftAnti" in plan
+    assert "xxhash64" in plan
+    assert "Union" in plan
+    assert "BatchEvalPython" not in plan
