@@ -689,3 +689,139 @@ def q_stream_stateful_funnel(spark, sf_dir):
             F.sum("user_id").cast("bigint").alias("sum_uid"),
         )
     )
+
+
+@query(
+    "q_stream_dedup_gate",
+    sql="""
+    WITH b0 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    b2 AS (
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text || ' qq-new' AS text
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    k0 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM b0
+      ) WHERE rn = 1
+    ),
+    k1 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM b1 WHERE text NOT IN (SELECT text FROM b0)
+      ) WHERE rn = 1
+    ),
+    k2 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM b2 WHERE text NOT IN (SELECT text FROM b0
+                                   UNION SELECT text FROM b1)
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT 0 AS batch, doc_id FROM k0
+      UNION ALL SELECT 1, doc_id FROM k1
+      UNION ALL SELECT 2, doc_id FROM k2
+    )
+    SELECT CAST(batch AS INT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM kept GROUP BY 1
+    """,
+    note="The streaming exact-dedup GATE graded end-to-end (was pytest "
+    "batch-twin only): three mtime-ordered file micro-batches — evens "
+    "plus same-batch exact copies (the within-batch lowest-id window "
+    "must keep the originals), then odds, then cross-batch copies of "
+    "both plus genuinely new perturbed texts — run through "
+    "exact_dedup_sink's foreachBatch anti-join against the persisted "
+    "per-batch seen-set deltas. The per-BATCH kept outputs (kept/vN) "
+    "are graded, not just the union: batch 0 must shed its in-batch "
+    "copies, batch 2 must shed every cross-batch copy while admitting "
+    "the new texts — first-arrival-wins replayed relationally by the "
+    "oracle batch by batch. At 100 TB this is the ingestion-time dedup "
+    "path: the seen-set is delta-versioned (write cost follows the "
+    "batch, never the accumulated corpus) and the gate's state is "
+    "metadata on the stream, not a re-shuffle of history",
+)
+def q_stream_dedup_gate(spark, sf_dir):
+    import glob
+    import os
+    from functools import reduce
+
+    from flnr_wins_spark.plans.common import scratch_dir
+    from flnr_wins_spark.streaming.sinks import exact_dedup_sink
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = scratch_dir("stream_dedup")
+    src = root + "/src"
+
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    b2 = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq-new")).alias("text"),
+            )
+        )
+    )
+
+    # three micro-batch files whose processing ORDER is pinned by mtime
+    # (FileStreamSource orders by modification time) — see
+    # q_stream_watermark for the pattern
+    stamped: set[str] = set()
+    t0 = 1_700_000_000  # any fixed epoch; only the relative order matters
+    for i, batch in enumerate((b0, b1, b2)):
+        batch.coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(src + "/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t0 + 100 * i, t0 + 100 * i))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = exact_dedup_sink(
+        stream, root + "/state", "doc_id", "text",
+        checkpoint_dir=root + "/ckpt",
+    )
+    if not q.awaitTermination(300):
+        # a half-drained stream would grade as missing batches; a slow
+        # host must fail LOUDLY as a timeout, never as wrong rows
+        q.stop()
+        raise TimeoutError("availableNow dedup gate did not finish in 300 s")
+    if q.exception() is not None:
+        raise q.exception()
+    parts = [
+        spark.read.parquet(f"{root}/state_kept/v{b}").select(
+            F.lit(b).cast("int").alias("batch"), "doc_id"
+        )
+        for b in range(3)
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+    )
