@@ -49,21 +49,21 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 # a budget of ~50 entries/round, so entries that most need a fresh
 # driver-graded correctness row go first. ROUND-11 ordering (the r10 handoff,
 # executed):
-# (a) the nine NEW r11 surfaces (2-D grid-salted both-hot join — inner,
+# (a) the ten NEW r11 surfaces (2-D grid-salted both-hot join — inner,
 #     left, and full-outer arms; the right-only-hot LEFT join via the
 #     degenerate (1 x N) grid; stream-stream LEFT OUTER join with
 #     watermark-gated null emission; the applyInPandasWithState stateful
 #     funnel; the streaming exact-dedup gate's per-batch kept outputs;
 #     the streaming incremental-agg materialized view; the streaming KMV
-#     sketch sink);
+#     sketch sink; the streaming bottom-k quantile-sample sink);
 # (b) the three entries whose CODE changed in r11 (run_auto_join gained the
 #     grid both-hot, right-hot-left, and full-outer arms ahead of their
 #     paths; x_jdbc_snapshot rewired through cached_fixture) — code-changed
 #     entries regrade in the same round;
 # (c) the 33 r04-stale entries — drains the r04 cohort completely;
-# (d) 5 of the 38-entry r05 cohort — fills the 50 budget
-#     (x_attribution_linear through x_corpus_mixture slipped to position
-#     51+ as the five late r11 entries joined group a).
+# (d) 4 of the 38-entry r05 cohort — fills the 50 budget
+#     (x_ab_test through x_corpus_mixture slipped to position 51+ as the
+#     six late r11 entries joined group a).
 # Goal after r11: nothing older than r05 at latest grade; the 28 remaining
 # r05 entries lead the r12 rotation (r12 finishes the cohort).
 # Positions 51+ keep staleness order (r05 remainder, then the r06/r07/r09
@@ -74,6 +74,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_grid_skew_join", "q_stream_outer_join", "x_grid_skew_left",
     "q_stream_stateful_funnel", "x_right_hot_left_join", "x_grid_skew_full",
     "q_stream_dedup_gate", "q_stream_incremental_agg", "q_stream_kmv_sketch",
+    "q_stream_quantile_sketch",
     # (b) code-changed in r11 (grid both-hot arm in run_auto_join;
     #     cached_fixture rewiring of the Derby snapshot) — the standing
     #     same-round regrade rule
@@ -90,7 +91,8 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_rolling_zscore", "x_search_hybrid_rrf", "x_search_phrase",
     "x_similarity_ann_portable", "x_similarity_pq", "x_sorted_neighborhood",
     "x_tokenize_maxmatch", "x_triangle_count", "x_user_streaks",
-    # (d) first 10 of the r05 cohort — fills the 50 budget
+    # (d) the r05 cohort head — the first 4 fit the 50 budget; the rest
+    #     overflow to position 51+ and lead the r12 rotation
     "q_events_interval_join", "q_events_json", "q_events_multires_rollup",
     "q_events_tumbling", "x_ab_test", "x_attribution_linear",
     "x_binaryfile_ingest", "x_churn_training_set", "x_cooccur_pmi",
