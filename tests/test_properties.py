@@ -83,6 +83,44 @@ def test_salted_join_equals_plain_join(spark, rows, buckets):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+NULLABLE_KEYS = st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d"]))
+GRID_ROWS = st.lists(
+    st.tuples(st.integers(0, 100), NULLABLE_KEYS), min_size=0, max_size=10
+)
+
+
+@given(
+    lrows=GRID_ROWS,
+    rrows=GRID_ROWS,
+    grid=st.sampled_from([(1, 1), (1, 4), (4, 1), (3, 2)]),
+    how=st.sampled_from(["inner", "left", "full"]),
+    hot=st.sampled_from([None, [], ["a"], ["a", "d"]]),
+)
+@SLOW
+def test_grid_salted_join_equals_plain_join(spark, lrows, rrows, grid, how, hot):
+    """grid_salted_join == plain join for ANY data, grid shape, how, and
+    hot-key scoping — including NULL keys on both sides (dropped by
+    inner, null-padded exactly once by the preserving sides) and keys
+    present on only one side. The outer decompositions (anti-probe
+    null-pads) and the hot/tail split must never duplicate or drop a
+    row."""
+    from flnr_wins_spark.operators.skew import grid_salted_join
+
+    left = spark.createDataFrame(
+        [(i, k) for i, (rid, k) in enumerate(lrows)], "lid long, key string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, k) for i, (rid, k) in enumerate(rrows)],
+        "rid long, key string",
+    )
+    got = grid_salted_join(left, right, on="key", how=how, grid=grid, hot_keys=hot)
+    want = left.join(right, "key", how)
+    key = lambda row: tuple((x is None, x) for x in row)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+
+
 @given(
     vals=st.lists(
         st.one_of(st.none(), st.sampled_from(["", " ", "x", "ab c"])),
