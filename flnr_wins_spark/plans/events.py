@@ -861,7 +861,11 @@ def q_stream_incremental_agg(spark, sf_dir):
         .cast("bigint").alias("g"),
         F.col("event_id").alias("sid"),
         F.floor(F.col("value") * 1000).cast("bigint").alias("mv"),
-        F.col("event_id").alias("_split"),
+        # NULL-safe split: the oracle aggregates EVERY row, so a NULL
+        # event_id must still land in some batch (none exist in the
+        # current testdata; this is contract hardening, not a bug fix)
+        F.coalesce(F.pmod(F.col("event_id"), F.lit(3)), F.lit(0))
+        .cast("bigint").alias("_split"),
     )
 
     root = scratch_dir("stream_iagg")
@@ -870,7 +874,7 @@ def q_stream_incremental_agg(spark, sf_dir):
     t0 = 1_700_000_000  # any fixed epoch; only the relative order matters
     for i in range(3):
         (
-            ev.filter(F.pmod(F.col("_split"), F.lit(3)) == i)
+            ev.filter(F.col("_split") == i)
             .drop("_split")
             .coalesce(1)
             .write.mode("append")
