@@ -461,3 +461,54 @@ def test_ranking_metrics_perfect_and_empty_rankings(spark):
     assert got[0].dcg_e9 == got[0].ideal_e9
     assert got[1].hits_k == 0 and got[1].recall_k == 0.0
     assert got[1].mrr == 0.0 and got[1].ndcg == 0.0
+
+
+def test_binary_hamming_topk_exact_when_rerank_covers_corpus(spark):
+    """With rerank >= corpus size the hamming stage prunes nothing, so
+    the final top-k must equal exact brute-force cosine top-k (same ids,
+    same ranks, same cosines); hamming stays in [0, 64] and the plan
+    stays JVM-side with the query side broadcast."""
+    import random
+
+    from flnr_wins_spark.functions.vectors import (
+        binary_hamming_topk,
+        brute_force_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = binary_hamming_topk(queries, emb, k=4, rerank=30)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+    g = {(r.query_id, r.rank): (r.cand_id, r.cosine, r.hamming) for r in got.collect()}
+    want = brute_force_topk(queries, emb, k=4)
+    w = {(r.query_id, r.rank): (r.cand_id, r.cosine) for r in want.collect()}
+    assert set(g) == set(w)
+    for key, (cid, cos, ham) in g.items():
+        assert (cid, cos) == w[key]
+        assert 0 <= ham <= 64
+
+
+def test_binary_hamming_topk_zero_and_negative_sign_bits(spark):
+    """Sign packing: zeros and negatives are 0-bits, positives 1-bits —
+    an all-positive vector packs both halves to 2^32-1, an all-negative
+    or all-zero vector to 0, and hamming between them is 64."""
+    from flnr_wins_spark.functions.vectors import binary_hamming_topk
+
+    rows = [
+        (0, [1.0] * 64),
+        (1, [-1.0] * 64),
+        (2, [0.0] * 32 + [1.0] * 32),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = binary_hamming_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=2, rerank=3
+    ).collect()
+    ham = {r.cand_id: r.hamming for r in out}
+    assert ham[1] == 64  # all bits differ
+    assert ham[2] == 32  # the zero half differs from all-ones
