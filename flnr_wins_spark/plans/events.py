@@ -950,7 +950,12 @@ def q_stream_kmv_sketch(spark, sf_dir):
     from flnr_wins_spark.streaming.sinks import kmv_sketch_sink, read_kmv_estimates
 
     ev = t(spark, sf_dir, "events").select(
-        "event_type", "user_id", F.col("event_id").alias("_split")
+        "event_type", "user_id",
+        # NULL-safe split: the oracle's distinct-user set has no event_id
+        # condition, so a NULL event_id must still land in some batch
+        # (none exist in the current testdata; contract hardening)
+        F.coalesce(F.pmod(F.col("event_id"), F.lit(3)), F.lit(0))
+        .cast("bigint").alias("_split"),
     )
 
     root = scratch_dir("stream_kmv")
@@ -959,7 +964,7 @@ def q_stream_kmv_sketch(spark, sf_dir):
     t0 = 1_700_000_000  # any fixed epoch; only the relative order matters
     for i in range(3):
         (
-            ev.filter(F.pmod(F.col("_split"), F.lit(3)) == i)
+            ev.filter(F.col("_split") == i)
             .drop("_split")
             .coalesce(1)
             .write.mode("append")
