@@ -1084,3 +1084,124 @@ def q_stream_quantile_sketch(spark, sf_dir):
     return read_quantile_estimates(
         spark, root + "/state", quantiles=(0.5, 0.9)
     ).select("g", "n_kept", "q50", "q90")
+
+
+@query(
+    "q_stream_lakehouse_merge",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS v,
+             CAST(o_orderkey % 4 AS VARCHAR) AS pb
+      FROM orders
+    ),
+    kept AS (
+      SELECT k,
+             CASE WHEN k % 17 = 0 AND k % 13 <> 0 THEN v + 3000000
+                  WHEN k % 11 = 0 THEN v + 2000000
+                  WHEN k % 7  = 0 THEN v + 1000000
+                  ELSE v END AS v,
+             pb
+      FROM base
+      WHERE k % 13 <> 0
+      UNION ALL
+      SELECT k + 10000000, k + 5, pb FROM base WHERE k % 11 = 0
+    )
+    SELECT pb,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM kept GROUP BY 1
+    """,
+    note="The CDC stream -> lakehouse sink graded end-to-end (was pytest "
+    "exactly-once/replay-pinned only): a table bootstrapped with "
+    "write_ptable takes three mtime-ordered CDC micro-batches through "
+    "ptable_merge_sink — updates (k%7), updates + inserts (k%11, new "
+    "keys), then deletes (k%13) + updates (k%17 minus the deletes), "
+    "each batch a keyed changeset MERGEd partition-pruned with the "
+    "applied batch id committed atomically in the manifest meta. The "
+    "final table is graded against the relational last-writer-wins "
+    "replay (the CASE chain orders b2 > b1 > b0, deletes win last). "
+    "At 100 TB this is the canonical stream-upserts-into-the-lake "
+    "path: per-batch cost follows the partitions the changeset names "
+    "(untouched partitions carry by manifest reference), and "
+    "exactly-once holds across redelivery because the batch id rides "
+    "the same atomic rename as the data",
+)
+def q_stream_lakehouse_merge(spark, sf_dir):
+    import glob
+    import os
+
+    from flnr_wins_spark.plans.common import scratch_dir
+    from flnr_wins_spark.sources.ptable import read_ptable, write_ptable
+    from flnr_wins_spark.streaming.sinks import ptable_merge_sink
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("v"),
+        F.pmod(F.col("o_orderkey"), F.lit(4)).cast("string").alias("pb"),
+    )
+    root = scratch_dir("stream_lake")
+    table = root + "/table"
+    write_ptable(base, table, "pb")
+
+    no = F.lit(False).alias("is_del")
+    b0 = base.filter(F.col("k") % 7 == 0).select(
+        "k", (F.col("v") + 1000000).alias("v"), "pb", no
+    )
+    b1 = (
+        base.filter(F.col("k") % 11 == 0)
+        .select("k", (F.col("v") + 2000000).alias("v"), "pb", no)
+        .unionByName(
+            base.filter(F.col("k") % 11 == 0).select(
+                (F.col("k") + 10000000).alias("k"),
+                (F.col("k") + 5).cast("bigint").alias("v"),
+                "pb", no,
+            )
+        )
+    )
+    b2 = (
+        base.filter((F.col("k") % 17 == 0) & (F.col("k") % 13 != 0))
+        .select("k", (F.col("v") + 3000000).alias("v"), "pb", no)
+        .unionByName(
+            base.filter(F.col("k") % 13 == 0).select(
+                "k", F.lit(0).cast("bigint").alias("v"), "pb",
+                F.lit(True).alias("is_del"),
+            )
+        )
+    )
+
+    src = root + "/src"
+    stamped: set[str] = set()
+    t0 = 1_700_000_000  # fixed epoch; the ORDER matters here — deletes
+    for i, batch in enumerate((b0, b1, b2)):  # and updates are LAST-WINS
+        batch.coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(src + "/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t0 + 100 * i, t0 + 100 * i))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream.schema("k bigint, v bigint, pb string, is_del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ptable_merge_sink(
+        stream, table, ["k"], checkpoint_dir=root + "/ckpt",
+        delete_flag_col="is_del",
+    )
+    if not q.awaitTermination(300):
+        # a half-drained stream would grade as a stale table; a slow
+        # host must fail LOUDLY as a timeout, never as wrong rows
+        q.stop()
+        raise TimeoutError("availableNow lakehouse merge did not finish in 300 s")
+    if q.exception() is not None:
+        raise q.exception()
+    return (
+        read_ptable(spark, table)
+        .groupBy("pb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
