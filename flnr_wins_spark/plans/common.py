@@ -49,7 +49,7 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 # a budget of ~50 entries/round, so entries that most need a fresh
 # driver-graded correctness row go first. ROUND-11 ordering (the r10 handoff,
 # executed):
-# (a) the twelve NEW r11 surfaces (2-D grid-salted both-hot join — inner,
+# (a) the thirteen NEW r11 surfaces (2-D grid-salted both-hot join — inner,
 #     left, and full-outer arms; the right-only-hot LEFT join via the
 #     degenerate (1 x N) grid; stream-stream LEFT OUTER join with
 #     watermark-gated null emission; the applyInPandasWithState stateful
@@ -57,15 +57,16 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 #     the streaming incremental-agg materialized view; the streaming KMV
 #     sketch sink; the streaming bottom-k quantile-sample sink; the
 #     1-bit sign-quantized hamming top-k with exact cosine re-rank;
-#     the CDC stream -> lakehouse merge sink);
+#     the CDC stream -> lakehouse merge sink; the streaming drift/PSI
+#     monitor sink);
 # (b) the three entries whose CODE changed in r11 (run_auto_join gained the
 #     grid both-hot, right-hot-left, and full-outer arms ahead of their
 #     paths; x_jdbc_snapshot rewired through cached_fixture) — code-changed
 #     entries regrade in the same round;
 # (c) the 33 r04-stale entries — drains the r04 cohort completely;
-# (d) 2 of the 38-entry r05 cohort — fills the 50 budget
-#     (q_events_multires_rollup through x_corpus_mixture slipped to
-#     position 51+ as the eight late r11 entries joined group a).
+# (d) 1 of the 38-entry r05 cohort — fills the 50 budget
+#     (q_events_json through x_corpus_mixture slipped to position 51+ as
+#     the nine late r11 entries joined group a).
 # Goal after r11: nothing older than r05 at latest grade; the 28 remaining
 # r05 entries lead the r12 rotation (r12 finishes the cohort).
 # Positions 51+ keep staleness order (r05 remainder, then the r06/r07/r09
@@ -77,7 +78,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "q_stream_stateful_funnel", "x_right_hot_left_join", "x_grid_skew_full",
     "q_stream_dedup_gate", "q_stream_incremental_agg", "q_stream_kmv_sketch",
     "q_stream_quantile_sketch", "x_similarity_binary",
-    "q_stream_lakehouse_merge",
+    "q_stream_lakehouse_merge", "q_stream_drift_psi",
     # (b) code-changed in r11 (grid both-hot arm in run_auto_join;
     #     cached_fixture rewiring of the Derby snapshot) — the standing
     #     same-round regrade rule

@@ -1205,3 +1205,113 @@ def q_stream_lakehouse_merge(spark, sf_dir):
             F.sum("k").cast("bigint").alias("sum_k"),
         )
     )
+
+
+@query(
+    "q_stream_drift_psi",
+    sql="""
+    WITH curv AS (
+      SELECT value + 25.0 AS v FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    refv AS (
+      SELECT value AS v FROM events
+      WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    cb AS (
+      SELECT least(9, greatest(0, CAST(floor((v - 0.0) / 50.0) AS INTEGER)))
+               AS bin, CAST(COUNT(*) AS BIGINT) AS n_cur
+      FROM curv GROUP BY 1
+    ),
+    rb AS (
+      SELECT least(9, greatest(0, CAST(floor((v - 0.0) / 50.0) AS INTEGER)))
+               AS bin, CAST(COUNT(*) AS BIGINT) AS n_ref
+      FROM refv GROUP BY 1
+    ),
+    grid AS (SELECT CAST(i AS INTEGER) AS bin FROM range(10) r(i)),
+    counts AS (
+      SELECT g.bin,
+             CAST(COALESCE(cb.n_cur, 0) AS BIGINT) AS n_cur,
+             CAST(COALESCE(rb.n_ref, 0) AS BIGINT) AS n_ref
+      FROM grid g LEFT JOIN cb ON g.bin = cb.bin LEFT JOIN rb ON g.bin = rb.bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_cur) AS BIGINT) AS nt_cur,
+             CAST(SUM(n_ref) AS BIGINT) AS nt_ref
+      FROM counts
+    )
+    SELECT bin, n_cur, n_ref,
+           ((CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 10 AS DOUBLE))
+            - (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 10 AS DOUBLE)))
+           * CAST(CAST(ln(
+               (CAST(n_cur + 1 AS DOUBLE) / CAST(nt_cur + 10 AS DOUBLE))
+               / (CAST(n_ref + 1 AS DOUBLE) / CAST(nt_ref + 10 AS DOUBLE)))
+             AS DECIMAL(20,9)) AS DOUBLE) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+    note="The streaming DRIFT MONITOR sink graded end-to-end (was pytest "
+    "batch-twin only): the serving distribution (odd event_ids, shifted "
+    "+25 — half a bin of REAL drift) streams through drift_psi_sink "
+    "over three file micro-batches, each folding its fixed-grid bin "
+    "histogram into the previous versioned state (exact BIGINT counts "
+    "— order-free merge, so the maintained histogram is IDENTICAL to a "
+    "one-shot batch pass); read_drift_psi then scores it against the "
+    "even-id reference with the same additive-smoothed (p-q)*ln(p/q) "
+    "terms as the batch operator, the one libm ln decimal-rounded. "
+    "Oracle = the batch x_drift_psi arithmetic over the full history. "
+    "At 100 TB this is the ML-ops serving alarm: state is bins rows of "
+    "counts, per-batch cost one map-side-combine histogram, and the "
+    "PSI read never rescans the stream",
+)
+def q_stream_drift_psi(spark, sf_dir):
+    import glob
+    import os
+
+    from flnr_wins_spark.plans.common import scratch_dir
+    from flnr_wins_spark.streaming.sinks import drift_psi_sink, read_drift_psi
+
+    ev = t(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") + F.lit(25.0)).alias("value"),
+        # NULL-safe split (contract hardening; no NULL event_ids exist)
+        F.coalesce(F.pmod(F.col("event_id"), F.lit(3)), F.lit(0))
+        .cast("bigint").alias("_split"),
+    )
+    ref = ev.filter(F.col("event_id") % 2 == 0).select("value")
+
+    root = scratch_dir("stream_psi")
+    src = root + "/src"
+    stamped: set[str] = set()
+    t0 = 1_700_000_000  # any fixed epoch; only the relative order matters
+    for i in range(3):
+        (
+            cur.filter(F.col("_split") == i)
+            .drop("_split")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in glob.glob(src + "/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t0 + 100 * i, t0 + 100 * i))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = drift_psi_sink(
+        stream, root + "/state", "value",
+        checkpoint_dir=root + "/ckpt", lo=0.0, hi=500.0, bins=10,
+    )
+    if not q.awaitTermination(300):
+        # a half-drained stream would grade as a partial histogram; a
+        # slow host must fail LOUDLY as a timeout, never as wrong rows
+        q.stop()
+        raise TimeoutError("availableNow drift monitor did not finish in 300 s")
+    if q.exception() is not None:
+        raise q.exception()
+    return read_drift_psi(
+        spark, root + "/state", ref, "value", lo=0.0, hi=500.0, bins=10
+    )
