@@ -586,10 +586,14 @@ def _sign_pack_half(vec_expr: str, lo_bit: int) -> Column:
     identical floats in every engine). Two 32-bit halves instead of one
     64-bit word keep the packed value positive on both engines: bit 63
     of a single word would flip the bigint sign on Spark and overflow
-    DuckDB's BIGINT sum — the same sign trap the dHash entry documents."""
+    DuckDB's BIGINT sum — the same sign trap the dHash entry documents.
+    ``try_element_at`` (not ``element_at``) keeps the documented
+    NULL -> 0 contract for dims < 64 under Spark's default ANSI mode,
+    where plain element_at raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT on
+    any out-of-range bit."""
     return F.expr(
         f"aggregate(sequence(0, 31), 0L, (acc, d) -> acc + "
-        f"IF(element_at({vec_expr}, d + {lo_bit + 1}) > 0D, "
+        f"IF(try_element_at({vec_expr}, d + {lo_bit + 1}) > 0D, "
         f"shiftleft(1L, d), 0L))"
     )
 

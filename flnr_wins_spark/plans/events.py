@@ -707,27 +707,37 @@ def q_stream_stateful_funnel(spark, sf_dir):
       SELECT doc_id + 3000000 AS doc_id, text || ' qq-new' AS text
       FROM documents WHERE doc_id % 20 = 0
     ),
+    -- NULL doctrine mirrors exact_dedup_sink: NULL-text rows pass the
+    -- gate undeduplicated (never join the seen-set), so each kN dedups
+    -- only the non-NULL texts and UNION ALLs its batch's NULL rows back.
+    -- The IS NOT NULL filters also keep NOT IN three-valued-logic-safe.
     k0 AS (
       SELECT doc_id FROM (
         SELECT doc_id,
                ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        FROM b0
+        FROM b0 WHERE text IS NOT NULL
       ) WHERE rn = 1
+      UNION ALL SELECT doc_id FROM b0 WHERE text IS NULL
     ),
     k1 AS (
       SELECT doc_id FROM (
         SELECT doc_id,
                ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        FROM b1 WHERE text NOT IN (SELECT text FROM b0)
+        FROM b1 WHERE text IS NOT NULL
+          AND text NOT IN (SELECT text FROM b0 WHERE text IS NOT NULL)
       ) WHERE rn = 1
+      UNION ALL SELECT doc_id FROM b1 WHERE text IS NULL
     ),
     k2 AS (
       SELECT doc_id FROM (
         SELECT doc_id,
                ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        FROM b2 WHERE text NOT IN (SELECT text FROM b0
-                                   UNION SELECT text FROM b1)
+        FROM b2 WHERE text IS NOT NULL
+          AND text NOT IN (SELECT text FROM b0 WHERE text IS NOT NULL
+                           UNION
+                           SELECT text FROM b1 WHERE text IS NOT NULL)
       ) WHERE rn = 1
+      UNION ALL SELECT doc_id FROM b2 WHERE text IS NULL
     ),
     kept AS (
       SELECT 0 AS batch, doc_id FROM k0

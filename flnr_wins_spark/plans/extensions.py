@@ -5567,43 +5567,57 @@ def x_rerank_cross(spark, sf_dir):
 )
 def x_warc_ingest(spark, sf_dir):
     from flnr_wins_spark.functions.text import html_strip
-    from flnr_wins_spark.sources.formats import write_binary_files
-    from flnr_wins_spark.sources.warc import encode_warc_gz, read_warc, warc_text
+    from flnr_wins_spark.sources.warc import read_warc, warc_text
 
-    docs = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 40)
-        .select("doc_id", "text", (F.col("doc_id") % 8).alias("_f"))
-    )
+    def build(base):
+        # The 8 .warc.gz files are a PURE function of documents@sf_dir
+        # (multi-member gzip with mtime=0 => bit-identical rebuild), so
+        # the fixture caches per process: the entry's measured cost is
+        # the binaryFile read + member-split/header-parse + html_strip
+        # chain, not the 8-group applyInPandas build it used to redo per
+        # invocation (r11 VERDICT: the 4.27x bench drift suspect).
+        from flnr_wins_spark.sources.formats import write_binary_files
+        from flnr_wins_spark.sources.warc import encode_warc_gz
 
-    def build(pdf):
-        import pandas as pd
-
-        pdf = pdf.sort_values("doc_id")
-        fid = int(pdf["_f"].iloc[0])
-        recs = []
-        for _, r in pdf.iterrows():
-            payload = (
-                "<html><body><p>" + r["text"] + "</p><!-- crawl --></body></html>"
-            ).encode("utf-8")
-            recs.append(
-                {
-                    "headers": {
-                        "WARC-Type": "response",
-                        "WARC-Record-ID": f"<urn:doc:{int(r['doc_id'])}>",
-                        "WARC-Target-URI": f"http://crawl.test/doc/{int(r['doc_id'])}",
-                        "Content-Type": "text/html",
-                    },
-                    "payload": payload,
-                }
-            )
-        return pd.DataFrame(
-            {"name": [f"{fid}.warc.gz"], "content": [encode_warc_gz(recs)]}
+        docs = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text", (F.col("doc_id") % 8).alias("_f"))
         )
 
-    files = docs.groupBy("_f").applyInPandas(build, "name string, content binary")
-    base = scratch_dir("warc")
-    write_binary_files(files, base)
+        def build_file(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values("doc_id")
+            fid = int(pdf["_f"].iloc[0])
+            recs = []
+            for _, r in pdf.iterrows():
+                payload = (
+                    "<html><body><p>" + r["text"] + "</p><!-- crawl --></body></html>"
+                ).encode("utf-8")
+                recs.append(
+                    {
+                        "headers": {
+                            "WARC-Type": "response",
+                            "WARC-Record-ID": f"<urn:doc:{int(r['doc_id'])}>",
+                            "WARC-Target-URI": f"http://crawl.test/doc/{int(r['doc_id'])}",
+                            "Content-Type": "text/html",
+                        },
+                        "payload": payload,
+                    }
+                )
+            return pd.DataFrame(
+                {"name": [f"{fid}.warc.gz"], "content": [encode_warc_gz(recs)]}
+            )
+
+        files = docs.groupBy("_f").applyInPandas(
+            build_file, "name string, content binary"
+        )
+        write_binary_files(files, base)
+
+    from flnr_wins_spark.plans.common import cached_fixture
+
+    base = cached_fixture("warc", sf_dir, build)
     recs = warc_text(read_warc(spark, base))
     clean = html_strip(F.col("text"))
     return recs.select(

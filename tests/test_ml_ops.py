@@ -512,3 +512,26 @@ def test_binary_hamming_topk_zero_and_negative_sign_bits(spark):
     ham = {r.cand_id: r.hamming for r in out}
     assert ham[1] == 64  # all bits differ
     assert ham[2] == 32  # the zero half differs from all-ones
+
+
+def test_binary_hamming_topk_sub_64_dims(spark):
+    """Vectors shorter than 64 dims must follow the documented contract
+    — bits past the vector length read NULL -> 0 — instead of raising
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark's default ANSI mode
+    (r11 ADVICE: element_at -> try_element_at in _sign_pack_half). A
+    32-dim all-positive vector packs lo=2^32-1, hi=0, so against a
+    32-dim all-negative vector the hamming is exactly 32."""
+    from flnr_wins_spark.functions.vectors import binary_hamming_topk
+
+    rows = [
+        (0, [1.0] * 32),
+        (1, [-1.0] * 32),
+        (2, [1.0] * 16 + [-1.0] * 16),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = binary_hamming_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=2, rerank=3
+    ).collect()
+    ham = {r.cand_id: r.hamming for r in out}
+    assert ham[1] == 32  # only the 32 real bits differ; padding bits agree
+    assert ham[2] == 16
