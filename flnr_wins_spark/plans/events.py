@@ -837,6 +837,177 @@ def q_stream_dedup_gate(spark, sf_dir):
     )
 
 
+_MINHASH_GATE_SQL = (
+    """
+    WITH b0 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' qq1 qq2'
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    b1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' qq3 qq4'
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' qq5 qq6'
+      FROM documents WHERE doc_id % 10 = 5
+    ),
+    allb AS (
+      SELECT 0 AS batch, doc_id, text FROM b0
+      UNION ALL SELECT 1, doc_id, text FROM b1
+    ),
+    tk AS (
+      SELECT batch, doc_id AS id, string_split(text, ' ') AS tks FROM allb
+    ),
+    -- docs with < 3 tokens (or NULL text) never enter the signature
+    -- table, so they can neither reject nor be rejected: always kept
+    sh AS (
+      SELECT batch, id, list_distinct(list_transform(range(1, len(tks) - 1),
+             i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2])) AS shset
+      FROM tk WHERE len(tks) >= 3
+    ),
+    sig AS (
+      SELECT batch, id, shset,
+"""
+    + ",\n".join(
+        f"         list_min(list_transform(shset, s -> md5(s || ':{42 + i}'))) AS mh_{i}"
+        for i in range(8)
+    )
+    + """
+      FROM sh
+    ),
+    -- the gate's ARRIVAL-order contract: a doc is a rejection CANDIDATE
+    -- against any earlier-id doc of its own batch (kept or rejected) and
+    -- against EVERY doc of earlier batches regardless of id
+    cand AS (
+      SELECT b.batch AS batch, b.id AS id, a.shset AS sh_a, b.shset AS sh_b
+      FROM sig a JOIN sig b
+        ON ((a.batch = b.batch AND a.id < b.id) OR a.batch < b.batch)
+       AND ("""
+    + " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(8))
+    + """)
+    ),
+    rej AS (
+      SELECT DISTINCT batch, id FROM cand
+      WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+            >= 0.8
+    ),
+    kept AS (
+      SELECT ab.batch, ab.doc_id FROM allb ab
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rej r WHERE r.batch = ab.batch AND r.id = ab.doc_id)
+    )
+    SELECT CAST(batch AS INT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM kept GROUP BY 1
+    """
+)
+
+
+@query(
+    "q_stream_minhash_gate",
+    sql=_MINHASH_GATE_SQL,
+    note="The streaming MinHash NEAR-dup gate graded end-to-end (the last "
+    "batch-twin-only sink): two mtime-ordered file micro-batches — evens "
+    "plus same-batch perturbed near-copies (within-batch earlier-id "
+    "rejection), then odds plus cross-batch near-copies of seen evens "
+    "(rejected against the persisted signature state regardless of id) "
+    "plus within-batch near-copies of odds — run through "
+    "minhash_dedup_sink's foreachBatch band-bucket join + exact-Jaccard "
+    "verify with the engine-portable md5 signatures (hash_fn='md5'), so "
+    "the oracle replays the EXACT candidate set and verify relationally "
+    "batch by batch: signatures, >=1-of-8 band agreement, Jaccard >= 0.8, "
+    "arrival-order rejection. Per-BATCH kept outputs are graded. At "
+    "100 TB this is the ingestion-time near-dup path: per-batch write "
+    "cost follows the batch (delta-versioned signature state), candidate "
+    "discovery is the batch-bands x state-bands equi-join, exact verify "
+    "touches candidates only",
+)
+def q_stream_minhash_gate(spark, sf_dir):
+    import glob
+    import os
+    from functools import reduce
+
+    from flnr_wins_spark.plans.common import scratch_dir
+    from flnr_wins_spark.streaming.sinks import minhash_dedup_sink
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = scratch_dir("stream_minhash")
+    src = root + "/src"
+
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq1 qq2")).alias("text"),
+        )
+    )
+    b1 = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq3 qq4")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq5 qq6")).alias("text"),
+            )
+        )
+    )
+
+    # two micro-batch files whose processing ORDER is pinned by mtime
+    # (FileStreamSource orders by modification time) — the minimum the
+    # gate's semantics need: within-batch rejection shows in batch 0,
+    # cross-batch state rejection in batch 1
+    stamped: set[str] = set()
+    t0 = 1_700_000_000  # any fixed epoch; only the relative order matters
+    for i, batch in enumerate((b0, b1)):
+        batch.coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(src + "/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t0 + 100 * i, t0 + 100 * i))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = minhash_dedup_sink(
+        stream, root + "/state", "doc_id", "text",
+        checkpoint_dir=root + "/ckpt",
+        threshold=0.8, num_hash_tables=8, shingle_n=3, seed=42,
+        hash_fn="md5",
+    )
+    if not q.awaitTermination(300):
+        # a half-drained stream would grade as missing batches; a slow
+        # host must fail LOUDLY as a timeout, never as wrong rows
+        q.stop()
+        raise TimeoutError("availableNow minhash gate did not finish in 300 s")
+    if q.exception() is not None:
+        raise q.exception()
+    parts = [
+        spark.read.parquet(f"{root}/state_kept/v{b}").select(
+            F.lit(b).cast("int").alias("batch"), "doc_id"
+        )
+        for b in range(2)
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+    )
+
+
 @query(
     "q_stream_incremental_agg",
     sql="""

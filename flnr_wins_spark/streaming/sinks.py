@@ -363,6 +363,7 @@ def minhash_dedup_sink(
     num_hash_tables: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
     available_now: bool = True,
 ) -> StreamingQuery:
     """Ingestion-time NEAR-dup gate (the streaming face of
@@ -388,6 +389,12 @@ def minhash_dedup_sink(
     Jaccard (fraction of agreeing min-hashes) — same candidate join, 16
     ints of state per doc; the exact-verify default is what the batch twin
     checks. Survivors append to ``<state>_kept/v<batch>``.
+
+    ``hash_fn="md5"`` selects the engine-portable signature (lexicographic
+    min of fixed-width hex == unsigned numeric min), which makes the whole
+    gate — signatures, band buckets, candidate set, exact verify —
+    relationally replayable by a SQL oracle (see ``q_stream_minhash_gate``);
+    the xxhash64 default stays the JVM fast path.
     """
     from flnr_wins_spark.operators.dedup import (
         exact_jaccard,
@@ -403,6 +410,7 @@ def minhash_dedup_sink(
         sig_new = minhash_signature_table(
             batch_df, text_col, id_col,
             num_hash_tables=num_hash_tables, shingle_n=shingle_n, seed=seed,
+            hash_fn=hash_fn,
         ).localCheckpoint()
         bands_new = minhash_bands(sig_new, num_hash_tables)
         # DELTA state: each version holds only ITS batch's signatures; the
