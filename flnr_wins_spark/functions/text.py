@@ -1022,7 +1022,8 @@ def unigram_lm_stats(
                 best[pos] = (s, -negk)
         score, k = best[len(w)]
         rows.append((w, n_occ, k, int(score.scaleb(9))))
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        rows, "w string, n_occ bigint, n_pieces int, score_e9 bigint"
+    from flnr_wins_spark.localrel import local_df
+
+    return local_df(
+        df.sparkSession, rows, "w string, n_occ bigint, n_pieces int, score_e9 bigint"
     )

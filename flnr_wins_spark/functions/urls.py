@@ -127,7 +127,9 @@ def domain_blocklist_filter(
         raise ValueError(f"mode must be 'kept' or 'rejected', got {mode!r}")
     spark = df.sparkSession
     if not isinstance(blocked, DataFrame):
-        blocked = spark.createDataFrame([(d,) for d in blocked], "domain string")
+        from flnr_wins_spark.localrel import local_df
+
+        blocked = local_df(spark, [(d,) for d in blocked], "domain string")
     bl = F.broadcast(blocked.select(F.lower(F.col(blocked.columns[0])).alias("domain")).distinct())
     parts = with_url_parts(df, url_col)
     how = "left_anti" if mode == "kept" else "left_semi"

@@ -47,71 +47,52 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
-# driver-graded correctness row go first. ROUND-11 ordering (the r10 handoff,
-# executed):
-# (a) the thirteen NEW r11 surfaces (2-D grid-salted both-hot join — inner,
-#     left, and full-outer arms; the right-only-hot LEFT join via the
-#     degenerate (1 x N) grid; stream-stream LEFT OUTER join with
-#     watermark-gated null emission; the applyInPandasWithState stateful
-#     funnel; the streaming exact-dedup gate's per-batch kept outputs;
-#     the streaming incremental-agg materialized view; the streaming KMV
-#     sketch sink; the streaming bottom-k quantile-sample sink; the
-#     1-bit sign-quantized hamming top-k with exact cosine re-rank;
-#     the CDC stream -> lakehouse merge sink; the streaming drift/PSI
-#     monitor sink);
-# (b) the three entries whose CODE changed in r11 (run_auto_join gained the
-#     grid both-hot, right-hot-left, and full-outer arms ahead of their
-#     paths; x_jdbc_snapshot rewired through cached_fixture) — code-changed
-#     entries regrade in the same round;
-# (c) the 33 r04-stale entries — drains the r04 cohort completely;
-# (d) 1 of the 38-entry r05 cohort — fills the 50 budget
-#     (q_events_json through x_corpus_mixture slipped to position 51+ as
-#     the nine late r11 entries joined group a).
-# Goal after r11: nothing older than r05 at latest grade; the 28 remaining
-# r05 entries lead the r12 rotation (r12 finishes the cohort).
-# Positions 51+ keep staleness order (r05 remainder, then the r06/r07/r09
-# cohorts, then everything graded r10 — freshest evidence last).
+# driver-graded correctness row go first. ROUND-12 ordering (the r11 handoff,
+# recomputed from the CORRECTNESS_r01-r11 artifacts by script — the r11
+# VERDICT flagged the previous hand-kept remainder count as wrong, 28 vs 37):
+# (a) the ONE new r12 surface (the streaming MinHash near-dup gate,
+#     oracle-graded via the portable md5 signature path);
+# (b) the twelve entries whose CODE changed in r12 with behavior-relevant
+#     diffs — the try_element_at sign-packing fix (x_similarity_binary),
+#     the NULL-robust dedup-gate oracle, the cached WARC fixture, and the
+#     ten streaming entries rewired through _run_stream (pinned state-store
+#     width + shared drain/timeout path) — the standing same-round regrade
+#     rule;
+# (c) ALL 37 entries whose latest grade is r05 — drains the r05 cohort
+#     completely (goal after r12: nothing older than r06 at latest grade).
+#     x_graph_bfs leads: it is both r05-stale AND code-changed (local_df).
+# 13 + 37 = exactly the 50 budget. Six entries with an r12 code change
+# whose diff is literal-construction-only (createDataFrame -> local_df,
+# same values — each locally differentially verified at sf0.01 this round,
+# see ledger) did not fit the budget; they sit at positions 51-56 and lead
+# the r13 rotation, ahead of the r06/r07/r09/r10 cohorts, then r11's
+# freshly-graded entries last.
 # Names absent from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
-    # (a) NEW r11 surfaces — never graded
-    "x_grid_skew_join", "q_stream_outer_join", "x_grid_skew_left",
-    "q_stream_stateful_funnel", "x_right_hot_left_join", "x_grid_skew_full",
-    "q_stream_dedup_gate", "q_stream_incremental_agg", "q_stream_kmv_sketch",
-    "q_stream_quantile_sketch", "x_similarity_binary",
-    "q_stream_lakehouse_merge", "q_stream_drift_psi",
-    # (b) code-changed in r11 (grid both-hot arm in run_auto_join;
-    #     cached_fixture rewiring of the Derby snapshot) — the standing
-    #     same-round regrade rule
-    "x_jdbc_snapshot", "x_advisor_auto_read", "x_auto_skew_join",
-    # (c) the 33 r04-stale entries — drains the r04 cohort completely
-    "x_classify_perceptron", "x_compaction_plan", "x_correlation_matrix",
-    "x_dedup_minhash_portable", "x_dedup_simhash_portable", "x_dedup_tfidf",
-    "x_dq_expectations", "x_event_paths", "x_fuzzy_join",
-    "x_group_regression", "x_hard_negatives", "x_k_anonymity",
-    "x_kcore", "x_keywords_tfidf", "x_knn_classify",
-    "x_multimodal_audio_decode", "x_multimodal_gif_decode", "x_multimodal_mulaw_decode",
-    "x_multimodal_qoi_decode", "x_multimodal_video_frames", "x_pandas_udaf_median",
-    "x_pit_join", "x_profile_columns", "x_rag_retrieve",
-    "x_rolling_zscore", "x_search_hybrid_rrf", "x_search_phrase",
-    "x_similarity_ann_portable", "x_similarity_pq", "x_sorted_neighborhood",
-    "x_tokenize_maxmatch", "x_triangle_count", "x_user_streaks",
-    # (d) the r05 cohort head — the first 4 fit the 50 budget; the rest
-    #     overflow to position 51+ and lead the r12 rotation
-    "q_events_interval_join", "q_events_json", "q_events_multires_rollup",
+    # (a) new r12 surface + (b) r12 code-changed, behavior-relevant
+    "q_stream_minhash_gate", "x_similarity_binary", "q_stream_dedup_gate",
+    "x_warc_ingest", "q_stream_outer_join", "q_stream_watermark",
+    "q_stream_stateful_funnel", "q_stream_incremental_agg", "q_stream_kmv_sketch",
+    "q_stream_quantile_sketch", "q_stream_lakehouse_merge", "q_stream_drift_psi",
+    "x_stream_lakehouse_prune",
+    # (c) the 37-entry r05 cohort — drained completely this round
+    "x_graph_bfs", "q_events_json", "q_events_multires_rollup",
     "q_events_tumbling", "x_ab_test", "x_attribution_linear",
     "x_binaryfile_ingest", "x_churn_training_set", "x_cooccur_pmi",
-    "x_corpus_mixture",
+    "x_corpus_mixture", "x_distinct_kmv", "x_events_m4",
+    "x_geo_geohash", "x_geo_knn", "x_golden_record",
+    "x_html_strip", "x_impute_nulls", "x_incremental_join",
+    "x_join_size_estimate", "x_kmv_set_ops", "x_mmr_rerank",
+    "x_multimodal_adpcm_decode", "x_multimodal_decode", "x_multimodal_jpeg_decode",
+    "x_multimodal_jpeg_progressive", "x_multimodal_palette_png_decode", "x_multimodal_png_decode",
+    "x_quality_filter_pipeline", "x_random_projection", "x_recommend_itemknn",
+    "x_semdedup", "x_similarity_ivf_kmeans", "x_skew_report",
+    "x_text_nfc", "x_time_to_convert", "x_tokenize_optimal",
+    "x_trajectory_similarity",
     # ---- position 51+ (graded only if the budget stretches) ----
-    # r05 remainder (leads the r12 rotation)
-    "x_distinct_kmv", "x_events_m4", "x_geo_geohash", "x_geo_knn", "x_golden_record",
-    "x_graph_bfs", "x_html_strip", "x_impute_nulls",
-    "x_incremental_join", "x_join_size_estimate", "x_kmv_set_ops",
-    "x_mmr_rerank", "x_multimodal_adpcm_decode", "x_multimodal_decode",
-    "x_multimodal_jpeg_decode", "x_multimodal_jpeg_progressive", "x_multimodal_palette_png_decode",
-    "x_multimodal_png_decode", "x_quality_filter_pipeline", "x_random_projection",
-    "x_recommend_itemknn", "x_semdedup", "x_similarity_ivf_kmeans",
-    "x_skew_report", "x_text_nfc", "x_time_to_convert",
-    "x_tokenize_optimal", "x_trajectory_similarity",
+    # r12 literal-construction-only changes (local_df) — lead r13
+    "x_url_filter", "x_tokenize_unigram", "x_rag_retrieve",
+    "x_ptable_metadata_counts", "x_ptable_ndv", "x_ptable_bloom_point",
     # latest grade r06
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_revenue_forecast", "q_events_dedup", "q_events_late_data",
@@ -128,8 +109,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_sample_stratified", "x_seasonal_decompose", "x_seq_packing",
     "x_similarity_topk", "x_target_encode", "x_text_fingerprint",
     "x_text_langid", "x_text_quality", "x_text_stats",
-    "x_tokenize_unigram", "x_train_test_split", "x_warc_ingest",
-    "x_weighted_sample",
+    "x_train_test_split", "x_weighted_sample",
     # latest grade r07
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_quantity_revenue", "q18_large_volume_customer",
@@ -144,7 +124,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_dedup_spans", "x_doc_chunking", "x_holt_forecast_grouped",
     "x_merge_upsert", "x_multimodal_features", "x_ptable_incremental_mv",
     "x_quality_rules", "x_scd2_history", "x_search_bm25_incremental",
-    "x_search_e2e", "x_text_tokenize_bpe", "x_url_filter",
+    "x_search_e2e", "x_text_tokenize_bpe",
     # latest grade r09
     "q10_returned_items", "q11_important_value", "q12_shipping_delay",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
@@ -159,25 +139,38 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_countmin", "x_dedup_minhash_estimate", "x_dedup_minhash_lsh",
     "x_dedup_simhash", "x_holt_forecast", "x_kfold_split",
     "x_pagerank", "x_ptable_cdc_e2e", "x_repetition_stats",
-    "x_similarity_ann_lsh", "x_similarity_ivf", "x_stream_lakehouse_prune",
-    "x_vocab_topk",
-    # latest grade r10 — freshest evidence, graded last
+    "x_similarity_ann_lsh", "x_similarity_ivf", "x_vocab_topk",
+    # latest grade r10
     "q_events_histogram", "q_events_interpolate", "q_map_functions",
-    "q_stream_watermark", "wins_e2e_kept", "wins_e2e_rejects",
-    "x_advisor_estimate", "x_attribution_last_touch", "x_bigram_lm_quality",
-    "x_bpe_train", "x_classify_nb_langid", "x_dedup_clusters_star",
-    "x_dedup_containment", "x_dedup_index_incremental", "x_dedup_url",
-    "x_embedding_stats", "x_equidepth_bins", "x_funnel_counts",
-    "x_global_rank", "x_group_topk_sample", "x_incremental_agg",
-    "x_multimodal_audio_chunks", "x_multimodal_audio_dedup", "x_multimodal_dhash_dedup",
-    "x_multimodal_video_dedup", "x_outlier_events", "x_packed_sequences",
-    "x_partition_bounds_advisor", "x_ptable_bloom_point", "x_ptable_dpp_join",
-    "x_ptable_join_advisor", "x_ptable_metadata_counts", "x_ptable_ndv",
-    "x_ptable_time_travel", "x_ptable_zonemap_prune", "x_ptable_zorder_optimize",
-    "x_retention_cohorts", "x_search_bm25", "x_search_bm25_persisted",
-    "x_similarity_int8", "x_similarity_ivf_persisted", "x_skew_sidecar_join",
-    "x_token_bigrams", "x_unigram_quality", "x_url_canonicalize",
-    "x_winsorize", "x_zorder_layout",
+    "wins_e2e_kept", "wins_e2e_rejects", "x_advisor_estimate",
+    "x_attribution_last_touch", "x_bigram_lm_quality", "x_bpe_train",
+    "x_classify_nb_langid", "x_dedup_clusters_star", "x_dedup_containment",
+    "x_dedup_index_incremental", "x_dedup_url", "x_embedding_stats",
+    "x_equidepth_bins", "x_funnel_counts", "x_global_rank",
+    "x_group_topk_sample", "x_incremental_agg", "x_multimodal_audio_chunks",
+    "x_multimodal_audio_dedup", "x_multimodal_dhash_dedup", "x_multimodal_video_dedup",
+    "x_outlier_events", "x_packed_sequences", "x_partition_bounds_advisor",
+    "x_ptable_dpp_join", "x_ptable_join_advisor", "x_ptable_time_travel",
+    "x_ptable_zonemap_prune", "x_ptable_zorder_optimize", "x_retention_cohorts",
+    "x_search_bm25", "x_search_bm25_persisted", "x_similarity_int8",
+    "x_similarity_ivf_persisted", "x_skew_sidecar_join", "x_token_bigrams",
+    "x_unigram_quality", "x_url_canonicalize", "x_winsorize",
+    "x_zorder_layout",
+    # latest grade r11 — freshest evidence, graded last
+    "q_events_interval_join", "x_advisor_auto_read", "x_auto_skew_join",
+    "x_classify_perceptron", "x_compaction_plan", "x_correlation_matrix",
+    "x_dedup_minhash_portable", "x_dedup_simhash_portable", "x_dedup_tfidf",
+    "x_dq_expectations", "x_event_paths", "x_fuzzy_join",
+    "x_grid_skew_full", "x_grid_skew_join", "x_grid_skew_left",
+    "x_group_regression", "x_hard_negatives", "x_jdbc_snapshot",
+    "x_k_anonymity", "x_kcore", "x_keywords_tfidf",
+    "x_knn_classify", "x_multimodal_audio_decode", "x_multimodal_gif_decode",
+    "x_multimodal_mulaw_decode", "x_multimodal_qoi_decode", "x_multimodal_video_frames",
+    "x_pandas_udaf_median", "x_pit_join", "x_profile_columns",
+    "x_right_hot_left_join", "x_rolling_zscore", "x_search_hybrid_rrf",
+    "x_search_phrase", "x_similarity_ann_portable", "x_similarity_pq",
+    "x_sorted_neighborhood", "x_tokenize_maxmatch", "x_triangle_count",
+    "x_user_streaks",
 )
 
 def all_queries() -> dict[str, QueryDef]:

@@ -12,6 +12,41 @@ from pyspark.sql import functions as F
 from flnr_wins_spark.plans.common import dsum, query, sql_dsum, t
 
 
+def _run_stream(spark, start, timeout: int = 300, shuffle: int = 8, what: str = "stream"):
+    """Start and synchronously drain an ``availableNow`` streaming query
+    with ``spark.sql.shuffle.partitions`` pinned to ``shuffle`` for the
+    duration (restored after).
+
+    Stateful streaming operators build ONE state store per shuffle
+    partition per operator per micro-batch (a stream-stream join keeps
+    four): under the driver's default-conf session that is 200 stores x
+    stores-per-op x micro-batches of open/commit/maintenance on a few
+    thousand rows of graded fixture — pure fixed overhead that was ~15%
+    of the full-sweep wall time (q_stream_outer_join alone 28 s, r11
+    SWEEP_TIMINGS). Pinning at query start sets the checkpoint's state
+    partition count (each invocation starts a fresh checkpoint under
+    scratch_dir, so the pin always takes); foreachBatch sinks likewise
+    run their per-batch relational jobs under the pinned width. At real
+    scale the pin is per-pipeline capacity sizing — graded fixtures size
+    for their data, a production stream sizes for its peak, and the
+    restore guarantees neighboring BATCH entries keep their own plans.
+
+    A half-drained stream would grade as missing batches, so a slow host
+    fails LOUDLY as a timeout, never as wrong rows; a failed query
+    re-raises its own exception."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+    try:
+        q = start()
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(f"availableNow {what} did not finish in {timeout} s")
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @query(
     "q_events_interval_join",
     sql="""
@@ -402,8 +437,10 @@ def q_stream_watermark(spark, sf_dir):
     b1 = ev.filter(F.col("event_id") % 4 != 0)
     b2 = ev.filter(F.col("event_id") % 4 == 0)
     mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # scalar
-    sentinel = spark.createDataFrame(
-        [(-1, mx)], "event_id bigint, ts timestamp"
+    from flnr_wins_spark.localrel import local_df
+
+    sentinel = local_df(
+        spark, [(-1, mx)], "event_id bigint, ts timestamp"
     ).select(F.col("event_id"), (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
 
     # three micro-batch files whose processing ORDER is pinned by mtime
@@ -432,21 +469,18 @@ def q_stream_watermark(spark, sf_dir):
         )
         .select(F.col("w.start").alias("win_start"), "n_events", "sum_ids")
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", root + "/out")
-        .option("checkpointLocation", root + "/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    _run_stream(
+        spark,
+        lambda: (
+            agg.writeStream.format("parquet")
+            .option("path", root + "/out")
+            .option("checkpointLocation", root + "/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        ),
+        what="watermark stream",
     )
-    if not q.awaitTermination(300):
-        # a half-drained stream would grade as missing windows; a slow
-        # host must fail LOUDLY as a timeout, never as wrong rows
-        q.stop()
-        raise TimeoutError("availableNow watermark stream did not finish in 300 s")
-    if q.exception() is not None:
-        raise q.exception()
     return spark.read.parquet(root + "/out").select(
         "win_start", "n_events", "sum_ids"
     )
@@ -502,9 +536,11 @@ def q_stream_outer_join(spark, sf_dir):
     root = scratch_dir("stream_ssoj")
     mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # scalar
 
+    from flnr_wins_spark.localrel import local_df
+
     def _sentinel(uid):
-        return spark.createDataFrame(
-            [(-1, mx, uid)], "event_id bigint, ts timestamp, user_id bigint"
+        return local_df(
+            spark, [(-1, mx, uid)], "event_id bigint, ts timestamp, user_id bigint"
         ).select(
             "event_id",
             (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
@@ -537,21 +573,18 @@ def q_stream_outer_join(spark, sf_dir):
     joined = join_streams_outer(
         ls, rs, key="user_id", within="5 minutes", watermark="12 hours"
     ).select("event_id", "user_id", "event_id_r")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", root + "/out")
-        .option("checkpointLocation", root + "/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    _run_stream(
+        spark,
+        lambda: (
+            joined.writeStream.format("parquet")
+            .option("path", root + "/out")
+            .option("checkpointLocation", root + "/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        ),
+        what="outer-join stream",
     )
-    if not q.awaitTermination(300):
-        # a half-drained stream would grade as missing null rows; a slow
-        # host must fail LOUDLY as a timeout, never as wrong rows
-        q.stop()
-        raise TimeoutError("availableNow outer-join stream did not finish in 300 s")
-    if q.exception() is not None:
-        raise q.exception()
     return (
         spark.read.parquet(root + "/out")
         .groupBy("event_id", "user_id")
@@ -665,18 +698,17 @@ def q_stream_stateful_funnel(spark, sf_dir):
     # scratch run suffix so re-invocations never collide with a previous
     # (stopped) query's registered table
     tname = "t_ssfunnel_" + os.path.basename(root).replace("-", "_")
-    q = (
-        prog.writeStream.format("memory")
-        .queryName(tname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    _run_stream(
+        spark,
+        lambda: (
+            prog.writeStream.format("memory")
+            .queryName(tname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        ),
+        what="stateful funnel",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("availableNow stateful funnel did not finish in 300 s")
-    if q.exception() is not None:
-        raise q.exception()
     # per-user state is monotone across update emissions: max(step) is
     # the final state
     return (
@@ -810,17 +842,14 @@ def q_stream_dedup_gate(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = exact_dedup_sink(
-        stream, root + "/state", "doc_id", "text",
-        checkpoint_dir=root + "/ckpt",
+    _run_stream(
+        spark,
+        lambda: exact_dedup_sink(
+            stream, root + "/state", "doc_id", "text",
+            checkpoint_dir=root + "/ckpt",
+        ),
+        what="dedup gate",
     )
-    if not q.awaitTermination(300):
-        # a half-drained stream would grade as missing batches; a slow
-        # host must fail LOUDLY as a timeout, never as wrong rows
-        q.stop()
-        raise TimeoutError("availableNow dedup gate did not finish in 300 s")
-    if q.exception() is not None:
-        raise q.exception()
     parts = [
         spark.read.parquet(f"{root}/state_kept/v{b}").select(
             F.lit(b).cast("int").alias("batch"), "doc_id"
@@ -979,19 +1008,16 @@ def q_stream_minhash_gate(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = minhash_dedup_sink(
-        stream, root + "/state", "doc_id", "text",
-        checkpoint_dir=root + "/ckpt",
-        threshold=0.8, num_hash_tables=8, shingle_n=3, seed=42,
-        hash_fn="md5",
+    _run_stream(
+        spark,
+        lambda: minhash_dedup_sink(
+            stream, root + "/state", "doc_id", "text",
+            checkpoint_dir=root + "/ckpt",
+            threshold=0.8, num_hash_tables=8, shingle_n=3, seed=42,
+            hash_fn="md5",
+        ),
+        what="minhash gate",
     )
-    if not q.awaitTermination(300):
-        # a half-drained stream would grade as missing batches; a slow
-        # host must fail LOUDLY as a timeout, never as wrong rows
-        q.stop()
-        raise TimeoutError("availableNow minhash gate did not finish in 300 s")
-    if q.exception() is not None:
-        raise q.exception()
     parts = [
         spark.read.parquet(f"{root}/state_kept/v{b}").select(
             F.lit(b).cast("int").alias("batch"), "doc_id"
@@ -1071,17 +1097,14 @@ def q_stream_incremental_agg(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = incremental_agg_sink(
-        stream, root + "/state", ["g"], ["sid", "mv"],
-        checkpoint_dir=root + "/ckpt",
+    _run_stream(
+        spark,
+        lambda: incremental_agg_sink(
+            stream, root + "/state", ["g"], ["sid", "mv"],
+            checkpoint_dir=root + "/ckpt",
+        ),
+        what="incremental agg",
     )
-    if not q.awaitTermination(300):
-        # a half-drained stream would grade as a partial fold; a slow
-        # host must fail LOUDLY as a timeout, never as wrong rows
-        q.stop()
-        raise TimeoutError("availableNow incremental agg did not finish in 300 s")
-    if q.exception() is not None:
-        raise q.exception()
     return read_agg_state(spark, root + "/state").select(
         "g",
         F.col("n").cast("bigint").alias("n"),
@@ -1161,17 +1184,14 @@ def q_stream_kmv_sketch(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = kmv_sketch_sink(
-        stream, root + "/state", "event_type", "user_id",
-        checkpoint_dir=root + "/ckpt", k=64,
+    _run_stream(
+        spark,
+        lambda: kmv_sketch_sink(
+            stream, root + "/state", "event_type", "user_id",
+            checkpoint_dir=root + "/ckpt", k=64,
+        ),
+        what="KMV sketch",
     )
-    if not q.awaitTermination(300):
-        # a half-drained stream would grade as a partial sketch; a slow
-        # host must fail LOUDLY as a timeout, never as wrong rows
-        q.stop()
-        raise TimeoutError("availableNow KMV sketch did not finish in 300 s")
-    if q.exception() is not None:
-        raise q.exception()
     return read_kmv_estimates(spark, root + "/state", k=64).select(
         "g", "n_kept", "est_distinct"
     )
@@ -1251,17 +1271,14 @@ def q_stream_quantile_sketch(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = quantile_sketch_sink(
-        stream, root + "/state", "event_type", "value", "event_id",
-        checkpoint_dir=root + "/ckpt", k=256,
+    _run_stream(
+        spark,
+        lambda: quantile_sketch_sink(
+            stream, root + "/state", "event_type", "value", "event_id",
+            checkpoint_dir=root + "/ckpt", k=256,
+        ),
+        what="quantile sketch",
     )
-    if not q.awaitTermination(300):
-        # a half-drained stream would grade as a partial sample; a slow
-        # host must fail LOUDLY as a timeout, never as wrong rows
-        q.stop()
-        raise TimeoutError("availableNow quantile sketch did not finish in 300 s")
-    if q.exception() is not None:
-        raise q.exception()
     return read_quantile_estimates(
         spark, root + "/state", quantiles=(0.5, 0.9)
     ).select("g", "n_kept", "q50", "q90")
@@ -1366,17 +1383,14 @@ def q_stream_lakehouse_merge(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = ptable_merge_sink(
-        stream, table, ["k"], checkpoint_dir=root + "/ckpt",
-        delete_flag_col="is_del",
+    _run_stream(
+        spark,
+        lambda: ptable_merge_sink(
+            stream, table, ["k"], checkpoint_dir=root + "/ckpt",
+            delete_flag_col="is_del",
+        ),
+        what="lakehouse merge",
     )
-    if not q.awaitTermination(300):
-        # a half-drained stream would grade as a stale table; a slow
-        # host must fail LOUDLY as a timeout, never as wrong rows
-        q.stop()
-        raise TimeoutError("availableNow lakehouse merge did not finish in 300 s")
-    if q.exception() is not None:
-        raise q.exception()
     return (
         read_ptable(spark, table)
         .groupBy("pb")
@@ -1482,17 +1496,14 @@ def q_stream_drift_psi(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = drift_psi_sink(
-        stream, root + "/state", "value",
-        checkpoint_dir=root + "/ckpt", lo=0.0, hi=500.0, bins=10,
+    _run_stream(
+        spark,
+        lambda: drift_psi_sink(
+            stream, root + "/state", "value",
+            checkpoint_dir=root + "/ckpt", lo=0.0, hi=500.0, bins=10,
+        ),
+        what="drift monitor",
     )
-    if not q.awaitTermination(300):
-        # a half-drained stream would grade as a partial histogram; a
-        # slow host must fail LOUDLY as a timeout, never as wrong rows
-        q.stop()
-        raise TimeoutError("availableNow drift monitor did not finish in 300 s")
-    if q.exception() is not None:
-        raise q.exception()
     return read_drift_psi(
         spark, root + "/state", ref, "value", lo=0.0, hi=500.0, bins=10
     )

@@ -645,9 +645,9 @@ def x_graph_bfs(spark, sf_dir):
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("id_a"),
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("id_b"),
     )
-    sources = pairs.sparkSession.createDataFrame(
-        [("s1",), ("s2",), ("s3",)], "id string"
-    )
+    from flnr_wins_spark.localrel import local_df
+
+    sources = local_df(pairs.sparkSession, [("s1",), ("s2",), ("s3",)], "id string")
     return bfs_distances(pairs, sources, max_hops=4)
 
 
@@ -4051,7 +4051,9 @@ def x_rag_retrieve(spark, sf_dir):
         F.col("chunk_text"),
     )
     cemb = feature_hash_embed(chunks, text_col="chunk_text", id_col="cid")
-    qdf = spark.createDataFrame([("q", "slow hash batch merge")], "cid string, chunk_text string")
+    from flnr_wins_spark.localrel import local_df
+
+    qdf = local_df(spark, [("q", "slow hash batch merge")], "cid string, chunk_text string")
     qemb = feature_hash_embed(qdf, text_col="chunk_text", id_col="cid")
     top = brute_force_topk(qemb, cemb, k=5, query_id="id", cand_id="id", vec_col="emb")
     return top.select("cand_id", "cosine", "rank")
@@ -6178,9 +6180,9 @@ def x_ptable_metadata_counts(spark, sf_dir):
 
     path = cached_fixture("ptable_meta", sf_dir, _build) + "/tbl"
     counts = partition_rows(spark, path)  # manifest read — no data files
-    return spark.createDataFrame(
-        sorted(counts.items()), "part string, nrows bigint"
-    )
+    from flnr_wins_spark.localrel import local_df
+
+    return local_df(spark, sorted(counts.items()), "part string, nrows bigint")
 
 
 @query(
@@ -6454,9 +6456,9 @@ def x_ptable_ndv(spark, sf_dir):
     tot = ndv_table(spark, path, "o_custkey")        # sketch merge, no IO
     rows = [(p, n, est) for p, (n, est) in sorted(per.items())]
     rows.append(("*", tot[0], tot[1]))
-    return spark.createDataFrame(
-        rows, "part string, n_sketch bigint, ndv_est double"
-    )
+    from flnr_wins_spark.localrel import local_df
+
+    return local_df(spark, rows, "part string, n_sketch bigint, ndv_est double")
 
 
 # ---------------------------------------------------------------------------
@@ -6770,16 +6772,15 @@ def x_stream_lakehouse_prune(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = ptable_merge_sink(
-        stream, path, ["k"], root + "/ckpt", delete_flag_col="is_delete"
+    from flnr_wins_spark.plans.events import _run_stream
+
+    _run_stream(
+        spark,
+        lambda: ptable_merge_sink(
+            stream, path, ["k"], root + "/ckpt", delete_flag_col="is_delete"
+        ),
+        what="CDC stream",
     )
-    if not q.awaitTermination(300):
-        # grading a half-merged table would read as a pruning-layer
-        # correctness red; a slow host must fail LOUDLY as a timeout
-        q.stop()
-        raise TimeoutError(
-            "availableNow CDC stream did not finish within 300 s"
-        )
 
     lo, hi = 2 * w, 4 * w - 1
     kept = prune_partitions(spark, path, "k", lo, hi)  # manifest only
@@ -7056,8 +7057,10 @@ def x_ptable_dpp_join(spark, sf_dir):
         # definitive bloom negatives can legitimately exclude EVERY
         # partition (no probe key present, no false positive) — that is
         # the empty answer, not an error
-        return spark.createDataFrame(
-            [], "o_orderkey bigint, o_custkey bigint, c_name string"
+        from flnr_wins_spark.localrel import local_df
+
+        return local_df(
+            spark, [], "o_orderkey bigint, o_custkey bigint, c_name string"
         )
     dim = (
         t(spark, sf_dir, "customer")

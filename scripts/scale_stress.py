@@ -68,6 +68,15 @@ ENTRIES = [
     "x_ptable_cdc_e2e",
     "wins_e2e_rejects",
     "x_grid_skew_join",
+    # r12 additions (r11 verdict task 6): the grid join's outer arms have
+    # different asymptotics than the inner grid (key-count-sized anti
+    # probes), the 1-bit hamming scan is |Q| x corpus popcount work, and
+    # the minhash gate is the streaming-sink fold witness (per-batch
+    # signature deltas + bands x state join, O(batch) write cost).
+    "x_grid_skew_left",
+    "x_grid_skew_full",
+    "x_similarity_binary",
+    "q_stream_minhash_gate",
 ]
 
 
