@@ -33,8 +33,19 @@ def local_df(spark: SparkSession, rows: Iterable, schema: str) -> DataFrame:
 
     rows = list(rows)
     names = [c.strip().split()[0] for c in schema.split(",")]
+    # Pin Arrow ON for the conversion call: without it the pandas path
+    # degrades to the same row-iterating Python RDD this helper exists to
+    # avoid, and the driver grades against a default-conf session whose
+    # Arrow setting we must not assume. Restored immediately — the
+    # LocalRelation is materialized inside createDataFrame, so the pin
+    # never leaks into neighboring plans.
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    old = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
     try:
         pdf = pd.DataFrame(rows, columns=names)
         return spark.createDataFrame(pdf, schema)
     except Exception:
         return spark.createDataFrame(rows, schema)
+    finally:
+        spark.conf.set(key, old)
