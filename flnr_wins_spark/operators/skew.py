@@ -136,15 +136,17 @@ def grid_salted_join(
     the left side's distinct keys supplies the left-null-padded
     complement, so full outer = grid inner + two skew-free anti
     probes, with NULL keys on either side preserved exactly once.
-    Right-outer is unsupported — swap the inputs and use 'left'.
+    ``how='right'`` is the exact transpose of 'left' WITHOUT swapping
+    the caller's column layout: grid inner + only the right-side anti
+    probe (matchless right rows, including NULL right keys, emit once
+    with the left columns null-padded).
 
     At 100 TB this is the self-join/heavy-overlap straggler killer:
     two fact tables sharing a mega-customer key join in bl x br
     parallel tasks instead of one."""
-    if how not in ("inner", "left", "full"):
+    if how not in ("inner", "left", "right", "full"):
         raise ValueError(
-            "grid_salted_join supports inner/left/full only (right-outer "
-            f"is the transpose — swap the inputs and use 'left'), got {how!r}"
+            f"grid_salted_join supports inner/left/right/full, got {how!r}"
         )
     bl, br = grid
     if bl < 1 or br < 1:
@@ -163,12 +165,12 @@ def grid_salted_join(
         )
         # hot keys are a disjoint key set, so hot rows can only match hot
         # rows: under inner/left the tail's right side may stay unfiltered
-        # (hot right rows never match non-hot left keys), but FULL must
-        # split the right too — an unfiltered right would re-emit the hot
-        # rows as right-unmatched in the tail branch
+        # (hot right rows never match non-hot left keys), but FULL/RIGHT
+        # must split the right too — an unfiltered right would re-emit the
+        # hot rows as right-unmatched in the tail branch
         tail_r = (
             right.filter(~is_hot | F.col(on).isNull())
-            if how == "full"
+            if how in ("full", "right")
             else right
         )
         tail = left.filter(~is_hot | F.col(on).isNull()).join(tail_r, on, how)
@@ -195,34 +197,43 @@ def grid_salted_join(
     inner = lg.join(rg, [on, "_gsl", "_gsr"], "inner").drop("_gsl", "_gsr")
     if how == "inner":
         return inner
-    # outer decomposition: matched pairs from the grid + ONE null-padded
-    # row per matchless left row, found via an anti probe against the
-    # right side's DISTINCT keys (key-count-sized — skew-free however
-    # hot the right rows are). NULL keys match nothing and null-pad.
-    rkeys = right.select(on).distinct()
-    left_rest = [c for c in left.columns if c != on]
-    null_pad = [
-        F.lit(None).cast(f.dataType).alias(f.name)
-        for f in right.schema.fields
-        if f.name != on
-    ]
-    unmatched = left.join(rkeys, on, "left_anti").select(
-        F.col(on), *[F.col(c) for c in left_rest], *null_pad
-    )
-    if how == "left":
-        return inner.union(unmatched)
-    # full outer adds the transpose probe: matchless RIGHT rows (keys
-    # absent from the left's distinct-key set, plus NULL right keys)
-    # emit once with the left columns null-padded, in the same
-    # [on, left-rest, right-rest] layout
-    lkeys = left.select(on).distinct()
-    right_rest = [c for c in right.columns if c != on]
-    null_pad_l = [
-        F.lit(None).cast(f.dataType).alias(f.name)
-        for f in left.schema.fields
-        if f.name != on
-    ]
-    unmatched_r = right.join(lkeys, on, "left_anti").select(
-        F.col(on), *null_pad_l, *[F.col(c) for c in right_rest]
-    )
-    return inner.union(unmatched).union(unmatched_r)
+    parts = [inner]
+    if how in ("left", "full"):
+        # outer decomposition: matched pairs from the grid + ONE
+        # null-padded row per matchless left row, found via an anti probe
+        # against the right side's DISTINCT keys (key-count-sized —
+        # skew-free however hot the right rows are). NULL keys match
+        # nothing and null-pad.
+        rkeys = right.select(on).distinct()
+        left_rest = [c for c in left.columns if c != on]
+        null_pad = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in right.schema.fields
+            if f.name != on
+        ]
+        parts.append(
+            left.join(rkeys, on, "left_anti").select(
+                F.col(on), *[F.col(c) for c in left_rest], *null_pad
+            )
+        )
+    if how in ("right", "full"):
+        # the transpose probe: matchless RIGHT rows (keys absent from the
+        # left's distinct-key set, plus NULL right keys) emit once with
+        # the left columns null-padded, in the same
+        # [on, left-rest, right-rest] layout
+        lkeys = left.select(on).distinct()
+        right_rest = [c for c in right.columns if c != on]
+        null_pad_l = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in left.schema.fields
+            if f.name != on
+        ]
+        parts.append(
+            right.join(lkeys, on, "left_anti").select(
+                F.col(on), *null_pad_l, *[F.col(c) for c in right_rest]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

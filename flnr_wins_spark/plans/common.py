@@ -93,6 +93,11 @@ _GRADE_FIRST: tuple[str, ...] = (
     # r12 literal-construction-only changes (local_df) — lead r13
     "x_url_filter", "x_tokenize_unigram", "x_rag_retrieve",
     "x_ptable_metadata_counts", "x_ptable_ndv", "x_ptable_bloom_point",
+    # NEW late-r12 surface (grid RIGHT-outer arm): deliberately placed
+    # AFTER the deferred six rather than at the head — the r05 cohort
+    # drain is this round's budget; locally verified at both SFs + BARE
+    # (see ledger), driver-grades with the r13 head
+    "x_grid_skew_right",
     # latest grade r06
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_revenue_forecast", "q_events_dedup", "q_events_late_data",

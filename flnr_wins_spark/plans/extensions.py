@@ -7978,6 +7978,81 @@ def x_grid_skew_full(spark, sf_dir):
     )
 
 
+_GRID_SKEW_RIGHT_SQL = """
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                  ELSE l_orderkey % 1000 END AS skew_key,
+             l_quantity
+      FROM lineitem
+    ),
+    d AS (SELECT DISTINCT skew_key FROM f),
+    r AS (
+      SELECT skew_key, CAST(-1 AS BIGINT) AS rep FROM d
+      UNION ALL
+      SELECT CAST(0 AS BIGINT), CAST(i AS BIGINT) FROM range(40) t(i)
+    ),
+    ff AS (SELECT skew_key, l_quantity FROM f WHERE skew_key <= 500)
+    SELECT CAST(r.skew_key % 7 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ff.l_quantity IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dim_only,
+           CAST(SUM(CAST(ff.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+           'shuffle' AS strategy,
+           CAST(1 AS INT) AS n_hot_left,
+           CAST(1 AS INT) AS n_hot_right
+    FROM ff RIGHT JOIN r ON ff.skew_key = r.skew_key
+    GROUP BY 1
+"""
+
+
+@query(
+    "x_grid_skew_right",
+    sql=_GRID_SKEW_RIGHT_SQL,
+    note="The grid-salted join's RIGHT-OUTER arm, auto-selected on the "
+    "same both-sides-hot fixture as x_grid_skew_join (built once, "
+    "shared) — r12 completes the inner/left/right/full matrix: a "
+    "zone-map range predicate (skew_key <= 500) residual-filters the "
+    "FACT, so dim keys above 500 are genuinely matchless and must "
+    "left-null-pad exactly once while matchless fact rows are dropped. "
+    "grid_salted_join decomposes the RIGHT join exactly as the "
+    "transpose of LEFT without swapping the caller's layout: the grid "
+    "INNER join supplies every matched pair in 64 parallel cells, and "
+    "ONLY the transpose anti probe (dim against the fact's DISTINCT "
+    "keys — key-count-sized, skew-free) supplies the left-null-padded "
+    "complement. Hash-matches the plain relational RIGHT join; "
+    "n_dim_only counts the null-padded rows apart. At 100 TB this is "
+    "the preserved-hot-dimension pattern: enrichment joins that must "
+    "keep every dimension row get outer semantics with zero straggler "
+    "tasks",
+)
+def x_grid_skew_right(spark, sf_dir):
+    from flnr_wins_spark.sources.advisor import advise_auto_join, run_auto_join
+
+    base = _grid_skew_fixture(spark, sf_dir)
+    plan = advise_auto_join(
+        spark, base + "/fact", base + "/dim", "skew_key",
+        left_ranges={"skew_key": (None, 500)},
+        broadcast_threshold_bytes=0,  # force the shuffle strategy
+        min_shuffle_partitions=8,     # environment-independent floor
+    )
+    joined = run_auto_join(spark, plan, how="right")
+    return (
+        joined.groupBy((F.col("skew_key") % 7).cast("bigint").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("qty").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_dim_only"),
+            F.sum(F.col("qty").cast("decimal(27,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            "grp", "n_rows", "n_dim_only", "sum_qty",
+            F.lit(plan.join.strategy).alias("strategy"),
+            F.lit(len(plan.hot_keys)).cast("int").alias("n_hot_left"),
+            F.lit(len(plan.hot_keys_right)).cast("int").alias("n_hot_right"),
+        )
+    )
+
+
 def _right_skew_fixture(spark, sf_dir):
     """Right-only-hot fixture: the PRESERVED left side is a key roster
     (one row per live key, plus 20 matchless keys 1000..1019 that must

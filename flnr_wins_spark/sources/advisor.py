@@ -736,9 +736,10 @@ def run_auto_join(
     keys hot on the RIGHT only under a LEFT/FULL join take the
     degenerate (1 x N) grid — exactly one-sided salting of the heavy
     right with the same anti-probe decomposition, since the preserved
-    side cannot swap roles — and left-only-hot FULL joins the (N x 1)
-    transpose, so every hot-key pattern is covered for
-    inner/left/full. The salted paths size their shuffles via the session/AQE
+    side cannot swap roles — and left-only-hot FULL/RIGHT joins the
+    (N x 1) transpose, so every hot-key pattern is covered for
+    inner/left/right/full (r12 completes the RIGHT column of the
+    matrix: grid inner + the transpose anti probe only). The salted paths size their shuffles via the session/AQE
     (the advice's partition count applies to the plain fallback
     only)."""
     from flnr_wins_spark.operators.skew import grid_salted_join, salted_join
@@ -747,7 +748,7 @@ def run_auto_join(
     right = read_advised_scan(spark, plan.right_scan)
     same_key = plan.left_key == plan.right_key
     both_hot = bool(plan.hot_keys) and bool(plan.hot_keys_right)
-    if both_hot and same_key and how in ("inner", "left", "full"):
+    if both_hot and same_key and how in ("inner", "left", "right", "full"):
         # BOTH sides flag hot keys: the quadratic case per-side salting
         # cannot fix (|L_k| x |R_k| pairs all route through one task
         # whichever single side is salted). The 2-D grid spreads every
@@ -781,23 +782,24 @@ def run_auto_join(
             left, right, plan.left_key, salt_col=None, how=how,
             hot_keys=list(plan.hot_keys),
         )
-    if plan.hot_keys and not both_hot and same_key and how == "full":
-        # LEFT-only key skew under a FULL join: salted_join cannot
+    if plan.hot_keys and not both_hot and same_key and how in ("full", "right"):
+        # LEFT-only key skew under a FULL/RIGHT join: salted_join cannot
         # preserve the replicated right side's unmatched rows, but the
         # degenerate (N x 1) grid — the left's hot slice hashed over N
-        # cells, the right's hot slice replicated N ways — plus the two
-        # anti probes restores both complements exactly.
+        # cells, the right's hot slice replicated N ways — plus the
+        # skew-free anti probes restores the complement(s) exactly
+        # (RIGHT takes only the transpose probe).
         return grid_salted_join(
-            left, right, plan.left_key, how="full",
+            left, right, plan.left_key, how=how,
             grid=(8, 1), hot_keys=list(plan.hot_keys),
         )
     if (
         plan.hot_keys_right
         and not both_hot
         and same_key
-        and how in ("left", "full")
+        and how in ("left", "right", "full")
     ):
-        # RIGHT-only key skew under a LEFT/FULL join: the preserved
+        # RIGHT-only key skew under a LEFT/RIGHT/FULL join: the preserved
         # side cannot swap, but the degenerate (1 x N) grid IS
         # one-sided salting of the heavy right — each right row hashes
         # to ONE of N cell rows, and only the LEFT's hot-key slice

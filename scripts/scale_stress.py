@@ -77,6 +77,8 @@ ENTRIES = [
     "x_grid_skew_full",
     "x_similarity_binary",
     "q_stream_minhash_gate",
+    # late-r12: the RIGHT-outer grid arm (transpose anti probe only)
+    "x_grid_skew_right",
 ]
 
 

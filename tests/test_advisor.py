@@ -1102,3 +1102,51 @@ def test_auto_join_one_side_hot_full_takes_degenerate_grid(spark, tmp_path):
         assert out.count() == want.count()
         assert got_s.exceptAll(want_s).count() == 0
         assert want_s.exceptAll(got_s).count() == 0
+
+
+def test_auto_join_right_outer_covers_all_hot_patterns(spark, tmp_path):
+    """RIGHT-outer joins route through the grid for every hot pattern —
+    (8 x 1) for left-hot, (1 x 8) for right-hot — completing the
+    inner/left/right/full x {left,right,both}-hot matrix (r12). The
+    decomposition is grid inner + ONLY the transpose anti probe
+    (matchless right rows left-null-padded once; matchless left rows
+    dropped), and the result equals the plain right join."""
+    from flnr_wins_spark.sources.advisor import (
+        advise_auto_join,
+        read_advised_scan,
+        run_auto_join,
+    )
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    hrows, rid = [], 0
+    for i in range(400):
+        hrows.append((0, str(rid % 4), rid)); rid += 1
+    for k in range(1, 41):
+        for _ in range(5):
+            hrows.append((k, str(rid % 4), rid)); rid += 1
+    hrows.append((90, "0", rid)); rid += 1
+    crows = [(k, str(k % 4), k * 7) for k in range(0, 41)] + [(91, "3", 637)]
+    hot_df = spark.createDataFrame(hrows, "k long, pb string, hv long")
+    cold_df = spark.createDataFrame(crows, "k long, pb string, cv long")
+    hp, cp = str(tmp_path / "hot"), str(tmp_path / "cold")
+    write_ptable(hot_df, hp, "pb", stats_cols=["k"],
+                 heavy_cols=["k"], heavy_k=8, heavy_threshold=30)
+    write_ptable(cold_df, cp, "pb", stats_cols=["k"],
+                 heavy_cols=["k"], heavy_k=8, heavy_threshold=30)
+
+    for lp, rp, hot_side in ((hp, cp, "left"), (cp, hp, "right")):
+        plan = advise_auto_join(spark, lp, rp, "k", broadcast_threshold_bytes=0)
+        out = run_auto_join(spark, plan, how="right")
+        phys = out._jdf.queryExecution().executedPlan().toString()
+        # grid inner (two explode fan-outs) + the transpose anti probe
+        # (string count is >= 1: AQE stringification repeats node names)
+        assert phys.count("Generate") == 2, hot_side
+        assert phys.count("LeftAnti") >= 1, hot_side
+        want = read_advised_scan(spark, plan.left_scan).join(
+            read_advised_scan(spark, plan.right_scan), "k", "right"
+        )
+        tmp = [f"_c{i}" for i in range(len(out.columns))]
+        got_s, want_s = out.toDF(*tmp), want.toDF(*tmp)
+        assert out.count() == want.count()
+        assert got_s.exceptAll(want_s).count() == 0
+        assert want_s.exceptAll(got_s).count() == 0

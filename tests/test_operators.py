@@ -378,14 +378,45 @@ class TestGridSaltedJoin:
         # NULL) + 2 right-unmatched (only-right, NULL)
         assert len(want) == 605
 
+    def test_right_equals_plain_right_join(self, spark):
+        """how='right' is the transpose of 'left' without swapping the
+        caller's layout: grid inner + ONLY the right-side anti probe —
+        matched pairs once each, matchless RIGHT rows (an only-right
+        key; NULL right keys) left-null-padded exactly once, matchless
+        left rows dropped."""
+        from flnr_wins_spark.operators.skew import grid_salted_join
+
+        left, right = self._data(spark)
+        right = right.union(
+            right.sparkSession.createDataFrame(
+                [(300, "only-right", "ro")], right.schema
+            )
+        )
+
+        def _key(row):  # rows carry NULLs — None sorts before values
+            return tuple((x is None, x) for x in row)
+
+        want = sorted(
+            map(tuple, left.join(right, "key", "right").collect()), key=_key
+        )
+        for hot in (None, ["k0"]):
+            got = grid_salted_join(
+                left, right, on="key", how="right", grid=(4, 3),
+                hot_keys=hot,
+            )
+            assert sorted(map(tuple, got.collect()), key=_key) == want
+        # 600 grid pairs + 1 tail pair + 2 right-unmatched (only-right,
+        # NULL right key); only-left and NULL-left rows are dropped
+        assert len(want) == 603
+
     def test_rejects_outer_and_bad_grid_and_collision(self, spark):
         import pytest as _pytest
 
         from flnr_wins_spark.operators.skew import grid_salted_join
 
         left, right = self._data(spark)
-        with _pytest.raises(ValueError, match="inner/left/full only"):
-            grid_salted_join(left, right, on="key", how="right")
+        with _pytest.raises(ValueError, match="inner/left/right/full"):
+            grid_salted_join(left, right, on="key", how="left_semi")
         with _pytest.raises(ValueError, match="grid dims"):
             grid_salted_join(left, right, on="key", grid=(0, 4))
         with _pytest.raises(ValueError, match="collision"):

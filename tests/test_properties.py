@@ -93,7 +93,7 @@ GRID_ROWS = st.lists(
     lrows=GRID_ROWS,
     rrows=GRID_ROWS,
     grid=st.sampled_from([(1, 1), (1, 4), (4, 1), (3, 2)]),
-    how=st.sampled_from(["inner", "left", "full"]),
+    how=st.sampled_from(["inner", "left", "right", "full"]),
     hot=st.sampled_from([None, [], ["a"], ["a", "d"]]),
 )
 @SLOW
