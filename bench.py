@@ -66,6 +66,15 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # per-PASS totals (3 numbers): the direct weather witness. Host
+    # contention inflates every pass of a run near-uniformly (r12: five
+    # runs of identical code spanned 68-154 s), so "all three pass
+    # totals high" reads as weather while "one bad pass" is exactly
+    # what the median already drops — without this, a single inflated
+    # BENCH artifact is indistinguishable from a plan regression.
+    pass_totals = [
+        round(sum(ts[i] for ts in passes.values()), 1) for i in range(3)
+    ]
     print(
         json.dumps(
             {
@@ -74,13 +83,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "pass_totals": pass_totals,
                 # keep notes SHORT (<300 chars): the driver captures only the
                 # last 2,000 chars of stdout — a long note truncated 9 of 27
                 # r5 timings out of BENCH_r05.json. Prose lives in SURVEY §8.
-                "notes": "median of 3 INTERLEAVED passes per query (r10 "
-                "methodology); 38 headliners — r11 promotes "
-                "x_advisor_auto_read, x_auto_skew_join, "
-                "x_multimodal_dhash_dedup (documented set change); "
+                "notes": "median of 3 INTERLEAVED passes per query; "
+                "pass_totals = per-pass sums (uniform inflation across "
+                "all three = host weather, not a plan change); "
                 "see SURVEY.md §8.",
             }
         )
