@@ -30,9 +30,16 @@ def local_df(spark: SparkSession, rows: Iterable, schema: str) -> DataFrame:
     wrong-but-fast helper would be worse than a slow one.
     """
     import pandas as pd
+    from pyspark.sql.types import StructType
 
     rows = list(rows)
-    names = [c.strip().split()[0] for c in schema.split(",")]
+    # Real DDL parse for the column names: a naive split(",") mis-parses
+    # any type that itself contains a comma (decimal(27,2),
+    # map<string,int>, struct<...>) and the resulting column-count
+    # mismatch would silently demote the call to the slow legacy path
+    # this module exists to avoid (r12 ADVICE). fromDDL needs an active
+    # session — local_df always has one in hand.
+    names = StructType.fromDDL(schema).fieldNames()
     # Pin Arrow ON for the conversion call: without it the pandas path
     # degrades to the same row-iterating Python RDD this helper exists to
     # avoid, and the driver grades against a default-conf session whose
@@ -45,7 +52,19 @@ def local_df(spark: SparkSession, rows: Iterable, schema: str) -> DataFrame:
     try:
         pdf = pd.DataFrame(rows, columns=names)
         return spark.createDataFrame(pdf, schema)
-    except Exception:
+    except (ValueError, TypeError) as exc:
+        # Only pandas-representation failures fall back; anything else
+        # (analysis errors, bad schema) must surface. The fallback is
+        # logged because it re-introduces the Python-RDD cost and can
+        # coerce values differently than the Arrow path (r12 ADVICE).
+        import warnings
+
+        warnings.warn(
+            f"local_df: pandas/Arrow path failed ({exc!r}); falling back "
+            "to legacy createDataFrame (slow Python-RDD plan)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return spark.createDataFrame(rows, schema)
     finally:
         spark.conf.set(key, old)

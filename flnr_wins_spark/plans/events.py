@@ -47,6 +47,38 @@ def _run_stream(spark, start, timeout: int = 300, shuffle: int = 8, what: str = 
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _assert_offset_bands_free(docs, offsets=(1, 2, 3)) -> None:
+    """Guard the dedup/minhash gate fixtures' synthetic-id scheme.
+
+    Both gates clone docs at ``doc_id + k*1_000_000`` and their STATIC
+    oracle SQL hardcodes the same literals, so a real ``doc_id`` landing
+    on a clone id would produce duplicate ids whose oracle/sink
+    divergence (the sink has an ``a.id != b.id`` guard, the cross-batch
+    oracle arm does not) is silent (r12 ADVICE). Because every offset is
+    an exact multiple of 1M, a clone's 1M-band is exactly ``band(real) +
+    k`` (no carry), so collision-freedom reduces to: no occupied band
+    plus any offset is itself occupied. That invariant holds for the
+    plain testdata (band {0}) AND for scale_stress's ``+i*10M`` replicas
+    (bands {0,10,..,90}); a future SF whose ids cross 1M fails LOUDLY
+    here instead of diverging. Cost: one column-pruned distinct over
+    doc_id (the fixture scans documents several times anyway)."""
+    bands = {
+        r[0]
+        for r in docs.select(
+            (F.col("doc_id") / 1_000_000).cast("bigint").alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    clashes = {b + k for b in bands for k in offsets} & bands
+    if clashes:
+        raise ValueError(
+            "gate fixture id-offset collision: real doc_id bands "
+            f"{sorted(bands)} occupy clone bands {sorted(clashes)} "
+            "(offsets are doc_id + k*1M; re-band the input ids)"
+        )
+
+
 @query(
     "q_events_interval_join",
     sql="""
@@ -805,6 +837,7 @@ def q_stream_dedup_gate(spark, sf_dir):
     from flnr_wins_spark.streaming.sinks import exact_dedup_sink
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    _assert_offset_bands_free(docs)
     root = scratch_dir("stream_dedup")
     src = root + "/src"
 
@@ -965,6 +998,7 @@ def q_stream_minhash_gate(spark, sf_dir):
     from flnr_wins_spark.streaming.sinks import minhash_dedup_sink
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    _assert_offset_bands_free(docs)
     root = scratch_dir("stream_minhash")
     src = root + "/src"
 

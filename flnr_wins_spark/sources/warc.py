@@ -86,17 +86,59 @@ def split_gzip_members(blob: bytes) -> Iterator[bytes]:
             break
 
 
-def _zstd_frame_end(buf: bytes, i: int) -> tuple[int, bool]:
-    """End offset of the zstd frame starting at ``i`` plus a skippable
-    flag — a pure RFC 8878 header/block walk (no decompression):
-    skippable frames carry their size; normal frames parse the frame
-    header descriptor then hop block to block (3-byte block headers:
-    last/type/size; RLE blocks store ONE byte regardless of their
-    regenerated size) to the last-block bit, plus the optional 4-byte
-    content checksum. Frames declaring a dictionary ID raise
-    NotImplementedError — the shared-dictionary crawl layout needs the
-    dictionary to DECODE, not just to split, and pyarrow's codec
-    exposes no dictionary parameter (the honest-guard convention)."""
+_DICT_ZSTD_PROBED = False
+_DICT_ZSTD: object | None = None
+
+
+def dict_zstd_binding():
+    """Runtime probe (cached) for a DICTIONARY-capable zstd binding —
+    ``zstandard`` first, then ``pyzstd``. Returns a
+    ``decompress(frame_bytes, dict_bytes) -> bytes`` callable, or None
+    when neither package is importable (this container ships neither;
+    pyarrow's bundled codec exposes no dictionary parameter, r12
+    VERDICT task 6). With a binding present, dictionary-frame
+    ``.warc.zst`` decodes through :func:`split_zstd_frames`; without
+    one the walker keeps its honest loud raise."""
+    global _DICT_ZSTD_PROBED, _DICT_ZSTD
+    if _DICT_ZSTD_PROBED:
+        return _DICT_ZSTD
+    _DICT_ZSTD_PROBED = True
+    try:
+        import zstandard  # noqa: F401
+
+        def _decomp(frame: bytes, dict_bytes: bytes) -> bytes:
+            d = zstandard.ZstdCompressionDict(dict_bytes)
+            return zstandard.ZstdDecompressor(dict_data=d).decompress(frame)
+
+        _DICT_ZSTD = _decomp
+    except ImportError:
+        try:
+            import pyzstd  # noqa: F401
+
+            def _decomp(frame: bytes, dict_bytes: bytes) -> bytes:
+                return pyzstd.decompress(
+                    frame, zstd_dict=pyzstd.ZstdDict(dict_bytes)
+                )
+
+            _DICT_ZSTD = _decomp
+        except ImportError:
+            _DICT_ZSTD = None
+    return _DICT_ZSTD
+
+
+def _zstd_frame_end(buf: bytes, i: int) -> tuple[int, bool, bool]:
+    """End offset of the zstd frame starting at ``i`` plus (skippable,
+    needs_dict) flags — a pure RFC 8878 header/block walk (no
+    decompression): skippable frames carry their size; normal frames
+    parse the frame header descriptor then hop block to block (3-byte
+    block headers: last/type/size; RLE blocks store ONE byte regardless
+    of their regenerated size) to the last-block bit, plus the optional
+    4-byte content checksum. Frames declaring a dictionary ID walk
+    their 1/2/4-byte Dictionary_ID field and are flagged for
+    dictionary decode IF :func:`dict_zstd_binding` found a capable
+    binding; with no binding they raise NotImplementedError — the
+    shared-dictionary crawl layout needs the dictionary to DECODE, not
+    just to split (the honest-guard convention)."""
     if len(buf) < i + 5:
         raise ValueError("truncated zstd frame (no room for a header)")
     magic = int.from_bytes(buf[i : i + 4], "little")
@@ -112,7 +154,7 @@ def _zstd_frame_end(buf: bytes, i: int) -> tuple[int, bool]:
         size = int.from_bytes(buf[i + 4 : i + 8], "little")
         if i + 8 + size > len(buf):
             raise ValueError("truncated zstd skippable frame")
-        return i + 8 + size, True
+        return i + 8 + size, True, False
     if magic != 0xFD2FB528:
         raise ValueError(f"not a zstd frame at offset {i} (magic {magic:#x})")
     j = i + 4
@@ -122,15 +164,17 @@ def _zstd_frame_end(buf: bytes, i: int) -> tuple[int, bool]:
     has_checksum = (fhd >> 2) & 1
     single_segment = (fhd >> 5) & 1
     fcs_flag = fhd >> 6
-    if dict_id_flag:
+    if dict_id_flag and dict_zstd_binding() is None:
         raise NotImplementedError(
             "dictionary-compressed zstd WARC frame: splitting works but "
             "decoding needs the shared dictionary, which pyarrow's zstd "
-            "codec cannot take — re-pack the crawl without a dictionary "
-            "or install the 'zstandard' package"
+            "codec cannot take and neither 'zstandard' nor 'pyzstd' is "
+            "importable here — re-pack the crawl without a dictionary "
+            "or install one of those packages"
         )
     if not single_segment:
         j += 1  # window descriptor
+    j += (0, 1, 2, 4)[dict_id_flag]  # Dictionary_ID field (RFC 8878 §3.1.1)
     j += (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
     while True:
         if len(buf) < j + 3:
@@ -152,7 +196,7 @@ def _zstd_frame_end(buf: bytes, i: int) -> tuple[int, bool]:
         j += 4
     if j > len(buf):
         raise ValueError("truncated zstd frame")
-    return j, False
+    return j, False, bool(dict_id_flag)
 
 
 def split_zstd_frames(blob: bytes) -> Iterator[bytes]:
@@ -164,17 +208,42 @@ def split_zstd_frames(blob: bytes) -> Iterator[bytes]:
     :func:`_zstd_frame_end`; each frame decompresses independently
     through pyarrow's bundled zstd codec (streaming — no
     decompressed-size preknowledge needed). Dictionary-compressed
-    frames raise NotImplementedError (see the walker)."""
+    frames decode through :func:`dict_zstd_binding` when a capable
+    binding is importable, taking the dictionary from the most recent
+    skippable frame (the crawl convention: a leading skippable frame
+    carries the shared dictionary, itself possibly zstd-compressed);
+    with no binding they raise NotImplementedError in the walker."""
     import pyarrow as pa
+
+    def _plain(frame: bytes) -> bytes:
+        return pa.input_stream(
+            pa.BufferReader(frame), compression="zstd"
+        ).read()
 
     blob = bytes(blob)
     i = 0
+    dict_bytes: bytes | None = None
     while i < len(blob):
-        end, skippable = _zstd_frame_end(blob, i)
-        if not skippable:
-            yield pa.input_stream(
-                pa.BufferReader(blob[i:end]), compression="zstd"
-            ).read()
+        end, skippable, needs_dict = _zstd_frame_end(blob, i)
+        if skippable:
+            # remember the carrier payload as the candidate dictionary
+            # (magic+size header is 8 bytes); decompress it first if the
+            # dictionary itself ships zstd-compressed
+            payload = blob[i + 8 : end]
+            dict_bytes = (
+                _plain(payload)
+                if payload[:4] == b"\x28\xb5\x2f\xfd"
+                else payload
+            )
+        elif needs_dict:
+            if dict_bytes is None:
+                raise ValueError(
+                    "dictionary-compressed zstd frame with no preceding "
+                    "skippable dictionary-carrier frame"
+                )
+            yield dict_zstd_binding()(blob[i:end], dict_bytes)
+        else:
+            yield _plain(blob[i:end])
         i = end
 
 

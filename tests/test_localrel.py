@@ -58,3 +58,43 @@ def test_local_df_null_and_string_values(spark):
     df = local_df(spark, rows, "k bigint, name string")
     got = {r.k: r.name for r in df.collect()}
     assert got == {1: None, 2: "qq", 3: ""}
+
+
+def test_local_df_comma_bearing_types_stay_plan_side(spark):
+    # decimal(27,2) and map<string,int> contain commas: a naive
+    # schema.split(',') mis-counts the columns and silently demotes to
+    # the Python-RDD path (r12 ADVICE). The real DDL parse must keep
+    # these on the LocalTableScan fast path.
+    import decimal
+
+    df = local_df(
+        spark,
+        [(1, decimal.Decimal("12.50"), {"a": 1}), (2, None, None)],
+        "k bigint, amt decimal(27,2), m map<string,int>",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "Scan ExistingRDD" not in plan
+    got = {r.k: (r.amt, r.m) for r in df.collect()}
+    assert got[1] == (decimal.Decimal("12.50"), {"a": 1})
+    assert got[2] == (None, None)
+
+
+def test_local_df_fallback_is_narrow_and_warned(spark):
+    # Only pandas-representation failures (ValueError/TypeError) fall
+    # back to legacy createDataFrame, and the fallback warns — a silent
+    # broad except would mask genuine schema bugs AND hide the
+    # Python-RDD cost regression (r12 ADVICE). Rows longer than the
+    # schema raise ValueError inside pd.DataFrame.
+    import warnings
+
+    import pytest
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        # legacy path verifies rows against the schema eagerly and
+        # raises its own ValueError — loud, never wrong rows
+        with pytest.raises(ValueError):
+            local_df(spark, [(1, "x", 99)], "k bigint, name string")
+        rendered = [str(w.message) for w in caught]
+    assert any("local_df" in m and "falling back" in m for m in rendered)

@@ -1084,3 +1084,37 @@ def test_streamed_merges_keep_heavy_sidecar_exact(spark, tmp_path):
         assert exact[v] == c, (v, c, exact[v])
     lb, err = hot[7]
     assert lb <= exact[7] <= lb + err
+
+
+class TestGateOffsetBandGuard:
+    """The dedup/minhash gate fixtures clone docs at doc_id + k*1M with
+    the same literals hardcoded in their STATIC oracle SQL; a real id
+    landing on a clone id diverges oracle vs sink silently (r12 ADVICE).
+    _assert_offset_bands_free reduces collision-freedom to 1M-band
+    disjointness (offsets are exact multiples of 1M => no carry)."""
+
+    def _docs(self, spark, ids):
+        from flnr_wins_spark.localrel import local_df
+
+        return local_df(
+            spark, [(i, f"t{i}") for i in ids], "doc_id bigint, text string"
+        )
+
+    def test_plain_and_scale_stress_bands_pass(self, spark):
+        from flnr_wins_spark.plans.events import _assert_offset_bands_free
+
+        # plain testdata shape: band {0}
+        _assert_offset_bands_free(self._docs(spark, [0, 4999]))
+        # scale_stress replica shape: bands {0,10,...,90}
+        _assert_offset_bands_free(
+            self._docs(spark, [i * 10_000_000 + 4999 for i in range(10)])
+        )
+
+    def test_colliding_band_raises(self, spark):
+        import pytest
+
+        from flnr_wins_spark.plans.events import _assert_offset_bands_free
+
+        # an id in band 2 collides with the +2M clone band of band 0
+        with pytest.raises(ValueError, match="id-offset collision"):
+            _assert_offset_bands_free(self._docs(spark, [10, 2_000_005]))

@@ -264,3 +264,48 @@ def test_read_warc_mixed_containers_and_unknown_magic(spark, tmp_path):
     # the executor-side ValueError surfaces loudly (PySpark wraps it)
     with pytest.raises(Exception, match="unrecognized WARC container"):
         read_warc(spark, str(d)).count()
+
+
+def test_dict_zstd_probe_and_decode_path():
+    """r12 VERDICT task 6: dictionary-frame .warc.zst decodes IF a
+    dict-capable zstd binding (zstandard/pyzstd) is importable, else the
+    walker keeps its honest loud raise. This container ships neither
+    binding, so the None arm is the documented binding-absent check; the
+    round-trip arm runs automatically if a binding ever appears."""
+    import pytest
+
+    from flnr_wins_spark.sources.warc import (
+        dict_zstd_binding,
+        encode_warc_zst,
+        split_zstd_frames,
+    )
+
+    binding = dict_zstd_binding()
+    if binding is None:
+        # documented absence: the dict-flagged-frame raise names both
+        # probe targets so the remedy is in the message
+        frame = bytearray(encode_warc_zst(_zrecs()[:1]))
+        frame[4] |= 0b01
+        with pytest.raises(NotImplementedError, match="zstandard"):
+            list(split_zstd_frames(bytes(frame)))
+        return
+
+    # binding present: build a real dictionary-compressed frame behind a
+    # skippable carrier and round-trip it through the splitter
+    import zstandard
+
+    samples = [f"<html>sample doc {i}</html>".encode() * 4 for i in range(64)]
+    dict_bytes = zstandard.train_dictionary(4096, samples).as_bytes()
+    cdict = zstandard.ZstdCompressionDict(dict_bytes)
+    payload = b"<html>dictionary-compressed record</html>" * 3
+    frame = zstandard.ZstdCompressor(dict_data=cdict).compress(payload)
+    carrier = (
+        (0x184D2A5D).to_bytes(4, "little")
+        + len(dict_bytes).to_bytes(4, "little")
+        + dict_bytes
+    )
+    got = list(split_zstd_frames(carrier + frame))
+    assert got == [payload]
+    # and a dict frame with NO carrier is a loud ValueError
+    with pytest.raises(ValueError, match="no preceding skippable"):
+        list(split_zstd_frames(frame))
