@@ -41,6 +41,19 @@ def main() -> None:
 
     read_table(spark, sf_dir, "region").write.format("noop").mode("overwrite").save()
 
+    # Pre-build per-entry fixtures OUTSIDE the timings (r12 verdict task
+    # 3): cached_fixture builders (and scratch-table commits) run EAGERLY
+    # during fn() plan construction, so invoking each entry once WITHOUT
+    # executing its returned plan materializes every pure fixture before
+    # pass 1. Without this, pass 1 conflates fixture build with the
+    # operator and a weather-inflated pass 2 or 3 can push the BUILD cost
+    # into the median (r12: x_warc_ingest driver median 6.9 s vs 1.49 s
+    # true warm). Entries whose eager work is the behavior under test
+    # (scratch_dir commit sequences) simply pay one extra un-timed run.
+    for qd in headline.values():
+        qd.fn(spark, sf_dir)
+    spark.catalog.clearCache()
+
     # INTERLEAVED passes + per-query MEDIAN (r9 verdict task 5): three
     # full passes over the whole set, one timing per query per pass, and
     # the recorded number is the median of the three. Interleaving
@@ -88,6 +101,7 @@ def main() -> None:
                 # last 2,000 chars of stdout — a long note truncated 9 of 27
                 # r5 timings out of BENCH_r05.json. Prose lives in SURVEY §8.
                 "notes": "median of 3 INTERLEAVED passes per query; "
+                "fixtures pre-built in an un-timed warmup pass; "
                 "pass_totals = per-pass sums (uniform inflation across "
                 "all three = host weather, not a plan change); "
                 "see SURVEY.md §8.",
