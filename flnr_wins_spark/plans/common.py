@@ -47,90 +47,65 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
-# driver-graded correctness row go first. ROUND-12 ordering (the r11 handoff,
-# recomputed from the CORRECTNESS_r01-r11 artifacts by script — the r11
-# VERDICT flagged the previous hand-kept remainder count as wrong, 28 vs 37):
-# (a) the ONE new r12 surface (the streaming MinHash near-dup gate,
-#     oracle-graded via the portable md5 signature path);
-# (b) the twelve entries whose CODE changed in r12 with behavior-relevant
-#     diffs — the try_element_at sign-packing fix (x_similarity_binary),
-#     the NULL-robust dedup-gate oracle, the cached WARC fixture, and the
-#     ten streaming entries rewired through _run_stream (pinned state-store
-#     width + shared drain/timeout path) — the standing same-round regrade
-#     rule;
-# (c) ALL 37 entries whose latest grade is r05 — drains the r05 cohort
-#     completely (goal after r12: nothing older than r06 at latest grade).
-#     x_graph_bfs leads: it is both r05-stale AND code-changed (local_df).
-# 13 + 37 = exactly the 50 budget. Six entries with an r12 code change
-# whose diff is literal-construction-only (createDataFrame -> local_df,
-# same values — each locally differentially verified at sf0.01 this round,
-# see ledger) did not fit the budget; they sit at positions 51-56 and lead
-# the r13 rotation, ahead of the r06/r07/r09/r10 cohorts, then r11's
-# freshly-graded entries last.
+# driver-graded correctness row go first. ROUND-13 ordering, recomputed BY
+# SCRIPT from the CORRECTNESS_r01-r12 artifacts (the standing discipline —
+# never hand-kept arithmetic):
+# (a) positions 1-6: the six r12 local_df-converted entries whose driver
+#     regrade was budget-deferred in r12 (each locally differentially
+#     verified at sf0.01 that round; the r12 handoff contract);
+# (b) positions 7-9: never-driver-graded entries — the late-r12
+#     x_grid_skew_right plus the two NEW r13 surfaces (x_ivf_recall,
+#     x_pq_recall: the quantized-ANN quality floors);
+# (c) positions 10-17: the eight entries whose CODE changed in r13 with
+#     behavior-relevant diffs — the two streaming gates (offset-band
+#     guard adds a fixture-time assert) and the six skew/advisor-family
+#     entries rewired through the shared _skew_family_fixture (one fact
+#     build for the whole family; x_grid_skew_right already sits in (b)).
+#     NOT regraded by design: x_warc_ingest (warc.py's r13 diff touches
+#     only the zstd dictionary path; the graded entry reads .warc.gz
+#     through the untouched member-split) and the localrel.py callers
+#     (DDL-parse + fallback-narrowing change nothing for the simple
+#     schemas every caller passes — pinned by test_localrel.py);
+# (d) positions 18-50: the r06 cohort, alphabetical — 33 of its 47
+#     still-stale entries fit the budget; the remaining 14 lead the r14
+#     fill, then r07 (41), r09 (42), r10 (42), r11 (35), r12 (48).
 # Names absent from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
-    # (a) new r12 surface + (b) r12 code-changed, behavior-relevant
-    "q_stream_minhash_gate", "x_similarity_binary", "q_stream_dedup_gate",
-    "x_warc_ingest", "q_stream_outer_join", "q_stream_watermark",
-    "q_stream_stateful_funnel", "q_stream_incremental_agg", "q_stream_kmv_sketch",
-    "q_stream_quantile_sketch", "q_stream_lakehouse_merge", "q_stream_drift_psi",
-    "x_stream_lakehouse_prune",
-    # (c) the 37-entry r05 cohort — drained completely this round
-    "x_graph_bfs", "q_events_json", "q_events_multires_rollup",
-    "q_events_tumbling", "x_ab_test", "x_attribution_linear",
-    "x_binaryfile_ingest", "x_churn_training_set", "x_cooccur_pmi",
-    "x_corpus_mixture", "x_distinct_kmv", "x_events_m4",
-    "x_geo_geohash", "x_geo_knn", "x_golden_record",
-    "x_html_strip", "x_impute_nulls", "x_incremental_join",
-    "x_join_size_estimate", "x_kmv_set_ops", "x_mmr_rerank",
-    "x_multimodal_adpcm_decode", "x_multimodal_decode", "x_multimodal_jpeg_decode",
-    "x_multimodal_jpeg_progressive", "x_multimodal_palette_png_decode", "x_multimodal_png_decode",
-    "x_quality_filter_pipeline", "x_random_projection", "x_recommend_itemknn",
-    "x_semdedup", "x_similarity_ivf_kmeans", "x_skew_report",
-    "x_text_nfc", "x_time_to_convert", "x_tokenize_optimal",
-    "x_trajectory_similarity",
-    # ---- position 51+ (graded only if the budget stretches) ----
-    # r12 literal-construction-only changes (local_df) — lead r13
     "x_url_filter", "x_tokenize_unigram", "x_rag_retrieve",
     "x_ptable_metadata_counts", "x_ptable_ndv", "x_ptable_bloom_point",
-    # NEW late-r12 surface (grid RIGHT-outer arm): deliberately placed
-    # AFTER the deferred six rather than at the head — the r05 cohort
-    # drain is this round's budget; locally verified at both SFs + BARE
-    # (see ledger), driver-grades with the r13 head
-    "x_grid_skew_right",
-    # latest grade r06
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_revenue_forecast", "q_events_dedup", "q_events_late_data",
-    "q_events_sessionize", "q_events_sliding", "q_rollup_acctbal",
-    "q_string_functions", "q_topk_per_group", "q_window_range_frame",
-    "q_window_rank_family", "q_window_running", "x_benford_audit",
-    "x_decontam", "x_dedup_clusters", "x_dedup_exact",
-    "x_dedup_ngram_jaccard", "x_dp_counts", "x_drift_psi",
-    "x_embedding_covariance", "x_embedding_neardup", "x_embedding_pca",
-    "x_fd_check", "x_geo_grid_join", "x_kaplan_meier",
-    "x_llm_corpus_e2e", "x_merge_evolve", "x_multimodal_bytes",
-    "x_multimodal_frames", "x_pii_redact", "x_quantile_bottomk",
-    "x_rank_metrics", "x_rerank_cross", "x_robust_scale",
-    "x_sample_stratified", "x_seasonal_decompose", "x_seq_packing",
-    "x_similarity_topk", "x_target_encode", "x_text_fingerprint",
-    "x_text_langid", "x_text_quality", "x_text_stats",
-    "x_train_test_split", "x_weighted_sample",
-    # latest grade r07
-    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q19_discounted_revenue", "q20_potential_promotion", "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity", "q_asof_join", "q_cube_orders",
-    "q_date_functions", "q_distinct_agg", "q_exists_subquery",
-    "q_explode_tokens", "q_grouping_sets", "q_having",
-    "q_percentile", "q_pivot_status", "q_scalar_functions",
-    "q_set_ops", "q_stats_derived", "q_union_distinct",
-    "x_bucketed_join", "x_cdc_diff", "x_corpus_resample",
-    "x_corpus_shard", "x_corpus_stats", "x_cusum_changepoint",
-    "x_dedup_spans", "x_doc_chunking", "x_holt_forecast_grouped",
-    "x_merge_upsert", "x_multimodal_features", "x_ptable_incremental_mv",
-    "x_quality_rules", "x_scd2_history", "x_search_bm25_incremental",
-    "x_search_e2e", "x_text_tokenize_bpe",
-    # latest grade r09
+    "x_grid_skew_right", "x_ivf_recall", "x_pq_recall",
+    "q_stream_dedup_gate", "q_stream_minhash_gate", "x_skew_sidecar_join",
+    "x_auto_skew_join", "x_grid_skew_join", "x_grid_skew_left",
+    "x_grid_skew_full", "x_right_hot_left_join", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_revenue_forecast",
+    "q_events_dedup", "q_events_late_data", "q_events_sessionize",
+    "q_events_sliding", "q_rollup_acctbal", "q_string_functions",
+    "q_topk_per_group", "q_window_range_frame", "q_window_rank_family",
+    "q_window_running", "x_benford_audit", "x_decontam",
+    "x_dedup_clusters", "x_dedup_exact", "x_dedup_ngram_jaccard",
+    "x_dp_counts", "x_drift_psi", "x_embedding_covariance",
+    "x_embedding_neardup", "x_embedding_pca", "x_fd_check",
+    "x_geo_grid_join", "x_kaplan_meier", "x_llm_corpus_e2e",
+    "x_merge_evolve", "x_multimodal_bytes", "x_multimodal_frames",
+    "x_pii_redact", "x_quantile_bottomk", "x_rank_metrics",
+    "x_rerank_cross", "x_robust_scale", "x_sample_stratified",
+    "x_seasonal_decompose", "x_seq_packing", "x_similarity_topk",
+    "x_target_encode", "x_text_fingerprint", "x_text_langid",
+    "x_text_quality", "x_text_stats", "x_train_test_split",
+    "x_weighted_sample", "q13_customer_distribution", "q14_promo_effect",
+    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q19_discounted_revenue", "q20_potential_promotion",
+    "q21_suppliers_kept_waiting", "q22_global_sales_opportunity", "q_asof_join",
+    "q_cube_orders", "q_date_functions", "q_distinct_agg",
+    "q_exists_subquery", "q_explode_tokens", "q_grouping_sets",
+    "q_having", "q_percentile", "q_pivot_status",
+    "q_scalar_functions", "q_set_ops", "q_stats_derived",
+    "q_union_distinct", "x_bucketed_join", "x_cdc_diff",
+    "x_corpus_resample", "x_corpus_shard", "x_corpus_stats",
+    "x_cusum_changepoint", "x_dedup_spans", "x_doc_chunking",
+    "x_holt_forecast_grouped", "x_merge_upsert", "x_multimodal_features",
+    "x_ptable_incremental_mv", "x_quality_rules", "x_scd2_history",
+    "x_search_bm25_incremental", "x_search_e2e", "x_text_tokenize_bpe",
     "q10_returned_items", "q11_important_value", "q12_shipping_delay",
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
     "q8_national_market_share", "q9_product_type_profit", "q_array_functions",
@@ -145,7 +120,6 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_dedup_simhash", "x_holt_forecast", "x_kfold_split",
     "x_pagerank", "x_ptable_cdc_e2e", "x_repetition_stats",
     "x_similarity_ann_lsh", "x_similarity_ivf", "x_vocab_topk",
-    # latest grade r10
     "q_events_histogram", "q_events_interpolate", "q_map_functions",
     "wins_e2e_kept", "wins_e2e_rejects", "x_advisor_estimate",
     "x_attribution_last_touch", "x_bigram_lm_quality", "x_bpe_train",
@@ -158,24 +132,36 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_ptable_dpp_join", "x_ptable_join_advisor", "x_ptable_time_travel",
     "x_ptable_zonemap_prune", "x_ptable_zorder_optimize", "x_retention_cohorts",
     "x_search_bm25", "x_search_bm25_persisted", "x_similarity_int8",
-    "x_similarity_ivf_persisted", "x_skew_sidecar_join", "x_token_bigrams",
-    "x_unigram_quality", "x_url_canonicalize", "x_winsorize",
-    "x_zorder_layout",
-    # latest grade r11 — freshest evidence, graded last
-    "q_events_interval_join", "x_advisor_auto_read", "x_auto_skew_join",
-    "x_classify_perceptron", "x_compaction_plan", "x_correlation_matrix",
-    "x_dedup_minhash_portable", "x_dedup_simhash_portable", "x_dedup_tfidf",
-    "x_dq_expectations", "x_event_paths", "x_fuzzy_join",
-    "x_grid_skew_full", "x_grid_skew_join", "x_grid_skew_left",
-    "x_group_regression", "x_hard_negatives", "x_jdbc_snapshot",
-    "x_k_anonymity", "x_kcore", "x_keywords_tfidf",
-    "x_knn_classify", "x_multimodal_audio_decode", "x_multimodal_gif_decode",
-    "x_multimodal_mulaw_decode", "x_multimodal_qoi_decode", "x_multimodal_video_frames",
-    "x_pandas_udaf_median", "x_pit_join", "x_profile_columns",
-    "x_right_hot_left_join", "x_rolling_zscore", "x_search_hybrid_rrf",
-    "x_search_phrase", "x_similarity_ann_portable", "x_similarity_pq",
-    "x_sorted_neighborhood", "x_tokenize_maxmatch", "x_triangle_count",
-    "x_user_streaks",
+    "x_similarity_ivf_persisted", "x_token_bigrams", "x_unigram_quality",
+    "x_url_canonicalize", "x_winsorize", "x_zorder_layout",
+    "q_events_interval_join", "x_advisor_auto_read", "x_classify_perceptron",
+    "x_compaction_plan", "x_correlation_matrix", "x_dedup_minhash_portable",
+    "x_dedup_simhash_portable", "x_dedup_tfidf", "x_dq_expectations",
+    "x_event_paths", "x_fuzzy_join", "x_group_regression",
+    "x_hard_negatives", "x_jdbc_snapshot", "x_k_anonymity",
+    "x_kcore", "x_keywords_tfidf", "x_knn_classify",
+    "x_multimodal_audio_decode", "x_multimodal_gif_decode", "x_multimodal_mulaw_decode",
+    "x_multimodal_qoi_decode", "x_multimodal_video_frames", "x_pandas_udaf_median",
+    "x_pit_join", "x_profile_columns", "x_rolling_zscore",
+    "x_search_hybrid_rrf", "x_search_phrase", "x_similarity_ann_portable",
+    "x_similarity_pq", "x_sorted_neighborhood", "x_tokenize_maxmatch",
+    "x_triangle_count", "x_user_streaks", "q_events_json",
+    "q_events_multires_rollup", "q_events_tumbling", "q_stream_drift_psi",
+    "q_stream_incremental_agg", "q_stream_kmv_sketch", "q_stream_lakehouse_merge",
+    "q_stream_outer_join", "q_stream_quantile_sketch", "q_stream_stateful_funnel",
+    "q_stream_watermark", "x_ab_test", "x_attribution_linear",
+    "x_binaryfile_ingest", "x_churn_training_set", "x_cooccur_pmi",
+    "x_corpus_mixture", "x_distinct_kmv", "x_events_m4",
+    "x_geo_geohash", "x_geo_knn", "x_golden_record",
+    "x_graph_bfs", "x_html_strip", "x_impute_nulls",
+    "x_incremental_join", "x_join_size_estimate", "x_kmv_set_ops",
+    "x_mmr_rerank", "x_multimodal_adpcm_decode", "x_multimodal_decode",
+    "x_multimodal_jpeg_decode", "x_multimodal_jpeg_progressive", "x_multimodal_palette_png_decode",
+    "x_multimodal_png_decode", "x_quality_filter_pipeline", "x_random_projection",
+    "x_recommend_itemknn", "x_semdedup", "x_similarity_binary",
+    "x_similarity_ivf_kmeans", "x_skew_report", "x_stream_lakehouse_prune",
+    "x_text_nfc", "x_time_to_convert", "x_tokenize_optimal",
+    "x_trajectory_similarity", "x_warc_ingest",
 )
 
 def all_queries() -> dict[str, QueryDef]:
