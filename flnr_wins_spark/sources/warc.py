@@ -228,13 +228,19 @@ def split_zstd_frames(blob: bytes) -> Iterator[bytes]:
         if skippable:
             # remember the carrier payload as the candidate dictionary
             # (magic+size header is 8 bytes); decompress it first if the
-            # dictionary itself ships zstd-compressed
-            payload = blob[i + 8 : end]
-            dict_bytes = (
-                _plain(payload)
-                if payload[:4] == b"\x28\xb5\x2f\xfd"
-                else payload
-            )
+            # dictionary itself ships zstd-compressed. The warcio .warc.zst
+            # convention reserves skippable magic 0x184D2A5D for the
+            # dictionary — other skippable nibbles (padding) must not
+            # CLOBBER a seen carrier, but any first skippable is accepted
+            # leniently for layouts that use a different nibble.
+            magic = int.from_bytes(blob[i : i + 4], "little")
+            if magic == 0x184D2A5D or dict_bytes is None:
+                payload = blob[i + 8 : end]
+                dict_bytes = (
+                    _plain(payload)
+                    if payload[:4] == b"\x28\xb5\x2f\xfd"
+                    else payload
+                )
         elif needs_dict:
             if dict_bytes is None:
                 raise ValueError(

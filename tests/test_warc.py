@@ -306,6 +306,10 @@ def test_dict_zstd_probe_and_decode_path():
     )
     got = list(split_zstd_frames(carrier + frame))
     assert got == [payload]
+    # a PADDING skippable (non-dictionary nibble) between the carrier and
+    # the content frame must not clobber the dictionary
+    pad = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"pad"
+    assert list(split_zstd_frames(carrier + pad + frame)) == [payload]
     # and a dict frame with NO carrier is a loud ValueError
     with pytest.raises(ValueError, match="no preceding skippable"):
         list(split_zstd_frames(frame))
