@@ -1144,12 +1144,37 @@ def extract_audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
 # REAL GIF codec (stdlib-only LZW)
 # ---------------------------------------------------------------------------
 
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    """Display-row order of an interlaced GIF's stream rows (GIF89a
+    appendix E four-pass scheme): pass 1 every 8th row from 0, pass 2
+    every 8th from 4, pass 3 every 4th from 2, pass 4 every 2nd from 1.
+    Stream row i carries display row order[i]."""
+    return [
+        r
+        for start, step in _GIF_INTERLACE_PASSES
+        for r in range(start, height, step)
+    ]
+
+
+def _gif_deinterlace(indices: list[int], width: int, height: int) -> list[int]:
+    out: list[int] = [0] * (width * height)
+    for stream_i, disp_r in enumerate(_gif_interlace_order(height)):
+        out[disp_r * width : (disp_r + 1) * width] = indices[
+            stream_i * width : (stream_i + 1) * width
+        ]
+    return out
+
+
 def _decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     """REAL stdlib GIF decode: header walk, global color table, full
     variable-width LZW decompression (clear/end codes, width growth to 12
-    bits, LSB-first packing), palette mapping to interleaved RGB. First
-    image frame only; interlaced images and local color tables raise
-    ``NotImplementedError`` (honest-guard convention)."""
+    bits, LSB-first packing), palette mapping to interleaved RGB,
+    four-pass interlace deinterleave, local color tables (a frame's
+    local table overrides the global one per spec). First image frame
+    only."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w_screen = int.from_bytes(data[6:8], "little")
@@ -1173,11 +1198,12 @@ def _decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
             height = int.from_bytes(data[pos + 7 : pos + 9], "little")
             iflags = data[pos + 9]
             pos += 10
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
-            if iflags & 0x80:
-                raise NotImplementedError("local color table not supported")
-            if palette is None:
+            frame_palette = palette
+            if iflags & 0x80:  # local color table overrides the global
+                n = 2 ** ((iflags & 7) + 1)
+                frame_palette = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if frame_palette is None:
                 raise ValueError("GIF image with no color table")
             min_code = data[pos]
             pos += 1
@@ -1187,9 +1213,11 @@ def _decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
                 lzw += data[pos + 1 : pos + 1 + n]
                 pos += 1 + n
             indices = _lzw_decode(bytes(lzw), min_code, width * height)
+            if iflags & 0x40:
+                indices = _gif_deinterlace(indices, width, height)
             out = bytearray()
             for i in indices:
-                out += palette[3 * i : 3 * i + 3]
+                out += frame_palette[3 * i : 3 * i + 3]
             return 3, width, height, bytes(out)
         elif block == 0x3B:
             break
@@ -1296,16 +1324,37 @@ def _lzw_encode(indices: bytes, min_code: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
-    """REAL minimal GIF89a encode: global 256-color table, one image frame,
-    genuine dictionary-building LZW (see :func:`_lzw_encode`)."""
+def encode_gif(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+    interlace: bool = False,
+    local_palette: bool = False,
+) -> bytes:
+    """REAL minimal GIF89a encode: 256-color table, one image frame,
+    genuine dictionary-building LZW (see :func:`_lzw_encode`).
+    ``interlace=True`` emits rows in the four-pass appendix-E stream
+    order with the interlace flag set; ``local_palette=True`` carries
+    the table as the frame's LOCAL color table (no global one) — both
+    exist so the decoder's interlace/local-table paths have
+    construction-checked fixtures."""
     assert len(indices) == width * height and len(palette) == 768
     out = bytearray(b"GIF89a")
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out += bytes([0x80 | 0x07, 0, 0])  # global table, 256 entries
-    out += palette
+    if local_palette:
+        out += bytes([0x07, 0, 0])  # no global table
+    else:
+        out += bytes([0x80 | 0x07, 0, 0])  # global table, 256 entries
+        out += palette
     out += b"\x2c" + bytes(4) + width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out += bytes([0])  # no local table, not interlaced
+    iflags = (0x40 if interlace else 0) | (0x80 | 0x07 if local_palette else 0)
+    out += bytes([iflags])
+    if local_palette:
+        out += palette
+    if interlace:
+        rows = [indices[r * width : (r + 1) * width] for r in range(height)]
+        indices = b"".join(rows[r] for r in _gif_interlace_order(height))
     out += bytes([8])  # LZW min code size
     lzw = _lzw_encode(indices, 8)
     for i in range(0, len(lzw), 255):
@@ -1315,16 +1364,27 @@ def encode_gif(width: int, height: int, indices: bytes, palette: bytes) -> bytes
     return bytes(out)
 
 
-def wrap_gif(media: DataFrame, width: int, height: int, palette: bytes) -> DataFrame:
+def wrap_gif(
+    media: DataFrame,
+    width: int,
+    height: int,
+    palette: bytes,
+    interlace: bool = False,
+    local_palette: bool = False,
+) -> DataFrame:
     """Re-container raw palette-index bytes in ``content`` as a REAL GIF
-    (LZW-compressed). Arrow-batched narrow map — the encode half of the GIF
-    round-trip entry."""
+    (LZW-compressed; optionally interlaced and/or local-color-table).
+    Arrow-batched narrow map — the encode half of the GIF round-trip
+    entry."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
             pdf["content"] = pdf["content"].map(
-                lambda b: encode_gif(width, height, bytes(b), palette)
+                lambda b: encode_gif(
+                    width, height, bytes(b), palette,
+                    interlace=interlace, local_palette=local_palette,
+                )
             )
             yield pdf
 
@@ -1333,10 +1393,11 @@ def wrap_gif(media: DataFrame, width: int, height: int, palette: bytes) -> DataF
 
 def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
     """REAL animated-GIF decode: every image frame in the stream, each LZW-
-    inflated and palette-mapped like :func:`_decode_gif` (which returns only
-    the first). Graphic-control/comment/application extensions are walked
-    and skipped per spec. Frames must be full-logical-screen (no offsets) —
-    partial-update frames would need composition state and raise
+    inflated, deinterlaced if flagged, and palette-mapped (per-frame local
+    color tables override the global) like :func:`_decode_gif` (which
+    returns only the first). Graphic-control/comment/application extensions
+    are walked and skipped per spec. Frames must be full-logical-screen (no
+    offsets) — partial-update frames would need composition state and raise
     ``NotImplementedError``. Returns [(width, height, rgb bytes), ...]."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
@@ -1364,9 +1425,12 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
             pos += 10
             if left or top:
                 raise NotImplementedError("partial-update GIF frames not supported")
-            if iflags & 0xC0:
-                raise NotImplementedError("interlace/local tables not supported")
-            if palette is None:
+            frame_palette = palette
+            if iflags & 0x80:  # local color table overrides the global
+                n = 2 ** ((iflags & 7) + 1)
+                frame_palette = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if frame_palette is None:
                 raise ValueError("GIF image with no color table")
             min_code = data[pos]
             pos += 1
@@ -1377,9 +1441,11 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
                 pos += 1 + n
             pos += 1  # the terminating 0-length sub-block
             indices = _lzw_decode(bytes(lzw), min_code, width * height)
+            if iflags & 0x40:
+                indices = _gif_deinterlace(indices, width, height)
             out = bytearray()
             for i in indices:
-                out += palette[3 * i : 3 * i + 3]
+                out += frame_palette[3 * i : 3 * i + 3]
             frames.append((width, height, bytes(out)))
         elif block == 0x3B:
             break

@@ -60,14 +60,18 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 #     behavior-relevant diffs — the two streaming gates (offset-band
 #     guard adds a fixture-time assert) and the six skew/advisor-family
 #     entries rewired through the shared _skew_family_fixture (one fact
-#     build for the whole family; x_grid_skew_right already sits in (b)).
+#     build for the whole family; x_grid_skew_right already sits in (b)),
+#     plus the two GIF-decode entries: the decoder gained real interlace
+#     + local-color-table support late in r13 and x_multimodal_gif_decode
+#     now ships odd ids interlaced/local-table (same construction oracle
+#     value-checks the new paths).
 #     NOT regraded by design: x_warc_ingest (warc.py's r13 diff touches
 #     only the zstd dictionary path; the graded entry reads .warc.gz
 #     through the untouched member-split) and the localrel.py callers
 #     (DDL-parse + fallback-narrowing change nothing for the simple
 #     schemas every caller passes — pinned by test_localrel.py);
-# (d) positions 18-50: the r06 cohort, alphabetical — 33 of its 47
-#     still-stale entries fit the budget; the remaining 14 lead the r14
+# (d) positions 20-50: the r06 cohort, alphabetical — 31 of its 47
+#     still-stale entries fit the budget; the remaining 16 lead the r14
 #     fill, then r07 (41), r09 (42), r10 (42), r11 (35), r12 (48).
 # Names absent from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
@@ -76,7 +80,9 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_grid_skew_right", "x_ivf_recall", "x_pq_recall",
     "q_stream_dedup_gate", "q_stream_minhash_gate", "x_skew_sidecar_join",
     "x_auto_skew_join", "x_grid_skew_join", "x_grid_skew_left",
-    "x_grid_skew_full", "x_right_hot_left_join", "q1_pricing_summary",
+    "x_grid_skew_full", "x_right_hot_left_join",
+    "x_multimodal_gif_decode", "x_multimodal_video_frames",
+    "q1_pricing_summary",
     "q3_shipping_priority", "q5_local_supplier_volume", "q6_revenue_forecast",
     "q_events_dedup", "q_events_late_data", "q_events_sessionize",
     "q_events_sliding", "q_rollup_acctbal", "q_string_functions",
@@ -140,8 +146,8 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_event_paths", "x_fuzzy_join", "x_group_regression",
     "x_hard_negatives", "x_jdbc_snapshot", "x_k_anonymity",
     "x_kcore", "x_keywords_tfidf", "x_knn_classify",
-    "x_multimodal_audio_decode", "x_multimodal_gif_decode", "x_multimodal_mulaw_decode",
-    "x_multimodal_qoi_decode", "x_multimodal_video_frames", "x_pandas_udaf_median",
+    "x_multimodal_audio_decode", "x_multimodal_mulaw_decode",
+    "x_multimodal_qoi_decode", "x_pandas_udaf_median",
     "x_pit_join", "x_profile_columns", "x_rolling_zscore",
     "x_search_hybrid_rrf", "x_search_phrase", "x_similarity_ann_portable",
     "x_similarity_pq", "x_sorted_neighborhood", "x_tokenize_maxmatch",

@@ -4224,11 +4224,14 @@ def x_compaction_plan(spark, sf_dir):
     FROM px GROUP BY doc_id
     """,
     note="REAL GIF round-trip: known md5-derived 8x8 palette indices are "
-    "LZW-compressed (genuine dictionary-building encoder) into a GIF89a, "
-    "then the stdlib decoder walks blocks, inflates the variable-width LZW "
-    "stream and maps the arithmetic (i, 7i, 13i) palette; the oracle "
-    "recomputes expected RGB sums from the construction — compression, "
-    "width growth, and palette mapping all value-checked",
+    "LZW-compressed (genuine dictionary-building encoder) into a GIF89a — "
+    "odd ids additionally INTERLACED (four-pass appendix-E stream order) "
+    "with a LOCAL color table, even ids progressive/global — then the "
+    "stdlib decoder walks blocks, inflates the variable-width LZW stream, "
+    "deinterleaves where flagged, and maps the arithmetic (i, 7i, 13i) "
+    "palette; the oracle recomputes expected RGB sums from the "
+    "construction — compression, width growth, interlace scatter, "
+    "local-table override, and palette mapping all value-checked",
 )
 def x_multimodal_gif_decode(spark, sf_dir):
     from flnr_wins_spark.functions.multimodal import extract_features, wrap_gif
@@ -4258,7 +4261,17 @@ def x_multimodal_gif_decode(spark, sf_dir):
             F.lit(64).cast("bigint").alias("n_bytes"),
         ).alias("meta"),
     )
-    feats = extract_features(wrap_gif(media, 8, 8, palette), fake=False)
+    # odd ids ship INTERLACED with a LOCAL color table (no global), even
+    # ids progressive with the global table — decode output is identical
+    # by construction, so one unchanged oracle value-checks the
+    # deinterleave scatter and the local-table override (r13: these were
+    # honest NotImplementedError guards; now real decode paths)
+    plain = wrap_gif(media.filter(F.col("media_id") % 2 == 0), 8, 8, palette)
+    fancy = wrap_gif(
+        media.filter(F.col("media_id") % 2 == 1), 8, 8, palette,
+        interlace=True, local_palette=True,
+    )
+    feats = extract_features(plain.unionByName(fancy), fake=False)
     f = F.col("feature")
     return feats.select(
         "media_id",

@@ -188,20 +188,41 @@ def test_gif_lzw_roundtrip_with_dictionary_reset():
     assert px == b"".join(pal[3 * i : 3 * i + 3] for i in small)
 
 
-def test_gif_interlaced_raises():
-    import pytest
-
+def test_gif_interlaced_decodes_to_same_pixels():
+    """An interlaced encode of the same pixels must decode identically to
+    the progressive one — the four-pass appendix-E deinterleave is a pure
+    row permutation. Heights exercise every pass-boundary shape (h<8 has
+    empty later passes; odd h; h=1 is pass-4-only ... no: h=1 is pass 1
+    row 0 only)."""
     from flnr_wins_spark.functions.multimodal import decode_image, encode_gif
 
-    pal = bytes(768)
-    data = bytearray(encode_gif(2, 2, bytes(4), pal))
-    # image descriptor flags byte sits right after the 10-byte descriptor
-    # header that follows the 6+7+768 byte preamble; set the interlace bit
-    pos = 6 + 7 + 768 + 9
-    assert data[pos - 9] == 0x2C  # sanity: descriptor introducer
-    data[pos] = 0x40
-    with pytest.raises(NotImplementedError):
-        decode_image(bytes(data))
+    pal = b"".join(bytes([i, (i * 7) % 256, (i * 13) % 256]) for i in range(256))
+    for w, h in ((5, 13), (4, 8), (3, 1), (2, 2), (7, 9)):
+        idx = bytes((r * w + c) * 29 % 256 for r in range(h) for c in range(w))
+        plain = decode_image(encode_gif(w, h, idx, pal))
+        inter = decode_image(encode_gif(w, h, idx, pal, interlace=True))
+        assert inter == plain, (w, h)
+        # and the interlaced stream really is permuted on the wire: the
+        # two encodes differ whenever the permutation is non-identity
+        if h > 2:
+            assert encode_gif(w, h, idx, pal, interlace=True) != encode_gif(
+                w, h, idx, pal
+            )
+
+
+def test_gif_local_color_table_overrides_global():
+    from flnr_wins_spark.functions.multimodal import decode_image, encode_gif
+
+    pal = b"".join(bytes([i, 255 - i, (i * 3) % 256]) for i in range(256))
+    idx = bytes(range(16))
+    # local-table-only file (no global table at all)
+    ch, w, h, px = decode_image(encode_gif(4, 4, idx, pal, local_palette=True))
+    assert (ch, w, h) == (3, 4, 4)
+    assert px == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    # interlace + local table together
+    assert decode_image(
+        encode_gif(4, 4, idx, pal, interlace=True, local_palette=True)
+    ) == (ch, w, h, px)
 
 
 def test_mulaw_expansion_reference_values():
@@ -535,3 +556,22 @@ def test_binary_hamming_topk_sub_64_dims(spark):
     ham = {r.cand_id: r.hamming for r in out}
     assert ham[1] == 32  # only the 32 real bits differ; padding bits agree
     assert ham[2] == 16
+
+
+def test_gif_frames_decoder_handles_interlace_and_local_tables():
+    """decode_gif_frames shares the interlace/local-table paths: a
+    single-frame interlaced, local-table-only GIF decodes to the same
+    frame the plain decoder returns for the progressive encode."""
+    from flnr_wins_spark.functions.multimodal import (
+        decode_gif_frames,
+        decode_image,
+        encode_gif,
+    )
+
+    pal = b"".join(bytes([i, (i * 11) % 256, (i * 5) % 256]) for i in range(256))
+    idx = bytes((i * 37) % 256 for i in range(6 * 10))
+    _ch, w, h, px = decode_image(encode_gif(6, 10, idx, pal))
+    frames = decode_gif_frames(
+        encode_gif(6, 10, idx, pal, interlace=True, local_palette=True)
+    )
+    assert frames == [(w, h, px)]
