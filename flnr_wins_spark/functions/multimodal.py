@@ -1160,6 +1160,16 @@ def _gif_interlace_order(height: int) -> list[int]:
 
 
 def _gif_deinterlace(indices: list[int], width: int, height: int) -> list[int]:
+    # A short LZW stream would shrink the scattered rows via the slice
+    # assignment below and silently shift every subsequent display row —
+    # worse than the progressive path's graceful short-run degradation —
+    # so a truncated/corrupt stream is a loud error here (r13 ADVICE).
+    if len(indices) != width * height:
+        raise ValueError(
+            f"interlaced GIF pixel stream has {len(indices)} indices, "
+            f"expected {width * height} ({width}x{height}): truncated or "
+            "corrupt LZW stream cannot be row-scattered"
+        )
     out: list[int] = [0] * (width * height)
     for stream_i, disp_r in enumerate(_gif_interlace_order(height)):
         out[disp_r * width : (disp_r + 1) * width] = indices[

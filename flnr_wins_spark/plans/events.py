@@ -65,7 +65,12 @@ def _assert_offset_bands_free(docs, offsets=(1, 2, 3)) -> None:
     bands = {
         r[0]
         for r in docs.select(
-            (F.col("doc_id") / 1_000_000).cast("bigint").alias("b")
+            # floor, not cast: cast('bigint') truncates toward zero, so a
+            # negative doc_id (e.g. -500_000) would share band 0 with
+            # +500_000 and the no-carry invariant silently breaks
+            # (r13 ADVICE). floor keeps band(real)+k == band(real+k*1M)
+            # exact for every integer doc_id.
+            F.floor(F.col("doc_id") / 1_000_000).alias("b")
         )
         .distinct()
         .collect()

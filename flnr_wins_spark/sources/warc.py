@@ -220,32 +220,47 @@ def split_zstd_frames(blob: bytes) -> Iterator[bytes]:
             pa.BufferReader(frame), compression="zstd"
         ).read()
 
+    def _unwrap(payload: bytes) -> bytes:
+        # a carrier payload may itself ship zstd-compressed (framed)
+        return (
+            _plain(payload)
+            if payload[:4] == b"\x28\xb5\x2f\xfd"
+            else payload
+        )
+
     blob = bytes(blob)
     i = 0
-    dict_bytes: bytes | None = None
+    dict_bytes: bytes | None = None  # payload of a 0x184D2A5D carrier
+    other_skippable: bytes | None = None  # first non-carrier-nibble payload
     while i < len(blob):
         end, skippable, needs_dict = _zstd_frame_end(blob, i)
         if skippable:
-            # remember the carrier payload as the candidate dictionary
-            # (magic+size header is 8 bytes); decompress it first if the
-            # dictionary itself ships zstd-compressed. The warcio .warc.zst
-            # convention reserves skippable magic 0x184D2A5D for the
-            # dictionary — other skippable nibbles (padding) must not
-            # CLOBBER a seen carrier, but any first skippable is accepted
-            # leniently for layouts that use a different nibble.
+            # The warcio .warc.zst convention reserves skippable magic
+            # 0x184D2A5D for the dictionary carrier; that nibble always
+            # wins. Other skippable nibbles (usually padding) are NOT
+            # adopted eagerly — r13 ADVICE: a padding frame preceding the
+            # content would otherwise become a garbage dictionary and fail
+            # later with an opaque zstd error. The first such payload is
+            # remembered and promoted LAZILY, only when a dict-flagged
+            # frame actually needs it AND it validates as a real zstd
+            # dictionary (magic 0xEC30A437, RFC 8878 §5).
             magic = int.from_bytes(blob[i : i + 4], "little")
-            if magic == 0x184D2A5D or dict_bytes is None:
-                payload = blob[i + 8 : end]
-                dict_bytes = (
-                    _plain(payload)
-                    if payload[:4] == b"\x28\xb5\x2f\xfd"
-                    else payload
-                )
+            payload = blob[i + 8 : end]
+            if magic == 0x184D2A5D:
+                dict_bytes = _unwrap(payload)
+            elif other_skippable is None:
+                other_skippable = payload
         elif needs_dict:
+            if dict_bytes is None and other_skippable is not None:
+                cand = _unwrap(other_skippable)
+                if cand[:4] == b"\x37\xa4\x30\xec":  # 0xEC30A437 LE
+                    dict_bytes = cand
             if dict_bytes is None:
                 raise ValueError(
                     "dictionary-compressed zstd frame with no preceding "
-                    "skippable dictionary-carrier frame"
+                    "skippable dictionary-carrier frame (no 0x184D2A5D "
+                    "carrier; any other skippable payload seen lacked the "
+                    "0xEC30A437 dictionary magic)"
                 )
             yield dict_zstd_binding()(blob[i:end], dict_bytes)
         else:

@@ -210,6 +210,23 @@ def test_gif_interlaced_decodes_to_same_pixels():
             )
 
 
+def test_gif_deinterlace_rejects_short_pixel_stream():
+    """r13 ADVICE: a truncated/corrupt LZW stream yielding fewer than
+    width*height indices must be a loud ValueError in the interlaced
+    path — the row-scatter's slice assignment would otherwise shrink the
+    buffer and silently shift every later display row (unlike the
+    progressive path's graceful tail degradation)."""
+    import pytest
+
+    from flnr_wins_spark.functions.multimodal import _gif_deinterlace
+
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        _gif_deinterlace(list(range(11)), 3, 4)  # 11 < 12
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        _gif_deinterlace(list(range(13)), 3, 4)  # surplus is corrupt too
+    assert len(_gif_deinterlace(list(range(12)), 3, 4)) == 12
+
+
 def test_gif_local_color_table_overrides_global():
     from flnr_wins_spark.functions.multimodal import decode_image, encode_gif
 

@@ -1118,3 +1118,19 @@ class TestGateOffsetBandGuard:
         # an id in band 2 collides with the +2M clone band of band 0
         with pytest.raises(ValueError, match="id-offset collision"):
             _assert_offset_bands_free(self._docs(spark, [10, 2_000_005]))
+
+    def test_negative_ids_use_floor_bands(self, spark):
+        """r13 ADVICE: cast('bigint') truncates toward zero, so
+        -500_000 and +500_000 would BOTH land in band 0 while the ids
+        -500_000 and -500_000 + 1M = +500_000 genuinely collide at the
+        +1M clone offset — the guard must catch it. floor puts
+        -500_000 in band -1; band -1 + offset 1 = band 0 is occupied,
+        so the guard raises (real collision detected)."""
+        import pytest
+
+        from flnr_wins_spark.plans.events import _assert_offset_bands_free
+
+        with pytest.raises(ValueError, match="id-offset collision"):
+            _assert_offset_bands_free(self._docs(spark, [-500_000, 500_000]))
+        # negative ids alone (bands {-1}) are still collision-free
+        _assert_offset_bands_free(self._docs(spark, [-500_000, -1]))

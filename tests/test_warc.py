@@ -313,3 +313,67 @@ def test_dict_zstd_probe_and_decode_path():
     # and a dict frame with NO carrier is a loud ValueError
     with pytest.raises(ValueError, match="no preceding skippable"):
         list(split_zstd_frames(frame))
+
+
+def _fake_dict_frame() -> bytes:
+    """Hand-crafted dict-flagged zstd frame the RFC 8878 walker parses
+    deterministically (binding-independent — never actually decoded):
+    fhd 0x21 = single_segment + 1-byte Dictionary_ID, 1-byte FCS, one
+    final raw block of 4 stored bytes."""
+    return (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([0x21, 0x07, 0x04])       # fhd, DID=7, FCS=4
+        + (1 | (4 << 3)).to_bytes(3, "little")  # last raw block, 4 bytes
+        + b"RAW!"
+    )
+
+
+def test_lazy_dict_promotion_validates_padding_payloads(monkeypatch):
+    """r13 ADVICE (warc.py): a non-0x184D2A5D skippable (padding) must
+    NOT be adopted eagerly as the dictionary — it is promoted lazily,
+    only when a dict-flagged frame needs it AND it carries the zstd
+    dictionary magic 0xEC30A437; garbage padding before a dict frame is
+    a clear ValueError, not an opaque zstd decode error. A fake binding
+    is injected so the needs_dict path runs in this binding-less
+    container; the real-binding round-trip lives in
+    test_dict_zstd_probe_and_decode_path."""
+    import pytest
+
+    from flnr_wins_spark.sources import warc as W
+
+    calls = []
+
+    def fake(frame: bytes, dict_bytes: bytes) -> bytes:
+        calls.append((frame, dict_bytes))
+        return b"DECODED"
+
+    monkeypatch.setattr(W, "_DICT_ZSTD_PROBED", True)
+    monkeypatch.setattr(W, "_DICT_ZSTD", fake)
+
+    frame = _fake_dict_frame()
+    pad = (0x184D2A50).to_bytes(4, "little") + (8).to_bytes(4, "little") + b"garbage!"
+    dict_payload = b"\x37\xa4\x30\xec" + b"rest-of-trained-dictionary"
+    dictish_pad = (
+        (0x184D2A50).to_bytes(4, "little")
+        + len(dict_payload).to_bytes(4, "little")
+        + dict_payload
+    )
+    carrier = (
+        (0x184D2A5D).to_bytes(4, "little") + (7).to_bytes(4, "little") + b"rawdict"
+    )
+
+    # garbage padding is NOT a dictionary: loud ValueError naming the magic
+    with pytest.raises(ValueError, match="0xEC30A437"):
+        list(W.split_zstd_frames(pad + frame))
+    assert calls == []
+
+    # a padding-nibble payload WITH the dictionary magic promotes lazily
+    assert list(W.split_zstd_frames(dictish_pad + frame)) == [b"DECODED"]
+    assert calls[-1] == (frame, dict_payload)
+
+    # the reserved 0x184D2A5D carrier always wins, raw payload accepted
+    # as-is, regardless of padding order around it
+    assert list(W.split_zstd_frames(pad + carrier + frame)) == [b"DECODED"]
+    assert calls[-1] == (frame, b"rawdict")
+    assert list(W.split_zstd_frames(carrier + pad + frame)) == [b"DECODED"]
+    assert calls[-1] == (frame, b"rawdict")
