@@ -1402,26 +1402,53 @@ def wrap_gif(
 
 
 def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
-    """REAL animated-GIF decode: every image frame in the stream, each LZW-
-    inflated, deinterlaced if flagged, and palette-mapped (per-frame local
-    color tables override the global) like :func:`_decode_gif` (which
-    returns only the first). Graphic-control/comment/application extensions
-    are walked and skipped per spec. Frames must be full-logical-screen (no
-    offsets) — partial-update frames would need composition state and raise
-    ``NotImplementedError``. Returns [(width, height, rgb bytes), ...]."""
+    """REAL animated-GIF decode WITH composition state: every image frame
+    is LZW-inflated, deinterlaced if flagged, palette-mapped (per-frame
+    local color tables override the global) and COMPOSED onto a
+    logical-screen canvas honoring the preceding graphic-control
+    extension — partial-update rects at (left, top), per-pixel
+    transparency (pixels equal to the GCE transparent index leave the
+    canvas untouched), and disposal methods 0/1 (keep), 2 (restore the
+    rect to the background color — the global-palette background index,
+    black when there is no global table), and 3 (restore the canvas to
+    its pre-frame state). Emits one full-canvas snapshot per image
+    frame: [(screen_w, screen_h, rgb bytes), ...]. Full-frame streams
+    (the only kind the round-13 decoder accepted) compose to exactly
+    the per-frame pixels, so this is a strict extension. Reserved
+    disposal methods 4-7 raise ValueError (loud, never guessed)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    w_screen = int.from_bytes(data[6:8], "little")
+    h_screen = int.from_bytes(data[8:10], "little")
     flags = data[10]
+    bg_index = data[11]
     pos = 13
     palette = None
     if flags & 0x80:
         n = 2 ** ((flags & 7) + 1)
         palette = data[pos : pos + 3 * n]
         pos += 3 * n
+    bg_rgb = (
+        palette[3 * bg_index : 3 * bg_index + 3]
+        if palette is not None and 3 * bg_index + 3 <= len(palette)
+        else b"\x00\x00\x00"
+    )
+    canvas = bytearray(bg_rgb * (w_screen * h_screen))
     frames: list[tuple[int, int, bytes]] = []
+    disposal = 0
+    transparent: int | None = None
     while pos < len(data):
         block = data[pos]
         if block == 0x21:
+            label = data[pos + 1]
+            if label == 0xF9:  # graphic control: applies to the NEXT image
+                packed = data[pos + 3]
+                disposal = (packed >> 2) & 7
+                transparent = data[pos + 6] if packed & 1 else None
+                if disposal > 3:
+                    raise ValueError(
+                        f"reserved GIF disposal method {disposal}"
+                    )
             pos += 2
             while data[pos] != 0:
                 pos += 1 + data[pos]
@@ -1433,8 +1460,11 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
             height = int.from_bytes(data[pos + 7 : pos + 9], "little")
             iflags = data[pos + 9]
             pos += 10
-            if left or top:
-                raise NotImplementedError("partial-update GIF frames not supported")
+            if left + width > w_screen or top + height > h_screen:
+                raise ValueError(
+                    f"GIF frame rect {width}x{height}@({left},{top}) exceeds "
+                    f"the {w_screen}x{h_screen} logical screen"
+                )
             frame_palette = palette
             if iflags & 0x80:  # local color table overrides the global
                 n = 2 ** ((iflags & 7) + 1)
@@ -1453,10 +1483,26 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
             indices = _lzw_decode(bytes(lzw), min_code, width * height)
             if iflags & 0x40:
                 indices = _gif_deinterlace(indices, width, height)
-            out = bytearray()
-            for i in indices:
-                out += frame_palette[3 * i : 3 * i + 3]
-            frames.append((width, height, bytes(out)))
+            saved = bytes(canvas) if disposal == 3 else None
+            for r in range(height):
+                row = (top + r) * w_screen
+                for c in range(width):
+                    i = indices[r * width + c]
+                    if transparent is not None and i == transparent:
+                        continue
+                    o = 3 * (row + left + c)
+                    canvas[o : o + 3] = frame_palette[3 * i : 3 * i + 3]
+            frames.append((w_screen, h_screen, bytes(canvas)))
+            if disposal == 2:  # restore the frame's rect to background
+                for r in range(height):
+                    row = (top + r) * w_screen
+                    for c in range(width):
+                        o = 3 * (row + left + c)
+                        canvas[o : o + 3] = bg_rgb
+            elif disposal == 3:  # restore to the pre-frame canvas
+                canvas = bytearray(saved)
+            disposal = 0
+            transparent = None
         elif block == 0x3B:
             break
         else:
@@ -1465,21 +1511,50 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
 
 
 def encode_gif_animated(
-    width: int, height: int, frames: list[bytes], palette: bytes, delay_cs: int = 10
+    width: int,
+    height: int,
+    frames: list[bytes],
+    palette: bytes,
+    delay_cs: int = 10,
+    controls: list[dict | None] | None = None,
 ) -> bytes:
     """REAL minimal animated GIF89a: NETSCAPE loop extension, per-frame
-    graphic-control extension + full-frame image descriptor, genuine LZW
-    per frame."""
-    assert len(palette) == 768 and all(len(f) == width * height for f in frames)
+    graphic-control extension + image descriptor, genuine LZW per frame.
+
+    ``controls`` (optional, one entry per frame, ``None`` = full-frame
+    defaults) makes frame k a PARTIAL-UPDATE frame: ``{"left", "top",
+    "width", "height"}`` place the frame's rect on the logical screen
+    (``frames[k]`` must then hold rect-sized index bytes), ``"disposal"``
+    (0-3) packs into the GCE disposal field, and ``"transparent"`` (a
+    palette index or None) sets the GCE transparency flag+index so
+    rect pixels equal to it leave the composed canvas untouched —
+    the construction half of :func:`decode_gif_frames`'s composition
+    canvas, so delta-framed fixtures are construction-checked."""
+    assert len(palette) == 768
+    if controls is None:
+        controls = [None] * len(frames)
+    assert len(controls) == len(frames)
     out = bytearray(b"GIF89a")
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
     out += bytes([0x80 | 0x07, 0, 0])
     out += palette
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
-    for fr in frames:
-        out += b"\x21\xf9\x04\x00" + delay_cs.to_bytes(2, "little") + b"\x00\x00"
-        out += b"\x2c" + bytes(4)
-        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    for fr, ctl in zip(frames, controls):
+        ctl = ctl or {}
+        left = ctl.get("left", 0)
+        top = ctl.get("top", 0)
+        w = ctl.get("width", width)
+        h = ctl.get("height", height)
+        disposal = ctl.get("disposal", 0)
+        transparent = ctl.get("transparent")
+        assert len(fr) == w * h and left + w <= width and top + h <= height
+        packed = ((disposal & 7) << 2) | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([packed])
+        out += delay_cs.to_bytes(2, "little")
+        out += bytes([transparent or 0, 0])
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
         out += bytes([0, 8])
         lzw = _lzw_encode(fr, 8)
         for i in range(0, len(lzw), 255):
@@ -1536,24 +1611,89 @@ def gif_frame_features(media: DataFrame, sample: list[int]) -> DataFrame:
     return media.mapInPandas(batches, schema=GIF_FRAME_FEATURE_SCHEMA)
 
 
+def delta_gif_controls(
+    width: int, height: int, frames: list[bytes]
+) -> tuple[list[bytes], list[dict | None]]:
+    """Re-express full frames 1..n-1 as PARTIAL-UPDATE deltas: each
+    becomes the bounding rect of pixels that changed vs the previous
+    frame, with unchanged pixels INSIDE the rect set to a transparent
+    index (the smallest byte value absent from the rect's changed
+    pixels — always exists: a rect holds < 256 distinct changed values
+    whenever any pixel is unchanged) and disposal 1 (do not dispose),
+    so composition over the canvas reproduces the full frames EXACTLY
+    by construction. A frame identical to its predecessor degenerates
+    to a fully-transparent 1x1 rect. Returns (frames', controls) for
+    :func:`encode_gif_animated`."""
+    out_frames: list[bytes] = [frames[0]]
+    controls: list[dict | None] = [None]
+    for prev, cur in zip(frames, frames[1:]):
+        changed = [i for i in range(width * height) if cur[i] != prev[i]]
+        if not changed:
+            out_frames.append(b"\x00")
+            controls.append(
+                {"left": 0, "top": 0, "width": 1, "height": 1,
+                 "disposal": 1, "transparent": 0}
+            )
+            continue
+        rows = [i // width for i in changed]
+        cols = [i % width for i in changed]
+        top, bot = min(rows), max(rows)
+        left, right = min(cols), max(cols)
+        w, h = right - left + 1, bot - top + 1
+        rect_has_unchanged = len(changed) < w * h
+        if rect_has_unchanged:
+            used = {cur[i] for i in changed}
+            # if all 256 byte values appear among changed pixels there is
+            # no free transparent index — overwrite unchanged pixels with
+            # their own value instead (a no-op on the canvas)
+            transparent = next((v for v in range(256) if v not in used), None)
+        else:
+            transparent = None
+        rect = bytearray()
+        for r in range(top, bot + 1):
+            for c in range(left, right + 1):
+                i = r * width + c
+                rect.append(
+                    transparent
+                    if cur[i] == prev[i] and transparent is not None
+                    else cur[i]
+                )
+        controls.append(
+            {"left": left, "top": top, "width": w, "height": h,
+             "disposal": 1, "transparent": transparent}
+        )
+        out_frames.append(bytes(rect))
+    return out_frames, controls
+
+
 def wrap_gif_animated(
-    media: DataFrame, width: int, height: int, n_frames: int, palette: bytes
+    media: DataFrame,
+    width: int,
+    height: int,
+    n_frames: int,
+    palette: bytes,
+    delta: bool = False,
 ) -> DataFrame:
     """Re-container raw concatenated per-frame index bytes in ``content`` as
-    a REAL animated GIF (content length must be n_frames * width * height)."""
+    a REAL animated GIF (content length must be n_frames * width * height).
+    ``delta=True`` ships frames 1..n-1 as partial-update bounding-rect
+    deltas with transparency (:func:`delta_gif_controls`) — composed
+    output is identical by construction, so the same oracle value-checks
+    the composition canvas."""
     size = width * height
+
+    def build(b) -> bytes:
+        frames = [bytes(b)[k * size : (k + 1) * size] for k in range(n_frames)]
+        if delta:
+            frames, controls = delta_gif_controls(width, height, frames)
+        else:
+            controls = None
+        return encode_gif_animated(width, height, frames, palette, controls=controls)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
-            pdf["content"] = pdf["content"].map(
-                lambda b: encode_gif_animated(
-                    width,
-                    height,
-                    [bytes(b)[k * size : (k + 1) * size] for k in range(n_frames)],
-                    palette,
-                )
-            )
+            pdf["content"] = pdf["content"].map(build)
             yield pdf
 
     return media.mapInPandas(batches, schema=media.schema)

@@ -4471,8 +4471,10 @@ def x_multimodal_mulaw_decode(spark, sf_dir):
     note="REAL video-style frame sampling: a genuine 4-frame animated GIF "
     "(NETSCAPE loop + per-frame LZW) is decoded frame-by-frame and frames "
     "0 and 2 emit integer-exact channel sums — upgrades the fake "
-    "frame-sampler fan-out to a real multi-frame container; oracle "
-    "recomputes expected pixels from the construction",
+    "frame-sampler fan-out to a real multi-frame container; odd ids ship "
+    "partial-update delta frames (bounding rect + transparency, disposal "
+    "1) composed over the canvas, output-identical by construction; "
+    "oracle recomputes expected pixels from the construction",
 )
 def x_multimodal_video_frames(spark, sf_dir):
     from flnr_wins_spark.functions.multimodal import (
@@ -4505,7 +4507,17 @@ def x_multimodal_video_frames(spark, sf_dir):
             F.lit(64).cast("bigint").alias("n_bytes"),
         ).alias("meta"),
     )
-    return gif_frame_features(wrap_gif_animated(media, 4, 4, 4, palette), sample=[0, 2])
+    # odd ids ship frames 1..3 as PARTIAL-UPDATE bounding-rect deltas with
+    # transparency (disposal 1) — the composition canvas reproduces the
+    # full frames exactly by construction, so the UNCHANGED oracle
+    # value-checks the r14 composition paths; even ids stay full-frame
+    full = wrap_gif_animated(
+        media.filter(F.col("media_id") % 2 == 0), 4, 4, 4, palette
+    )
+    deltas = wrap_gif_animated(
+        media.filter(F.col("media_id") % 2 == 1), 4, 4, 4, palette, delta=True
+    )
+    return gif_frame_features(full.unionByName(deltas), sample=[0, 2])
 
 
 @query(

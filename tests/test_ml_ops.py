@@ -268,7 +268,14 @@ def test_mulaw_wav_decodes():
     assert ss == [_mulaw_expand(b) for b in payload]
 
 
-def test_animated_gif_roundtrip_and_partial_frame_guard():
+_GIF_PAL = b"".join(bytes([i, (i * 7) % 256, (i * 13) % 256]) for i in range(256))
+
+
+def _rgb(indices):
+    return b"".join(_GIF_PAL[3 * i : 3 * i + 3] for i in indices)
+
+
+def test_animated_gif_roundtrip_and_bounds_guard():
     import pytest
 
     from flnr_wins_spark.functions.multimodal import (
@@ -276,14 +283,12 @@ def test_animated_gif_roundtrip_and_partial_frame_guard():
         encode_gif_animated,
     )
 
-    pal = b"".join(bytes([i, (i * 7) % 256, (i * 13) % 256]) for i in range(256))
     frames = [bytes((i * k + 3) % 256 for i in range(16)) for k in range(1, 4)]
-    g = encode_gif_animated(4, 4, frames, pal)
+    g = encode_gif_animated(4, 4, frames, _GIF_PAL)
     dec = decode_gif_frames(g)
-    assert [px for _, _, px in dec] == [
-        b"".join(pal[3 * i : 3 * i + 3] for i in f) for f in frames
-    ]
-    # a frame with a nonzero left offset must refuse (needs composition).
+    assert [px for _, _, px in dec] == [_rgb(f) for f in frames]
+    # a frame rect running past the logical screen is a loud ValueError
+    # (r14: offsets COMPOSE now; out-of-bounds is the remaining refusal).
     # NB: find the image DESCRIPTOR 0x2c, not the first 0x2c byte — the
     # palette contains one (color index 44).
     bad = bytearray(g)
@@ -291,9 +296,128 @@ def test_animated_gif_roundtrip_and_partial_frame_guard():
     assert bad[pos] == 0x21 and bad[pos + 1] == 0xF9  # frame-0 GCE
     pos += 8  # GCE is 8 bytes: 21 f9 04 <4 data> 00
     assert bad[pos] == 0x2C
-    bad[pos + 1] = 1
-    with pytest.raises(NotImplementedError):
+    bad[pos + 1] = 1  # left=1 with width=4 on a 4-wide screen
+    with pytest.raises(ValueError, match="exceeds"):
         decode_gif_frames(bytes(bad))
+
+
+def test_animated_gif_partial_update_composition():
+    """r13 VERDICT task 4: partial-update frames compose over the canvas —
+    offset rects, per-pixel transparency, disposal 1 (keep), 2 (restore
+    rect to background), 3 (restore to previous). Expectations are
+    hand-composed index canvases, independently of the decoder."""
+    import pytest
+
+    from flnr_wins_spark.functions.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    base = bytes(range(16))  # frame 0: full 4x4
+
+    def compose(canvas, rect, left, top, w, h, transparent=None):
+        out = bytearray(canvas)
+        for r in range(h):
+            for c in range(w):
+                v = rect[r * w + c]
+                if transparent is not None and v == transparent:
+                    continue
+                out[(top + r) * 4 + left + c] = v
+        return bytes(out)
+
+    # frame 1: 2x2 rect at (1,2), value 200 with one transparent pixel
+    rect1 = bytes([200, 99, 201, 202])  # 99 = transparent
+    f1 = compose(base, rect1, 1, 2, 2, 2, transparent=99)
+    # disposal 1 on frame 1, then a fully-transparent probe frame 2:
+    # canvas unchanged => probe shows f1
+    g = encode_gif_animated(
+        4, 4, [base, rect1, bytes([0])], _GIF_PAL,
+        controls=[
+            None,
+            {"left": 1, "top": 2, "width": 2, "height": 2,
+             "disposal": 1, "transparent": 99},
+            {"left": 0, "top": 0, "width": 1, "height": 1,
+             "disposal": 1, "transparent": 0},
+        ],
+    )
+    dec = decode_gif_frames(g)
+    assert [(w, h) for w, h, _ in dec] == [(4, 4)] * 3
+    assert dec[0][2] == _rgb(base)
+    assert dec[1][2] == _rgb(f1)
+    assert dec[2][2] == _rgb(f1)  # disposal 1 kept the composed canvas
+
+    # disposal 2: frame 1's rect restores to the BACKGROUND color
+    # (background index 0 -> palette entry 0) before the probe
+    g2 = encode_gif_animated(
+        4, 4, [base, rect1, bytes([0])], _GIF_PAL,
+        controls=[
+            None,
+            {"left": 1, "top": 2, "width": 2, "height": 2,
+             "disposal": 2, "transparent": 99},
+            {"left": 0, "top": 0, "width": 1, "height": 1,
+             "disposal": 1, "transparent": 0},
+        ],
+    )
+    dec2 = decode_gif_frames(g2)
+    assert dec2[1][2] == _rgb(f1)
+    restored = compose(f1, bytes([0, 0, 0, 0]), 1, 2, 2, 2)
+    assert dec2[2][2] == _rgb(restored)
+
+    # disposal 3: canvas restores to the PRE-frame state
+    g3 = encode_gif_animated(
+        4, 4, [base, rect1, bytes([0])], _GIF_PAL,
+        controls=[
+            None,
+            {"left": 1, "top": 2, "width": 2, "height": 2,
+             "disposal": 3, "transparent": 99},
+            {"left": 0, "top": 0, "width": 1, "height": 1,
+             "disposal": 1, "transparent": 0},
+        ],
+    )
+    dec3 = decode_gif_frames(g3)
+    assert dec3[1][2] == _rgb(f1)
+    assert dec3[2][2] == _rgb(base)
+
+    # reserved disposal methods stay loud
+    raw = bytearray(g)
+    pos = 6 + 7 + 768 + 19
+    assert raw[pos + 1] == 0xF9
+    raw[pos + 3] = 4 << 2  # disposal 4 (reserved)
+    with pytest.raises(ValueError, match="reserved GIF disposal"):
+        decode_gif_frames(bytes(raw))
+
+
+def test_delta_gif_controls_reproduce_full_frames():
+    """delta_gif_controls re-expresses frames 1..n-1 as bounding-rect
+    deltas with transparency; composed decode must equal the full-frame
+    decode EXACTLY — including an identical consecutive frame (degenerate
+    1x1 fully-transparent rect)."""
+    from flnr_wins_spark.functions.multimodal import (
+        decode_gif_frames,
+        delta_gif_controls,
+        encode_gif_animated,
+    )
+
+    w, h = 5, 3
+    f0 = bytes((7 * i + 1) % 256 for i in range(15))
+    f1 = bytearray(f0)
+    f1[6] = 250  # single-pixel change
+    f2 = bytearray(f1)
+    f2[0] = 13
+    f2[14] = 98  # far corners: bbox = whole frame, interior unchanged
+    frames = [f0, bytes(f1), bytes(f1), bytes(f2)]  # includes an identical pair
+
+    dframes, controls = delta_gif_controls(w, h, [bytes(f) for f in frames])
+    assert controls[1]["width"] == 1 and controls[1]["height"] == 1
+    assert dframes[2] == b"\x00"  # identical frame degenerates
+    assert controls[3]["width"] == w and controls[3]["height"] == h
+    assert controls[3]["transparent"] is not None
+
+    full = decode_gif_frames(encode_gif_animated(w, h, [bytes(f) for f in frames], _GIF_PAL))
+    delta = decode_gif_frames(
+        encode_gif_animated(w, h, dframes, _GIF_PAL, controls=controls)
+    )
+    assert full == delta
 
 
 class TestMmrRerank:
