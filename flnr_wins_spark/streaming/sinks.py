@@ -94,6 +94,80 @@ def _drop_superseded(spark, path: str, batch_id: int) -> None:
             _state_delete(spark, f"{path}/v{v}")
 
 
+def _recover_compaction(spark, root: str) -> None:
+    """Finish (or discard) an interrupted :func:`_compact_delta_versions`
+    before any reader lists ``root``'s versions. Invariants that make
+    every crash point recoverable: the merge set is always the OLDEST
+    versions (every ``v <= target``), the tmp dir is ``_SUCCESS``-marked
+    only once it holds the COMPLETE merged union, and originals are only
+    renamed to ``compacted_v*`` side names (invisible to
+    ``_state_versions``) until the tmp takes the target name."""
+    import re
+
+    fs, jroot = _state_fs(spark, root)
+    if not fs.exists(jroot):
+        return
+    tmps: list[int] = []
+    leftovers: list[str] = []
+    for status in fs.listStatus(jroot):
+        name = status.getPath().getName()
+        m = re.fullmatch(r"compact_tmp_v(\d+)", name)
+        if m:
+            tmps.append(int(m.group(1)))
+        elif re.fullmatch(r"compacted_v\d+", name):
+            leftovers.append(name)
+    for target in tmps:
+        tmp = f"{root}/compact_tmp_v{target}"
+        _, jmark = _state_fs(spark, f"{tmp}/_SUCCESS")
+        if fs.exists(jmark):
+            # the marked tmp contains every v <= target in full: drop any
+            # original still visible, then promote the tmp
+            for v in _state_versions(spark, root):
+                if v <= target:
+                    _state_delete(spark, f"{root}/v{v}")
+            _, jsrc = _state_fs(spark, tmp)
+            _, jdst = _state_fs(spark, f"{root}/v{target}")
+            fs.rename(jsrc, jdst)
+        else:  # incomplete merge write: originals are untouched
+            _state_delete(spark, tmp)
+    for name in leftovers:
+        _state_delete(spark, f"{root}/{name}")
+
+
+def _compact_delta_versions(spark, root: str, max_versions: int = 8) -> None:
+    """Bound a DELTA-layout state's version count (union-of-versions ==
+    the state): when more than ``max_versions`` deltas exist, merge the
+    oldest into ONE parquet dir named after the newest merged version —
+    per-batch probe overhead (FS listings, file opens, plan-union width)
+    stays O(max_versions) however many micro-batches the stream has seen,
+    while the state CONTENTS are unchanged (the r13 VERDICT's
+    persisted-index-compaction task for the near-dup gate). The merge
+    target is always < the newest retained version, so a replayed batch
+    rewriting its own delta never clobbers compacted history, and a
+    checkpoint-reset timeline (which restarts at batch 0) still wipes
+    compacted state through ``_drop_superseded``. Crash-safe with
+    :func:`_recover_compaction` via a _SUCCESS-marked tmp + side-renames."""
+    versions = _state_versions(spark, root)
+    if max_versions < 2 or len(versions) <= max_versions:
+        return
+    merge = versions[: len(versions) - max_versions + 1]
+    target = merge[-1]
+    tmp = f"{root}/compact_tmp_v{target}"
+    spark.read.parquet(*[f"{root}/v{v}" for v in merge]).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    fs, _ = _state_fs(spark, root)
+    for v in merge:
+        _, jsrc = _state_fs(spark, f"{root}/v{v}")
+        _, jdst = _state_fs(spark, f"{root}/compacted_v{v}")
+        fs.rename(jsrc, jdst)
+    _, jsrc = _state_fs(spark, tmp)
+    _, jdst = _state_fs(spark, f"{root}/v{target}")
+    fs.rename(jsrc, jdst)
+    for v in merge:
+        _state_delete(spark, f"{root}/compacted_v{v}")
+
+
 def _prune_state_versions(spark, state_path: str, batch_id: int, keep: int = 3) -> None:
     """The one retention policy every snapshot-state sink shares: drop the
     superseded timeline (versions > batch_id), then all but the newest
@@ -365,6 +439,7 @@ def minhash_dedup_sink(
     seed: int = 42,
     hash_fn: str = "xxhash64",
     available_now: bool = True,
+    compact_every: int = 8,
 ) -> StreamingQuery:
     """Ingestion-time NEAR-dup gate (the streaming face of
     ``operators.dedup.minhash_lsh_pairs``): a document is rejected when its
@@ -378,11 +453,20 @@ def minhash_dedup_sink(
     == {later id of every verified minhash_lsh_pairs(corpus) pair};
     out-of-order arrivals still reject the newcomer (never both copies).
 
-    State per seen doc: its shingle set + signature row, written as
-    PER-BATCH DELTA versions (replaying batch N rewrites only v<N>'s own
-    delta — idempotent; the read side unions prior deltas, so per-batch
-    WRITE cost follows the batch, not the accumulated history). Per-batch
-    compute: batch signatures are a narrow map; candidate discovery is the
+    State per seen doc (r14 layout): PRE-EXPLODED band-bucket rows at
+    ``<state>/bands/v<N>`` (id, band, mhv) — the persisted index the
+    candidate join probes directly, so history is never re-banded from
+    signatures batch after batch — and shingle sets at
+    ``<state>/shsets/v<N>`` (read ONLY by the exact-verify join), each
+    written as PER-BATCH DELTA versions (replaying batch N rewrites only
+    v<N>'s own deltas — idempotent; the read side unions prior deltas,
+    so per-batch WRITE cost follows the batch, not the accumulated
+    history). Once more than ``compact_every`` deltas accumulate, the
+    oldest merge into one (``_compact_delta_versions``, crash-safe via
+    ``_recover_compaction``) — per-batch version overhead (listings,
+    file opens, plan-union width) stays bounded over a long-running
+    stream while the state CONTENTS are unchanged. Per-batch compute:
+    batch signatures are a narrow map; candidate discovery is the
     batch-bands x state-bands equi-join on (band, minhash); exact verify
     touches candidates only. At
     TB-scale states, swap the stored shingle sets for signature-estimated
@@ -402,26 +486,32 @@ def minhash_dedup_sink(
         minhash_signature_table,
     )
 
+    base = state_path.rstrip("/")
+    bands_root, sh_root, kept_root = f"{base}/bands", f"{base}/shsets", f"{base}_kept"
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # shed an abandoned timeline's deltas/outputs before reading priors
-        _drop_superseded(spark, state_path, batch_id)
-        _drop_superseded(spark, f"{state_path.rstrip('/')}_kept", batch_id)
+        # finish any interrupted compaction, then shed an abandoned
+        # timeline's deltas/outputs before reading priors
+        for root in (bands_root, sh_root):
+            _recover_compaction(spark, root)
+            _drop_superseded(spark, root, batch_id)
+        _drop_superseded(spark, kept_root, batch_id)
         sig_new = minhash_signature_table(
             batch_df, text_col, id_col,
             num_hash_tables=num_hash_tables, shingle_n=shingle_n, seed=seed,
             hash_fn=hash_fn,
         ).localCheckpoint()
         bands_new = minhash_bands(sig_new, num_hash_tables)
-        # DELTA state: each version holds only ITS batch's signatures; the
-        # read side unions prior versions. Per-batch write cost is O(batch),
-        # not O(history) — compact the deltas offline if version count grows.
-        prior = [v for v in _state_versions(spark, state_path) if v < batch_id]
+        # DELTA state: each version holds only ITS batch's rows; the read
+        # side unions prior versions (bounded by _compact_delta_versions).
+        prior = [v for v in _state_versions(spark, bands_root) if v < batch_id]
         if prior:
-            sig_old = spark.read.parquet(
-                *[f"{state_path}/v{v}" for v in prior]
+            # the persisted band index probes directly — no re-banding of
+            # history, and the heavy shset column is never touched here
+            bands_old = spark.read.parquet(
+                *[f"{bands_root}/v{v}" for v in prior]
             )
-            bands_old = minhash_bands(sig_old, num_hash_tables)
             # NEW doc vs ANY seen doc — no id comparison: the gate's contract
             # is arrival order, so a later-arriving near-dup is rejected even
             # when it carries a lower id than its seen match
@@ -435,10 +525,13 @@ def minhash_dedup_sink(
                 )
                 .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             )
-            all_sig = sig_old.unionByName(sig_new)
+            sh_prior = [v for v in _state_versions(spark, sh_root) if v < batch_id]
+            all_sh = spark.read.parquet(
+                *[f"{sh_root}/v{v}" for v in sh_prior]
+            ).unionByName(sig_new.select("id", "shset"))
         else:
             cand_cross = None
-            all_sig = sig_new
+            all_sh = sig_new.select("id", "shset")
         a, b = bands_new.alias("a"), bands_new.alias("b")
         cand_in = a.join(
             b,
@@ -448,7 +541,7 @@ def minhash_dedup_sink(
         ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         cand = cand_in if cand_cross is None else cand_in.unionByName(cand_cross)
         cand = cand.distinct()
-        sa = all_sig.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
+        sa = all_sh.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
         sb = sig_new.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
         dup_ids = (
             cand.join(sa, "id_a")
@@ -458,10 +551,13 @@ def minhash_dedup_sink(
             .distinct()
         )
         kept = batch_df.join(dup_ids, id_col, "left_anti")
-        kept.write.mode("overwrite").parquet(
-            f"{state_path.rstrip('/')}_kept/v{batch_id}"
+        kept.write.mode("overwrite").parquet(f"{kept_root}/v{batch_id}")
+        bands_new.write.mode("overwrite").parquet(f"{bands_root}/v{batch_id}")
+        sig_new.select("id", "shset").write.mode("overwrite").parquet(
+            f"{sh_root}/v{batch_id}"
         )
-        sig_new.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+        for root in (bands_root, sh_root):
+            _compact_delta_versions(spark, root, max_versions=compact_every)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -531,6 +531,151 @@ def test_minhash_dedup_sink_equals_batch_pairs(spark, tmp_path):
     assert injected_rejects and injected_rejects.isdisjoint(kept)
 
 
+def test_minhash_gate_compacts_state_deltas(spark, tmp_path):
+    """r13 VERDICT task 3: the gate's band-bucket state is bounded — after
+    many micro-batches the per-batch delta versions compact into at most
+    ``compact_every`` dirs, while the gate's kept set still equals the
+    batch twin (state CONTENTS unchanged by compaction)."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.operators.dedup import minhash_lsh_pairs
+    from flnr_wins_spark.streaming.sinks import (
+        _state_versions,
+        minhash_dedup_sink,
+        read_dedup_kept,
+    )
+
+    # deterministic subset (limit() on an unordered scan may differ
+    # between the stream build and the twin's collect)
+    docs = (
+        read_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("zq "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    src = str(tmp_path / "src")
+    # six mtime-ordered micro-batch files -> six foreachBatch invocations
+    import glob
+    import os
+
+    # id-ordered batches so arrival order == id order (the batch twin's
+    # contract); 5 doc batches then the high-id variants
+    parts = [
+        docs.filter((F.col("doc_id") >= i * 12) & (F.col("doc_id") < (i + 1) * 12))
+        for i in range(5)
+    ] + [variants]
+    stamped: set[str] = set()
+    t0 = 1_700_000_000
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(src + "/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t0 + 100 * i, t0 + 100 * i))
+                stamped.add(f)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    q = minhash_dedup_sink(
+        stream, state, "doc_id", "text", str(tmp_path / "ckpt"),
+        threshold=0.8, compact_every=3,
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None
+    # 6 deltas compacted down to <= compact_every versions, no tmp litter
+    for root in (state + "/bands", state + "/shsets"):
+        assert len(_state_versions(spark, root)) <= 3, root
+    import pathlib
+
+    litter = [
+        p.name
+        for p in pathlib.Path(state).rglob("*")
+        if "compact" in p.name
+    ]
+    assert litter == []
+    # semantics unchanged: kept == corpus minus batch-twin rejects
+    kept = {r.doc_id for r in read_dedup_kept(spark, state).collect()}
+    pairs = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.8).collect()
+    want = {r.doc_id for r in corpus.collect()} - {r.id_b for r in pairs}
+    assert kept == want
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """_recover_compaction finishes or discards every interruption point:
+    (a) marked tmp with originals still visible, (b) unmarked tmp,
+    (c) side-renamed leftovers after the target took its place."""
+    from flnr_wins_spark.streaming.sinks import (
+        _compact_delta_versions,
+        _recover_compaction,
+        _state_versions,
+    )
+
+    def _seed(root, versions):
+        for v in versions:
+            spark.range(v * 10, v * 10 + 3).write.mode("overwrite").parquet(
+                f"{root}/v{v}"
+            )
+
+    def _rows(root):
+        vs = _state_versions(spark, root)
+        return sorted(
+            r.id
+            for r in spark.read.parquet(
+                *[f"{root}/v{v}" for v in vs]
+            ).collect()
+        )
+
+    # happy path first: 5 versions, max 3 -> oldest 3 merge into v2
+    root = str(tmp_path / "happy")
+    _seed(root, [0, 1, 2, 3, 4])
+    before = _rows(root)
+    _compact_delta_versions(spark, root, max_versions=3)
+    assert _state_versions(spark, root) == [2, 3, 4]
+    assert _rows(root) == before
+
+    # (a) marked tmp, originals untouched: recovery promotes the tmp
+    root = str(tmp_path / "marked")
+    _seed(root, [0, 1, 2])
+    before = _rows(root)
+    spark.read.parquet(f"{root}/v0", f"{root}/v1").write.parquet(
+        f"{root}/compact_tmp_v1"
+    )
+    _recover_compaction(spark, root)
+    assert _state_versions(spark, root) == [1, 2]
+    assert _rows(root) == before
+
+    # (b) unmarked tmp (simulated torn write): discarded, originals kept
+    root = str(tmp_path / "unmarked")
+    _seed(root, [0, 1, 2])
+    before = _rows(root)
+    spark.read.parquet(f"{root}/v0", f"{root}/v1").write.parquet(
+        f"{root}/compact_tmp_v1"
+    )
+    import os
+
+    os.remove(f"{root}/compact_tmp_v1/_SUCCESS")
+    _recover_compaction(spark, root)
+    assert _state_versions(spark, root) == [0, 1, 2]
+    assert _rows(root) == before
+    assert not os.path.exists(f"{root}/compact_tmp_v1")
+
+    # (c) leftover side-renames after the target landed: deleted
+    root = str(tmp_path / "leftover")
+    _seed(root, [1, 2])
+    spark.range(100, 103).write.parquet(f"{root}/compacted_v0")
+    before = _rows(root)
+    _recover_compaction(spark, root)
+    assert _state_versions(spark, root) == [1, 2]
+    assert _rows(root) == before
+    assert not os.path.exists(f"{root}/compacted_v0")
+
+
 def test_minhash_gate_rejects_out_of_order_newcomer(spark, tmp_path):
     """A near-dup arriving AFTER its match must be rejected even when it
     carries a LOWER id (the arrival-order contract; the old cross-batch
