@@ -436,6 +436,11 @@ class AutoJoinPlan:
     join: JoinAdvice
     hot_keys: tuple = ()        # hot on the LEFT side (salt left, replicate right)
     hot_keys_right: tuple = ()  # hot on the RIGHT side (inner: swap roles)
+    # summed sidecar count lower bounds of the flagged keys, per side —
+    # the measured hot-key MASS that sizes the grid dims (r13 VERDICT:
+    # scale the salt factor with measured mass, not a constant)
+    hot_mass: int = 0
+    hot_mass_right: int = 0
 
 
 _INT_PART_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
@@ -641,29 +646,34 @@ def advise_auto_join(
     )
     hot: tuple = ()
     hot_r: tuple = ()
+    mass = mass_r = 0
     if join.strategy == "shuffle":
-        hot = _pruned_hot_keys(lm, lscan, left_key, skew_hot_ratio)
-        hot_r = _pruned_hot_keys(rm, rscan, rk, skew_hot_ratio)
+        hot, mass = _pruned_hot_keys(lm, lscan, left_key, skew_hot_ratio)
+        hot_r, mass_r = _pruned_hot_keys(rm, rscan, rk, skew_hot_ratio)
     return AutoJoinPlan(
         left_scan=lscan, right_scan=rscan,
         left_key=left_key, right_key=rk, join=join,
         hot_keys=hot, hot_keys_right=hot_r,
+        hot_mass=mass, hot_mass_right=mass_r,
     )
 
 
 def _pruned_hot_keys(
     m: dict, scan: ScanAdvice, key: str, hot_ratio: float
-) -> tuple:
-    """Hot join-key values over the PRUNED partition set, from the heavy
-    sidecar alone. Silent empty when the sidecar or row counts are
-    absent — skew salting is an automatic optimization here, not a
-    requested statistic (detect_key_skew is the loud, explicit API)."""
+) -> tuple[tuple, int]:
+    """(hot key values, summed count lower bound of those keys) over the
+    PRUNED partition set, from the heavy sidecar alone. The mass sizes
+    the grid dims in run_auto_join — a side whose hot slice is tiny
+    should be replicated, not split. Silent empty when the sidecar or
+    row counts are absent — skew salting is an automatic optimization
+    here, not a requested statistic (detect_key_skew is the loud,
+    explicit API)."""
     import math as _math
 
     from flnr_wins_spark.sources.ptable import _json_key, merged_heavy_m
 
     if key not in m.get("heavy_cols", []) or "rows" not in m:
-        return ()
+        return (), 0
     mk = {**m, "partitions": {v: m["partitions"][v] for v in scan.kept}}
     kmin, hot = merged_heavy_m(mk, key)
     rows = sum(int(m["rows"][v]) for v in scan.kept)
@@ -676,10 +686,12 @@ def _pruned_hot_keys(
     for v, c in kmin:  # hash-sampled counts are exact — see detect_key_skew
         k = _json_key(v)
         cand[k] = max(cand.get(k, 0), int(c))
-    return tuple(
-        v for v, lb in sorted(cand.items(), key=lambda kv: (-kv[1], str(kv[0])))
+    flagged = [
+        (v, lb)
+        for v, lb in sorted(cand.items(), key=lambda kv: (-kv[1], str(kv[0])))
         if lb >= floor
-    )
+    ]
+    return tuple(v for v, _lb in flagged), sum(lb for _v, lb in flagged)
 
 
 def read_advised_scan(spark: SparkSession, scan: ScanAdvice) -> DataFrame:
@@ -715,6 +727,33 @@ def read_advised_scan(spark: SparkSession, scan: ScanAdvice) -> DataFrame:
     for col, v in scan.points:
         df = df.filter(F.col(col) == F.lit(v))
     return df
+
+
+_GRID_CELLS = 64  # target cell count, the parallelism the old fixed 8x8 had
+
+
+def _grid_dims(mass_left: int, mass_right: int) -> tuple[int, int]:
+    """Size the 2-D grid from the MEASURED per-side hot-key masses
+    (sidecar count lower bounds) instead of a constant 8x8 (r13 VERDICT
+    task 2). The grid's replication cost is ``|L_hot| * br + |R_hot| *
+    bl`` (each side shuffles once per cell row/column of the OTHER
+    side); at a fixed cell count ``bl * br = P`` that cost is minimized
+    by ``bl = sqrt(P * L / R)`` — i.e. split the heavy side, replicate
+    the light one. The both-sides-hot fixture's measured win: hot dim
+    of 41 rows vs a 300k-row hot fact slice gets (64, 1) — the fact is
+    split 64 ways and NEVER replicated (the old 8x8 shuffled it 8x for
+    per-cell pair work that was identical), while the 41-row dim
+    replicates 64x (~2.6k rows, noise). Balanced masses still land on
+    8x8. Dims are powers of two clamped to [1, P], product always P,
+    so per-cell pair work keeps the old parallelism."""
+    import math as _math
+
+    ratio = max(mass_left, 1) / max(mass_right, 1)
+    ideal = _math.sqrt(_GRID_CELLS * ratio)
+    # largest power of two <= ideal, clamped to [1, P]
+    bl = 1 << int(_math.floor(_math.log2(max(1.0, ideal))))
+    bl = min(_GRID_CELLS, bl)
+    return bl, _GRID_CELLS // bl
 
 
 def run_auto_join(
@@ -764,6 +803,7 @@ def run_auto_join(
         )
         return grid_salted_join(
             left, right, plan.left_key, how=how,
+            grid=_grid_dims(plan.hot_mass, plan.hot_mass_right),
             hot_keys=flagged,
         )
     if (

@@ -1150,3 +1150,52 @@ def test_auto_join_right_outer_covers_all_hot_patterns(spark, tmp_path):
         assert out.count() == want.count()
         assert got_s.exceptAll(want_s).count() == 0
         assert want_s.exceptAll(got_s).count() == 0
+
+
+def test_grid_dims_scale_with_measured_hot_mass():
+    """r13 VERDICT task 2: the 2-D grid's dims come from the sidecars'
+    measured per-side hot-key masses — split the heavy side, replicate
+    the light one — instead of a constant 8x8. Cell count (parallelism)
+    is invariant; replication cost |L|*br + |R|*bl is minimized."""
+    from flnr_wins_spark.sources.advisor import _GRID_CELLS, _grid_dims
+
+    assert _grid_dims(0, 0) == (8, 8)          # no sidecar evidence
+    assert _grid_dims(100, 100) == (8, 8)      # balanced
+    assert _grid_dims(300_000, 41) == (64, 1)  # tiny hot dim: never split
+    assert _grid_dims(41, 300_000) == (1, 64)  # transpose
+    for lm, rm in [(1, 1), (10, 1000), (7, 0), (10**9, 3)]:
+        bl, br = _grid_dims(lm, rm)
+        assert bl * br == _GRID_CELLS and 1 <= bl <= _GRID_CELLS, (lm, rm)
+
+
+def test_auto_join_plan_carries_hot_mass(spark, tmp_path):
+    """advise_auto_join surfaces the flagged keys' summed count lower
+    bounds so run_auto_join can size the grid; a side without flagged
+    keys reports zero mass."""
+    from pyspark.sql import functions as F
+
+    from flnr_wins_spark.sources.advisor import advise_auto_join
+    from flnr_wins_spark.sources.ptable import write_ptable
+
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 50)
+        .cast("bigint").alias("k"),
+        F.lit(1).alias("pb"),
+        (F.col("id") % 7).alias("v"),
+    )
+    right = spark.range(60).select(
+        F.col("id").cast("bigint").alias("k"),
+        F.lit(1).alias("pb"),
+        (F.col("id") % 3).alias("w"),
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_ptable(left, lp, "pb", stats_cols=["k"], heavy_cols=["k"],
+                 heavy_k=8, heavy_threshold=20)
+    write_ptable(right, rp, "pb", stats_cols=["k"], heavy_cols=["k"],
+                 heavy_k=8, heavy_threshold=20)
+    plan = advise_auto_join(
+        spark, lp, rp, "k", broadcast_threshold_bytes=0,
+        min_shuffle_partitions=4,
+    )
+    assert plan.hot_keys and plan.hot_mass >= 1000  # key 0 holds half
+    assert plan.hot_keys_right == () and plan.hot_mass_right == 0
