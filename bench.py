@@ -97,6 +97,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "pass_totals": pass_totals,
+                # host-load witness (r13 VERDICT task 5): 1-min loadavg
+                # at report time — high load + uniformly high pass_totals
+                # adjudicates weather from the artifact alone
+                "load_1m": round(os.getloadavg()[0], 2),
                 # keep notes SHORT (<300 chars): the driver captures only the
                 # last 2,000 chars of stdout — a long note truncated 9 of 27
                 # r5 timings out of BENCH_r05.json. Prose lives in SURVEY §8.

@@ -124,6 +124,8 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     timings: dict[str, float] = {}  # Spark-side seconds (fn + collect)
+    load_start = os.getloadavg()[0]
+    sweep_t0 = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -181,14 +183,26 @@ def main():
             failures.append(name)
     print()
     if not only:
-        _record_timings(sf_dir, timings)
+        _record_timings(
+            sf_dir, timings,
+            run_meta={
+                "total_sec": round(time.time() - sweep_t0, 1),
+                "load_1m_start": round(load_start, 2),
+                "load_1m_end": round(os.getloadavg()[0], 2),
+                "finished_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%S%z", time.localtime()
+                ),
+            },
+        )
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         sys.exit(1)
     print("all green")
 
 
-def _record_timings(sf_dir: str, timings: dict[str, float]) -> None:
+def _record_timings(
+    sf_dir: str, timings: dict[str, float], run_meta: dict | None = None
+) -> None:
     """Persist per-entry Spark wall time for FULL sweeps and report >2x
     round-over-round drift against the previous artifact. The bench set
     covers ~38 of the 250+ entries; the full-registry sweep executes
@@ -196,7 +210,14 @@ def _record_timings(sf_dir: str, timings: dict[str, float]) -> None:
     a quietly-superlinear plan change shows up here before it shows up
     anywhere else. Drift lines are informational (host weather inflates
     whole sweeps; the |log ratio| filter plus the 0.5 s absolute floor
-    keeps the list short and shape-changes prominent)."""
+    keeps the list short and shape-changes prominent).
+
+    Self-adjudication (r13 VERDICT task 5): besides the latest run's
+    per-entry timings, the artifact keeps a ``runs`` history (last 4)
+    of {total_sec, load_1m_start/end, finished_at, entries}, so a
+    weather-inflated sweep is distinguishable from a plan regression
+    FROM THE CHECKED-IN FILE alone — high load or an earlier healthy
+    run with identical shape adjudicates without external notes."""
     import json
 
     base = os.path.basename(os.path.normpath(sf_dir))
@@ -207,9 +228,12 @@ def _record_timings(sf_dir: str, timings: dict[str, float]) -> None:
         f"SWEEP_TIMINGS_{base}{tag}.json",
     )
     prev: dict[str, float] = {}
+    prev_runs: list[dict] = []
     if os.path.exists(path):
         try:
-            prev = json.load(open(path)).get("entries", {})
+            doc = json.load(open(path))
+            prev = doc.get("entries", {})
+            prev_runs = doc.get("runs", [])
         except Exception:
             prev = {}
     drift = [
@@ -224,9 +248,10 @@ def _record_timings(sf_dir: str, timings: dict[str, float]) -> None:
         for n, p, s in sorted(drift, key=lambda x: -max(x[1], x[2])):
             print(f"  {n}: {p:.2f}s -> {s:.2f}s")
         print()
+    runs = (prev_runs + [{**(run_meta or {}), "entries": timings}])[-4:]
     with open(path, "w") as fh:
         json.dump(
-            {"sf": base, "mode": mode, "entries": timings},
+            {"sf": base, "mode": mode, "entries": timings, "runs": runs},
             fh, indent=0, sort_keys=True,
         )
         fh.write("\n")
