@@ -47,52 +47,37 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
-# driver-graded correctness row go first. ROUND-13 ordering, recomputed BY
-# SCRIPT from the CORRECTNESS_r01-r12 artifacts (the standing discipline —
+# driver-graded correctness row go first. ROUND-14 ordering, recomputed BY
+# SCRIPT from the CORRECTNESS_r01-r13 artifacts (the standing discipline —
 # never hand-kept arithmetic):
-# (a) positions 1-6: the six r12 local_df-converted entries whose driver
-#     regrade was budget-deferred in r12 (each locally differentially
-#     verified at sf0.01 that round; the r12 handoff contract);
-# (b) positions 7-9: never-driver-graded entries — the late-r12
-#     x_grid_skew_right plus the two NEW r13 surfaces (x_ivf_recall,
-#     x_pq_recall: the quantized-ANN quality floors);
-# (c) positions 10-17: the eight entries whose CODE changed in r13 with
-#     behavior-relevant diffs — the two streaming gates (offset-band
-#     guard adds a fixture-time assert) and the six skew/advisor-family
-#     entries rewired through the shared _skew_family_fixture (one fact
-#     build for the whole family; x_grid_skew_right already sits in (b)),
-#     plus the two GIF-decode entries: the decoder gained real interlace
-#     + local-color-table support late in r13 and x_multimodal_gif_decode
-#     now ships odd ids interlaced/local-table (same construction oracle
-#     value-checks the new paths).
-#     NOT regraded by design: x_warc_ingest (warc.py's r13 diff touches
-#     only the zstd dictionary path; the graded entry reads .warc.gz
-#     through the untouched member-split) and the localrel.py callers
-#     (DDL-parse + fallback-narrowing change nothing for the simple
-#     schemas every caller passes — pinned by test_localrel.py);
-# (d) positions 20-50: the r06 cohort, alphabetical — 31 of its 47
-#     still-stale entries fit the budget; the remaining 16 lead the r14
-#     fill, then r07 (41), r09 (42), r10 (42), r11 (35), r12 (48).
+# (a) position 1: the NEW r14 surface q_stream_minhash_gate_compacted
+#     (driver-graded evidence for the gate's delta-compaction path:
+#     4 micro-batches, compact_every=2, cross-batch rejects probe
+#     COMPACTED state, n_band_versions evidence column);
+# (b) positions 2-12: the eleven entries whose CODE changed in r14 with
+#     behavior-relevant diffs — the two streaming gates (bands/shsets
+#     state split + compaction in minhash_dedup_sink; the floor-band
+#     fix in _assert_offset_bands_free guards both), the two GIF
+#     entries (composition-canvas decoder; video_frames ships odd ids
+#     as partial-update delta frames), and the seven skew/advisor
+#     entries (run_auto_join now sizes the 2-D grid from measured
+#     per-side hot-key masses; _pruned_hot_keys returns (keys, mass)).
+#     NOT regraded by design: x_warc_ingest (the r14 warc.py diff
+#     touches only the zstd dictionary-promotion path; the graded
+#     entry reads .warc.gz through the untouched member-split — the
+#     same reasoning the r13 verdict accepted, re-pinned by the new
+#     lazy-promotion unit test);
+# (c) positions 13-28: the 16 remaining r06-stale entries (x_pii_redact
+#     .. x_weighted_sample, alphabetical — drains r06 completely);
+# (d) positions 29-50: the first 22 of the 41-entry r07 cohort,
+#     alphabetical; the remaining 19 lead the r15 fill, then r09 (42),
+#     r10 (42), r11 (33), r12 (48), r13 (50), r14.
 # Names absent from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
-    "x_url_filter", "x_tokenize_unigram", "x_rag_retrieve",
-    "x_ptable_metadata_counts", "x_ptable_ndv", "x_ptable_bloom_point",
-    "x_grid_skew_right", "x_ivf_recall", "x_pq_recall",
-    "q_stream_dedup_gate", "q_stream_minhash_gate", "x_skew_sidecar_join",
-    "x_auto_skew_join", "x_grid_skew_join", "x_grid_skew_left",
-    "x_grid_skew_full", "x_right_hot_left_join",
-    "x_multimodal_gif_decode", "x_multimodal_video_frames",
-    "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q6_revenue_forecast",
-    "q_events_dedup", "q_events_late_data", "q_events_sessionize",
-    "q_events_sliding", "q_rollup_acctbal", "q_string_functions",
-    "q_topk_per_group", "q_window_range_frame", "q_window_rank_family",
-    "q_window_running", "x_benford_audit", "x_decontam",
-    "x_dedup_clusters", "x_dedup_exact", "x_dedup_ngram_jaccard",
-    "x_dp_counts", "x_drift_psi", "x_embedding_covariance",
-    "x_embedding_neardup", "x_embedding_pca", "x_fd_check",
-    "x_geo_grid_join", "x_kaplan_meier", "x_llm_corpus_e2e",
-    "x_merge_evolve", "x_multimodal_bytes", "x_multimodal_frames",
+    "q_stream_minhash_gate_compacted", "q_stream_minhash_gate", "q_stream_dedup_gate",
+    "x_multimodal_video_frames", "x_multimodal_gif_decode", "x_grid_skew_join",
+    "x_grid_skew_left", "x_grid_skew_full", "x_grid_skew_right",
+    "x_auto_skew_join", "x_skew_sidecar_join", "x_right_hot_left_join",
     "x_pii_redact", "x_quantile_bottomk", "x_rank_metrics",
     "x_rerank_cross", "x_robust_scale", "x_sample_stratified",
     "x_seasonal_decompose", "x_seq_packing", "x_similarity_topk",
@@ -146,28 +131,40 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_event_paths", "x_fuzzy_join", "x_group_regression",
     "x_hard_negatives", "x_jdbc_snapshot", "x_k_anonymity",
     "x_kcore", "x_keywords_tfidf", "x_knn_classify",
-    "x_multimodal_audio_decode", "x_multimodal_mulaw_decode",
-    "x_multimodal_qoi_decode", "x_pandas_udaf_median",
-    "x_pit_join", "x_profile_columns", "x_rolling_zscore",
-    "x_search_hybrid_rrf", "x_search_phrase", "x_similarity_ann_portable",
-    "x_similarity_pq", "x_sorted_neighborhood", "x_tokenize_maxmatch",
-    "x_triangle_count", "x_user_streaks", "q_events_json",
-    "q_events_multires_rollup", "q_events_tumbling", "q_stream_drift_psi",
-    "q_stream_incremental_agg", "q_stream_kmv_sketch", "q_stream_lakehouse_merge",
-    "q_stream_outer_join", "q_stream_quantile_sketch", "q_stream_stateful_funnel",
-    "q_stream_watermark", "x_ab_test", "x_attribution_linear",
-    "x_binaryfile_ingest", "x_churn_training_set", "x_cooccur_pmi",
-    "x_corpus_mixture", "x_distinct_kmv", "x_events_m4",
-    "x_geo_geohash", "x_geo_knn", "x_golden_record",
-    "x_graph_bfs", "x_html_strip", "x_impute_nulls",
-    "x_incremental_join", "x_join_size_estimate", "x_kmv_set_ops",
-    "x_mmr_rerank", "x_multimodal_adpcm_decode", "x_multimodal_decode",
-    "x_multimodal_jpeg_decode", "x_multimodal_jpeg_progressive", "x_multimodal_palette_png_decode",
-    "x_multimodal_png_decode", "x_quality_filter_pipeline", "x_random_projection",
-    "x_recommend_itemknn", "x_semdedup", "x_similarity_binary",
-    "x_similarity_ivf_kmeans", "x_skew_report", "x_stream_lakehouse_prune",
-    "x_text_nfc", "x_time_to_convert", "x_tokenize_optimal",
-    "x_trajectory_similarity", "x_warc_ingest",
+    "x_multimodal_audio_decode", "x_multimodal_mulaw_decode", "x_multimodal_qoi_decode",
+    "x_pandas_udaf_median", "x_pit_join", "x_profile_columns",
+    "x_rolling_zscore", "x_search_hybrid_rrf", "x_search_phrase",
+    "x_similarity_ann_portable", "x_similarity_pq", "x_sorted_neighborhood",
+    "x_tokenize_maxmatch", "x_triangle_count", "x_user_streaks",
+    "q_events_json", "q_events_multires_rollup", "q_events_tumbling",
+    "q_stream_drift_psi", "q_stream_incremental_agg", "q_stream_kmv_sketch",
+    "q_stream_lakehouse_merge", "q_stream_outer_join", "q_stream_quantile_sketch",
+    "q_stream_stateful_funnel", "q_stream_watermark", "x_ab_test",
+    "x_attribution_linear", "x_binaryfile_ingest", "x_churn_training_set",
+    "x_cooccur_pmi", "x_corpus_mixture", "x_distinct_kmv",
+    "x_events_m4", "x_geo_geohash", "x_geo_knn",
+    "x_golden_record", "x_graph_bfs", "x_html_strip",
+    "x_impute_nulls", "x_incremental_join", "x_join_size_estimate",
+    "x_kmv_set_ops", "x_mmr_rerank", "x_multimodal_adpcm_decode",
+    "x_multimodal_decode", "x_multimodal_jpeg_decode", "x_multimodal_jpeg_progressive",
+    "x_multimodal_palette_png_decode", "x_multimodal_png_decode", "x_quality_filter_pipeline",
+    "x_random_projection", "x_recommend_itemknn", "x_semdedup",
+    "x_similarity_binary", "x_similarity_ivf_kmeans", "x_skew_report",
+    "x_stream_lakehouse_prune", "x_text_nfc", "x_time_to_convert",
+    "x_tokenize_optimal", "x_trajectory_similarity", "x_warc_ingest",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_revenue_forecast", "q_events_dedup", "q_events_late_data",
+    "q_events_sessionize", "q_events_sliding", "q_rollup_acctbal",
+    "q_string_functions", "q_topk_per_group", "q_window_range_frame",
+    "q_window_rank_family", "q_window_running", "x_benford_audit",
+    "x_decontam", "x_dedup_clusters", "x_dedup_exact",
+    "x_dedup_ngram_jaccard", "x_dp_counts", "x_drift_psi",
+    "x_embedding_covariance", "x_embedding_neardup", "x_embedding_pca",
+    "x_fd_check", "x_geo_grid_join", "x_ivf_recall",
+    "x_kaplan_meier", "x_llm_corpus_e2e", "x_merge_evolve",
+    "x_multimodal_bytes", "x_multimodal_frames", "x_pq_recall",
+    "x_ptable_bloom_point", "x_ptable_metadata_counts", "x_ptable_ndv",
+    "x_rag_retrieve", "x_tokenize_unigram", "x_url_filter",
 )
 
 def all_queries() -> dict[str, QueryDef]:

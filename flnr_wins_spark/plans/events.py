@@ -904,27 +904,20 @@ def q_stream_dedup_gate(spark, sf_dir):
     )
 
 
-_MINHASH_GATE_SQL = (
-    """
-    WITH b0 AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
-      UNION ALL
-      SELECT doc_id + 1000000, text || ' qq1 qq2'
-      FROM documents WHERE doc_id % 10 = 0
-    ),
-    b1 AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
-      UNION ALL
-      SELECT doc_id + 2000000, text || ' qq3 qq4'
-      FROM documents WHERE doc_id % 4 = 0
-      UNION ALL
-      SELECT doc_id + 3000000, text || ' qq5 qq6'
-      FROM documents WHERE doc_id % 10 = 5
-    ),
-    allb AS (
-      SELECT 0 AS batch, doc_id, text FROM b0
-      UNION ALL SELECT 1, doc_id, text FROM b1
-    ),
+def _minhash_gate_oracle(
+    batch_ctes: str, allb: str, extra_select: str = ""
+) -> str:
+    """The relational replay of minhash_dedup_sink's md5-portable gate,
+    parameterized over the micro-batch construction: ``batch_ctes``
+    defines b0..bN, ``allb`` unions them with batch numbers, and the
+    shared tail replays signatures (8 md5 tables, seed 42), >=1-of-8
+    band agreement, exact Jaccard >= 0.8, and the ARRIVAL-order
+    rejection rule batch by batch. ``extra_select`` appends literal
+    evidence columns (e.g. the compacted entry's version count)."""
+    return (
+        f"""
+    WITH {batch_ctes},
+    allb AS ({allb}),
     tk AS (
       SELECT batch, doc_id AS id, string_split(text, ' ') AS tks FROM allb
     ),
@@ -938,11 +931,11 @@ _MINHASH_GATE_SQL = (
     sig AS (
       SELECT batch, id, shset,
 """
-    + ",\n".join(
-        f"         list_min(list_transform(shset, s -> md5(s || ':{42 + i}'))) AS mh_{i}"
-        for i in range(8)
-    )
-    + """
+        + ",\n".join(
+            f"         list_min(list_transform(shset, s -> md5(s || ':{42 + i}'))) AS mh_{i}"
+            for i in range(8)
+        )
+        + """
       FROM sh
     ),
     -- the gate's ARRIVAL-order contract: a doc is a rejection CANDIDATE
@@ -953,8 +946,8 @@ _MINHASH_GATE_SQL = (
       FROM sig a JOIN sig b
         ON ((a.batch = b.batch AND a.id < b.id) OR a.batch < b.batch)
        AND ("""
-    + " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(8))
-    + """)
+        + " OR ".join(f"a.mh_{i} = b.mh_{i}" for i in range(8))
+        + f""")
     ),
     rej AS (
       SELECT DISTINCT batch, id FROM cand
@@ -969,9 +962,32 @@ _MINHASH_GATE_SQL = (
     )
     SELECT CAST(batch AS INT) AS batch,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
-           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids{extra_select}
     FROM kept GROUP BY 1
     """
+    )
+
+
+_MINHASH_GATE_SQL = _minhash_gate_oracle(
+    batch_ctes="""b0 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' qq1 qq2'
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    b1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' qq3 qq4'
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' qq5 qq6'
+      FROM documents WHERE doc_id % 10 = 5
+    )""",
+    allb="""
+      SELECT 0 AS batch, doc_id, text FROM b0
+      UNION ALL SELECT 1, doc_id, text FROM b1
+    """,
 )
 
 
@@ -1070,6 +1086,130 @@ def q_stream_minhash_gate(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_kept"),
             F.sum("doc_id").cast("bigint").alias("sum_ids"),
         )
+    )
+
+
+_MINHASH_GATE_COMPACT_SQL = _minhash_gate_oracle(
+    batch_ctes="""b0 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    b1 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 5
+    ),
+    b2 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 10
+    ),
+    b3 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 15
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' qq1 qq2'
+      FROM documents WHERE doc_id % 40 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' qq3 qq4'
+      FROM documents WHERE doc_id % 40 = 10
+    )""",
+    allb="""
+      SELECT 0 AS batch, doc_id, text FROM b0
+      UNION ALL SELECT 1, doc_id, text FROM b1
+      UNION ALL SELECT 2, doc_id, text FROM b2
+      UNION ALL SELECT 3, doc_id, text FROM b3
+    """,
+    extra_select=""",
+           CAST(2 AS INT) AS n_band_versions""",
+)
+
+
+@query(
+    "q_stream_minhash_gate_compacted",
+    sql=_MINHASH_GATE_COMPACT_SQL,
+    note="The r14 state-compaction path of the streaming MinHash gate "
+    "graded end-to-end: FOUR mtime-ordered micro-batches through "
+    "minhash_dedup_sink with compact_every=2, so the band/shset delta "
+    "versions compact TWICE mid-stream ([0,1,2]->[1,2] after batch 2, "
+    "[1,2,3]->[2,3] after batch 3) and batch 3's cross-batch rejections "
+    "— near-copies of batch-0 and batch-2 docs — are found by probing "
+    "COMPACTED state, proving compaction preserves the band index "
+    "exactly. The oracle replays the gate relationally (same md5 "
+    "signatures, band agreement, Jaccard >= 0.8, arrival order) with "
+    "no compaction concept, and the n_band_versions evidence column "
+    "pins that the on-disk version count really collapsed to 2. At "
+    "100 TB this is the unbounded-stream posture: per-batch probe "
+    "overhead stays O(compact_every) however long the stream runs",
+)
+def q_stream_minhash_gate_compacted(spark, sf_dir):
+    import glob
+    import os
+    from functools import reduce
+
+    from flnr_wins_spark.plans.common import scratch_dir
+    from flnr_wins_spark.streaming.sinks import (
+        _state_versions,
+        minhash_dedup_sink,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    _assert_offset_bands_free(docs, offsets=(1, 2))
+    root = scratch_dir("stream_minhash_compact")
+    src = root + "/src"
+
+    batches = [
+        docs.filter(F.col("doc_id") % 20 == 5 * k) for k in range(3)
+    ]
+    batches.append(
+        docs.filter(F.col("doc_id") % 20 == 15)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 40 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq1 qq2")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 40 == 10).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" qq3 qq4")).alias("text"),
+            )
+        )
+    )
+
+    stamped: set[str] = set()
+    t0 = 1_700_000_000
+    for i, batch in enumerate(batches):
+        batch.coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(src + "/*.parquet"):
+            if f not in stamped:
+                os.utime(f, (t0 + 100 * i, t0 + 100 * i))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _run_stream(
+        spark,
+        lambda: minhash_dedup_sink(
+            stream, root + "/state", "doc_id", "text",
+            checkpoint_dir=root + "/ckpt",
+            threshold=0.8, num_hash_tables=8, shingle_n=3, seed=42,
+            hash_fn="md5", compact_every=2,
+        ),
+        what="compacted minhash gate",
+    )
+    n_versions = len(_state_versions(spark, root + "/state/bands"))
+    parts = [
+        spark.read.parquet(f"{root}/state_kept/v{b}").select(
+            F.lit(b).cast("int").alias("batch"), "doc_id"
+        )
+        for b in range(4)
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .withColumn("n_band_versions", F.lit(n_versions).cast("int"))
     )
 
 
