@@ -79,6 +79,9 @@ ENTRIES = [
     "q_stream_minhash_gate",
     # late-r12: the RIGHT-outer grid arm (transpose anti probe only)
     "x_grid_skew_right",
+    # r14: the gate's delta-compaction path (4 batches, compact_every=2 —
+    # per-batch probe overhead bounded at O(compact_every) versions)
+    "q_stream_minhash_gate_compacted",
 ]
 
 
@@ -225,7 +228,13 @@ def main() -> None:
             }
             print(f"# {name}: sf1 {ts} s, ratio vs sf0.1 k=8 "
                   f"{result[name]['ratio']}", flush=True)
-        print(json.dumps({"replicas": REPLICAS, "entries": result}))
+        print(json.dumps({
+            "replicas": REPLICAS, "entries": result,
+            # self-adjudication metadata (r13 VERDICT task 5): host load
+            # at report time distinguishes weather from plan regressions
+            # from the artifact alone
+            "load_1m": round(os.getloadavg()[0], 2),
+        }))
         print("\n| entry | sf0.1 run2 (s) | sf1 run2 (s) | ratio |")
         print("|---|---|---|---|")
         for name, r in result.items():
