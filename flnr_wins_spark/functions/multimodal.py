@@ -96,8 +96,14 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
 
     Supported formats (chosen because they parse with no codec library):
 
-      * binary PPM (``P6``, 3 channels) and PGM (``P5``, 1 channel),
-        maxval <= 255, with full comment/whitespace header handling;
+      * binary PPM (``P6``, 3 channels) and PGM (``P5``, 1 channel) with
+        full comment/whitespace header handling; maxval 256..65535
+        rasters (2-byte big-endian samples per the Netpbm spec)
+        downconvert to the module's 8-bit pixel contract by exact
+        integer rounding round(s * 255 / maxval) — lossless for
+        byte-doubled samples at maxval 65535 (s = b*257 -> b). 1-byte
+        rasters keep their raw samples (the historical contract:
+        sub-255 maxvals are not rescaled);
       * uncompressed 24-bit BI_RGB BMP — row padding stripped, bottom-up
         row order flipped, BGR reordered to RGB, so identical pixel content
         yields identical output bytes across the two container formats.
@@ -126,9 +132,25 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
             vals.append(int(data[start:pos]))
         pos += 1  # the single whitespace after maxval
         width, height, maxval = vals[0], vals[1], vals[2]
-        if maxval > 255:
-            raise NotImplementedError("16-bit PPM/PGM not supported")
+        if not 0 < maxval <= 65535:
+            raise ValueError(f"PPM/PGM maxval {maxval} outside 1..65535")
         n = width * height * channels
+        if maxval > 255:  # 2-byte big-endian samples (Netpbm spec)
+            raw = data[pos : pos + 2 * n]
+            if len(raw) != 2 * n:
+                raise ValueError(
+                    f"truncated raster: {len(raw)} of {2 * n} bytes"
+                )
+            half = maxval // 2
+            out = bytearray(n)
+            for i in range(n):
+                s = (raw[2 * i] << 8) | raw[2 * i + 1]
+                if s > maxval:
+                    raise ValueError(
+                        f"PPM/PGM sample {s} exceeds maxval {maxval}"
+                    )
+                out[i] = (s * 255 + half) // maxval
+            return channels, width, height, bytes(out)
         pixels = data[pos : pos + n]
         if len(pixels) != n:
             raise ValueError(f"truncated raster: {len(pixels)} of {n} bytes")

@@ -78,6 +78,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_multimodal_video_frames", "x_multimodal_gif_decode", "x_grid_skew_join",
     "x_grid_skew_left", "x_grid_skew_full", "x_grid_skew_right",
     "x_auto_skew_join", "x_skew_sidecar_join", "x_right_hot_left_join",
+    "x_multimodal_decode",
     "x_pii_redact", "x_quantile_bottomk", "x_rank_metrics",
     "x_rerank_cross", "x_robust_scale", "x_sample_stratified",
     "x_seasonal_decompose", "x_seq_packing", "x_similarity_topk",
@@ -146,7 +147,7 @@ _GRADE_FIRST: tuple[str, ...] = (
     "x_golden_record", "x_graph_bfs", "x_html_strip",
     "x_impute_nulls", "x_incremental_join", "x_join_size_estimate",
     "x_kmv_set_ops", "x_mmr_rerank", "x_multimodal_adpcm_decode",
-    "x_multimodal_decode", "x_multimodal_jpeg_decode", "x_multimodal_jpeg_progressive",
+    "x_multimodal_jpeg_decode", "x_multimodal_jpeg_progressive",
     "x_multimodal_palette_png_decode", "x_multimodal_png_decode", "x_quality_filter_pipeline",
     "x_random_projection", "x_recommend_itemknn", "x_semdedup",
     "x_similarity_binary", "x_similarity_ivf_kmeans", "x_skew_report",

@@ -1751,7 +1751,7 @@ def x_multimodal_bytes(spark, sf_dir):
       FROM documents, range(48) t(p)
     )
     SELECT doc_id AS media_id,
-           CAST(59 AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 109 ELSE 59 END AS BIGINT) AS n_bytes,
            CAST(3 AS INTEGER) AS channels,
            CAST(4 AS INTEGER) AS width,
            CAST(4 AS INTEGER) AS height,
@@ -1762,34 +1762,41 @@ def x_multimodal_bytes(spark, sf_dir):
            CAST(MAX(byte) AS INTEGER) AS max_byte
     FROM b GROUP BY doc_id
     """,
-    note="REAL image decode (no fake path): each doc becomes a genuine "
-    "binary P6 PPM (11-byte header + 4x4 RGB raster from md5 bytes); "
-    "extract_features(fake=False) parses the header and raster with the "
-    "stdlib decoder and emits integer-exact channel sums. The oracle "
-    "recomputes the expected pixels from the construction — so header "
-    "parsing, raster offsets, and channel interleave are all value-checked. "
-    "Reference analog: the opaque-binary carry at wts.py:132,155, upgraded "
-    "from carry-only to decode",
+    note="REAL image decode (no fake path): even ids become a genuine "
+    "binary P6 PPM (11-byte header + 4x4 RGB raster from md5 bytes); odd "
+    "ids ship the SAME pixels as a 16-BIT PPM (maxval 65535, 2-byte "
+    "big-endian samples, r14: previously an honest NotImplementedError) "
+    "with each sample byte-doubled (s*257), which the decoder's exact "
+    "round(s*255/65535) maps back to s — decode output is identical by "
+    "construction, so one oracle value-checks the 8-bit header/raster "
+    "path AND the 16-bit downconversion (only n_bytes differs: 109 vs "
+    "59). Reference analog: the opaque-binary carry at wts.py:132,155, "
+    "upgraded from carry-only to decode",
 )
 def x_multimodal_decode(spark, sf_dir):
     from flnr_wins_spark.functions.multimodal import extract_features
 
     docs = t(spark, sf_dir, "documents")
-    header = F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8")
-    pix = F.concat(
-        *[
-            F.unhex(
-                F.md5(
-                    F.encode(
-                        F.concat(F.col("doc_id").cast("string"), F.lit(f":px{j}")),
-                        "UTF-8",
-                    )
-                )
+    hexes = [
+        F.md5(
+            F.encode(
+                F.concat(F.col("doc_id").cast("string"), F.lit(f":px{j}")),
+                "UTF-8",
             )
-            for j in range(3)
-        ]
+        )
+        for j in range(3)
+    ]
+    pix8 = F.concat(*[F.unhex(h) for h in hexes])
+    # byte-doubled 16-bit raster: sample s8 ships as big-endian s8*257
+    # (hi == lo == s8), which exact rounding at maxval 65535 maps back
+    # to s8 — the hex-pair duplication IS the byte doubling
+    pix16 = F.concat(
+        *[F.unhex(F.regexp_replace(h, "(..)", "$1$1")) for h in hexes]
     )
-    content = F.concat(header, pix)
+    content = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.encode(F.lit("P6\n4 4\n65535\n"), "UTF-8"), pix16),
+    ).otherwise(F.concat(F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"), pix8))
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         content.alias("content"),

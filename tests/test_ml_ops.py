@@ -716,3 +716,36 @@ def test_gif_frames_decoder_handles_interlace_and_local_tables():
         encode_gif(6, 10, idx, pal, interlace=True, local_palette=True)
     )
     assert frames == [(w, h, px)]
+
+
+def test_ppm16_decode_rounds_exactly():
+    """16-bit PPM/PGM (r14: previously an honest guard): 2-byte
+    big-endian samples downconvert by exact integer rounding
+    round(s*255/maxval); byte-doubled samples at maxval 65535 are
+    lossless (s8*257 -> s8). Loud guards: truncation, sample > maxval,
+    maxval outside 1..65535."""
+    import pytest
+
+    from flnr_wins_spark.functions.multimodal import decode_image
+
+    vals = [0, 1, 7, 128, 254, 255]
+    raster = b"".join(bytes([v, v]) for v in vals)  # s8*257 big-endian
+    assert decode_image(b"P5\n3 2\n65535\n" + raster) == (1, 3, 2, bytes(vals))
+
+    samples = [0, 2, 499, 500, 998, 1000]
+    raster = b"".join(s.to_bytes(2, "big") for s in samples)
+    ch, w, h, px = decode_image(b"P5\n6 1\n1000\n" + raster)
+    assert px == bytes((s * 255 + 500) // 1000 for s in samples)
+
+    rgb = [65535, 0, 32768]
+    raster = b"".join(s.to_bytes(2, "big") for s in rgb)
+    ch, w, h, px = decode_image(b"P6\n1 1\n65535\n" + raster)
+    assert (ch, w, h) == (3, 1, 1)
+    assert px == bytes((s * 255 + 32767) // 65535 for s in rgb)
+
+    with pytest.raises(ValueError, match="truncated raster"):
+        decode_image(b"P5\n3 2\n65535\n" + b"\x00" * 11)
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        decode_image(b"P5\n1 1\n300\n" + (301).to_bytes(2, "big"))
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image(b"P5\n1 1\n70000\n" + b"\x00\x00")
