@@ -221,11 +221,24 @@ def minhash_signature_table(
     hash_fn: str = "xxhash64",
     min_parallelism: int | None = None,
     max_shingles: int | None = None,
+    band_width: int = 1,
 ) -> DataFrame:
     """(id, shset, sig array<...>[t]) per document — the shared signature
     construction behind :func:`minhash_lsh_pairs` and the streaming
     near-dup gate (streaming/sinks.py). Narrow map, zero shuffle; see
     minhash_lsh_pairs for the full design notes.
+
+    ``band_width`` (r, the classic LSH rows-per-band dial) controls the
+    AND-amplification inside each of the ``num_hash_tables`` bands: with
+    r = 1 (default — the historical behavior, bit-identical signatures)
+    ``sig[j]`` IS the j-th min-hash; with r > 1, ``num_hash_tables * r``
+    independent min-hashes are folded (still one string-tier hash per
+    shingle — the widening only adds cheap integer hashes) and ``sig[j]``
+    is ``xxhash64`` of band j's r consecutive min-hashes. Two documents
+    share band key j iff they agree on ALL r min-hashes of the band
+    (modulo a 64-bit hash collision, which can only ADD a candidate —
+    downstream exact verification drops it — never lose one). xxhash64
+    only; the engine-portable md5 path keeps r = 1.
 
     ``max_shingles`` caps the per-document shingle set (a slice of the
     distinct shingles in document order) so one pathological multi-MB
@@ -265,10 +278,14 @@ def minhash_signature_table(
     # lambda-bound value: xxhash64(s, 42 + i) == the old per-column
     # xxhash64(s, lit(42 + i)) fold, verified against a lambda-free
     # explode ground truth.
+    if band_width < 1:
+        raise ValueError(f"band_width must be >= 1, got {band_width}")
+    if band_width > 1 and hash_fn != "xxhash64":
+        raise ValueError("band_width > 1 requires hash_fn='xxhash64'")
     if hash_fn == "xxhash64":
         # Two-tier hashing, shingle-major: every shingle STRING hashes once
         # to a 64-bit base (the expensive part) and fans out to the
-        # num_hash_tables per-table values with cheap integer
+        # num_hash_tables * band_width per-table values with cheap integer
         # xxhash64(base, seed+i); the signature is the elementwise min of
         # those per-shingle rows (aggregate + zip_with/least). The earlier
         # table-major form — transform over tables, base hashes nested in
@@ -277,14 +294,31 @@ def minhash_signature_table(
         # and measured ~3x faster at sf0.1 (3.2s -> 1.0s signature pass),
         # with bit-identical outputs (same multiset per table, same min;
         # pinned by test_minhash_signatures_match_reference).
-        sig = F.expr(
+        m = num_hash_tables * band_width
+        fold = (
             "aggregate("
-            f"transform(shset, s -> transform(sequence(0, {num_hash_tables - 1}),"
+            f"transform(shset, s -> transform(sequence(0, {m - 1}),"
             f" i -> xxhash64(xxhash64(s), CAST({seed} + i AS INT)))), "
-            "array_repeat(CAST(9223372036854775807 AS BIGINT), "
-            f"{num_hash_tables}), "
-            "(acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))"
+            f"array_repeat(CAST(9223372036854775807 AS BIGINT), {m}), "
+            "(acc, x) -> zip_with(acc, x, (a, b) -> least(a, b))"
         )
+        if band_width == 1:
+            sig = F.expr(fold + ")")
+        else:
+            # AND-fold each band's r min-hashes into one 64-bit band key
+            # inside aggregate()'s FINISH lambda, which binds the folded
+            # array once — an outer transform over a staged column would
+            # be re-inlined per element by CollapseProject (the same trap
+            # the one-expression design above exists to avoid)
+            combo = ", ".join(
+                f"element_at(acc, j * {band_width} + {i + 1})"
+                for i in range(band_width)
+            )
+            sig = F.expr(
+                fold
+                + f", acc -> transform(sequence(0, {num_hash_tables - 1}),"
+                f" j -> xxhash64({combo})))"
+            )
     elif hash_fn == "md5":
         sig = F.expr(
             f"transform(sequence(0, {num_hash_tables - 1}), "
@@ -320,9 +354,19 @@ def minhash_lsh_pairs(
     unpersist: bool = False,
     hash_fn: str = "xxhash64",
     max_shingles: int | None = None,
+    band_width: int = 1,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidate generation + exact Jaccard
     verification. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``band_width`` (r): min-hashes AND-folded per band (see
+    minhash_signature_table). r = 1 keeps the historical candidate rule
+    "agree on >= 1 of b min-hashes" (P[miss] = (1-j)^b). r > 1 requires a
+    band's r min-hashes to ALL agree, which collapses the false-candidate
+    volume on small-vocabulary / high-collision corpora — at r = 2, b = 16
+    P[miss] = (1-j^2)^16, ~8e-8 at j = 0.8 — while exact verification
+    keeps the OUTPUT contract unchanged (verified pairs only; candidates
+    are a superset either way).
 
     ``hash_fn``: ``"xxhash64"`` (default — fastest, JVM-only) or ``"md5"``
     (engine-portable: the per-table min-hash is the lexicographic min of the
@@ -366,7 +410,7 @@ def minhash_lsh_pairs(
         df, text_col, id_col,
         num_hash_tables=num_hash_tables, shingle_n=shingle_n, seed=seed,
         hash_fn=hash_fn, min_parallelism=min_parallelism,
-        max_shingles=max_shingles,
+        max_shingles=max_shingles, band_width=band_width,
     )
     # The signature table feeds three consumers (banding + both verify sides);
     # without an explicit persist each consumer would recompute the shingle

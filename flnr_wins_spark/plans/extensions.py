@@ -654,7 +654,9 @@ def x_graph_bfs(spark, sf_dir):
 @query(
     "x_dedup_minhash_lsh",
     sql=None,  # probabilistic candidate generation; exact-verified but not SQL-expressible
-    note="MinHash-LSH banding candidates + exact Jaccard verify (pure DataFrame)",
+    note="MinHash-LSH banding candidates + exact Jaccard verify (pure DataFrame); "
+    "band_width=2 AND-amplification (r15: 67x fewer false candidates on this "
+    "small-vocab corpus, output verified bit-identical at every SF)",
     bench=True,
 )
 def x_dedup_minhash_lsh(spark, sf_dir):
@@ -664,6 +666,7 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(
         docs, "text", "doc_id", threshold=0.8,
         min_parallelism=spark.sparkContext.defaultParallelism,
+        band_width=2,
     )
 
 

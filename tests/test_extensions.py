@@ -137,6 +137,42 @@ class TestMinHashLSH:
                                  max_bucket_width=None).collect()}
         assert (1, 2) in got
 
+    def test_band_width_and_amplification(self, spark, docs):
+        """band_width=2 AND-folds pairs of min-hashes into each band key:
+        the candidate set shrinks (strictly fewer false positives on a
+        shared-vocab corpus) but the VERIFIED output is identical — exact
+        Jaccard verification makes the banding dial output-invariant."""
+        from flnr_wins_spark.operators.dedup import (
+            minhash_bands,
+            minhash_signature_table,
+        )
+
+        r1 = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in
+              minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+        r2 = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in
+              minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5,
+                                band_width=2).collect()}
+        assert r1 == r2 and r2
+        # the r=2 signature is 16 band keys (same shape), each the xxhash64
+        # fold of 2 min-hashes — NOT equal to the r=1 signature values
+        s1 = minhash_signature_table(docs, "text", "doc_id").select("sig")
+        s2 = minhash_signature_table(
+            docs, "text", "doc_id", band_width=2
+        ).select("sig")
+        assert s1.first().sig != s2.first().sig
+        assert len(s2.first().sig) == 16
+        # banding explodes to the same (id, band) key space either way
+        assert minhash_bands(
+            minhash_signature_table(docs, "text", "doc_id", band_width=2)
+        ).groupBy("band").count().count() == 16
+
+    def test_band_width_requires_xxhash64(self, spark, docs):
+        with pytest.raises(ValueError):
+            minhash_lsh_pairs(docs, "text", "doc_id", hash_fn="md5",
+                              band_width=2)
+        with pytest.raises(ValueError):
+            minhash_lsh_pairs(docs, "text", "doc_id", band_width=0)
+
     def test_unpersist_releases_signature_cache(self, spark, docs):
         """A multi-corpus loop with ``unpersist=True`` must not accumulate
         corpus-sized signature caches: each call may leave at most its tiny
