@@ -188,20 +188,28 @@ def kmeans_fit(
         ordering that picks the sample, so the draw is one rule throughout.
       * assign: broadcast centroids, map-side-combined argmin (see
         ``kmeans_assign``) — no vector ever shuffles during assignment.
-      * update: per-dimension mean via posexplode -> groupBy(cell, d) ->
-        groupBy(cell), decimal-routed (sum(decimal)/count, the ``dsum``
-        rule from plans/common.py) so centroid doubles are identical across
+      * update: per-dimension mean via posexplode -> groupBy(cell, d),
+        decimal-routed (sum(decimal)/count, the ``dsum`` rule from
+        plans/common.py) so centroid doubles are identical across
         partitionings AND engines — which is what lets a fixed
         unrolled-iteration DuckDB twin hash-match this
-        (x_similarity_ivf_kmeans / x_semdedup). (A fused one-groupBy
-        variant with dim decimal-sum columns was measured 2.5x SLOWER —
-        64 wide decimal aggregates recompile ~2 s of generated code per
-        round — so the narrow posexplode shape stays.)
-      * empty cells keep their previous centroid (left-join + coalesce), so
-        exactly k centroids always come back.
-      * lineage truncated per round with eager ``localCheckpoint`` (same
-        rationale as operators/graph.py — an iterative plan otherwise nests
-        the full DAG per round).
+        (x_similarity_ivf_kmeans / x_semdedup). The k * dim mean rows are
+        MODEL-sized, so each round collects them and re-plants the
+        centroids as a JVM LocalRelation (localrel.local_df): the old
+        per-round groupBy(cell) re-assembly + left-join + eager
+        localCheckpoint disappear — one shallow job per round instead of a
+        deeper one, and the returned model is a literal table every caller
+        can broadcast for free. Collected doubles round-trip bit-exactly
+        (IEEE 754 through Python floats and Arrow), so trained models are
+        identical to the old loop's. (A fused one-groupBy variant with dim
+        decimal-sum columns was measured 2.5x SLOWER — 64 wide decimal
+        aggregates recompile ~2 s of generated code per round — so the
+        narrow posexplode shape stays.)
+      * empty cells keep their previous centroid, so exactly k centroids
+        always come back.
+      * lineage per round is truncated by construction — each round's plan
+        hangs off the sample checkpoint and a LocalRelation, so no
+        per-round checkpoint jobs are needed.
 
     Iteration count is a fixed budget, the standard production choice for
     IVF coarse quantizers (convergence-delta stopping adds a count() action
@@ -223,43 +231,36 @@ def kmeans_fit(
         # storage (an out-of-disk failure mode at the module's own scale
         # framing); persist re-derives deterministically if evicted
         train = train.persist(StorageLevel.MEMORY_AND_DISK)
-    # no checkpoint on the init head: it derives from the train checkpoint
-    # above with one tiny TakeOrdered, so materializing it would only add an
-    # eager job (per-job barrier tax measured ~0.3-0.5 s on local[32])
-    cents = (
-        train.orderBy("_h")
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy("_h")).cast("long").alias("cent_id"),
-            F.col("v").alias("centroid"),
-        )
-    )
+    from flnr_wins_spark.localrel import local_df
+
+    spark = df.sparkSession
+    # init: the k lowest-hash rows, collected (model-sized — one tiny
+    # TakeOrdered job over the sample checkpoint). cent_id 1..k follows the
+    # ascending-_h collect order — the identical ordering the old
+    # row_number(_h) window produced (md5 hashes are collision-free here).
+    init = train.orderBy("_h").limit(k).select("v").collect()
+    cents_py: list[tuple[int, list[float]]] = [
+        (i + 1, list(r.v)) for i, r in enumerate(init)
+    ]
     tv = train.select("id", "v")
     dmean = (
         F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))
     ).alias("m")
+    cents_schema = "cent_id bigint, centroid array<double>"
     for _ in range(iters):
+        cents = local_df(spark, cents_py, cents_schema)
         assigned = kmeans_assign(tv, cents)
         by_dim = assigned.select("cell", F.posexplode("v").alias("d", "x"))
-        means = (
-            by_dim.groupBy("cell", "d")
-            .agg(dmean)
-            .groupBy("cell")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(d, m))), s -> s.m)"
-                ).alias("new_centroid")
-            )
-        )
-        cents = (
-            cents.join(means, cents.cent_id == means.cell, "left")
-            .select(
-                "cent_id",
-                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias("centroid"),
-            )
-            .localCheckpoint()
-        )
-    return cents
+        mrows = by_dim.groupBy("cell", "d").agg(dmean).collect()
+        new: dict[int, dict[int, float]] = {}
+        for r in mrows:
+            new.setdefault(r.cell, {})[r.d] = r.m
+        # empty cells keep their previous centroid — exactly k rows always
+        cents_py = [
+            (cid, [new[cid][d] for d in range(len(old))] if cid in new else old)
+            for cid, old in cents_py
+        ]
+    return local_df(spark, cents_py, cents_schema)
 
 
 def ivf_topk(
@@ -422,27 +423,31 @@ def pq_fit(
             (F.lit(seed) + F.col("sub")).cast("string"),
         )
     )
+    from flnr_wins_spark.localrel import local_df
+
+    spark = df.sparkSession
     init_w = Window.partitionBy("sub").orderBy("_h")
-    cents = (
+    # init heads collected (m * ksub rows, model-sized — one window job);
+    # each round then re-plants the codebooks as a JVM LocalRelation, so
+    # the old per-round (sub, cell) re-assembly groupBy + left-join + eager
+    # localCheckpoint disappear (same collect-the-means loop as kmeans_fit;
+    # collected doubles round-trip bit-exactly, models are identical).
+    init_rows = (
         slices.withColumn("_h", order_h)
         .withColumn("_rn", F.row_number().over(init_w))
         .filter(F.col("_rn") <= ksub)
-        .select(
-            "sub",
-            F.col("_rn").cast("long").alias("cent_id"),
-            F.col("subvec").alias("centroid"),
-        )
+        .select("sub", F.col("_rn").cast("long").alias("cent_id"), "subvec")
+        .collect()
     )
-    if fit_sample is None:
-        # nothing upstream is checkpointed, so pin the init head rather than
-        # re-deriving it from the raw corpus in round 1; with a sampled fit
-        # the sample checkpoint above already truncates lineage and an eager
-        # init job would only add barrier tax
-        cents = cents.localCheckpoint()
+    books_py: list[tuple[int, int, list[float]]] = [
+        (r.sub, r.cent_id, list(r.subvec)) for r in init_rows
+    ]
+    books_schema = "sub int, cent_id bigint, centroid array<double>"
     best = F.min(
         F.struct(sqdist(F.col("subvec"), F.col("centroid")).alias("d"), F.col("cent_id").alias("c"))
     )
     for _ in range(iters):
+        cents = local_df(spark, books_py, books_schema)
         assigned = (
             slices.join(F.broadcast(cents), "sub")
             .groupBy("id", "sub")
@@ -451,7 +456,7 @@ def pq_fit(
         )
         by_dim = assigned.select("sub", "cell", F.posexplode("subvec").alias("d", "x"))
         # decimal-routed mean (the dsum rule): order-insensitive, engine-exact
-        means = (
+        mrows = (
             by_dim.groupBy("sub", "cell", "d")
             .agg(
                 (
@@ -459,28 +464,23 @@ def pq_fit(
                     / F.count(F.lit(1))
                 ).alias("m")
             )
-            .groupBy("sub", "cell")
-            .agg(
-                F.expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").alias(
-                    "new_centroid"
-                )
-            )
+            .collect()
         )
-        cents = (
-            cents.alias("c")
-            .join(
-                means.alias("n"),
-                (F.col("c.sub") == F.col("n.sub")) & (F.col("c.cent_id") == F.col("n.cell")),
-                "left",
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in mrows:
+            new.setdefault((r.sub, r.cell), {})[r.d] = r.m
+        # empty cells keep their previous centroid — m * ksub rows always
+        books_py = [
+            (
+                s,
+                cid,
+                [new[(s, cid)][d] for d in range(len(old))]
+                if (s, cid) in new
+                else old,
             )
-            .select(
-                F.col("c.sub").alias("sub"),
-                F.col("c.cent_id").alias("cent_id"),
-                F.coalesce(F.col("n.new_centroid"), F.col("c.centroid")).alias("centroid"),
-            )
-            .localCheckpoint()
-        )
-    return cents
+            for s, cid, old in books_py
+        ]
+    return local_df(spark, books_py, books_schema)
 
 
 def pq_encode(

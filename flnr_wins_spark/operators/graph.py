@@ -70,11 +70,28 @@ def connected_components(
         .distinct()
     )
     e = e.localCheckpoint()
-    labels = e.select(F.col("a").alias("id")).distinct().withColumn(
-        "label", F.col("id")
+    # Round 1 fused: initial labels are the vertex ids themselves, so the
+    # first neighbor-min pass is a bare groupBy over the edges — no label
+    # join and no init-labels checkpoint job. Every round carries a _chg
+    # flag (did this vertex's label shrink?) so the convergence check is a
+    # filter-count on the just-checkpointed round output instead of a
+    # separate old-vs-new join job. Labels produced are identical to the
+    # unfused loop's (round 1 with label(v) = v IS min(v, min(N(v)))).
+    new_labels = (
+        e.groupBy("a")
+        .agg(F.min("b").alias("_nbr"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("_nbr")).alias("label"),
+            (F.col("_nbr") < F.col("a")).alias("_chg"),
+        )
+        .localCheckpoint()
     )
-    labels = labels.localCheckpoint()
-    for _ in range(max_iter):
+    changed = new_labels.filter("_chg").count()
+    labels = new_labels.drop("_chg")
+    if changed == 0:
+        return labels.select("id", F.col("label").alias("cluster_id"))
+    for _ in range(max_iter - 1):
         nbr_min = (
             e.join(labels, e.b == labels.id)
             .groupBy("a")
@@ -87,16 +104,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")
+                ).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             return labels.select("id", F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
