@@ -108,6 +108,28 @@ def _write_manifest(spark: SparkSession, table_path: str, k: int, m: dict) -> No
         raise IOError(f"manifest commit failed: rename {tmp} -> {final}")
 
 
+def _stage_schema_json(df, part_col: str) -> str:
+    """JSON of the DATA schema a stage's parquet files carry (the written
+    frame minus the partition column, which partitionBy hoists into the
+    directory name). Recorded in the manifest at commit time so reads can
+    pass an EXPLICIT schema to the parquet scan — without it every
+    read_ptable pays a per-directory mergeSchema footer-inference job
+    before any data moves (driver-side, serial; guide §5/§6)."""
+    return df.drop(part_col).schema.json()
+
+
+def _carry_stage_schemas(prev: dict, mapping: dict) -> dict:
+    """Stage-schema entries of ``prev`` still referenced by ``mapping``
+    (untouched partitions carry their stage's schema by reference, exactly
+    like the data they describe)."""
+    referenced = {rel.split("/")[1] for rel in mapping.values()}
+    return {
+        s: j
+        for s, j in prev.get("stage_schemas", {}).items()
+        if s in referenced
+    }
+
+
 _HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -960,7 +982,12 @@ def write_ptable(
         v: f"stage/m{k}/{part_col}={_enc(v)}"
         for v in _stage_partitions(spark, stage, part_col)
     }
-    manifest = {"part_col": part_col, "part_type": part_type, "partitions": mapping}
+    manifest = {
+        "part_col": part_col,
+        "part_type": part_type,
+        "partitions": mapping,
+        "stage_schemas": {f"m{k}": _stage_schema_json(df, part_col)},
+    }
     if stats_cols:
         stats, rows = _compute_stats(spark, stage, part_col, list(stats_cols))
         manifest["stats_cols"] = list(stats_cols)
@@ -1028,13 +1055,30 @@ def read_ptable(
         items = [(v, d) for v, d in items if v in want]
     if not items:
         raise FileNotFoundError(f"no matching partitions in manifest m{k}")
+    stage_schemas = m.get("stage_schemas", {})
+    schema_cache: dict[str, object] = {}
     parts = []
     for val, rel in items:
         # manifest rel paths are fully percent-encoded; the disk name is
         # Spark's hive form (spaces literal) — decode before the read
-        df = spark.read.option("mergeSchema", "true").parquet(
-            f"{table_path}/{unquote(rel)}"
-        )
+        stage_id = rel.split("/")[1]
+        sj = stage_schemas.get(stage_id)
+        if sj is not None:
+            # the commit recorded this stage's data schema: hand it to the
+            # scan EXPLICITLY — plan construction runs zero jobs instead of
+            # a per-directory mergeSchema footer-inference pass (a table
+            # read was paying one serial driver job per partition dir)
+            if stage_id not in schema_cache:
+                from pyspark.sql.types import StructType
+
+                schema_cache[stage_id] = StructType.fromJson(json.loads(sj))
+            df = spark.read.schema(schema_cache[stage_id]).parquet(
+                f"{table_path}/{unquote(rel)}"
+            )
+        else:  # pre-schema manifest: legacy inference read
+            df = spark.read.option("mergeSchema", "true").parquet(
+                f"{table_path}/{unquote(rel)}"
+            )
         parts.append(df.withColumn(part_col, F.lit(val).cast(part_type)))
     out = parts[0]
     for p in parts[1:]:
@@ -1084,11 +1128,12 @@ def merge_ptable(
     if delete_keys is not None and part_col not in delete_keys.columns:
         raise ValueError(f"delete_keys must carry partition column '{part_col}'")
 
-    touched = {str(r[0]) for r in source.select(part_col).distinct().collect()}
+    # ONE distinct-collect job over both changeset sides (was two serial
+    # jobs — source partitions, then delete partitions)
+    tp = source.select(F.col(part_col).alias("_p"))
     if delete_keys is not None:
-        touched |= {
-            str(r[0]) for r in delete_keys.select(part_col).distinct().collect()
-        }
+        tp = tp.unionByName(delete_keys.select(F.col(part_col).alias("_p")))
+    touched = {str(r[0]) for r in tp.distinct().collect()}
     existing = set(prev["partitions"])
     read_vals = sorted(touched & existing)
     k = ids[-1] + 1
@@ -1110,10 +1155,14 @@ def merge_ptable(
         mapping.pop(v, None)  # an all-deleted partition leaves the manifest
     for v in written:
         mapping[v] = f"stage/m{k}/{part_col}={_enc(v)}"
+    stage_schemas = _carry_stage_schemas(prev, mapping)
+    if written:
+        stage_schemas[f"m{k}"] = _stage_schema_json(merged, part_col)
     manifest = {
         "part_col": part_col,
         "part_type": prev["part_type"],
         "partitions": mapping,
+        "stage_schemas": stage_schemas,
     }
     if prev.get("stats_cols"):
         # zone maps + row counts: untouched partitions keep their entries
@@ -1541,6 +1590,10 @@ def compact_ptable(
         "part_col": part_col,
         "part_type": prev["part_type"],
         "partitions": mapping,
+        "stage_schemas": {
+            **_carry_stage_schemas(prev, mapping),
+            f"m{k}": _stage_schema_json(df, part_col),
+        },
         "meta": {**prev.get("meta", {}), "compacted": sorted(written)},
     }
     if prev.get("stats_cols"):
@@ -1612,6 +1665,7 @@ def repartition_ptable(
         "part_col": new_part_col,
         "part_type": part_type,
         "partitions": mapping,
+        "stage_schemas": {f"m{k}": _stage_schema_json(df, new_part_col)},
         "meta": {**prev.get("meta", {}), "evolved_from": prev["part_col"]},
     }
     if prev.get("stats_cols"):
