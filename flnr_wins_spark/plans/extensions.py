@@ -3549,11 +3549,17 @@ def x_llm_corpus_e2e(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # pin the rule verdicts: `passed` feeds THREE plan branches (the
+    # survivor groupBy, the survivor re-join, and through them `kept`) and
+    # the Gopher/C4 rule chain is the entry's expensive interpreted part —
+    # unpinned, it re-evaluates once per branch (measured 3x the rule cost
+    # at sf0.1); persisted, exactly one pass over the corpus scores rules
     passed = (
         quality_rules(docs, min_words=30, min_stopword_hits=0)
         .filter(F.col("passes"))
         .select("doc_id")
         .join(docs, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     survivors = passed.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     # the curated table feeds FOUR consumers (mixture stats, quotas, rank,
