@@ -38,18 +38,31 @@ class RejectSplit(NamedTuple):
     rejected: DataFrame  # carries REJECT_FLAG
 
 
-def reject_duplicates(df: DataFrame, key: str, flag: str | None = None) -> RejectSplit:
+def reject_duplicates(
+    df: DataFrame, key: str, flag: str | None = None, pin: bool = False
+) -> RejectSplit:
     """Split rows whose ``key`` occurs more than once into the reject side —
     all group members rejected (``src/wins_transform_staging.py:249-256``).
 
     Single pass: window COUNT over partitionBy(key) replaces the reference's
     Frequency table + AddJoin (``:240-249``).
+
+    ``pin=True`` persists the window-tagged frame (MEMORY_AND_DISK,
+    spillable): kept and rejected are FILTERS of the same tagged subtree,
+    so a caller consuming BOTH sides — the staging pipeline materializes
+    kept tables AND the reject union — otherwise recomputes the upstream
+    scan+enrich+window once per side. Single-side consumers keep the
+    default (a persist would only add cache-write cost).
     """
     flag = flag or DUPLICATE_FLAG.format(key=key)
     if "__wins_freq" in df.columns:
         raise ValueError("reject_duplicates: input already has a __wins_freq column")
     cnt = F.count(F.lit(1)).over(Window.partitionBy(key))
     tagged = df.withColumn("__wins_freq", cnt)
+    if pin:
+        from pyspark import StorageLevel
+
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     # NULL keys are never duplicates: the reference builds the frequency via
     # an equi-join back to the source (``:246-249``), and SQL equi-joins skip
     # NULL tags — FREQUENCY stays NULL, ``FREQUENCY > 1`` is false, the row

@@ -752,9 +752,12 @@ def q20_potential_promotion(spark, sf_dir):
     GROUP BY s_name
     """,
     note="TPC-H Q21 shape (receipt-vs-commit lateness adapted to shipdate > "
-    "orderdate + 60d). The exists/not-exists pair is decorrelated into one "
-    "per-order aggregate (distinct suppliers, distinct late suppliers) — "
-    "single shuffle on l_orderkey reused by agg and join, no per-row probes",
+    "orderdate + 60d). The exists/not-exists pair is decorrelated into "
+    "per-order WINDOW aggregates (distinct suppliers, distinct late "
+    "suppliers, via size(collect_set) which skips NULLs exactly like "
+    "COUNT(DISTINCT)) — ONE l_orderkey exchange carries the joined rows "
+    "once, where the groupBy+self-join form paid three exchanges plus an "
+    "Expand doubling for the dual distinct",
     bench=True,
 )
 def q21_suppliers_kept_waiting(spark, sf_dir):
@@ -762,13 +765,18 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     od = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     j = li.join(od, li.l_orderkey == od.o_orderkey).withColumn("is_late", late)
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("nlate"),
-    )
+    w = Window.partitionBy("l_orderkey")
     culprit = (
-        j.filter(F.col("is_late"))
-        .join(per_order.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1)), "l_orderkey")
+        j.withColumn("nsupp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "nlate",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(F.col("is_late") & (F.col("nsupp") > 1) & (F.col("nlate") == 1))
     )
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")

@@ -92,7 +92,11 @@ def qa_reserves(
     ``:268-269`` — enforced INSIDE the reject operators' precedence-aware
     stamp, so a row entering either operator with an existing flag keeps
     it; no separate flag_where_null pass needed)."""
-    dup = reject_duplicates(rrr, "TRRR_TAG", flag="Duplicate TRRR_TAG")
+    # pin=True: kept AND rejected are both consumed downstream (published
+    # table + reject union), and rejected itself unions two branches over
+    # the same tagged subtree — unpinned, the scan+enrich+window replays
+    # once per branch (3x at plan level; see OPTIMIZATION_r15.md)
+    dup = reject_duplicates(rrr, "TRRR_TAG", flag="Duplicate TRRR_TAG", pin=True)
     ri = reject_unmatched(
         dup.kept,
         pod,
