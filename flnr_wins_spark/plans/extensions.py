@@ -3549,23 +3549,28 @@ def x_llm_corpus_e2e(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # pin the rule verdicts: `passed` feeds THREE plan branches (the
-    # survivor groupBy, the survivor re-join, and through them `kept`) and
-    # the Gopher/C4 rule chain is the entry's expensive interpreted part —
-    # unpinned, it re-evaluates once per branch (measured 3x the rule cost
-    # at sf0.1); persisted, exactly one pass over the corpus scores rules
     passed = (
         quality_rules(docs, min_words=30, min_stopword_hits=0)
         .filter(F.col("passes"))
         .select("doc_id")
         .join(docs, "doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    survivors = passed.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    # the curated table feeds FOUR consumers (mixture stats, quotas, rank,
-    # manifest join); pin it once or each re-scans the interpreted
-    # rule chain — the filtered survivor set is small by construction
-    kept = passed.join(survivors.select("doc_id"), "doc_id").localCheckpoint()
+    # exact dedup as ONE window pass: min(doc_id) over partitionBy(text)
+    # equals the groupBy(text).min + re-join form (doc_id is the PK), but
+    # consumes `passed` once — the interpreted Gopher/C4 rule chain used to
+    # re-evaluate per branch (groupBy arm + join-probe arm), and the
+    # survivor attach paid a second exchange. One text-keyed exchange now
+    # carries the curated rows straight into the localCheckpoint; the
+    # checkpointed `kept` then feeds the four downstream consumers.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text")
+    kept = (
+        passed.withColumn("_surv", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_surv"))
+        .drop("_surv")
+        .localCheckpoint()
+    )
     mix = corpus_mixture(kept.select("doc_id", "lang"), "lang", n=120).select(
         F.col("id").alias("doc_id"), F.col("mix_rank").cast("int").alias("mix_rank")
     )
@@ -8405,12 +8410,18 @@ def x_multimodal_dhash_dedup(spark, sf_dir):
         F.substring(raw, 2, 71),
     )
     media = docs.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+    from pyspark import StorageLevel
+
+    # persist: the banded self-join consumes `hashed` on BOTH sides, so the
+    # mapInPandas image decode would otherwise run twice per query. The
+    # persisted frame is (id, 16-char hex, 2 bigints) — fingerprint-sized,
+    # never the pixels (guide §8: move heavy bytes once, decide on proxies).
     hashed = image_dhash(media, hash_size=8).select(
         "media_id",
         "dhash",
         F.conv(F.substring("dhash", 1, 8), 16, 10).cast("bigint").alias("hi"),
         F.conv(F.substring("dhash", 9, 8), 16, 10).cast("bigint").alias("lo"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = hashed.select(
         "media_id", "hi", "lo",
         F.explode(
@@ -8566,12 +8577,16 @@ def x_multimodal_audio_dedup(spark, sf_dir):
         F.substring(payload, 2, 271),
     )
     media = docs.select(F.col("doc_id").alias("media_id"), content.alias("content"))
+    from pyspark import StorageLevel
+
+    # persist: self-joined on both sides — one audio decode per query, not
+    # two (same rationale as x_multimodal_dhash_dedup; fingerprint-sized).
     hashed = audio_fingerprint(media, n_bits=64).select(
         "media_id",
         "afp",
         F.conv(F.substring("afp", 1, 8), 16, 10).cast("bigint").alias("hi"),
         F.conv(F.substring("afp", 9, 8), 16, 10).cast("bigint").alias("lo"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = hashed.select(
         "media_id", "hi", "lo",
         F.explode(
@@ -8737,13 +8752,19 @@ def x_multimodal_video_dedup(spark, sf_dir):
         (F.col("media_id") * 4 + F.col("fr.j")).alias("media_id"),
         F.col("fr.fbytes").alias("content"),
     )
+    from pyspark import StorageLevel
+
+    # persist: `fh` feeds FOUR plan branches (candidate self-join a/b +
+    # aligned-frame verify fa/fb), so the per-frame mapInPandas decode
+    # would otherwise run 4x per query. Persisted rows are
+    # (vid, j, hex, hi, lo) — fingerprints, never frame bytes.
     fh = image_dhash(frames, hash_size=8).select(
         (F.col("media_id") / 4).cast("bigint").alias("vid"),
         F.pmod(F.col("media_id"), F.lit(4)).cast("int").alias("j"),
         "dhash",
         F.conv(F.substring("dhash", 1, 8), 16, 10).cast("bigint").alias("hi"),
         F.conv(F.substring("dhash", 9, 8), 16, 10).cast("bigint").alias("lo"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = fh.select(
         F.col("vid").alias("id_a"), F.col("dhash").alias("dh")
     )
