@@ -447,35 +447,34 @@ def q17_small_quantity_revenue(spark, sf_dir):
     ORDER BY o.o_totalprice DESC, o.o_orderkey
     LIMIT 100
     """,
-    note="TPC-H Q18 shape: HAVING-filtered key set drives a semi-join into "
-    "the fact; both lineitem aggregations shuffle on l_orderkey so AQE can "
-    "reuse the exchange partitioning",
+    note="TPC-H Q18 shape, aggregate-once form: the HAVING aggregate IS the "
+    "output aggregate (both are SUM(CAST(l_quantity AS DECIMAL(27,2))) per "
+    "l_orderkey — the semi-join keeps every lineitem row of a qualifying "
+    "order, so re-summing after the semi-join returns the value the HAVING "
+    "already computed). One lineitem scan + one l_orderkey exchange; the "
+    "filtered per-order frame (rare orders above the threshold) then "
+    "broadcast-joins orders and customer",
     bench=True,
 )
 def q18_large_volume_customer(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     od = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
-    big = (
+    per = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("q"))
-        .filter(F.col("q") > 140)
-        .select("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("_q"))
+        .filter(F.col("_q") > 140)
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
-                li.l_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(od, li.l_orderkey == od.o_orderkey)
+        per.join(od, per.l_orderkey == od.o_orderkey)
         .join(cust, od.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
             "o_totalprice",
-            "sum_qty",
+            F.col("_q").cast("double").alias("sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
