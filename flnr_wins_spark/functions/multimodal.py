@@ -1505,6 +1505,14 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
             indices = _lzw_decode(bytes(lzw), min_code, width * height)
             if iflags & 0x40:
                 indices = _gif_deinterlace(indices, width, height)
+            elif len(indices) != width * height:
+                # same contract as _gif_deinterlace's guard: a truncated
+                # LZW stream must surface as a descriptive error, not an
+                # IndexError mid-composition
+                raise ValueError(
+                    f"GIF frame pixel stream has {len(indices)} indices; "
+                    f"the {width}x{height} rect needs {width * height}"
+                )
             saved = bytes(canvas) if disposal == 3 else None
             for r in range(height):
                 row = (top + r) * w_screen

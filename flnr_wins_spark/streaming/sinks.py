@@ -127,7 +127,13 @@ def _recover_compaction(spark, root: str) -> None:
                     _state_delete(spark, f"{root}/v{v}")
             _, jsrc = _state_fs(spark, tmp)
             _, jdst = _state_fs(spark, f"{root}/v{target}")
-            fs.rename(jsrc, jdst)
+            # Hadoop FileSystem.rename signals failure by returning false,
+            # not raising — a silent false here would leave the recovered
+            # target version missing
+            if not fs.rename(jsrc, jdst):
+                raise IOError(
+                    f"compaction recovery: rename {tmp} -> {root}/v{target} failed"
+                )
         else:  # incomplete merge write: originals are untouched
             _state_delete(spark, tmp)
     for name in leftovers:
@@ -157,13 +163,22 @@ def _compact_delta_versions(spark, root: str, max_versions: int = 8) -> None:
         "overwrite"
     ).parquet(tmp)
     fs, _ = _state_fs(spark, root)
+    # rename returns false on failure instead of raising; a silent false
+    # would leave duplicate rows (original v<N> plus the promoted merge)
     for v in merge:
         _, jsrc = _state_fs(spark, f"{root}/v{v}")
         _, jdst = _state_fs(spark, f"{root}/compacted_v{v}")
-        fs.rename(jsrc, jdst)
+        if not fs.rename(jsrc, jdst):
+            raise IOError(
+                f"delta compaction: side-rename {root}/v{v} -> "
+                f"compacted_v{v} failed"
+            )
     _, jsrc = _state_fs(spark, tmp)
     _, jdst = _state_fs(spark, f"{root}/v{target}")
-    fs.rename(jsrc, jdst)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(
+            f"delta compaction: promoting {tmp} -> {root}/v{target} failed"
+        )
     for v in merge:
         _state_delete(spark, f"{root}/compacted_v{v}")
 
@@ -489,6 +504,21 @@ def minhash_dedup_sink(
     base = state_path.rstrip("/")
     bands_root, sh_root, kept_root = f"{base}/bands", f"{base}/shsets", f"{base}_kept"
 
+    # Legacy-layout guard: before the r14 band-index layout, state lived as
+    # flat signature deltas at <state>/v<N>. Restarting over such state with
+    # this sink would silently see EMPTY prior history (bands/ missing) and
+    # re-admit previously-seen near-dups. Detect and refuse loudly.
+    _legacy_spark = stream.sparkSession
+    if _state_versions(_legacy_spark, base) and not _state_versions(
+        _legacy_spark, bands_root
+    ):
+        raise ValueError(
+            f"minhash_dedup_sink: {base} holds a pre-band-index (flat v*) "
+            "state layout; this sink reads <state>/bands + <state>/shsets "
+            "and would silently treat the legacy history as empty. Migrate "
+            "or point the sink at a fresh state_path."
+        )
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # finish any interrupted compaction, then shed an abandoned
@@ -526,6 +556,15 @@ def minhash_dedup_sink(
                 .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             )
             sh_prior = [v for v in _state_versions(spark, sh_root) if v < batch_id]
+            if not sh_prior:
+                # bands priors exist (we are in this branch) but shset
+                # priors do not — external cleanup or layout skew; an empty
+                # read would fail with an opaque path error
+                raise ValueError(
+                    f"minhash_dedup_sink: state skew — {bands_root} has "
+                    f"prior versions {prior} but {sh_root} has none; the "
+                    "two roots must hold the same version timeline"
+                )
             all_sh = spark.read.parquet(
                 *[f"{sh_root}/v{v}" for v in sh_prior]
             ).unionByName(sig_new.select("id", "shset"))

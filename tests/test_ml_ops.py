@@ -749,3 +749,27 @@ def test_ppm16_decode_rounds_exactly():
         decode_image(b"P5\n1 1\n300\n" + (301).to_bytes(2, "big"))
     with pytest.raises(ValueError, match="maxval"):
         decode_image(b"P5\n1 1\n70000\n" + b"\x00\x00")
+
+
+def test_gif_noninterlaced_truncated_stream_raises():
+    """r14 ADVICE: a truncated LZW stream in a NON-interlaced frame must
+    surface as the same descriptive ValueError the interlaced path raises,
+    not a bare IndexError mid-composition. Fixture: a 2x2-encoded frame
+    whose descriptor (and logical screen) are widened to 4x4, so the LZW
+    stream yields 4 of the 16 needed indices."""
+    import pytest
+
+    from flnr_wins_spark.functions.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    g = bytearray(encode_gif_animated(2, 2, [bytes([1, 2, 3, 4])], _GIF_PAL))
+    g[6:8] = (4).to_bytes(2, "little")
+    g[8:10] = (4).to_bytes(2, "little")
+    pos = 6 + 7 + 768 + 19 + 8  # header+LSD+palette+NETSCAPE+GCE
+    assert g[pos] == 0x2C
+    g[pos + 5 : pos + 7] = (4).to_bytes(2, "little")
+    g[pos + 7 : pos + 9] = (4).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="needs 16"):
+        decode_gif_frames(bytes(g))

@@ -1279,3 +1279,61 @@ class TestGateOffsetBandGuard:
             _assert_offset_bands_free(self._docs(spark, [-500_000, 500_000]))
         # negative ids alone (bands {-1}) are still collision-free
         _assert_offset_bands_free(self._docs(spark, [-500_000, -1]))
+
+
+class TestR15AdviceGuards:
+    """r14 ADVICE items: loud failures instead of silent state corruption."""
+
+    def test_legacy_flat_state_layout_refused(self, spark, tmp_path):
+        """A pre-band-index state (flat <state>/v<N> signature deltas)
+        must be refused at sink construction, not silently treated as
+        empty history."""
+        from flnr_wins_spark.streaming.sinks import minhash_dedup_sink
+
+        state = tmp_path / "state"
+        spark.range(3).toDF("id").write.parquet(str(state / "v0"))
+        docs = read_table(spark, SF, "documents").select("doc_id", "text").limit(2)
+        src = str(tmp_path / "src")
+        docs.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        with pytest.raises(ValueError, match="pre-band-index"):
+            minhash_dedup_sink(
+                stream,
+                str(state),
+                id_col="doc_id",
+                text_col="text",
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            )
+
+    def test_compaction_raises_on_rename_failure(self, spark, tmp_path, monkeypatch):
+        """Hadoop FileSystem.rename signals failure by returning false;
+        a false during delta compaction must raise, not silently leave
+        duplicate/missing versions."""
+        from flnr_wins_spark.streaming import sinks as S
+
+        root = str(tmp_path / "delta")
+        for v in range(5):
+            spark.range(v * 10, v * 10 + 3).toDF("id").write.parquet(f"{root}/v{v}")
+
+        real_state_fs = S._state_fs
+
+        class RenameRefusingFS:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def rename(self, *a):
+                return False
+
+            def __getattr__(self, name):
+                return getattr(self._fs, name)
+
+        def fake_state_fs(spark_, path):
+            fs, jpath = real_state_fs(spark_, path)
+            return RenameRefusingFS(fs), jpath
+
+        monkeypatch.setattr(S, "_state_fs", fake_state_fs)
+        with pytest.raises(IOError, match="side-rename"):
+            S._compact_delta_versions(spark, root, max_versions=3)
+        # originals are untouched when the first side-rename refuses
+        monkeypatch.undo()
+        assert S._state_versions(spark, root) == [0, 1, 2, 3, 4]
