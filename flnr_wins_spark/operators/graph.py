@@ -241,13 +241,18 @@ def pagerank_integer(
         .localCheckpoint()
     )
     n = verts.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    # fold out-degree into the checkpointed edge list ONCE: every round's
+    # contrib used to re-derive deg (groupBy) and re-join it to the edges —
+    # one checkpoint here removes an aggregate + join per iteration
+    e = (
+        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outd")), "src")
+        .localCheckpoint()
+    )
     base = (damp_den - damp_num) * scale // (damp_den * n)
     ranks = verts.withColumn("rank", F.lit(scale // n).cast("bigint"))
     for _ in range(n_iter):
         contrib = (
-            e.join(deg, "src")
-            .join(ranks, e.src == ranks.id)
+            e.join(ranks, e.src == ranks.id)
             .groupBy("dst")
             .agg(F.sum(F.expr("rank div outd")).alias("contrib"))
         )
