@@ -8,11 +8,14 @@ Catalyst keeps the whole plan in codegen.
 
 Scale shape (100 TB corpus, Q query terms):
 
-  * postings are exploded NARROW (no shuffle) and immediately filtered to the
-    query terms, so only matching (term, doc_id) rows ever reach an exchange;
+  * one-shot retrieval (``bm25_topk``) computes doc length and per-term tf
+    as ARRAY functions in the scan projection — the corpus is tokenized
+    once and NO token-level row ever reaches an exchange; only matching
+    (doc_id, term, tf, dl) rows are exploded for scoring;
+  * index builds explode postings NARROW (no shuffle) and pre-aggregate to
+    (term, doc_id, tf) with map-side combine before any exchange;
   * document-frequency and corpus stats aggregate to model-sized frames and
-    broadcast — the corpus-sized side shuffles exactly twice (tf groupBy and
-    doc-length groupBy), both with map-side partial aggregation;
+    broadcast;
   * in a standing deployment, doc lengths / avgdl / df are corpus metadata
     you materialize once per snapshot and reuse per query — the dataflow here
     recomputes them inline so a single call is self-contained.
@@ -71,33 +74,59 @@ def bm25_topk(
         score   = sum_t idf(t) * tfn(t,d)       (decimal-routed, see module)
 
     ``unpersist=True`` eagerly materializes the (k-row) result and releases
-    the internal doc-length cache before returning — the right mode for
+    the internal per-doc cache before returning — the right mode for
     multi-corpus loops, which otherwise accumulate one session-lifetime
     cached table per corpus (same convention as
     ``operators.dedup.minhash_lsh_pairs``).
+
+    Shuffle shape: ``dl`` and each query term's ``tf`` are computed IN THE
+    SCAN PROJECTION with array functions (size/filter over the token
+    array), so the corpus is tokenized ONCE and no token-level row ever
+    reaches an exchange — the old explode → groupBy(doc) / groupBy(doc,
+    term) pair of token-volume shuffles is gone entirely. Only the narrow
+    (doc_id, dl, tf…) per-doc frame persists; matching docs explode ≤ Q
+    struct rows each for the scoring join. Values are identical to the
+    exploded form: size(filter(tokens, t = term)) IS the occurrence count
+    and size(tokens) IS the doc length.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    terms = list(dict.fromkeys(query_terms))
+    tk = tokens(F.col(text_col))
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tk).cast("bigint").alias("dl"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t_).alias("term"),
+                        F.size(F.filter(tk, lambda x: x == F.lit(t_)))
+                        .cast("bigint")
+                        .alias("tf"),
+                    )
+                    for t_ in terms
+                ]
+            ).alias("_tfs"),
+        )
+        # docs whose token list is empty (or NULL text: size(null) = -1)
+        # never reached the exploded doclen either
+        .filter(F.col("dl") >= 1)
+        .persist()
     )
-    # doclen feeds both the stats aggregate and the scoring join; without a
-    # persist each consumer re-tokenizes the corpus (the explode is narrow,
-    # so Spark cannot share the subtree across actions). (doc_id, dl) is two
-    # columns per doc — the cheap thing to pin. Session-scoped lifecycle,
-    # same convention as minhash signatures / semdedup assignment.
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).persist()
-    stats = doclen.agg(
+    stats = per_doc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
     )
     tf = (
-        toks.filter(F.col("term").isin(list(query_terms)))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+        per_doc.select("doc_id", "dl", F.explode("_tfs").alias("_t"))
+        .select("doc_id", "dl", F.col("_t.term").alias("term"), F.col("_t.tf").alias("tf"))
+        .filter(F.col("tf") >= 1)
     )
-    out = _bm25_score_topk(tf, doclen, stats, k, k1, b)
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    joined = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    out = _bm25_rank(joined, k, k1, b)
     if unpersist:
         out = out.localCheckpoint(eager=True)
-        doclen.unpersist()
+        per_doc.unpersist()
     return out
 
 
@@ -117,6 +146,14 @@ def _bm25_score_topk(
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
+    return _bm25_rank(joined, k, k1, b)
+
+
+def _bm25_rank(joined: DataFrame, k: int, k1: float, b: float) -> DataFrame:
+    """BM25 ranking over per-hit rows already carrying
+    (doc_id, tf, df, dl, n_docs, avgdl) — the one set of score expressions
+    shared by every entry path, so fresh-build, array-projected and
+    persisted-index retrieval stay bit-identical."""
     idf = F.log(
         ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
         / (F.col("df").cast("double") + F.lit(0.5))
