@@ -222,9 +222,19 @@ def kmeans_fit(
     train = v.withColumn("_h", order_h)
     if fit_sample is not None:
         # TakeOrderedAndProject: per-partition partial top-S, single merge —
-        # the one full-corpus pass. The result is model-fit-sized and lands
-        # in few partitions, so each Lloyd's round is cheap.
-        train = train.orderBy("_h").limit(max(fit_sample, k)).localCheckpoint()
+        # the one full-corpus pass. limit() lands the whole sample in ONE
+        # partition, which would run every Lloyd's round on one core (a
+        # guaranteed straggler: iters x the full sample on a single task at
+        # ANY scale) — spread it across the default parallelism before the
+        # checkpoint. Round math is row-order-insensitive (decimal means,
+        # min-struct argmin), so the repartition cannot change the model.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        train = (
+            train.orderBy("_h")
+            .limit(max(fit_sample, k))
+            .repartition(par)
+            .localCheckpoint()
+        )
     else:
         # exact mode trains on the CORPUS: persist with spill instead of
         # eagerly copying the whole dataset into executor-local checkpoint
@@ -407,10 +417,18 @@ def pq_fit(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     if fit_sample is not None:
+        # spread the single-partition limit() output before checkpointing —
+        # same every-round straggler fix as kmeans_fit (round math is
+        # row-order-insensitive; per-subspace init re-sorts by its own hash)
         row_h = F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{seed}")))
-        v = v.withColumn("_rh", row_h).orderBy("_rh").limit(
-            max(fit_sample, ksub)
-        ).select("id", "_v").localCheckpoint()
+        v = (
+            v.withColumn("_rh", row_h)
+            .orderBy("_rh")
+            .limit(max(fit_sample, ksub))
+            .select("id", "_v")
+            .repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .localCheckpoint()
+        )
     slices = v.select(
         "id",
         F.explode(_sub_slices(F.col("_v"), dim, m)).alias("_s"),

@@ -26,10 +26,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
+    import shutil
+
     log_dir = "/tmp/spark-events-profile"
+    shutil.rmtree(log_dir, ignore_errors=True)
     os.makedirs(log_dir, exist_ok=True)
-    for f in glob.glob(log_dir + "/*"):
-        os.remove(f)
 
     from flnr_wins_spark.plans.common import all_queries
     from flnr_wins_spark.session import get_spark
@@ -39,6 +40,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,8 +61,14 @@ def main() -> None:
         spark.sparkContext.setJobDescription(None)
     spark.stop()
 
-    # parse the event log: job start/end + description
-    evfiles = glob.glob(log_dir + "/*")
+    # parse the event log: job start/end + description (v2 logs are a
+    # directory; compressed members are skipped — run with
+    # spark.eventLog.compress=false, the default)
+    evfiles = [
+        f
+        for f in glob.glob(log_dir + "/**", recursive=True)
+        if os.path.isfile(f) and "appstatus" not in f
+    ]
     jobs = {}
     for ev in evfiles:
         with open(ev) as f:
