@@ -71,15 +71,19 @@ def fuzzy_join(
         "_bk", _block_key(F.col(right_key), (F.length(right_key) / band_width).cast("int"))
     )
     # hot-block guard: a blocking key wider than max_block_width on the right
-    # side is dropped (degenerate keys would otherwise go quadratic); the
-    # audit of dropped keys is observable via this aggregate if callers want
-    wide = (
-        rb.groupBy("_bk")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_block_width)
-        .select("_bk")
+    # side is dropped (degenerate keys would otherwise go quadratic). The
+    # width rides a count window over the SAME _bk partitioning the join
+    # needs next, so the right side is scanned once and its exchange feeds
+    # the join — the old groupBy+broadcast-anti shape evaluated the right
+    # subtree twice. Counting a hot block is linear per task; the quadratic
+    # hazard (the join) only ever sees guarded blocks.
+    from pyspark.sql import Window
+
+    rb = (
+        rb.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_bk")))
+        .filter(F.col("_n") <= max_block_width)
+        .drop("_n")
     )
-    rb = rb.join(F.broadcast(wide), "_bk", "left_anti")
     dist = F.levenshtein(F.col(left_key), F.col(right_key))
     # No post-dedup needed: the right row carries exactly ONE band key, so a
     # (left, right) pair can co-occur in at most one block despite the 3x
