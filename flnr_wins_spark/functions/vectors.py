@@ -45,6 +45,22 @@ def unit(a: Column) -> Column:
     return F.transform(a, lambda x: x / n)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread an under-split corpus input across the default parallelism
+    before a CPU-heavy per-row fold pass (distance/signature folds are
+    O(dim) interpreted ops per row — a single-file scan would run them on
+    one core). No-op whenever the scan is already at least that parallel,
+    i.e. on any real cluster-scale input; the same guard as
+    ``minhash_signature_table``'s ``min_parallelism``. Row order is never
+    semantically relevant to the callers (min-struct argmins, decimal
+    sums, deterministic rank windows), so the repartition cannot change
+    any result."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -63,7 +79,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
     )
-    c = candidates.select(
+    c = _spread(candidates).select(
         F.col(cand_id).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("_cv")
     )
     scored = c.crossJoin(F.broadcast(q))
@@ -301,7 +317,7 @@ def ivf_topk(
     # Unit-normalize once on each side: every later cosine is a single dot
     # fold instead of three (ANN ranking is norm-invariant, so this is safe
     # here; the exact-oracle brute force path keeps the full formula).
-    c = candidates.select(
+    c = _spread(candidates).select(
         F.col(cand_id).alias("cand_id"),
         unit(F.col(vec_col).cast("array<double>")).alias("_cv"),
     )
@@ -514,7 +530,7 @@ def pq_encode(
     the (model-sized) codebooks broadcast, the per-(id, sub) argmin collapses
     map-side via combinable min(struct(dist, cent)), and codes assemble with
     one groupBy on id."""
-    slices = df.select(
+    slices = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(_sub_slices(F.col(vec_col).cast("array<double>"), dim, m)).alias("_s"),
     ).select("id", F.col("_s.sub").alias("sub"), F.col("_s.subvec").alias("subvec"))
@@ -652,7 +668,7 @@ def binary_hamming_topk(
         _sign_pack_half("_qv", 0).alias("_qlo"),
         _sign_pack_half("_qv", 32).alias("_qhi"),
     )
-    c = candidates.select(
+    c = _spread(candidates).select(
         F.col(cand_id).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     ).select(
@@ -704,7 +720,7 @@ def quantized_topk(
         F.col(query_id).alias("query_id"),
         int8_quantize(F.col(vec_col).cast("array<double>")).alias("_q"),
     )
-    c = candidates.select(
+    c = _spread(candidates).select(
         F.col(cand_id).alias("cand_id"),
         int8_quantize(F.col(vec_col).cast("array<double>")).alias("_c"),
     )
@@ -761,7 +777,7 @@ def semantic_dedup(
     front, so each within-cell comparison is a single dot fold; the pair
     join shuffles on the cell key.
     """
-    v = df.select(
+    v = _spread(df).select(
         F.col(id_col).alias("id"), unit(F.col(vec_col).cast("array<double>")).alias("v")
     )
     # train on the NORMALIZED vectors — the published recipe clusters the
@@ -860,7 +876,7 @@ def ann_lsh_topk(
         )
 
     q = banded(queries, query_id, "query")
-    c = banded(candidates, cand_id, "cand")
+    c = banded(_spread(candidates), cand_id, "cand")
     cand_pairs = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
