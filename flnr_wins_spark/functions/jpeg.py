@@ -28,6 +28,8 @@ from typing import Iterator
 
 import numpy as np
 
+from flnr_wins_spark.functions.multimodal import _spread
+
 # ---------------------------------------------------------------------------
 # Spec tables (ITU-T T.81 Annex K) — quantization + typical Huffman tables
 # ---------------------------------------------------------------------------
@@ -1016,7 +1018,7 @@ def wrap_jpeg_progressive(media, channels: int, width: int, height: int,
             )
             yield pdf
 
-    return media.mapInPandas(batches, schema=media.schema)
+    return _spread(media).mapInPandas(batches, schema=media.schema)
 
 
 def wrap_jpeg(media, channels: int, width: int, height: int, subsampling: str = "444"):
@@ -1037,4 +1039,4 @@ def wrap_jpeg(media, channels: int, width: int, height: int, subsampling: str = 
             )
             yield pdf
 
-    return media.mapInPandas(batches, schema=media.schema)
+    return _spread(media).mapInPandas(batches, schema=media.schema)

@@ -83,6 +83,20 @@ def to_media_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread an under-split media frame across the default parallelism
+    before a Python decode/encode pass — a single-file scan would run the
+    whole mapInPandas stage in ONE Python worker. No-op whenever the input
+    is already at least that parallel (any cluster-scale media table); the
+    same guard as minhash_signature_table's min_parallelism and
+    vectors._spread. Decoders are per-row pure, so row placement cannot
+    change any result."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _fake_decode(content: bytes, dim: int) -> list[float]:
     """Deterministic fake 'decoder': digest bytes -> unit-range features.
     Stands in for PIL/libav decode, which is unavailable here."""
@@ -543,7 +557,7 @@ def wrap_png_palette(
             )
             yield pdf
 
-    return media.mapInPandas(batches, schema=media.schema)
+    return _spread(media).mapInPandas(batches, schema=media.schema)
 
 
 def wrap_png(media: DataFrame, channels: int, width: int, height: int) -> DataFrame:
@@ -559,7 +573,7 @@ def wrap_png(media: DataFrame, channels: int, width: int, height: int) -> DataFr
             )
             yield pdf
 
-    return media.mapInPandas(batches, schema=media.schema)
+    return _spread(media).mapInPandas(batches, schema=media.schema)
 
 
 def _real_features(content: bytes) -> list[float]:
@@ -615,7 +629,7 @@ def extract_features(
             )
             yield out
 
-    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return _spread(media).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -662,7 +676,7 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
-    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+    return _spread(media).mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 def resize_image(
@@ -696,7 +710,7 @@ def resize_image(
             T.StructField("n_bytes", T.LongType()),
         ]
     )
-    out = media.mapInPandas(batches, schema=flat)
+    out = _spread(media).mapInPandas(batches, schema=flat)
     return out.select(
         "media_id",
         "content",
@@ -764,7 +778,7 @@ def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
             T.StructField("dhash", T.StringType()),
         ]
     )
-    return media.select("media_id", "content").mapInPandas(batches, schema=schema)
+    return _spread(media.select("media_id", "content")).mapInPandas(batches, schema=schema)
 
 
 def audio_fingerprint_bits(content: bytes, n_bits: int = 64) -> int:
@@ -822,7 +836,7 @@ def audio_fingerprint(media: DataFrame, n_bits: int = 64) -> DataFrame:
             T.StructField("afp", T.StringType()),
         ]
     )
-    return media.select("media_id", "content").mapInPandas(batches, schema=schema)
+    return _spread(media.select("media_id", "content")).mapInPandas(batches, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1130,7 +1144,7 @@ def wrap_wav_adpcm(
             pdf["content"] = pdf["content"].map(build)
             yield pdf
 
-    return media.mapInPandas(batches, schema=media.schema)
+    return _spread(media).mapInPandas(batches, schema=media.schema)
 
 
 def extract_audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -1159,7 +1173,7 @@ def extract_audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
                 }
             )
 
-    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return _spread(media).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1420,7 +1434,7 @@ def wrap_gif(
             )
             yield pdf
 
-    return media.mapInPandas(batches, schema=media.schema)
+    return _spread(media).mapInPandas(batches, schema=media.schema)
 
 
 def decode_gif_frames(data: bytes) -> list[tuple[int, int, bytes]]:
@@ -1638,7 +1652,7 @@ def gif_frame_features(media: DataFrame, sample: list[int]) -> DataFrame:
                 rows, columns=[f.name for f in GIF_FRAME_FEATURE_SCHEMA.fields]
             )
 
-    return media.mapInPandas(batches, schema=GIF_FRAME_FEATURE_SCHEMA)
+    return _spread(media).mapInPandas(batches, schema=GIF_FRAME_FEATURE_SCHEMA)
 
 
 def delta_gif_controls(
@@ -1726,7 +1740,7 @@ def wrap_gif_animated(
             pdf["content"] = pdf["content"].map(build)
             yield pdf
 
-    return media.mapInPandas(batches, schema=media.schema)
+    return _spread(media).mapInPandas(batches, schema=media.schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1844,4 +1858,4 @@ def wrap_qoi(media: DataFrame, width: int, height: int) -> DataFrame:
             )
             yield pdf
 
-    return media.mapInPandas(batches, schema=media.schema)
+    return _spread(media).mapInPandas(batches, schema=media.schema)
