@@ -273,19 +273,31 @@ def kmeans_fit(
         F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))
     ).alias("m")
     cents_schema = "cent_id bigint, centroid array<double>"
-    for _ in range(iters):
-        cents = local_df(spark, cents_py, cents_schema)
-        assigned = kmeans_assign(tv, cents)
-        by_dim = assigned.select("cell", F.posexplode("v").alias("d", "x"))
-        mrows = by_dim.groupBy("cell", "d").agg(dmean).collect()
-        new: dict[int, dict[int, float]] = {}
-        for r in mrows:
-            new.setdefault(r.cell, {})[r.d] = r.m
-        # empty cells keep their previous centroid — exactly k rows always
-        cents_py = [
-            (cid, [new[cid][d] for d in range(len(old))] if cid in new else old)
-            for cid, old in cents_py
-        ]
+    # AQE off for the round loop: each round's mean collect is a
+    # model-fit-sized query (the sample is checkpointed, shuffle sizes are
+    # known and tiny), where AQE only adds one scheduling round-trip per
+    # materialized stage — measured ~15% of fit wall-clock. try/finally
+    # conf scope, same convention as ptable._read_stage_raw; results are
+    # unaffected (decimal means are partitioning-independent).
+    aqe_conf = "spark.sql.adaptive.enabled"
+    prev_aqe = spark.conf.get(aqe_conf)
+    spark.conf.set(aqe_conf, "false")
+    try:
+        for _ in range(iters):
+            cents = local_df(spark, cents_py, cents_schema)
+            assigned = kmeans_assign(tv, cents)
+            by_dim = assigned.select("cell", F.posexplode("v").alias("d", "x"))
+            mrows = by_dim.groupBy("cell", "d").agg(dmean).collect()
+            new: dict[int, dict[int, float]] = {}
+            for r in mrows:
+                new.setdefault(r.cell, {})[r.d] = r.m
+            # empty cells keep their previous centroid — exactly k rows always
+            cents_py = [
+                (cid, [new[cid][d] for d in range(len(old))] if cid in new else old)
+                for cid, old in cents_py
+            ]
+    finally:
+        spark.conf.set(aqe_conf, prev_aqe)
     return local_df(spark, cents_py, cents_schema)
 
 
@@ -480,40 +492,49 @@ def pq_fit(
     best = F.min(
         F.struct(sqdist(F.col("subvec"), F.col("centroid")).alias("d"), F.col("cent_id").alias("c"))
     )
-    for _ in range(iters):
-        cents = local_df(spark, books_py, books_schema)
-        assigned = (
-            slices.join(F.broadcast(cents), "sub")
-            .groupBy("id", "sub")
-            .agg(best.alias("_b"), F.first("subvec").alias("subvec"))
-            .select("sub", F.col("_b.c").alias("cell"), "subvec")
-        )
-        by_dim = assigned.select("sub", "cell", F.posexplode("subvec").alias("d", "x"))
-        # decimal-routed mean (the dsum rule): order-insensitive, engine-exact
-        mrows = (
-            by_dim.groupBy("sub", "cell", "d")
-            .agg(
+    # AQE off for the round loop — same rationale and conf scope as
+    # kmeans_fit (model-fit-sized queries; AQE's per-stage scheduling
+    # round-trips cost more than they save; results partitioning-exact)
+    aqe_conf = "spark.sql.adaptive.enabled"
+    prev_aqe = spark.conf.get(aqe_conf)
+    spark.conf.set(aqe_conf, "false")
+    try:
+        for _ in range(iters):
+            cents = local_df(spark, books_py, books_schema)
+            assigned = (
+                slices.join(F.broadcast(cents), "sub")
+                .groupBy("id", "sub")
+                .agg(best.alias("_b"), F.first("subvec").alias("subvec"))
+                .select("sub", F.col("_b.c").alias("cell"), "subvec")
+            )
+            by_dim = assigned.select("sub", "cell", F.posexplode("subvec").alias("d", "x"))
+            # decimal-routed mean (the dsum rule): order-insensitive, engine-exact
+            mrows = (
+                by_dim.groupBy("sub", "cell", "d")
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("m")
+                )
+                .collect()
+            )
+            new: dict[tuple[int, int], dict[int, float]] = {}
+            for r in mrows:
+                new.setdefault((r.sub, r.cell), {})[r.d] = r.m
+            # empty cells keep their previous centroid — m * ksub rows always
+            books_py = [
                 (
-                    F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
-            .collect()
-        )
-        new: dict[tuple[int, int], dict[int, float]] = {}
-        for r in mrows:
-            new.setdefault((r.sub, r.cell), {})[r.d] = r.m
-        # empty cells keep their previous centroid — m * ksub rows always
-        books_py = [
-            (
-                s,
-                cid,
-                [new[(s, cid)][d] for d in range(len(old))]
-                if (s, cid) in new
-                else old,
-            )
-            for s, cid, old in books_py
-        ]
+                    s,
+                    cid,
+                    [new[(s, cid)][d] for d in range(len(old))]
+                    if (s, cid) in new
+                    else old,
+                )
+                for s, cid, old in books_py
+            ]
+    finally:
+        spark.conf.set(aqe_conf, prev_aqe)
     return local_df(spark, books_py, books_schema)
 
 
