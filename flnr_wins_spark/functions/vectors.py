@@ -276,12 +276,19 @@ def kmeans_fit(
     # AQE off for the round loop: each round's mean collect is a
     # model-fit-sized query (the sample is checkpointed, shuffle sizes are
     # known and tiny), where AQE only adds one scheduling round-trip per
-    # materialized stage — measured ~15% of fit wall-clock. try/finally
-    # conf scope, same convention as ptable._read_stage_raw; results are
-    # unaffected (decimal means are partitioning-independent).
+    # materialized stage — measured ~15% of fit wall-clock. With AQE off
+    # nothing coalesces the round's one tiny shuffle, so pin
+    # shuffle.partitions to the sample's own parallelism for the same
+    # scope (a 200-partition default would run 200 near-empty tasks per
+    # round). try/finally conf scope, same convention as
+    # ptable._read_stage_raw; results are unaffected (decimal means are
+    # partitioning-independent).
     aqe_conf = "spark.sql.adaptive.enabled"
+    sp_conf = "spark.sql.shuffle.partitions"
     prev_aqe = spark.conf.get(aqe_conf)
+    prev_sp = spark.conf.get(sp_conf)
     spark.conf.set(aqe_conf, "false")
+    spark.conf.set(sp_conf, str(spark.sparkContext.defaultParallelism))
     try:
         for _ in range(iters):
             cents = local_df(spark, cents_py, cents_schema)
@@ -298,6 +305,7 @@ def kmeans_fit(
             ]
     finally:
         spark.conf.set(aqe_conf, prev_aqe)
+        spark.conf.set(sp_conf, prev_sp)
     return local_df(spark, cents_py, cents_schema)
 
 
@@ -492,12 +500,16 @@ def pq_fit(
     best = F.min(
         F.struct(sqdist(F.col("subvec"), F.col("centroid")).alias("d"), F.col("cent_id").alias("c"))
     )
-    # AQE off for the round loop — same rationale and conf scope as
-    # kmeans_fit (model-fit-sized queries; AQE's per-stage scheduling
-    # round-trips cost more than they save; results partitioning-exact)
+    # AQE off + pinned shuffle parallelism for the round loop — same
+    # rationale and conf scope as kmeans_fit (model-fit-sized queries;
+    # AQE's per-stage scheduling round-trips cost more than they save;
+    # results partitioning-exact)
     aqe_conf = "spark.sql.adaptive.enabled"
+    sp_conf = "spark.sql.shuffle.partitions"
     prev_aqe = spark.conf.get(aqe_conf)
+    prev_sp = spark.conf.get(sp_conf)
     spark.conf.set(aqe_conf, "false")
+    spark.conf.set(sp_conf, str(spark.sparkContext.defaultParallelism))
     try:
         for _ in range(iters):
             cents = local_df(spark, books_py, books_schema)
@@ -535,6 +547,7 @@ def pq_fit(
             ]
     finally:
         spark.conf.set(aqe_conf, prev_aqe)
+        spark.conf.set(sp_conf, prev_sp)
     return local_df(spark, books_py, books_schema)
 
 
