@@ -69,6 +69,19 @@ def exact_dedup(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread an under-split corpus before a per-row tokenize/hash fold
+    pass (single-file scans are one partition — the whole fold would run
+    on one core). No-op when the input is already at least
+    default-parallelism wide, i.e. any cluster-scale corpus; the same
+    guard minhash_signature_table exposes as ``min_parallelism``. Folds
+    are per-row pure, so placement cannot change results."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def shingle_sets(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
@@ -87,7 +100,7 @@ def shingle_sets(
         f"transform(sequence(1, size(_tk) - {n - 1}), i -> concat_ws(' ', {parts}))"
     )
     out = (
-        df.select(F.col(id_col).alias("id"), toks.alias("_tk"))
+        _spread(df).select(F.col(id_col).alias("id"), toks.alias("_tk"))
         .filter(F.size("_tk") >= n)
         .select("id", F.explode(shingles).alias("shingle"))
     )
@@ -488,7 +501,7 @@ def simhash_signatures(
         )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    staged = df.filter(F.col(text_col).isNotNull()).select(
+    staged = _spread(df).filter(F.col(text_col).isNotNull()).select(
         # NULL text must not enter: it would fold to signature 0, making
         # every contentless doc a hamming-0 "near-dup" of every other (and
         # of any real all-zero-signature doc) and turning the shared band
