@@ -28,7 +28,7 @@ from typing import Iterator
 
 import numpy as np
 
-from flnr_wins_spark.functions.multimodal import _spread
+from flnr_wins_spark.parallel import spread as _spread
 
 # ---------------------------------------------------------------------------
 # Spec tables (ITU-T T.81 Annex K) — quantization + typical Huffman tables

@@ -83,18 +83,11 @@ def to_media_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Spread an under-split media frame across the default parallelism
-    before a Python decode/encode pass — a single-file scan would run the
-    whole mapInPandas stage in ONE Python worker. No-op whenever the input
-    is already at least that parallel (any cluster-scale media table); the
-    same guard as minhash_signature_table's min_parallelism and
-    vectors._spread. Decoders are per-row pure, so row placement cannot
-    change any result."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+# one shared definition (see flnr_wins_spark/parallel.py); applied here
+# before Python decode/encode passes — a single-file scan would otherwise
+# run the whole mapInPandas stage in ONE Python worker. Decoders are
+# per-row pure, so row placement cannot change any result.
+from flnr_wins_spark.parallel import spread as _spread  # noqa: E402
 
 
 def _fake_decode(content: bytes, dim: int) -> list[float]:

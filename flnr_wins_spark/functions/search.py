@@ -90,6 +90,16 @@ def bm25_topk(
     and size(tokens) IS the doc length.
     """
     terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        # F.array() of zero term structs is array<void>, which fails at
+        # analysis when '_t.term' is extracted — return the empty result the
+        # old isin([]) path produced (doc_id keeps the input's type)
+        return (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .filter(F.lit(False))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(0).cast("bigint"))
+        )
     tk = tokens(F.col(text_col))
     per_doc = (
         docs.select(

@@ -111,17 +111,24 @@ def quality_rules(
     max_symbol_word_ratio: float = 0.10,
     max_dup_trigram_ratio: float = 0.30,
     min_stopword_hits: int = 2,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document quality-rule evaluation: one narrow projection emitting
     each rule's measured value plus the conjunctive ``passes`` verdict.
 
     Single pass over the scan, no shuffle; the token array is materialized
     once per row and every rule folds over it (same single-pass discipline as
-    ``simhash_signatures``)."""
+    ``simhash_signatures``).
+
+    ``keep``: extra input columns carried through to the output (appended
+    after the rule columns). Lets a composed pipeline filter on ``passes`` and
+    keep the payload WITHOUT a corpus self-join back to the source — the
+    rules are per-row, so passthrough is free."""
     staged = df.select(
         F.col(id_col),
         F.col(text_col).alias("_txt"),
         F.split(F.col(text_col), " ").alias("_tk"),
+        *[F.col(c) for c in keep],
     )
     n = F.size("_tk").cast("bigint")
     char_sum = F.expr("aggregate(_tk, CAST(0 AS BIGINT), (a, w) -> a + length(w))")
@@ -161,6 +168,7 @@ def quality_rules(
         symbol_ratio.alias("symbol_word_ratio"),
         dup_tri.alias("dup_trigram_ratio"),
         stop_hits.alias("stopword_hits"),
+        *[F.col(c) for c in keep],
     )
     passes = (
         F.col("n_words").between(min_words, max_words)

@@ -17,9 +17,43 @@ Python UDFs in the hot path, deterministic summation order).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+
+@contextmanager
+def _fit_conf(spark, enabled: bool):
+    """AQE off + pinned shuffle parallelism, scoped to a model-fit round
+    loop. Applied ONLY when the loop runs on the checkpointed model-fit
+    sample (``enabled`` = fit_sample is not None): sampled rounds are
+    model-fit-sized queries where AQE's per-stage scheduling round-trips
+    ARE the cost (~15% of fit wall-clock, measured r15), while EXACT mode's
+    per-round aggregates are corpus x dim scale — there AQE's coalescing
+    and skew handling genuinely matter, so exact mode stays on session
+    defaults. Restore is faithful: a key that was not explicitly set
+    before is UNSET afterwards (not re-set to its resolved default), so
+    the session keeps tracking later cluster-default changes."""
+    if not enabled:
+        yield
+        return
+    pinned = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(spark.sparkContext.defaultParallelism),
+    }
+    prev = {k: spark.conf.get(k, None) for k in pinned}
+    for k, v in pinned.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, pv in prev.items():
+            if pv is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, pv)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -45,20 +79,12 @@ def unit(a: Column) -> Column:
     return F.transform(a, lambda x: x / n)
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Spread an under-split corpus input across the default parallelism
-    before a CPU-heavy per-row fold pass (distance/signature folds are
-    O(dim) interpreted ops per row — a single-file scan would run them on
-    one core). No-op whenever the scan is already at least that parallel,
-    i.e. on any real cluster-scale input; the same guard as
-    ``minhash_signature_table``'s ``min_parallelism``. Row order is never
-    semantically relevant to the callers (min-struct argmins, decimal
-    sums, deterministic rank windows), so the repartition cannot change
-    any result."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+# one shared definition (see flnr_wins_spark/parallel.py); callers here
+# apply it before CPU-heavy per-row fold passes (distance/signature folds
+# are O(dim) interpreted ops per row), whose row-order insensitivity
+# (min-struct argmins, decimal sums, deterministic rank windows) makes the
+# repartition result-neutral
+from flnr_wins_spark.parallel import spread as _spread  # noqa: E402
 
 
 def brute_force_topk(
@@ -273,23 +299,13 @@ def kmeans_fit(
         F.sum(F.col("x").cast("decimal(27,12)")).cast("double") / F.count(F.lit(1))
     ).alias("m")
     cents_schema = "cent_id bigint, centroid array<double>"
-    # AQE off for the round loop: each round's mean collect is a
-    # model-fit-sized query (the sample is checkpointed, shuffle sizes are
-    # known and tiny), where AQE only adds one scheduling round-trip per
-    # materialized stage — measured ~15% of fit wall-clock. With AQE off
-    # nothing coalesces the round's one tiny shuffle, so pin
-    # shuffle.partitions to the sample's own parallelism for the same
-    # scope (a 200-partition default would run 200 near-empty tasks per
-    # round). try/finally conf scope, same convention as
-    # ptable._read_stage_raw; results are unaffected (decimal means are
-    # partitioning-independent).
-    aqe_conf = "spark.sql.adaptive.enabled"
-    sp_conf = "spark.sql.shuffle.partitions"
-    prev_aqe = spark.conf.get(aqe_conf)
-    prev_sp = spark.conf.get(sp_conf)
-    spark.conf.set(aqe_conf, "false")
-    spark.conf.set(sp_conf, str(spark.sparkContext.defaultParallelism))
-    try:
+    # AQE off + pinned shuffle parallelism for the round loop, ONLY in
+    # sampled mode (see _fit_conf): each sampled round's mean collect is a
+    # model-fit-sized query over the checkpointed sample where AQE only
+    # adds one scheduling round-trip per materialized stage — measured
+    # ~15% of fit wall-clock. Results are unaffected either way (decimal
+    # means are partitioning-independent).
+    with _fit_conf(spark, fit_sample is not None):
         for _ in range(iters):
             cents = local_df(spark, cents_py, cents_schema)
             assigned = kmeans_assign(tv, cents)
@@ -303,9 +319,6 @@ def kmeans_fit(
                 (cid, [new[cid][d] for d in range(len(old))] if cid in new else old)
                 for cid, old in cents_py
             ]
-    finally:
-        spark.conf.set(aqe_conf, prev_aqe)
-        spark.conf.set(sp_conf, prev_sp)
     return local_df(spark, cents_py, cents_schema)
 
 
@@ -500,17 +513,10 @@ def pq_fit(
     best = F.min(
         F.struct(sqdist(F.col("subvec"), F.col("centroid")).alias("d"), F.col("cent_id").alias("c"))
     )
-    # AQE off + pinned shuffle parallelism for the round loop — same
-    # rationale and conf scope as kmeans_fit (model-fit-sized queries;
-    # AQE's per-stage scheduling round-trips cost more than they save;
-    # results partitioning-exact)
-    aqe_conf = "spark.sql.adaptive.enabled"
-    sp_conf = "spark.sql.shuffle.partitions"
-    prev_aqe = spark.conf.get(aqe_conf)
-    prev_sp = spark.conf.get(sp_conf)
-    spark.conf.set(aqe_conf, "false")
-    spark.conf.set(sp_conf, str(spark.sparkContext.defaultParallelism))
-    try:
+    # AQE off + pinned shuffle parallelism for the round loop, ONLY in
+    # sampled mode — same rationale and conf scope as kmeans_fit (see
+    # _fit_conf; results partitioning-exact either way)
+    with _fit_conf(spark, fit_sample is not None):
         for _ in range(iters):
             cents = local_df(spark, books_py, books_schema)
             assigned = (
@@ -545,9 +551,6 @@ def pq_fit(
                 )
                 for s, cid, old in books_py
             ]
-    finally:
-        spark.conf.set(aqe_conf, prev_aqe)
-        spark.conf.set(sp_conf, prev_sp)
     return local_df(spark, books_py, books_schema)
 
 

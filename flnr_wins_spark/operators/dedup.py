@@ -69,17 +69,10 @@ def exact_dedup(
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Spread an under-split corpus before a per-row tokenize/hash fold
-    pass (single-file scans are one partition — the whole fold would run
-    on one core). No-op when the input is already at least
-    default-parallelism wide, i.e. any cluster-scale corpus; the same
-    guard minhash_signature_table exposes as ``min_parallelism``. Folds
-    are per-row pure, so placement cannot change results."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+# one shared definition (see flnr_wins_spark/parallel.py); applied here
+# before per-row tokenize/hash fold passes, which are per-row pure so
+# placement cannot change results
+from flnr_wins_spark.parallel import spread as _spread  # noqa: E402
 
 
 def shingle_sets(

@@ -670,6 +670,44 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@query(
+    "x_dedup_minhash_r2_equiv",
+    # Oracle = EMPTY relation with the pair schema: the Spark side returns
+    # the symmetric difference between the r=2 and r=1 verified pair sets,
+    # so the entry is green iff band_width=2 AND-amplification produces
+    # EXACTLY the r=1 output on this corpus — the driver-graded witness the
+    # r15 verdict asked for (the recall-contract change was previously
+    # proven only by a builder-side exceptAll check nothing graded).
+    sql="""
+    SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    WHERE 1 = 0
+    """,
+    note="graded equivalence witness for x_dedup_minhash_lsh's r=2 banding: "
+    "symmetric difference of verified pair sets (band_width 2 vs 1) must be "
+    "empty — exact verification makes the OUTPUT contract band-independent "
+    "whenever no true pair is missed, and this entry pins that no pair is "
+    "missed on the fixture corpus at every graded SF",
+)
+def x_dedup_minhash_r2_equiv(spark, sf_dir):
+    from flnr_wins_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_dups(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    # unpersist=True: each call eagerly pins its (tiny) verified-pairs result
+    # and releases its corpus-sized signature cache — two live caches would
+    # otherwise stack per invocation
+    r1 = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.8, min_parallelism=par,
+        band_width=1, unpersist=True,
+    )
+    r2 = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.8, min_parallelism=par,
+        band_width=2, unpersist=True,
+    )
+    return r1.exceptAll(r2).unionByName(r2.exceptAll(r1))
+
+
 # x_dedup_minhash_portable oracle: with md5 min-hashes (lexicographic min of
 # fixed-width hex == unsigned numeric min) the signature table, the banded
 # candidate rule ("agree on >= 1 table" == the 8-way OR join), and the exact
@@ -1714,8 +1752,11 @@ def x_doc_chunking(spark, sf_dir):
 )
 def x_text_langid(spark, sf_dir):
     from flnr_wins_spark.functions.text import lang_id, rolling_fingerprint
+    from flnr_wins_spark.parallel import spread
 
-    docs = t(spark, sf_dir, "documents")
+    # spread before the Arrow boundary: a single-file corpus scan would run
+    # both pandas UDFs in ONE Python worker (r15 deferral list item 1)
+    docs = spread(t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_given"),
@@ -3535,33 +3576,26 @@ def x_llm_corpus_e2e(spark, sf_dir):
 
     # spread the under-split single-file input BEFORE the rule projection:
     # higher-order array expressions run interpreted (outside whole-stage
-    # codegen), so per-core parallelism is the lever; the corpus then feeds
-    # multiple consumers (rule side + payload join side), so persist it.
-    # persist(MEMORY_AND_DISK), NOT localCheckpoint: identical measured time
-    # at sf0.1 (2.4-2.6 s steady both ways), but lineage stays intact — at
-    # 100 TB a full-corpus localCheckpoint is a storage bill AND a
-    # fault-tolerance hole (lost executor = lost partition, no recompute),
-    # while a spillable cache is evictable and recomputable
-    from pyspark import StorageLevel
-
-    docs = (
-        t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # codegen), so per-core parallelism is the lever. keep=('lang','text')
+    # carries the payload THROUGH the per-row rule projection — the r15 form
+    # re-joined passed doc_ids back to a persisted corpus, paying a corpus
+    # self-join (2 exchanges) + a corpus-sized cache write per run; the rules
+    # are per-row, so passthrough makes both disappear and `docs` has ONE
+    # consumer (no persist needed).
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
     passed = (
-        quality_rules(docs, min_words=30, min_stopword_hits=0)
+        quality_rules(docs, min_words=30, min_stopword_hits=0, keep=("lang", "text"))
         .filter(F.col("passes"))
-        .select("doc_id")
-        .join(docs, "doc_id")
+        .select("doc_id", "lang", "text")
     )
     # exact dedup as ONE window pass: min(doc_id) over partitionBy(text)
-    # equals the groupBy(text).min + re-join form (doc_id is the PK), but
-    # consumes `passed` once — the interpreted Gopher/C4 rule chain used to
-    # re-evaluate per branch (groupBy arm + join-probe arm), and the
-    # survivor attach paid a second exchange. One text-keyed exchange now
-    # carries the curated rows straight into the localCheckpoint; the
-    # checkpointed `kept` then feeds the four downstream consumers.
+    # equals the groupBy(text).min + re-join form (doc_id is the PK), and
+    # consumes `passed` once. One text-keyed exchange carries the curated
+    # rows straight into the localCheckpoint; the checkpointed `kept` then
+    # feeds the three downstream consumers (mixture stats, mixture ranking,
+    # payload join) without re-running scan+rules+window per consumer.
     from pyspark.sql import Window
 
     w = Window.partitionBy("text")
@@ -3618,8 +3652,10 @@ def x_llm_corpus_e2e(spark, sf_dir):
 )
 def x_text_nfc(spark, sf_dir):
     from flnr_wins_spark.functions.text import nfc_normalize
+    from flnr_wins_spark.parallel import spread
 
-    docs = t(spark, sf_dir, "documents")
+    # spread before the Arrow boundary (same rationale as x_text_langid)
+    docs = spread(t(spark, sf_dir, "documents"))
     h = F.md5(
         F.encode(F.concat(F.col("doc_id").cast("string"), F.lit(":nfc")), "UTF-8")
     )

@@ -20,11 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flnr_wins_spark.operators.enrich import enrich
-from flnr_wins_spark.operators.reject import (
-    RejectSplit,
-    reject_duplicates,
-    reject_unmatched,
-)
+from flnr_wins_spark.operators.reject import RejectSplit
 from flnr_wins_spark.operators.update import blank_to_null, conditional_update
 
 
@@ -89,24 +85,58 @@ def qa_reserves(
     """QA stage, ``src/wins_transform_staging.py:236-273``: duplicate-tag
     rejection first, then referential-integrity rejection against POD; the
     not-found flag only lands where no flag exists yet (flag precedence,
-    ``:268-269`` — enforced INSIDE the reject operators' precedence-aware
-    stamp, so a row entering either operator with an existing flag keeps
-    it; no separate flag_where_null pass needed)."""
-    # pin=True: kept AND rejected are both consumed downstream (published
-    # table + reject union), and rejected itself unions two branches over
-    # the same tagged subtree — unpinned, the scan+enrich+window replays
-    # once per branch (3x at plan level; see OPTIMIZATION_r15.md)
-    dup = reject_duplicates(rrr, "TRRR_TAG", flag="Duplicate TRRR_TAG", pin=True)
-    ri = reject_unmatched(
-        dup.kept,
-        pod,
-        on=("TRRR_TAG", "PNTS_CODE"),
-        flag="TRRR_TAG not found in Water POD Table",
-        lookup_name="Water POD Table",
-        broadcast_lookup=broadcast_lookup,
+    ``:268-269``).
+
+    Fused single pass: both checks are decided by ONE window count (the
+    duplicate tag) plus ONE left join against the distinct POD keys (the
+    RI membership), so kept and rejected are each a single filter of the
+    same tagged frame — the composed ``reject_duplicates >> reject_unmatched
+    >> union`` form evaluated the upstream scan+enrich+window once per
+    union branch (or needed a persist to avoid it). Provably identical:
+      * kept  = not-dup AND matched  (= dup.kept semi-joined to POD keys);
+      * rejected = dup rows flagged 'Duplicate ...' UNION not-dup-unmatched
+        rows flagged 'not found ...' — the branches are disjoint, so the
+        union IS the single filter (dup OR unmatched) with a conditional
+        flag, duplicate check taking precedence exactly as the sequential
+        form does (dup rows never reached the RI operator);
+      * NULL tags: never duplicates (window guard), never match an
+        equi-join — NULL-keyed rows land in rejected with the not-found
+        flag, same as the anti-join.
+    The window and the join are both keyed on TRRR_TAG, so the join reuses
+    the window's partitioning (no second fact-side exchange)."""
+    if "__wins_freq" in rrr.columns or "__wins_matched" in rrr.columns:
+        raise ValueError("qa_reserves: input already carries a QA helper column")
+    from pyspark.sql import Window
+
+    dup_flag = "Duplicate TRRR_TAG"
+    nf_flag = "TRRR_TAG not found in Water POD Table"
+    keys = pod.select(F.col("PNTS_CODE")).dropDuplicates(["PNTS_CODE"])
+    if broadcast_lookup:
+        keys = F.broadcast(keys)
+    tagged = (
+        rrr.withColumn(
+            "__wins_freq", F.count(F.lit(1)).over(Window.partitionBy("TRRR_TAG"))
+        )
+        .join(
+            keys.withColumn("__wins_matched", F.lit(True)),
+            F.col("TRRR_TAG") == F.col("PNTS_CODE"),
+            "left",
+        )
+        .drop("PNTS_CODE")
     )
-    rejected = dup.rejected.unionByName(ri.rejected)
-    return RejectSplit(kept=ri.kept, rejected=rejected)
+    is_dup = (F.col("__wins_freq") > 1) & F.col("TRRR_TAG").isNotNull()
+    matched = F.col("__wins_matched").isNotNull()
+    helper = ("__wins_freq", "__wins_matched")
+    kept = tagged.filter(~is_dup & matched).drop(*helper)
+    flag_val = F.when(is_dup, F.lit(dup_flag)).otherwise(F.lit(nf_flag))
+    if "REJECT_FLAG" in rrr.columns:
+        flag_val = F.coalesce(F.col("REJECT_FLAG"), flag_val)
+    rejected = (
+        tagged.filter(is_dup | ~matched)
+        .withColumn("REJECT_FLAG", flag_val)
+        .drop(*helper)
+    )
+    return RejectSplit(kept=kept, rejected=rejected)
 
 
 def run_staging(tables: dict[str, DataFrame], pod: DataFrame) -> StagingResult:
