@@ -158,6 +158,7 @@ def _walk_json(arr, i=0):
     return (node, children), j
 
 
+@pytest.mark.slow
 def test_no_broadcast_hint_over_grouped_aggregate(spark):
     """Repo-wide scale contract: an explicit broadcast hint must never cover a
     GROUPED aggregate. Grouped-aggregate cardinality follows the key's (and so
@@ -300,6 +301,7 @@ def test_skew_join_handling_on_in_bare_session(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 
 
+@pytest.mark.slow
 def test_no_row_at_a_time_python_udf_anywhere(spark):
     """Repo-wide scale contract: NO registered query may plan a row-at-a-time
     Python UDF (BatchEvalPython) — the 10-100x-slower path. Arrow-batched
@@ -678,6 +680,7 @@ def test_dpp_join_scan_covers_only_bloom_survivors(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+@pytest.mark.slow
 def test_stream_lakehouse_scan_covers_only_zone_survivors(spark):
     """After two streamed merges, the graded range probe's scan must
     enumerate only zone-map survivor partitions (negative-key insert

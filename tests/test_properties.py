@@ -14,6 +14,7 @@ hypothesis' own shrinking, not seeds.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -58,6 +59,7 @@ def test_reject_duplicates_partitions_input(spark, rows):
     rows=ROWS,
     lookup_keys=st.lists(KEYS, min_size=0, max_size=4, unique=True),
 )
+@pytest.mark.slow
 @SLOW
 def test_reject_unmatched_partitions_by_membership(spark, rows, lookup_keys):
     df = _df(spark, rows)
@@ -96,6 +98,7 @@ GRID_ROWS = st.lists(
     how=st.sampled_from(["inner", "left", "right", "full"]),
     hot=st.sampled_from([None, [], ["a"], ["a", "d"]]),
 )
+@pytest.mark.slow
 @SLOW
 def test_grid_salted_join_equals_plain_join(spark, lrows, rrows, grid, how, hot):
     """grid_salted_join == plain join for ANY data, grid shape, how, and
@@ -200,6 +203,7 @@ def test_bloom_prefilter_never_false_negative(spark, big_keys, small_keys):
     assert exact <= pre
 
 
+@pytest.mark.slow
 @given(edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=15))
 @SLOW
 def test_star_cc_equals_label_cc(spark, edges):
@@ -408,6 +412,7 @@ WORDS = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(words=WORDS)
 @SLOW
 def test_maxmatch_tokens_reconcatenate(spark, words):
@@ -436,6 +441,7 @@ def test_maxmatch_tokens_reconcatenate(spark, words):
     ),
     n=st.integers(1, 10),
 )
+@pytest.mark.slow
 @SLOW
 def test_corpus_mixture_budget_and_quota_invariants(spark, rows, n):
     """For ANY corpus and budget: output size <= n, per-source takes never
@@ -489,6 +495,7 @@ def test_bottomk_quantiles_exact_when_k_covers_everything(spark, vals):
     lat_u=st.integers(0, 180_000_000),
     lon_u=st.integers(0, 360_000_000),
 )
+@pytest.mark.slow
 @SLOW
 def test_geohash_spark_matches_duckdb_dialect(spark, lat_u, lon_u):
     """The two dialect renderings of the unrolled geohash arithmetic must
@@ -551,6 +558,7 @@ def test_jpeg_dc_only_matches_integer_oracle_formula(spark, g):
     max_examples=10, deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_partition_pruned_merge_equals_whole_table_merge(
     spark, tmp_path_factory, base, change
 ):

@@ -46,6 +46,7 @@ def test_registry_nonempty_and_unique(registry):
     assert all(qd.fn is not None for qd in registry.values())
 
 
+@pytest.mark.slow
 def test_every_query_analyzes(spark, registry):
     failures = []
     for name, qd in registry.items():
@@ -57,6 +58,7 @@ def test_every_query_analyzes(spark, registry):
     assert not failures, "\n".join(failures)
 
 
+@pytest.mark.slow
 def test_oracle_sql_parses_and_columns_match(spark, registry, duck):
     failures = []
     for name, qd in registry.items():
