@@ -3578,13 +3578,21 @@ def x_llm_corpus_e2e(spark, sf_dir):
     # higher-order array expressions run interpreted (outside whole-stage
     # codegen), so per-core parallelism is the lever. keep=('lang','text')
     # carries the payload THROUGH the per-row rule projection — the r15 form
-    # re-joined passed doc_ids back to a persisted corpus, paying a corpus
-    # self-join (2 exchanges) + a corpus-sized cache write per run; the rules
-    # are per-row, so passthrough makes both disappear and `docs` has ONE
-    # consumer (no persist needed).
-    docs = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # re-joined passed doc_ids back to the corpus, paying a corpus self-join
+    # (2 exchanges); the rules are per-row, so passthrough removes the join.
+    # The persist on the spread frame is a PUSHDOWN BARRIER, not (any more) a
+    # multi-consumer cache: PushDownPredicates sinks the `passes` filter —
+    # with the whole interpreted rule chain inlined — below the round-robin
+    # exchange onto the single-partition scan (measured 3.0 s -> 13.5 s when
+    # the barrier was dropped, the filter evaluating on ONE core). Both the
+    # repartition and the persist are skipped on already-parallel inputs,
+    # where filter-pushdown-to-scan is exactly what we want at 100 TB.
+    from pyspark import StorageLevel
+
+    docs = t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par).persist(StorageLevel.MEMORY_AND_DISK)
     passed = (
         quality_rules(docs, min_words=30, min_stopword_hits=0, keep=("lang", "text"))
         .filter(F.col("passes"))
