@@ -47,124 +47,117 @@ def query(name: str, sql: str | None = None, note: str = "", bench: bool = False
 
 # Grading priority: the driver evaluates queries() in registration order under
 # a budget of ~50 entries/round, so entries that most need a fresh
-# driver-graded correctness row go first. ROUND-14 ordering, recomputed BY
-# SCRIPT from the CORRECTNESS_r01-r13 artifacts (the standing discipline —
+# driver-graded correctness row go first. ROUND-16 ordering, recomputed BY
+# SCRIPT from the CORRECTNESS_r01-r15 artifacts (the standing discipline —
 # never hand-kept arithmetic):
-# (a) position 1: the NEW r14 surface q_stream_minhash_gate_compacted
-#     (driver-graded evidence for the gate's delta-compaction path:
-#     4 micro-batches, compact_every=2, cross-batch rejects probe
-#     COMPACTED state, n_band_versions evidence column);
-# (b) positions 2-12: the eleven entries whose CODE changed in r14 with
-#     behavior-relevant diffs — the two streaming gates (bands/shsets
-#     state split + compaction in minhash_dedup_sink; the floor-band
-#     fix in _assert_offset_bands_free guards both), the two GIF
-#     entries (composition-canvas decoder; video_frames ships odd ids
-#     as partial-update delta frames), and the seven skew/advisor
-#     entries (run_auto_join now sizes the 2-D grid from measured
-#     per-side hot-key masses; _pruned_hot_keys returns (keys, mass)).
-#     NOT regraded by design: x_warc_ingest (the r14 warc.py diff
-#     touches only the zstd dictionary-promotion path; the graded
-#     entry reads .warc.gz through the untouched member-split — the
-#     same reasoning the r13 verdict accepted, re-pinned by the new
-#     lazy-promotion unit test);
-# (c) positions 13-28: the 16 remaining r06-stale entries (x_pii_redact
-#     .. x_weighted_sample, alphabetical — drains r06 completely);
-# (d) positions 29-50: the first 22 of the 41-entry r07 cohort,
-#     alphabetical; the remaining 19 lead the r15 fill, then r09 (42),
-#     r10 (42), r11 (33), r12 (48), r13 (50), r14.
+# (a) positions 1-23: this round's code-changed entries — the new
+#     x_dedup_minhash_r2_equiv equivalence witness (never graded), the
+#     qa_reserves fuse (wins_e2e pair + r7), the quality_rules keep=
+#     passthrough + pushdown-barrier fix (x_llm_corpus_e2e), the
+#     Arrow-boundary spreads (x_text_langid/x_text_nfc), the bm25_topk
+#     empty-terms guard (5 search entries), the _fit_conf scoping
+#     (6 kmeans/pq entries), and spread-consolidation representatives
+#     (minhash trio, topk, dhash);
+# (b) positions 24-39: the 16 stalest entries — last graded in ROUND 7
+#     (q_set_ops .. x_text_tokenize_bpe, alphabetical) — drains r07
+#     completely;
+# (c) positions 40-50: the first 11 of the 34-entry r09 cohort,
+#     alphabetical; the remaining 23 lead the next round's fill, then
+#     r10 (32), r11 (26), r12 (42), r13 (32), r14 (41), r15 (50).
 # Names absent from this list follow in import order.
 _GRADE_FIRST: tuple[str, ...] = (
-    "q_stream_minhash_gate_compacted", "q_stream_minhash_gate", "q_stream_dedup_gate",
-    "x_search_bm25", "x_search_hybrid_rrf", "x_search_e2e",
-    "x_search_bm25_persisted", "x_search_bm25_incremental", "x_similarity_topk",
-    "x_similarity_int8", "x_similarity_binary", "x_similarity_pq",
-    "x_pq_recall", "x_similarity_ivf", "x_similarity_ivf_kmeans",
-    "x_similarity_ivf_persisted", "x_ivf_recall", "x_similarity_ann_lsh",
-    "x_similarity_ann_portable", "x_ann_recall", "x_semdedup",
-    "x_dedup_clusters", "x_dedup_clusters_star", "x_dedup_minhash_lsh",
-    "x_dedup_minhash_portable", "x_dedup_minhash_estimate", "x_knn_classify",
-    "x_hard_negatives", "x_rag_retrieve", "x_mmr_rerank",
-    "x_embedding_neardup", "x_fuzzy_join", "x_golden_record",
-    "x_multimodal_dhash_dedup", "x_multimodal_audio_dedup", "x_multimodal_video_dedup",
-    "x_multimodal_decode", "x_multimodal_gif_decode", "x_multimodal_video_frames",
-    "x_multimodal_features", "x_multimodal_frames", "x_pagerank",
-    "q18_large_volume_customer", "q21_suppliers_kept_waiting", "wins_e2e_kept",
-    "wins_e2e_rejects", "r7_reject_duplicates", "x_llm_corpus_e2e",
+    "x_dedup_minhash_r2_equiv", "wins_e2e_rejects", "wins_e2e_kept",
+    "r7_reject_duplicates", "x_llm_corpus_e2e", "x_text_langid",
+    "x_text_nfc", "x_search_bm25", "x_search_bm25_persisted",
+    "x_search_bm25_incremental", "x_search_e2e", "x_search_hybrid_rrf",
+    "x_semdedup", "x_similarity_pq", "x_pq_recall",
+    "x_similarity_ivf_kmeans", "x_similarity_ivf_persisted", "x_ivf_recall",
+    "x_dedup_minhash_lsh", "x_dedup_minhash_portable", "x_dedup_minhash_estimate",
+    "x_similarity_topk", "x_multimodal_dhash_dedup", "q_set_ops",
+    "q_stats_derived", "q_union_distinct", "x_bucketed_join",
+    "x_cdc_diff", "x_corpus_resample", "x_corpus_shard",
+    "x_corpus_stats", "x_cusum_changepoint", "x_dedup_spans",
+    "x_doc_chunking", "x_holt_forecast_grouped", "x_merge_upsert",
+    "x_quality_rules", "x_scd2_history", "x_text_tokenize_bpe",
+    "q10_returned_items", "q11_important_value", "q12_shipping_delay",
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_national_market_share", "q9_product_type_profit", "q_array_functions",
+    "q_asof_tolerance", "q_events_approx_distinct", "q_stream_minhash_gate_compacted",
+    "q_stream_minhash_gate", "q_stream_dedup_gate", "x_similarity_int8",
+    "x_similarity_binary", "x_similarity_ivf", "x_similarity_ann_lsh",
+    "x_similarity_ann_portable", "x_ann_recall", "x_dedup_clusters",
+    "x_dedup_clusters_star", "x_knn_classify", "x_hard_negatives",
+    "x_rag_retrieve", "x_mmr_rerank", "x_embedding_neardup",
+    "x_fuzzy_join", "x_golden_record", "x_multimodal_audio_dedup",
+    "x_multimodal_video_dedup", "x_multimodal_decode", "x_multimodal_gif_decode",
+    "x_multimodal_video_frames", "x_multimodal_features", "x_multimodal_frames",
+    "x_pagerank", "q18_large_volume_customer", "q21_suppliers_kept_waiting",
     "x_ptable_cdc_e2e", "x_ptable_incremental_mv", "x_grid_skew_join",
     "x_grid_skew_left", "x_grid_skew_full", "x_grid_skew_right",
     "x_auto_skew_join", "x_skew_sidecar_join", "x_right_hot_left_join",
     "x_pii_redact", "x_quantile_bottomk", "x_rank_metrics",
     "x_rerank_cross", "x_robust_scale", "x_sample_stratified",
     "x_seasonal_decompose", "x_seq_packing", "x_target_encode",
-    "x_text_fingerprint", "x_text_langid", "x_text_quality",
-    "x_text_stats", "x_train_test_split", "x_weighted_sample",
-    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue", "q19_discounted_revenue",
-    "q20_potential_promotion", "q22_global_sales_opportunity", "q_asof_join",
-    "q_cube_orders", "q_date_functions", "q_distinct_agg",
-    "q_exists_subquery", "q_explode_tokens", "q_grouping_sets",
-    "q_having", "q_percentile", "q_pivot_status",
-    "q_scalar_functions", "q_set_ops", "q_stats_derived",
-    "q_union_distinct", "x_bucketed_join", "x_cdc_diff",
-    "x_corpus_resample", "x_corpus_shard", "x_corpus_stats",
-    "x_cusum_changepoint", "x_dedup_spans", "x_doc_chunking",
-    "x_holt_forecast_grouped", "x_merge_upsert", "x_quality_rules",
-    "x_scd2_history", "x_text_tokenize_bpe", "q10_returned_items",
-    "q11_important_value", "q12_shipping_delay", "q2_min_cost_supplier",
-    "q4_order_priority", "q7_volume_shipping", "q8_national_market_share",
-    "q9_product_type_profit", "q_array_functions", "q_asof_tolerance",
-    "q_events_approx_distinct", "q_lateral_topn", "q_listagg",
-    "q_null_safe_join", "q_recursive_calendar", "q_skew_salted_join",
-    "q_source_roundtrip", "q_unpivot_metrics", "q_window_fill_forward",
-    "q_window_time_range", "r1_append_no_test", "r2_conditional_update",
-    "r3_blank_to_null", "r4_enrich_left_join", "r6_frequency",
-    "r8_reject_unmatched", "x_advisor_colocated", "x_bloom_prefilter",
-    "x_countmin", "x_dedup_simhash", "x_holt_forecast",
-    "x_kfold_split", "x_repetition_stats", "x_vocab_topk",
-    "q_events_histogram", "q_events_interpolate", "q_map_functions",
-    "x_advisor_estimate", "x_attribution_last_touch", "x_bigram_lm_quality",
-    "x_bpe_train", "x_classify_nb_langid", "x_dedup_containment",
-    "x_dedup_index_incremental", "x_dedup_url", "x_embedding_stats",
-    "x_equidepth_bins", "x_funnel_counts", "x_global_rank",
-    "x_group_topk_sample", "x_incremental_agg", "x_multimodal_audio_chunks",
-    "x_outlier_events", "x_packed_sequences", "x_partition_bounds_advisor",
-    "x_ptable_dpp_join", "x_ptable_join_advisor", "x_ptable_time_travel",
-    "x_ptable_zonemap_prune", "x_ptable_zorder_optimize", "x_retention_cohorts",
-    "x_token_bigrams", "x_unigram_quality", "x_url_canonicalize",
-    "x_winsorize", "x_zorder_layout", "q_events_interval_join",
-    "x_advisor_auto_read", "x_classify_perceptron", "x_compaction_plan",
-    "x_correlation_matrix", "x_dedup_simhash_portable", "x_dedup_tfidf",
-    "x_dq_expectations", "x_event_paths", "x_group_regression",
-    "x_jdbc_snapshot", "x_k_anonymity", "x_kcore",
-    "x_keywords_tfidf", "x_multimodal_audio_decode", "x_multimodal_mulaw_decode",
-    "x_multimodal_qoi_decode", "x_pandas_udaf_median", "x_pit_join",
-    "x_profile_columns", "x_rolling_zscore", "x_search_phrase",
-    "x_sorted_neighborhood", "x_tokenize_maxmatch", "x_triangle_count",
-    "x_user_streaks", "q_events_json", "q_events_multires_rollup",
-    "q_events_tumbling", "q_stream_drift_psi", "q_stream_incremental_agg",
-    "q_stream_kmv_sketch", "q_stream_lakehouse_merge", "q_stream_outer_join",
-    "q_stream_quantile_sketch", "q_stream_stateful_funnel", "q_stream_watermark",
-    "x_ab_test", "x_attribution_linear", "x_binaryfile_ingest",
-    "x_churn_training_set", "x_cooccur_pmi", "x_corpus_mixture",
-    "x_distinct_kmv", "x_events_m4", "x_geo_geohash",
-    "x_geo_knn", "x_graph_bfs", "x_html_strip",
-    "x_impute_nulls", "x_incremental_join", "x_join_size_estimate",
-    "x_kmv_set_ops", "x_multimodal_adpcm_decode", "x_multimodal_jpeg_decode",
-    "x_multimodal_jpeg_progressive", "x_multimodal_palette_png_decode", "x_multimodal_png_decode",
-    "x_quality_filter_pipeline", "x_random_projection", "x_recommend_itemknn",
-    "x_skew_report", "x_stream_lakehouse_prune", "x_text_nfc",
-    "x_time_to_convert", "x_tokenize_optimal", "x_trajectory_similarity",
-    "x_warc_ingest", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_revenue_forecast", "q_events_dedup",
-    "q_events_late_data", "q_events_sessionize", "q_events_sliding",
-    "q_rollup_acctbal", "q_string_functions", "q_topk_per_group",
-    "q_window_range_frame", "q_window_rank_family", "q_window_running",
-    "x_benford_audit", "x_decontam", "x_dedup_exact",
-    "x_dedup_ngram_jaccard", "x_dp_counts", "x_drift_psi",
-    "x_embedding_covariance", "x_embedding_pca", "x_fd_check",
-    "x_geo_grid_join", "x_kaplan_meier", "x_merge_evolve",
-    "x_multimodal_bytes", "x_ptable_bloom_point", "x_ptable_metadata_counts",
-    "x_ptable_ndv", "x_tokenize_unigram", "x_url_filter",
+    "x_text_fingerprint", "x_text_quality", "x_text_stats",
+    "x_train_test_split", "x_weighted_sample", "q13_customer_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q19_discounted_revenue", "q20_potential_promotion",
+    "q22_global_sales_opportunity", "q_asof_join", "q_cube_orders",
+    "q_date_functions", "q_distinct_agg", "q_exists_subquery",
+    "q_explode_tokens", "q_grouping_sets", "q_having",
+    "q_percentile", "q_pivot_status", "q_scalar_functions",
+    "q_lateral_topn", "q_listagg", "q_null_safe_join",
+    "q_recursive_calendar", "q_skew_salted_join", "q_source_roundtrip",
+    "q_unpivot_metrics", "q_window_fill_forward", "q_window_time_range",
+    "r1_append_no_test", "r2_conditional_update", "r3_blank_to_null",
+    "r4_enrich_left_join", "r6_frequency", "r8_reject_unmatched",
+    "x_advisor_colocated", "x_bloom_prefilter", "x_countmin",
+    "x_dedup_simhash", "x_holt_forecast", "x_kfold_split",
+    "x_repetition_stats", "x_vocab_topk", "q_events_histogram",
+    "q_events_interpolate", "q_map_functions", "x_advisor_estimate",
+    "x_attribution_last_touch", "x_bigram_lm_quality", "x_bpe_train",
+    "x_classify_nb_langid", "x_dedup_containment", "x_dedup_index_incremental",
+    "x_dedup_url", "x_embedding_stats", "x_equidepth_bins",
+    "x_funnel_counts", "x_global_rank", "x_group_topk_sample",
+    "x_incremental_agg", "x_multimodal_audio_chunks", "x_outlier_events",
+    "x_packed_sequences", "x_partition_bounds_advisor", "x_ptable_dpp_join",
+    "x_ptable_join_advisor", "x_ptable_time_travel", "x_ptable_zonemap_prune",
+    "x_ptable_zorder_optimize", "x_retention_cohorts", "x_token_bigrams",
+    "x_unigram_quality", "x_url_canonicalize", "x_winsorize",
+    "x_zorder_layout", "q_events_interval_join", "x_advisor_auto_read",
+    "x_classify_perceptron", "x_compaction_plan", "x_correlation_matrix",
+    "x_dedup_simhash_portable", "x_dedup_tfidf", "x_dq_expectations",
+    "x_event_paths", "x_group_regression", "x_jdbc_snapshot",
+    "x_k_anonymity", "x_kcore", "x_keywords_tfidf",
+    "x_multimodal_audio_decode", "x_multimodal_mulaw_decode", "x_multimodal_qoi_decode",
+    "x_pandas_udaf_median", "x_pit_join", "x_profile_columns",
+    "x_rolling_zscore", "x_search_phrase", "x_sorted_neighborhood",
+    "x_tokenize_maxmatch", "x_triangle_count", "x_user_streaks",
+    "q_events_json", "q_events_multires_rollup", "q_events_tumbling",
+    "q_stream_drift_psi", "q_stream_incremental_agg", "q_stream_kmv_sketch",
+    "q_stream_lakehouse_merge", "q_stream_outer_join", "q_stream_quantile_sketch",
+    "q_stream_stateful_funnel", "q_stream_watermark", "x_ab_test",
+    "x_attribution_linear", "x_binaryfile_ingest", "x_churn_training_set",
+    "x_cooccur_pmi", "x_corpus_mixture", "x_distinct_kmv",
+    "x_events_m4", "x_geo_geohash", "x_geo_knn",
+    "x_graph_bfs", "x_html_strip", "x_impute_nulls",
+    "x_incremental_join", "x_join_size_estimate", "x_kmv_set_ops",
+    "x_multimodal_adpcm_decode", "x_multimodal_jpeg_decode", "x_multimodal_jpeg_progressive",
+    "x_multimodal_palette_png_decode", "x_multimodal_png_decode", "x_quality_filter_pipeline",
+    "x_random_projection", "x_recommend_itemknn", "x_skew_report",
+    "x_stream_lakehouse_prune", "x_time_to_convert", "x_tokenize_optimal",
+    "x_trajectory_similarity", "x_warc_ingest", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_revenue_forecast",
+    "q_events_dedup", "q_events_late_data", "q_events_sessionize",
+    "q_events_sliding", "q_rollup_acctbal", "q_string_functions",
+    "q_topk_per_group", "q_window_range_frame", "q_window_rank_family",
+    "q_window_running", "x_benford_audit", "x_decontam",
+    "x_dedup_exact", "x_dedup_ngram_jaccard", "x_dp_counts",
+    "x_drift_psi", "x_embedding_covariance", "x_embedding_pca",
+    "x_fd_check", "x_geo_grid_join", "x_kaplan_meier",
+    "x_merge_evolve", "x_multimodal_bytes", "x_ptable_bloom_point",
+    "x_ptable_metadata_counts", "x_ptable_ndv", "x_tokenize_unigram",
+    "x_url_filter",
 )
 
 def all_queries() -> dict[str, QueryDef]:
