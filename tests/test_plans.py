@@ -458,11 +458,13 @@ def test_llm_corpus_e2e_never_checkpoints_full_corpus(spark):
     finally:
         cls.localCheckpoint = orig
     assert len(calls) == 1  # kept only
-    # the checkpointed plan is the FILTERED corpus (rules join + survivor
-    # join), not the bare scan+repartition of the raw input — and the
-    # repartitioned scan inside it is a plain (cache-backed) subtree with
-    # lineage, so it appears UNDER the join rather than being the root
-    assert "Join" in calls[0]
+    # the checkpointed plan is the FILTERED + DEDUPED corpus (quality-rule
+    # filter + min-id survivor window — r16 removed the rules re-join via
+    # quality_rules keep= passthrough), not the bare scan+repartition of
+    # the raw input — and the repartitioned scan inside it is a plain
+    # (cache-backed) subtree with lineage, so it appears UNDER the
+    # filter/window rather than being the root
+    assert "Window" in calls[0] and "Filter" in calls[0]
     assert not calls[0].lstrip().startswith("Repartition")
 
 
