@@ -110,18 +110,18 @@ def qa_reserves(
 
     dup_flag = "Duplicate TRRR_TAG"
     nf_flag = "TRRR_TAG not found in Water POD Table"
-    keys = pod.select(F.col("PNTS_CODE")).dropDuplicates(["PNTS_CODE"])
+    keys = (
+        pod.select(F.col("PNTS_CODE"))
+        .dropDuplicates(["PNTS_CODE"])
+        .withColumn("__wins_matched", F.lit(True))
+    )
     if broadcast_lookup:
         keys = F.broadcast(keys)
     tagged = (
         rrr.withColumn(
             "__wins_freq", F.count(F.lit(1)).over(Window.partitionBy("TRRR_TAG"))
         )
-        .join(
-            keys.withColumn("__wins_matched", F.lit(True)),
-            F.col("TRRR_TAG") == F.col("PNTS_CODE"),
-            "left",
-        )
+        .join(keys, F.col("TRRR_TAG") == F.col("PNTS_CODE"), "left")
         .drop("PNTS_CODE")
     )
     is_dup = (F.col("__wins_freq") > 1) & F.col("TRRR_TAG").isNotNull()
